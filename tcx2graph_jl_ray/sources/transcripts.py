@@ -1,0 +1,191 @@
+"""Transcript source.
+
+The engine's authoritative input shape (BASELINE.json ``input_hint``) is a Parquet
+table of multi-turn conversation transcripts::
+
+    conv_id: string, turn_idx: int32, role: string, text: string,
+    tool: string (nullable), ts: timestamp[us]
+
+The sandbox test corpus (/root/testdata/sf*/) has no transcripts table, so we
+*derive* one deterministically from the ``events`` stream joined to the
+``nation``/``region`` dimensions. The derivation is intentionally expressible in
+ANSI SQL (see ``TRANSCRIPTS_SQL``) so every downstream KG operator can be
+verified against a DuckDB oracle, and it plants ground-truth structure:
+
+- entity surface forms are aliased variants of nation names (4 variants per
+  nation), giving canonicalization a known connected-component answer — the
+  analogue of the same physical road segment appearing in many rides
+  (reference src/OverlappingSegmentsUtils.jl:91-277);
+- each turn's text follows a role-keyed template embedding (subj, pred, obj)
+  triples, so extractor precision/recall is exactly computable;
+- ``(conv_id, turn_idx)`` ordering is derived from ``(ts, event_id)`` — the
+  ordered-trackpoint invariant (reference src/GraphBuilder.jl:104-111,
+  src/Neo4jUtils.jl:96 ``ORDER BY t.time``).
+
+Scale note: the derivation itself is a broadcast join (nation×region is tiny —
+``ray.put`` once, read per actor) plus ONE keyed shuffle on ``conv_id`` to
+assign ``turn_idx``; at 10^12 turns the shuffle key is the conversation id,
+which is also the partitioning key every downstream per-conversation stage
+reuses.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray
+import ray.data
+
+# Columns actually consumed from the events table (prune at the read).
+_EVENT_COLUMNS = ["event_id", "ts", "user_id", "event_type", "props"]
+
+# Alias variants planted per nation: variant = event_id % 4.
+# After generic normalization (lowercase, non-alnum -> space) variants 0-2
+# collapse to e.g. "nation 7" while variant 3 stays "the nation 7 team";
+# pairwise token containment >= 0.8 links them (stages/canonicalize.py).
+_K_RE = r'"k": (\d+)'
+
+
+def _alias_series(n_name: pd.Series, event_id: pd.Series) -> pd.Series:
+    v = (event_id % 4).to_numpy()
+    base = n_name
+    lower = n_name.str.lower()
+    spaced = n_name.str.replace("_", " ", regex=False)
+    team = "the " + lower.str.replace("_", " ", regex=False) + " team"
+    out = base.copy()
+    out[v == 1] = lower[v == 1]
+    out[v == 2] = spaced[v == 2]
+    out[v == 3] = team[v == 3]
+    return out
+
+
+class _DeriveTurns:
+    """Stateful map_batches stage: holds the broadcast nation×region lookup.
+
+    The small side is shipped once via ``ray.put`` on the driver and fetched
+    once per actor in ``__init__`` (NOT per batch) — the broadcast-join
+    pattern replacing the reference's per-point nearest-way lookup
+    (src/TCXParser.jl:188-265).
+    """
+
+    def __init__(self, kb_ref):
+        # kb: DataFrame[n_nationkey, n_name, r_name]
+        self.kb = ray.get(kb_ref).set_index("n_nationkey")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        nk = (batch["user_id"] % 25).to_numpy()
+        kb = self.kb.reindex(nk)
+        n_name = pd.Series(kb["n_name"].to_numpy(), index=batch.index, dtype="object")
+        r_name = pd.Series(kb["r_name"].to_numpy(), index=batch.index, dtype="object")
+
+        role_code = (batch["event_id"] % 3).to_numpy()
+        role = pd.Series("tool", index=batch.index, dtype="object")
+        role[role_code == 0] = "user"
+        role[role_code == 1] = "assistant"
+
+        alias = _alias_series(n_name, batch["event_id"])
+        et = batch["event_type"]
+        k = batch["props"].str.extract(_K_RE, expand=False)
+
+        text = pd.Series("", index=batch.index, dtype="object")
+        m = role == "user"
+        text[m] = "please look up " + alias[m] + " and report " + et[m]
+        m = role == "assistant"
+        text[m] = (
+            alias[m] + " is located in " + r_name[m] + " ; "
+            + alias[m] + " reported " + et[m]
+        )
+        m = role == "tool"
+        text[m] = "lookup[" + et[m] + "] -> " + alias[m] + " k=" + k[m]
+
+        tool = et.where(role == "tool", None)
+
+        return pd.DataFrame(
+            {
+                "conv_id": "conv_" + batch["user_id"].astype(str),
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "role": role,
+                "text": text,
+                "tool": tool,
+            }
+        )
+
+
+def _assign_turn_idx(group: pd.DataFrame) -> pd.DataFrame:
+    # Stable per-conversation order from (ts, event_id) — the ordering
+    # invariant (reference src/GraphBuilder.jl:104-111). event_id breaks ts
+    # ties deterministically.
+    group = group.sort_values(["ts", "event_id"], kind="mergesort")
+    group = group.assign(
+        turn_idx=pd.array(range(len(group)), dtype="int32")
+    )
+    return group[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+
+def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
+    """events ⋈ nation ⋈ region → transcripts Dataset (see module docstring).
+
+    One broadcast join (map_batches over an actor pool holding the 25-row KB)
+    + one keyed shuffle on conv_id to impose turn order.
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    kb = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+    kb_ref = ray.put(kb)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=_EVENT_COLUMNS)
+    ds = ds.map_batches(
+        _DeriveTurns,
+        fn_constructor_args=(kb_ref,),
+        batch_format="pandas",
+        batch_size=16384,
+        concurrency=2,
+    )
+    return ds.groupby("conv_id").map_groups(_assign_turn_idx, batch_format="pandas")
+
+
+# DuckDB-runnable oracle for derive_transcripts (same templates, same ordering).
+TRANSCRIPTS_SQL = r"""
+WITH base AS (
+  SELECT
+    'conv_' || CAST(e.user_id AS VARCHAR) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1
+         AS INTEGER) AS turn_idx,
+    CASE CAST(e.event_id % 3 AS INTEGER)
+      WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+    CASE CAST(e.event_id % 4 AS INTEGER)
+      WHEN 0 THEN n.n_name
+      WHEN 1 THEN lower(n.n_name)
+      WHEN 2 THEN replace(n.n_name, '_', ' ')
+      ELSE 'the ' || lower(replace(n.n_name, '_', ' ')) || ' team'
+    END AS alias,
+    e.event_type AS event_type,
+    e.ts AS ts,
+    r.r_name AS r_name,
+    regexp_extract(e.props, '"k": (\d+)', 1) AS k
+  FROM events e
+  JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT
+  conv_id,
+  turn_idx,
+  role,
+  CASE role
+    WHEN 'user' THEN 'please look up ' || alias || ' and report ' || event_type
+    WHEN 'assistant' THEN alias || ' is located in ' || r_name || ' ; '
+                          || alias || ' reported ' || event_type
+    ELSE 'lookup[' || event_type || '] -> ' || alias || ' k=' || k
+  END AS text,
+  CASE WHEN role = 'tool' THEN event_type ELSE NULL END AS tool,
+  ts
+FROM base
+"""

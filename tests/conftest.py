@@ -1,0 +1,42 @@
+import duckdb
+import pytest
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir="/root/testdata/sf0.001"):
+    """DuckDB connection with the sf tables registered as views, mimicking the
+    driver's oracle harness."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
