@@ -72,7 +72,10 @@ class _DeriveTurns:
         self.kb = ray.get(kb_ref).set_index("n_nationkey")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        nk = (batch["user_id"] % 25).to_numpy()
+        # nation varies per event (not just per user) so a conversation
+        # mentions many entities and entities span many conversations —
+        # the many-rides-share-a-segment structure canonicalization needs
+        nk = ((batch["user_id"] + batch["event_id"]) % 25).to_numpy()
         kb = self.kb.reindex(nk)
         n_name = pd.Series(kb["n_name"].to_numpy(), index=batch.index, dtype="object")
         r_name = pd.Series(kb["r_name"].to_numpy(), index=batch.index, dtype="object")
@@ -147,7 +150,7 @@ def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_args=(kb_ref,),
         batch_format="pandas",
         batch_size=16384,
-        concurrency=2,
+        concurrency=(1, 4),
     )
     return ds.groupby("conv_id").map_groups(_assign_turn_idx, batch_format="pandas")
 
@@ -172,7 +175,7 @@ WITH base AS (
     r.r_name AS r_name,
     regexp_extract(e.props, '"k": (\d+)', 1) AS k
   FROM events e
-  JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+  JOIN nation n ON ((e.user_id + e.event_id) % 25) = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
 )
 SELECT

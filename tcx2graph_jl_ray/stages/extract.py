@@ -1,0 +1,249 @@
+"""Mention detection + (subj, pred, obj) triple extraction.
+
+The KG analogue of the reference's per-point enrichment stages — OSM feature
+attach (src/TCXParser.jl:83-101,188-265) and weather attach (:267-355) — which
+run a stateful lookup over every record. Here the "model" is a compiled rule
+set (deterministic, so precision/recall vs a single-threaded reference run is
+exactly measurable), hosted by a ``map_batches`` **actor pool**: patterns are
+compiled once per actor in ``__init__``, batches are processed vectorized in
+``__call__``.
+
+Extraction rules (the reference extractor this engine is graded against):
+
+- ``please look up X and report Y``        -> triple (conv_id, asked_about, X)
+- ``X is located in Y ; X reported Z``     -> (X, located_in, Y), (X, reported, Z)
+- ``lookup[T] -> X k=N``                   -> (X, k_value, N)
+
+and every captured ``X`` is an entity mention. Patterns are tried on every row
+(not keyed on role). Mention normalization: lowercase, collapse non-alnum runs
+to single spaces, strip — the analogue of coordinate rounding before dedup
+(src/Utils.jl:22-25).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import ray.data
+
+USER_PATTERN = r"^please look up (.+) and report (\S+)$"
+ASSISTANT_PATTERN = r"^(.+?) is located in (\S+) ; (.+?) reported (\S+)$"
+TOOL_PATTERN = r"^lookup\[(\S+)\] -> (.+) k=(\d+)$"
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def normalize_surface(s: str) -> str:
+    return _NORM_RE.sub(" ", s.lower()).strip()
+
+
+def _norm_series(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.replace(_NORM_RE, " ", regex=True).str.strip()
+
+
+class TripleExtractor:
+    """Actor-pool stage: transcripts batch -> triples batch.
+
+    Output: conv_id, turn_idx:int32, subj, pred, obj (surface forms; subj/obj
+    are canonicalized later by stages/canonicalize.py, the way segment runs are
+    only merged into canonical segments in the reference's second phase,
+    src/OverlappingSegmentsUtils.jl:212-277).
+    """
+
+    def __init__(self):
+        self.user_re = re.compile(USER_PATTERN)
+        self.assistant_re = re.compile(ASSISTANT_PATTERN)
+        self.tool_re = re.compile(TOOL_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        text = batch["text"]
+        conv = batch["conv_id"]
+        turn = batch["turn_idx"].astype("int32")
+
+        u = text.str.extract(self.user_re)
+        m = u[0].notna()
+        if m.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv[m],
+                        "turn_idx": turn[m],
+                        "subj": conv[m],
+                        "pred": "asked_about",
+                        "obj": u.loc[m, 0],
+                    }
+                )
+            )
+
+        a = text.str.extract(self.assistant_re)
+        m = a[0].notna()
+        if m.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv[m],
+                        "turn_idx": turn[m],
+                        "subj": a.loc[m, 0],
+                        "pred": "located_in",
+                        "obj": a.loc[m, 1],
+                    }
+                )
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv[m],
+                        "turn_idx": turn[m],
+                        "subj": a.loc[m, 2],
+                        "pred": "reported",
+                        "obj": a.loc[m, 3],
+                    }
+                )
+            )
+
+        t = text.str.extract(self.tool_re)
+        m = t[1].notna()
+        if m.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv[m],
+                        "turn_idx": turn[m],
+                        "subj": t.loc[m, 1],
+                        "pred": "k_value",
+                        "obj": t.loc[m, 2],
+                    }
+                )
+            )
+
+        if not out:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "turn_idx": pd.Series([], dtype="int32"),
+                    "subj": pd.Series([], dtype="object"),
+                    "pred": pd.Series([], dtype="object"),
+                    "obj": pd.Series([], dtype="object"),
+                }
+            )
+        res = pd.concat(out, ignore_index=True)
+        res["turn_idx"] = res["turn_idx"].astype("int32")
+        return res
+
+
+class MentionExtractor:
+    """Actor-pool stage: transcripts batch -> mentions batch.
+
+    Output: conv_id, turn_idx:int32, surface, norm, n_occurrences:int64 —
+    one row per distinct surface per turn (occurrences folded into a count,
+    like the reference folds repeated grid cells into a unique set,
+    src/GraphUtils.jl:46-57).
+    """
+
+    def __init__(self):
+        self.user_re = re.compile(USER_PATTERN)
+        self.assistant_re = re.compile(ASSISTANT_PATTERN)
+        self.tool_re = re.compile(TOOL_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        surface = text.str.extract(self.user_re)[0]
+        surface = surface.fillna(text.str.extract(self.assistant_re)[0])
+        surface = surface.fillna(text.str.extract(self.tool_re)[1])
+        m = surface.notna()
+        if not m.any():
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "turn_idx": pd.Series([], dtype="int32"),
+                    "surface": pd.Series([], dtype="object"),
+                    "norm": pd.Series([], dtype="object"),
+                    "n_occurrences": pd.Series([], dtype="int64"),
+                }
+            )
+        surf = surface[m]
+        txt = text[m]
+        n_occ = pd.Series(
+            [t.count(s) for t, s in zip(txt.to_numpy(), surf.to_numpy())],
+            index=surf.index,
+            dtype="int64",
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"][m],
+                "turn_idx": batch["turn_idx"][m].astype("int32"),
+                "surface": surf,
+                "norm": _norm_series(surf),
+                "n_occurrences": n_occ,
+            }
+        )
+
+
+def extract_triples(
+    transcripts: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 8192
+) -> ray.data.Dataset:
+    # Autoscaling actor pool (min 1 actor): a fixed-size pool sized at the
+    # cluster CPU count starves the upstream read/shuffle stages and the
+    # pipeline serializes (or deadlocks on small sessions).
+    return transcripts.map_batches(
+        TripleExtractor,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_mentions(
+    transcripts: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 8192
+) -> ray.data.Dataset:
+    return transcripts.map_batches(
+        MentionExtractor,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+TRIPLES_SQL_TEMPLATE = r"""
+WITH t AS ({transcripts})
+SELECT conv_id, turn_idx, conv_id AS subj, 'asked_about' AS pred,
+       regexp_extract(text, '^please look up (.+) and report (\S+)$', 1) AS obj
+FROM t WHERE regexp_matches(text, '^please look up (.+) and report (\S+)$')
+UNION ALL
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 1),
+       'located_in',
+       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 2)
+FROM t WHERE regexp_matches(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$')
+UNION ALL
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 3),
+       'reported',
+       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 4)
+FROM t WHERE regexp_matches(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$')
+UNION ALL
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '^lookup\[(\S+)\] -> (.+) k=(\d+)$', 2),
+       'k_value',
+       regexp_extract(text, '^lookup\[(\S+)\] -> (.+) k=(\d+)$', 3)
+FROM t WHERE regexp_matches(text, '^lookup\[(\S+)\] -> (.+) k=(\d+)$')
+"""
+
+MENTIONS_SQL_TEMPLATE = r"""
+WITH t AS ({transcripts}),
+m AS (
+  SELECT conv_id, turn_idx, text,
+    COALESCE(
+      NULLIF(regexp_extract(text, '^please look up (.+) and report (\S+)$', 1), ''),
+      NULLIF(regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 1), ''),
+      NULLIF(regexp_extract(text, '^lookup\[(\S+)\] -> (.+) k=(\d+)$', 2), '')
+    ) AS surface
+  FROM t
+)
+SELECT conv_id, turn_idx, surface,
+  trim(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g')) AS norm,
+  (length(text) - length(replace(text, surface, ''))) // length(surface) AS n_occurrences
+FROM m WHERE surface IS NOT NULL
+"""

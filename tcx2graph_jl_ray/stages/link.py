@@ -1,0 +1,60 @@
+"""Entity linking: canonical entities -> knowledge-base attributes.
+
+Analogue of the reference's nearest-way OSM attribute attach
+(src/TCXParser.jl:188-265, ``assign_road_features!``): a small side table is
+broadcast once and each record gets its KB attributes by lookup — never a
+shuffle join. Here the KB is the nation/region dimension (the vocabulary the
+planted surface forms derive from); linking is by normalized-name equality.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray
+
+from tcx2graph_jl_ray.stages.extract import normalize_surface
+
+
+def load_kb(sf_dir: str) -> pd.DataFrame:
+    """nation ⋈ region -> DataFrame[kb_norm, kb_nationkey, kb_region]."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    kb = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    return pd.DataFrame(
+        {
+            "kb_norm": kb["n_name"].map(normalize_surface),
+            "kb_nationkey": kb["n_nationkey"].astype("int32"),
+            "kb_region": kb["r_name"],
+        }
+    )
+
+
+def link_entities(entities: pd.DataFrame, kb: pd.DataFrame) -> pd.DataFrame:
+    """entities (entity_id = canonical surface) -> + kb_nationkey, kb_region.
+
+    The canonical id is already a normalized surface; unlinked entities keep
+    null KB columns (the reference's get_or_missing semantics,
+    src/TCXParser.jl:117-119).
+    """
+    out = entities.merge(kb, left_on="entity_id", right_on="kb_norm", how="left")
+    out = out.drop(columns=["kb_norm"])
+    out["kb_nationkey"] = out["kb_nationkey"].astype("Int32")
+    return out
+
+
+LINKED_ENTITIES_SQL_TEMPLATE = r"""
+WITH ents AS ({entities})
+SELECT e.entity_id, e.n_surfaces, e.n_turns, e.n_mentions,
+       n.n_nationkey AS kb_nationkey,
+       r.r_name AS kb_region
+FROM ents e
+LEFT JOIN nation n
+  ON trim(regexp_replace(lower(n.n_name), '[^a-z0-9]+', ' ', 'g')) = e.entity_id
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""

@@ -1,0 +1,92 @@
+"""KG analysis operators vs DuckDB oracles (planted-truth canonical labels)."""
+
+from tcx2graph_jl_ray.sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts
+from tcx2graph_jl_ray.stages.analysis import (
+    CONV_STATS_SQL_TEMPLATE,
+    COOCCURRENCE_SQL_TEMPLATE,
+    HOT_ENTITIES_SQL_TEMPLATE,
+    REACHABLE_SQL_TEMPLATE,
+    TRANSITIONS_SQL_TEMPLATE,
+    attach_entities,
+    conv_stats,
+    cooccurrence_edges,
+    entity_transitions,
+    hot_entities,
+    reachable_pairs,
+)
+from tcx2graph_jl_ray.stages.canonicalize import canonicalize
+from tcx2graph_jl_ray.stages.extract import MENTIONS_SQL_TEMPLATE, extract_mentions
+from tcx2graph_jl_ray.stages.link import LINKED_ENTITIES_SQL_TEMPLATE, link_entities, load_kb
+from tcx2graph_jl_ray.stages.canonicalize import ENTITIES_SQL_TEMPLATE
+from tests.parity import assert_parity
+
+_MENTIONS_SQL = MENTIONS_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL)
+
+
+def _mentions_with_entity(sf_dir):
+    m = extract_mentions(derive_transcripts(sf_dir))
+    _, cmap = canonicalize(m)
+    return attach_entities(m, cmap)
+
+
+def test_conv_stats_match_oracle(ray_session, duck, sf_dir):
+    ds = conv_stats(derive_transcripts(sf_dir))
+    assert_parity(ds, CONV_STATS_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL), duck)
+
+
+def test_hot_entities_match_oracle(ray_session, duck, sf_dir):
+    ds = hot_entities(_mentions_with_entity(sf_dir), min_convs=2)
+    sql = HOT_ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL, min_convs=2)
+    assert_parity(ds, sql, duck)
+
+
+def test_cooccurrence_match_oracle(ray_session, duck, sf_dir):
+    ds = cooccurrence_edges(_mentions_with_entity(sf_dir))
+    assert_parity(ds, COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL), duck)
+
+
+def test_transitions_match_oracle(ray_session, duck, sf_dir):
+    ds = entity_transitions(_mentions_with_entity(sf_dir), max_turn_gap=5)
+    sql = TRANSITIONS_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL, max_turn_gap=5)
+    assert_parity(ds, sql, duck)
+
+
+def test_reachable_match_oracle(ray_session, duck, sf_dir):
+    trans = entity_transitions(_mentions_with_entity(sf_dir), max_turn_gap=5)
+    ds = reachable_pairs(trans, min_n=2)
+    sql = REACHABLE_SQL_TEMPLATE.format(
+        transitions=TRANSITIONS_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, max_turn_gap=5
+        ),
+        min_n=2,
+    )
+    assert_parity(ds, sql, duck)
+
+
+def test_reachable_on_sparse_graph(ray_session):
+    """a->b->c chain: (a,c) is reachable only via 2 hops; weak edges drop."""
+    import pandas as pd
+    import ray.data
+
+    trans = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "from_entity": ["a", "b", "weak", "loop"],
+                "to_entity": ["b", "c", "x", "loop"],
+                "n": pd.array([5, 5, 1, 9], dtype="int64"),
+            }
+        )
+    )
+    out = reachable_pairs(trans, min_n=2).to_pandas()
+    got = {(r.src, r.dst): r.hops for r in out.itertuples(index=False)}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 2}
+
+
+def test_linked_entities_match_oracle(ray_session, duck, sf_dir):
+    m = extract_mentions(derive_transcripts(sf_dir))
+    entities, _ = canonicalize(m)
+    linked = link_entities(entities, load_kb(sf_dir))
+    sql = LINKED_ENTITIES_SQL_TEMPLATE.format(
+        entities=ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL)
+    )
+    assert_parity(linked, sql, duck)
