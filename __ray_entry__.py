@@ -1,44 +1,137 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then:
+- ``entry()``          — flagship KG pipeline on /root/testdata/sf0.001;
+- ``queries()[name](sf_dir)`` — each implemented operator, compared against
+- ``oracle_sql()[name]``      — DuckDB SQL over the pre-registered views
+  (region nation customer supplier part orders lineitem events documents
+  embeddings) at sf=0.01, row-count + schema + order-insensitive value-hash.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here calls ``ray.init()`` / ``ray.shutdown()``.
+
+The KG pipeline's input is a transcripts table (conv_id, turn_idx, role, text,
+tool, ts — BASELINE.json input_hint) derived deterministically and
+SQL-expressibly from events ⋈ nation ⋈ region (see
+tcx2graph_jl_ray/sources/transcripts.py), so every KG operator has a value-
+exact DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+from tcx2graph_jl_ray.sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts
+from tcx2graph_jl_ray.stages import analysis as _an
+from tcx2graph_jl_ray.stages import canonicalize as _cz
+from tcx2graph_jl_ray.stages import extract as _ex
+from tcx2graph_jl_ray.stages import graph as _gr
+from tcx2graph_jl_ray.stages import link as _lk
+
+_MENTIONS_SQL = _ex.MENTIONS_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL)
+_TRIPLES_SQL = _ex.TRIPLES_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL)
+
+_HOT_MIN_CONVS = 5
+_MAX_TURN_GAP = 5
+_REACH_MIN_N = 2
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: full KG build (staged transcripts, nodes,
+    edges, canonical triples, linked entities) -> returns the canonical
+    triples Dataset read back from the partitioned sink."""
+    from tcx2graph_jl_ray.pipelines.kg import run_kg_pipeline_from_sf
+    from tcx2graph_jl_ray.state.manifest import read_partitioned
+
+    out = tempfile.mkdtemp(prefix="kg_entry_")
+    run_kg_pipeline_from_sf("/root/testdata/sf0.001", out)
+    return read_partitioned(f"{out}/triples")
+
+
+def _mentions(sf_dir: str):
+    return _ex.extract_mentions(derive_transcripts(sf_dir))
+
+
+def _mentions_with_entity(sf_dir: str):
+    m = _mentions(sf_dir)
+    _, cmap = _cz.canonicalize(m)
+    return _an.attach_entities(_mentions(sf_dir), cmap)
+
+
+def _entities(sf_dir: str):
+    entities, _ = _cz.canonicalize(_mentions(sf_dir))
+    return entities
+
+
+def _entities_linked(sf_dir: str):
+    return _lk.link_entities(_entities(sf_dir), _lk.load_kb(sf_dir))
+
+
+def _triples_canonical(sf_dir: str):
+    t = derive_transcripts(sf_dir)
+    _, cmap = _cz.canonicalize(_ex.extract_mentions(t))
+    return _cz.rewrite_triples(_ex.extract_triples(derive_transcripts(sf_dir)), cmap)
+
+
+def _transitions(sf_dir: str):
+    return _an.entity_transitions(_mentions_with_entity(sf_dir), _MAX_TURN_GAP)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_transcripts": derive_transcripts,
+        "kg_nodes": lambda sf: _gr.build_nodes(derive_transcripts(sf)),
+        "kg_edges": lambda sf: _gr.build_next_turn_edges(derive_transcripts(sf)),
+        "kg_coverage": lambda sf: _gr.coverage_stats(derive_transcripts(sf)),
+        "kg_mentions": _mentions,
+        "kg_triples": lambda sf: _ex.extract_triples(derive_transcripts(sf)),
+        "kg_entities": _entities,
+        "kg_entities_linked": _entities_linked,
+        "kg_triples_canonical": _triples_canonical,
+        "kg_conv_stats": lambda sf: _an.conv_stats(derive_transcripts(sf)),
+        "kg_hot_entities": lambda sf: _an.hot_entities(
+            _mentions_with_entity(sf), _HOT_MIN_CONVS
+        ),
+        "kg_cooccurrence": lambda sf: _an.cooccurrence_edges(
+            _mentions_with_entity(sf)
+        ),
+        "kg_transitions": _transitions,
+        "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_transcripts": TRANSCRIPTS_SQL,
+        "kg_nodes": _gr.NODES_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL),
+        "kg_edges": _gr.EDGES_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL),
+        "kg_coverage": _gr.COVERAGE_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL),
+        "kg_mentions": _MENTIONS_SQL,
+        "kg_triples": _TRIPLES_SQL,
+        "kg_entities": _cz.ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+        "kg_entities_linked": _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(
+            entities=_cz.ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL)
+        ),
+        "kg_triples_canonical": _cz.CANONICAL_TRIPLES_SQL_TEMPLATE.format(
+            triples=_TRIPLES_SQL, mentions=_MENTIONS_SQL
+        ),
+        "kg_conv_stats": _an.CONV_STATS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_hot_entities": _an.HOT_ENTITIES_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, min_convs=_HOT_MIN_CONVS
+        ),
+        "kg_cooccurrence": _an.COOCCURRENCE_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+        ),
+        "kg_reachable": _an.REACHABLE_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            ),
+            min_n=_REACH_MIN_N,
+        ),
+    }

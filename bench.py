@@ -1,0 +1,139 @@
+"""Benchmark driver: headline KG pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <dir>, "num_cpus": N,
+   "turns_per_sec": ..., "triples_per_sec": ...}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32) on the
+same input and reports both throughputs plus per-CPU scaling efficiency
+(BASELINE.json: efficiency >= 0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries timed individually (a representative slice of SURVEY.md §2)
+TIMED_QUERIES = [
+    "kg_transcripts",
+    "kg_edges",
+    "kg_triples",
+    "kg_entities",
+    "kg_conv_stats",
+    "kg_hot_entities",
+]
+
+
+def _consume(result) -> int:
+    """Stream-consume a query result, returning its row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return sum(
+            b.num_rows
+            for b in result.iter_batches(batch_size=16384, batch_format="pyarrow")
+        )
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    raise TypeError(type(result))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from tcx2graph_jl_ray.pipelines.kg import run_kg_pipeline_from_sf
+    import __ray_entry__ as entry_mod
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    for t in ["events", "nation", "region"]:
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    out = tempfile.mkdtemp(prefix="kg_bench_")
+    t0 = time.perf_counter()
+    summary = run_kg_pipeline_from_sf(SF_DIR, out)
+    headline = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+
+    queries = {}
+    q = entry_mod.queries()
+    for name in TIMED_QUERIES:
+        t0 = time.perf_counter()
+        _consume(q[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": summary["turns"],
+        "triples": summary["triples"],
+        "turns_per_sec": round(summary["turns"] / headline, 1),
+        "triples_per_sec": round(summary["triples"] / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)  # 1.0 = linear scaling
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8_turns_per_sec": r_lo["turns_per_sec"],
+        "throughput_32_turns_per_sec": r_hi["turns_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,126 @@
+"""Flagship pipeline: transcripts -> knowledge graph, materialized as Parquet.
+
+The Ray-Data recast of the reference's main flow (examples/main.jl:72-260):
+load -> property graph -> overlap detection -> aggregation -> sinks, i.e.
+
+    read/derive transcripts
+      -> nodes + NEXT_TURN edges            (create_property_graph, G1)
+      -> mentions + triples (actor pools)   (enrichment stages, M8/M9)
+      -> canonicalize entities              (find_overlapping_segments, G2)
+      -> rewrite triples to canonical ids   (segment-run join, J1)
+      -> resumable partitioned Parquet      (Neo4j/CSV sinks, S5/S6)
+
+Every sink is hash-partitioned by ``conv_id`` (nodes/edges/triples) with a
+per-partition lineage manifest (state/manifest.py), so a killed run resumes
+mid-stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+import ray.data
+
+from tcx2graph_jl_ray.config import DEFAULT_CONFIG, PipelineConfig
+from tcx2graph_jl_ray.sources.transcripts import derive_transcripts
+from tcx2graph_jl_ray.stages.canonicalize import canonicalize, rewrite_triples
+from tcx2graph_jl_ray.stages.extract import extract_mentions, extract_triples
+from tcx2graph_jl_ray.stages.graph import build_next_turn_edges, build_nodes
+from tcx2graph_jl_ray.stages.link import link_entities, load_kb
+from tcx2graph_jl_ray.state.manifest import resumable_write
+
+
+def read_transcripts(path: str) -> ray.data.Dataset:
+    """Read a transcripts Parquet table/directory (the engine's authoritative
+    input shape, BASELINE.json input_hint) with column pruning."""
+    return ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def _fingerprint(config: PipelineConfig, lineage: dict) -> str:
+    blob = json.dumps(
+        {
+            "containment": config.verify_containment,
+            "max_block_size": config.max_block_size,
+            "lineage": lineage,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def run_kg_pipeline(
+    transcripts: ray.data.Dataset,
+    out_dir: str,
+    sf_dir: str | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    n_parts: int = 32,
+    lineage: dict | None = None,
+) -> dict:
+    """Execute the full KG pipeline and materialize nodes/, edges/, triples/,
+    entities/ under ``out_dir``. Returns a metrics summary (the per-stage
+    row counts the reference prints as progress, plus manifest totals)."""
+    lineage = dict(lineage or {})
+    fp = _fingerprint(config, lineage)
+
+    # Stage 0: persist the (ordered) transcripts once. Four downstream stages
+    # consume this table; re-reading staged Parquet keeps each consumer a
+    # streaming scan instead of re-executing the derivation per branch (or
+    # pinning the whole corpus in the object store with materialize()).
+    t_dir = os.path.join(out_dir, "transcripts")
+    m_t = resumable_write(transcripts, t_dir, "conv_id", n_parts, fp, lineage)
+    staged = read_transcripts(t_dir)
+
+    nodes = build_nodes(staged)
+    edges = build_next_turn_edges(staged)
+    mentions = extract_mentions(
+        staged, concurrency=(1, config.extract_concurrency),
+        batch_size=config.extract_batch_size,
+    )
+    triples = extract_triples(
+        staged, concurrency=(1, config.extract_concurrency),
+        batch_size=config.extract_batch_size,
+    )
+
+    entities, cmap = canonicalize(mentions, config)
+    if sf_dir is not None:
+        entities = link_entities(entities, load_kb(sf_dir))
+    triples_c = rewrite_triples(triples, cmap)
+
+    m_nodes = resumable_write(
+        nodes, os.path.join(out_dir, "nodes"), "conv_id", n_parts, fp, lineage
+    )
+    m_edges = resumable_write(
+        edges, os.path.join(out_dir, "edges"), "conv_id", n_parts, fp, lineage
+    )
+    m_triples = resumable_write(
+        triples_c, os.path.join(out_dir, "triples"), "conv_id", n_parts, fp, lineage
+    )
+    entities_path = os.path.join(out_dir, "entities.parquet")
+    entities.to_parquet(entities_path, index=False)  # small canonical table
+
+    return {
+        "fingerprint": fp,
+        "turns": m_t["total_rows"],
+        "nodes": m_nodes["total_rows"],
+        "edges": m_edges["total_rows"],
+        "triples": m_triples["total_rows"],
+        "entities": int(len(entities)),
+        "out_dir": out_dir,
+    }
+
+
+def run_kg_pipeline_from_sf(
+    sf_dir: str, out_dir: str, config: PipelineConfig = DEFAULT_CONFIG, n_parts: int = 32
+) -> dict:
+    """Testdata adapter: derive the transcripts table from the sf tables, then
+    run the flagship pipeline."""
+    transcripts = derive_transcripts(sf_dir)
+    return run_kg_pipeline(
+        transcripts, out_dir, sf_dir=sf_dir, config=config, n_parts=n_parts,
+        lineage={"input": sf_dir, "source": "derive_transcripts"},
+    )

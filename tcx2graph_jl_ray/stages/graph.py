@@ -44,17 +44,9 @@ def build_nodes(transcripts: ray.data.Dataset) -> ray.data.Dataset:
 
 def _edges_for_conv(group: pd.DataFrame) -> pd.DataFrame:
     g = group.sort_values("turn_idx", kind="mergesort")
-    if len(g) < 2:
-        return pd.DataFrame(
-            {
-                "conv_id": pd.Series([], dtype="object"),
-                "src_turn": pd.Series([], dtype="int32"),
-                "dst_turn": pd.Series([], dtype="int32"),
-                "src_node": pd.Series([], dtype="object"),
-                "dst_node": pd.Series([], dtype="object"),
-                "delta_us": pd.Series([], dtype="int64"),
-            }
-        )
+    # the slicing below naturally yields a typed empty frame for 1-turn
+    # conversations (no special case: a hand-built empty DataFrame loses its
+    # Arrow schema and triggers schema-mismatch warnings downstream)
     src = g.iloc[:-1].reset_index(drop=True)
     dst = g.iloc[1:].reset_index(drop=True)
     conv = src["conv_id"]

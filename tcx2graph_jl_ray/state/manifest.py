@@ -1,0 +1,138 @@
+"""Per-partition checkpoint manifests for resumable Parquet output.
+
+Generalizes the reference's only resume mechanism — the append-only
+``processed_files.txt`` skip-list in its weather updater
+(examples/updateWeatherNeo4j.jl:244-288) — to partitioned-sink manifests:
+
+- output is hash-partitioned by a key column into ``part=K/`` directories
+  (hive layout), never one giant file;
+- after a successful write, ``_manifest.json`` records, per partition:
+  files, row counts, byte sizes, plus the pipeline config fingerprint and
+  input lineage;
+- resume = drop rows whose partition is already manifested and clean any
+  non-manifested partial directories, so a killed run redoes only the
+  missing partitions and retried writes stay idempotent.
+
+The partition hash must be stable across processes (Python's builtin ``hash``
+is salted per process); we use ``pandas.util.hash_pandas_object`` with its
+fixed default key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def partition_of(keys: pd.Series, n_parts: int) -> pd.Series:
+    """Stable hash partition id for a key column (vectorized, process-stable)."""
+    return (
+        pd.util.hash_pandas_object(keys.astype(str), index=False) % n_parts
+    ).astype("int64")
+
+
+def load_manifest(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _scan_partitions(out_dir: str) -> dict[str, dict]:
+    """Read parquet footers of every part=K dir -> {part: {files, rows, bytes}}."""
+    parts: dict[str, dict] = {}
+    for name in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, name)
+        if not (name.startswith("part=") and os.path.isdir(full)):
+            continue
+        files, rows, nbytes = [], 0, 0
+        for fn in sorted(os.listdir(full)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(full, fn)
+            rows += pq.ParquetFile(fp).metadata.num_rows
+            nbytes += os.path.getsize(fp)
+            files.append(fn)
+        parts[name.split("=", 1)[1]] = {"files": files, "rows": rows, "bytes": nbytes}
+    return parts
+
+
+def resumable_write(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key_col: str,
+    n_parts: int = 32,
+    fingerprint: str = "",
+    lineage: dict | None = None,
+) -> dict:
+    """Write ``ds`` hash-partitioned by ``key_col``; skip manifested partitions.
+
+    Returns the manifest. A changed ``fingerprint`` (config/input identity)
+    invalidates prior output entirely — a resumed run must be able to prove it
+    skips only identical work.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = load_manifest(out_dir)
+    done: set[str] = set()
+    if manifest is not None:
+        if manifest.get("fingerprint") == fingerprint:
+            done = set(manifest["partitions"])
+        else:
+            for name in os.listdir(out_dir):  # stale config: rewrite everything
+                if name.startswith("part="):
+                    shutil.rmtree(os.path.join(out_dir, name))
+            manifest = None
+
+    # clean partial (non-manifested) partition dirs from a crashed run
+    for name in os.listdir(out_dir):
+        if name.startswith("part=") and name.split("=", 1)[1] not in done:
+            shutil.rmtree(os.path.join(out_dir, name))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = partition_of(batch[key_col], n_parts)
+        return batch
+
+    todo = ds.map_batches(add_part, batch_format="pandas", batch_size=16384)
+    if done:
+        done_ids = {int(p) for p in done}
+
+        def drop_done(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch["part"].isin(done_ids)]
+
+        todo = todo.map_batches(drop_done, batch_format="pandas")
+
+    # write_parquet with hive partition_cols: one directory per partition —
+    # the resumable unit (and the multi-file layout a 256-node run needs)
+    todo.write_parquet(out_dir, partition_cols=["part"])
+
+    parts = _scan_partitions(out_dir)
+    manifest = {
+        "fingerprint": fingerprint,
+        "key_col": key_col,
+        "n_parts": n_parts,
+        "lineage": lineage or {},
+        "written_at": time.time(),
+        "partitions": parts,
+        "total_rows": int(sum(p["rows"] for p in parts.values())),
+    }
+    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))  # atomic commit
+    return manifest
+
+
+def read_partitioned(out_dir: str) -> ray.data.Dataset:
+    """Read back a resumable_write output (drops the synthetic part column)."""
+    ds = ray.data.read_parquet(out_dir)
+    return ds.drop_columns(["part"]) if "part" in ds.schema().names else ds

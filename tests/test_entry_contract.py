@@ -1,0 +1,29 @@
+"""Driver-contract test: every queries() entry must match its oracle_sql()
+exactly (the same comparison the grading driver runs at sf0.01, here at
+sf0.001 for speed) and entry() must produce rows with a stable schema."""
+
+import pytest
+
+import __ray_entry__ as entry_mod
+from tests.parity import assert_parity, to_pandas
+
+
+def test_queries_and_oracles_aligned():
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(o) <= set(q), "oracle for unknown query"
+    # every query is either oracle-checked or deliberately rows-only
+    rows_only = set(q) - set(o)
+    assert rows_only == set(), f"undocumented rows-only queries: {rows_only}"
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_query_matches_oracle(ray_session, duck, sf_dir, name):
+    result = entry_mod.queries()[name](sf_dir)
+    assert_parity(result, entry_mod.oracle_sql()[name], duck)
+
+
+def test_entry_smoke(ray_session):
+    ds = entry_mod.entry()
+    df = to_pandas(ds)
+    assert len(df) > 0
+    assert set(df.columns) == {"conv_id", "turn_idx", "subj", "pred", "obj"}
