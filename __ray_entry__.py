@@ -24,10 +24,16 @@ from typing import Any
 
 from tcx2graph_jl_ray.sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts
 from tcx2graph_jl_ray.stages import analysis as _an
+from tcx2graph_jl_ray.stages import ann as _ann
 from tcx2graph_jl_ray.stages import canonicalize as _cz
+from tcx2graph_jl_ray.stages import clean as _cl
+from tcx2graph_jl_ray.stages import dedup as _dd
 from tcx2graph_jl_ray.stages import extract as _ex
 from tcx2graph_jl_ray.stages import graph as _gr
 from tcx2graph_jl_ray.stages import link as _lk
+from tcx2graph_jl_ray.stages import relational as _rel
+from tcx2graph_jl_ray.stages import text as _tx
+from tcx2graph_jl_ray.stages import window as _wd
 
 _MENTIONS_SQL = _ex.MENTIONS_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL)
 _TRIPLES_SQL = _ex.TRIPLES_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL)
@@ -35,6 +41,34 @@ _TRIPLES_SQL = _ex.TRIPLES_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL)
 _HOT_MIN_CONVS = 5
 _MAX_TURN_GAP = 5
 _REACH_MIN_N = 2
+_CHARSET_TAU = 0.86
+_SESSION_GAP_S = 1800
+_ANN_NQ, _ANN_K = 8, 10
+
+# queries deliberately without a SQL oracle (sketch/approximate semantics);
+# the driver records a rows-only check for these
+ROWS_ONLY_QUERIES = frozenset(
+    {"dedup_minhash_clusters", "dedup_simhash", "dedup_simhash_pairs",
+     "ann_lsh_topk"}
+)
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry() -> Any:
@@ -98,6 +132,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
+        # --- training-data pipeline operators -------------------------------
+        "dedup_exact": lambda sf: _dd.exact_dedup(_docs(sf)),
+        "dedup_charset_join": lambda sf: _dd.charset_similarity_join(
+            _docs(sf), _CHARSET_TAU
+        ),
+        "dedup_minhash_clusters": lambda sf: _dd.neardup_minhash(_docs(sf)),
+        "dedup_simhash": lambda sf: _dd.simhash_table(_docs(sf)),
+        "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
+        "text_quality": lambda sf: _tx.quality_stats(_docs(sf)),
+        "text_lang_id": lambda sf: _tx.lang_id(_docs(sf)),
+        "text_fingerprint": lambda sf: _tx.fingerprints(_docs(sf)),
+        "text_token_counts": lambda sf: _tx.token_count_by_source(_docs(sf)),
+        "ann_brute_topk": lambda sf: _ann.ann_brute_topk(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
+        "ann_lsh_topk": lambda sf: _ann.ann_lsh_topk(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
+        "events_sessionize": lambda sf: _wd.sessionize(
+            _events_ds(sf), float(_SESSION_GAP_S)
+        ),
+        "events_tumbling": lambda sf: _wd.tumbling_counts(_events_ds(sf)),
+        "clean_missing_stats": lambda sf: _cl.missing_stats(
+            derive_transcripts(sf),
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ),
+        "q1_pricing_summary": _rel.q1_pricing_summary,
+        "revenue_by_nation": _rel.revenue_by_nation,
+        "top_customers": lambda sf: _rel.top_customers(sf, 10),
     }
 
 
@@ -134,4 +197,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             min_n=_REACH_MIN_N,
         ),
+        "dedup_exact": _dd.EXACT_DEDUP_SQL,
+        "dedup_charset_join": _dd.CHARSET_JOIN_SQL_TEMPLATE.format(
+            threshold=_CHARSET_TAU
+        ),
+        "text_quality": _tx.QUALITY_SQL,
+        "text_lang_id": _tx.LANG_ID_SQL,
+        "text_fingerprint": _tx.FINGERPRINT_SQL,
+        "text_token_counts": _tx.TOKEN_COUNT_SQL,
+        "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
+            n_queries=_ANN_NQ, k=_ANN_K
+        ),
+        "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
+        "events_tumbling": _wd.TUMBLING_SQL,
+        "clean_missing_stats": _cl.transcripts_missing_sql(TRANSCRIPTS_SQL),
+        "q1_pricing_summary": _rel.Q1_SQL,
+        "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
+        "top_customers": _rel.TOP_CUSTOMERS_SQL_TEMPLATE.format(k=10),
     }

@@ -1,0 +1,332 @@
+"""Document deduplication suite: exact, MinHash-LSH, SimHash, char-set
+similarity join.
+
+The reference's dedup surface is geometric — unique-grid-cell dedup
+(src/GraphUtils.jl:46-88), range-overlap dedup
+(src/OverlappingSegmentsUtils.jl:229-240), Fréchet near-dedup
+(examples/case_study_1.jl:114-126). Recast for a text corpus:
+
+- **exact**      = unique-cell dedup: content-hash partition + per-group first
+- **MinHash-LSH**= bbox-prefilter + Fréchet verify: band-bucket blocking +
+  true-Jaccard verify + connected components (reusing the canonicalization
+  machinery, stages/canonicalize.py)
+- **SimHash**    = cheap near-dup sketch with banded hamming candidates
+- **similarity join** = per-block pairwise verify with an exact, oracle-
+  checkable metric (distinct-character Jaccard, matching DuckDB ``jaccard``)
+
+Scale notes in each function: blocking keys are the shuffle keys; the
+verify side-table broadcast is the sandbox shortcut for what is a bucketed
+hash join at 100 TB (documented inline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from tcx2graph_jl_ray.config import DEFAULT_CONFIG, PipelineConfig
+from tcx2graph_jl_ray.functions.minhash import (
+    band_keys,
+    jaccard_of_sets,
+    minhash_signatures,
+    simhash64,
+    word_shingles,
+)
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup by full text: one survivor (min doc_id) per distinct text,
+    with the copy count. Hash-partition on a content digest so the shuffle
+    moves digests, not the texts' assumed uniqueness; equality is re-verified
+    group-side (hash collisions cannot corrupt the result).
+    Output: doc_id, n_copies."""
+
+    def add_digest(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["digest"] = [
+            hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_numpy()
+        ]
+        return batch
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("text", sort=False)["doc_id"].agg(["min", "count"])
+        return pd.DataFrame(
+            {
+                "doc_id": agg["min"].astype("int64").to_numpy(),
+                "n_copies": agg["count"].astype("int64").to_numpy(),
+            }
+        )
+
+    return (
+        docs.map_batches(add_digest, batch_format="pandas", batch_size=8192)
+        .groupby("digest")
+        .map_groups(first_per_text, batch_format="pandas")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# --- MinHash-LSH near-dup clustering ----------------------------------------
+
+class _Signatures:
+    """Actor-pool stage: documents batch -> (doc_id, sig, bands) rows.
+    Permutation parameters are built once per actor in __init__."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_k: int):
+        self.num_perm = num_perm
+        self.bands = bands
+        self.k = shingle_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh = word_shingles(batch["text"], self.k)
+        sig = minhash_signatures(
+            batch["doc_id"].to_numpy(), sh, num_perm=self.num_perm
+        )
+        sig["bands"] = [band_keys(s, self.bands) for s in sig["sig"]]
+        return sig[["doc_id", "bands"]]
+
+
+def neardup_minhash(
+    docs: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """MinHash-LSH near-duplicate clustering.
+
+    shingle -> minhash (actor pool) -> explode band keys -> groupby(band)
+    candidate pairs (capped per band: hot-band guard) -> true word-shingle
+    Jaccard verify -> connected components (min-label propagation) ->
+    Output: doc_id, cluster_id (min doc_id of the component).
+
+    Verify fetches both texts from a broadcast id->text map — the sandbox
+    stand-in for a bucketed hash join of pairs against the corpus at scale.
+    """
+    # broadcast side for verify (documents here are small; at 10^12 scale this
+    # becomes pairs.join(docs, on=doc_id) bucketed by hash(doc_id))
+    texts = docs.select_columns(["doc_id", "text"]).to_pandas()
+    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    sigs = docs.map_batches(
+        _Signatures,
+        fn_constructor_args=(config.minhash_num_perm, config.minhash_bands,
+                             config.shingle_size),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.explode("bands").rename(columns={"bands": "band"})
+        return out[["band", "doc_id"]]
+
+    cap = config.max_block_size
+
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2 or len(ids) > cap:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    pairs = (
+        sigs.map_batches(explode_bands, batch_format="pandas")
+        .groupby("band")
+        .map_groups(pairs_in_band, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    thr = config.jaccard_threshold
+    k = config.shingle_size
+
+    class _Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
+            self.k = k
+
+        def _shingles(self, t: str) -> set:
+            ws = t.lower().split()
+            if len(ws) < self.k:
+                return {" ".join(ws)} if ws else set()
+            return {" ".join(ws[i : i + self.k]) for i in range(len(ws) - self.k + 1)}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keep = [
+                jaccard_of_sets(self._shingles(self.texts[a]), self._shingles(self.texts[b]))
+                >= thr
+                for a, b in zip(batch["a"].to_numpy(), batch["b"].to_numpy())
+            ]
+            return batch[pd.Series(keep, index=batch.index)]
+
+    verified = pairs.map_batches(
+        _Verify, fn_constructor_args=(text_ref,), batch_format="pandas",
+        batch_size=8192, concurrency=(1, 8),
+    )
+
+    # reuse the distributed component machinery on stringified doc ids
+    from tcx2graph_jl_ray.stages.canonicalize import connected_components
+
+    def ids_as_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"norm": batch["doc_id"].map("{:020d}".format)})
+
+    def pairs_as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": batch["a"].map("{:020d}".format),
+                "b": batch["b"].map("{:020d}".format),
+            }
+        )
+
+    nodes = docs.select_columns(["doc_id"]).map_batches(
+        ids_as_nodes, batch_format="pandas"
+    )
+    labels = connected_components(
+        nodes, verified.map_batches(pairs_as_edges, batch_format="pandas"), config
+    )
+    labels["doc_id"] = labels["node"].astype("int64")
+    labels["cluster_id"] = labels["label"].astype("int64")
+    return ray.data.from_pandas(
+        labels[["doc_id", "cluster_id"]].reset_index(drop=True)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash_table(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc 64-bit SimHash (deterministic). Output: doc_id, simhash:int64
+    (bit-reinterpreted from uint64 for Arrow)."""
+
+    def sh(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "simhash": simhash64(batch["text"]).view(np.int64),
+            }
+        )
+
+    return docs.map_batches(sh, batch_format="pandas", batch_size=8192)
+
+
+def simhash_neardup_pairs(
+    docs: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Candidate pairs with hamming(simhash) <= max_hamming, blocked by four
+    16-bit simhash bands (a pair within distance 3 shares at least one exact
+    band). Output: a, b, hamming:int64."""
+    sigs = simhash_table(docs)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        rows = []
+        for band in range(4):
+            chunk = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "band": [f"{band}:{int(c)}" for c in chunk],
+                        "doc_id": batch["doc_id"].astype("int64"),
+                        "simhash": batch["simhash"],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        from tcx2graph_jl_ray.functions.minhash import hamming64
+
+        hd = hamming64(hs[ii], hs[jj]).astype("int64")
+        keep = hd <= max_hamming
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                             "hamming": hd[keep]})
+
+    return (
+        sigs.map_batches(explode, batch_format="pandas")
+        .groupby("band")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+# --- char-set similarity join (oracle-checkable) -----------------------------
+
+def charset_similarity_join(
+    docs: ray.data.Dataset, threshold: float = 0.86
+) -> ray.data.Dataset:
+    """Similarity join within ``source`` blocks: distinct-character Jaccard
+    (exactly DuckDB's ``jaccard`` semantics: case-sensitive, spaces count).
+    Vectorized via 128-bit ASCII bitmasks + popcount — no per-pair set ops.
+    Output: source, a, b, sim (a < b)."""
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        masks = np.zeros((len(g), 2), dtype=np.uint64)
+        for i, t in enumerate(g["text"].to_numpy()):
+            for c in set(t):
+                o = ord(c)
+                if o < 64:
+                    masks[i, 0] |= np.uint64(1) << np.uint64(o)
+                elif o < 128:
+                    masks[i, 1] |= np.uint64(1) << np.uint64(o - 64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        if not len(ii):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+
+        def pop(x):
+            return np.unpackbits(
+                np.ascontiguousarray(x).view(np.uint8).reshape(len(x), -1), axis=1
+            ).sum(axis=1)
+
+        inter = pop(masks[ii, 0] & masks[jj, 0]) + pop(masks[ii, 1] & masks[jj, 1])
+        union = pop(masks[ii, 0] | masks[jj, 0]) + pop(masks[ii, 1] | masks[jj, 1])
+        sim = inter / union
+        keep = sim >= threshold
+        return pd.DataFrame(
+            {
+                "source": g["source"].iloc[0],
+                "a": ids[ii][keep].astype("int64"),
+                "b": ids[jj][keep].astype("int64"),
+                "sim": sim[keep],
+            }
+        )
+
+    return docs.select_columns(["doc_id", "source", "text"]).groupby(
+        "source"
+    ).map_groups(per_block, batch_format="pandas")
+
+
+CHARSET_JOIN_SQL_TEMPLATE = """
+SELECT d1.source AS source,
+       CAST(d1.doc_id AS BIGINT) AS a,
+       CAST(d2.doc_id AS BIGINT) AS b,
+       jaccard(d1.text, d2.text) AS sim
+FROM documents d1
+JOIN documents d2 ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+WHERE jaccard(d1.text, d2.text) >= {threshold}
+"""

@@ -1,0 +1,200 @@
+"""General relational operators over the TPC-H-ish tables: grouped pricing
+aggregate, broadcast-join rollups, top-k.
+
+These demonstrate the engine's generic aggregation/join/top-k surface (the
+reference's feature-stat aggregates A2/A3 and sort/top-k O1/O2 recast over
+relational inputs). Money sums are rounded to cents AFTER aggregation in both
+engines; quantities are integral-valued doubles so their sums and averages are
+exact in IEEE double.
+
+Patterns: per-batch partial aggregation before every groupby (combiner);
+dimension tables broadcast once via ``ray.put``; top-k = grouped partial
+top-k + a driver-side final merge of one small table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Pricing summary by (returnflag, linestatus) over lineitem with
+    shipdate <= 1998-09-02 — the classic wide aggregate, pre-aggregated
+    per batch. Output: l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, avg_qty, n."""
+    cutoff = pd.Timestamp("1998-09-02")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["l_shipdate"] <= cutoff]
+        disc = keep["l_extendedprice"] * (1 - keep["l_discount"])
+        g = pd.DataFrame(
+            {
+                "l_returnflag": keep["l_returnflag"],
+                "l_linestatus": keep["l_linestatus"],
+                "qty": keep["l_quantity"],
+                "base": keep["l_extendedprice"],
+                "disc": disc,
+            }
+        ).groupby(["l_returnflag", "l_linestatus"], sort=False)
+        agg = g.agg(
+            sum_qty=("qty", "sum"), sum_base=("base", "sum"),
+            sum_disc=("disc", "sum"), n=("qty", "size"),
+        )
+        return agg.reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        sum_qty = float(g["sum_qty"].sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                "sum_qty": [sum_qty],
+                "sum_base_price": [round(float(g["sum_base"].sum()), 2)],
+                "sum_disc_price": [round(float(g["sum_disc"].sum()), 2)],
+                "avg_qty": [sum_qty / n],
+                "n": pd.array([n], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  SUM(l_quantity) / COUNT(*) AS avg_qty,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Order revenue rolled up to the customer's nation: the dimension chain
+    customer->nation (small) is broadcast; only orders stream. Output:
+    n_name, revenue, n_orders."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class _Partial:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            n_name = batch["o_custkey"].map(self.lookup)
+            g = pd.DataFrame(
+                {"n_name": n_name, "price": batch["o_totalprice"]}
+            ).groupby("n_name", sort=False)
+            agg = g.agg(revenue=("price", "sum"), n_orders=("price", "size"))
+            return agg.reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [g["n_name"].iloc[0]],
+                "revenue": [round(float(g["revenue"].sum()), 2)],
+                "n_orders": pd.array([int(g["n_orders"].sum())], dtype="int64"),
+            }
+        )
+
+    return (
+        orders.map_batches(
+            _Partial, fn_constructor_args=(lookup_ref,), batch_format="pandas",
+            batch_size=65536, concurrency=(1, 4),
+        )
+        .groupby("n_name")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name AS n_name,
+  ROUND(SUM(o.o_totalprice), 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by order spend, with names attached from the broadcast
+    dimension. Distributed grouped sum -> small sorted head on the driver
+    (the O1/O2 sort-and-keep-top pattern). Output: c_custkey, c_name, spend."""
+    import pyarrow.parquet as pq
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_custkey", sort=False)["o_totalprice"].sum()
+        return pd.DataFrame({"c_custkey": g.index.to_numpy(), "spend": g.to_numpy()})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(g["c_custkey"].iloc[0])],
+                "spend": [float(g["spend"].sum())],
+            }
+        )
+
+    spend = (
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("c_custkey")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()  # one row per customer: small
+    )
+    spend["spend"] = spend["spend"].round(2)
+    top = spend.sort_values(
+        ["spend", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = top.merge(names, on="c_custkey")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_name", "spend"]].reset_index(drop=True)
+
+
+TOP_CUSTOMERS_SQL_TEMPLATE = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(s.c_custkey AS BIGINT) AS c_custkey, c.c_name AS c_name, s.spend
+FROM spend s JOIN customer c ON s.c_custkey = c.c_custkey
+ORDER BY s.spend DESC, s.c_custkey
+LIMIT {k}
+"""

@@ -1,0 +1,219 @@
+"""Text analysis operators over a document corpus: token counting, quality
+scoring, language identification, content fingerprinting.
+
+These extend the engine beyond the reference's GPS-specific per-record math
+(haversine/gradient scoring, src/Utils.jl:42-86, src/SegmentAnalysis.jl:32-146)
+to the per-record scoring a training-data pipeline needs. All operators are
+stateless vectorized ``map_batches`` stages; marker/stopword tables are
+compiled once per actor when hosted in a pool.
+
+Every operator here is deliberately expressible in DuckDB (list_filter /
+string_split / md5) so the driver's oracle gate covers it value-exactly:
+tokenization is ``split(' ')`` (empty tokens preserved, like DuckDB
+string_split), ratios are exact integer-over-integer IEEE divisions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is")
+
+# language marker words, scored per doc; first-match-wins tie-break in this
+# order, 'und' when no marker hits
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def _token_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Explode lowercase ' '-split tokens -> (row, tok); vectorized counting
+    substrate shared by the operators below."""
+    toks = batch["text"].str.lower().str.split(" ")
+    return pd.DataFrame(
+        {
+            "row": np.repeat(np.arange(len(batch)), toks.str.len()),
+            "tok": [t for ws in toks for t in ws],
+        }
+    )
+
+
+def quality_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc quality features: doc_id, n_chars, n_tokens, n_types,
+    stopword_ratio, mean_token_len."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = text.str.len().astype("int64")
+        n_tokens = (text.str.count(" ") + 1).astype("int64")
+        nospace = text.str.replace(" ", "", regex=False).str.len().astype("int64")
+
+        tf = _token_frame(batch)
+        types = tf.groupby("row")["tok"].nunique()
+        n_types = (
+            pd.Series(0, index=range(len(batch)))
+            .add(types, fill_value=0)
+            .astype("int64")
+        )
+        stops = tf[tf["tok"].isin(STOPWORDS)].groupby("row").size()
+        n_stop = (
+            pd.Series(0, index=range(len(batch)))
+            .add(stops, fill_value=0)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "n_chars": n_chars.to_numpy(),
+                "n_tokens": n_tokens.to_numpy(),
+                "n_types": n_types.to_numpy(),
+                "stopword_ratio": (n_stop.to_numpy() / n_tokens.to_numpy()),
+                "mean_token_len": (nospace.to_numpy() / n_tokens.to_numpy()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas", batch_size=8192
+    )
+
+
+QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents
+)
+SELECT
+  CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+  CAST(len(list_filter(t, x -> x IN {STOPWORDS})) AS DOUBLE) / len(t)
+    AS stopword_ratio,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t) AS mean_token_len
+FROM toks
+"""
+
+
+def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Marker-word language guesser: per doc the language whose marker words
+    hit most tokens (first-wins tie-break in LANG_ORDER; 'und' when zero).
+    Output: doc_id, lang_pred."""
+
+    def guess(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _token_frame(batch)
+        n = len(batch)
+        scores = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+        for li, lang in enumerate(LANG_ORDER):
+            hits = tf[tf["tok"].isin(LANG_MARKERS[lang])].groupby("row").size()
+            scores[hits.index.to_numpy(), li] = hits.to_numpy()
+        best = scores.argmax(axis=1)  # argmax returns FIRST max -> LANG_ORDER tie-break
+        pred = np.array(LANG_ORDER, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "und"
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64").to_numpy(), "lang_pred": pred}
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        guess, batch_format="pandas", batch_size=8192
+    )
+
+
+def _lang_scores_sql() -> str:
+    cols = ",\n  ".join(
+        f"len(list_filter(t, x -> x IN {LANG_MARKERS[lang]})) AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in LANG_ORDER) + ")"
+    case = "\n    ".join(
+        f"WHEN s_{l} = {greatest} THEN '{l}'" for l in LANG_ORDER
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+s AS (
+  SELECT doc_id,
+  {cols}
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN {greatest} = 0 THEN 'und'
+    {case}
+  END AS lang_pred
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_scores_sql()
+
+
+def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Stable content fingerprint per doc (md5 hex — the exact-dedup /
+    lineage digest). Output: doc_id, fingerprint."""
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "fingerprint": [
+                    hashlib.md5(t.encode()).hexdigest()
+                    for t in batch["text"].to_numpy()
+                ],
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas", batch_size=8192
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fingerprint
+FROM documents
+"""
+
+
+def token_count_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus token accounting grouped by source: the pre-aggregated (combiner)
+    pattern — per-batch partial sums, then one tiny groupby.
+    Output: source, n_docs, n_tokens."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = (batch["text"].str.count(" ") + 1).astype("int64")
+        g = pd.DataFrame({"source": batch["source"], "n_tokens": n_tokens}).groupby(
+            "source", sort=False
+        )
+        agg = g.agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return agg.reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": pd.array([int(g["n_docs"].sum())], dtype="int64"),
+                "n_tokens": pd.array([int(g["n_tokens"].sum())], dtype="int64"),
+            }
+        )
+
+    return (
+        docs.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source
+"""

@@ -1,0 +1,109 @@
+"""Stream-shaped operators over the events log: sessionization and tumbling
+windows.
+
+Ray Data has no event-time windowing; the reference has none either (§2.8 —
+its only windowed computation is per-file ordered pairing, e.g. the transition
+builder src/DataPreprocessing.jl:330-397 with its ``max_gap_s`` filter, which
+is exactly a session boundary rule). We treat the events table as an ordered,
+keyed log: partition by ``user_id``, order by ``(ts, event_id)`` inside the
+group, and window with vectorized pandas. Ordering assumption: complete
+per-key groups (guaranteed by the groupby shuffle), ties broken by event_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def sessionize(events: ray.data.Dataset, gap_s: float = 1800.0) -> ray.data.Dataset:
+    """Session summaries per user: a new session starts when the gap since the
+    previous event exceeds ``gap_s``. Output: user_id, session_idx, n_events,
+    first_ts, last_ts."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        session = (gaps > gap_s).cumsum()
+        agg = g.groupby(session).agg(
+            n_events=("event_id", "size"), first_ts=("ts", "min"), last_ts=("ts", "max")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[0],
+                "session_idx": pd.array(agg.index.to_numpy(), dtype="int64"),
+                "n_events": agg["n_events"].astype("int64").to_numpy(),
+                "first_ts": agg["first_ts"].to_numpy(),
+                "last_ts": agg["last_ts"].to_numpy(),
+            }
+        )
+
+    return events.select_columns(["user_id", "event_id", "ts"]).groupby(
+        "user_id"
+    ).map_groups(per_user, batch_format="pandas")
+
+
+SESSIONIZE_SQL_TEMPLATE = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN date_diff('second',
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+         > {gap_s}
+    THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM w
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def tumbling_counts(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Hourly tumbling-window aggregate per event_type — combiner pattern:
+    per-batch partial (type, hour) sums, then one small groupby.
+    Output: event_type, window_start, n, sum_value (rounded to cents)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["ts"].dt.floor("h")
+        g = pd.DataFrame(
+            {"event_type": batch["event_type"], "window_start": w,
+             "value": batch["value"]}
+        ).groupby(["event_type", "window_start"], sort=False)
+        agg = g.agg(n=("value", "size"), sum_value=("value", "sum"))
+        return agg.reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n": pd.array([int(g["n"].sum())], dtype="int64"),
+                "sum_value": [round(float(g["sum_value"].sum()), 2)],
+            }
+        )
+
+    return (
+        events.select_columns(["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=16384)
+        .groupby(["event_type", "window_start"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+TUMBLING_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""

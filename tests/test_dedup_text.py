@@ -1,0 +1,107 @@
+"""Dedup suite + text analysis: oracles where SQL-expressible, synthetic
+ground truth for the sketch-based ops."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from tcx2graph_jl_ray.config import PipelineConfig
+from tcx2graph_jl_ray.stages.dedup import (
+    CHARSET_JOIN_SQL_TEMPLATE,
+    EXACT_DEDUP_SQL,
+    charset_similarity_join,
+    exact_dedup,
+    neardup_minhash,
+    simhash_neardup_pairs,
+    simhash_table,
+)
+from tcx2graph_jl_ray.stages.text import (
+    FINGERPRINT_SQL,
+    LANG_ID_SQL,
+    QUALITY_SQL,
+    TOKEN_COUNT_SQL,
+    fingerprints,
+    lang_id,
+    quality_stats,
+    token_count_by_source,
+)
+from tests.parity import assert_parity, to_pandas
+
+
+def _docs(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_oracle(ray_session, duck, sf_dir):
+    assert_parity(exact_dedup(_docs(sf_dir)), EXACT_DEDUP_SQL, duck)
+
+
+def test_charset_join_oracle(ray_session, duck, sf_dir):
+    ds = charset_similarity_join(_docs(sf_dir), threshold=0.86)
+    assert_parity(ds, CHARSET_JOIN_SQL_TEMPLATE.format(threshold=0.86), duck)
+
+
+def test_quality_oracle(ray_session, duck, sf_dir):
+    assert_parity(quality_stats(_docs(sf_dir)), QUALITY_SQL, duck)
+
+
+def test_lang_id_oracle(ray_session, duck, sf_dir):
+    assert_parity(lang_id(_docs(sf_dir)), LANG_ID_SQL, duck)
+
+
+def test_fingerprint_oracle(ray_session, duck, sf_dir):
+    assert_parity(fingerprints(_docs(sf_dir)), FINGERPRINT_SQL, duck)
+
+
+def test_token_count_oracle(ray_session, duck, sf_dir):
+    assert_parity(token_count_by_source(_docs(sf_dir)), TOKEN_COUNT_SQL, duck)
+
+
+def _synthetic_neardups():
+    """3 planted clusters + singletons. Cluster docs share >70% shingles."""
+    base1 = "the quick brown fox jumps over the lazy dog again and again today"
+    base2 = "distributed systems require careful attention to partial failure modes"
+    rows = [
+        (0, base1),
+        (1, base1 + " tonight"),                 # near-dup of 0
+        (2, base1.replace("quick", "quick red")),  # near-dup of 0
+        (10, base2),
+        (11, base2 + " always"),                 # near-dup of 10
+        (20, "completely unrelated text about cooking pasta with fresh basil"),
+        (21, "yet another lonely document mentioning satellites and orbits"),
+    ]
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    )
+
+
+def test_minhash_clusters_planted(ray_session):
+    cfg = PipelineConfig(jaccard_threshold=0.6)
+    out = to_pandas(neardup_minhash(_synthetic_neardups(), cfg))
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1] == cl[2] == 0
+    assert cl[10] == cl[11] == 10
+    assert cl[20] == 20 and cl[21] == 21
+
+
+def test_minhash_deterministic(ray_session):
+    a = to_pandas(neardup_minhash(_synthetic_neardups())).sort_values("doc_id")
+    b = to_pandas(neardup_minhash(_synthetic_neardups())).sort_values("doc_id")
+    assert (a.to_numpy() == b.to_numpy()).all()
+
+
+def test_simhash_properties(ray_session):
+    ds = _synthetic_neardups()
+    t = to_pandas(simhash_table(ds)).set_index("doc_id")["simhash"]
+    # identical text -> identical hash; near-dup text -> small hamming distance
+    from tcx2graph_jl_ray.functions.minhash import hamming64
+
+    h0 = np.array([t[0]], dtype=np.int64).view(np.uint64)
+    h1 = np.array([t[1]], dtype=np.int64).view(np.uint64)
+    h20 = np.array([t[20]], dtype=np.int64).view(np.uint64)
+    assert hamming64(h0, h1)[0] <= 8
+    assert hamming64(h0, h20)[0] > 8
+    pairs = to_pandas(simhash_neardup_pairs(ds, max_hamming=8))
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in got
+    assert (0, 20) not in got

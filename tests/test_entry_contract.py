@@ -13,7 +13,18 @@ def test_queries_and_oracles_aligned():
     assert set(o) <= set(q), "oracle for unknown query"
     # every query is either oracle-checked or deliberately rows-only
     rows_only = set(q) - set(o)
-    assert rows_only == set(), f"undocumented rows-only queries: {rows_only}"
+    assert rows_only == set(entry_mod.ROWS_ONLY_QUERIES), (
+        f"undocumented rows-only queries: {rows_only}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.ROWS_ONLY_QUERIES))
+def test_rows_only_queries_run(ray_session, sf_dir, name):
+    """Rows-only queries must at least execute and return rows (the weaker
+    driver check) deterministically."""
+    result = entry_mod.queries()[name](sf_dir)
+    df = to_pandas(result)
+    assert len(df) > 0
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))

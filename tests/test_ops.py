@@ -1,0 +1,120 @@
+"""ANN, windows, cleaning, relational operators."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from tcx2graph_jl_ray.sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts
+from tcx2graph_jl_ray.stages.ann import (
+    ANN_BRUTE_SQL_TEMPLATE,
+    ann_brute_topk,
+    ann_lsh_topk,
+)
+from tcx2graph_jl_ray.stages.clean import (
+    clean_impute,
+    missing_stats,
+    transcripts_missing_sql,
+)
+from tcx2graph_jl_ray.stages.relational import (
+    Q1_SQL,
+    REVENUE_BY_NATION_SQL,
+    TOP_CUSTOMERS_SQL_TEMPLATE,
+    q1_pricing_summary,
+    revenue_by_nation,
+    top_customers,
+)
+from tcx2graph_jl_ray.stages.window import (
+    SESSIONIZE_SQL_TEMPLATE,
+    TUMBLING_SQL,
+    sessionize,
+    tumbling_counts,
+)
+from tests.parity import assert_parity, to_pandas
+
+
+def _embeddings(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def test_ann_brute_oracle(ray_session, duck, sf_dir):
+    ds = ann_brute_topk(_embeddings(sf_dir), sf_dir, n_queries=8, k=10)
+    assert_parity(ds, ANN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10), duck)
+
+
+def test_ann_lsh_recall(ray_session, sf_dir):
+    """LSH variant: valid shape, deterministic, and recall vs brute force
+    above a floor (it searches only matching buckets)."""
+    brute = to_pandas(ann_brute_topk(_embeddings(sf_dir), sf_dir, 8, 10))
+    approx = to_pandas(ann_lsh_topk(_embeddings(sf_dir), sf_dir, 8, 10))
+    bs = set(map(tuple, brute[["query_id", "vec_id"]].itertuples(index=False)))
+    as_ = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(bs & as_) / len(bs)
+    assert recall >= 0.2, f"recall {recall}"
+    # self-match: every query is its own nearest neighbor in both
+    for q in range(8):
+        assert (q, q) in as_
+    again = to_pandas(ann_lsh_topk(_embeddings(sf_dir), sf_dir, 8, 10))
+    assert as_ == set(map(tuple, again[["query_id", "vec_id"]].itertuples(index=False)))
+
+
+def test_sessionize_oracle(ray_session, duck, sf_dir):
+    ds = sessionize(_events(sf_dir), gap_s=1800.0)
+    assert_parity(ds, SESSIONIZE_SQL_TEMPLATE.format(gap_s=1800), duck)
+
+
+def test_tumbling_oracle(ray_session, duck, sf_dir):
+    assert_parity(tumbling_counts(_events(sf_dir)), TUMBLING_SQL, duck)
+
+
+def test_missing_stats_oracle(ray_session, duck, sf_dir):
+    ds = missing_stats(
+        derive_transcripts(sf_dir),
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    assert_parity(ds, transcripts_missing_sql(TRANSCRIPTS_SQL), duck)
+
+
+def test_q1_oracle(ray_session, duck, sf_dir):
+    assert_parity(q1_pricing_summary(sf_dir), Q1_SQL, duck)
+
+
+def test_revenue_by_nation_oracle(ray_session, duck, sf_dir):
+    assert_parity(revenue_by_nation(sf_dir), REVENUE_BY_NATION_SQL, duck)
+
+
+def test_top_customers_oracle(ray_session, duck, sf_dir):
+    assert_parity(
+        top_customers(sf_dir, k=10), TOP_CUSTOMERS_SQL_TEMPLATE.format(k=10), duck
+    )
+
+
+def test_clean_impute_dirty_fixture(ray_session):
+    """Dirty transcripts variant (FIXTURES.md §3): all-null column dropped,
+    >threshold-null column dropped, all-'unknown' column dropped, per-group
+    median/mode impute, final coalesce."""
+    n = 40
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 20 + ["b"] * 20,
+            "score": [1.0, None] * 10 + [5.0, None] * 10,  # 50% null numeric
+            "label": (["x", None, "x", "x"] * 5) + (["y", None, "y", "y"] * 5),
+            "dead": [None] * n,                      # all-null -> dropped
+            "mostly_null": [None] * 39 + [1.0],      # 97% null -> dropped
+            "unk": ["unknown"] * n,                  # all-unknown -> dropped
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    cleaned, report = clean_impute(ds, group_col="conv_id", drop_threshold=0.6)
+    out = to_pandas(cleaned)
+    assert set(report["dropped"]) == {"dead", "mostly_null", "unk"}
+    assert set(out.columns) == {"conv_id", "score", "label"}
+    assert out["score"].notna().all() and out["label"].notna().all()
+    # per-group medians: group a -> 1.0, group b -> 5.0
+    assert (out.loc[out.conv_id == "a", "score"] == 1.0).all()
+    assert (out.loc[out.conv_id == "b", "score"] == 5.0).all()
+    assert (out.loc[out.conv_id == "a", "label"] == "x").all()
+    assert (out.loc[out.conv_id == "b", "label"] == "y").all()
