@@ -88,9 +88,12 @@ def _mentions(sf_dir: str):
 
 
 def _mentions_with_entity(sf_dir: str):
-    m = _mentions(sf_dir)
+    # materialize mentions once: both canonicalize and attach consume them,
+    # and an unpinned Dataset would re-run the whole derivation per consumer
+    # (in the staged pipeline this role is played by the transcripts sink)
+    m = _mentions(sf_dir).materialize()
     _, cmap = _cz.canonicalize(m)
-    return _an.attach_entities(_mentions(sf_dir), cmap)
+    return _an.attach_entities(m, cmap)
 
 
 def _entities(sf_dir: str):

@@ -22,6 +22,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# input replication for the headline pipeline (scaling runs need enough work
+# per CPU to amortize fixed stage costs; 1 = the raw sf input)
+MULT = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
+SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "8"))
 
 # queries timed individually (a representative slice of SURVEY.md §2)
 TIMED_QUERIES = [
@@ -77,7 +81,7 @@ def run_bench() -> dict:
 
     out = tempfile.mkdtemp(prefix="kg_bench_")
     t0 = time.perf_counter()
-    summary = run_kg_pipeline_from_sf(SF_DIR, out)
+    summary = run_kg_pipeline_from_sf(SF_DIR, out, mult=MULT)
     headline = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
 
@@ -95,6 +99,7 @@ def run_bench() -> dict:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "mult": MULT,
         "turns": summary["turns"],
         "triples": summary["triples"],
         "turns_per_sec": round(summary["turns"] / headline, 1),
@@ -106,7 +111,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_MULT=str(SCALING_MULT),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -128,6 +137,8 @@ def run_scaling() -> dict:
         "sec_32": t_hi,
         "throughput_8_turns_per_sec": r_lo["turns_per_sec"],
         "throughput_32_turns_per_sec": r_hi["turns_per_sec"],
+        "turns": r_hi["turns"],
+        "mult": SCALING_MULT,
         "sf": SF_DIR,
     }
 

@@ -32,6 +32,10 @@ class PipelineConfig:
     max_block_size: int = 256
     # max union-find pointer-jumping rounds before declaring convergence
     union_find_max_rounds: int = 16
+    # below this many distinct surfaces, run the component loop driver-side
+    # (identical algorithm/result; skips per-round shuffle fixed costs) —
+    # the distributed path engages above it
+    small_graph_threshold: int = 200_000
 
     # --- near-dup / MinHash ----------------------------------------------
     minhash_num_perm: int = 64

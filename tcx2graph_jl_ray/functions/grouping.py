@@ -1,0 +1,69 @@
+"""Bucketed grouping: the high-cardinality groupby pattern.
+
+Ray Data's ``groupby().map_groups``/aggregate pays a fixed per-group cost, so
+a key with many distinct values (conversations, content digests, candidate
+pairs) is orders of magnitude slower than the same reduction done as:
+
+    hash(key) % n_buckets  ->  groupby(bucket)  ->  vectorized pandas
+                                                    groupby(key) inside
+
+Correctness is preserved because hashing co-locates every row of a key in
+exactly one bucket; the shuffle then moves n_buckets groups regardless of key
+cardinality. This is also the 100 TB shape: n_buckets is sized to the
+cluster, and a hot key can be salted into sub-buckets *within* its bucket_fn
+when a single key exceeds a worker (config.salt_buckets).
+
+Hash is process-stable (pandas hash_pandas_object fixed key — never builtin
+``hash``, which is salted per process).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+import ray.data
+
+BUCKET_COL = "__bucket"
+
+
+def add_bucket(
+    batch: pd.DataFrame, keys: Sequence[str], n_buckets: int
+) -> pd.DataFrame:
+    k = batch[keys[0]].astype(str)
+    for extra in keys[1:]:
+        k = k + "\x1f" + batch[extra].astype(str)
+    batch = batch.copy()
+    batch[BUCKET_COL] = (
+        pd.util.hash_pandas_object(k, index=False) % n_buckets
+    ).astype("int64")
+    return batch
+
+
+def bucketed_group_apply(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 64,
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """Apply ``bucket_fn`` to each hash bucket of ``keys``.
+
+    ``bucket_fn`` receives ALL rows of every key hashed into the bucket (keys
+    are complete, order arbitrary) and must do its own vectorized per-key
+    logic (``df.groupby(keys)`` inside — pandas, not Ray, pays the per-key
+    cost there, vectorized).
+    """
+    keys = list(keys)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket(batch, keys, n_buckets)
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(group.drop(columns=[BUCKET_COL]))
+
+    return (
+        ds.map_batches(tag, batch_format="pandas", batch_size=batch_size)
+        .groupby(BUCKET_COL)
+        .map_groups(run, batch_format="pandas")
+    )

@@ -91,15 +91,27 @@ def run_kg_pipeline(
         entities = link_entities(entities, load_kb(sf_dir))
     triples_c = rewrite_triples(triples, cmap)
 
-    m_nodes = resumable_write(
-        nodes, os.path.join(out_dir, "nodes"), "conv_id", n_parts, fp, lineage
-    )
-    m_edges = resumable_write(
-        edges, os.path.join(out_dir, "edges"), "conv_id", n_parts, fp, lineage
-    )
-    m_triples = resumable_write(
-        triples_c, os.path.join(out_dir, "triples"), "conv_id", n_parts, fp, lineage
-    )
+    # the three sinks are independent scans over the staged table — submit
+    # them concurrently so the streaming executors interleave instead of
+    # paying three sequential end-to-end latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_nodes = pool.submit(
+            resumable_write, nodes, os.path.join(out_dir, "nodes"),
+            "conv_id", n_parts, fp, lineage,
+        )
+        f_edges = pool.submit(
+            resumable_write, edges, os.path.join(out_dir, "edges"),
+            "conv_id", n_parts, fp, lineage,
+        )
+        f_triples = pool.submit(
+            resumable_write, triples_c, os.path.join(out_dir, "triples"),
+            "conv_id", n_parts, fp, lineage,
+        )
+        m_nodes, m_edges, m_triples = (
+            f_nodes.result(), f_edges.result(), f_triples.result()
+        )
     entities_path = os.path.join(out_dir, "entities.parquet")
     entities.to_parquet(entities_path, index=False)  # small canonical table
 
@@ -115,12 +127,16 @@ def run_kg_pipeline(
 
 
 def run_kg_pipeline_from_sf(
-    sf_dir: str, out_dir: str, config: PipelineConfig = DEFAULT_CONFIG, n_parts: int = 32
+    sf_dir: str,
+    out_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    n_parts: int = 32,
+    mult: int = 1,
 ) -> dict:
     """Testdata adapter: derive the transcripts table from the sf tables, then
-    run the flagship pipeline."""
-    transcripts = derive_transcripts(sf_dir)
+    run the flagship pipeline. ``mult`` replicates the input (bench-only)."""
+    transcripts = derive_transcripts(sf_dir, mult=mult)
     return run_kg_pipeline(
         transcripts, out_dir, sf_dir=sf_dir, config=config, n_parts=n_parts,
-        lineage={"input": sf_dir, "source": "derive_transcripts"},
+        lineage={"input": sf_dir, "source": "derive_transcripts", "mult": mult},
     )

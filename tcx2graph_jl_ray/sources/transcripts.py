@@ -59,17 +59,18 @@ def _alias_series(n_name: pd.Series, event_id: pd.Series) -> pd.Series:
 
 
 class _DeriveTurns:
-    """Stateful map_batches stage: holds the broadcast nation×region lookup.
-
-    The small side is shipped once via ``ray.put`` on the driver and fetched
-    once per actor in ``__init__`` (NOT per batch) — the broadcast-join
-    pattern replacing the reference's per-point nearest-way lookup
-    (src/TCXParser.jl:188-265).
+    """Broadcast-join map stage: joins each event to the tiny nation×region
+    lookup. The 25-row KB travels in the function closure (serialized once
+    per task submission) — for a genuinely large side table this becomes a
+    ``ray.put`` ref fetched in an actor pool's ``__init__`` (the pattern
+    replacing the reference's per-point nearest-way lookup,
+    src/TCXParser.jl:188-265); for 25 rows an actor pool's startup cost
+    outweighs it.
     """
 
-    def __init__(self, kb_ref):
+    def __init__(self, kb: pd.DataFrame):
         # kb: DataFrame[n_nationkey, n_name, r_name]
-        self.kb = ray.get(kb_ref).set_index("n_nationkey")
+        self.kb = kb.set_index("n_nationkey")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         # nation varies per event (not just per user) so a conversation
@@ -114,22 +115,27 @@ class _DeriveTurns:
         )
 
 
-def _assign_turn_idx(group: pd.DataFrame) -> pd.DataFrame:
+def _assign_turn_idx(bucket: pd.DataFrame) -> pd.DataFrame:
     # Stable per-conversation order from (ts, event_id) — the ordering
     # invariant (reference src/GraphBuilder.jl:104-111). event_id breaks ts
-    # ties deterministically.
-    group = group.sort_values(["ts", "event_id"], kind="mergesort")
-    group = group.assign(
-        turn_idx=pd.array(range(len(group)), dtype="int32")
+    # ties deterministically. Runs per hash BUCKET of conversations: one
+    # vectorized sort + cumcount covers every conversation in the bucket.
+    bucket = bucket.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+    bucket = bucket.assign(
+        turn_idx=bucket.groupby("conv_id", sort=False).cumcount().astype("int32")
     )
-    return group[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    return bucket[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
 
-def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
+def derive_transcripts(sf_dir: str, mult: int = 1) -> ray.data.Dataset:
     """events ⋈ nation ⋈ region → transcripts Dataset (see module docstring).
 
-    One broadcast join (map_batches over an actor pool holding the 25-row KB)
-    + one keyed shuffle on conv_id to impose turn order.
+    One broadcast join + one bucketed keyed shuffle on conv_id to impose turn
+    order.
+
+    ``mult`` (bench-only; breaks oracle parity) replicates the event stream
+    with disjoint user-id ranges — mult× conversations of the same shape — so
+    scaling runs carry enough work per CPU to amortize fixed stage costs.
     """
     import pyarrow.parquet as pq
 
@@ -142,17 +148,27 @@ def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
     kb = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
         ["n_nationkey", "n_name", "r_name"]
     ]
-    kb_ref = ray.put(kb)
+    derive = _DeriveTurns(kb)  # stateless tasks; tiny KB rides in the closure
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=_EVENT_COLUMNS)
-    ds = ds.map_batches(
-        _DeriveTurns,
-        fn_constructor_args=(kb_ref,),
-        batch_format="pandas",
-        batch_size=16384,
-        concurrency=(1, 4),
-    )
-    return ds.groupby("conv_id").map_groups(_assign_turn_idx, batch_format="pandas")
+    # the events table is a single parquet file -> Ray reads it as a handful
+    # of blocks, capping every downstream map at that width; spread the rows
+    # so the map stages can use the whole cluster (cheap: no key shuffle)
+    ds = ds.repartition(64)
+    if mult > 1:
+        def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+            reps = []
+            for r in range(mult):
+                rep = batch.copy()
+                rep["user_id"] = rep["user_id"] + r * 10_000_000
+                reps.append(rep)
+            return pd.concat(reps, ignore_index=True)
+
+        ds = ds.map_batches(replicate, batch_format="pandas", batch_size=16384)
+    ds = ds.map_batches(derive, batch_format="pandas", batch_size=16384)
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(ds, ["conv_id"], _assign_turn_idx)
 
 
 # DuckDB-runnable oracle for derive_transcripts (same templates, same ordering).

@@ -45,7 +45,7 @@ class _AttachEntity:
 
 
 def attach_entities(
-    mentions: ray.data.Dataset, canonical_map: pd.DataFrame, concurrency=(1, 8)
+    mentions: ray.data.Dataset, canonical_map: pd.DataFrame, concurrency=(1, 16)
 ) -> ray.data.Dataset:
     map_ref = ray.put(canonical_map)
     return mentions.map_batches(
@@ -59,28 +59,47 @@ def attach_entities(
 
 def conv_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     """Per-conversation node/property aggregation (the A10-style grouped
-    aggregate): turn counts by role, span, duration."""
+    aggregate): turn counts by role, span, duration. Combiner pattern:
+    per-batch partial aggregates, bucketed vectorized merge."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"]
-        return pd.DataFrame(
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": pd.array([len(g)], dtype="int64"),
-                "n_user": pd.array([int((g["role"] == "user").sum())], dtype="int64"),
-                "n_assistant": pd.array(
-                    [int((g["role"] == "assistant").sum())], dtype="int64"
-                ),
-                "n_tool": pd.array([int((g["role"] == "tool").sum())], dtype="int64"),
-                "first_ts": [ts.min()],
-                "last_ts": [ts.max()],
-                "duration_us": pd.array(
-                    [int((ts.max() - ts.min()).value // 1000)], dtype="int64"
-                ),
+                "conv_id": batch["conv_id"],
+                "n_turns": 1,
+                "n_user": (batch["role"] == "user").astype("int64"),
+                "n_assistant": (batch["role"] == "assistant").astype("int64"),
+                "n_tool": (batch["role"] == "tool").astype("int64"),
+                "first_ts": batch["ts"],
+                "last_ts": batch["ts"],
             }
         )
+        g = df.groupby("conv_id", sort=False)
+        return g.agg(
+            n_turns=("n_turns", "sum"), n_user=("n_user", "sum"),
+            n_assistant=("n_assistant", "sum"), n_tool=("n_tool", "sum"),
+            first_ts=("first_ts", "min"), last_ts=("last_ts", "max"),
+        ).reset_index()
 
-    return transcripts.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("n_turns", "sum"), n_user=("n_user", "sum"),
+            n_assistant=("n_assistant", "sum"), n_tool=("n_tool", "sum"),
+            first_ts=("first_ts", "min"), last_ts=("last_ts", "max"),
+        ).reset_index()
+        out["duration_us"] = (
+            (out["last_ts"] - out["first_ts"]).astype("timedelta64[us]").astype("int64")
+        )
+        for c in ["n_turns", "n_user", "n_assistant", "n_tool"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = transcripts.select_columns(["conv_id", "role", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    return bucketed_group_apply(partials, ["conv_id"], merge)
 
 
 def hot_entities(
@@ -89,57 +108,64 @@ def hot_entities(
     """Entities mentioned in >= min_convs distinct conversations, with counts —
     the hotspot scan (cells visited by >= K rides, src/GraphUtils.jl:117-189).
 
-    Two-phase distinct-count: groupby (entity, conv) first (pre-aggregation),
-    then groupby entity — never a global count-distinct on raw mentions.
+    Per-batch partial (entity, conv) counts collapse the mention stream before
+    the shuffle; the final bucketed merge re-groups per entity and counts
+    distinct conversations exactly (each (entity, conv) pair survives the
+    partial with its count, so the distinct-conv count is precise).
     """
-    per_conv = mentions_with_entity.groupby(["entity_id", "conv_id"]).count()
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "entity_id": [g["entity_id"].iloc[0]],
-                "n_convs": pd.array([len(g)], dtype="int64"),
-                "n_turns": pd.array([int(g["count()"].sum())], dtype="int64"),
-            }
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["entity_id", "conv_id"], sort=False)
+            .size()
+            .reset_index(name="n")
         )
 
-    agg = per_conv.groupby("entity_id").map_groups(finalize, batch_format="pandas")
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        pc = bucket.groupby(["entity_id", "conv_id"], sort=False)["n"].sum()
+        g = pc.reset_index().groupby("entity_id", sort=False)
+        out = g.agg(n_convs=("conv_id", "nunique"), n_turns=("n", "sum")).reset_index()
+        out = out[out["n_convs"] >= min_convs]
+        out["n_convs"] = out["n_convs"].astype("int64")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out
 
-    def keep_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["n_convs"] >= min_convs]
-
-    return agg.map_batches(keep_hot, batch_format="pandas")
+    partials = mentions_with_entity.select_columns(
+        ["entity_id", "conv_id"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_apply(partials, ["entity_id"], merge)
 
 
 def cooccurrence_edges(mentions_with_entity: ray.data.Dataset) -> ray.data.Dataset:
     """Undirected entity co-occurrence edges weighted by shared conversations
     (the graph whose paths the reference's path-finder walks,
-    src/PathFinder.jl:36-149). Output: src, dst (src < dst), n_convs."""
-    distinct = mentions_with_entity.groupby(["conv_id", "entity_id"]).count()
+    src/PathFinder.jl:36-149). Output: src, dst (src < dst), n_convs.
 
-    def pairs_in_conv(g: pd.DataFrame) -> pd.DataFrame:
-        ents = sorted(g["entity_id"].unique())
-        src, dst = [], []
-        for i in range(len(ents)):
-            for j in range(i + 1, len(ents)):
-                src.append(ents[i])
-                dst.append(ents[j])
-        return pd.DataFrame({"src": src, "dst": dst})
+    Shape: per-batch distinct (conv, entity) partial -> bucketed-by-conv pair
+    generation (vectorized self-merge per bucket) -> bucketed-by-pair count.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    pairs = distinct.groupby("conv_id").map_groups(
-        pairs_in_conv, batch_format="pandas"
-    )
+    def partial_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["conv_id", "entity_id"]].drop_duplicates()
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": [g["src"].iloc[0]],
-                "dst": [g["dst"].iloc[0]],
-                "n_convs": pd.array([len(g)], dtype="int64"),
-            }
-        )
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["conv_id", "entity_id"])
+        m = d.merge(d, on="conv_id")
+        m = m[m["entity_id_x"] < m["entity_id_y"]]
+        return pd.DataFrame({"src": m["entity_id_x"], "dst": m["entity_id_y"]})
 
-    return pairs.groupby(["src", "dst"]).map_groups(finalize, batch_format="pandas")
+    def count_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["src", "dst"], sort=False).size().reset_index(name="n_convs")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g
+
+    distinct = mentions_with_entity.select_columns(
+        ["conv_id", "entity_id"]
+    ).map_batches(partial_distinct, batch_format="pandas", batch_size=65536)
+    pairs = bucketed_group_apply(distinct, ["conv_id"], pairs_in_bucket)
+    return bucketed_group_apply(pairs, ["src", "dst"], count_in_bucket)
 
 
 def entity_transitions(
@@ -153,34 +179,33 @@ def entity_transitions(
     start_time, pair consecutive, filter by max_gap).
     Output: from_entity, to_entity, n (count over the corpus)."""
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="mergesort")
-        src = g.iloc[:-1]
-        dst = g.iloc[1:]
-        gap_ok = (dst["turn_idx"].to_numpy() - src["turn_idx"].to_numpy()) <= max_turn_gap
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        grp = g.groupby("conv_id", sort=False)
+        nxt_e = grp["entity_id"].shift(-1)
+        nxt_t = grp["turn_idx"].shift(-1)
+        keep = nxt_e.notna() & ((nxt_t - g["turn_idx"]) <= max_turn_gap)
         return pd.DataFrame(
-            {
-                "from_entity": src["entity_id"].to_numpy()[gap_ok],
-                "to_entity": dst["entity_id"].to_numpy()[gap_ok],
-            }
+            {"from_entity": g["entity_id"][keep], "to_entity": nxt_e[keep]}
         )
 
-    pairs = mentions_with_entity.groupby("conv_id").map_groups(
-        per_conv, batch_format="pandas"
-    )
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "from_entity": [g["from_entity"].iloc[0]],
-                "to_entity": [g["to_entity"].iloc[0]],
-                "n": pd.array([len(g)], dtype="int64"),
-            }
+    def count_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["from_entity", "to_entity"], sort=False)
+            .size()
+            .reset_index(name="n")
         )
+        g["n"] = g["n"].astype("int64")
+        return g
 
-    return pairs.groupby(["from_entity", "to_entity"]).map_groups(
-        finalize, batch_format="pandas"
+    pairs = bucketed_group_apply(
+        mentions_with_entity.select_columns(["conv_id", "turn_idx", "entity_id"]),
+        ["conv_id"],
+        pairs_in_bucket,
     )
+    return bucketed_group_apply(pairs, ["from_entity", "to_entity"], count_in_bucket)
 
 
 def reachable_pairs(

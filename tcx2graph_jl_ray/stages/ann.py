@@ -65,7 +65,7 @@ def ann_brute_topk(
         fn_constructor_args=(q_ref, k),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=(1, 16),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -176,7 +176,7 @@ def ann_lsh_topk(
 
     partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         _LshTopK, fn_constructor_args=(ref,), batch_format="pandas",
-        batch_size=4096, concurrency=(1, 8),
+        batch_size=4096, concurrency=(1, 16),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -32,8 +32,6 @@ from __future__ import annotations
 import pandas as pd
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
-
 from tcx2graph_jl_ray.config import DEFAULT_CONFIG, PipelineConfig
 
 
@@ -44,21 +42,26 @@ def distinct_surfaces(mentions: ray.data.Dataset) -> ray.data.Dataset:
     stream is reduced by a single groupby(norm) shuffle.
     Output: norm, n_turns, n_mentions.
     """
-    agg = mentions.groupby("norm").aggregate(
-        Count(alias_name="n_turns"),
-        Sum("n_occurrences", alias_name="n_mentions"),
-    )
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    def clean(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "norm": batch["norm"],
-                "n_turns": batch["n_turns"].astype("int64"),
-                "n_mentions": batch["n_mentions"].astype("int64"),
-            }
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("norm", sort=False).agg(
+            n_turns=("norm", "size"), n_mentions=("n_occurrences", "sum")
         )
+        return g.reset_index()
 
-    return agg.map_batches(clean, batch_format="pandas")
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("norm", sort=False).agg(
+            n_turns=("n_turns", "sum"), n_mentions=("n_mentions", "sum")
+        ).reset_index()
+        g["n_turns"] = g["n_turns"].astype("int64")
+        g["n_mentions"] = g["n_mentions"].astype("int64")
+        return g
+
+    partials = mentions.select_columns(["norm", "n_occurrences"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    return bucketed_group_apply(partials, ["norm"], merge)
 
 
 def _explode_tokens(batch: pd.DataFrame) -> pd.DataFrame:
@@ -92,11 +95,14 @@ def candidate_pairs(
                 b.append(norms[j])
         return pd.DataFrame({"a": a, "b": b})
 
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
     exploded = surfaces.map_batches(_explode_tokens, batch_format="pandas")
     pairs = exploded.groupby("token").map_groups(pairs_in_block, batch_format="pandas")
-    # distinct pairs (the same pair arises from every shared token)
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # distinct pairs (the same pair arises from every shared token) —
+    # bucketed dedup, pair cardinality can be large
+    return bucketed_group_apply(
+        pairs, ["a", "b"], lambda b: b.drop_duplicates(["a", "b"])
     )
 
 
@@ -129,18 +135,56 @@ def verify_pairs(
 _SELF, _EDGE, _CAND = 0, 1, 2
 
 
+def _components_local(nodes: list, edges: list[tuple]) -> pd.DataFrame:
+    """Driver-side min-label propagation (identical semantics to the
+    distributed rounds; used below ``small_graph_threshold``). Classic
+    union-find with path compression; label = lexicographic-min member."""
+    parent: dict = {n: n for n in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the lexicographically smaller root -> deterministic labels
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = sorted((n, find(n)) for n in nodes)
+    return pd.DataFrame(labels, columns=["node", "label"])
+
+
 def connected_components(
     surfaces: ray.data.Dataset,
     verified: ray.data.Dataset,
     config: PipelineConfig = DEFAULT_CONFIG,
 ) -> pd.DataFrame:
-    """Distributed min-label propagation -> DataFrame[node, label].
+    """Connected components -> DataFrame[node, label].
 
-    Working set = label rows + symmetric edge rows, reduced by ONE
-    ``groupby(node)`` shuffle per round; materialized per round (it is the
-    small distinct-surface graph, not the corpus). Deterministic: labels are
-    lexicographic-min normalized surfaces.
+    Two physical paths with identical results:
+
+    - **small graphs** (distinct surfaces <= ``config.small_graph_threshold``):
+      collect the node/edge lists (already reduced: these are distinct
+      surfaces, not mentions) and run union-find on the driver — the per-round
+      shuffle fixed cost dwarfs the work at this size (and the reference also
+      merges driver-side, src/OverlappingSegmentsUtils.jl:212-277);
+    - **large graphs**: distributed min-label propagation — working set =
+      label rows + symmetric edge rows, reduced by ONE ``groupby(node)``
+      shuffle per round, materialized per round. Deterministic: labels are
+      lexicographic-min members either way.
     """
+    n_nodes = surfaces.count()
+    if n_nodes <= config.small_graph_threshold:
+        nodes = surfaces.select_columns(["norm"]).to_pandas()["norm"].tolist()
+        epdf = verified.select_columns(["a", "b"]).to_pandas()
+        edges = list(zip(epdf["a"], epdf["b"]))
+        return _components_local(nodes, edges)
 
     def to_rows(batch: pd.DataFrame) -> pd.DataFrame:
         key = pd.concat([batch["a"], batch["b"]], ignore_index=True)
@@ -210,6 +254,31 @@ def connected_components(
     return labels.sort_values("node").reset_index(drop=True)
 
 
+def _blocking_verify_local(
+    norms: list[str], config: PipelineConfig
+) -> list[tuple]:
+    """Driver-side token blocking + containment verify for small distinct-
+    surface tables — byte-identical pair semantics to the distributed path
+    (same cap, same threshold), skipping two Ray stage launches when the
+    whole graph fits in one hand."""
+    from collections import defaultdict
+
+    blocks: dict[str, list[str]] = defaultdict(list)
+    for n in sorted(set(norms)):
+        for tok in set(n.split()):
+            if tok:
+                blocks[tok].append(n)
+    pairs = set()
+    for members in blocks.values():
+        if len(members) < 2 or len(members) > config.max_block_size:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    thr = config.verify_containment
+    return [(a, b) for a, b in sorted(pairs) if _containment(a, b) >= thr]
+
+
 def canonicalize(
     mentions: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
 ):
@@ -217,11 +286,21 @@ def canonicalize(
 
     entities: entity_id (canonical surface), n_surfaces, n_turns, n_mentions.
     canonical map: DataFrame[node(norm), label(canonical)] for broadcast joins.
+
+    The mention stream is always reduced distributedly (distinct_surfaces);
+    blocking/verify/components run driver-side below small_graph_threshold
+    (identical semantics) and distributed above it.
     """
     surfaces = distinct_surfaces(mentions).materialize()
-    pairs = candidate_pairs(surfaces, config)
-    verified = verify_pairs(pairs, config)
-    labels = connected_components(surfaces, verified, config)
+    if surfaces.count() <= config.small_graph_threshold:
+        stats_pdf = surfaces.to_pandas()
+        norms = stats_pdf["norm"].tolist()
+        edges = _blocking_verify_local(norms, config)
+        labels = _components_local(norms, edges)
+    else:
+        pairs = candidate_pairs(surfaces, config)
+        verified = verify_pairs(pairs, config)
+        labels = connected_components(surfaces, verified, config)
 
     stats = surfaces.to_pandas()
     merged = stats.merge(labels, left_on="norm", right_on="node", how="left")
@@ -274,7 +353,7 @@ class _RewriteTriples:
 
 
 def rewrite_triples(
-    triples: ray.data.Dataset, canonical_map: pd.DataFrame, concurrency=(1, 8)
+    triples: ray.data.Dataset, canonical_map: pd.DataFrame, concurrency=(1, 16)
 ) -> ray.data.Dataset:
     map_ref = ray.put(canonical_map)
     return triples.map_batches(

@@ -54,8 +54,8 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
         ]
         return batch
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("text", sort=False)["doc_id"].agg(["min", "count"])
+    def first_per_text(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = bucket.groupby("text", sort=False)["doc_id"].agg(["min", "count"])
         return pd.DataFrame(
             {
                 "doc_id": agg["min"].astype("int64").to_numpy(),
@@ -63,10 +63,12 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    return (
-        docs.map_batches(add_digest, batch_format="pandas", batch_size=8192)
-        .groupby("digest")
-        .map_groups(first_per_text, batch_format="pandas")
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        docs.map_batches(add_digest, batch_format="pandas", batch_size=8192),
+        ["digest"],
+        first_per_text,
     )
 
 
@@ -121,7 +123,7 @@ def neardup_minhash(
                              config.shingle_size),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=(1, 16),
     )
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -130,21 +132,33 @@ def neardup_minhash(
 
     cap = config.max_block_size
 
-    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > cap:
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds whole bands; per-band pair generation, capped per band
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("band", sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > cap:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
             )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    pairs = (
-        sigs.map_batches(explode_bands, batch_format="pandas")
-        .groupby("band")
-        .map_groups(pairs_in_band, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    pairs = bucketed_group_apply(
+        sigs.map_batches(explode_bands, batch_format="pandas"),
+        ["band"],
+        pairs_in_bucket,
+    )
+    pairs = bucketed_group_apply(
+        pairs, ["a", "b"], lambda b: b.drop_duplicates(["a", "b"])
     )
 
     thr = config.jaccard_threshold
@@ -171,7 +185,7 @@ def neardup_minhash(
 
     verified = pairs.map_batches(
         _Verify, fn_constructor_args=(text_ref,), batch_format="pandas",
-        batch_size=8192, concurrency=(1, 8),
+        batch_size=8192, concurrency=(1, 16),
     )
 
     # reuse the distributed component machinery on stringified doc ids
@@ -242,29 +256,38 @@ def simhash_neardup_pairs(
             )
         return pd.concat(rows, ignore_index=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.minhash import hamming64
+
+        out = []
+        for _, g in bucket.groupby("band", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            hd = hamming64(hs[ii], hs[jj]).astype("int64")
+            keep = hd <= max_hamming
+            out.append(
+                pd.DataFrame(
+                    {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": hd[keep]}
+                )
+            )
+        if not out:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
                  "hamming": pd.Series([], dtype="int64")}
             )
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        from tcx2graph_jl_ray.functions.minhash import hamming64
+        return pd.concat(out, ignore_index=True)
 
-        hd = hamming64(hs[ii], hs[jj]).astype("int64")
-        keep = hd <= max_hamming
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
-                             "hamming": hd[keep]})
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    return (
-        sigs.map_batches(explode, batch_format="pandas")
-        .groupby("band")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = bucketed_group_apply(
+        sigs.map_batches(explode, batch_format="pandas"), ["band"], pairs_in_bucket
+    )
+    return bucketed_group_apply(
+        pairs, ["a", "b"], lambda b: b.drop_duplicates(["a", "b"])
     )
 
 

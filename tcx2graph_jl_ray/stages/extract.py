@@ -182,7 +182,7 @@ class MentionExtractor:
 
 
 def extract_triples(
-    transcripts: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 8192
+    transcripts: ray.data.Dataset, concurrency=(1, 16), batch_size: int = 8192
 ) -> ray.data.Dataset:
     # Autoscaling actor pool (min 1 actor): a fixed-size pool sized at the
     # cluster CPU count starves the upstream read/shuffle stages and the
@@ -196,7 +196,7 @@ def extract_triples(
 
 
 def extract_mentions(
-    transcripts: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 8192
+    transcripts: ray.data.Dataset, concurrency=(1, 16), batch_size: int = 8192
 ) -> ray.data.Dataset:
     return transcripts.map_batches(
         MentionExtractor,

@@ -42,32 +42,37 @@ def build_nodes(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     return transcripts.map_batches(to_nodes, batch_format="pandas", batch_size=16384)
 
 
-def _edges_for_conv(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("turn_idx", kind="mergesort")
-    # the slicing below naturally yields a typed empty frame for 1-turn
-    # conversations (no special case: a hand-built empty DataFrame loses its
-    # Arrow schema and triggers schema-mismatch warnings downstream)
-    src = g.iloc[:-1].reset_index(drop=True)
-    dst = g.iloc[1:].reset_index(drop=True)
+def _edges_for_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    # one vectorized pass over a hash bucket of complete conversations:
+    # sort by (conv, turn), shift within conversation, keep in-conv pairs
+    g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    nxt_turn = g.groupby("conv_id", sort=False)["turn_idx"].shift(-1)
+    nxt_ts = g.groupby("conv_id", sort=False)["ts"].shift(-1)
+    keep = nxt_turn.notna()
+    src = g[keep]
     conv = src["conv_id"]
+    dst_turn = nxt_turn[keep].astype("int32")
     return pd.DataFrame(
         {
             "conv_id": conv,
             "src_turn": src["turn_idx"].astype("int32"),
-            "dst_turn": dst["turn_idx"].astype("int32"),
+            "dst_turn": dst_turn,
             "src_node": conv + ":" + src["turn_idx"].astype(str),
-            "dst_node": conv + ":" + dst["turn_idx"].astype(str),
-            "delta_us": (dst["ts"].values - src["ts"].values).astype("timedelta64[us]").astype("int64"),
+            "dst_node": conv + ":" + dst_turn.astype(str),
+            "delta_us": (nxt_ts[keep].values - src["ts"].values)
+            .astype("timedelta64[us]")
+            .astype("int64"),
         }
     )
 
 
 def build_next_turn_edges(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     """Consecutive-turn edges per conversation (reference src/GraphBuilder.jl:109-111)
-    with the inter-turn gap as an edge property. One conv-keyed shuffle."""
-    return transcripts.groupby("conv_id").map_groups(
-        _edges_for_conv, batch_format="pandas"
-    )
+    with the inter-turn gap as an edge property. One bucketed conv-keyed
+    shuffle (per-group cost paid vectorized in pandas, not per conversation)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(transcripts, ["conv_id"], _edges_for_bucket)
 
 
 def coverage_stats(transcripts: ray.data.Dataset) -> pa.Table:
@@ -76,9 +81,26 @@ def coverage_stats(transcripts: ray.data.Dataset) -> pa.Table:
 
     Node/edge uniqueness is structural here ((conv_id, turn_idx) is unique by
     construction), so counts reduce to distributed counts: total turns, total
-    turns minus one per conversation, distinct conversations.
+    turns minus one per conversation, distinct conversations. Combiner
+    pattern: per-batch partial conversation counts, bucketed final merge.
     """
-    per_conv = transcripts.groupby("conv_id").count()  # shuffle on conv_id
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("conv_id", sort=False).size().reset_index(name="n")
+        return g
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False)["n"].sum().reset_index()
+        return g.rename(columns={"n": "count()"})
+
+    per_conv = bucketed_group_apply(
+        transcripts.select_columns(["conv_id"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["conv_id"],
+        merge,
+    )
     agg = per_conv.to_pandas()  # one row per conversation — small
     n_convs = len(agg)
     n_nodes = int(agg["count()"].sum())

@@ -22,26 +22,30 @@ def sessionize(events: ray.data.Dataset, gap_s: float = 1800.0) -> ray.data.Data
     previous event exceeds ``gap_s``. Output: user_id, session_idx, n_events,
     first_ts, last_ts."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        session = (gaps > gap_s).cumsum()
-        agg = g.groupby(session).agg(
-            n_events=("event_id", "size"), first_ts=("ts", "min"), last_ts=("ts", "max")
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over all users in the hash bucket: sort by (user, ts),
+        # session boundary = first row of a user OR gap > threshold
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        new_user = g["user_id"] != g["user_id"].shift()
+        boundary = (~new_user) & (gaps > gap_s)
+        session = boundary.groupby(g["user_id"], sort=False).cumsum().astype("int64")
+        agg = (
+            g.assign(session_idx=session)
+            .groupby(["user_id", "session_idx"], sort=False)
+            .agg(n_events=("event_id", "size"), first_ts=("ts", "min"),
+                 last_ts=("ts", "max"))
+            .reset_index()
         )
-        return pd.DataFrame(
-            {
-                "user_id": g["user_id"].iloc[0],
-                "session_idx": pd.array(agg.index.to_numpy(), dtype="int64"),
-                "n_events": agg["n_events"].astype("int64").to_numpy(),
-                "first_ts": agg["first_ts"].to_numpy(),
-                "last_ts": agg["last_ts"].to_numpy(),
-            }
-        )
+        agg["user_id"] = agg["user_id"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
 
-    return events.select_columns(["user_id", "event_id", "ts"]).groupby(
-        "user_id"
-    ).map_groups(per_user, batch_format="pandas")
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        events.select_columns(["user_id", "event_id", "ts"]), ["user_id"], per_bucket
+    )
 
 
 SESSIONIZE_SQL_TEMPLATE = """

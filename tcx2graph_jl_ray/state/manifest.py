@@ -29,6 +29,29 @@ import pandas as pd
 import pyarrow.parquet as pq
 import ray.data
 
+# Ray's write path lazily imports fsspec.implementations.http on every path
+# resolution. In this environment that import fails (no aiohttp), Python
+# evicts the half-imported module, and CONCURRENT resumable_write calls (the
+# pipeline writes sinks from a thread pool) race on the retried import — a
+# thread can then see a partially-initialized module and crash with a plain
+# ImportError Ray doesn't expect. Pin a stub that deterministically raises
+# ModuleNotFoundError (which Ray handles) without re-running the import.
+try:  # pragma: no cover - import side effect only
+    from fsspec.implementations.http import HTTPFileSystem as _  # noqa: F401
+except ModuleNotFoundError:
+    import sys as _sys
+    import types as _types
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    def _raise(name):  # PEP 562 module __getattr__
+        raise ModuleNotFoundError("No module named 'aiohttp'")
+
+    _stub.__getattr__ = _raise
+    _sys.modules.setdefault("fsspec.implementations.http", _stub)
+except ImportError:
+    pass
+
 MANIFEST_NAME = "_manifest.json"
 
 

@@ -24,7 +24,7 @@ _MENTIONS_SQL = MENTIONS_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL)
 
 
 def _mentions_with_entity(sf_dir):
-    m = extract_mentions(derive_transcripts(sf_dir))
+    m = extract_mentions(derive_transcripts(sf_dir)).materialize()
     _, cmap = canonicalize(m)
     return attach_entities(m, cmap)
 

@@ -34,6 +34,15 @@ def test_entities_match_oracle(ray_session, duck, sf_dir):
     assert_parity(entities, ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL), duck)
 
 
+def test_entities_match_oracle_distributed_cc(ray_session, duck, sf_dir):
+    """Force the distributed min-label-propagation path (the 100TB path) and
+    require the identical oracle-exact result."""
+    cfg = PipelineConfig(small_graph_threshold=0)
+    mentions = extract_mentions(derive_transcripts(sf_dir))
+    entities, _ = canonicalize(mentions, cfg)
+    assert_parity(entities, ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL), duck)
+
+
 def test_canonical_triples_match_oracle(ray_session, duck, sf_dir):
     t = derive_transcripts(sf_dir)
     _, cmap = canonicalize(extract_mentions(t))
