@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
+        "kg_conv_digests": lambda sf: _gr.conv_digests(derive_transcripts(sf)),
+        "events_flatten_props": lambda sf: _wd.flatten_props(_events_ds(sf)),
         # --- training-data pipeline operators -------------------------------
         "dedup_exact": lambda sf: _dd.exact_dedup(_docs(sf)),
         "dedup_charset_join": lambda sf: _dd.charset_similarity_join(
@@ -200,6 +202,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             min_n=_REACH_MIN_N,
         ),
+        "kg_conv_digests": _gr.CONV_DIGEST_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "events_flatten_props": _wd.FLATTEN_PROPS_SQL,
         "dedup_exact": _dd.EXACT_DEDUP_SQL,
         "dedup_charset_join": _dd.CHARSET_JOIN_SQL_TEMPLATE.format(
             threshold=_CHARSET_TAU

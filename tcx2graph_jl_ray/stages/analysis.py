@@ -276,6 +276,44 @@ def reachable_pairs(
     )
 
 
+def shortest_entity_path(
+    edges, src: str, dst: str, min_weight: int = 1
+) -> list[str] | None:
+    """BFS shortest path between two canonical entities over the (undirected)
+    co-occurrence graph, using only edges with weight >= min_weight — the
+    reference's segment path finder (src/PathFinder.jl:36-149: BFS over
+    segments meeting ``min_runs``, with path reconstruction). The canonical
+    graph is small after canonicalization, so this runs driver-side exactly
+    like the reference; ``edges`` may be a Dataset or DataFrame with columns
+    (src, dst, n_convs). Returns the entity path or None."""
+    import collections
+
+    if isinstance(edges, ray.data.Dataset):
+        edges = edges.to_pandas()
+    keep = edges[edges["n_convs"] >= min_weight]
+    adj: dict[str, set] = collections.defaultdict(set)
+    for a, b in zip(keep["src"], keep["dst"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    if src == dst:
+        return [src]
+    prev: dict[str, str] = {src: src}
+    queue = collections.deque([src])
+    while queue:
+        cur = queue.popleft()
+        for nxt in sorted(adj[cur]):  # deterministic expansion order
+            if nxt in prev:
+                continue
+            prev[nxt] = cur
+            if nxt == dst:
+                path = [dst]
+                while path[-1] != src:
+                    path.append(prev[path[-1]])
+                return path[::-1]
+            queue.append(nxt)
+    return None
+
+
 # --- Oracles -----------------------------------------------------------------
 
 CONV_STATS_SQL_TEMPLATE = """

@@ -114,6 +114,44 @@ def coverage_stats(transcripts: ray.data.Dataset) -> pa.Table:
     )
 
 
+def conv_digests(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation content digest: md5 over the turn texts joined with
+    0x1f in turn order — the analogue of the per-file polyline digest
+    (create_proper_polyline, src/TCXParser.jl:133-146), and the strongest
+    pin on the ordering invariant: any reordering or byte change of any turn
+    changes the digest. Output: conv_id, digest, n_turns."""
+    import hashlib
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        agg = g.groupby("conv_id", sort=False)["text"].agg("\x1f".join)
+        n = g.groupby("conv_id", sort=False).size()
+        return pd.DataFrame(
+            {
+                "conv_id": agg.index.to_numpy(),
+                "digest": [hashlib.md5(s.encode()).hexdigest() for s in agg.to_numpy()],
+                "n_turns": n.astype("int64").to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"],
+        per_bucket,
+    )
+
+
+CONV_DIGEST_SQL_TEMPLATE = """
+WITH t AS ({transcripts})
+SELECT conv_id,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS digest,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM t GROUP BY conv_id
+"""
+
+
 NODES_SQL_TEMPLATE = """
 SELECT
   t.conv_id || ':' || CAST(t.turn_idx AS VARCHAR) AS node_id,

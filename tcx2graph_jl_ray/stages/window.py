@@ -111,3 +111,33 @@ SELECT event_type,
        ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
+
+
+def flatten_props(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Flatten the JSON ``props`` string column into typed columns — the
+    semi-structured loader (json_to_dataframe, src/DataPreprocessing.jl:28-81)
+    as a vectorized map. Output: event_id, user_id, event_type, k:int32."""
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k": (\d+)', expand=False)
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "event_type": batch["event_type"],
+                "k": k.astype("int32"),
+            }
+        )
+
+    return events.select_columns(
+        ["event_id", "user_id", "event_type", "props"]
+    ).map_batches(parse, batch_format="pandas", batch_size=65536)
+
+
+FLATTEN_PROPS_SQL = r"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+FROM events
+"""

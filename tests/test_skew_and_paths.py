@@ -1,0 +1,76 @@
+"""Hot-key skew handling and graph path finding."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from tcx2graph_jl_ray.stages.analysis import shortest_entity_path
+from tcx2graph_jl_ray.stages.graph import build_next_turn_edges, conv_digests
+from tcx2graph_jl_ray.sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts
+from tcx2graph_jl_ray.stages.graph import CONV_DIGEST_SQL_TEMPLATE
+from tcx2graph_jl_ray.stages.window import FLATTEN_PROPS_SQL, flatten_props
+from tests.parity import assert_parity, to_pandas
+
+
+def test_conv_digest_oracle(ray_session, duck, sf_dir):
+    ds = conv_digests(derive_transcripts(sf_dir))
+    assert_parity(ds, CONV_DIGEST_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL), duck)
+
+
+def test_flatten_props_oracle(ray_session, duck, sf_dir):
+    ds = flatten_props(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    assert_parity(ds, FLATTEN_PROPS_SQL, duck)
+
+
+def test_hot_conversation_skew(ray_session):
+    """FIXTURES.md: a conversation 100x the median must still produce exact
+    ordered edges and digests — the hot-key case the bucketed shuffle must
+    absorb (one bucket carries the whale; batches stay bounded)."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for c in range(50):  # 50 normal conversations, 20 turns each
+        for t in range(20):
+            rows.append((f"conv_{c:03d}", t))
+    for t in range(20_000):  # one whale
+        rows.append(("whale", t))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["role"] = "user"
+    df["text"] = "t" + df["turn_idx"].astype(str)
+    df["tool"] = None
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["turn_idx"], unit="s")
+    # shuffle row order so ordering is reconstructed, not inherited
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+    ds = ray.data.from_pandas(df).repartition(16)
+    edges = to_pandas(build_next_turn_edges(ds))
+    per_conv = edges.groupby("conv_id").size()
+    assert per_conv["whale"] == 19_999
+    assert (per_conv.drop("whale") == 19).all()
+    whale = edges[edges.conv_id == "whale"].sort_values("src_turn")
+    assert (whale["dst_turn"].to_numpy() == whale["src_turn"].to_numpy() + 1).all()
+    assert (whale["delta_us"] == 1_000_000).all()
+
+    digests = to_pandas(conv_digests(ds)).set_index("conv_id")
+    assert digests.loc["whale", "n_turns"] == 20_000
+    import hashlib
+
+    expected = hashlib.md5(
+        "\x1f".join(f"t{t}" for t in range(20_000)).encode()
+    ).hexdigest()
+    assert digests.loc["whale", "digest"] == expected
+
+
+def test_shortest_entity_path():
+    edges = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "a", "x"],
+            "dst": ["b", "c", "d", "weak", "y"],
+            "n_convs": pd.array([5, 5, 5, 1, 5], dtype="int64"),
+        }
+    )
+    assert shortest_entity_path(edges, "a", "d", min_weight=2) == ["a", "b", "c", "d"]
+    assert shortest_entity_path(edges, "a", "weak", min_weight=2) is None
+    assert shortest_entity_path(edges, "a", "weak", min_weight=1) == ["a", "weak"]
+    assert shortest_entity_path(edges, "a", "y", min_weight=1) is None
+    assert shortest_entity_path(edges, "a", "a") == ["a"]
