@@ -136,7 +136,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
         "kg_conv_digests": lambda sf: _gr.conv_digests(derive_transcripts(sf)),
+        "kg_entity_feature_stats": lambda sf: _an.entity_feature_stats(
+            _mentions_with_entity(sf)
+        ),
+        "kg_sample_turns": lambda sf: _an.sample_turns_by_hash(
+            derive_transcripts(sf), "19"
+        ),
         "events_flatten_props": lambda sf: _wd.flatten_props(_events_ds(sf)),
+        "dedup_embedding_nn": lambda sf: _ann.embedding_nearest_neighbor(
+            _embeddings_ds(sf), sf
+        ),
         # --- training-data pipeline operators -------------------------------
         "dedup_exact": lambda sf: _dd.exact_dedup(_docs(sf)),
         "dedup_charset_join": lambda sf: _dd.charset_similarity_join(
@@ -205,7 +214,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_conv_digests": _gr.CONV_DIGEST_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),
+        "kg_entity_feature_stats": _an.ENTITY_FEATURE_STATS_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "kg_sample_turns": _an.SAMPLE_TURNS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL, hex_max="19"
+        ),
         "events_flatten_props": _wd.FLATTEN_PROPS_SQL,
+        "dedup_embedding_nn": _ann.EMBEDDING_NN_SQL,
         "dedup_exact": _dd.EXACT_DEDUP_SQL,
         "dedup_charset_join": _dd.CHARSET_JOIN_SQL_TEMPLATE.format(
             threshold=_CHARSET_TAU

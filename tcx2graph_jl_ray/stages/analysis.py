@@ -276,6 +276,68 @@ def reachable_pairs(
     )
 
 
+def entity_feature_stats(mentions_with_entity: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-canonical-entity feature statistics — the A3 grouped min/max/mean
+    (get_feature_stats / extract_segment_features, src/SegmentAnalysis.jl:96-146)
+    over mention features. Combiner pattern: per-batch partials, bucketed
+    merge. Output: entity_id, n_rows, min_turn, max_turn, mean_occurrences."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("entity_id", sort=False)
+        return g.agg(
+            n_rows=("turn_idx", "size"),
+            min_turn=("turn_idx", "min"),
+            max_turn=("turn_idx", "max"),
+            sum_occ=("n_occurrences", "sum"),
+        ).reset_index()
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False)
+        out = g.agg(
+            n_rows=("n_rows", "sum"),
+            min_turn=("min_turn", "min"),
+            max_turn=("max_turn", "max"),
+            sum_occ=("sum_occ", "sum"),
+        ).reset_index()
+        out["mean_occurrences"] = out["sum_occ"] / out["n_rows"]
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["min_turn"] = out["min_turn"].astype("int32")
+        out["max_turn"] = out["max_turn"].astype("int32")
+        return out.drop(columns=["sum_occ"])
+
+    partials = mentions_with_entity.select_columns(
+        ["entity_id", "turn_idx", "n_occurrences"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_apply(partials, ["entity_id"], merge)
+
+
+def sample_turns_by_hash(transcripts: ray.data.Dataset, hex_max: str = "19") -> ray.data.Dataset:
+    """Deterministic hash sampling (the O5 sampling analogue, made
+    reproducible): keep turns whose md5(conv_id + ':' + turn_idx) first two
+    hex chars are <= ``hex_max`` (rate = (int(hex_max,16)+1)/256). Stable
+    across runs/processes — the right way to sample a 10^12-row table for
+    inspection without a global shuffle."""
+    import hashlib
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["conv_id"] + ":" + batch["turn_idx"].astype(str)
+        mask = [
+            hashlib.md5(k.encode()).hexdigest()[:2] <= hex_max
+            for k in keys.to_numpy()
+        ]
+        return batch[pd.Series(mask, index=batch.index)]
+
+    return transcripts.map_batches(keep, batch_format="pandas", batch_size=65536)
+
+
+SAMPLE_TURNS_SQL_TEMPLATE = """
+WITH t AS ({transcripts})
+SELECT * FROM t
+WHERE substring(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 2) <= '{hex_max}'
+"""
+
+
 def shortest_entity_path(
     edges, src: str, dst: str, min_weight: int = 1
 ) -> list[str] | None:
@@ -408,5 +470,22 @@ cand AS (
 )
 SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
 FROM cand GROUP BY src, dst
+"""
+)
+
+ENTITY_FEATURE_STATS_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+me AS (SELECT mm.conv_id, mm.turn_idx, mm.n_occurrences, l.entity_id
+       FROM m mm JOIN lab l ON mm.norm = l.norm)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(turn_idx) AS INTEGER) AS min_turn,
+       CAST(MAX(turn_idx) AS INTEGER) AS max_turn,
+       CAST(SUM(n_occurrences) AS DOUBLE) / COUNT(*) AS mean_occurrences
+FROM me GROUP BY entity_id
 """
 )

@@ -104,6 +104,62 @@ FROM r WHERE rank <= {k}
 """
 
 
+def embedding_nearest_neighbor(
+    embeddings: ray.data.Dataset, sf_dir: str
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup candidates: each vector's single nearest
+    other vector (ties by lower id) — the exact all-pairs baseline. The full
+    normalized matrix is broadcast once and each batch does one matmul
+    against it; the LSH-bucketed path (ann_lsh_topk) is the 100 TB variant
+    where a broadcast corpus no longer fits. Output: vec_id, nn_id."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, m))
+
+    class _NN:
+        def __init__(self, r):
+            self.ids, self.m = ray.get(r)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = vecs @ self.m.T
+            bids = batch["vec_id"].to_numpy(dtype=np.int64)
+            # mask self-similarity; argmax returns the FIRST max -> ties
+            # resolve to the lowest id (matrix is sorted by vec_id)
+            self_pos = np.searchsorted(self.ids, bids)
+            sims[np.arange(len(bids)), self_pos] = -np.inf
+            nn = self.ids[np.argmax(sims, axis=1)]
+            return pd.DataFrame({"vec_id": bids, "nn_id": nn})
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _NN, fn_constructor_args=(ref,), batch_format="pandas",
+        batch_size=4096, concurrency=(1, 16),
+    )
+
+
+EMBEDDING_NN_SQL = """
+WITH s AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+),
+r AS (
+  SELECT va, vb, ROW_NUMBER() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rn
+  FROM s
+)
+SELECT CAST(va AS BIGINT) AS vec_id, CAST(vb AS BIGINT) AS nn_id
+FROM r WHERE rn = 1
+"""
+
+
 def _hyperplanes(dim: int, n_planes: int = 8, seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((dim, n_planes))
