@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
         "kg_conv_digests": lambda sf: _gr.conv_digests(derive_transcripts(sf)),
+        "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(
+            derive_transcripts(sf)
+        ),
         "kg_entity_feature_stats": lambda sf: _an.entity_feature_stats(
             _mentions_with_entity(sf)
         ),
@@ -212,6 +215,9 @@ def oracle_sql() -> dict[str, str]:
             min_n=_REACH_MIN_N,
         ),
         "kg_conv_digests": _gr.CONV_DIGEST_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_cumulative_tokens": _gr.CUMULATIVE_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),
         "kg_entity_feature_stats": _an.ENTITY_FEATURE_STATS_SQL_TEMPLATE.format(

@@ -151,10 +151,16 @@ def derive_transcripts(sf_dir: str, mult: int = 1) -> ray.data.Dataset:
     derive = _DeriveTurns(kb)  # stateless tasks; tiny KB rides in the closure
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=_EVENT_COLUMNS)
-    # the events table is a single parquet file -> Ray reads it as a handful
-    # of blocks, capping every downstream map at that width; spread the rows
-    # so the map stages can use the whole cluster (cheap: no key shuffle)
-    ds = ds.repartition(64)
+    # a single parquet file reads as a handful of blocks, capping every
+    # downstream map (and the ordering sort's task count) at that width;
+    # spread the rows first. Small replicate batches keep the task count up:
+    # operator fusion bundles inputs toward the largest fused batch_size and
+    # would otherwise collapse the chain to a few giant tasks (seen in
+    # ds.stats()). A union-of-replica-reads variant was measured WORSE: 2x
+    # mult operators overwhelm the driver-side executor loop, which already
+    # bounds this pipeline at sandbox scale (remote compute is ~1s of the
+    # ~30s wall at mult=32; see BASELINE.md).
+    ds = ds.repartition(64 if mult == 1 else 128)
     if mult > 1:
         def replicate(batch: pd.DataFrame) -> pd.DataFrame:
             reps = []
@@ -164,7 +170,7 @@ def derive_transcripts(sf_dir: str, mult: int = 1) -> ray.data.Dataset:
                 reps.append(rep)
             return pd.concat(reps, ignore_index=True)
 
-        ds = ds.map_batches(replicate, batch_format="pandas", batch_size=16384)
+        ds = ds.map_batches(replicate, batch_format="pandas", batch_size=2048)
     ds = ds.map_batches(derive, batch_format="pandas", batch_size=16384)
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 

@@ -143,6 +143,43 @@ def conv_digests(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def cumulative_tokens(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation running totals — the prefix-sum window (cumulative
+    distances, src/Utils.jl:279-288): for every turn, the cumulative character
+    count of the conversation up to and including it.
+    Output: conv_id, turn_idx, n_chars, cum_chars."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n = g["text"].str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"].astype("int32"),
+                "n_chars": n,
+                "cum_chars": n.groupby(g["conv_id"], sort=False).cumsum().astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"],
+        per_bucket,
+    )
+
+
+CUMULATIVE_SQL_TEMPLATE = """
+WITH t AS ({transcripts})
+SELECT conv_id, turn_idx,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(SUM(length(text)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+FROM t
+"""
+
+
 CONV_DIGEST_SQL_TEMPLATE = """
 WITH t AS ({transcripts})
 SELECT conv_id,

@@ -96,6 +96,7 @@ def resumable_write(
     n_parts: int = 32,
     fingerprint: str = "",
     lineage: dict | None = None,
+    max_rows_per_file: int = 1_000_000,
 ) -> dict:
     """Write ``ds`` hash-partitioned by ``key_col``; skip manifested partitions.
 
@@ -135,8 +136,12 @@ def resumable_write(
         todo = todo.map_batches(drop_done, batch_format="pandas")
 
     # write_parquet with hive partition_cols: one directory per partition —
-    # the resumable unit (and the multi-file layout a 256-node run needs)
-    todo.write_parquet(out_dir, partition_cols=["part"])
+    # the resumable unit (and the multi-file layout a 256-node run needs).
+    # max_rows_per_file bounds file size even when a hot key concentrates a
+    # partition (never one giant file).
+    todo.write_parquet(
+        out_dir, partition_cols=["part"], max_rows_per_file=max_rows_per_file
+    )
 
     parts = _scan_partitions(out_dir)
     manifest = {
