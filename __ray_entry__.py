@@ -139,6 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(
             derive_transcripts(sf)
         ),
+        "kg_conv_dynamics": lambda sf: _an.conv_dynamics(derive_transcripts(sf)),
+        "kg_top_entities": lambda sf: _an.top_entities_with_ties(
+            _an.hot_entities(_mentions_with_entity(sf), _HOT_MIN_CONVS)
+        ),
         "kg_entity_feature_stats": lambda sf: _an.entity_feature_stats(
             _mentions_with_entity(sf)
         ),
@@ -219,6 +223,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_cumulative_tokens": _gr.CUMULATIVE_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_conv_dynamics": _an.CONV_DYNAMICS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_top_entities": _an.TOP_ENTITIES_SQL_TEMPLATE.format(
+            hot_entities=_an.HOT_ENTITIES_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, min_convs=_HOT_MIN_CONVS
+            )
         ),
         "kg_entity_feature_stats": _an.ENTITY_FEATURE_STATS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL

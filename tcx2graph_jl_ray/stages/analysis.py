@@ -276,6 +276,89 @@ def reachable_pairs(
     )
 
 
+def conv_dynamics(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation dynamics over consecutive turns — the segment
+    characteristics aggregate (compute_segment_characteristics_basic,
+    src/SegmentAnalysis.jl:32-81: total distance / ascent / descent / max
+    gradient over consecutive pairs), recast for text: total variation of
+    turn length, growth/shrink counts, max/total inter-turn gap.
+    Output: conv_id, total_variation, n_grow, n_shrink, max_gap_us, total_gap_us."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        grp = g.groupby("conv_id", sort=False)
+        n = g["text"].str.len().astype("int64")
+        delta = n - n.groupby(g["conv_id"], sort=False).shift(1)
+        gap = (g["ts"] - grp["ts"].shift(1)).astype("timedelta64[us]")
+        agg = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "tv": delta.abs(),
+                "grow": (delta > 0).astype("int64"),
+                "shrink": (delta < 0).astype("int64"),
+                "gap": gap,
+            }
+        ).groupby("conv_id", sort=False)
+        out = agg.agg(
+            total_variation=("tv", "sum"),
+            n_grow=("grow", "sum"),
+            n_shrink=("shrink", "sum"),
+            max_gap_us=("gap", "max"),
+            total_gap_us=("gap", "sum"),
+        ).reset_index()
+        for c in ["total_variation", "n_grow", "n_shrink", "max_gap_us", "total_gap_us"]:
+            out[c] = out[c].fillna(0).astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text", "ts"]),
+        ["conv_id"],
+        per_bucket,
+    )
+
+
+CONV_DYNAMICS_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+w AS (
+  SELECT conv_id,
+    length(text) - LAG(length(text)) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx) AS delta,
+    date_diff('microsecond',
+      LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx), ts) AS gap
+  FROM t
+)
+SELECT conv_id,
+  CAST(COALESCE(SUM(ABS(delta)), 0) AS BIGINT) AS total_variation,
+  CAST(COALESCE(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_grow,
+  CAST(COALESCE(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shrink,
+  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+  CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_gap_us
+FROM w GROUP BY conv_id
+"""
+
+
+def top_entities_with_ties(
+    hot: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Entities tied at the maximum conversation coverage — the reference's
+    keep-ties-at-max top-segment selection (examples/case_study_1.jl:98-129:
+    sort by repetitions, keep every segment tied with the best). Input is the
+    hot_entities output; the global max is a scalar aggregate, then a filter."""
+    max_convs = hot.max("n_convs")
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["n_convs"] == max_convs]
+
+    return hot.map_batches(keep, batch_format="pandas")
+
+
+TOP_ENTITIES_SQL_TEMPLATE = """
+WITH hot AS ({hot_entities})
+SELECT * FROM hot WHERE n_convs = (SELECT MAX(n_convs) FROM hot)
+"""
+
+
 def entity_feature_stats(mentions_with_entity: ray.data.Dataset) -> ray.data.Dataset:
     """Per-canonical-entity feature statistics — the A3 grouped min/max/mean
     (get_feature_stats / extract_segment_features, src/SegmentAnalysis.jl:96-146)
