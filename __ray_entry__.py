@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             derive_transcripts(sf)
         ),
         "kg_conv_dynamics": lambda sf: _an.conv_dynamics(derive_transcripts(sf)),
+        "kg_convs_in_window": lambda sf: _an.convs_in_window(
+            derive_transcripts(sf), "2024-01-01", "2024-01-03"
+        ),
         "kg_top_entities": lambda sf: _an.top_entities_with_ties(
             _an.hot_entities(_mentions_with_entity(sf), _HOT_MIN_CONVS)
         ),
@@ -226,6 +229,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_conv_dynamics": _an.CONV_DYNAMICS_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_convs_in_window": _an.CONVS_IN_WINDOW_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL, start="2024-01-01", end="2024-01-03"
         ),
         "kg_top_entities": _an.TOP_ENTITIES_SQL_TEMPLATE.format(
             hot_entities=_an.HOT_ENTITIES_SQL_TEMPLATE.format(

@@ -115,6 +115,10 @@ def run_kg_pipeline(
     entities_path = os.path.join(out_dir, "entities.parquet")
     entities.to_parquet(entities_path, index=False)  # small canonical table
 
+    from tcx2graph_jl_ray.state.manifest import write_inspection_summary
+
+    write_inspection_summary(out_dir)  # human-openable run summary (S7 sink)
+
     return {
         "fingerprint": fp,
         "turns": m_t["total_rows"],

@@ -276,6 +276,63 @@ def reachable_pairs(
     )
 
 
+def convs_in_window(
+    transcripts: ray.data.Dataset, start: str, end: str
+) -> ray.data.Dataset:
+    """Semi-join via block stats (the bbox prefilter, J5,
+    src/OverlappingSegmentsUtils.jl:126-137): keep only conversations whose
+    [min_ts, max_ts] span intersects the query window. Phase 1 aggregates
+    per-conv zone stats (combiner + bucketed merge); the qualifying conv-id
+    set is broadcast and phase 2 filters the stream — no shuffle join.
+    Output: the transcript rows of qualifying conversations."""
+    import ray as _ray
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    lo, hi = pd.Timestamp(start), pd.Timestamp(end)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("conv_id", sort=False)["ts"].agg(["min", "max"])
+        return g.reset_index()
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False).agg(
+            mn=("min", "min"), mx=("max", "max")
+        ).reset_index()
+        return g[(g["mn"] <= hi) & (g["mx"] >= lo)][["conv_id"]]
+
+    qualifying = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["conv_id"],
+        merge,
+    ).to_pandas()
+    keep_ref = _ray.put(set(qualifying["conv_id"]))
+
+    class _Keep:
+        def __init__(self, ref):
+            self.keep = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["conv_id"].isin(self.keep)]
+
+    return transcripts.map_batches(
+        _Keep, fn_constructor_args=(keep_ref,), batch_format="pandas",
+        batch_size=65536, concurrency=(1, 8),
+    )
+
+
+CONVS_IN_WINDOW_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+spans AS (
+  SELECT conv_id FROM t GROUP BY conv_id
+  HAVING MIN(ts) <= TIMESTAMP '{end}' AND MAX(ts) >= TIMESTAMP '{start}'
+)
+SELECT t.* FROM t JOIN spans USING (conv_id)
+"""
+
+
 def conv_dynamics(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     """Per-conversation dynamics over consecutive turns — the segment
     characteristics aggregate (compute_segment_characteristics_basic,

@@ -48,6 +48,37 @@ def link_entities(entities: pd.DataFrame, kb: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+class CachedEnricher:
+    """Per-actor cached lookup stage — the weather-cache pattern (ST3,
+    src/TCXParser.jl:267-355): rows are quantized to a cache key, each batch
+    deduplicates its keys, and the expensive ``fetch_fn`` runs ONCE per unique
+    key per actor (cache held for the actor's lifetime). Use for feature
+    services / model lookups where the key space is much smaller than the
+    row stream.
+
+    ``fetch_fn(key) -> dict`` must be deterministic; its result columns are
+    attached to every row sharing the key.
+    """
+
+    def __init__(self, key_fn, fetch_fn):
+        self.key_fn = key_fn        # batch -> Series of cache keys
+        self.fetch_fn = fetch_fn    # key -> dict of enrichment values
+        self.cache: dict = {}
+        self.fetches = 0            # observable for tests/metrics
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        keys = self.key_fn(batch)
+        for k in pd.unique(keys):
+            if k not in self.cache:
+                self.cache[k] = self.fetch_fn(k)
+                self.fetches += 1
+        enrich = pd.DataFrame([self.cache[k] for k in keys], index=batch.index)
+        out = batch.copy()
+        for c in enrich.columns:
+            out[c] = enrich[c]
+        return out
+
+
 LINKED_ENTITIES_SQL_TEMPLATE = r"""
 WITH ents AS ({entities})
 SELECT e.entity_id, e.n_surfaces, e.n_turns, e.n_mentions,

@@ -160,6 +160,35 @@ def resumable_write(
     return manifest
 
 
+def write_inspection_summary(out_dir: str, sample_rows: int = 5) -> dict:
+    """Inspection sink replacing the reference's viz outputs (S7/S8,
+    src/Visualizer.jl): a small JSON summary of every manifested table under
+    ``out_dir`` — row counts, partitions, schema, and a few sample rows —
+    cheap enough to open by hand. Returns the summary dict."""
+    summary: dict = {}
+    for name in sorted(os.listdir(out_dir)):
+        sub = os.path.join(out_dir, name)
+        m = load_manifest(sub) if os.path.isdir(sub) else None
+        if m is None:
+            continue
+        first_part = sorted(m["partitions"])[0]
+        first_file = os.path.join(
+            sub, f"part={first_part}", m["partitions"][first_part]["files"][0]
+        )
+        head = pq.read_table(first_file).slice(0, sample_rows)
+        summary[name] = {
+            "total_rows": m["total_rows"],
+            "n_partitions": len(m["partitions"]),
+            "fingerprint": m["fingerprint"],
+            "schema": {f.name: str(f.type) for f in head.schema},
+            "sample": head.to_pylist(),
+        }
+    path = os.path.join(out_dir, "_inspection.json")
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True, default=str)
+    return summary
+
+
 def read_partitioned(out_dir: str) -> ray.data.Dataset:
     """Read back a resumable_write output (drops the synthetic part column)."""
     ds = ray.data.read_parquet(out_dir)
