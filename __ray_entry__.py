@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf), float(_SESSION_GAP_S)
         ),
         "events_tumbling": lambda sf: _wd.tumbling_counts(_events_ds(sf)),
+        "events_sliding": lambda sf: _wd.sliding_counts(_events_ds(sf), 2),
+        "events_top_per_user": lambda sf: _wd.top_event_per_user(_events_ds(sf)),
         "clean_missing_stats": lambda sf: _cl.missing_stats(
             derive_transcripts(sf),
             ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
@@ -259,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_tumbling": _wd.TUMBLING_SQL,
+        "events_sliding": _wd.SLIDING_SQL_TEMPLATE.format(width_hours=2),
+        "events_top_per_user": _wd.TOP_EVENT_SQL,
         "clean_missing_stats": _cl.transcripts_missing_sql(TRANSCRIPTS_SQL),
         "q1_pricing_summary": _rel.Q1_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,

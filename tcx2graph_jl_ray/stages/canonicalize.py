@@ -132,7 +132,7 @@ def verify_pairs(
 
 
 # row kinds in the label-propagation working set
-_SELF, _EDGE, _CAND = 0, 1, 2
+_SELF, _EDGE, _CAND, _QUERY = 0, 1, 2, 3
 
 
 def _components_local(nodes: list, edges: list[tuple]) -> pd.DataFrame:
@@ -198,20 +198,22 @@ def connected_components(
                 "key": pd.concat([key, key], ignore_index=True),
                 "kind": [_EDGE] * len(key) + [_CAND] * len(key),
                 "val": pd.concat([val, val], ignore_index=True),
+                "aux": None,
                 "changed": 0,
             }
         )
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"key": batch["norm"], "kind": _SELF, "val": batch["norm"], "changed": 0}
+            {"key": batch["norm"], "kind": _SELF, "val": batch["norm"],
+             "aux": None, "changed": 0}
         )
 
     edge_rows = verified.map_batches(to_rows, batch_format="pandas")
     label_rows = surfaces.map_batches(init_labels, batch_format="pandas")
     working = label_rows.union(edge_rows).materialize()
 
-    def step(g: pd.DataFrame) -> pd.DataFrame:
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
         vals = g["val"]
         kinds = g["kind"]
         self_label = vals[kinds == _SELF].min()
@@ -224,24 +226,69 @@ def connected_components(
         out_val = [new_label] + list(neighbors) + [new_label] * len(neighbors)
         changed = [int(new_label < self_label)] + [0] * (2 * len(neighbors))
         return pd.DataFrame(
-            {"key": out_key, "kind": out_kind, "val": out_val, "changed": changed}
+            {"key": out_key, "kind": out_kind, "val": out_val,
+             "aux": None, "changed": changed}
         )
 
-    for _ in range(config.union_find_max_rounds):
-        working = (
-            working.groupby("key")
-            .map_groups(step, batch_format="pandas")
-            .materialize()
+    # pointer jumping (label(x) <- label(label(x))): halves pointer-chain
+    # depth per jump so chain-shaped components converge in O(log d) macro
+    # rounds instead of O(d) (the BTS-style acceleration, PAPERS.md).
+    # Two shuffles: J1 routes each node's query to its label-holder; J2 has
+    # the holder answer with ITS label. Each node's new SELF row is emitted
+    # exactly once — by its label's group.
+    def jump_send(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["kind"]
+        self_rows = g[kinds == _SELF]
+        label = self_rows["val"].min()
+        node = g["key"].iloc[0]
+        passthrough = g[kinds != _SELF]
+        query = pd.DataFrame(
+            {"key": [label], "kind": [_QUERY], "val": [node],
+             "aux": [label], "changed": [0]}
         )
-        n_changed = (
-            working.map_batches(
+        keep_self = self_rows.head(1)  # the holder needs its own label in J2
+        return pd.concat([keep_self, passthrough, query], ignore_index=True)
+
+    def jump_answer(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["kind"]
+        label_here = g.loc[kinds == _SELF, "val"].min()
+        queries = g[kinds == _QUERY]
+        passthrough = g[(kinds != _SELF) & (kinds != _QUERY)]
+        answered = pd.DataFrame(
+            {
+                "key": queries["val"].to_numpy(),       # the querying node
+                "kind": _SELF,
+                "val": label_here,                       # label(label(x))
+                "aux": None,
+                "changed": (label_here < queries["aux"]).astype(int).to_numpy(),
+            }
+        )
+        return pd.concat([passthrough, answered], ignore_index=True)
+
+    def _count_changed(ds: ray.data.Dataset) -> int:
+        return int(
+            ds.map_batches(
                 lambda b: pd.DataFrame(
                     {"c": [int(b.loc[b["kind"] == _SELF, "changed"].sum())]}
                 ),
                 batch_format="pandas",
             ).sum("c")
+            or 0
         )
-        if not n_changed:
+
+    for _ in range(config.union_find_max_rounds):
+        working = (
+            working.groupby("key").map_groups(propagate, batch_format="pandas")
+            .materialize()
+        )
+        prop_changed = _count_changed(working)
+        working = (
+            working.groupby("key").map_groups(jump_send, batch_format="pandas")
+            .groupby("key").map_groups(jump_answer, batch_format="pandas")
+            .materialize()
+        )
+        jump_changed = _count_changed(working)
+        if not prop_changed and not jump_changed:
             break
 
     labels = working.map_batches(
@@ -250,7 +297,7 @@ def connected_components(
         ),
         batch_format="pandas",
     ).to_pandas()
-    # every groupby(key) group emits exactly one SELF row -> node unique
+    # every node's SELF row is emitted exactly once per round -> node unique
     return labels.sort_values("node").reset_index(drop=True)
 
 

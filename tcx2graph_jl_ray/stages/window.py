@@ -113,6 +113,103 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def sliding_counts(events: ray.data.Dataset, width_hours: int = 2) -> ray.data.Dataset:
+    """Sliding window aggregate: per event_type, a window starting at every
+    hour covering the next ``width_hours`` hours. Composed from the tumbling
+    partials (each hourly bucket feeds ``width_hours`` overlapping windows —
+    a flat_map of partials, then the same bucketed merge; no event is read
+    twice). Output: event_type, window_start, n, sum_value."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = batch["ts"].dt.floor("h")
+        g = pd.DataFrame(
+            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+        ).groupby(["event_type", "hour"], sort=False)
+        agg = g.agg(n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        # fan each hourly partial out to every sliding window containing it
+        reps = []
+        for k in range(width_hours):
+            r = agg.copy()
+            r["window_start"] = r["hour"] - pd.to_timedelta(k, unit="h")
+            reps.append(r.drop(columns=["hour"]))
+        return pd.concat(reps, ignore_index=True)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        g["sum_value"] = g["sum_value"].map(lambda v: round(float(v), 2))
+        return g
+
+    partials = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=16384
+    )
+    return bucketed_group_apply(partials, ["event_type", "window_start"], merge)
+
+
+SLIDING_SQL_TEMPLATE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+),
+fanned AS (
+  SELECT event_type,
+         hour - INTERVAL (k) HOUR AS window_start,
+         n, sv
+  FROM hourly, (SELECT UNNEST(range({width_hours})) AS k)
+)
+SELECT event_type, window_start,
+       CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(SUM(sv), 2) AS sum_value
+FROM fanned GROUP BY event_type, window_start
+"""
+
+
+def top_event_per_user(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-group argmax (grouped top-1): each user's highest-value event,
+    ties broken by lower event_id — the grouped top-k window pattern.
+    Combiner-style: per-batch argmax partials, bucketed final argmax.
+    Output: user_id, event_id, event_type, value."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["value", "event_id"], ascending=[False, True],
+                           kind="mergesort")
+        return d.drop_duplicates("user_id", keep="first")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return argmax(batch)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = argmax(bucket)
+        out = out.copy()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["event_id"] = out["event_id"].astype("int64")
+        return out[["user_id", "event_id", "event_type", "value"]]
+
+    partials = events.select_columns(
+        ["user_id", "event_id", "event_type", "value"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_apply(partials, ["user_id"], merge)
+
+
+TOP_EVENT_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       event_type, value
+FROM r WHERE rn = 1
+"""
+
+
 def flatten_props(events: ray.data.Dataset) -> ray.data.Dataset:
     """Flatten the JSON ``props`` string column into typed columns — the
     semi-structured loader (json_to_dataframe, src/DataPreprocessing.jl:28-81)

@@ -74,6 +74,24 @@ def test_components_on_synthetic_graph(ray_session):
     assert lab["x y"] == "x y" and lab["zz"] == "zz"
 
 
+def test_distributed_components_long_chain(ray_session):
+    """A 40-node path graph: plain min-label propagation needs 39 rounds, but
+    pointer jumping must converge within the 16-round cap (O(log d))."""
+    n = 40
+    nodes = [f"x{i:03d}" for i in range(n)]
+    surfaces = ray.data.from_pandas(
+        pd.DataFrame({"norm": nodes, "n_turns": [1] * n, "n_mentions": [1] * n})
+    )
+    verified = ray.data.from_pandas(
+        pd.DataFrame({"a": nodes[:-1], "b": nodes[1:]})
+    )
+    # small_graph_threshold=0 forces the DISTRIBUTED propagate+jump path
+    cfg = PipelineConfig(union_find_max_rounds=16, small_graph_threshold=0)
+    labels = connected_components(surfaces, verified, cfg)
+    assert (labels["label"] == "x000").all()
+    assert sorted(labels["node"]) == nodes
+
+
 def test_hot_block_cap_drops_nondiscriminative_token(ray_session):
     """Tokens shared by more than max_block_size surfaces generate no pairs
     (skew guard); remaining tokens still link true aliases."""
