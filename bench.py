@@ -25,7 +25,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # input replication for the headline pipeline (scaling runs need enough work
 # per CPU to amortize fixed stage costs; 1 = the raw sf input)
 MULT = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
-SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "8"))
+# 32x input for scaling runs: enough work per CPU that fixed stage costs
+# don't drown the signal (see BASELINE.md scaling table); ~5 min total
+SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "32"))
 
 # queries timed individually (a representative slice of SURVEY.md §2)
 TIMED_QUERIES = [

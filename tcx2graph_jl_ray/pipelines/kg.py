@@ -67,10 +67,18 @@ def run_kg_pipeline(
     lineage = dict(lineage or {})
     fp = _fingerprint(config, lineage)
 
-    # Stage 0: persist the (ordered) transcripts once. Four downstream stages
-    # consume this table; re-reading staged Parquet keeps each consumer a
-    # streaming scan instead of re-executing the derivation per branch (or
-    # pinning the whole corpus in the object store with materialize()).
+    # Stage 0: normalize (drop null-text turns — the lat/lon presence filter
+    # M2, src/TCXParser.jl:58; dirty inputs are allowed per the input
+    # contract) and persist the ordered transcripts once. Four downstream
+    # stages consume this table; re-reading staged Parquet keeps each
+    # consumer a streaming scan instead of re-executing the derivation per
+    # branch (or pinning the whole corpus in the object store).
+    def drop_null_text(batch):
+        return batch[batch["text"].notna()]
+
+    transcripts = transcripts.map_batches(
+        drop_null_text, batch_format="pandas", batch_size=16384
+    )
     t_dir = os.path.join(out_dir, "transcripts")
     m_t = resumable_write(transcripts, t_dir, "conv_id", n_parts, fp, lineage)
     staged = read_transcripts(t_dir)

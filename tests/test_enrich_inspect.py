@@ -62,6 +62,29 @@ def test_convs_in_window_is_selective(ray_session):
     assert set(out2["conv_id"]) == {"early", "spanning"}
 
 
+def test_pipeline_drops_null_text_turns(ray_session, tmp_path):
+    """Dirty input (FIXTURES.md §3): null-text turns are dropped at the
+    normalize stage; the rest of the pipeline runs clean."""
+    from tcx2graph_jl_ray.pipelines.kg import run_kg_pipeline
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": pd.array([0, 1, 2, 3], dtype="int32"),
+            "role": ["user", "assistant", "user", "user"],
+            "text": ["please look up X and report go", None,
+                     "plain words", None],
+            "tool": [None] * 4,
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+        }
+    )
+    out = str(tmp_path / "dirty")
+    summary = run_kg_pipeline(ray.data.from_pandas(df), out, n_parts=2)
+    assert summary["turns"] == 2          # nulls dropped
+    assert summary["nodes"] == 2 and summary["edges"] == 1
+    assert summary["triples"] == 1        # only the matching user turn
+
+
 def test_pipeline_on_user_transcripts_parquet(ray_session, tmp_path):
     """A reference user's path: their own transcripts parquet (not derived
     from the sf tables) through the flagship pipeline, plus the inspection
