@@ -347,7 +347,11 @@ def conv_dynamics(transcripts: ray.data.Dataset) -> ray.data.Dataset:
         grp = g.groupby("conv_id", sort=False)
         n = g["text"].str.len().astype("int64")
         delta = n - n.groupby(g["conv_id"], sort=False).shift(1)
-        gap = (g["ts"] - grp["ts"].shift(1)).astype("timedelta64[us]")
+        # integer microseconds as float (NaN for the first turn / single-turn
+        # conversations): aggregating raw timedeltas and fillna(0) later
+        # yields an object column mixing Timedelta and int that astype cannot
+        # handle (crashes exactly on single-turn conversations)
+        gap = (g["ts"] - grp["ts"].shift(1)) // pd.Timedelta(microseconds=1)
         agg = pd.DataFrame(
             {
                 "conv_id": g["conv_id"],

@@ -44,7 +44,9 @@ class _BatchTopK:
         out = []
         for j, qid in enumerate(self.qids):
             col = sims[:, j]
-            top = np.argpartition(-col, k - 1)[:k]
+            # deterministic tie-break matching the oracle's ORDER BY sim
+            # DESC, vec_id: sort by (-sim, vec_id) so ties keep the lowest id
+            top = np.lexsort((ids, -col))[:k]
             out.append(
                 pd.DataFrame(
                     {"query_id": qid, "vec_id": ids[top], "sim": col[top]}
@@ -218,7 +220,7 @@ def ann_lsh_topk(
                 col = vn[mask] @ self.qn[j]
                 sel = ids[mask]
                 kq = min(kk, len(sel))
-                top = np.argpartition(-col, kq - 1)[:kq]
+                top = np.lexsort((sel, -col))[:kq]  # ties keep lowest vec_id
                 out.append(
                     pd.DataFrame({"query_id": qid, "vec_id": sel[top], "sim": col[top]})
                 )

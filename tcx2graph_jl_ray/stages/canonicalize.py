@@ -68,7 +68,9 @@ def _explode_tokens(batch: pd.DataFrame) -> pd.DataFrame:
     toks = batch["norm"].str.split(" ")
     out = pd.DataFrame({"norm": batch["norm"], "token": toks}).explode("token")
     out = out[out["token"].astype(str).str.len() > 0]
-    return out.reset_index(drop=True)
+    # one row per DISTINCT (norm, token): a token repeated inside a norm must
+    # count once toward the block cap (matching _blocking_verify_local)
+    return out.drop_duplicates(["norm", "token"]).reset_index(drop=True)
 
 
 def candidate_pairs(
@@ -84,7 +86,8 @@ def candidate_pairs(
     cap = config.max_block_size
 
     def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > cap:
+        n_distinct = g["norm"].nunique()  # cap on distinct surfaces, not rows
+        if n_distinct < 2 or n_distinct > cap:
             return pd.DataFrame({"a": pd.Series([], dtype="object"),
                                  "b": pd.Series([], dtype="object")})
         norms = sorted(g["norm"].unique())
@@ -221,9 +224,14 @@ def connected_components(
         new_label = min(self_label, cand_min)
         neighbors = vals[kinds == _EDGE]
         key = g["key"].iloc[0]
+        # EDGE rows are re-emitted keyed at each neighbor with THIS node as
+        # the value — (key=neighbor, val=key) — reconstructing the symmetric
+        # adjacency for the next round. (Emitting val=neighbor instead turns
+        # every edge into a self-loop after round 1 and silently freezes
+        # label propagation — found by review, regression-tested below.)
         out_key = [key] + list(neighbors) + list(neighbors)
         out_kind = [_SELF] + [_EDGE] * len(neighbors) + [_CAND] * len(neighbors)
-        out_val = [new_label] + list(neighbors) + [new_label] * len(neighbors)
+        out_val = [new_label] + [key] * len(neighbors) + [new_label] * len(neighbors)
         changed = [int(new_label < self_label)] + [0] * (2 * len(neighbors))
         return pd.DataFrame(
             {"key": out_key, "kind": out_kind, "val": out_val,
@@ -339,9 +347,9 @@ def canonicalize(
     (identical semantics) and distributed above it.
     """
     surfaces = distinct_surfaces(mentions).materialize()
+    stats = surfaces.to_pandas()  # distinct-surface stats: small, reused below
     if surfaces.count() <= config.small_graph_threshold:
-        stats_pdf = surfaces.to_pandas()
-        norms = stats_pdf["norm"].tolist()
+        norms = stats["norm"].tolist()
         edges = _blocking_verify_local(norms, config)
         labels = _components_local(norms, edges)
     else:
@@ -349,7 +357,6 @@ def canonicalize(
         verified = verify_pairs(pairs, config)
         labels = connected_components(surfaces, verified, config)
 
-    stats = surfaces.to_pandas()
     merged = stats.merge(labels, left_on="norm", right_on="node", how="left")
     merged["label"] = merged["label"].fillna(merged["norm"])
     entities = (

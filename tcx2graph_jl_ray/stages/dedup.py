@@ -304,14 +304,13 @@ def charset_similarity_join(
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        masks = np.zeros((len(g), 2), dtype=np.uint64)
+        # DuckDB jaccard operates on distinct UTF-8 BYTES (verified: 'é'
+        # counts as its two bytes), so a 256-bit byte mask is exact for any
+        # input, ASCII or not
+        masks = np.zeros((len(g), 4), dtype=np.uint64)
         for i, t in enumerate(g["text"].to_numpy()):
-            for c in set(t):
-                o = ord(c)
-                if o < 64:
-                    masks[i, 0] |= np.uint64(1) << np.uint64(o)
-                elif o < 128:
-                    masks[i, 1] |= np.uint64(1) << np.uint64(o - 64)
+            for o in set(t.encode()):
+                masks[i, o >> 6] |= np.uint64(1) << np.uint64(o & 63)
         ii, jj = np.triu_indices(len(ids), k=1)
         if not len(ii):
             return pd.DataFrame(
@@ -326,8 +325,8 @@ def charset_similarity_join(
                 np.ascontiguousarray(x).view(np.uint8).reshape(len(x), -1), axis=1
             ).sum(axis=1)
 
-        inter = pop(masks[ii, 0] & masks[jj, 0]) + pop(masks[ii, 1] & masks[jj, 1])
-        union = pop(masks[ii, 0] | masks[jj, 0]) + pop(masks[ii, 1] | masks[jj, 1])
+        inter = sum(pop(masks[ii, w] & masks[jj, w]) for w in range(4))
+        union = sum(pop(masks[ii, w] | masks[jj, w]) for w in range(4))
         sim = inter / union
         keep = sim >= threshold
         return pd.DataFrame(

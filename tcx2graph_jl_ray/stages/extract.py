@@ -28,7 +28,7 @@ import pandas as pd
 import ray.data
 
 USER_PATTERN = r"^please look up (.+) and report (\S+)$"
-ASSISTANT_PATTERN = r"^(.+?) is located in (\S+) ; (.+?) reported (\S+)$"
+ASSISTANT_PATTERN = r"^(.+?) is located in (.+?) ; (.+?) reported (\S+)$"
 TOOL_PATTERN = r"^lookup\[(\S+)\] -> (.+) k=(\d+)$"
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
@@ -213,16 +213,16 @@ SELECT conv_id, turn_idx, conv_id AS subj, 'asked_about' AS pred,
 FROM t WHERE regexp_matches(text, '^please look up (.+) and report (\S+)$')
 UNION ALL
 SELECT conv_id, turn_idx,
-       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 1),
+       regexp_extract(text, '^(.+?) is located in (.+?) ; (.+?) reported (\S+)$', 1),
        'located_in',
-       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 2)
-FROM t WHERE regexp_matches(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$')
+       regexp_extract(text, '^(.+?) is located in (.+?) ; (.+?) reported (\S+)$', 2)
+FROM t WHERE regexp_matches(text, '^(.+?) is located in (.+?) ; (.+?) reported (\S+)$')
 UNION ALL
 SELECT conv_id, turn_idx,
-       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 3),
+       regexp_extract(text, '^(.+?) is located in (.+?) ; (.+?) reported (\S+)$', 3),
        'reported',
-       regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 4)
-FROM t WHERE regexp_matches(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$')
+       regexp_extract(text, '^(.+?) is located in (.+?) ; (.+?) reported (\S+)$', 4)
+FROM t WHERE regexp_matches(text, '^(.+?) is located in (.+?) ; (.+?) reported (\S+)$')
 UNION ALL
 SELECT conv_id, turn_idx,
        regexp_extract(text, '^lookup\[(\S+)\] -> (.+) k=(\d+)$', 2),
@@ -237,7 +237,7 @@ m AS (
   SELECT conv_id, turn_idx, text,
     COALESCE(
       NULLIF(regexp_extract(text, '^please look up (.+) and report (\S+)$', 1), ''),
-      NULLIF(regexp_extract(text, '^(.+?) is located in (\S+) ; (.+?) reported (\S+)$', 1), ''),
+      NULLIF(regexp_extract(text, '^(.+?) is located in (.+?) ; (.+?) reported (\S+)$', 1), ''),
       NULLIF(regexp_extract(text, '^lookup\[(\S+)\] -> (.+) k=(\d+)$', 2), '')
     ) AS surface
   FROM t

@@ -108,7 +108,13 @@ def resumable_write(
     manifest = load_manifest(out_dir)
     done: set[str] = set()
     if manifest is not None:
-        if manifest.get("fingerprint") == fingerprint:
+        # resume only when BOTH the config/input fingerprint and the
+        # partitioning layout match — a different n_parts re-bins keys, so
+        # skipping old partitions would duplicate rows across layouts
+        if (
+            manifest.get("fingerprint") == fingerprint
+            and manifest.get("n_parts") == n_parts
+        ):
             done = set(manifest["partitions"])
         else:
             for name in os.listdir(out_dir):  # stale config: rewrite everything
@@ -170,6 +176,12 @@ def write_inspection_summary(out_dir: str, sample_rows: int = 5) -> dict:
         sub = os.path.join(out_dir, name)
         m = load_manifest(sub) if os.path.isdir(sub) else None
         if m is None:
+            continue
+        if not m["partitions"]:  # an empty (but manifested) sink
+            summary[name] = {
+                "total_rows": 0, "n_partitions": 0,
+                "fingerprint": m["fingerprint"], "schema": {}, "sample": [],
+            }
             continue
         first_part = sorted(m["partitions"])[0]
         first_file = os.path.join(
