@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q1_pricing_summary": _rel.q1_pricing_summary,
         "revenue_by_nation": _rel.revenue_by_nation,
+        "revenue_by_segment": _rel.revenue_by_segment,
+        "events_median_value": _rel.median_value_by_type,
         "top_customers": lambda sf: _rel.top_customers(sf, 10),
     }
 
@@ -266,5 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_missing_stats": _cl.transcripts_missing_sql(TRANSCRIPTS_SQL),
         "q1_pricing_summary": _rel.Q1_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
+        "revenue_by_segment": _rel.REVENUE_BY_SEGMENT_SQL,
+        "events_median_value": _rel.MEDIAN_VALUE_SQL,
         "top_customers": _rel.TOP_CUSTOMERS_SQL_TEMPLATE.format(k=10),
     }

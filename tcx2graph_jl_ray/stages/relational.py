@@ -188,6 +188,91 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[["c_custkey", "c_name", "spend"]].reset_index(drop=True)
 
 
+def revenue_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """Order revenue by customer market segment: the 3-table rollup
+    (orders ⋈ customer ⋈ segment) with the dimension chain broadcast.
+    Output: c_mktsegment, revenue, n_orders."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class _Partial:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            seg = batch["o_custkey"].map(self.lookup)
+            g = pd.DataFrame(
+                {"c_mktsegment": seg, "price": batch["o_totalprice"]}
+            ).groupby("c_mktsegment", sort=False)
+            return g.agg(
+                revenue=("price", "sum"), n_orders=("price", "size")
+            ).reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "revenue": [round(float(g["revenue"].sum()), 2)],
+                "n_orders": pd.array([int(g["n_orders"].sum())], dtype="int64"),
+            }
+        )
+
+    return (
+        orders.map_batches(
+            _Partial, fn_constructor_args=(lookup_ref,), batch_format="pandas",
+            batch_size=65536, concurrency=(1, 4),
+        )
+        .groupby("c_mktsegment")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment AS c_mktsegment,
+  ROUND(SUM(o.o_totalprice), 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def median_value_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group median of event value — the non-decomposable aggregate
+    (the reference's median impute stats, src/DataPreprocessing.jl:101-135):
+    groups are co-located whole by the bucketed shuffle so the median is
+    exact, not sketched (at 10^12 rows per group this becomes a t-digest).
+    Output: event_type, median_value, n."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False)["value"]
+        out = g.agg(median_value="median", n="size").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_group_apply(events, ["event_type"], per_bucket)
+
+
+MEDIAN_VALUE_SQL = """
+SELECT event_type,
+       MEDIAN(value) AS median_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 TOP_CUSTOMERS_SQL_TEMPLATE = """
 WITH spend AS (
   SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS spend
