@@ -33,12 +33,24 @@ from tcx2graph_jl_ray.stages.link import link_entities, load_kb
 from tcx2graph_jl_ray.state.manifest import resumable_write
 
 
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
 def read_transcripts(path: str) -> ray.data.Dataset:
     """Read a transcripts Parquet table/directory (the engine's authoritative
-    input shape, BASELINE.json input_hint) with column pruning."""
-    return ray.data.read_parquet(
-        path, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
+    input shape, BASELINE.json input_hint) with column pruning and an early
+    schema check — a missing column should fail at the read with a clear
+    message, not deep inside a stage."""
+    ds = ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+    missing = set(TRANSCRIPT_COLUMNS) - set(ds.schema().names)
+    if missing:
+        raise ValueError(
+            f"transcripts input at {path!r} is missing required columns "
+            f"{sorted(missing)}; expected schema {TRANSCRIPT_COLUMNS} "
+            "(conv_id:string, turn_idx:int32, role:string, text:string, "
+            "tool:string|null, ts:timestamp)"
+        )
+    return ds
 
 
 def _fingerprint(config: PipelineConfig, lineage: dict) -> str:
