@@ -30,7 +30,7 @@ from tcx2graph_jl_ray.stages.canonicalize import canonicalize, rewrite_triples
 from tcx2graph_jl_ray.stages.extract import extract_mentions, extract_triples
 from tcx2graph_jl_ray.stages.graph import build_next_turn_edges, build_nodes
 from tcx2graph_jl_ray.stages.link import link_entities, load_kb
-from tcx2graph_jl_ray.state.manifest import resumable_write
+from tcx2graph_jl_ray.state.manifest import resumable_write, write_inspection_summary
 
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -41,16 +41,16 @@ def read_transcripts(path: str) -> ray.data.Dataset:
     input shape, BASELINE.json input_hint) with column pruning and an early
     schema check — a missing column should fail at the read with a clear
     message, not deep inside a stage."""
-    ds = ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
-    missing = set(TRANSCRIPT_COLUMNS) - set(ds.schema().names)
-    if missing:
+    try:
+        return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+    except KeyError as err:
+        # read_parquet's projection already detects the missing column;
+        # re-raise with the full expected schema for the user
         raise ValueError(
-            f"transcripts input at {path!r} is missing required columns "
-            f"{sorted(missing)}; expected schema {TRANSCRIPT_COLUMNS} "
-            "(conv_id:string, turn_idx:int32, role:string, text:string, "
-            "tool:string|null, ts:timestamp)"
-        )
-    return ds
+            f"transcripts input at {path!r} does not match the required "
+            f"schema {TRANSCRIPT_COLUMNS} (conv_id:string, turn_idx:int32, "
+            f"role:string, text:string, tool:string|null, ts:timestamp): {err}"
+        ) from err
 
 
 def _fingerprint(config: PipelineConfig, lineage: dict) -> str:
@@ -134,8 +134,6 @@ def run_kg_pipeline(
         )
     entities_path = os.path.join(out_dir, "entities.parquet")
     entities.to_parquet(entities_path, index=False)  # small canonical table
-
-    from tcx2graph_jl_ray.state.manifest import write_inspection_summary
 
     write_inspection_summary(out_dir)  # human-openable run summary (S7 sink)
 

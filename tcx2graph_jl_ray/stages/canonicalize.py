@@ -284,6 +284,13 @@ def connected_components(
             or 0
         )
 
+    # Convergence needs TWO consecutive all-zero macro rounds: the CAND rows
+    # a propagate consumes were fanned out in the PREVIOUS round, so they can
+    # be one jump stale — a single zero round can fire while adjacent nodes
+    # still disagree (found by fuzzing vs union-find; regression-tested).
+    # After a zero round the freshly emitted candidates ARE current, so a
+    # second zero round proves a true fixpoint.
+    zero_streak = 0
     for _ in range(config.union_find_max_rounds):
         working = (
             working.groupby("key").map_groups(propagate, batch_format="pandas")
@@ -297,7 +304,11 @@ def connected_components(
         )
         jump_changed = _count_changed(working)
         if not prop_changed and not jump_changed:
-            break
+            zero_streak += 1
+            if zero_streak >= 2:
+                break
+        else:
+            zero_streak = 0
 
     labels = working.map_batches(
         lambda b: b.loc[b["kind"] == _SELF, ["key", "val"]].rename(

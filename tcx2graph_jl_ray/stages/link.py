@@ -67,8 +67,11 @@ class CachedEnricher:
         self.fetches = 0            # observable for tests/metrics
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        keys = self.key_fn(batch)
-        for k in pd.unique(keys):
+        # normalize NaN keys to None: distinct float('nan') objects neither
+        # hash nor compare equal, so a raw NaN key would poison the cache
+        # (dirty inputs are allowed by the input contract)
+        keys = [None if pd.isna(k) else k for k in self.key_fn(batch)]
+        for k in set(keys):
             if k not in self.cache:
                 self.cache[k] = self.fetch_fn(k)
                 self.fetches += 1

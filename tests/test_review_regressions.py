@@ -27,6 +27,64 @@ def test_distributed_cc_nonmonotone_chain(ray_session):
     assert (labels["label"] == "a").all(), labels.to_dict("records")
 
 
+def test_distributed_cc_stale_candidate_convergence(ray_session):
+    """Path b0-h2-m4-m3-c1: a jump can lower labels AFTER candidates were
+    fanned out, so a single zero-change round is not a fixpoint (the loop
+    previously broke there and split the component)."""
+    nodes = ["b0", "h2", "m4", "m3", "c1"]
+    surfaces = ray.data.from_pandas(
+        pd.DataFrame({"norm": nodes, "n_turns": [1] * 5, "n_mentions": [1] * 5})
+    )
+    verified = ray.data.from_pandas(
+        pd.DataFrame({"a": ["b0", "h2", "m4", "m3"], "b": ["h2", "m4", "m3", "c1"]})
+    )
+    cfg = PipelineConfig(union_find_max_rounds=16, small_graph_threshold=0)
+    labels = connected_components(surfaces, verified, cfg)
+    assert (labels["label"] == "b0").all(), labels.to_dict("records")
+
+
+def test_distributed_cc_fuzz_vs_union_find(ray_session):
+    """Seeded random graphs: distributed path must match driver union-find."""
+    from tcx2graph_jl_ray.stages.canonicalize import _components_local
+
+    rng = np.random.RandomState(123)
+    for trial in range(6):
+        n = int(rng.randint(5, 14))
+        nodes = [f"{rng.choice(list('abcdefgh'))}{i}" for i in range(n)]
+        n_edges = int(rng.randint(0, n + 3))
+        edges = [
+            tuple(sorted(rng.choice(nodes, 2, replace=False)))
+            for _ in range(n_edges)
+        ]
+        surfaces = ray.data.from_pandas(
+            pd.DataFrame({"norm": nodes, "n_turns": [1] * n, "n_mentions": [1] * n})
+        )
+        verified = ray.data.from_pandas(
+            pd.DataFrame({"a": [e[0] for e in edges], "b": [e[1] for e in edges]})
+        ) if edges else ray.data.from_pandas(
+            pd.DataFrame({"a": pd.Series([], dtype="object"),
+                          "b": pd.Series([], dtype="object")})
+        )
+        cfg = PipelineConfig(union_find_max_rounds=24, small_graph_threshold=0)
+        got = connected_components(surfaces, verified, cfg)
+        want = _components_local(sorted(set(nodes)), edges)
+        got_map = dict(zip(got["node"], got["label"]))
+        want_map = dict(zip(want["node"], want["label"]))
+        assert got_map == want_map, f"trial {trial}: {got_map} != {want_map}"
+
+
+def test_cached_enricher_nan_keys():
+    from tcx2graph_jl_ray.stages.link import CachedEnricher
+
+    enricher = CachedEnricher(
+        key_fn=lambda b: b["x"],
+        fetch_fn=lambda k: {"v": "null" if k is None else f"v{k}"},
+    )
+    out = enricher(pd.DataFrame({"x": [1.0, np.nan, 2.0, np.nan]}))
+    assert list(out["v"]) == ["v1.0", "null", "v2.0", "null"]
+    assert enricher.fetches == 3  # 1.0, None, 2.0 — NaN cached once
+
+
 def test_conv_dynamics_single_turn_conversation(ray_session):
     """Single-turn conversations have NaT gaps; the aggregate must coalesce
     them to 0 instead of crashing on a mixed object column."""
