@@ -88,7 +88,10 @@ class _DeriveTurns:
 
         alias = _alias_series(n_name, batch["event_id"])
         et = batch["event_type"]
-        k = batch["props"].str.extract(_K_RE, expand=False)
+        # dirty-input contract: a props string without a k match concatenates
+        # as '' (exactly DuckDB regexp_extract's no-match result) instead of
+        # poisoning the whole text with NaN
+        k = batch["props"].str.extract(_K_RE, expand=False).fillna("")
 
         text = pd.Series("", index=batch.index, dtype="object")
         m = role == "user"

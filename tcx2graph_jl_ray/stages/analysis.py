@@ -19,6 +19,7 @@ canonical map produced by stages/canonicalize.py.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data
@@ -35,11 +36,10 @@ class _AttachEntity:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        lk = self.lookup
-        batch["entity_id"] = pd.Series(
-            [lk.get(n, n) for n in batch["norm"].to_numpy()],
-            index=batch.index,
-            dtype="object",
+        # vectorized dict lookup with identity fallback (Series.map + fillna
+        # — never a per-row Python loop in this hot path)
+        batch["entity_id"] = (
+            batch["norm"].map(self.lookup).fillna(batch["norm"]).astype("object")
         )
         return batch
 
@@ -464,13 +464,19 @@ def sample_turns_by_hash(transcripts: ray.data.Dataset, hex_max: str = "19") -> 
     inspection without a global shuffle."""
     import hashlib
 
+    # hex-string compare on 2 lowercase hex chars == numeric compare on the
+    # first digest byte (both orderings are monotone), so skip hexdigest
+    cut = int(hex_max, 16)
+
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch["conv_id"] + ":" + batch["turn_idx"].astype(str)
-        mask = [
-            hashlib.md5(k.encode()).hexdigest()[:2] <= hex_max
-            for k in keys.to_numpy()
-        ]
-        return batch[pd.Series(mask, index=batch.index)]
+        md5 = hashlib.md5
+        mask = np.fromiter(
+            (md5(k.encode()).digest()[0] <= cut for k in keys.to_numpy()),
+            dtype=bool,
+            count=len(keys),
+        )
+        return batch[mask]
 
     return transcripts.map_batches(keep, batch_format="pandas", batch_size=65536)
 

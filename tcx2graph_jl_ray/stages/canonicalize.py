@@ -396,19 +396,14 @@ class _RewriteTriples:
     is small relative to the triple stream)."""
 
     def __init__(self, map_ref):
-        from tcx2graph_jl_ray.stages.extract import normalize_surface
-
         cm = ray.get(map_ref)
         self.lookup = dict(zip(cm["norm"], cm["entity_id"]))
-        self.normalize = normalize_surface
 
     def _rewrite(self, col: pd.Series) -> pd.Series:
-        lk, nz = self.lookup, self.normalize
-        return pd.Series(
-            [lk.get(nz(v), v) for v in col.to_numpy()],
-            index=col.index,
-            dtype="object",
-        )
+        # vectorized: normalize the whole column, dict-map, identity fallback
+        from tcx2graph_jl_ray.stages.extract import _norm_series
+
+        return _norm_series(col).map(self.lookup).fillna(col).astype("object")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

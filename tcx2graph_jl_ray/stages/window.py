@@ -217,12 +217,17 @@ def flatten_props(events: ray.data.Dataset) -> ray.data.Dataset:
 
     def parse(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["props"].str.extract(r'"k": (\d+)', expand=False)
+        # dirty-input contract: a props string without a k match must yield
+        # NULL (like the oracle's TRY_CAST), not crash the int cast; keep the
+        # plain int32 dtype on clean batches so the schema is unchanged there
+        kk = pd.to_numeric(k, errors="coerce")
+        kcol = kk.astype("Int32") if kk.isna().any() else kk.astype("int32")
         return pd.DataFrame(
             {
                 "event_id": batch["event_id"].astype("int64"),
                 "user_id": batch["user_id"].astype("int64"),
                 "event_type": batch["event_type"],
-                "k": k.astype("int32"),
+                "k": kcol,
             }
         )
 
@@ -235,6 +240,6 @@ FLATTEN_PROPS_SQL = r"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        event_type,
-       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+       TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k
 FROM events
 """
