@@ -36,6 +36,12 @@ class PipelineConfig:
     # (identical algorithm/result; skips per-round shuffle fixed costs) —
     # the distributed path engages above it
     small_graph_threshold: int = 200_000
+    # above this many distinct surfaces the canonical map is no longer
+    # broadcast as a ray.put dict: canonicalize returns it as a Dataset and
+    # rewrite/attach apply it with a distributed hash join on norm
+    broadcast_map_budget: int = 2_000_000
+    # hash-partition fan-out for native Dataset.join stages
+    join_num_partitions: int = 32
 
     # --- near-dup / MinHash ----------------------------------------------
     minhash_num_perm: int = 64

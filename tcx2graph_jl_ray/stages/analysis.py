@@ -45,8 +45,29 @@ class _AttachEntity:
 
 
 def attach_entities(
-    mentions: ray.data.Dataset, canonical_map: pd.DataFrame, concurrency=(1, 16)
+    mentions: ray.data.Dataset, canonical_map, concurrency=(1, 16),
+    config: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
+    """Broadcast lookup for a DataFrame map; distributed hash join on norm
+    when canonicalize returned the map as a Dataset (above
+    ``broadcast_map_budget`` distinct surfaces)."""
+    if isinstance(canonical_map, ray.data.Dataset):
+        lab = canonical_map.map_batches(
+            lambda b: pd.DataFrame({"norm": b["norm"], "__label": b["entity_id"]}),
+            batch_format="pandas",
+        )
+        joined = mentions.join(
+            lab,
+            join_type="left_outer",
+            num_partitions=config.join_num_partitions,
+            on=("norm",),
+        )
+        return joined.map_batches(
+            lambda b: b.assign(
+                entity_id=b["__label"].fillna(b["norm"]).astype("object")
+            ).drop(columns=["__label"]),
+            batch_format="pandas",
+        )
     map_ref = ray.put(canonical_map)
     return mentions.map_batches(
         _AttachEntity,

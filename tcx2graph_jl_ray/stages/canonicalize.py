@@ -167,8 +167,11 @@ def connected_components(
     surfaces: ray.data.Dataset,
     verified: ray.data.Dataset,
     config: PipelineConfig = DEFAULT_CONFIG,
-) -> pd.DataFrame:
-    """Connected components -> DataFrame[node, label].
+    as_dataset: bool = False,
+):
+    """Connected components -> DataFrame[node, label] (or a Dataset of the
+    same shape when ``as_dataset`` — the no-driver-materialization path used
+    above ``broadcast_map_budget``).
 
     Two physical paths with identical results:
 
@@ -187,7 +190,8 @@ def connected_components(
         nodes = surfaces.select_columns(["norm"]).to_pandas()["norm"].tolist()
         epdf = verified.select_columns(["a", "b"]).to_pandas()
         edges = list(zip(epdf["a"], epdf["b"]))
-        return _components_local(nodes, edges)
+        local = _components_local(nodes, edges)
+        return ray.data.from_pandas(local) if as_dataset else local
 
     def to_rows(batch: pd.DataFrame) -> pd.DataFrame:
         key = pd.concat([batch["a"], batch["b"]], ignore_index=True)
@@ -216,27 +220,43 @@ def connected_components(
     label_rows = surfaces.map_batches(init_labels, batch_format="pandas")
     working = label_rows.union(edge_rows).materialize()
 
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g["val"]
-        kinds = g["kind"]
-        self_label = vals[kinds == _SELF].min()
-        cand_min = vals[kinds != _EDGE].min()  # self + received candidates
-        new_label = min(self_label, cand_min)
-        neighbors = vals[kinds == _EDGE]
-        key = g["key"].iloc[0]
+    # Every round runs as bucketed_group_apply(key) with VECTORIZED per-node
+    # pandas logic inside each hash bucket — one Ray group per bucket, never
+    # one per node (the ~1 ms/distinct-group Ray cost this repo measured;
+    # at millions of surfaces a per-node groupby would dominate every round).
+    # Rows a node emits for its neighbors may land in other buckets — the
+    # next round's shuffle re-keys them, exactly as the per-node groupby did.
+
+    def propagate_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        kinds = b["kind"]
+        self_label = b[kinds == _SELF].groupby("key")["val"].min()
+        # min over SELF + received CANDs (self ⊆ non-edge, so this IS the min)
+        new_label = b[kinds != _EDGE].groupby("key")["val"].min()
+        edges = b[kinds == _EDGE]
+        changed = (
+            (new_label < self_label.reindex(new_label.index))
+            .astype("int64")
+            .to_numpy()
+        )
+        self_out = pd.DataFrame(
+            {"key": new_label.index, "kind": _SELF, "val": new_label.to_numpy(),
+             "aux": None, "changed": changed}
+        )
         # EDGE rows are re-emitted keyed at each neighbor with THIS node as
         # the value — (key=neighbor, val=key) — reconstructing the symmetric
         # adjacency for the next round. (Emitting val=neighbor instead turns
         # every edge into a self-loop after round 1 and silently freezes
         # label propagation — found by review, regression-tested below.)
-        out_key = [key] + list(neighbors) + list(neighbors)
-        out_kind = [_SELF] + [_EDGE] * len(neighbors) + [_CAND] * len(neighbors)
-        out_val = [new_label] + [key] * len(neighbors) + [new_label] * len(neighbors)
-        changed = [int(new_label < self_label)] + [0] * (2 * len(neighbors))
-        return pd.DataFrame(
-            {"key": out_key, "kind": out_kind, "val": out_val,
-             "aux": None, "changed": changed}
+        edge_out = pd.DataFrame(
+            {"key": edges["val"].to_numpy(), "kind": _EDGE,
+             "val": edges["key"].to_numpy(), "aux": None, "changed": 0}
         )
+        cand_out = pd.DataFrame(
+            {"key": edges["val"].to_numpy(), "kind": _CAND,
+             "val": edges["key"].map(new_label).to_numpy(),
+             "aux": None, "changed": 0}
+        )
+        return pd.concat([self_out, edge_out, cand_out], ignore_index=True)
 
     # pointer jumping (label(x) <- label(label(x))): halves pointer-chain
     # depth per jump so chain-shaped components converge in O(log d) macro
@@ -244,31 +264,34 @@ def connected_components(
     # Two shuffles: J1 routes each node's query to its label-holder; J2 has
     # the holder answer with ITS label. Each node's new SELF row is emitted
     # exactly once — by its label's group.
-    def jump_send(g: pd.DataFrame) -> pd.DataFrame:
-        kinds = g["kind"]
-        self_rows = g[kinds == _SELF]
-        label = self_rows["val"].min()
-        node = g["key"].iloc[0]
-        passthrough = g[kinds != _SELF]
-        query = pd.DataFrame(
-            {"key": [label], "kind": [_QUERY], "val": [node],
-             "aux": [label], "changed": [0]}
+    def jump_send_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        kinds = b["kind"]
+        self_rows = b[kinds == _SELF]
+        lab = self_rows.groupby("key")["val"].min()
+        passthrough = b[kinds != _SELF]
+        # the holder needs its own label in J2: keep one SELF row per node
+        keep_self = self_rows.sort_values("val", kind="mergesort").drop_duplicates(
+            "key"
         )
-        keep_self = self_rows.head(1)  # the holder needs its own label in J2
+        query = pd.DataFrame(
+            {"key": lab.to_numpy(), "kind": _QUERY, "val": lab.index,
+             "aux": lab.to_numpy(), "changed": 0}
+        )
         return pd.concat([keep_self, passthrough, query], ignore_index=True)
 
-    def jump_answer(g: pd.DataFrame) -> pd.DataFrame:
-        kinds = g["kind"]
-        label_here = g.loc[kinds == _SELF, "val"].min()
-        queries = g[kinds == _QUERY]
-        passthrough = g[(kinds != _SELF) & (kinds != _QUERY)]
+    def jump_answer_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        kinds = b["kind"]
+        lab = b[kinds == _SELF].groupby("key")["val"].min()
+        queries = b[kinds == _QUERY]
+        passthrough = b[(kinds != _SELF) & (kinds != _QUERY)]
+        label_here = queries["key"].map(lab)
         answered = pd.DataFrame(
             {
-                "key": queries["val"].to_numpy(),       # the querying node
+                "key": queries["val"].to_numpy(),        # the querying node
                 "kind": _SELF,
-                "val": label_here,                       # label(label(x))
+                "val": label_here.to_numpy(),            # label(label(x))
                 "aux": None,
-                "changed": (label_here < queries["aux"]).astype(int).to_numpy(),
+                "changed": (label_here < queries["aux"]).astype("int64").to_numpy(),
             }
         )
         return pd.concat([passthrough, answered], ignore_index=True)
@@ -290,18 +313,19 @@ def connected_components(
     # still disagree (found by fuzzing vs union-find; regression-tested).
     # After a zero round the freshly emitted candidates ARE current, so a
     # second zero round proves a true fixpoint.
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
     zero_streak = 0
     for _ in range(config.union_find_max_rounds):
-        working = (
-            working.groupby("key").map_groups(propagate, batch_format="pandas")
-            .materialize()
-        )
+        working = bucketed_group_apply(
+            working, ["key"], propagate_bucket
+        ).materialize()
         prop_changed = _count_changed(working)
-        working = (
-            working.groupby("key").map_groups(jump_send, batch_format="pandas")
-            .groupby("key").map_groups(jump_answer, batch_format="pandas")
-            .materialize()
-        )
+        working = bucketed_group_apply(
+            bucketed_group_apply(working, ["key"], jump_send_bucket),
+            ["key"],
+            jump_answer_bucket,
+        ).materialize()
         jump_changed = _count_changed(working)
         if not prop_changed and not jump_changed:
             zero_streak += 1
@@ -310,13 +334,16 @@ def connected_components(
         else:
             zero_streak = 0
 
-    labels = working.map_batches(
+    labels_ds = working.map_batches(
         lambda b: b.loc[b["kind"] == _SELF, ["key", "val"]].rename(
             columns={"key": "node", "val": "label"}
         ),
         batch_format="pandas",
-    ).to_pandas()
-    # every node's SELF row is emitted exactly once per round -> node unique
+    )
+    if as_dataset:
+        # every node's SELF row is emitted exactly once per round -> unique
+        return labels_ds
+    labels = labels_ds.to_pandas()
     return labels.sort_values("node").reset_index(drop=True)
 
 
@@ -351,21 +378,38 @@ def canonicalize(
     """Full canonicalization: mentions -> (entities DataFrame, canonical map).
 
     entities: entity_id (canonical surface), n_surfaces, n_turns, n_mentions.
-    canonical map: DataFrame[node(norm), label(canonical)] for broadcast joins.
+    canonical map: DataFrame[norm, entity_id] up to
+    ``config.broadcast_map_budget`` distinct surfaces (for ray.put broadcast
+    application), a **Dataset** of the same shape above it — downstream
+    ``rewrite_triples`` / ``attach_entities`` switch to a distributed hash
+    join on norm for the Dataset form, so no stage ever materializes or
+    broadcasts a web-scale surface vocabulary on the driver.
 
     The mention stream is always reduced distributedly (distinct_surfaces);
     blocking/verify/components run driver-side below small_graph_threshold
     (identical semantics) and distributed above it.
     """
     surfaces = distinct_surfaces(mentions).materialize()
-    stats = surfaces.to_pandas()  # distinct-surface stats: small, reused below
-    if surfaces.count() <= config.small_graph_threshold:
+    n_nodes = surfaces.count()
+    if n_nodes <= config.small_graph_threshold:
+        stats = surfaces.to_pandas()  # small by the threshold's definition
         norms = stats["norm"].tolist()
         edges = _blocking_verify_local(norms, config)
         labels = _components_local(norms, edges)
     else:
         pairs = candidate_pairs(surfaces, config)
         verified = verify_pairs(pairs, config)
+        if n_nodes > config.broadcast_map_budget:
+            labels_ds = connected_components(
+                surfaces, verified, config, as_dataset=True
+            ).materialize()
+            entities = _entities_distributed(surfaces, labels_ds, config)
+            canonical_map = labels_ds.map_batches(
+                lambda b: b.rename(columns={"node": "norm", "label": "entity_id"}),
+                batch_format="pandas",
+            )
+            return entities, canonical_map
+        stats = surfaces.to_pandas()  # bounded by broadcast_map_budget
         labels = connected_components(surfaces, verified, config)
 
     merged = stats.merge(labels, left_on="norm", right_on="node", how="left")
@@ -387,6 +431,53 @@ def canonicalize(
     entities["n_surfaces"] = entities["n_surfaces"].astype("int64")
     canonical_map = labels.rename(columns={"node": "norm", "label": "entity_id"})
     return entities, canonical_map
+
+
+def _entities_distributed(
+    surfaces: ray.data.Dataset,
+    labels_ds: ray.data.Dataset,
+    config: PipelineConfig,
+) -> pd.DataFrame:
+    """Entity aggregation without a driver-side surface table: surfaces
+    ⟕ labels via the native hash join on norm, then a bucketed per-entity
+    aggregate. Only the final entity vocabulary (orders of magnitude smaller
+    than the surface table) is collected."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    lab = labels_ds.map_batches(
+        lambda b: b.rename(columns={"node": "norm", "label": "__label"}),
+        batch_format="pandas",
+    )
+    joined = surfaces.join(
+        lab,
+        join_type="left_outer",
+        num_partitions=config.join_num_partitions,
+        on=("norm",),
+    )
+
+    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("__label", sort=False).agg(
+            n_surfaces=("norm", "nunique"),
+            n_turns=("n_turns", "sum"),
+            n_mentions=("n_mentions", "sum"),
+        )
+        return g.reset_index().rename(columns={"__label": "entity_id"})
+
+    # pre-fill the join key before bucketing so unlabeled surfaces group
+    # under their own norm
+    filled = joined.map_batches(
+        lambda b: b.assign(__label=b["__label"].fillna(b["norm"])),
+        batch_format="pandas",
+    )
+    entities = (
+        bucketed_group_apply(filled, ["__label"], agg)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_surfaces", "n_turns", "n_mentions"):
+        entities[c] = entities[c].astype("int64")
+    return entities[["entity_id", "n_surfaces", "n_turns", "n_mentions"]]
 
 
 class _RewriteTriples:
@@ -412,9 +503,56 @@ class _RewriteTriples:
         return batch
 
 
-def rewrite_triples(
-    triples: ray.data.Dataset, canonical_map: pd.DataFrame, concurrency=(1, 16)
+def apply_map_join(
+    ds: ray.data.Dataset,
+    canonical_map: ray.data.Dataset,
+    cols: list[str],
+    config: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
+    """Rewrite each surface column in ``cols`` to its canonical entity id via
+    a distributed hash join on the normalized surface — the large-map path
+    (one shuffle per rewritten column, no driver dict, no broadcast). Unmatched
+    surfaces keep their original value."""
+    from tcx2graph_jl_ray.stages.extract import _norm_series
+
+    lab = canonical_map.map_batches(
+        lambda b: pd.DataFrame(
+            {"__join_norm": b["norm"], "__label": b["entity_id"]}
+        ),
+        batch_format="pandas",
+    )
+    for col in cols:
+        keyed = ds.map_batches(
+            lambda b, c=col: b.assign(__join_norm=_norm_series(b[c])),
+            batch_format="pandas",
+        )
+        joined = keyed.join(
+            lab,
+            join_type="left_outer",
+            num_partitions=config.join_num_partitions,
+            on=("__join_norm",),
+        )
+
+        def resolve(b: pd.DataFrame, c=col) -> pd.DataFrame:
+            b = b.copy()
+            b[c] = b["__label"].fillna(b[c]).astype("object")
+            return b.drop(columns=["__join_norm", "__label"])
+
+        ds = joined.map_batches(resolve, batch_format="pandas")
+    return ds
+
+
+def rewrite_triples(
+    triples: ray.data.Dataset,
+    canonical_map,
+    concurrency=(1, 16),
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """Canonical-map application with a broadcast/join budget switch: a
+    DataFrame map (≤ broadcast_map_budget by construction) is ray.put once and
+    applied map-side; a Dataset map is applied with distributed hash joins."""
+    if isinstance(canonical_map, ray.data.Dataset):
+        return apply_map_join(triples, canonical_map, ["subj", "obj"], config)
     map_ref = ray.put(canonical_map)
     return triples.map_batches(
         _RewriteTriples,

@@ -21,8 +21,6 @@ hash join at 100 TB (documented inline).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import ray
@@ -101,6 +99,123 @@ class _Signatures:
         return sig[["doc_id", "bands"]]
 
 
+def _word_shingle_set(t: str, k: int) -> set:
+    ws = t.lower().split()
+    if len(ws) < k:
+        return {" ".join(ws)} if ws else set()
+    return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+
+def _verify_pairs_join(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int,
+) -> ray.data.Dataset:
+    """True-Jaccard verify of candidate (a, b) pairs as a distributed
+    bucketed hash join against the docs table — no driver materialization of
+    the corpus and no whole-corpus broadcast.
+
+    Shuffle 1 (key = doc_id): each pair emits two text requests; docs emit
+    text carriers, prefiltered by a Bloom filter over requested ids (broadcast
+    in a fixed budget; false positives only ship an unneeded text — the merge
+    is exact). Shuffle 2 (key = (a, b)): the two attached texts meet and the
+    group verifies word-shingle Jaccard, memoizing shingle sets per doc within
+    the bucket.
+    """
+    from tcx2graph_jl_ray.functions.bloom import BloomFilter
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    # Bloom over candidate doc ids, built streaming (never holds the pair set
+    # in one object); capacity = distinct-id upper bound (2 ids per pair)
+    n_pairs = pairs.count()
+    bloom = BloomFilter(max(2 * n_pairs, 64), fp_rate=0.01)
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pandas"):
+        bloom.add(b["a"])
+        bloom.add(b["b"])
+    bloom_ref = ray.put(bloom)
+
+    def to_requests(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.concat(
+                    [batch["a"], batch["b"]], ignore_index=True
+                ).astype("int64"),
+                "a": pd.concat([batch["a"], batch["a"]], ignore_index=True).astype(
+                    "int64"
+                ),
+                "b": pd.concat([batch["b"], batch["b"]], ignore_index=True).astype(
+                    "int64"
+                ),
+                "text": pd.Series([None] * (2 * len(batch)), dtype="object"),
+            }
+        )
+
+    class _Carriers:
+        """Actor-pool stage: Bloom-prefilter the corpus to ~requested texts
+        (filter fetched once per actor in __init__)."""
+
+        def __init__(self, ref):
+            self.bloom = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            kept = batch[self.bloom.contains(batch["doc_id"])]
+            return pd.DataFrame(
+                {
+                    "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+                    "a": np.full(len(kept), -1, dtype="int64"),
+                    "b": np.full(len(kept), -1, dtype="int64"),
+                    "text": kept["text"].astype("object").to_numpy(),
+                }
+            )
+
+    requests = pairs.map_batches(to_requests, batch_format="pandas")
+    carriers = docs.select_columns(["doc_id", "text"]).map_batches(
+        _Carriers,
+        fn_constructor_args=(bloom_ref,),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+
+    def attach_text(bucket: pd.DataFrame) -> pd.DataFrame:
+        car = bucket[bucket["a"] < 0][["doc_id", "text"]]
+        req = bucket[bucket["a"] >= 0][["doc_id", "a", "b"]]
+        if not len(req) or not len(car):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "text": pd.Series([], dtype="object")}
+            )
+        return req.merge(car.drop_duplicates("doc_id"), on="doc_id")
+
+    attached = bucketed_group_apply(
+        requests.union(carriers), ["doc_id"], attach_text
+    )
+
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # memoize shingle sets per distinct doc in the bucket (each doc
+        # participates in many candidate pairs)
+        sh: dict = {}
+        for did, txt in zip(bucket["doc_id"].to_numpy(), bucket["text"].to_numpy()):
+            if did not in sh:
+                sh[did] = _word_shingle_set(txt, shingle_k)
+        out_a, out_b = [], []
+        for (a, b), g in bucket.groupby(["a", "b"], sort=False):
+            if g["doc_id"].nunique() < 2:  # a text side went missing
+                continue
+            if jaccard_of_sets(sh[a], sh[b]) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"),
+             "b": pd.Series(out_b, dtype="int64")}
+        )
+
+    return bucketed_group_apply(attached, ["a", "b"], verify_bucket)
+
+
 def neardup_minhash(
     docs: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
@@ -111,14 +226,15 @@ def neardup_minhash(
     Jaccard verify -> connected components (min-label propagation) ->
     Output: doc_id, cluster_id (min doc_id of the component).
 
-    Verify fetches both texts from a broadcast id->text map — the sandbox
-    stand-in for a bucketed hash join of pairs against the corpus at scale.
+    The verify is a **bucketed hash join** of candidate pairs against the
+    docs table on doc_id — never a driver materialization or whole-corpus
+    broadcast (the two-phase candidate/verify split of the reference,
+    src/OverlappingSegmentsUtils.jl:173-209 vs :222-274). Candidate doc ids
+    are broadcast as a fixed-budget Bloom filter that prefilters the text
+    carriers (a superset — the join itself is exact), so only ~matched texts
+    are shuffled; pair groups then verify true word-shingle Jaccard
+    group-side with per-doc shingle memoization.
     """
-    # broadcast side for verify (documents here are small; at 10^12 scale this
-    # becomes pairs.join(docs, on=doc_id) bucketed by hash(doc_id))
-    texts = docs.select_columns(["doc_id", "text"]).to_pandas()
-    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
-
     sigs = docs.map_batches(
         _Signatures,
         fn_constructor_args=(config.minhash_num_perm, config.minhash_bands,
@@ -159,35 +275,14 @@ def neardup_minhash(
         ["band"],
         pairs_in_bucket,
     )
+    # materialize the (bounded) candidate set: it feeds both the Bloom build
+    # and the join, and an unpinned Dataset would re-run banding per consumer
     pairs = bucketed_group_apply(
         pairs, ["a", "b"], lambda b: b.drop_duplicates(["a", "b"])
-    )
+    ).materialize()
 
-    thr = config.jaccard_threshold
-    k = config.shingle_size
-
-    class _Verify:
-        def __init__(self, ref):
-            self.texts = ray.get(ref)
-            self.k = k
-
-        def _shingles(self, t: str) -> set:
-            ws = t.lower().split()
-            if len(ws) < self.k:
-                return {" ".join(ws)} if ws else set()
-            return {" ".join(ws[i : i + self.k]) for i in range(len(ws) - self.k + 1)}
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keep = [
-                jaccard_of_sets(self._shingles(self.texts[a]), self._shingles(self.texts[b]))
-                >= thr
-                for a, b in zip(batch["a"].to_numpy(), batch["b"].to_numpy())
-            ]
-            return batch[pd.Series(keep, index=batch.index)]
-
-    verified = pairs.map_batches(
-        _Verify, fn_constructor_args=(text_ref,), batch_format="pandas",
-        batch_size=8192, concurrency=(1, 16),
+    verified = _verify_pairs_join(
+        pairs, docs, config.jaccard_threshold, config.shingle_size
     )
 
     # reuse the distributed component machinery on stringified doc ids

@@ -43,6 +43,51 @@ def test_entities_match_oracle_distributed_cc(ray_session, duck, sf_dir):
     assert_parity(entities, ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL), duck)
 
 
+def test_entities_match_oracle_join_path(ray_session, duck, sf_dir):
+    """Force BOTH the distributed CC path and the large-map join path
+    (broadcast_map_budget=0): the canonical map comes back as a Dataset, the
+    entity aggregation runs as a distributed join + bucketed aggregate, and
+    the result must still be oracle-exact."""
+    cfg = PipelineConfig(small_graph_threshold=0, broadcast_map_budget=0,
+                         join_num_partitions=4)
+    mentions = extract_mentions(derive_transcripts(sf_dir))
+    entities, cmap = canonicalize(mentions, cfg)
+    assert isinstance(cmap, ray.data.Dataset)
+    assert_parity(entities, ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL), duck)
+
+
+def test_canonical_triples_join_path(ray_session, duck, sf_dir):
+    """rewrite_triples with a Dataset map (distributed hash-join application)
+    must produce the identical oracle-exact canonical triples."""
+    cfg = PipelineConfig(small_graph_threshold=0, broadcast_map_budget=0,
+                         join_num_partitions=4)
+    t = derive_transcripts(sf_dir)
+    _, cmap = canonicalize(extract_mentions(t), cfg)
+    rewritten = rewrite_triples(extract_triples(t), cmap, config=cfg)
+    sql = CANONICAL_TRIPLES_SQL_TEMPLATE.format(
+        triples=_TRIPLES_SQL, mentions=_MENTIONS_SQL
+    )
+    assert_parity(rewritten, sql, duck)
+
+
+def test_attach_entities_join_path(ray_session, sf_dir):
+    """attach_entities with a Dataset map must equal the broadcast-dict
+    result row-for-row."""
+    from tcx2graph_jl_ray.stages.analysis import attach_entities
+
+    t = derive_transcripts(sf_dir)
+    mentions = extract_mentions(t).materialize()
+    _, cmap_df = canonicalize(mentions)
+    cfg = PipelineConfig(join_num_partitions=4)
+    cmap_ds = ray.data.from_pandas(cmap_df)
+    a = to_pandas(attach_entities(mentions, cmap_df))
+    b = to_pandas(attach_entities(mentions, cmap_ds, config=cfg))
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_canonical_triples_match_oracle(ray_session, duck, sf_dir):
     t = derive_transcripts(sf_dir)
     _, cmap = canonicalize(extract_mentions(t))

@@ -84,6 +84,38 @@ def test_minhash_clusters_planted(ray_session):
     assert cl[20] == 20 and cl[21] == 21
 
 
+def test_minhash_planted_large(ray_session):
+    """Planted ground truth at a size that exercises the distributed
+    join-verify across many buckets: 40 clusters x 4 near-identical docs plus
+    160 unique docs -> exact cluster recovery (recall AND precision 1.0 on the
+    construction)."""
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    did = 0
+    expected = {}
+    for c in range(40):
+        base = " ".join(rng.choice(vocab, size=30))
+        root = did
+        for v in range(4):
+            text = base + (f" extra{v}" if v else "")
+            rows.append((did, text))
+            expected[did] = root
+            did += 1
+    for u in range(160):
+        # disjoint vocabulary per unique doc -> zero shingle overlap
+        text = " ".join(f"u{u}_{j}" for j in range(25))
+        rows.append((did, text))
+        expected[did] = did
+        did += 1
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    )
+    out = to_pandas(neardup_minhash(ds, PipelineConfig(jaccard_threshold=0.6)))
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == expected
+
+
 def test_minhash_deterministic(ray_session):
     a = to_pandas(neardup_minhash(_synthetic_neardups())).sort_values("doc_id")
     b = to_pandas(neardup_minhash(_synthetic_neardups())).sort_values("doc_id")
