@@ -45,12 +45,13 @@ _CHARSET_TAU = 0.86
 _SESSION_GAP_S = 1800
 _ANN_NQ, _ANN_K = 8, 10
 
-# queries deliberately without a SQL oracle (sketch/approximate semantics);
-# the driver records a rows-only check for these
-ROWS_ONLY_QUERIES = frozenset(
-    {"dedup_minhash_clusters", "dedup_simhash", "dedup_simhash_pairs",
-     "ann_lsh_topk"}
-)
+# queries deliberately without a SQL oracle; the driver records a rows-only
+# check for these. Only the minhash clustering remains here: its per-shingle
+# hash family (pandas hash_pandas_object) is not SQL-reproducible, so it is
+# gated by planted-cluster ground-truth tests instead
+# (tests/test_dedup_text.py). simhash + LSH-ANN gained full value-exact
+# DuckDB oracles (md5-based token hash / inlined deterministic hyperplanes).
+ROWS_ONLY_QUERIES = frozenset({"dedup_minhash_clusters"})
 
 
 def _docs(sf_dir: str):
@@ -180,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": lambda sf: _wd.tumbling_counts(_events_ds(sf)),
         "events_sliding": lambda sf: _wd.sliding_counts(_events_ds(sf), 2),
         "events_top_per_user": lambda sf: _wd.top_event_per_user(_events_ds(sf)),
+        "clean_impute_events": _cl.clean_impute_events,
         "clean_missing_stats": lambda sf: _cl.missing_stats(
             derive_transcripts(sf),
             ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
@@ -261,10 +263,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),
+        "ann_lsh_topk": _ann.ann_lsh_sql(_ANN_NQ, _ANN_K),
+        "dedup_simhash": _dd.SIMHASH_SQL,
+        "dedup_simhash_pairs": _dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(
+            simhash=_dd.SIMHASH_SQL, max_hamming=3
+        ),
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_tumbling": _wd.TUMBLING_SQL,
         "events_sliding": _wd.SLIDING_SQL_TEMPLATE.format(width_hours=2),
         "events_top_per_user": _wd.TOP_EVENT_SQL,
+        "clean_impute_events": _cl.CLEAN_IMPUTE_EVENTS_SQL,
         "clean_missing_stats": _cl.transcripts_missing_sql(TRANSCRIPTS_SQL),
         "q1_pricing_summary": _rel.Q1_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,

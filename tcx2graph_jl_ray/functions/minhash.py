@@ -25,6 +25,27 @@ def token_hashes(tokens: pd.Series) -> np.ndarray:
     return pd.util.hash_pandas_object(tokens, index=False).to_numpy(dtype=np.uint64)
 
 
+def token_hashes_md5(tokens: pd.Series | np.ndarray) -> np.ndarray:
+    """Stable uint64 hash per token, REPRODUCIBLE IN SQL: equals DuckDB's
+    ``md5_number_lower(tok)`` (bytes 8..16 of the md5 digest, little-endian;
+    verified empirically). md5 is per-string Python work, so the batch is
+    deduplicated first — token streams are Zipfian, the unique vocabulary per
+    batch is a small fraction of occurrences."""
+    import hashlib
+
+    arr = tokens.to_numpy() if isinstance(tokens, pd.Series) else tokens
+    uniq, inv = np.unique(arr.astype(object), return_inverse=True)
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hs[inv]
+
+
 def word_shingles(text: pd.Series, k: int = 3) -> pd.Series:
     """Per row: the set of k-word shingles (list of strings)."""
     toks = text.str.lower().str.split()
@@ -82,7 +103,11 @@ def hash_band(chunk: np.ndarray) -> int:
 
 
 def simhash64(text: pd.Series) -> np.ndarray:
-    """64-bit SimHash per row over word tokens (vectorized per batch)."""
+    """64-bit SimHash per row over word tokens (vectorized per batch).
+
+    Token hash = md5-derived (token_hashes_md5) so the whole sketch is
+    value-reproducible by a DuckDB oracle (md5_number_lower + bitwise SQL,
+    stages/dedup.py::SIMHASH_SQL)."""
     toks = text.str.lower().str.split()
     exploded = pd.DataFrame(
         {"row": np.repeat(np.arange(len(text)), toks.str.len().fillna(0).astype(int)),
@@ -91,7 +116,7 @@ def simhash64(text: pd.Series) -> np.ndarray:
     n = len(text)
     if not len(exploded):
         return np.zeros(n, dtype=np.uint64)
-    h = token_hashes(exploded["tok"])
+    h = token_hashes_md5(exploded["tok"])
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int32
     )

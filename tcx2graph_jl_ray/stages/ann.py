@@ -172,6 +172,49 @@ def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(planes.shape[1]))).sum(axis=1).astype(np.int64)
 
 
+def ann_lsh_sql(n_queries: int, k: int, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB oracle for ``ann_lsh_topk``: the hyperplanes are deterministic
+    (seeded), so they are inlined as literal DOUBLE[] vectors; bucket = sign
+    bits of the 8 dot products, accept = bucket within hamming<=2 of the
+    query's bucket (exactly the engine's multiprobe set), then cosine top-k
+    among accepted."""
+    planes = _hyperplanes(dim, n_planes)
+
+    def lit(i: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in planes[:, i]) + "]::DOUBLE[]"
+
+    terms = "\n       + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit(i)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+         {terms} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, ve AS qe, bucket AS qb FROM b
+  WHERE vec_id < {n_queries}
+),
+s AS (
+  SELECT q.query_id, b.vec_id, list_cosine_similarity(q.qe, b.ve) AS sim
+  FROM q JOIN b ON bit_count(xor(q.qb, b.bucket)) <= 2
+),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def ann_lsh_topk(
     embeddings: ray.data.Dataset,
     sf_dir: str,
@@ -180,11 +223,11 @@ def ann_lsh_topk(
     n_planes: int = 8,
 ) -> ray.data.Dataset:
     """Approximate top-k: random-hyperplane LSH buckets; each corpus vector is
-    scored only against queries sharing its bucket or any hamming-1 neighbor
+    scored only against queries sharing its bucket or any hamming<=2 neighbor
     bucket (multiprobe). The scale path: the bucket id is a shuffle/blocking
     key, so the per-bucket work is bounded regardless of corpus size.
-    Output: query_id, vec_id, rank — approximate (recall measured in tests).
-    No SQL oracle (sketch-based); the driver records a rows-only check."""
+    Output: query_id, vec_id, rank — value-exact vs the ``ann_lsh_sql``
+    DuckDB oracle (deterministic hyperplanes inlined as SQL literals)."""
     qids, q = _load_queries(sf_dir, n_queries)
     planes = _hyperplanes(q.shape[1], n_planes)
     q_buckets = _bucket_of(q, planes)

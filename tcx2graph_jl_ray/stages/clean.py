@@ -84,6 +84,69 @@ def coalesce_defaults(
     return ds.map_batches(fix, batch_format="pandas", batch_size=16384)
 
 
+def clean_impute_events(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end cleaning pipeline over a deterministically dirtied events
+    projection — the engine's analogue of the reference's golden
+    segment_runs.json -> segment_runs_cleaned.csv pair
+    (src/DataPreprocessing.jl:165-176): value is nulled on event_id % 7 == 0,
+    event_type on event_id % 11 == 0, then per-user median/mode impute with
+    distributed global fallbacks. Output: event_id, user_id, event_type,
+    value (fully imputed, SQL-oracle-checkable)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def dirty(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value"] = batch["value"].mask(batch["event_id"] % 7 == 0)
+        batch["event_type"] = batch["event_type"].mask(
+            batch["event_id"] % 11 == 0, None
+        )
+        return batch
+
+    dirtied = ds.map_batches(dirty, batch_format="pandas", batch_size=65536)
+    cleaned, _ = clean_impute(dirtied, group_col="user_id")
+    return cleaned.select_columns(["event_id", "user_id", "event_type", "value"])
+
+
+CLEAN_IMPUTE_EVENTS_SQL = """
+WITH d AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+grp_med AS (SELECT user_id, MEDIAN(value) AS gm FROM d GROUP BY user_id),
+glob_med AS (SELECT MEDIAN(value) AS m FROM d),
+grp_mode AS (
+  SELECT user_id, event_type AS md FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM d WHERE event_type IS NOT NULL AND event_type != 'unknown'
+    GROUP BY user_id, event_type) WHERE rn = 1
+),
+glob_mode AS (
+  SELECT event_type AS md FROM (
+    SELECT event_type,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM d WHERE event_type IS NOT NULL AND event_type != 'unknown'
+    GROUP BY event_type) WHERE rn = 1
+)
+SELECT d.event_id, d.user_id,
+  COALESCE(d.event_type, gmo.md, (SELECT md FROM glob_mode), 'unknown')
+    AS event_type,
+  COALESCE(d.value, gme.gm, (SELECT m FROM glob_med), 0.0) AS value
+FROM d
+LEFT JOIN grp_med gme USING (user_id)
+LEFT JOIN grp_mode gmo USING (user_id)
+"""
+
+
 def clean_impute(
     ds: ray.data.Dataset,
     group_col: str,
@@ -167,33 +230,127 @@ def clean_impute(
             str_cols = [c for c in str_cols if c not in drop_unknown]
             drop |= drop_unknown
 
-    # global fallbacks: exact medians/modes from a grouped aggregate pass
-    # (groups here are small; at 10^12 rows swap in a t-digest sketch)
-    glob = ds.to_pandas() if ds.count() <= 1_000_000 else None
-    global_fill: dict[str, object] = {}
-    if glob is not None:
-        for c in num_cols:
-            med = glob[c].median()
-            global_fill[c] = 0.0 if pd.isna(med) else float(med)
-        for c in str_cols:
-            vals = glob[c][(glob[c].notna()) & (glob[c] != "unknown")]
-            global_fill[c] = vals.mode().iloc[0] if len(vals) else "unknown"
+    # global fallbacks: exact medians/modes computed DISTRIBUTEDLY from
+    # per-batch (column, value) count partials — never a driver collect of
+    # the dataset. Exactness note: the median is reconstructed from the
+    # per-value count profile, which is exact at any row count; a
+    # continuous column with ~n distinct values would swap the count
+    # profile for a t-digest sketch.
+    global_fill = _global_fills_distributed(ds, num_cols, str_cols)
 
     nc, sc = tuple(num_cols), tuple(str_cols)
     gf = dict(global_fill)
+    gcol = group_col
 
-    def impute_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
+    def impute_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-group impute across every group in the hash bucket
+        bucket = bucket.copy()
+        grp = bucket.groupby(gcol, sort=False)
         for c in nc:
-            med = g[c].median()
-            g[c] = g[c].fillna(gf[c] if pd.isna(med) else float(med))
+            med = grp[c].transform("median")  # NaN where the group is all-null
+            bucket[c] = bucket[c].fillna(med).fillna(gf.get(c, 0.0))
         for c in sc:
-            vals = g[c][(g[c].notna()) & (g[c] != "unknown")]
-            fill = vals.mode().iloc[0] if len(vals) else gf[c]
-            g[c] = g[c].fillna(fill)
-        return g
+            known = bucket[(bucket[c].notna()) & (bucket[c] != "unknown")]
+            if len(known):
+                counts = (
+                    known.groupby([gcol, c], sort=False).size().reset_index(name="n")
+                )
+                # mode tie-break = lexicographically smallest (pandas
+                # Series.mode().iloc[0] semantics)
+                best = (
+                    counts.sort_values(["n", c], ascending=[False, True],
+                                       kind="mergesort")
+                    .drop_duplicates(gcol)
+                    .set_index(gcol)[c]
+                )
+                fill = bucket[gcol].map(best)
+            else:
+                fill = pd.Series(None, index=bucket.index, dtype="object")
+            bucket[c] = bucket[c].fillna(fill).fillna(gf.get(c, "unknown"))
+        return bucket
 
-    cleaned = ds.groupby(group_col).map_groups(impute_group, batch_format="pandas")
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    cleaned = bucketed_group_apply(ds, [group_col], impute_bucket)
     cleaned = coalesce_defaults(cleaned, string_cols=sc, numeric_cols=nc)
     report = {"dropped": sorted(drop), "global_fill": global_fill}
     return cleaned, report
+
+
+def _global_fills_distributed(
+    ds: ray.data.Dataset, num_cols: list[str], str_cols: list[str]
+) -> dict[str, object]:
+    """Exact global median (numeric) / mode-excluding-'unknown' (string) per
+    column via distributed (column, value) count partials + one tiny
+    per-column finalize — the combiner pattern; only n_columns result rows
+    ever reach the driver."""
+    if not num_cols and not str_cols:
+        return {}
+
+    EMPTY = pd.DataFrame(
+        {"column": pd.Series([], dtype="object"),
+         "val_num": pd.Series([], dtype="float64"),
+         "val_str": pd.Series([], dtype="object"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in num_cols:
+            v = batch[c].dropna()
+            if len(v):
+                vc = v.value_counts()
+                frames.append(
+                    pd.DataFrame(
+                        {"column": c,
+                         "val_num": vc.index.to_numpy(dtype="float64"),
+                         "val_str": None,
+                         "n": vc.to_numpy().astype("int64")}
+                    )
+                )
+        for c in str_cols:
+            v = batch[c][(batch[c].notna()) & (batch[c] != "unknown")]
+            if len(v):
+                vc = v.value_counts()
+                frames.append(
+                    pd.DataFrame(
+                        {"column": c, "val_num": np.nan,
+                         "val_str": vc.index.to_numpy(),
+                         "n": vc.to_numpy().astype("int64")}
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else EMPTY.copy()
+
+    num_set = set(num_cols)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["column"].iloc[0]
+        if c in num_set:
+            vc = g.groupby("val_num")["n"].sum().sort_index()
+            n = int(vc.sum())
+            cum = vc.cumsum().to_numpy()
+            vals = vc.index.to_numpy()
+            # positions of the middle element(s) in the sorted expansion;
+            # mean of the two middles == pandas/DuckDB interpolated median
+            lo = vals[int(np.searchsorted(cum, (n - 1) // 2 + 1))]
+            hi = vals[int(np.searchsorted(cum, n // 2 + 1))]
+            return pd.DataFrame(
+                {"column": [c], "fill_num": [(lo + hi) / 2.0], "fill_str": [None]}
+            )
+        vc = g.groupby("val_str")["n"].sum().reset_index()
+        best = vc.sort_values(["n", "val_str"], ascending=[False, True],
+                              kind="mergesort").iloc[0]["val_str"]
+        return pd.DataFrame({"column": [c], "fill_num": [np.nan], "fill_str": [best]})
+
+    counts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    per_col = (
+        counts.groupby("column").map_groups(finalize, batch_format="pandas")
+        .to_pandas()  # exactly one row per surviving column
+    )
+    fills: dict[str, object] = {}
+    for _, row in per_col.iterrows():
+        if row["column"] in num_set:
+            fills[row["column"]] = float(row["fill_num"])
+        else:
+            fills[row["column"]] = row["fill_str"]
+    return fills

@@ -388,6 +388,62 @@ def simhash_neardup_pairs(
     )
 
 
+# SQL reproduction of simhash64 (functions/minhash.py): token hash =
+# md5_number_lower, per-bit +-1 vote over token OCCURRENCES, bit set when the
+# vote sum is positive, result bit-reinterpreted to BIGINT. Tokenization
+# caveat: the engine splits on any whitespace run; the SQL splits on ' ' and
+# filters empties — identical whenever whitespace is spaces (true of the
+# corpus; tabs/newlines would need regexp_split_to_array).
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, md5_number_lower(tok) AS h FROM toks WHERE tok != ''
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> CAST(b.b AS UBIGINT)) & CAST(1 AS UBIGINT)
+                       = CAST(1 AS UBIGINT)
+                  THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN COALESCE(sh.u, 0) >= 9223372036854775808
+                 THEN sh.u - 18446744073709551616
+                 ELSE COALESCE(sh.u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+"""
+
+SIMHASH_PAIRS_SQL_TEMPLATE = """
+WITH sh AS ({simhash}),
+u AS (
+  SELECT doc_id,
+         CAST(CAST(simhash AS HUGEINT)
+              + CASE WHEN simhash < 0 THEN 18446744073709551616 ELSE 0 END
+              AS UBIGINT) AS u
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u, b.b AS band,
+         (u >> CAST(16 * b.b AS UBIGINT)) & CAST(65535 AS UBIGINT) AS bval
+  FROM u CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT CAST(x.doc_id AS BIGINT) AS a,
+       CAST(y.doc_id AS BIGINT) AS b,
+       CAST(bit_count(xor(x.u, y.u)) AS BIGINT) AS hamming
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.u, y.u)) <= {max_hamming}
+"""
+
+
 # --- char-set similarity join (oracle-checkable) -----------------------------
 
 def charset_similarity_join(

@@ -9,6 +9,8 @@ from tcx2graph_jl_ray.config import PipelineConfig
 from tcx2graph_jl_ray.stages.dedup import (
     CHARSET_JOIN_SQL_TEMPLATE,
     EXACT_DEDUP_SQL,
+    SIMHASH_PAIRS_SQL_TEMPLATE,
+    SIMHASH_SQL,
     charset_similarity_join,
     exact_dedup,
     neardup_minhash,
@@ -55,6 +57,16 @@ def test_fingerprint_oracle(ray_session, duck, sf_dir):
 
 def test_token_count_oracle(ray_session, duck, sf_dir):
     assert_parity(token_count_by_source(_docs(sf_dir)), TOKEN_COUNT_SQL, duck)
+
+
+def test_simhash_oracle(ray_session, duck, sf_dir):
+    """The md5-based SimHash is value-reproducible in SQL."""
+    assert_parity(simhash_table(_docs(sf_dir)), SIMHASH_SQL, duck)
+
+
+def test_simhash_pairs_oracle(ray_session, duck, sf_dir):
+    sql = SIMHASH_PAIRS_SQL_TEMPLATE.format(simhash=SIMHASH_SQL, max_hamming=3)
+    assert_parity(simhash_neardup_pairs(_docs(sf_dir), max_hamming=3), sql, duck)
 
 
 def _synthetic_neardups():

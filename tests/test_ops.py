@@ -45,6 +45,15 @@ def test_ann_brute_oracle(ray_session, duck, sf_dir):
     assert_parity(ds, ANN_BRUTE_SQL_TEMPLATE.format(n_queries=8, k=10), duck)
 
 
+def test_ann_lsh_oracle(ray_session, duck, sf_dir):
+    """The LSH top-k is value-exact vs SQL (deterministic hyperplanes are
+    inlined as literals; accept set = buckets within hamming<=2)."""
+    from tcx2graph_jl_ray.stages.ann import ann_lsh_sql
+
+    ds = ann_lsh_topk(_embeddings(sf_dir), sf_dir, 8, 10)
+    assert_parity(ds, ann_lsh_sql(8, 10), duck)
+
+
 def test_ann_lsh_recall(ray_session, sf_dir):
     """LSH variant: valid shape, deterministic, and recall vs brute force
     above a floor (it searches only matching buckets)."""
@@ -118,3 +127,53 @@ def test_clean_impute_dirty_fixture(ray_session):
     assert (out.loc[out.conv_id == "b", "score"] == 5.0).all()
     assert (out.loc[out.conv_id == "a", "label"] == "x").all()
     assert (out.loc[out.conv_id == "b", "label"] == "y").all()
+
+
+def test_clean_impute_global_fallback_all_null_group(ray_session):
+    """Regression for the large-input KeyError: a group whose numeric column
+    is entirely null (and whose string column is entirely 'unknown') must fall
+    back to the GLOBAL median/mode — computed distributedly, never from a
+    driver collect — not crash."""
+    df = pd.DataFrame(
+        {
+            "grp": ["a"] * 4 + ["b"] * 4,
+            "score": [None, None, None, None, 2.0, 4.0, 6.0, None],
+            "label": ["unknown", None, "unknown", None, "t", "t", "u", None],
+        }
+    )
+    cleaned, report = clean_impute(
+        ray.data.from_pandas(df), group_col="grp", drop_threshold=0.9
+    )
+    out = to_pandas(cleaned).sort_values(["grp", "score"]).reset_index(drop=True)
+    # global median of {2,4,6} = 4.0 fills group a; group b's own median fills
+    # its null; global mode 't' fills group a's unknowns-only labels
+    assert (out.loc[out.grp == "a", "score"] == 4.0).all()
+    assert (out.loc[out.grp == "b", "score"].to_numpy() == [2.0, 4.0, 4.0, 6.0]).all()
+    assert (out.loc[out.grp == "a", "label"].isin(["unknown", "t"])).all()
+    assert (out.loc[out.grp == "a", "label"] == "t").sum() == 2  # the nulls
+    assert report["global_fill"]["score"] == 4.0
+    assert report["global_fill"]["label"] == "t"
+
+
+def test_clean_impute_even_count_median_interpolates(ray_session):
+    """The distributed global median must interpolate on even counts exactly
+    like pandas/DuckDB (mean of the two middle values)."""
+    df = pd.DataFrame(
+        {
+            "grp": ["g1", "g2", "g3", "g4"],
+            "score": [1.0, 2.0, 10.0, None],
+        }
+    )
+    _, report = clean_impute(
+        ray.data.from_pandas(df), group_col="grp", drop_threshold=0.9
+    )
+    assert report["global_fill"]["score"] == 2.0  # median of {1,2,10}
+    df2 = df.copy()
+    df2.loc[3, "score"] = 20.0
+    df2["extra"] = [None, None, None, None]
+    df2["extra"] = df2["extra"].astype("float64")
+    _, report2 = clean_impute(
+        ray.data.from_pandas(df2[["grp", "score"]]), group_col="grp",
+        drop_threshold=0.9,
+    )
+    assert report2["global_fill"]["score"] == 6.0  # (2 + 10) / 2
