@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
+        "kg_paths_k3": lambda sf: _an.khop_paths(_transitions(sf), 3, _REACH_MIN_N),
         "kg_conv_digests": lambda sf: _gr.conv_digests(derive_transcripts(sf)),
         "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(
             derive_transcripts(sf)
@@ -145,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             derive_transcripts(sf), "2024-01-01", "2024-01-03"
         ),
         "kg_top_entities": lambda sf: _an.top_entities_with_ties(
+            _an.hot_entities(_mentions_with_entity(sf), _HOT_MIN_CONVS)
+        ),
+        "kg_top_entities_dedup": lambda sf: _an.top_entities_dedup(
             _an.hot_entities(_mentions_with_entity(sf), _HOT_MIN_CONVS)
         ),
         "kg_entity_feature_stats": lambda sf: _an.entity_feature_stats(
@@ -227,6 +231,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             min_n=_REACH_MIN_N,
         ),
+        "kg_paths_k3": _an.KHOP_PATHS_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            ),
+            min_n=_REACH_MIN_N,
+        ),
         "kg_conv_digests": _gr.CONV_DIGEST_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),
@@ -243,6 +253,12 @@ def oracle_sql() -> dict[str, str]:
             hot_entities=_an.HOT_ENTITIES_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL, min_convs=_HOT_MIN_CONVS
             )
+        ),
+        "kg_top_entities_dedup": _an.TOP_ENTITIES_DEDUP_SQL_TEMPLATE.format(
+            hot_entities=_an.HOT_ENTITIES_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, min_convs=_HOT_MIN_CONVS
+            ),
+            threshold=0.8,
         ),
         "kg_entity_feature_stats": _an.ENTITY_FEATURE_STATS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL

@@ -230,16 +230,23 @@ def entity_transitions(
 
 
 def reachable_pairs(
-    transitions: ray.data.Dataset, min_n: int = 2
+    transitions: ray.data.Dataset,
+    min_n: int = 2,
+    salt_threshold: int = 1024,
+    n_salts: int = 16,
 ) -> ray.data.Dataset:
     """Entity pairs reachable within <= 2 hops over the directed transition
     graph, keeping only edges observed at least ``min_n`` times — the
     path-finding analogue (src/PathFinder.jl:36-149: BFS over segments that
     satisfy ``min_runs``, here min_n). Output: src, dst, hops (1 or 2).
 
-    Distributed shape: direct edges filter in map_batches; 2-hop pairs via a
-    groupby on the middle node (every in-edge × out-edge of the pivot); min
-    hops via a final grouped Min — no driver-side graph walk."""
+    Distributed shape: direct edges filter in map_batches; 2-hop pairs from a
+    single vectorized cross-merge per (pivot, salt) hash bucket; min hops via
+    a bucketed grouped min. Hub skew guard: pivots whose in-degree exceeds
+    ``salt_threshold`` have their in-edges salted into ``n_salts`` sub-groups
+    (out-edges replicated per salt), bounding any one group's cross product —
+    results are identical, each (in, out) pair still meets exactly once."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def strong(batch: pd.DataFrame) -> pd.DataFrame:
         keep = batch[(batch["n"] >= min_n) & (batch["from_entity"] != batch["to_entity"])]
@@ -251,60 +258,256 @@ def reachable_pairs(
     # The filtered canonical-entity edge list is small by construction.
     edges = transitions.map_batches(strong, batch_format="pandas").materialize()
 
+    # hot-pivot pre-pass: in-degree per pivot (combiner + bucketed merge);
+    # hot pivots are FEW by definition, so the set broadcasts in the closure
+    deg = bucketed_group_apply(
+        edges.map_batches(
+            lambda b: b.groupby("dst", sort=False).size().reset_index(name="n"),
+            batch_format="pandas",
+        ),
+        ["dst"],
+        lambda g: g.groupby("dst", sort=False)["n"].sum().reset_index(),
+    )
+    def hot_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if "dst" not in b.columns:  # schema-less empty block after the sort
+            return pd.DataFrame({"dst": pd.Series([], dtype="object")})
+        return b[b["n"] > salt_threshold][["dst"]]
+
+    hot_pdf = deg.map_batches(hot_filter, batch_format="pandas").to_pandas()
+    # an all-empty result loses its schema through Arrow; no hot pivots then
+    hot = set(hot_pdf["dst"]) if "dst" in hot_pdf.columns else set()
+
     def to_pivot(batch: pd.DataFrame) -> pd.DataFrame:
-        # each edge participates as an in-edge (pivot=dst) and out-edge (pivot=src)
+        iv = pd.DataFrame(
+            {"pivot": batch["dst"], "node": batch["src"], "dir": "in", "salt": 0}
+        )
+        ov = pd.DataFrame(
+            {"pivot": batch["src"], "node": batch["dst"], "dir": "out", "salt": 0}
+        )
+        if hot:
+            hi = iv["pivot"].isin(hot)
+            iv.loc[hi, "salt"] = (
+                pd.util.hash_pandas_object(iv.loc[hi, "node"], index=False)
+                % n_salts
+            ).astype("int64")
+            ho = ov["pivot"].isin(hot)
+            if ho.any():
+                reps = [ov[~ho]]
+                hot_rows = ov[ho]
+                for s in range(n_salts):
+                    reps.append(hot_rows.assign(salt=s))
+                ov = pd.concat(reps, ignore_index=True)
+        out = pd.concat([iv, ov], ignore_index=True)
+        out["salt"] = out["salt"].astype("int64")
+        return out
+
+    def pivot_pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        ins = b.loc[b["dir"] == "in", ["pivot", "salt", "node"]]
+        outs = b.loc[b["dir"] == "out", ["pivot", "salt", "node"]]
+        m = ins.merge(outs, on=["pivot", "salt"], suffixes=("_a", "_b"))
+        m = m[m["node_a"] != m["node_b"]]
         return pd.DataFrame(
             {
-                "pivot": pd.concat([batch["dst"], batch["src"]], ignore_index=True),
-                "node": pd.concat([batch["src"], batch["dst"]], ignore_index=True),
-                "dir": ["in"] * len(batch) + ["out"] * len(batch),
+                "src": m["node_a"].to_numpy(),
+                "dst": m["node_b"].to_numpy(),
+                "hops": pd.array([2] * len(m), dtype="int64"),
             }
         )
 
-    def pivot_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ins = g.loc[g["dir"] == "in", "node"].unique()
-        outs = g.loc[g["dir"] == "out", "node"].unique()
-        src, dst = [], []
-        for a in ins:
-            for b in outs:
-                if a != b:
-                    src.append(a)
-                    dst.append(b)
-        return pd.DataFrame(
-            {"src": src, "dst": dst, "hops": pd.array([2] * len(src), dtype="int64")}
-        )
-
-    two_hop = edges.map_batches(to_pivot, batch_format="pandas").groupby(
-        "pivot"
-    ).map_groups(pivot_pairs, batch_format="pandas")
+    two_hop = bucketed_group_apply(
+        edges.map_batches(to_pivot, batch_format="pandas"),
+        ["pivot", "salt"],
+        pivot_pairs_bucket,
+    )
 
     one_hop = edges.map_batches(
         lambda b: b.assign(hops=pd.array([1] * len(b), dtype="int64")),
         batch_format="pandas",
     )
 
-    def min_hops(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": [g["src"].iloc[0]],
-                "dst": [g["dst"].iloc[0]],
-                "hops": pd.array([int(g["hops"].min())], dtype="int64"),
-            }
-        )
+    def min_hops_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["src", "dst"], sort=False)["hops"].min().reset_index()
+        g["hops"] = g["hops"].astype("int64")
+        return g
 
-    return one_hop.union(two_hop).groupby(["src", "dst"]).map_groups(
-        min_hops, batch_format="pandas"
+    return bucketed_group_apply(
+        one_hop.union(two_hop), ["src", "dst"], min_hops_bucket
     )
 
 
+def khop_paths(
+    transitions: ray.data.Dataset,
+    max_hops: int = 3,
+    min_n: int = 2,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """Min-hop reachability up to ``max_hops`` WITH path reconstruction —
+    the full analogue of the reference's BFS path finder
+    (src/PathFinder.jl:36-149, reconstruction :118-139), beyond 2 hops.
+
+    Iterative distributed frontier expansion: each round hash-joins the
+    frontier against the edge list on the frontier's endpoint (native
+    Dataset.join — one shuffle per hop), extending only simple paths (a
+    candidate node already on the path is rejected via a vectorized
+    delimiter-wrapped substring check). The final reduce keeps, per (src,
+    dst), the minimum hop count and the lexicographically smallest path at
+    that hop count — deterministic, and exactly reproducible in SQL.
+    Output: src, dst, hops:int64, path ('>'-joined node sequence)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def strong(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[
+            (batch["n"] >= min_n) & (batch["from_entity"] != batch["to_entity"])
+        ]
+        return pd.DataFrame({"src": keep["from_entity"], "dst": keep["to_entity"]})
+
+    edges = transitions.map_batches(strong, batch_format="pandas").materialize()
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src"],
+                "dst": b["dst"],
+                "hops": pd.array([1] * len(b), dtype="int64"),
+                "path": b["src"] + ">" + b["dst"],
+            }
+        )
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+    import pyarrow as pa
+
+    F_SCHEMA = [("src", pa.string()), ("dst", pa.string()),
+                ("hops", pa.int64()), ("path", pa.string())]
+
+    # repartition after with_schema: Ray degrades EMPTY blocks to schema-less
+    # pandas frames (even when the map returns a typed Arrow table), and the
+    # native join resolves key fields per partition — merging blocks removes
+    # the schema-less empties (see functions/arrowutil.py)
+    frontier = (
+        with_schema(edges.map_batches(init, batch_format="pandas"), F_SCHEMA)
+        .repartition(config.join_num_partitions)
+        .materialize()
+    )
+    levels = [frontier]
+    # edge list keyed by its source, renamed to meet the frontier's endpoint
+    ejoin = (
+        with_schema(
+            edges.map_batches(
+                lambda b: pd.DataFrame({"dst": b["src"], "__next": b["dst"]}),
+                batch_format="pandas",
+            ),
+            [("dst", pa.string()), ("__next", pa.string())],
+        )
+        .repartition(config.join_num_partitions)
+        .materialize()
+    )
+
+    for hop in range(2, max_hops + 1):
+        if not frontier.count():  # no simple paths left to extend
+            break
+        joined = frontier.join(
+            ejoin,
+            join_type="inner",
+            num_partitions=config.join_num_partitions,
+            on=("dst",),
+        )
+
+        def extend(b: pd.DataFrame, h: int = hop) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"src": pd.Series([], dtype="object"),
+                 "dst": pd.Series([], dtype="object"),
+                 "hops": pd.array([], dtype="int64"),
+                 "path": pd.Series([], dtype="object")}
+            )
+            if not len(b):
+                return empty
+            # simple-path check: reject a next-node already on the path
+            # (delimiter-wrapped so node names that are substrings of other
+            # names cannot false-positive); np.char.find is element-wise
+            wrapped = (">" + b["path"] + ">").to_numpy(dtype=str)
+            nxt = (">" + b["__next"] + ">").to_numpy(dtype=str)
+            kept = b[np.char.find(wrapped, nxt) < 0]
+            if not len(kept):
+                return empty
+            return pd.DataFrame(
+                {
+                    "src": kept["src"].to_numpy(),
+                    "dst": kept["__next"].to_numpy(),
+                    "hops": pd.array([h] * len(kept), dtype="int64"),
+                    "path": (kept["path"] + ">" + kept["__next"]).to_numpy(),
+                }
+            )
+
+        frontier = (
+            with_schema(joined.map_batches(extend, batch_format="pandas"), F_SCHEMA)
+            .repartition(config.join_num_partitions)
+            .materialize()
+        )
+        levels.append(frontier)
+
+    allp = levels[0]
+    for lv in levels[1:]:
+        allp = allp.union(lv)
+
+    def best(bucket: pd.DataFrame) -> pd.DataFrame:
+        min_h = bucket.groupby(["src", "dst"], sort=False)["hops"].transform("min")
+        at_min = bucket[bucket["hops"] == min_h]
+        g = (
+            at_min.sort_values("path", kind="mergesort")
+            .groupby(["src", "dst"], sort=False)
+            .first()
+            .reset_index()
+        )
+        g["hops"] = g["hops"].astype("int64")
+        return g[["src", "dst", "hops", "path"]]
+
+    return bucketed_group_apply(allp, ["src", "dst"], best)
+
+
+KHOP_PATHS_SQL_TEMPLATE = """
+WITH tr AS ({transitions}),
+e AS (
+  SELECT from_entity AS src, to_entity AS dst FROM tr
+  WHERE n >= {min_n} AND from_entity != to_entity
+),
+p1 AS (SELECT src, dst, 1 AS hops, src || '>' || dst AS path FROM e),
+p2 AS (
+  SELECT p.src, e.dst AS dst, 2 AS hops, p.path || '>' || e.dst AS path
+  FROM p1 p JOIN e ON p.dst = e.src
+  WHERE position('>' || e.dst || '>' IN '>' || p.path || '>') = 0
+),
+p3 AS (
+  SELECT p.src, e.dst AS dst, 3 AS hops, p.path || '>' || e.dst AS path
+  FROM p2 p JOIN e ON p.dst = e.src
+  WHERE position('>' || e.dst || '>' IN '>' || p.path || '>') = 0
+),
+allp AS (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+),
+m AS (SELECT src, dst, MIN(hops) AS hops FROM allp GROUP BY src, dst)
+SELECT a.src, a.dst, CAST(a.hops AS BIGINT) AS hops, MIN(a.path) AS path
+FROM allp a JOIN m ON a.src = m.src AND a.dst = m.dst AND a.hops = m.hops
+GROUP BY a.src, a.dst, a.hops
+"""
+
+
 def convs_in_window(
-    transcripts: ray.data.Dataset, start: str, end: str
+    transcripts: ray.data.Dataset,
+    start: str,
+    end: str,
+    broadcast_budget: int = 5_000_000,
+    config: PipelineConfig = DEFAULT_CONFIG,
 ) -> ray.data.Dataset:
     """Semi-join via block stats (the bbox prefilter, J5,
     src/OverlappingSegmentsUtils.jl:126-137): keep only conversations whose
     [min_ts, max_ts] span intersects the query window. Phase 1 aggregates
-    per-conv zone stats (combiner + bucketed merge); the qualifying conv-id
-    set is broadcast and phase 2 filters the stream — no shuffle join.
+    per-conv zone stats (combiner + bucketed merge). Phase 2 has a budget
+    switch: up to ``broadcast_budget`` qualifying ids, the raw set is
+    broadcast and the stream filtered map-side (no shuffle); above it, a
+    fixed-size Bloom filter is broadcast as a SUPERSET prefilter and the
+    (now small) candidate stream is exactly re-verified with a left-semi
+    hash join against the qualifying ids — false positives cost one shuffled
+    row, never a wrong row.
     Output: the transcript rows of qualifying conversations."""
     import ray as _ray
 
@@ -328,19 +531,49 @@ def convs_in_window(
         ),
         ["conv_id"],
         merge,
-    ).to_pandas()
-    keep_ref = _ray.put(set(qualifying["conv_id"]))
+    ).materialize()
+    n_qual = qualifying.count()
 
-    class _Keep:
+    if n_qual <= broadcast_budget:
+        keep_ref = _ray.put(set(qualifying.to_pandas()["conv_id"]))
+
+        class _Keep:
+            def __init__(self, ref):
+                self.keep = _ray.get(ref)
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[batch["conv_id"].isin(self.keep)]
+
+        return transcripts.map_batches(
+            _Keep, fn_constructor_args=(keep_ref,), batch_format="pandas",
+            batch_size=65536, concurrency=(1, 8),
+        )
+
+    # Bloom path: build streaming (never the whole id set in one object),
+    # broadcast once, prefilter map-side, then exact left-semi re-verify
+    from tcx2graph_jl_ray.functions.bloom import BloomFilter
+
+    bloom = BloomFilter(max(n_qual, 64), fp_rate=0.01)
+    for b in qualifying.iter_batches(batch_size=65536, batch_format="pandas"):
+        bloom.add(b["conv_id"])
+    bloom_ref = _ray.put(bloom)
+
+    class _BloomKeep:
         def __init__(self, ref):
-            self.keep = _ray.get(ref)
+            self.bloom = _ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch["conv_id"].isin(self.keep)]
+            return batch[self.bloom.contains(batch["conv_id"])]
 
-    return transcripts.map_batches(
-        _Keep, fn_constructor_args=(keep_ref,), batch_format="pandas",
+    candidates = transcripts.map_batches(
+        _BloomKeep, fn_constructor_args=(bloom_ref,), batch_format="pandas",
         batch_size=65536, concurrency=(1, 8),
+    ).repartition(config.join_num_partitions)  # merge away empty blocks
+    return candidates.join(
+        qualifying.repartition(config.join_num_partitions),
+        join_type="left_semi",
+        num_partitions=config.join_num_partitions,
+        on=("conv_id",),
     )
 
 
@@ -438,6 +671,51 @@ def top_entities_with_ties(
 TOP_ENTITIES_SQL_TEMPLATE = """
 WITH hot AS ({hot_entities})
 SELECT * FROM hot WHERE n_convs = (SELECT MAX(n_convs) FROM hot)
+"""
+
+
+def top_entities_dedup(
+    hot: ray.data.Dataset, threshold: float = 0.8
+) -> ray.data.Dataset:
+    """Tied-top selection WITH near-duplicate suppression — the reference
+    Fréchet-dedups the segments tied at max repetitions
+    (examples/case_study_1.jl:114-126). Text analogue (SQL-expressible,
+    non-greedy): among the tied entities, drop any whose token-set
+    containment with a lexicographically SMALLER tied entity is >=
+    ``threshold``. The tie set is tiny by construction (argmax survivors),
+    so the pairwise check runs in one block."""
+    from tcx2graph_jl_ray.stages.canonicalize import _containment
+
+    ties = top_entities_with_ties(hot)
+
+    def suppress(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        ids = sorted(batch["entity_id"])
+        dropped = {
+            a for i, a in enumerate(ids)
+            if any(_containment(a, b) >= threshold for b in ids[:i])
+        }
+        return batch[~batch["entity_id"].isin(dropped)]
+
+    # the tie set is a handful of rows: collapse to one block so every pair
+    # meets (documented small-side step, like the reference's driver dedup)
+    return ties.repartition(1).map_batches(suppress, batch_format="pandas")
+
+
+TOP_ENTITIES_DEDUP_SQL_TEMPLATE = """
+WITH hot AS ({hot_entities}),
+ties AS (SELECT * FROM hot WHERE n_convs = (SELECT MAX(n_convs) FROM hot)),
+sup AS (
+  SELECT a.entity_id AS eid
+  FROM ties a JOIN ties b ON b.entity_id < a.entity_id
+  WHERE CAST(len(list_intersect(
+          list_distinct(string_split(a.entity_id, ' ')),
+          list_distinct(string_split(b.entity_id, ' ')))) AS DOUBLE)
+        / least(len(list_distinct(string_split(a.entity_id, ' '))),
+                len(list_distinct(string_split(b.entity_id, ' ')))) >= {threshold}
+)
+SELECT * FROM ties WHERE entity_id NOT IN (SELECT eid FROM sup)
 """
 
 

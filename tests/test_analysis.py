@@ -90,3 +90,25 @@ def test_linked_entities_match_oracle(ray_session, duck, sf_dir):
         entities=ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL)
     )
     assert_parity(linked, sql, duck)
+
+
+def test_top_entities_dedup_suppression(ray_session):
+    """Among tied tops, a near-duplicate of a lexicographically smaller tied
+    entity is suppressed (containment >= 0.8); dissimilar ties survive."""
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.analysis import top_entities_dedup
+
+    hot = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "entity_id": ["nation 7", "the nation 7 team", "nation 9",
+                              "other thing"],
+                "n_convs": pd.array([10, 10, 10, 5], dtype="int64"),
+                "n_turns": pd.array([30, 20, 10, 5], dtype="int64"),
+            }
+        )
+    )
+    out = top_entities_dedup(hot, 0.8).to_pandas()
+    assert sorted(out["entity_id"]) == ["nation 7", "nation 9"]

@@ -61,6 +61,80 @@ def test_hot_conversation_skew(ray_session):
     assert digests.loc["whale", "digest"] == expected
 
 
+def _star_transitions():
+    """Hub graph: hub has 30 in-edges and 30 out-edges (900 two-hop pairs
+    through it) plus a weak edge filtered by min_n."""
+    ins = [f"i{j:02d}" for j in range(30)]
+    outs = [f"o{j:02d}" for j in range(30)]
+    rows = [(a, "hub", 5) for a in ins] + [("hub", b, 5) for b in outs]
+    rows.append(("weak_src", "hub", 1))
+    return ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["from_entity", "to_entity", "n"]).assign(
+            n=lambda d: d["n"].astype("int64")
+        )
+    )
+
+
+def test_reachable_pairs_salted_hub_parity(ray_session):
+    """Forcing the hub-salting path (salt_threshold=1) must give the exact
+    same pair set as the unsalted path."""
+    from tcx2graph_jl_ray.stages.analysis import reachable_pairs
+
+    base = to_pandas(reachable_pairs(_star_transitions(), min_n=2,
+                                     salt_threshold=10**9))
+    salted = to_pandas(reachable_pairs(_star_transitions(), min_n=2,
+                                       salt_threshold=1, n_salts=4))
+    cols = ["src", "dst", "hops"]
+    a = base[cols].sort_values(cols).reset_index(drop=True)
+    b = salted[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # 30*30 two-hop pairs through the hub + 60 one-hop edges
+    assert (a["hops"] == 2).sum() == 900
+    assert (a["hops"] == 1).sum() == 60
+    assert "weak_src" not in set(a["src"])
+
+
+def test_khop_paths_planted_chain(ray_session):
+    """A 4-node chain plus a shortcut: hops and the lexicographically smallest
+    shortest path must be reconstructed exactly."""
+    from tcx2graph_jl_ray.stages.analysis import khop_paths
+
+    tr = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "from_entity": ["a", "b", "c", "a"],
+                "to_entity": ["b", "c", "d", "c"],
+                "n": pd.array([5, 5, 5, 5], dtype="int64"),
+            }
+        )
+    )
+    out = to_pandas(khop_paths(tr, max_hops=3, min_n=2)).set_index(["src", "dst"])
+    assert out.loc[("a", "d"), "hops"] == 2          # a>c>d beats a>b>c>d
+    assert out.loc[("a", "d"), "path"] == "a>c>d"
+    assert out.loc[("a", "c"), "hops"] == 1          # direct shortcut
+    assert out.loc[("a", "c"), "path"] == "a>c"
+    assert out.loc[("b", "d"), "hops"] == 2
+    assert out.loc[("b", "d"), "path"] == "b>c>d"
+
+
+def test_convs_in_window_bloom_path_parity(ray_session, duck, sf_dir):
+    """Force the Bloom + left-semi-join path (broadcast_budget=0): result must
+    stay value-exact vs the window oracle."""
+    from tcx2graph_jl_ray.stages.analysis import (
+        CONVS_IN_WINDOW_SQL_TEMPLATE,
+        convs_in_window,
+    )
+
+    ds = convs_in_window(
+        derive_transcripts(sf_dir), "2024-01-01", "2024-01-03",
+        broadcast_budget=0,
+    )
+    sql = CONVS_IN_WINDOW_SQL_TEMPLATE.format(
+        transcripts=TRANSCRIPTS_SQL, start="2024-01-01", end="2024-01-03"
+    )
+    assert_parity(ds, sql, duck)
+
+
 def test_shortest_entity_path():
     edges = pd.DataFrame(
         {
