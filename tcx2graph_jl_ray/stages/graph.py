@@ -229,3 +229,73 @@ SELECT
   CAST(COUNT(*) AS BIGINT) AS n_convs
 FROM per_conv
 """
+
+
+def simplify_conversations(
+    transcripts: ray.data.Dataset, tolerance: float = 10.0
+) -> ray.data.Dataset:
+    """Per-conversation lossy simplification (M3/M4) — Douglas-Peucker on the
+    (turn_idx, len(text)) polyline, the direct analogue of the reference's
+    GPS-trace simplification (douglas_peucker, src/Utils.jl:156-186): keep a
+    turn only if dropping it would displace the length profile by more than
+    ``tolerance`` characters. Endpoints always survive; a straight-line
+    profile collapses to its two endpoints. Output: conv_id, turn_idx,
+    n_chars (the kept turns). Runs vectorized-per-conversation inside hash
+    buckets (iterative stack DP, no recursion, no driver work)."""
+    import numpy as np
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def dp_keep(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
+        n = len(x)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            # perpendicular distance of interior points to chord (i, j)
+            dx, dy = x[j] - x[i], y[j] - y[i]
+            norm = np.hypot(dx, dy)
+            xi, yi = x[i + 1 : j], y[i + 1 : j]
+            if norm == 0.0:
+                d = np.hypot(xi - x[i], yi - y[i])
+            else:
+                d = np.abs(dy * (xi - x[i]) - dx * (yi - y[i])) / norm
+            kmax = int(np.argmax(d))
+            if d[kmax] > tol:
+                mid = i + 1 + kmax
+                keep[mid] = True
+                stack.append((i, mid))
+                stack.append((mid, j))
+        return keep
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = g.assign(n_chars=g["text"].str.len().astype("int64"))
+        out = []
+        for _, grp in g.groupby("conv_id", sort=False):
+            x = grp["turn_idx"].to_numpy(dtype="float64")
+            y = grp["n_chars"].to_numpy(dtype="float64")
+            keep = (
+                np.ones(len(grp), dtype=bool)
+                if len(grp) <= 2
+                else dp_keep(x, y, tolerance)
+            )
+            out.append(grp.loc[keep, ["conv_id", "turn_idx", "n_chars"]])
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {"conv_id": pd.Series([], dtype="object"),
+                 "turn_idx": pd.Series([], dtype="int32"),
+                 "n_chars": pd.Series([], dtype="int64")}
+            )
+        )
+
+    return bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"],
+        per_bucket,
+    )

@@ -58,13 +58,37 @@ class CachedEnricher:
 
     ``fetch_fn(key) -> dict`` must be deterministic; its result columns are
     attached to every row sharing the key.
+
+    Failure policy (the reference's 3-attempt backoff + rate-limit sleep,
+    examples/updateWeatherNeo4j.jl:182-212): each fetch is retried
+    ``max_attempts`` times with linear backoff before the error propagates
+    (Ray then retries the task), so one transient service blip doesn't kill
+    a batch.
     """
 
-    def __init__(self, key_fn, fetch_fn):
+    def __init__(self, key_fn, fetch_fn, max_attempts: int = 3,
+                 backoff_s: float = 0.1):
         self.key_fn = key_fn        # batch -> Series of cache keys
         self.fetch_fn = fetch_fn    # key -> dict of enrichment values
         self.cache: dict = {}
         self.fetches = 0            # observable for tests/metrics
+        self.attempts = 0           # total fetch attempts incl. retries
+        self.max_attempts = max_attempts
+        self.backoff_s = backoff_s
+
+    def _fetch_with_retry(self, key):
+        import time
+
+        last = None
+        for attempt in range(self.max_attempts):
+            self.attempts += 1
+            try:
+                return self.fetch_fn(key)
+            except Exception as exc:  # transient service failure
+                last = exc
+                if attempt + 1 < self.max_attempts:
+                    time.sleep(self.backoff_s * (attempt + 1))
+        raise last
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         # normalize NaN keys to None: distinct float('nan') objects neither
@@ -73,7 +97,7 @@ class CachedEnricher:
         keys = [None if pd.isna(k) else k for k in self.key_fn(batch)]
         for k in set(keys):
             if k not in self.cache:
-                self.cache[k] = self.fetch_fn(k)
+                self.cache[k] = self._fetch_with_retry(k)
                 self.fetches += 1
         enrich = pd.DataFrame([self.cache[k] for k in keys], index=batch.index)
         out = batch.copy()

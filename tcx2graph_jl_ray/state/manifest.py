@@ -201,6 +201,28 @@ def write_inspection_summary(out_dir: str, sample_rows: int = 5) -> dict:
     return summary
 
 
+def write_debug_csv(
+    ds: ray.data.Dataset, out_dir: str, single_file: bool = False
+) -> str:
+    """CSV/debug sink (S6) — the reference dumps inspection CSVs beside its
+    main outputs (examples/main.jl:189,227,252). Default layout is a
+    directory of part CSVs (the distributed shape); ``single_file`` merges
+    them into one ``data.csv`` for hand inspection — only sensible for small
+    debug extracts, so it streams block-by-block, never collecting the
+    dataset. Returns the path written."""
+    if not single_file:
+        ds.write_csv(out_dir)
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "data.csv")
+    with open(path, "w") as f:
+        first = True
+        for batch in ds.iter_batches(batch_size=16384, batch_format="pandas"):
+            batch.to_csv(f, index=False, header=first)
+            first = False
+    return path
+
+
 def read_partitioned(out_dir: str) -> ray.data.Dataset:
     """Read back a resumable_write output (drops the synthetic part column)."""
     ds = ray.data.read_parquet(out_dir)

@@ -127,3 +127,59 @@ def test_pipeline_on_user_transcripts_parquet(ray_session, tmp_path):
     assert insp["triples"]["total_rows"] == summary["triples"]
     assert insp["nodes"]["total_rows"] == 5
     assert load_manifest(os.path.join(out, "nodes"))["lineage"] == {}
+
+
+def test_cached_enricher_retry_backoff(ray_session):
+    """Transient fetch failures are retried with backoff (the reference's
+    3-attempt weather fetch); persistent failures propagate."""
+    import pandas as pd
+
+    from tcx2graph_jl_ray.stages.link import CachedEnricher
+
+    calls = {"n": 0}
+
+    def flaky(key):
+        calls["n"] += 1
+        if calls["n"] < 3:  # first two attempts fail
+            raise RuntimeError("transient")
+        return {"feature": f"v_{key}"}
+
+    enr = CachedEnricher(lambda b: b["k"], flaky, max_attempts=3,
+                         backoff_s=0.0)
+    out = enr(pd.DataFrame({"k": ["a", "a", "a"]}))
+    assert (out["feature"] == "v_a").all()
+    assert enr.fetches == 1 and enr.attempts == 3  # 2 failures + 1 success
+
+    def always_fails(key):
+        raise RuntimeError("down")
+
+    enr2 = CachedEnricher(lambda b: b["k"], always_fails, max_attempts=2,
+                          backoff_s=0.0)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="down"):
+        enr2(pd.DataFrame({"k": ["x"]}))
+    assert enr2.attempts == 2
+
+
+def test_write_debug_csv_roundtrip(ray_session, tmp_path):
+    """S6 CSV/debug sink: directory layout and single-file layout both round-
+    trip the data exactly."""
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.state.manifest import write_debug_csv
+
+    df = pd.DataFrame({"a": [3, 1, 2], "b": ["x", "y", "z"]})
+    ds = ray.data.from_pandas(df)
+
+    d1 = write_debug_csv(ds, str(tmp_path / "csvdir"))
+    back = pd.concat(
+        [pd.read_csv(os.path.join(d1, f)) for f in sorted(os.listdir(d1))],
+        ignore_index=True,
+    ).sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df.sort_values("a").reset_index(drop=True))
+
+    p2 = write_debug_csv(ds, str(tmp_path / "csvone"), single_file=True)
+    back2 = pd.read_csv(p2).sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, df.sort_values("a").reset_index(drop=True))

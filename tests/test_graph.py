@@ -45,3 +45,37 @@ def test_graph_invariants(ray_session, sf_dir):
     assert (edges["dst_turn"] == edges["src_turn"] + 1).all()
     # inter-turn gaps are non-negative (ts monotone within conversation)
     assert (edges["delta_us"] >= 0).all()
+
+
+def test_simplify_conversations_douglas_peucker(ray_session):
+    """Planted profiles: a linear length ramp collapses to endpoints; a spike
+    above tolerance survives; small jitter below tolerance is dropped."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.graph import simplify_conversations
+
+    rows = []
+    # linear ramp: text lengths 10, 20, ..., 100 -> only endpoints kept
+    for t in range(10):
+        rows.append(("ramp", t, "a" * (10 * (t + 1))))
+    # flat profile with one big spike at t=5
+    for t in range(10):
+        rows.append(("spike", t, "b" * (500 if t == 5 else 50)))
+    # flat with tiny jitter (below tol=10)
+    for t in range(10):
+        rows.append(("jitter", t, "c" * (50 + (t % 2) * 3)))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    out = (
+        simplify_conversations(ray.data.from_pandas(df), tolerance=10.0)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    ramp = out[out.conv_id == "ramp"]["turn_idx"].tolist()
+    assert ramp == [0, 9]
+    spike = out[out.conv_id == "spike"]["turn_idx"].tolist()
+    assert 5 in spike and 0 in spike and 9 in spike
+    jitter = out[out.conv_id == "jitter"]["turn_idx"].tolist()
+    assert jitter == [0, 9]
