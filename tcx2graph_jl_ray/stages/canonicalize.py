@@ -29,6 +29,7 @@ all-to-all shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data
@@ -228,18 +229,50 @@ def connected_components(
     # next round's shuffle re-keys them, exactly as the per-node groupby did.
 
     def propagate_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        kinds = b["kind"]
-        self_label = b[kinds == _SELF].groupby("key")["val"].min()
+        # Factorize the bucket's name domain ONCE (sort=True -> codes are
+        # order-preserving, so integer min == lexicographic-min name) and do
+        # every grouped min/max on int64 codes: pandas min-aggregation over
+        # object strings is ~35x slower and was the dominant per-round cost.
+        kinds = b["kind"].to_numpy()
+        n = len(b)
+        codes, uniq = pd.factorize(
+            pd.concat([b["key"], b["val"]], ignore_index=True), sort=True
+        )
+        k, v = codes[:n], codes[n:]
+        self_m = kinds == _SELF
+        edge_m = kinds == _EDGE
+        cand_m = kinds == _CAND
         # min over SELF + received CANDs (self ⊆ non-edge, so this IS the min)
-        new_label = b[kinds != _EDGE].groupby("key")["val"].min()
-        edges = b[kinds == _EDGE]
+        new_label = pd.Series(v[~edge_m]).groupby(k[~edge_m]).min()
+        self_label = pd.Series(v[self_m]).groupby(k[self_m]).min()
         changed = (
             (new_label < self_label.reindex(new_label.index))
             .astype("int64")
             .to_numpy()
         )
+        # Convergence flag = changed OR edge-mismatch: a received candidate
+        # LARGER than the node's label means a neighbor still disagreed last
+        # round, so convergence is unproven. When every node reports
+        # flag == 0, all candidates equaled every node's label AND nothing
+        # moved — a label-consistent fixpoint of min-propagation, which is
+        # provably the component minima (labels only take member names and
+        # only decrease) — so ONE clean round ends the loop, replacing the
+        # two-consecutive-zero-rounds proof (one full round cheaper).
+        if cand_m.any():
+            cand_max = pd.Series(v[cand_m]).groupby(k[cand_m]).max()
+            mismatch = (
+                (cand_max.reindex(new_label.index) > new_label)
+                .fillna(False)
+                .astype("int64")
+                .to_numpy()
+            )
+            changed = np.maximum(changed, mismatch)
+        nl_key = new_label.index.to_numpy()       # key codes
+        nl_val = new_label.to_numpy()             # label codes
+        key_names = uniq[nl_key]
+        label_names = uniq[nl_val]
         self_out = pd.DataFrame(
-            {"key": new_label.index, "kind": _SELF, "val": new_label.to_numpy(),
+            {"key": key_names, "kind": _SELF, "val": label_names,
              "aux": None, "changed": changed}
         )
         # EDGE rows are re-emitted keyed at each neighbor with THIS node as
@@ -247,41 +280,47 @@ def connected_components(
         # adjacency for the next round. (Emitting val=neighbor instead turns
         # every edge into a self-loop after round 1 and silently freezes
         # label propagation — found by review, regression-tested below.)
+        ek, ev = k[edge_m], v[edge_m]
+        lut = np.full(len(uniq), -1, dtype=np.int64)  # key code -> label code
+        lut[nl_key] = nl_val
         edge_out = pd.DataFrame(
-            {"key": edges["val"].to_numpy(), "kind": _EDGE,
-             "val": edges["key"].to_numpy(), "aux": None, "changed": 0}
-        )
-        cand_out = pd.DataFrame(
-            {"key": edges["val"].to_numpy(), "kind": _CAND,
-             "val": edges["key"].map(new_label).to_numpy(),
+            {"key": uniq[ev], "kind": _EDGE, "val": uniq[ek],
              "aux": None, "changed": 0}
         )
-        return pd.concat([self_out, edge_out, cand_out], ignore_index=True)
+        cand_out = pd.DataFrame(
+            {"key": uniq[ev], "kind": _CAND, "val": uniq[lut[ek]],
+             "aux": None, "changed": 0}
+        )
+        # The pointer-jump QUERY is emitted HERE (key = the node's new
+        # label, i.e. the holder to ask): propagate already knows the
+        # post-round label, so a separate jump_send shuffle is pure fixed
+        # cost — fusing it cuts each macro round from 3 shuffles to 2.
+        query_out = pd.DataFrame(
+            {"key": label_names, "kind": _QUERY, "val": key_names,
+             "aux": label_names, "changed": changed}
+        )
+        return pd.concat(
+            [self_out, edge_out, cand_out, query_out], ignore_index=True
+        )
 
     # pointer jumping (label(x) <- label(label(x))): halves pointer-chain
     # depth per jump so chain-shaped components converge in O(log d) macro
-    # rounds instead of O(d) (the BTS-style acceleration, PAPERS.md).
-    # Two shuffles: J1 routes each node's query to its label-holder; J2 has
-    # the holder answer with ITS label. Each node's new SELF row is emitted
-    # exactly once — by its label's group.
-    def jump_send_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        kinds = b["kind"]
-        self_rows = b[kinds == _SELF]
-        lab = self_rows.groupby("key")["val"].min()
-        passthrough = b[kinds != _SELF]
-        # the holder needs its own label in J2: keep one SELF row per node
-        keep_self = self_rows.sort_values("val", kind="mergesort").drop_duplicates(
-            "key"
-        )
-        query = pd.DataFrame(
-            {"key": lab.to_numpy(), "kind": _QUERY, "val": lab.index,
-             "aux": lab.to_numpy(), "changed": 0}
-        )
-        return pd.concat([keep_self, passthrough, query], ignore_index=True)
-
+    # rounds instead of O(d) (the BTS-style acceleration, PAPERS.md). The
+    # query was routed by propagate itself (key = the node's label-holder);
+    # here the holder answers with ITS label, dropping the stale SELF rows —
+    # each node's new SELF row is emitted exactly once, by its label's group.
+    # The query carries the node's propagate flag so one column sum after
+    # this stage counts the whole macro round.
     def jump_answer_bucket(b: pd.DataFrame) -> pd.DataFrame:
         kinds = b["kind"]
-        lab = b[kinds == _SELF].groupby("key")["val"].min()
+        self_rows = b[kinds == _SELF]
+        # propagate emits exactly one SELF per key; sort+dedup keeps the min
+        # defensively without an object-dtype grouped min
+        lab = (
+            self_rows.sort_values("val", kind="mergesort")
+            .drop_duplicates("key")
+            .set_index("key")["val"]
+        )
         queries = b[kinds == _QUERY]
         passthrough = b[(kinds != _SELF) & (kinds != _QUERY)]
         label_here = queries["key"].map(lab)
@@ -291,48 +330,34 @@ def connected_components(
                 "kind": _SELF,
                 "val": label_here.to_numpy(),            # label(label(x))
                 "aux": None,
-                "changed": (label_here < queries["aux"]).astype("int64").to_numpy(),
+                # combined per-round change: propagate's bit OR the jump's
+                "changed": np.maximum(
+                    queries["changed"].to_numpy(dtype="int64"),
+                    (label_here < queries["aux"]).astype("int64").to_numpy(),
+                ),
             }
         )
         return pd.concat([passthrough, answered], ignore_index=True)
 
-    def _count_changed(ds: ray.data.Dataset) -> int:
-        return int(
-            ds.map_batches(
-                lambda b: pd.DataFrame(
-                    {"c": [int(b.loc[b["kind"] == _SELF, "changed"].sum())]}
-                ),
-                batch_format="pandas",
-            ).sum("c")
-            or 0
-        )
-
-    # Convergence needs TWO consecutive all-zero macro rounds: the CAND rows
-    # a propagate consumes were fanned out in the PREVIOUS round, so they can
-    # be one jump stale — a single zero round can fire while adjacent nodes
-    # still disagree (found by fuzzing vs union-find; regression-tested).
-    # After a zero round the freshly emitted candidates ARE current, so a
-    # second zero round proves a true fixpoint.
+    # One macro round = 2 bucketed shuffles chained (propagate-with-query,
+    # jump-answer), ONE materialize, ONE native sum("changed") (non-SELF
+    # rows carry changed=0 and the jump answer ORs in the propagate flag, so
+    # a plain column sum IS the combined round count). Per-round wall time
+    # is dominated by fixed stage-launch cost, so minimizing stages per
+    # round matters more than per-row work here. The loop stops after the
+    # FIRST all-clean round — the flag includes the edge-consistency
+    # mismatch check (see propagate_bucket), which proves the fixpoint
+    # without a second confirmation round.
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    zero_streak = 0
     for _ in range(config.union_find_max_rounds):
         working = bucketed_group_apply(
-            working, ["key"], propagate_bucket
-        ).materialize()
-        prop_changed = _count_changed(working)
-        working = bucketed_group_apply(
-            bucketed_group_apply(working, ["key"], jump_send_bucket),
+            bucketed_group_apply(working, ["key"], propagate_bucket),
             ["key"],
             jump_answer_bucket,
         ).materialize()
-        jump_changed = _count_changed(working)
-        if not prop_changed and not jump_changed:
-            zero_streak += 1
-            if zero_streak >= 2:
-                break
-        else:
-            zero_streak = 0
+        if not int(working.sum("changed") or 0):
+            break
 
     labels_ds = working.map_batches(
         lambda b: b.loc[b["kind"] == _SELF, ["key", "val"]].rename(
