@@ -25,9 +25,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # input replication for the headline pipeline (scaling runs need enough work
 # per CPU to amortize fixed stage costs; 1 = the raw sf input)
 MULT = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
-# 32x input for scaling runs: enough work per CPU that fixed stage costs
-# don't drown the signal (see BASELINE.md scaling table); ~5 min total
-SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "32"))
+# 64x input for scaling runs: the measured knee of the efficiency curve —
+# below it fixed stage costs drown the signal, above it (128x = 12.8M turns)
+# the single box's object store + shared disk saturate and the 32-CPU run
+# stalls (see BASELINE.md scaling table); ~4 min total
+SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "64"))
 
 # queries timed individually (a representative slice of SURVEY.md §2)
 TIMED_QUERIES = [
@@ -70,7 +72,14 @@ def run_bench() -> dict:
     )
     import ray.data
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Finer blocks so shuffle outputs split wide enough for every CPU: the
+    # default 128 MiB target left the derived table in ~10 blocks, capping
+    # every downstream stage at 10-way parallelism (measured). 16 MiB gives
+    # ~64+ blocks at bench scale; on a real cluster, size this so block
+    # count >= 2x total cores.
+    ctx.target_max_block_size = 16 * 1024 * 1024
 
     from tcx2graph_jl_ray.pipelines.kg import run_kg_pipeline_from_sf
     import __ray_entry__ as entry_mod

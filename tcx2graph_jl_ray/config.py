@@ -17,9 +17,12 @@ class PipelineConfig:
     # batch size for the extractor actor pool (reference processes whole files
     # at a time, src/TCXParser.jl:50-115; we batch for vectorization)
     extract_batch_size: int = 8192
-    # actor pool size for stateful extract/enrich stages (reference uses
-    # Threads.@threads, src/OverlappingSegmentsUtils.jl:173)
-    extract_concurrency: int = 4
+    # actor pool cap for stateful extract/enrich stages (reference uses
+    # Threads.@threads, src/OverlappingSegmentsUtils.jl:173). This is the
+    # autoscaling MAX of a (1, N) pool — a low cap silently serializes the
+    # regex-heavy extraction on large sessions (measured: 4 actors capped the
+    # 32-CPU scaling run), while min=1 keeps small sessions deadlock-free.
+    extract_concurrency: int = 16
 
     # --- canonicalization (analogue of find_overlapping_segments params,
     #     examples/main.jl:40-53) -----------------------------------------
