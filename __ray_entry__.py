@@ -31,6 +31,7 @@ from tcx2graph_jl_ray.stages import dedup as _dd
 from tcx2graph_jl_ray.stages import extract as _ex
 from tcx2graph_jl_ray.stages import graph as _gr
 from tcx2graph_jl_ray.stages import link as _lk
+from tcx2graph_jl_ray.stages import multimodal as _mm
 from tcx2graph_jl_ray.stages import relational as _rel
 from tcx2graph_jl_ray.stages import text as _tx
 from tcx2graph_jl_ray.stages import window as _wd
@@ -44,6 +45,8 @@ _REACH_MIN_N = 2
 _CHARSET_TAU = 0.86
 _SESSION_GAP_S = 1800
 _ANN_NQ, _ANN_K = 8, 10
+_NGRAM_TAU = 0.5
+_COSINE_TAU = 0.4
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Only the minhash clustering remains here: its per-shingle
@@ -169,11 +172,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": lambda sf: _dd.neardup_minhash(_docs(sf)),
         "dedup_simhash": lambda sf: _dd.simhash_table(_docs(sf)),
         "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
+        "dedup_ngram_jaccard": lambda sf: _dd.ngram_jaccard_join(
+            _docs(sf), _NGRAM_TAU
+        ),
+        "multimodal_features": lambda sf: _mm.payload_feature_table(_docs(sf)),
+        "multimodal_frames": lambda sf: _mm.sample_frames(
+            _mm.attach_fake_payload(_docs(sf))
+        ),
         "text_quality": lambda sf: _tx.quality_stats(_docs(sf)),
         "text_lang_id": lambda sf: _tx.lang_id(_docs(sf)),
         "text_fingerprint": lambda sf: _tx.fingerprints(_docs(sf)),
         "text_token_counts": lambda sf: _tx.token_count_by_source(_docs(sf)),
+        "text_bpe_token_counts": lambda sf: _tx.bpe_token_count_by_source(
+            _docs(sf)
+        ),
+        "dedup_cosine_pairs": lambda sf: _ann.embedding_cosine_pairs(
+            _embeddings_ds(sf), sf, _COSINE_TAU
+        ),
         "ann_brute_topk": lambda sf: _ann.ann_brute_topk(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
+        "ann_ivf_topk": lambda sf: _ann.ann_ivf_topk(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
         "ann_lsh_topk": lambda sf: _ann.ann_lsh_topk(
@@ -276,10 +295,22 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _tx.LANG_ID_SQL,
         "text_fingerprint": _tx.FINGERPRINT_SQL,
         "text_token_counts": _tx.TOKEN_COUNT_SQL,
+        "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,
+        "dedup_cosine_pairs": _ann.COSINE_PAIRS_SQL_TEMPLATE.format(
+            threshold=_COSINE_TAU
+        ),
         "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),
+        "ann_ivf_topk": _ann.ann_ivf_sql(_ANN_NQ, _ANN_K),
         "ann_lsh_topk": _ann.ann_lsh_sql(_ANN_NQ, _ANN_K),
+        "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_SQL_TEMPLATE.format(
+            k=2, threshold=_NGRAM_TAU
+        ),
+        "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
+        "multimodal_frames": _mm.FRAME_SAMPLE_SQL_TEMPLATE.format(
+            frame_bytes=64, every_n=2
+        ),
         "dedup_simhash": _dd.SIMHASH_SQL,
         "dedup_simhash_pairs": _dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(
             simhash=_dd.SIMHASH_SQL, max_hamming=3

@@ -292,3 +292,268 @@ def ann_lsh_topk(
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --- embedding-cosine near-dup pairs ----------------------------------------
+
+def embedding_cosine_pairs(
+    embeddings: ray.data.Dataset, sf_dir: str, threshold: float = 0.4
+) -> ray.data.Dataset:
+    """All pairs with cosine >= threshold (a < b) — the exact near-dup-pair
+    baseline, companion to ``embedding_nearest_neighbor``: the normalized
+    corpus matrix is broadcast ONCE (``ray.put``) and each batch performs a
+    single matmul against it, emitting only its above-threshold pairs with
+    the batch side as the smaller id (each unordered pair is produced by
+    exactly one batch row — no dedup shuffle needed). At corpus scale the
+    broadcast no longer fits and the blocked paths (ann_lsh_topk /
+    ann_ivf_topk cells as the blocking key) replace it; this is the declared
+    exactness baseline they are measured against.
+    Output: a, b, sim."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    ref = ray.put((ids, m, norms))
+    tau = threshold
+
+    class _Pairs:
+        def __init__(self, r):
+            self.ids, self.m, self.norms = ray.get(r)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            bids = batch["vec_id"].to_numpy(dtype=np.int64)
+            # unnormalized dot / (|a||b|) — the same association order as the
+            # oracle's list_cosine_similarity, so values match bit-exactly
+            sims = (vecs @ self.m.T) / np.outer(
+                np.linalg.norm(vecs, axis=1), self.norms
+            )
+            bi, cj = np.nonzero((sims >= tau) & (bids[:, None] < self.ids[None, :]))
+            # cosine values differ from the oracle's in the last ulp (BLAS
+            # vs sequential summation), so the emitted column is rounded to
+            # 6 decimals on both sides
+            return pd.DataFrame(
+                {
+                    "a": bids[bi],
+                    "b": self.ids[cj],
+                    "sim": np.round(sims[bi, cj], 6),
+                }
+            )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _Pairs, fn_constructor_args=(ref,), batch_format="pandas",
+        batch_size=4096, concurrency=(1, 16),
+    )
+
+
+COSINE_PAIRS_SQL_TEMPLATE = """
+SELECT CAST(a.vec_id AS BIGINT) AS a,
+       CAST(b.vec_id AS BIGINT) AS b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {threshold}
+"""
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def _ivf_anchors(dim: int, n_cells: int = 16, seed: int = 23) -> np.ndarray:
+    """Deterministic seeded coarse-quantizer anchors (rows = cells). Seeded
+    anchors keep the cell assignment DuckDB-reproducible (inlined literals);
+    at corpus scale swap in ``train_ivf_centroids`` (k-means) for tighter
+    cells — the partition/probe machinery is identical."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_cells, dim))
+
+
+def _assign_cells(vecs: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """Nearest-anchor cell by cosine; ties resolve to the lowest cell id
+    (np.argmax returns the first maximum), matching the oracle's
+    ORDER BY sim DESC, cid."""
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    an = anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
+    return np.argmax(vn @ an.T, axis=1).astype(np.int64)
+
+
+def train_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 23,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column: broadcast the
+    (tiny) centroid matrix, one ``map_batches`` pass emits per-cell partial
+    (sum, count) rows — the combiner — and the driver folds the partials
+    (n_cells x dim floats, trivially small) and updates. Empty cells keep
+    their previous centroid. The corpus itself is never materialized."""
+    dim_row = embeddings.select_columns(["embedding"]).take(1)
+    dim = len(dim_row[0]["embedding"])
+    centroids = _ivf_anchors(dim, n_cells, seed)
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            cells = _assign_cells(vecs, c)
+            rows = []
+            for cell in np.unique(cells):
+                m = vecs[cells == cell]
+                rows.append(
+                    {"cell": int(cell), "n": len(m), "sum": m.sum(axis=0)}
+                )
+            return pd.DataFrame(rows)
+
+        agg = embeddings.select_columns(["embedding"]).map_batches(
+            partials, batch_format="pandas", batch_size=4096
+        ).to_pandas()
+        new = centroids.copy()
+        for cell, g in agg.groupby("cell"):
+            tot = np.sum(np.stack(g["sum"].to_numpy()), axis=0)
+            cnt = g["n"].sum()
+            if cnt:
+                new[int(cell)] = tot / cnt
+        centroids = new
+    return centroids
+
+
+def ann_ivf_sql(
+    n_queries: int, k: int, n_cells: int = 16, nprobe: int = 4, dim: int = 64
+) -> str:
+    """DuckDB oracle for ``ann_ivf_topk``: the seeded anchors are inlined as
+    literal DOUBLE[] rows; cell = argmax cosine(vec, anchor) (ties -> lowest
+    cell id), each query probes its ``nprobe`` nearest cells, and cosine
+    top-k runs among vectors in probed cells only."""
+    anchors = _ivf_anchors(dim, n_cells)
+
+    def lit(i: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in anchors[i]) + "]::DOUBLE[]"
+
+    values = ",\n  ".join(f"({i}, {lit(i)})" for i in range(n_cells))
+    return f"""
+WITH c(cid, ce) AS (VALUES
+  {values}
+),
+a AS (
+  SELECT vec_id, ve, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rn
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+  CROSS JOIN c
+),
+assign AS (SELECT vec_id, ve, cid AS cell FROM a WHERE rn = 1),
+qp AS (
+  SELECT vec_id AS query_id, ve AS qe, cid AS probe,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rn
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        WHERE vec_id < {n_queries})
+  CROSS JOIN c
+),
+probes AS (SELECT query_id, qe, probe FROM qp WHERE rn <= {nprobe}),
+s AS (
+  SELECT p.query_id, v.vec_id, list_cosine_similarity(p.qe, v.ve) AS sim
+  FROM probes p JOIN assign v ON v.cell = p.probe
+),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def ann_ivf_topk(
+    embeddings: ray.data.Dataset,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """IVF ANN: a coarse quantizer partitions the corpus into cells (the cell
+    id is the shuffle/blocking key at scale — an inverted file is exactly a
+    hash-partitioned layout), queries probe their ``nprobe`` nearest cells,
+    and only vectors in probed cells are scored. With default seeded anchors
+    the result is value-exact vs the ``ann_ivf_sql`` oracle; pass trained
+    ``centroids`` (``train_ivf_centroids``) for the production path.
+    Output: query_id, vec_id, rank."""
+    qids, q = _load_queries(sf_dir, n_queries)
+    anchors = centroids if centroids is not None else _ivf_anchors(
+        q.shape[1], n_cells
+    )
+    q_cells = _assign_cells(q, anchors)  # noqa: F841 (queries need probes, not cells)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    an = anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
+    sims = qn @ an.T
+    cids = np.arange(anchors.shape[0])
+    probe_sets = [
+        set(cids[np.lexsort((cids, -sims[j]))[:nprobe]].tolist())
+        for j in range(len(qids))
+    ]
+    ref = ray.put((qids, q, anchors, probe_sets))
+    kk = k
+
+    class _IvfTopK:
+        def __init__(self, r):
+            self.qids, qm, self.anchors, self.probes = ray.get(r)
+            self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            cells = _assign_cells(vecs, self.anchors)
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for j, qid in enumerate(self.qids):
+                mask = np.isin(cells, list(self.probes[j]))
+                if not mask.any():
+                    continue
+                col = vn[mask] @ self.qn[j]
+                sel = ids[mask]
+                top = np.lexsort((sel, -col))[: min(kk, len(sel))]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": sel[top], "sim": col[top]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "vec_id": pd.Series([], dtype="int64"),
+                     "sim": pd.Series([], dtype="float64")}
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _IvfTopK, fn_constructor_args=(ref,), batch_format="pandas",
+        batch_size=4096, concurrency=(1, 16),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        top = g.head(kk)
+        return pd.DataFrame(
+            {
+                "query_id": top["query_id"].astype("int64").to_numpy(),
+                "vec_id": top["vec_id"].astype("int64").to_numpy(),
+                "rank": pd.array(range(1, len(top) + 1), dtype="int64"),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -534,3 +534,134 @@ FROM documents d1
 JOIN documents d2 ON d1.source = d2.source AND d1.doc_id < d2.doc_id
 WHERE jaccard(d1.text, d2.text) >= {threshold}
 """
+
+
+# --- word n-gram Jaccard similarity join (token join / PPJoin-lite) ----------
+
+def ngram_jaccard_join(
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    k: int = 2,
+    max_df: int = 100_000,
+) -> ray.data.Dataset:
+    """Exact word-``k``-gram Jaccard similarity join over the whole corpus —
+    the token-join (PPJoin-lite) formulation: the shingle itself is the
+    blocking/shuffle key, so only docs sharing at least one shingle ever meet,
+    and the pairwise intersection size falls out of a count — no per-pair set
+    operations anywhere.
+
+    Plan: (1) per-doc DISTINCT shingle rows carrying the doc's shingle-set
+    size (map_batches); (2) shuffle on ``shingle``; per shingle emit candidate
+    pairs (vectorized triu), skipping shingles in more than ``max_df`` docs —
+    the hot-key guard: a stop-shingle contributes pairs quadratically while
+    discriminating nothing (same rule as token blocking's ``max_block_size``;
+    at the default it never fires at test scale so oracle parity is exact, and
+    at corpus scale the PPJoin prefix filter is the principled upgrade);
+    (3) shuffle on ``(a, b)``: |A∩B| = row count, |A∪B| = na+nb−|A∩B|.
+
+    Shingle semantics (mirrored exactly by the DuckDB oracle): lowercase,
+    split on spaces, consecutive ``k``-grams; docs with fewer than ``k``
+    tokens contribute their whole token string as one shingle; empty docs
+    contribute nothing. Output: a, b, sim (a < b, sim >= threshold).
+
+    Reference analogue: the candidate/verify split of overlapping-segment
+    detection (src/OverlappingSegmentsUtils.jl:173-209) with the shingle as
+    the blocking key instead of the bbox/KD prefilter.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    kk = k
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_out, sh_out, n_out = [], [], []
+        for did, txt in zip(
+            batch["doc_id"].astype("int64").to_numpy(), batch["text"].to_numpy()
+        ):
+            s = _word_shingle_set(txt, kk)
+            if not s:
+                continue
+            ids_out.extend([did] * len(s))
+            sh_out.extend(s)
+            n_out.extend([len(s)] * len(s))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "shingle": pd.Series(sh_out, dtype="object"),
+                "n": pd.Series(n_out, dtype="int64"),
+            }
+        )
+
+    def pairs_per_shingle(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket.groupby("shingle", sort=False):
+            if len(g) < 2 or len(g) > max_df:
+                continue
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            ns = g["n"].to_numpy()
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out.append(
+                pd.DataFrame(
+                    {"a": ids[ii], "b": ids[jj], "na": ns[ii], "nb": ns[jj]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "na": pd.Series([], dtype="int64"),
+                 "nb": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def score_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = bucket.groupby(["a", "b"], sort=False).agg(
+            i=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        )
+        sim = agg["i"].to_numpy(dtype=np.float64) / (
+            agg["na"].to_numpy() + agg["nb"].to_numpy() - agg["i"].to_numpy()
+        )
+        keep = sim >= threshold
+        idx = agg.index[keep]
+        return pd.DataFrame(
+            {
+                "a": idx.get_level_values("a").astype("int64"),
+                "b": idx.get_level_values("b").astype("int64"),
+                "sim": sim[keep],
+            }
+        )
+
+    shingles = docs.select_columns(["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pandas", batch_size=4096
+    )
+    pairs = bucketed_group_apply(shingles, ["shingle"], pairs_per_shingle)
+    return bucketed_group_apply(pairs, ["a", "b"], score_pairs)
+
+
+NGRAM_JACCARD_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(l) >= {k} THEN array_to_string(l[i:i+{k}-1], ' ')
+              ELSE array_to_string(l, ' ') END AS shingle
+  FROM tk, unnest(CASE WHEN len(l) >= {k} THEN range(1, len(l) - {k} + 2)
+                       ELSE [1] END) AS t(i)
+  WHERE len(l) > 0
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(inter.a AS BIGINT) AS a,
+       CAST(inter.b AS BIGINT) AS b,
+       CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) AS sim
+FROM inter
+JOIN cnt ca ON ca.doc_id = inter.a
+JOIN cnt cb ON cb.doc_id = inter.b
+WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {threshold}
+"""

@@ -1,17 +1,22 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata.
 
 Images/audio/video are carried as Arrow ``binary`` columns plus a metadata
-struct (format, width, height). Decode / feature-extract / resize run as
-actor-pool ``map_batches`` stages with SMALL batch sizes (a batch of large
-binaries times pool concurrency must fit worker heap — the memory note from
-the project brief). The actual codecs (PIL/ffmpeg) are not present in this
-container, so the decode step is STUBBED: the Ray-side plumbing — schema,
-actor signature, batch sizing, output layout — is real and tested, while
-``format`` values other than ``fake`` raise ``NotImplementedError``.
+struct (format, width, height). Decode / feature-extract / resize /
+frame-sample run as actor-pool ``map_batches`` stages with SMALL batch sizes
+(a batch of large binaries times pool concurrency must fit worker heap — the
+memory note from the project brief). The actual codecs (PIL/ffmpeg) are not
+present in this container, so the decode step is STUBBED: the Ray-side
+plumbing — schema, actor signature, batch sizing, output layout — is real and
+tested, while ``format`` values other than ``fake`` raise
+``NotImplementedError``.
 
-The ``fake`` decoder is deterministic (content-hash -> feature vector), so
-downstream stages (e.g. embedding-cosine near-dup over these features) are
-testable end-to-end.
+The ``fake`` decoder is deterministic AND oracle-reproducible: its features
+derive from the md5 digest of the payload exactly as DuckDB's
+``md5_number_lower``/``md5_number_upper`` expose it (bytes 8..16 / 0..8 of
+the digest, little-endian — the same correspondence functions/minhash.py
+verifies for token hashing), so the whole multimodal path — payload attach,
+actor-pool feature extraction, frame sampling — is value-checkable against a
+DuckDB oracle, not just row-counted.
 """
 
 from __future__ import annotations
@@ -24,6 +29,16 @@ import ray.data
 
 FAKE_FORMAT = "fake"
 _FEATURE_DIM = 8
+
+
+def _md5_halves(payload: bytes) -> tuple[int, int]:
+    """(lower, upper) 64-bit halves of md5, matching DuckDB's
+    md5_number_lower / md5_number_upper (digest bytes 8..16 / 0..8, LE)."""
+    d = hashlib.md5(payload).digest()
+    return (
+        int.from_bytes(d[8:16], "little"),
+        int.from_bytes(d[0:8], "little"),
+    )
 
 
 def attach_fake_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -60,10 +75,13 @@ class PayloadFeatureExtractor:
 
     @staticmethod
     def _decode_fake(payload: bytes) -> np.ndarray:
-        digest = hashlib.md5(payload).digest()
-        # 16 bytes -> 8 deterministic floats in [0, 1)
-        arr = np.frombuffer(digest, dtype=np.uint16).astype(np.float64)
-        return arr / 65536.0
+        # 8 deterministic floats in [0, 1): four 16-bit lanes from each md5
+        # half, in DuckDB md5_number_lower/_upper bit order (oracle-exact)
+        lo, hi = _md5_halves(payload)
+        lanes = [(lo >> (16 * j)) & 0xFFFF for j in range(4)] + [
+            (hi >> (16 * j)) & 0xFFFF for j in range(4)
+        ]
+        return np.array(lanes, dtype=np.float64) / 65536.0
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats = []
@@ -95,3 +113,203 @@ def extract_payload_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class _FeatureWiden(PayloadFeatureExtractor):
+    """Feature extraction that keeps payload metadata and emits scalar
+    feature columns — one actor-pool stage, no join (the metadata rides the
+    same row through the decode)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = super().__call__(batch)
+        v = np.stack(feats["feature"].to_numpy()).astype(np.float64)
+        out = {
+            "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+            "n_bytes": batch["payload"].map(len).astype("int64").to_numpy(),
+            "width": batch["width"].astype("int32").to_numpy(),
+            "height": batch["height"].astype("int32").to_numpy(),
+        }
+        for j in range(_FEATURE_DIM):
+            out[f"f{j}"] = v[:, j]
+        return pd.DataFrame(out)
+
+
+def payload_feature_table(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Oracle-checkable multimodal pipeline: attach payloads, decode+extract
+    through one actor pool, emit SCALAR columns (list columns don't hash
+    stably across engines). Output: doc_id, n_bytes, width, height, f0..f7."""
+    return attach_fake_payload(docs).map_batches(
+        _FeatureWiden,
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+       CAST((md5_number_lower(text) >> 0)  & 65535 AS DOUBLE) / 65536.0 AS f0,
+       CAST((md5_number_lower(text) >> 16) & 65535 AS DOUBLE) / 65536.0 AS f1,
+       CAST((md5_number_lower(text) >> 32) & 65535 AS DOUBLE) / 65536.0 AS f2,
+       CAST((md5_number_lower(text) >> 48) & 65535 AS DOUBLE) / 65536.0 AS f3,
+       CAST((md5_number_upper(text) >> 0)  & 65535 AS DOUBLE) / 65536.0 AS f4,
+       CAST((md5_number_upper(text) >> 16) & 65535 AS DOUBLE) / 65536.0 AS f5,
+       CAST((md5_number_upper(text) >> 32) & 65535 AS DOUBLE) / 65536.0 AS f6,
+       CAST((md5_number_upper(text) >> 48) & 65535 AS DOUBLE) / 65536.0 AS f7
+FROM documents
+"""
+
+
+class PayloadResizer:
+    """Actor-pool stage: resize payloads to (width, height). Real media would
+    decode-resize-reencode per format; the fake codec's deterministic stand-in
+    cycles the payload bytes to the byte budget implied by the new geometry.
+    Unknown formats fail loudly."""
+
+    def __init__(self, width: int, height: int, bytes_per_px: int = 1):
+        self.width = width
+        self.height = height
+        self.target = max(1, width * height * bytes_per_px)
+        self.resizers = {FAKE_FORMAT: self._resize_fake}
+
+    def _resize_fake(self, payload: bytes) -> bytes:
+        if not payload:
+            return b"\x00" * self.target
+        reps = -(-self.target // len(payload))  # ceil
+        return (payload * reps)[: self.target]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for fmt, payload in zip(batch["format"].to_numpy(), batch["payload"].to_numpy()):
+            fn = self.resizers.get(fmt)
+            if fn is None:
+                raise NotImplementedError(f"no resizer for format={fmt!r}")
+            out.append(fn(bytes(payload)))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "payload": out,
+                "format": batch["format"].to_numpy(),
+                "width": pd.array([self.width] * len(batch), dtype="int32"),
+                "height": pd.array([self.height] * len(batch), dtype="int32"),
+            }
+        )
+
+
+def resize_payloads(
+    payloads: ray.data.Dataset,
+    width: int,
+    height: int,
+    concurrency=(1, 4),
+    batch_size: int = 128,
+) -> ray.data.Dataset:
+    """Resize stage. Output payload size is width*height bytes per row, so the
+    batch budget shrinks with the target geometry (batch_size x target_bytes x
+    concurrency must fit worker heap)."""
+    return payloads.map_batches(
+        PayloadResizer,
+        fn_constructor_args=(width, height),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``every_n``-th fixed-size frame from a
+    "video" payload (one output row per sampled frame — a flat-map shape).
+    The fake codec treats the payload as a flat sequence of ``frame_bytes``
+    chunks (final partial chunk included); real video would seek keyframes."""
+
+    def __init__(self, frame_bytes: int = 64, every_n: int = 2):
+        self.frame_bytes = frame_bytes
+        self.every_n = every_n
+        self.samplers = {FAKE_FORMAT: self._frames_fake}
+
+    def _frames_fake(self, payload: bytes) -> list[tuple[int, bytes]]:
+        fb = self.frame_bytes
+        n_frames = -(-len(payload) // fb) if payload else 0
+        return [
+            (i, payload[i * fb : (i + 1) * fb])
+            for i in range(0, n_frames, self.every_n)
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, sigs, lens = [], [], [], []
+        for did, fmt, payload in zip(
+            batch["doc_id"].astype("int64").to_numpy(),
+            batch["format"].to_numpy(),
+            batch["payload"].to_numpy(),
+        ):
+            fn = self.samplers.get(fmt)
+            if fn is None:
+                raise NotImplementedError(f"no frame sampler for format={fmt!r}")
+            for idx, frame in fn(bytes(payload)):
+                ids.append(did)
+                idxs.append(idx)
+                lens.append(len(frame))
+                # md5_number_lower of the frame, reinterpreted int64 (oracle-
+                # matchable signature without shipping frame bytes downstream)
+                sigs.append(np.uint64(_md5_halves(frame)[0]).astype(np.int64))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_bytes": pd.Series(lens, dtype="int64"),
+                "frame_sig": pd.Series(sigs, dtype="int64"),
+            }
+        )
+
+
+def sample_frames(
+    payloads: ray.data.Dataset,
+    frame_bytes: int = 64,
+    every_n: int = 2,
+    concurrency=(1, 4),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Frame sampling over video-like payloads: one row per sampled frame
+    (doc_id, frame_idx, frame_bytes, frame_sig)."""
+    return payloads.map_batches(
+        FrameSampler,
+        fn_constructor_args=(frame_bytes, every_n),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# Frames of the fake payload are substrings of text (ASCII corpus: byte ==
+# char), so the sampled-frame table is fully SQL-reproducible: frame i covers
+# chars [i*fb+1, (i+1)*fb], signature = md5_number_lower reinterpreted to
+# BIGINT (two's complement).
+FRAME_SAMPLE_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         CAST(ceil(octet_length(encode(text)) / {frame_bytes}.0) AS BIGINT)
+           AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, n, t.i AS frame_idx
+  FROM d, unnest(range(0, n_frames)) AS t(i)
+  WHERE t.i % {every_n} = 0
+),
+s AS (
+  SELECT doc_id, frame_idx,
+         substr(text, frame_idx * {frame_bytes} + 1, {frame_bytes}) AS frame
+  FROM f
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(octet_length(encode(frame)) AS BIGINT) AS frame_bytes,
+       CAST(CASE WHEN md5_number_lower(frame) >= 9223372036854775808
+                 THEN CAST(md5_number_lower(frame) AS HUGEINT)
+                      - 18446744073709551616
+                 ELSE CAST(md5_number_lower(frame) AS HUGEINT)
+            END AS BIGINT) AS frame_sig
+FROM s
+"""

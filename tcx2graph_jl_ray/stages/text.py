@@ -217,3 +217,60 @@ SELECT source,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY source
 """
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 style, ASCII-simplified so pandas'
+# re and DuckDB's RE2 count identically): a token is an optionally
+# space-prefixed letter run, digit run, or punctuation run
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+def bpe_token_count_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Token accounting under a BPE-ish regex pre-tokenizer, alongside the
+    whitespace count — the two tokenizations a training-data pipeline
+    budgets with. Same combiner pattern as ``token_count_by_source``:
+    per-batch vectorized regex counts (compiled once by pandas' str engine),
+    one tiny final groupby. Output: source, n_docs, n_ws_tokens,
+    n_bpe_tokens."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ws = (batch["text"].str.count(" ") + 1).astype("int64")
+        bpe = batch["text"].str.count(BPE_PATTERN).astype("int64")
+        g = pd.DataFrame(
+            {"source": batch["source"], "ws": ws, "bpe": bpe}
+        ).groupby("source", sort=False)
+        return g.agg(
+            n_docs=("ws", "size"), n_ws_tokens=("ws", "sum"),
+            n_bpe_tokens=("bpe", "sum"),
+        ).reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": pd.array([int(g["n_docs"].sum())], dtype="int64"),
+                "n_ws_tokens": pd.array(
+                    [int(g["n_ws_tokens"].sum())], dtype="int64"
+                ),
+                "n_bpe_tokens": pd.array(
+                    [int(g["n_bpe_tokens"].sum())], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        docs.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents GROUP BY source
+"""

@@ -149,3 +149,85 @@ def test_simhash_properties(ray_session):
     got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
     assert (0, 1) in got
     assert (0, 20) not in got
+
+
+# --- word n-gram Jaccard join ------------------------------------------------
+
+def test_ngram_jaccard_oracle(ray_session, duck, sf_dir):
+    from tcx2graph_jl_ray.stages.dedup import (
+        NGRAM_JACCARD_SQL_TEMPLATE,
+        ngram_jaccard_join,
+    )
+
+    ds = ngram_jaccard_join(_docs(sf_dir), threshold=0.5)
+    assert_parity(ds, NGRAM_JACCARD_SQL_TEMPLATE.format(k=2, threshold=0.5), duck)
+
+
+def test_ngram_jaccard_planted(ray_session):
+    """Near-identical docs must pair; disjoint-vocab docs must not; a doc
+    shorter than k tokens falls back to its whole-token shingle."""
+    import ray.data
+    from tcx2graph_jl_ray.stages.dedup import ngram_jaccard_join
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy cat",
+                    "completely different words here entirely",
+                    "tiny",
+                    "tiny",
+                ],
+            }
+        )
+    )
+    out = ngram_jaccard_join(docs, threshold=0.5).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs  # single-token docs share their whole-text shingle
+    assert not any(3 in p for p in pairs)
+    sim12 = float(out.set_index(["a", "b"]).loc[(1, 2), "sim"])
+    assert 0.5 < sim12 < 1.0
+
+
+def test_ngram_jaccard_hot_shingle_cap(ray_session):
+    """A shingle above max_df is skipped for pair generation (the hot-key
+    guard): docs related ONLY through it produce no pair."""
+    import ray.data
+    from tcx2graph_jl_ray.stages.dedup import ngram_jaccard_join
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "text": [f"common stop phrase unique{i}" for i in range(6)],
+            }
+        )
+    )
+    capped = ngram_jaccard_join(docs, threshold=0.1, max_df=3).to_pandas()
+    assert len(capped) == 0
+    uncapped = ngram_jaccard_join(docs, threshold=0.1).to_pandas()
+    assert len(uncapped) == 15  # all pairs share the stop shingles
+
+
+def test_bpe_token_counts_oracle(ray_session, duck, sf_dir):
+    from tcx2graph_jl_ray.stages.text import (
+        BPE_TOKEN_COUNT_SQL,
+        bpe_token_count_by_source,
+    )
+
+    assert_parity(bpe_token_count_by_source(_docs(sf_dir)), BPE_TOKEN_COUNT_SQL, duck)
+
+
+def test_cosine_pairs_oracle(ray_session, duck, sf_dir):
+    import ray.data
+    from tcx2graph_jl_ray.stages.ann import (
+        COSINE_PAIRS_SQL_TEMPLATE,
+        embedding_cosine_pairs,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = embedding_cosine_pairs(emb, sf_dir, threshold=0.4)
+    assert_parity(ds, COSINE_PAIRS_SQL_TEMPLATE.format(threshold=0.4), duck)

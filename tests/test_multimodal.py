@@ -37,3 +37,55 @@ def test_unknown_format_fails_loudly():
     )
     with pytest.raises(NotImplementedError, match="jpeg"):
         PayloadFeatureExtractor()(batch)
+
+
+def test_multimodal_features_oracle(ray_session, duck, sf_dir):
+    """The full payload->actor-pool-decode->feature path is value-exact vs
+    DuckDB (md5_number_lower/_upper lane decomposition)."""
+    from tcx2graph_jl_ray.stages.multimodal import (
+        MULTIMODAL_FEATURES_SQL,
+        payload_feature_table,
+    )
+    from tests.parity import assert_parity
+
+    assert_parity(payload_feature_table(_docs(sf_dir)), MULTIMODAL_FEATURES_SQL, duck)
+
+
+def test_frame_sample_oracle(ray_session, duck, sf_dir):
+    from tcx2graph_jl_ray.stages.multimodal import (
+        FRAME_SAMPLE_SQL_TEMPLATE,
+        attach_fake_payload,
+        sample_frames,
+    )
+    from tests.parity import assert_parity
+
+    ds = sample_frames(attach_fake_payload(_docs(sf_dir)))
+    assert_parity(ds, FRAME_SAMPLE_SQL_TEMPLATE.format(frame_bytes=64, every_n=2), duck)
+
+
+def test_frame_sample_every_n_semantics(ray_session):
+    """9 frames sampled every 3 -> indices 0, 3, 6; last frame is partial."""
+    from tcx2graph_jl_ray.stages.multimodal import FrameSampler
+
+    batch = pd.DataFrame(
+        {"doc_id": [7], "payload": [b"x" * 402], "format": ["fake"]}
+    )
+    out = FrameSampler(frame_bytes=64, every_n=3)(batch)
+    assert list(out["frame_idx"]) == [0, 3, 6]
+    assert list(out["frame_bytes"]) == [64, 64, 18]  # 402 = 6*64 + 18
+
+
+def test_resize_payloads(ray_session, sf_dir):
+    from tcx2graph_jl_ray.stages.multimodal import (
+        PayloadResizer,
+        attach_fake_payload,
+        resize_payloads,
+    )
+
+    resized = resize_payloads(attach_fake_payload(_docs(sf_dir)), 32, 8).to_pandas()
+    assert (resized["payload"].map(len) == 32 * 8).all()
+    assert (resized["width"] == 32).all() and (resized["height"] == 8).all()
+    with pytest.raises(NotImplementedError, match="png"):
+        PayloadResizer(4, 4)(
+            pd.DataFrame({"doc_id": [1], "payload": [b"ab"], "format": ["png"]})
+        )

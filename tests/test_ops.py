@@ -177,3 +177,46 @@ def test_clean_impute_even_count_median_interpolates(ray_session):
         drop_threshold=0.9,
     )
     assert report2["global_fill"]["score"] == 6.0  # (2 + 10) / 2
+
+
+# --- IVF ANN -----------------------------------------------------------------
+
+def test_ann_ivf_oracle(ray_session, duck, sf_dir):
+    """Seeded-anchor IVF is value-exact vs the inlined-centroid DuckDB oracle."""
+    from tcx2graph_jl_ray.stages.ann import ann_ivf_sql, ann_ivf_topk
+
+    ds = ann_ivf_topk(_embeddings(sf_dir), sf_dir, 8, 10)
+    assert_parity(ds, ann_ivf_sql(8, 10), duck)
+
+
+def test_ann_ivf_full_probe_equals_brute(ray_session, sf_dir):
+    """Probing every cell must reproduce the exact brute-force ranking —
+    the IVF machinery's correctness invariant independent of cell quality."""
+    from tcx2graph_jl_ray.stages.ann import ann_ivf_topk
+
+    brute = to_pandas(ann_brute_topk(_embeddings(sf_dir), sf_dir, 8, 10))
+    full = to_pandas(
+        ann_ivf_topk(_embeddings(sf_dir), sf_dir, 8, 10, n_cells=16, nprobe=16)
+    )
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        brute.sort_values(key).reset_index(drop=True),
+        full.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_ann_ivf_trained_centroids_recall(ray_session, sf_dir):
+    """Distributed k-means centroids give usable recall at nprobe=4/16, and
+    training is deterministic."""
+    from tcx2graph_jl_ray.stages.ann import ann_ivf_topk, train_ivf_centroids
+
+    emb = _embeddings(sf_dir)
+    cent = train_ivf_centroids(emb, n_cells=16, n_iters=3)
+    cent2 = train_ivf_centroids(emb, n_cells=16, n_iters=3)
+    assert np.allclose(cent, cent2)
+    brute = to_pandas(ann_brute_topk(emb, sf_dir, 8, 10))
+    ivf = to_pandas(ann_ivf_topk(emb, sf_dir, 8, 10, centroids=cent, nprobe=4))
+    bs = set(zip(brute["query_id"], brute["vec_id"]))
+    vs = set(zip(ivf["query_id"], ivf["vec_id"]))
+    assert len(bs & vs) / len(bs) >= 0.4
