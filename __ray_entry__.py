@@ -49,11 +49,11 @@ _NGRAM_TAU = 0.5
 _COSINE_TAU = 0.4
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
-# check for these. Only the minhash clustering remains here: its per-shingle
-# hash family (pandas hash_pandas_object) is not SQL-reproducible, so it is
-# gated by planted-cluster ground-truth tests instead
-# (tests/test_dedup_text.py). simhash + LSH-ANN gained full value-exact
-# DuckDB oracles (md5-based token hash / inlined deterministic hyperplanes).
+# check for these. Only the minhash CLUSTERING remains here: its connected-
+# components step is iterative (not ANSI-SQL single-query expressible). The
+# candidate+verify path that feeds it IS oracle-exact (dedup_minhash_pairs:
+# md5-based sketch reproduced in SQL), and the clustering itself is gated by
+# planted-cluster ground-truth tests (tests/test_dedup_text.py).
 ROWS_ONLY_QUERIES = frozenset({"dedup_minhash_clusters"})
 
 
@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), _CHARSET_TAU
         ),
         "dedup_minhash_clusters": lambda sf: _dd.neardup_minhash(_docs(sf)),
+        "dedup_minhash_pairs": lambda sf: _dd.neardup_minhash_pairs(_docs(sf)),
         "dedup_simhash": lambda sf: _dd.simhash_table(_docs(sf)),
         "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: _dd.ngram_jaccard_join(
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _mm.FRAME_SAMPLE_SQL_TEMPLATE.format(
             frame_bytes=64, every_n=2
         ),
+        "dedup_minhash_pairs": _dd.minhash_pairs_sql(),
         "dedup_simhash": _dd.SIMHASH_SQL,
         "dedup_simhash_pairs": _dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(
             simhash=_dd.SIMHASH_SQL, max_hamming=3

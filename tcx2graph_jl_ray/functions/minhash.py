@@ -70,7 +70,10 @@ def minhash_signatures(
     exploded = exploded[exploded["sh"].notna()]
     if not len(exploded):
         return pd.DataFrame({"doc_id": pd.Series([], dtype=doc_ids.dtype), "sig": []})
-    h = token_hashes(exploded["sh"].astype(str))
+    # md5-derived base hash: the whole sketch (mins, band keys) becomes
+    # value-reproducible by a DuckDB oracle (md5_number_lower + HUGEINT
+    # modular arithmetic, stages/dedup.py::minhash_pairs_sql)
+    h = token_hashes_md5(exploded["sh"].astype(str))
     a, b = _perm_params(num_perm, seed)
     # (n, p): ((a * h + b) mod 2^64) is a fine universal-ish family here
     m = (h[:, None] * a[None, :] + b[None, :])  # uint64 wraparound

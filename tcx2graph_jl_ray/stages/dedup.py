@@ -216,25 +216,13 @@ def _verify_pairs_join(
     return bucketed_group_apply(attached, ["a", "b"], verify_bucket)
 
 
-def neardup_minhash(
-    docs: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+def _candidate_pairs(
+    docs: ray.data.Dataset, config: PipelineConfig
 ) -> ray.data.Dataset:
-    """MinHash-LSH near-duplicate clustering.
-
-    shingle -> minhash (actor pool) -> explode band keys -> groupby(band)
-    candidate pairs (capped per band: hot-band guard) -> true word-shingle
-    Jaccard verify -> connected components (min-label propagation) ->
-    Output: doc_id, cluster_id (min doc_id of the component).
-
-    The verify is a **bucketed hash join** of candidate pairs against the
-    docs table on doc_id — never a driver materialization or whole-corpus
-    broadcast (the two-phase candidate/verify split of the reference,
-    src/OverlappingSegmentsUtils.jl:173-209 vs :222-274). Candidate doc ids
-    are broadcast as a fixed-budget Bloom filter that prefilters the text
-    carriers (a superset — the join itself is exact), so only ~matched texts
-    are shuffled; pair groups then verify true word-shingle Jaccard
-    group-side with per-doc shingle memoization.
-    """
+    """MinHash-LSH candidate pairs: shingle -> signature (actor pool) ->
+    banded blocking -> per-band pair generation (hot-band cap) -> distinct
+    (a, b). The materialize pins the bounded candidate set: it feeds both the
+    Bloom build and the verify join."""
     sigs = docs.map_batches(
         _Signatures,
         fn_constructor_args=(config.minhash_num_perm, config.minhash_bands,
@@ -275,15 +263,115 @@ def neardup_minhash(
         ["band"],
         pairs_in_bucket,
     )
-    # materialize the (bounded) candidate set: it feeds both the Bloom build
-    # and the join, and an unpinned Dataset would re-run banding per consumer
-    pairs = bucketed_group_apply(
+    return bucketed_group_apply(
         pairs, ["a", "b"], lambda b: b.drop_duplicates(["a", "b"])
     ).materialize()
 
-    verified = _verify_pairs_join(
+
+def neardup_minhash_pairs(
+    docs: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Verified MinHash near-dup pairs: banded candidates, then true
+    word-shingle Jaccard >= threshold via the bucketed hash join. Output:
+    a, b (a < b) — value-exact vs the ``minhash_pairs_sql`` DuckDB oracle
+    (md5-based hash family, inlined permutation parameters, band-tuple
+    equality; the engine's FNV band fingerprint can only ADD candidates on a
+    64-bit collision, which the exact verify then removes)."""
+    pairs = _candidate_pairs(docs, config)
+    return _verify_pairs_join(
         pairs, docs, config.jaccard_threshold, config.shingle_size
     )
+
+
+def minhash_pairs_sql(config: PipelineConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB oracle for ``neardup_minhash_pairs``: reproduces the exact
+    sketch — md5_number_lower base hash, (a*h + b) mod 2^64 permutations in
+    HUGEINT (a < 2^61 so the product fits), per-doc per-permutation MIN,
+    band = permutation block, candidates share a band's full value tuple,
+    verify = distinct-word-shingle Jaccard >= threshold."""
+    from tcx2graph_jl_ray.functions.minhash import _perm_params
+
+    num_perm = config.minhash_num_perm
+    bands = config.minhash_bands
+    r = num_perm // bands
+    k = config.shingle_size
+    tau = config.jaccard_threshold
+    a, b = _perm_params(num_perm)
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+        for j in range(num_perm)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(l) >= {k} THEN array_to_string(l[i:i+{k}-1], ' ')
+              ELSE array_to_string(l, ' ') END AS shingle
+  FROM tk, unnest(CASE WHEN len(l) >= {k} THEN range(1, len(l) - {k} + 2)
+                       ELSE [1] END) AS t(i)
+  WHERE len(l) > 0
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+h AS (
+  SELECT doc_id, shingle, CAST(md5_number_lower(shingle) AS HUGEINT) AS h
+  FROM sh
+),
+perms(j, pa, pb) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT doc_id, j,
+         MIN((pa * h + pb) % 18446744073709551616::HUGEINT) AS v
+  FROM h CROSS JOIN perms
+  GROUP BY doc_id, j
+),
+bandkeys AS (
+  SELECT doc_id, j // {r} AS band, LIST(v ORDER BY j) AS key
+  FROM sig GROUP BY doc_id, j // {r}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b
+FROM inter
+JOIN cnt ca ON ca.doc_id = inter.a
+JOIN cnt cb ON cb.doc_id = inter.b
+WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {tau}
+"""
+
+
+def neardup_minhash(
+    docs: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """MinHash-LSH near-duplicate clustering.
+
+    shingle -> minhash (actor pool) -> explode band keys -> groupby(band)
+    candidate pairs (capped per band: hot-band guard) -> true word-shingle
+    Jaccard verify -> connected components (min-label propagation) ->
+    Output: doc_id, cluster_id (min doc_id of the component).
+
+    The verify is a **bucketed hash join** of candidate pairs against the
+    docs table on doc_id — never a driver materialization or whole-corpus
+    broadcast (the two-phase candidate/verify split of the reference,
+    src/OverlappingSegmentsUtils.jl:173-209 vs :222-274). Candidate doc ids
+    are broadcast as a fixed-budget Bloom filter that prefilters the text
+    carriers (a superset — the join itself is exact), so only ~matched texts
+    are shuffled; pair groups then verify true word-shingle Jaccard
+    group-side with per-doc shingle memoization.
+    """
+    verified = neardup_minhash_pairs(docs, config)
 
     # reuse the distributed component machinery on stringified doc ids
     from tcx2graph_jl_ray.stages.canonicalize import connected_components

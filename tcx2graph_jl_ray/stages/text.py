@@ -47,42 +47,49 @@ def _token_frame(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def quality_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch quality features (row-aligned with the input batch) — shared
+    by the ``quality_stats`` Dataset op and the corpus pipeline's inline
+    annotator."""
+    return _quality_stats_batch(batch)
+
+
 def quality_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc quality features: doc_id, n_chars, n_tokens, n_types,
     stopword_ratio, mean_token_len."""
-
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"]
-        n_chars = text.str.len().astype("int64")
-        n_tokens = (text.str.count(" ") + 1).astype("int64")
-        nospace = text.str.replace(" ", "", regex=False).str.len().astype("int64")
-
-        tf = _token_frame(batch)
-        types = tf.groupby("row")["tok"].nunique()
-        n_types = (
-            pd.Series(0, index=range(len(batch)))
-            .add(types, fill_value=0)
-            .astype("int64")
-        )
-        stops = tf[tf["tok"].isin(STOPWORDS)].groupby("row").size()
-        n_stop = (
-            pd.Series(0, index=range(len(batch)))
-            .add(stops, fill_value=0)
-            .astype("int64")
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
-                "n_chars": n_chars.to_numpy(),
-                "n_tokens": n_tokens.to_numpy(),
-                "n_types": n_types.to_numpy(),
-                "stopword_ratio": (n_stop.to_numpy() / n_tokens.to_numpy()),
-                "mean_token_len": (nospace.to_numpy() / n_tokens.to_numpy()),
-            }
-        )
-
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        stats, batch_format="pandas", batch_size=8192
+        _quality_stats_batch, batch_format="pandas", batch_size=8192
+    )
+
+
+def _quality_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"]
+    n_chars = text.str.len().astype("int64")
+    n_tokens = (text.str.count(" ") + 1).astype("int64")
+    nospace = text.str.replace(" ", "", regex=False).str.len().astype("int64")
+
+    tf = _token_frame(batch)
+    types = tf.groupby("row")["tok"].nunique()
+    n_types = (
+        pd.Series(0, index=range(len(batch)))
+        .add(types, fill_value=0)
+        .astype("int64")
+    )
+    stops = tf[tf["tok"].isin(STOPWORDS)].groupby("row").size()
+    n_stop = (
+        pd.Series(0, index=range(len(batch)))
+        .add(stops, fill_value=0)
+        .astype("int64")
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+            "n_chars": n_chars.to_numpy(),
+            "n_tokens": n_tokens.to_numpy(),
+            "n_types": n_types.to_numpy(),
+            "stopword_ratio": (n_stop.to_numpy() / n_tokens.to_numpy()),
+            "mean_token_len": (nospace.to_numpy() / n_tokens.to_numpy()),
+        }
     )
 
 
@@ -102,27 +109,32 @@ FROM toks
 """
 
 
+def lang_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch language guess (row-aligned with the input batch)."""
+    return _lang_id_batch(batch)
+
+
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Marker-word language guesser: per doc the language whose marker words
     hit most tokens (first-wins tie-break in LANG_ORDER; 'und' when zero).
     Output: doc_id, lang_pred."""
-
-    def guess(batch: pd.DataFrame) -> pd.DataFrame:
-        tf = _token_frame(batch)
-        n = len(batch)
-        scores = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
-        for li, lang in enumerate(LANG_ORDER):
-            hits = tf[tf["tok"].isin(LANG_MARKERS[lang])].groupby("row").size()
-            scores[hits.index.to_numpy(), li] = hits.to_numpy()
-        best = scores.argmax(axis=1)  # argmax returns FIRST max -> LANG_ORDER tie-break
-        pred = np.array(LANG_ORDER, dtype=object)[best]
-        pred[scores.max(axis=1) == 0] = "und"
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"].astype("int64").to_numpy(), "lang_pred": pred}
-        )
-
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        guess, batch_format="pandas", batch_size=8192
+        _lang_id_batch, batch_format="pandas", batch_size=8192
+    )
+
+
+def _lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    tf = _token_frame(batch)
+    n = len(batch)
+    scores = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+    for li, lang in enumerate(LANG_ORDER):
+        hits = tf[tf["tok"].isin(LANG_MARKERS[lang])].groupby("row").size()
+        scores[hits.index.to_numpy(), li] = hits.to_numpy()
+    best = scores.argmax(axis=1)  # argmax returns FIRST max -> LANG_ORDER tie-break
+    pred = np.array(LANG_ORDER, dtype=object)[best]
+    pred[scores.max(axis=1) == 0] = "und"
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"].astype("int64").to_numpy(), "lang_pred": pred}
     )
 
 

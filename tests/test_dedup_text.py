@@ -231,3 +231,12 @@ def test_cosine_pairs_oracle(ray_session, duck, sf_dir):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     ds = embedding_cosine_pairs(emb, sf_dir, threshold=0.4)
     assert_parity(ds, COSINE_PAIRS_SQL_TEMPLATE.format(threshold=0.4), duck)
+
+
+def test_minhash_pairs_oracle(ray_session, duck, sf_dir):
+    """The full MinHash candidate+verify path (md5 sketch, banded blocking,
+    Jaccard verify) is value-exact vs the generated DuckDB oracle."""
+    from tcx2graph_jl_ray.stages.dedup import minhash_pairs_sql, neardup_minhash_pairs
+
+    ds = neardup_minhash_pairs(_docs(sf_dir))
+    assert_parity(ds, minhash_pairs_sql(), duck)
