@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(
             derive_transcripts(sf)
         ),
+        "kg_cumulative_tokens_chunked": lambda sf: _gr.cumulative_tokens_chunked(
+            derive_transcripts(sf), chunk_turns=16
+        ),
         "kg_conv_dynamics": lambda sf: _an.conv_dynamics(derive_transcripts(sf)),
         "kg_convs_in_window": lambda sf: _an.convs_in_window(
             derive_transcripts(sf), "2024-01-01", "2024-01-03"
@@ -215,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _rel.revenue_by_segment,
         "events_median_value": _rel.median_value_by_type,
         "top_customers": lambda sf: _rel.top_customers(sf, 10),
+        "revenue_rollup": _rel.revenue_rollup,
     }
 
 
@@ -261,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
             transcripts=TRANSCRIPTS_SQL
         ),
         "kg_cumulative_tokens": _gr.CUMULATIVE_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_cumulative_tokens_chunked": _gr.CUMULATIVE_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),
         "kg_conv_dynamics": _an.CONV_DYNAMICS_SQL_TEMPLATE.format(
@@ -328,4 +335,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_segment": _rel.REVENUE_BY_SEGMENT_SQL,
         "events_median_value": _rel.MEDIAN_VALUE_SQL,
         "top_customers": _rel.TOP_CUSTOMERS_SQL_TEMPLATE.format(k=10),
+        "revenue_rollup": _rel.REVENUE_ROLLUP_SQL,
     }

@@ -169,6 +169,104 @@ def cumulative_tokens(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def cumulative_tokens_chunked(
+    transcripts: ray.data.Dataset, chunk_turns: int = 65536
+) -> ray.data.Dataset:
+    """Whale-safe per-conversation prefix sum: identical output to
+    ``cumulative_tokens``, but a conversation is never required to fit one
+    worker. The classic two-phase split:
+
+    1. **Offsets** (tiny): per-batch partial sums of ``n_chars`` per
+       ``(conv_id, chunk)`` where ``chunk = turn_idx // chunk_turns``
+       (order-independent, so a plain combiner), then one per-conv prefix
+       over its CHUNK TOTALS — a table 1/chunk_turns the size of the data.
+    2. **Data** (one shuffle): rows + offset rows meet in ``(conv_id,
+       chunk)`` buckets; each chunk sorts locally, cumsums, and adds its
+       conversation-prefix offset.
+
+    The shuffle key carries the chunk, so a conversation larger than a
+    worker splits across buckets — the salting answer for giant ordered
+    groups (per-conv windows elsewhere assume a conv fits a worker; this is
+    the pattern to reach for when one doesn't).
+    Output: conv_id, turn_idx, n_chars, cum_chars."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    src = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+
+    def partial_totals(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "chunk": (batch["turn_idx"].astype("int64") // chunk_turns),
+                "total": batch["text"].str.len().astype("int64"),
+            }
+        )
+        return df.groupby(["conv_id", "chunk"], sort=False, as_index=False).sum()
+
+    def conv_offsets(bucket: pd.DataFrame) -> pd.DataFrame:
+        # per conv: final chunk totals, then exclusive prefix -> offsets
+        t = bucket.groupby(["conv_id", "chunk"], sort=False, as_index=False)[
+            "total"
+        ].sum()
+        t = t.sort_values(["conv_id", "chunk"], kind="mergesort")
+        csum = t.groupby("conv_id", sort=False)["total"].cumsum()
+        t["offset"] = (csum - t["total"]).astype("int64")
+        return t[["conv_id", "chunk", "offset"]]
+
+    offsets = bucketed_group_apply(
+        src.map_batches(partial_totals, batch_format="pandas", batch_size=16384),
+        ["conv_id"],
+        conv_offsets,
+    )
+
+    def tag_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "chunk": (batch["turn_idx"].astype("int64") // chunk_turns),
+                "turn_idx": batch["turn_idx"].astype("int32"),
+                "n_chars": batch["text"].str.len().astype("int64"),
+                "offset": pd.array([-1] * len(batch), dtype="int64"),
+            }
+        )
+
+    def tag_offsets(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "chunk": batch["chunk"].astype("int64"),
+                "turn_idx": pd.array([-1] * len(batch), dtype="int32"),
+                "n_chars": pd.array([0] * len(batch), dtype="int64"),
+                "offset": batch["offset"].astype("int64"),
+            }
+        )
+
+    def apply_chunk(bucket: pd.DataFrame) -> pd.DataFrame:
+        off = bucket[bucket["turn_idx"] < 0].set_index(["conv_id", "chunk"])[
+            "offset"
+        ]
+        rows = bucket[bucket["turn_idx"] >= 0]
+        g = rows.sort_values(["conv_id", "chunk", "turn_idx"], kind="mergesort")
+        local = g.groupby(["conv_id", "chunk"], sort=False)["n_chars"].cumsum()
+        base = off.reindex(
+            pd.MultiIndex.from_arrays([g["conv_id"], g["chunk"]])
+        ).fillna(0).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"].astype("int32"),
+                "n_chars": g["n_chars"],
+                "cum_chars": (local.to_numpy() + base).astype("int64"),
+            }
+        )
+
+    rows = src.map_batches(tag_rows, batch_format="pandas", batch_size=16384)
+    offs = offsets.map_batches(tag_offsets, batch_format="pandas")
+    return bucketed_group_apply(
+        rows.union(offs), ["conv_id", "chunk"], apply_chunk
+    )
+
+
 CUMULATIVE_SQL_TEMPLATE = """
 WITH t AS ({transcripts})
 SELECT conv_id, turn_idx,

@@ -283,3 +283,107 @@ FROM spend s JOIN customer c ON s.c_custkey = c.c_custkey
 ORDER BY s.spend DESC, s.c_custkey
 LIMIT {k}
 """
+
+
+def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Order revenue at three grains in one result — (region, nation),
+    per-region subtotal, grand total — the ROLLUP shape. The combiner runs
+    once at the finest grain (one streaming pass over orders, broadcast
+    dimension chain); coarser grains are re-aggregated from the tiny
+    finest-grain table (25 rows), never from a second scan. 'ALL' marks the
+    rolled-up level. Output: r_name, n_name, revenue, n_orders."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    lookup_ref = ray.put(
+        {
+            "n": dict(zip(dim["c_custkey"], dim["n_name"])),
+            "r": dict(zip(dim["c_custkey"], dim["r_name"])),
+        }
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class _Partial:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame(
+                {
+                    "r_name": batch["o_custkey"].map(self.lookup["r"]),
+                    "n_name": batch["o_custkey"].map(self.lookup["n"]),
+                    "price": batch["o_totalprice"],
+                }
+            ).groupby(["r_name", "n_name"], sort=False)
+            return g.agg(
+                revenue=("price", "sum"), n_orders=("price", "size")
+            ).reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": [g["r_name"].iloc[0]],
+                "n_name": [g["n_name"].iloc[0]],
+                "revenue": [float(g["revenue"].sum())],
+                "n_orders": pd.array([int(g["n_orders"].sum())], dtype="int64"),
+            }
+        )
+
+    leaf = (
+        orders.map_batches(
+            _Partial, fn_constructor_args=(lookup_ref,), batch_format="pandas",
+            batch_size=65536, concurrency=(1, 4),
+        )
+        .groupby(["r_name", "n_name"])
+        .map_groups(final, batch_format="pandas")
+    ).to_pandas()  # finest grain: |regions| x |nations| rows — tiny
+
+    leaf = leaf.sort_values(["r_name", "n_name"], kind="mergesort")
+    by_region = (
+        leaf.groupby("r_name", sort=True, as_index=False)
+        .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+        .assign(n_name="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "r_name": ["ALL"],
+            "n_name": ["ALL"],
+            "revenue": [by_region["revenue"].sum()],
+            "n_orders": pd.array([int(by_region["n_orders"].sum())], dtype="int64"),
+        }
+    )
+    out = pd.concat(
+        [leaf, by_region[["r_name", "n_name", "revenue", "n_orders"]], grand],
+        ignore_index=True,
+    )
+    out["revenue"] = out["revenue"].map(lambda v: round(float(v), 2))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(r.r_name, 'ALL') AS r_name,
+       COALESCE(n.n_name, 'ALL') AS n_name,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""

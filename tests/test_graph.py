@@ -79,3 +79,44 @@ def test_simplify_conversations_douglas_peucker(ray_session):
     assert 5 in spike and 0 in spike and 9 in spike
     jitter = out[out.conv_id == "jitter"]["turn_idx"].tolist()
     assert jitter == [0, 9]
+
+
+def test_cumulative_tokens_chunked_parity(ray_session, sf_dir, duck):
+    """Chunked two-phase prefix sum == plain per-conv prefix sum == oracle,
+    with chunks small enough that every conversation actually splits."""
+    from tcx2graph_jl_ray.sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts
+    from tcx2graph_jl_ray.stages.graph import (
+        CUMULATIVE_SQL_TEMPLATE,
+        cumulative_tokens_chunked,
+    )
+    from tests.parity import assert_parity
+
+    ds = cumulative_tokens_chunked(derive_transcripts(sf_dir), chunk_turns=4)
+    assert_parity(
+        ds, CUMULATIVE_SQL_TEMPLATE.format(transcripts=TRANSCRIPTS_SQL), duck
+    )
+
+
+def test_cumulative_tokens_chunked_whale(ray_session):
+    """A single 50k-turn conversation (larger than any one chunk) sums
+    correctly across chunk boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from tcx2graph_jl_ray.stages.graph import cumulative_tokens_chunked
+
+    n = 50_000
+    texts = ["x" * ((i * 7) % 13 + 1) for i in range(n)]
+    whale = pd.DataFrame(
+        {"conv_id": "whale", "turn_idx": pd.array(range(n), dtype="int32"),
+         "text": texts}
+    )
+    out = (
+        cumulative_tokens_chunked(ray.data.from_pandas(whale), chunk_turns=1000)
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    lens = np.array([len(t) for t in texts], dtype="int64")
+    assert (out["n_chars"].to_numpy() == lens).all()
+    assert (out["cum_chars"].to_numpy() == lens.cumsum()).all()

@@ -220,3 +220,9 @@ def test_ann_ivf_trained_centroids_recall(ray_session, sf_dir):
     bs = set(zip(brute["query_id"], brute["vec_id"]))
     vs = set(zip(ivf["query_id"], ivf["vec_id"]))
     assert len(bs & vs) / len(bs) >= 0.4
+
+
+def test_revenue_rollup_oracle(ray_session, duck, sf_dir):
+    from tcx2graph_jl_ray.stages.relational import REVENUE_ROLLUP_SQL, revenue_rollup
+
+    assert_parity(revenue_rollup(sf_dir), REVENUE_ROLLUP_SQL, duck)
