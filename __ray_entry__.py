@@ -139,6 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
+        "kg_entity_degree_stats": lambda sf: _an.entity_degree_stats(
+            _transitions(sf)
+        ),
+        "kg_entity_pagerank": lambda sf: _an.entity_pagerank(_transitions(sf)),
         "kg_paths_k3": lambda sf: _an.khop_paths(_transitions(sf), 3, _REACH_MIN_N),
         "kg_conv_digests": lambda sf: _gr.conv_digests(derive_transcripts(sf)),
         "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(
@@ -178,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: _dd.ngram_jaccard_join(
             _docs(sf), _NGRAM_TAU
+        ),
+        "dedup_contamination": lambda sf: _dd.contamination_check(
+            _docs(sf), "src0", 5
         ),
         "multimodal_features": lambda sf: _mm.payload_feature_table(_docs(sf)),
         "multimodal_frames": lambda sf: _mm.sample_frames(
@@ -249,6 +256,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
         ),
+        "kg_entity_degree_stats": _an.DEGREE_STATS_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            )
+        ),
+        "kg_entity_pagerank": _an.pagerank_sql(
+            _an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            )
+        ),
         "kg_reachable": _an.REACHABLE_SQL_TEMPLATE.format(
             transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
@@ -314,6 +331,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann.ann_lsh_sql(_ANN_NQ, _ANN_K),
         "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=2, threshold=_NGRAM_TAU
+        ),
+        "dedup_contamination": _dd.CONTAMINATION_SQL_TEMPLATE.format(
+            k=5, benchmark_source="src0"
         ),
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": _mm.FRAME_SAMPLE_SQL_TEMPLATE.format(

@@ -36,6 +36,14 @@ from tcx2graph_jl_ray.functions.minhash import (
 )
 
 
+def _nonnull_text(batch: pd.DataFrame) -> pd.DataFrame:
+    """Dirty-input contract: rows with null text are dropped at the operator
+    boundary (the presence-filter M2 recast, src/TCXParser.jl:58 — a point
+    without coordinates is skipped, not an error). Every SQL oracle filters
+    identically (``WHERE text IS NOT NULL``)."""
+    return batch[batch["text"].notna()]
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -46,7 +54,7 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     Output: doc_id, n_copies."""
 
     def add_digest(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+        batch = _nonnull_text(batch).copy()
         # internal shuffle key only (equality re-verified group-side), so a
         # process-stable vectorized hash replaces the per-row md5 loop
         batch["digest"] = pd.util.hash_pandas_object(
@@ -75,7 +83,7 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 EXACT_DEDUP_SQL = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY text
+FROM documents WHERE text IS NOT NULL GROUP BY text
 """
 
 
@@ -91,6 +99,7 @@ class _Signatures:
         self.k = shingle_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
         sh = word_shingles(batch["text"], self.k)
         sig = minhash_signatures(
             batch["doc_id"].to_numpy(), sh, num_perm=self.num_perm
@@ -304,7 +313,7 @@ def minhash_pairs_sql(config: PipelineConfig = DEFAULT_CONFIG) -> str:
     return f"""
 WITH tk AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -407,6 +416,7 @@ def simhash_table(docs: ray.data.Dataset) -> ray.data.Dataset:
     (bit-reinterpreted from uint64 for Arrow)."""
 
     def sh(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
@@ -485,6 +495,7 @@ def simhash_neardup_pairs(
 SIMHASH_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+  WHERE text IS NOT NULL
 ),
 h AS (
   SELECT doc_id, md5_number_lower(tok) AS h FROM toks WHERE tok != ''
@@ -507,6 +518,7 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                  THEN sh.u - 18446744073709551616
                  ELSE COALESCE(sh.u, 0) END AS BIGINT) AS simhash
 FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+WHERE d.text IS NOT NULL
 """
 
 SIMHASH_PAIRS_SQL_TEMPLATE = """
@@ -559,6 +571,10 @@ def charset_similarity_join(
     )
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        # null AND empty texts excluded: an empty doc has no character set
+        # (DuckDB's jaccard likewise rejects empty arguments)
+        g = _nonnull_text(g)
+        g = g[g["text"].str.len() > 0]
         n = len(g)
         if n < 2 or n > max_block:
             return EMPTY
@@ -608,9 +624,20 @@ def charset_similarity_join(
                     )
         return pd.concat(out, ignore_index=True) if out else EMPTY
 
-    return docs.select_columns(["doc_id", "source", "text"]).groupby(
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+
+    out = docs.select_columns(["doc_id", "source", "text"]).groupby(
         "source"
     ).map_groups(per_block, batch_format="pandas")
+    # pin the schema: an all-empty result (no qualifying pair anywhere) must
+    # keep its columns through Ray's empty-block degradation
+    return with_schema(
+        out,
+        [("source", pa.string()), ("a", pa.int64()), ("b", pa.int64()),
+         ("sim", pa.float64())],
+    )
 
 
 CHARSET_JOIN_SQL_TEMPLATE = """
@@ -620,7 +647,9 @@ SELECT d1.source AS source,
        jaccard(d1.text, d2.text) AS sim
 FROM documents d1
 JOIN documents d2 ON d1.source = d2.source AND d1.doc_id < d2.doc_id
-WHERE jaccard(d1.text, d2.text) >= {threshold}
+WHERE d1.text IS NOT NULL AND d2.text IS NOT NULL
+  AND d1.text <> '' AND d2.text <> ''
+  AND jaccard(d1.text, d2.text) >= {threshold}
 """
 
 
@@ -662,6 +691,7 @@ def ngram_jaccard_join(
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids_out, sh_out, n_out = [], [], []
+        batch = _nonnull_text(batch)
         for did, txt in zip(
             batch["doc_id"].astype("int64").to_numpy(), batch["text"].to_numpy()
         ):
@@ -729,7 +759,7 @@ def ngram_jaccard_join(
 NGRAM_JACCARD_SQL_TEMPLATE = """
 WITH tk AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -752,4 +782,81 @@ FROM inter
 JOIN cnt ca ON ca.doc_id = inter.a
 JOIN cnt cb ON cb.doc_id = inter.b
 WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {threshold}
+"""
+
+
+# --- benchmark contamination check -------------------------------------------
+
+def contamination_check(
+    docs: ray.data.Dataset,
+    benchmark_source: str = "src0",
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Training-data decontamination: flag corpus docs sharing any word
+    ``k``-gram with the benchmark/eval set (here: docs whose ``source`` is
+    ``benchmark_source``). The benchmark side is SMALL by nature (eval sets),
+    so its distinct shingle set is built streaming on the driver and
+    broadcast once (``ray.put``) — the canonical broadcast-small-side rule;
+    the corpus streams through one vectorized flag map, no shuffle at all.
+    Output: doc_id, n_overlap (distinct shared k-grams, >= 1) for
+    non-benchmark docs. Value-exact vs ``CONTAMINATION_SQL_TEMPLATE``."""
+    bench_sh: set = set()
+    bench = docs.select_columns(["doc_id", "source", "text"]).filter(
+        expr=f"source == '{benchmark_source}'"
+    )
+    for b in bench.iter_batches(batch_size=8192, batch_format="pandas"):
+        for t in b["text"].dropna().to_numpy():
+            bench_sh |= _word_shingle_set(t, k)
+    ref = ray.put(bench_sh)
+    kk = k
+
+    class _Flag:
+        def __init__(self, r):
+            self.bench = ray.get(r)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = _nonnull_text(batch)
+            batch = batch[batch["source"] != benchmark_source]
+            ids, hits = [], []
+            for did, txt in zip(
+                batch["doc_id"].astype("int64").to_numpy(),
+                batch["text"].to_numpy(),
+            ):
+                n = len(_word_shingle_set(txt, kk) & self.bench)
+                if n:
+                    ids.append(did)
+                    hits.append(n)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_overlap": pd.Series(hits, dtype="int64"),
+                }
+            )
+
+    return docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        _Flag, fn_constructor_args=(ref,), batch_format="pandas",
+        batch_size=4096, concurrency=(1, 8),
+    )
+
+
+CONTAMINATION_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         CASE WHEN len(l) >= {k} THEN array_to_string(l[i:i+{k}-1], ' ')
+              ELSE array_to_string(l, ' ') END AS shingle
+  FROM tk, unnest(CASE WHEN len(l) >= {k} THEN range(1, len(l) - {k} + 2)
+                       ELSE [1] END) AS t(i)
+  WHERE len(l) > 0
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{benchmark_source}')
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_overlap
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.source != '{benchmark_source}'
+GROUP BY s.doc_id
 """

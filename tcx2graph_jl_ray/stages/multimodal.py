@@ -46,6 +46,8 @@ def attach_fake_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     the text column, standing in for real image bytes."""
 
     def make(batch: pd.DataFrame) -> pd.DataFrame:
+        # dirty-input contract: null-text rows dropped (oracles filter too)
+        batch = batch[batch["text"].notna()]
         payload = [t.encode() for t in batch["text"].to_numpy()]
         return pd.DataFrame(
             {
@@ -159,7 +161,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((md5_number_upper(text) >> 16) & 65535 AS DOUBLE) / 65536.0 AS f5,
        CAST((md5_number_upper(text) >> 32) & 65535 AS DOUBLE) / 65536.0 AS f6,
        CAST((md5_number_upper(text) >> 48) & 65535 AS DOUBLE) / 65536.0 AS f7
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -291,7 +293,7 @@ WITH d AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
          CAST(ceil(octet_length(encode(text)) / {frame_bytes}.0) AS BIGINT)
            AS n_frames
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 f AS (
   SELECT doc_id, text, n, t.i AS frame_idx

@@ -35,6 +35,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "es", "de", "fr", "zh")
 
 
+
+def _nonnull_text(batch: pd.DataFrame) -> pd.DataFrame:
+    """Dirty-input contract: null-text rows are dropped at the operator
+    boundary; every SQL oracle filters identically."""
+    return batch[batch["text"].notna()]
+
+
 def _token_frame(batch: pd.DataFrame) -> pd.DataFrame:
     """Explode lowercase ' '-split tokens -> (row, tok); vectorized counting
     substrate shared by the operators below."""
@@ -58,7 +65,8 @@ def quality_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc quality features: doc_id, n_chars, n_tokens, n_types,
     stopword_ratio, mean_token_len."""
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        _quality_stats_batch, batch_format="pandas", batch_size=8192
+        lambda b: _quality_stats_batch(_nonnull_text(b)),
+        batch_format="pandas", batch_size=8192,
     )
 
 
@@ -96,6 +104,7 @@ def _quality_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
 QUALITY_SQL = f"""
 WITH toks AS (
   SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT
   CAST(doc_id AS BIGINT) AS doc_id,
@@ -119,7 +128,8 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     hit most tokens (first-wins tie-break in LANG_ORDER; 'und' when zero).
     Output: doc_id, lang_pred."""
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        _lang_id_batch, batch_format="pandas", batch_size=8192
+        lambda b: _lang_id_batch(_nonnull_text(b)),
+        batch_format="pandas", batch_size=8192,
     )
 
 
@@ -150,6 +160,7 @@ def _lang_scores_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE text IS NOT NULL
 ),
 s AS (
   SELECT doc_id,
@@ -172,6 +183,7 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     lineage digest). Output: doc_id, fingerprint."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64").to_numpy(),
@@ -189,7 +201,7 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 FINGERPRINT_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fingerprint
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -199,6 +211,7 @@ def token_count_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
     Output: source, n_docs, n_tokens."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
         n_tokens = (batch["text"].str.count(" ") + 1).astype("int64")
         g = pd.DataFrame({"source": batch["source"], "n_tokens": n_tokens}).groupby(
             "source", sort=False
@@ -227,7 +240,7 @@ TOKEN_COUNT_SQL = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-FROM documents GROUP BY source
+FROM documents WHERE text IS NOT NULL GROUP BY source
 """
 
 
@@ -246,6 +259,7 @@ def bpe_token_count_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
     n_bpe_tokens."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
         ws = (batch["text"].str.count(" ") + 1).astype("int64")
         bpe = batch["text"].str.count(BPE_PATTERN).astype("int64")
         g = pd.DataFrame(
@@ -284,5 +298,5 @@ SELECT source,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
        CAST(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')))
             AS BIGINT) AS n_bpe_tokens
-FROM documents GROUP BY source
+FROM documents WHERE text IS NOT NULL GROUP BY source
 """

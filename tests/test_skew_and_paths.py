@@ -148,3 +148,73 @@ def test_shortest_entity_path():
     assert shortest_entity_path(edges, "a", "weak", min_weight=1) == ["a", "weak"]
     assert shortest_entity_path(edges, "a", "y", min_weight=1) is None
     assert shortest_entity_path(edges, "a", "a") == ["a"]
+
+
+# --- degree stats + PageRank -------------------------------------------------
+
+def _tiny_transitions(ray_session):
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "from_entity": ["a", "a", "b", "c"],
+                "to_entity": ["b", "c", "c", "a"],
+                "n": pd.array([2, 1, 3, 4], dtype="int64"),
+            }
+        )
+    )
+
+
+def test_degree_stats_tiny(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import entity_degree_stats
+
+    out = (
+        entity_degree_stats(_tiny_transitions(ray_session))
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["entity_id"]) == ["a", "b", "c"]
+    assert list(out["out_deg"]) == [2, 1, 1]
+    assert list(out["in_deg"]) == [1, 1, 2]
+    assert list(out["out_n"]) == [3, 3, 4]
+    assert list(out["in_n"]) == [4, 2, 4]
+
+
+def test_pagerank_small_vs_streaming_parity(ray_session):
+    """The driver numpy fast path and the streaming-edges path must agree
+    exactly (same float schedule per node, rounded output)."""
+    import pandas as pd
+    from tcx2graph_jl_ray.stages.analysis import entity_pagerank
+
+    small = entity_pagerank(_tiny_transitions(ray_session)).to_pandas()
+    streamed = entity_pagerank(
+        _tiny_transitions(ray_session), small_graph_threshold=0
+    ).to_pandas()
+    key = "entity_id"
+    pd.testing.assert_frame_equal(
+        small.sort_values(key).reset_index(drop=True),
+        streamed.sort_values(key).reset_index(drop=True),
+    )
+    assert abs(small["pagerank"].sum() - 1.0) < 1e-4
+
+
+def test_pagerank_dangling_node(ray_session):
+    """A sink node's rank must be redistributed, not lost: ranks still sum
+    to ~1 and the sink accumulates more than the uniform share."""
+    import ray.data
+    from tcx2graph_jl_ray.stages.analysis import entity_pagerank
+
+    tr = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "from_entity": ["a", "b"],
+                "to_entity": ["sink", "sink"],
+                "n": pd.array([1, 1], dtype="int64"),
+            }
+        )
+    )
+    out = entity_pagerank(tr).to_pandas().set_index("entity_id")["pagerank"]
+    assert abs(out.sum() - 1.0) < 1e-4
+    assert out["sink"] > 1.0 / 3
