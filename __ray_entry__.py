@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": lambda sf: _wd.tumbling_counts(_events_ds(sf)),
         "events_sliding": lambda sf: _wd.sliding_counts(_events_ds(sf), 2),
         "events_top_per_user": lambda sf: _wd.top_event_per_user(_events_ds(sf)),
+        "events_asof_join": lambda sf: _wd.asof_join_events(_events_ds(sf)),
+        "events_range_join": lambda sf: _wd.range_join_counts(_events_ds(sf)),
         "clean_impute_events": _cl.clean_impute_events,
         "clean_missing_stats": lambda sf: _cl.missing_stats(
             derive_transcripts(sf),
@@ -348,6 +350,12 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": _wd.TUMBLING_SQL,
         "events_sliding": _wd.SLIDING_SQL_TEMPLATE.format(width_hours=2),
         "events_top_per_user": _wd.TOP_EVENT_SQL,
+        "events_asof_join": _wd.ASOF_JOIN_SQL_TEMPLATE.format(
+            left_type="purchase", right_type="click"
+        ),
+        "events_range_join": _wd.RANGE_JOIN_SQL_TEMPLATE.format(
+            left_type="signup", right_type="error", window_s=600
+        ),
         "clean_impute_events": _cl.CLEAN_IMPUTE_EVENTS_SQL,
         "clean_missing_stats": _cl.transcripts_missing_sql(TRANSCRIPTS_SQL),
         "q1_pricing_summary": _rel.Q1_SQL,

@@ -243,3 +243,183 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k
 FROM events
 """
+
+
+# --- as-of join ---------------------------------------------------------------
+
+def asof_join_events(
+    events: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> ray.data.Dataset:
+    """Per-user as-of join — an operator Ray Data lacks natively: each
+    ``left_type`` event is matched to the most recent ``right_type`` event of
+    the SAME user at-or-before its timestamp (ties on ts -> highest
+    event_id). One keyed shuffle on user_id; inside each bucket a single
+    ``pandas.merge_asof`` (by=user_id) covers every user vectorized. A user
+    whose history exceeds a worker would need time-sliced buckets with a
+    boundary carry (the chunked-prefix-sum pattern,
+    stages/graph.py::cumulative_tokens_chunked); per-user event streams are
+    assumed worker-sized here. Output: event_id, ts, user_id,
+    matched_event_id (nullable), matched_ts (nullable)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    src = events.select_columns(["event_id", "ts", "user_id", "event_type"])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_type"].isin([left_type, right_type])]
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        left = bucket[bucket["event_type"] == left_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        right = bucket[bucket["event_type"] == right_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        if not len(left):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "ts": pd.Series([], dtype="datetime64[us]"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "matched_event_id": pd.Series([], dtype="Int64"),
+                 "matched_ts": pd.Series([], dtype="datetime64[us]")}
+            )
+        m = pd.merge_asof(
+            left[["ts", "event_id", "user_id"]],
+            right[["ts", "event_id", "user_id"]].rename(
+                columns={"event_id": "matched_event_id", "ts": "matched_ts"}
+            ),
+            left_on="ts",
+            right_on="matched_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "ts": m["ts"],
+                "user_id": m["user_id"].astype("int64"),
+                "matched_event_id": m["matched_event_id"].astype("Int64"),
+                "matched_ts": m["matched_ts"],
+            }
+        )
+
+    return bucketed_group_apply(
+        src.map_batches(keep, batch_format="pandas", batch_size=16384),
+        ["user_id"],
+        per_bucket,
+    )
+
+
+ASOF_JOIN_SQL_TEMPLATE = """
+SELECT p.event_id AS event_id, p.ts AS ts,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       c.event_id AS matched_event_id, c.ts AS matched_ts
+FROM (SELECT * FROM events WHERE event_type = '{left_type}') p
+LEFT JOIN LATERAL (
+  SELECT e.event_id, e.ts
+  FROM events e
+  WHERE e.event_type = '{right_type}'
+    AND e.user_id = p.user_id AND e.ts <= p.ts
+  ORDER BY e.ts DESC, e.event_id DESC
+  LIMIT 1
+) c ON TRUE
+"""
+
+
+# --- range (interval) join ----------------------------------------------------
+
+def range_join_counts(
+    events: ray.data.Dataset,
+    left_type: str = "signup",
+    right_type: str = "error",
+    window_s: int = 600,
+) -> ray.data.Dataset:
+    """Cross-user interval join — for each ``left_type`` event, the count of
+    ``right_type`` events (any user) with ts in [left.ts, left.ts +
+    window_s). Blocking: time is cut into buckets of exactly ``window_s``
+    seconds, so a right event's matches come only from its own or the
+    previous bucket; each left event is REPLICATED to the (<=2) buckets its
+    window overlaps, and each (left, right) pair is counted exactly once —
+    in the RIGHT event's bucket. In-bucket counting is one
+    ``np.searchsorted`` per side. Partial counts (including zeros, so
+    match-less lefts survive) then sum per left event.
+    Output: event_id, n_matches."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    w_us = np.int64(window_s) * 1_000_000
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_type"].isin([left_type, right_type])]
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        is_left = (batch["event_type"] == left_type).to_numpy()
+        base = pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "ts_us": ts_us,
+                "bucket_id": ts_us // w_us,
+                "side": np.where(is_left, "L", "R"),
+            }
+        )
+        # replicate each left event into the next bucket too (its window may
+        # cross one boundary: window width == bucket width)
+        rep = base[is_left].copy()
+        rep["bucket_id"] = rep["bucket_id"] + 1
+        return pd.concat([base, rep], ignore_index=True)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket.groupby("bucket_id", sort=False):
+            left = g[g["side"] == "L"]
+            if not len(left):
+                continue
+            right_ts = np.sort(
+                g.loc[g["side"] == "R", "ts_us"].to_numpy(dtype="int64")
+            )
+            lo = np.searchsorted(right_ts, left["ts_us"].to_numpy(), "left")
+            hi = np.searchsorted(
+                right_ts, left["ts_us"].to_numpy() + w_us, "left"
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": left["event_id"].astype("int64"),
+                        "n": (hi - lo).astype("int64"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def sum_per_left(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("event_id", sort=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "event_id": s.index.astype("int64"),
+                "n_matches": s.astype("int64").to_numpy(),
+            }
+        )
+
+    partials = bucketed_group_apply(
+        events.select_columns(["event_id", "ts", "event_type"]).map_batches(
+            tag, batch_format="pandas", batch_size=16384
+        ),
+        ["bucket_id"],
+        per_bucket,
+    )
+    return bucketed_group_apply(partials, ["event_id"], sum_per_left)
+
+
+RANGE_JOIN_SQL_TEMPLATE = """
+SELECT s.event_id AS event_id,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_matches
+FROM (SELECT * FROM events WHERE event_type = '{left_type}') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = '{right_type}') e
+  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL {window_s} SECOND
+GROUP BY s.event_id
+"""

@@ -226,3 +226,51 @@ def test_revenue_rollup_oracle(ray_session, duck, sf_dir):
     from tcx2graph_jl_ray.stages.relational import REVENUE_ROLLUP_SQL, revenue_rollup
 
     assert_parity(revenue_rollup(sf_dir), REVENUE_ROLLUP_SQL, duck)
+
+
+def test_asof_join_oracle(ray_session, duck, sf_dir):
+    from tcx2graph_jl_ray.stages.window import ASOF_JOIN_SQL_TEMPLATE, asof_join_events
+
+    assert_parity(
+        asof_join_events(_events(sf_dir)),
+        ASOF_JOIN_SQL_TEMPLATE.format(left_type="purchase", right_type="click"),
+        duck,
+    )
+
+
+def test_range_join_oracle(ray_session, duck, sf_dir):
+    from tcx2graph_jl_ray.stages.window import RANGE_JOIN_SQL_TEMPLATE, range_join_counts
+
+    assert_parity(
+        range_join_counts(_events(sf_dir)),
+        RANGE_JOIN_SQL_TEMPLATE.format(
+            left_type="signup", right_type="error", window_s=600
+        ),
+        duck,
+    )
+
+
+def test_range_join_boundary_semantics(ray_session):
+    """Window is [ts, ts+w): a right event exactly at ts counts, exactly at
+    ts+w does not; a window crossing a bucket boundary still counts rights
+    in the next bucket."""
+    from tcx2graph_jl_ray.stages.window import range_join_counts
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": [
+                base + pd.Timedelta(seconds=550),   # L: window 550..1150
+                base + pd.Timedelta(seconds=550),   # R at ts -> counts
+                base + pd.Timedelta(seconds=700),   # R next bucket -> counts
+                base + pd.Timedelta(seconds=1150),  # R at ts+w -> excluded
+                base + pd.Timedelta(seconds=400),   # R before -> excluded
+            ],
+            "event_type": ["signup", "error", "error", "error", "error"],
+        }
+    )
+    out = range_join_counts(
+        ray.data.from_pandas(df), "signup", "error", window_s=600
+    ).to_pandas()
+    assert list(out["event_id"]) == [1] and int(out["n_matches"].iloc[0]) == 2
