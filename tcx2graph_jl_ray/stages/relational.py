@@ -387,3 +387,43 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP (r.r_name, n.n_name)
 """
+
+
+def value_percentiles_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Exact p25/p50/p75/p95 of event value per event_type. Percentiles are
+    non-decomposable, so groups compute exact after co-location — the
+    median discipline (A9, src/DataPreprocessing.jl:101-135) extended to a
+    quantile vector; event_type cardinality is tiny so the shuffle moves a
+    handful of groups. Rounded to 6 decimals (pandas' and DuckDB's linear
+    interpolation differ in the last ulp).
+    Output: event_type, p25, p50, p75, p95."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].dropna()
+        qs = v.quantile([0.25, 0.5, 0.75, 0.95], interpolation="linear")
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p25": [round(float(qs.loc[0.25]), 6)],
+                "p50": [round(float(qs.loc[0.5]), 6)],
+                "p75": [round(float(qs.loc[0.75]), 6)],
+                "p95": [round(float(qs.loc[0.95]), 6)],
+            }
+        )
+
+    return events.groupby("event_type").map_groups(
+        per_type, batch_format="pandas"
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""

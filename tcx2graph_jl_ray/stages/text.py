@@ -300,3 +300,72 @@ SELECT source,
             AS BIGINT) AS n_bpe_tokens
 FROM documents WHERE text IS NOT NULL GROUP BY source
 """
+
+
+def top_ngrams_by_source(docs: ray.data.Dataset, k_top: int = 3) -> ray.data.Dataset:
+    """Vocabulary mining: the ``k_top`` most frequent word bigrams per source
+    (occurrence counts, not per-doc), ties broken by bigram text. Per-batch
+    partial counts (combiner) -> bucketed sum per (source, bigram) -> tiny
+    per-source top-k. Output: source, bigram, n, rank."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks = batch["text"].str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n_bi = toks.map(lambda ws: max(0, len(ws) - 1))
+        src = np.repeat(batch["source"].to_numpy(), n_bi.to_numpy())
+        bi = [
+            f"{ws[i]} {ws[i+1]}"
+            for ws in toks
+            for i in range(len(ws) - 1)
+        ]
+        df = pd.DataFrame({"source": src, "bigram": bi})
+        g = df.groupby(["source", "bigram"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def sum_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "bigram"], sort=False)["n"].sum()
+        return g.reset_index().astype({"n": "int64"})
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket.groupby("source", sort=False):
+            g = g.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(k_top)
+            g = g.assign(rank=pd.array(range(1, len(g) + 1), dtype="int64"))
+            out.append(g)
+        return pd.concat(out, ignore_index=True)
+
+    counts = bucketed_group_apply(
+        docs.select_columns(["source", "text"]).map_batches(
+            partial, batch_format="pandas", batch_size=4096
+        ),
+        ["source", "bigram"],
+        sum_counts,
+    )
+    return bucketed_group_apply(counts, ["source"], topk)
+
+
+TOP_NGRAMS_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT source, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT source, l[i] || ' ' || l[i+1] AS bigram
+  FROM tk, unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+),
+c AS (SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bi GROUP BY source, bigram),
+r AS (
+  SELECT source, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, bigram) AS rank
+  FROM c
+)
+SELECT source, bigram, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k_top}
+"""
