@@ -792,7 +792,9 @@ def contamination_check(
     benchmark_source: str = "src0",
     k: int = 5,
 ) -> ray.data.Dataset:
-    """Training-data decontamination: flag corpus docs sharing any word
+    """Training-data decontamination (the overlap-fraction anti-check of
+    accepted segments, src/OverlappingSegmentsUtils.jl:229-240, turned into
+    a corpus-vs-benchmark gate): flag corpus docs sharing any word
     ``k``-gram with the benchmark/eval set (here: docs whose ``source`` is
     ``benchmark_source``). The benchmark side is SMALL by nature (eval sets),
     so its distinct shingle set is built streaming on the driver and

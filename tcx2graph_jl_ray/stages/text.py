@@ -303,7 +303,9 @@ FROM documents WHERE text IS NOT NULL GROUP BY source
 
 
 def top_ngrams_by_source(docs: ray.data.Dataset, k_top: int = 3) -> ray.data.Dataset:
-    """Vocabulary mining: the ``k_top`` most frequent word bigrams per source
+    """Vocabulary mining — the hotspot-grid scan recast for text (most
+    frequent cells -> most frequent shingles, src/GraphUtils.jl:117-189):
+    the ``k_top`` most frequent word bigrams per source
     (occurrence counts, not per-doc), ties broken by bigram text. Per-batch
     partial counts (combiner) -> bucketed sum per (source, bigram) -> tiny
     per-source top-k. Output: source, bigram, n, rank."""

@@ -252,7 +252,9 @@ def asof_join_events(
     left_type: str = "purchase",
     right_type: str = "click",
 ) -> ray.data.Dataset:
-    """Per-user as-of join — an operator Ray Data lacks natively: each
+    """Per-user as-of join — an operator Ray Data lacks natively (the
+    reference's nearest-predecessor lookup shape: each point takes the
+    closest preceding observation, src/TCXParser.jl:236-262): each
     ``left_type`` event is matched to the most recent ``right_type`` event of
     the SAME user at-or-before its timestamp (ties on ts -> highest
     event_id). One keyed shuffle on user_id; inside each bucket a single
@@ -339,8 +341,10 @@ def range_join_counts(
     """Cross-user interval join — for each ``left_type`` event, the count of
     ``right_type`` events (any user) with ts in [left.ts, left.ts +
     window_s). Blocking: time is cut into buckets of exactly ``window_s``
-    seconds, so a right event's matches come only from its own or the
-    previous bucket; each left event is REPLICATED to the (<=2) buckets its
+    seconds — the quantized-key blocking of the reference's weather-grid
+    equi-join (0.25-degree/hour cells, src/TCXParser.jl:272-279) applied to
+    an interval predicate — so a right event's matches come only from its
+    own or the previous bucket; each left event is REPLICATED to the (<=2) buckets its
     window overlaps, and each (left, right) pair is counted exactly once —
     in the RIGHT event's bucket. In-bucket counting is one
     ``np.searchsorted`` per side. Partial counts (including zeros, so
