@@ -331,7 +331,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),
-        "ann_ivf_topk": _ann.ann_ivf_sql(_ANN_NQ, _ANN_K),
+        # dim must match the embeddings fixture (64-d); the engine derives its
+        # anchors from the data, so a dim change here must be deliberate
+        "ann_ivf_topk": _ann.ann_ivf_sql(_ANN_NQ, _ANN_K, dim=64),
         "ann_lsh_topk": _ann.ann_lsh_sql(_ANN_NQ, _ANN_K),
         "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=2, threshold=_NGRAM_TAU

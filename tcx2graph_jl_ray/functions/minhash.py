@@ -47,8 +47,14 @@ def token_hashes_md5(tokens: pd.Series | np.ndarray) -> np.ndarray:
 
 
 def word_shingles(text: pd.Series, k: int = 3) -> pd.Series:
-    """Per row: the set of k-word shingles (list of strings)."""
-    toks = text.str.lower().str.split()
+    """Per row: the set of k-word shingles (list of strings). Tokenization is
+    split-on-SPACE with empty tokens dropped — exactly DuckDB's
+    ``list_filter(string_split(lower(text), ' '), x -> x != '')``, so every
+    shingle-based oracle stays value-exact on tabs/newlines too (a bare
+    ``str.split()`` would merge any whitespace run and silently diverge)."""
+    toks = text.str.lower().str.split(" ").map(
+        lambda ws: [w for w in ws if w]
+    )
 
     def shingle(ws):
         if len(ws) < k:
@@ -110,8 +116,12 @@ def simhash64(text: pd.Series) -> np.ndarray:
 
     Token hash = md5-derived (token_hashes_md5) so the whole sketch is
     value-reproducible by a DuckDB oracle (md5_number_lower + bitwise SQL,
-    stages/dedup.py::SIMHASH_SQL)."""
-    toks = text.str.lower().str.split()
+    stages/dedup.py::SIMHASH_SQL). Tokenization = split-on-space with empty
+    tokens dropped, matching the oracle's string_split + tok != '' filter
+    on ALL whitespace, not just spaces."""
+    toks = text.str.lower().str.split(" ").map(
+        lambda ws: [w for w in ws if w]
+    )
     exploded = pd.DataFrame(
         {"row": np.repeat(np.arange(len(text)), toks.str.len().fillna(0).astype(int)),
          "tok": [t for ws in toks for t in (ws or [])]}

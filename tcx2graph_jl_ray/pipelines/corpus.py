@@ -114,11 +114,12 @@ def run_corpus_pipeline(
     # per-doc quality + language annotation: per-row maps, so they attach
     # INLINE in one stage (row-aligned frames) — an annotation that can be
     # computed from the row itself must never cost a join/shuffle
-    from tcx2graph_jl_ray.stages.text import lang_frame, quality_frame
+    from tcx2graph_jl_ray.stages.text import _token_frame, lang_frame, quality_frame
 
     def annotate(batch: pd.DataFrame) -> pd.DataFrame:
-        qf = quality_frame(batch).drop(columns=["doc_id", "n_chars"])
-        lf = lang_frame(batch).drop(columns=["doc_id"])
+        tf = _token_frame(batch)  # tokenize once, share across annotators
+        qf = quality_frame(batch, tf).drop(columns=["doc_id", "n_chars"])
+        lf = lang_frame(batch, tf).drop(columns=["doc_id"])
         out = batch.reset_index(drop=True)
         for c in qf.columns:
             out[c] = qf[c].to_numpy()

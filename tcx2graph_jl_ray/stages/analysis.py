@@ -1038,10 +1038,16 @@ def entity_pagerank(
             {"from_entity": s.index, "out_w": s.astype("float64").to_numpy()}
         )
 
-    # vocabulary-sized: out-weights and the node universe
+    # vocabulary-sized: out-weights and the node universe. Distinct targets
+    # are reduced DISTRIBUTED before reaching the driver (a dense graph has
+    # edge-cardinality to_entity rows; only the distinct set is vocab-sized)
     ow = bucketed_group_apply(edges, ["from_entity"], out_weights).to_pandas()
     froms = ow["from_entity"]
-    tos = edges.select_columns(["to_entity"]).to_pandas()["to_entity"]
+    tos = bucketed_group_apply(
+        edges.select_columns(["to_entity"]),
+        ["to_entity"],
+        lambda b: b.drop_duplicates(),
+    ).to_pandas()["to_entity"]
     nodes = np.sort(pd.concat([froms, tos]).drop_duplicates().to_numpy())
     n_nodes = len(nodes)
     if n_nodes == 0:

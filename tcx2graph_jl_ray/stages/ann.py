@@ -372,13 +372,20 @@ def _ivf_anchors(dim: int, n_cells: int = 16, seed: int = 23) -> np.ndarray:
     return rng.standard_normal((n_cells, dim))
 
 
+def _cosine_to_anchors(vecs: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """Cosine matrix computed as dot / (|v| * |a|) — the same association
+    order as DuckDB's list_cosine_similarity, minimizing last-ulp divergence
+    from the oracle (normalize-then-dot rounds differently)."""
+    return (vecs @ anchors.T) / np.outer(
+        np.linalg.norm(vecs, axis=1), np.linalg.norm(anchors, axis=1)
+    )
+
+
 def _assign_cells(vecs: np.ndarray, anchors: np.ndarray) -> np.ndarray:
     """Nearest-anchor cell by cosine; ties resolve to the lowest cell id
     (np.argmax returns the first maximum), matching the oracle's
     ORDER BY sim DESC, cid."""
-    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    an = anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
-    return np.argmax(vn @ an.T, axis=1).astype(np.int64)
+    return np.argmax(_cosine_to_anchors(vecs, anchors), axis=1).astype(np.int64)
 
 
 def train_ivf_centroids(
@@ -497,10 +504,7 @@ def ann_ivf_topk(
     anchors = centroids if centroids is not None else _ivf_anchors(
         q.shape[1], n_cells
     )
-    q_cells = _assign_cells(q, anchors)  # noqa: F841 (queries need probes, not cells)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    an = anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
-    sims = qn @ an.T
+    sims = _cosine_to_anchors(q, anchors)
     cids = np.arange(anchors.shape[0])
     probe_sets = [
         set(cids[np.lexsort((cids, -sims[j]))[:nprobe]].tolist())

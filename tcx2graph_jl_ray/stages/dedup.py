@@ -36,12 +36,7 @@ from tcx2graph_jl_ray.functions.minhash import (
 )
 
 
-def _nonnull_text(batch: pd.DataFrame) -> pd.DataFrame:
-    """Dirty-input contract: rows with null text are dropped at the operator
-    boundary (the presence-filter M2 recast, src/TCXParser.jl:58 — a point
-    without coordinates is skipped, not an error). Every SQL oracle filters
-    identically (``WHERE text IS NOT NULL``)."""
-    return batch[batch["text"].notna()]
+from tcx2graph_jl_ray.functions.hygiene import nonnull_text as _nonnull_text
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -109,7 +104,8 @@ class _Signatures:
 
 
 def _word_shingle_set(t: str, k: int) -> set:
-    ws = t.lower().split()
+    # split-on-space + drop empties == the oracles' string_split/list_filter
+    ws = [w for w in t.lower().split(" ") if w]
     if len(ws) < k:
         return {" ".join(ws)} if ws else set()
     return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
@@ -285,7 +281,13 @@ def neardup_minhash_pairs(
     a, b (a < b) — value-exact vs the ``minhash_pairs_sql`` DuckDB oracle
     (md5-based hash family, inlined permutation parameters, band-tuple
     equality; the engine's FNV band fingerprint can only ADD candidates on a
-    64-bit collision, which the exact verify then removes)."""
+    64-bit collision, which the exact verify then removes). Caveat the
+    oracle does NOT model: bands with more than ``config.max_block_size``
+    docs are SKIPPED for pair generation (the hot-band guard — a band that
+    big is a boilerplate signature, and its quadratic pair cost buys no
+    discrimination), so parity holds only while no band exceeds the cap
+    (asserted at test scale; at corpus scale the cap is the intended recall
+    trade, not a bug)."""
     pairs = _candidate_pairs(docs, config)
     return _verify_pairs_join(
         pairs, docs, config.jaccard_threshold, config.shingle_size
@@ -310,6 +312,7 @@ def minhash_pairs_sql(config: PipelineConfig = DEFAULT_CONFIG) -> str:
         f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
         for j in range(num_perm)
     )
+    full = r * bands
     return f"""
 WITH tk AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
@@ -338,8 +341,10 @@ sig AS (
   GROUP BY doc_id, j
 ),
 bandkeys AS (
+  -- j < bands*r mirrors band_keys(): leftover permutations beyond the last
+  -- full band are dropped when num_perm is not divisible by bands
   SELECT doc_id, j // {r} AS band, LIST(v ORDER BY j) AS key
-  FROM sig GROUP BY doc_id, j // {r}
+  FROM sig WHERE j < {full} GROUP BY doc_id, j // {r}
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from tcx2graph_jl_ray.functions.hygiene import nonnull_text
+
 FAKE_FORMAT = "fake"
 _FEATURE_DIM = 8
 
@@ -46,8 +48,7 @@ def attach_fake_payload(docs: ray.data.Dataset) -> ray.data.Dataset:
     the text column, standing in for real image bytes."""
 
     def make(batch: pd.DataFrame) -> pd.DataFrame:
-        # dirty-input contract: null-text rows dropped (oracles filter too)
-        batch = batch[batch["text"].notna()]
+        batch = nonnull_text(batch)
         payload = [t.encode() for t in batch["text"].to_numpy()]
         return pd.DataFrame(
             {
@@ -284,10 +285,13 @@ def sample_frames(
     )
 
 
-# Frames of the fake payload are substrings of text (ASCII corpus: byte ==
-# char), so the sampled-frame table is fully SQL-reproducible: frame i covers
-# chars [i*fb+1, (i+1)*fb], signature = md5_number_lower reinterpreted to
-# BIGINT (two's complement).
+# Frames of the fake payload are substrings of text, and the oracle's substr
+# slices CHARACTERS while the engine slices payload BYTES — identical only
+# for ASCII text (true of the fake corpus; asserted nowhere else). A
+# non-ASCII corpus would need a hex-sliced oracle (DuckDB has no BLOB
+# substring) — the engine's byte semantics are the authoritative contract
+# for real media. Frame i covers bytes [i*fb, (i+1)*fb); signature =
+# md5_number_lower reinterpreted to BIGINT (two's complement).
 FRAME_SAMPLE_SQL_TEMPLATE = """
 WITH d AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,

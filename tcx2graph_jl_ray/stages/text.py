@@ -36,10 +36,7 @@ LANG_ORDER = ("en", "es", "de", "fr", "zh")
 
 
 
-def _nonnull_text(batch: pd.DataFrame) -> pd.DataFrame:
-    """Dirty-input contract: null-text rows are dropped at the operator
-    boundary; every SQL oracle filters identically."""
-    return batch[batch["text"].notna()]
+from tcx2graph_jl_ray.functions.hygiene import nonnull_text as _nonnull_text
 
 
 def _token_frame(batch: pd.DataFrame) -> pd.DataFrame:
@@ -54,11 +51,14 @@ def _token_frame(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def quality_frame(batch: pd.DataFrame) -> pd.DataFrame:
+def quality_frame(
+    batch: pd.DataFrame, tf: pd.DataFrame | None = None
+) -> pd.DataFrame:
     """Per-batch quality features (row-aligned with the input batch) — shared
     by the ``quality_stats`` Dataset op and the corpus pipeline's inline
-    annotator."""
-    return _quality_stats_batch(batch)
+    annotator. Pass a precomputed ``_token_frame`` to share tokenization
+    with other per-batch annotators."""
+    return _quality_stats_batch(batch, tf)
 
 
 def quality_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -70,13 +70,16 @@ def quality_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _quality_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def _quality_stats_batch(
+    batch: pd.DataFrame, tf: pd.DataFrame | None = None
+) -> pd.DataFrame:
     text = batch["text"]
     n_chars = text.str.len().astype("int64")
     n_tokens = (text.str.count(" ") + 1).astype("int64")
     nospace = text.str.replace(" ", "", regex=False).str.len().astype("int64")
 
-    tf = _token_frame(batch)
+    if tf is None:
+        tf = _token_frame(batch)
     types = tf.groupby("row")["tok"].nunique()
     n_types = (
         pd.Series(0, index=range(len(batch)))
@@ -118,9 +121,11 @@ FROM toks
 """
 
 
-def lang_frame(batch: pd.DataFrame) -> pd.DataFrame:
+def lang_frame(
+    batch: pd.DataFrame, tf: pd.DataFrame | None = None
+) -> pd.DataFrame:
     """Per-batch language guess (row-aligned with the input batch)."""
-    return _lang_id_batch(batch)
+    return _lang_id_batch(batch, tf)
 
 
 def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -133,8 +138,11 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    tf = _token_frame(batch)
+def _lang_id_batch(
+    batch: pd.DataFrame, tf: pd.DataFrame | None = None
+) -> pd.DataFrame:
+    if tf is None:
+        tf = _token_frame(batch)
     n = len(batch)
     scores = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
     for li, lang in enumerate(LANG_ORDER):
