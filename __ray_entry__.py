@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_token_counts": lambda sf: _tx.bpe_token_count_by_source(
             _docs(sf)
         ),
+        "text_tfidf_terms": lambda sf: _tx.tfidf_top_terms(_docs(sf)),
+        "text_quota_sample": lambda sf: _tx.quota_sample_by_source(_docs(sf)),
+        "text_scrubbed": lambda sf: _tx.scrub_denylist(_docs(sf)),
+        "text_repetition": lambda sf: _tx.repetition_stats(_docs(sf)),
         "dedup_cosine_pairs": lambda sf: _ann.embedding_cosine_pairs(
             _embeddings_ds(sf), sf, _COSINE_TAU
         ),
@@ -325,6 +329,10 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _tx.FINGERPRINT_SQL,
         "text_token_counts": _tx.TOKEN_COUNT_SQL,
         "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,
+        "text_tfidf_terms": _tx.TFIDF_SQL_TEMPLATE.format(k_top=3),
+        "text_quota_sample": _tx.QUOTA_SAMPLE_SQL_TEMPLATE.format(k=5),
+        "text_scrubbed": _tx.SCRUB_SQL,
+        "text_repetition": _tx.REPETITION_SQL,
         "dedup_cosine_pairs": _ann.COSINE_PAIRS_SQL_TEMPLATE.format(
             threshold=_COSINE_TAU
         ),

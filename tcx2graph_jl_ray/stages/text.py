@@ -379,3 +379,271 @@ r AS (
 SELECT source, bigram, n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k_top}
 """
+
+
+def tfidf_top_terms(docs: ray.data.Dataset, k_top: int = 3) -> ray.data.Dataset:
+    """Per-source characteristic vocabulary: top-``k_top`` terms by a
+    linear-idf TF-IDF (score = tf * n_sources / df, one IEEE division so the
+    DuckDB oracle is bit-identical — ln() idf would differ in the last ulp
+    between libm builds). The hotspot scan generalized from cells to terms
+    (src/GraphUtils.jl:117-189), with the corpus-frequency discount a
+    training-data curator actually ranks domains by.
+
+    Shape: per-batch partial (source, term) counts (combiner) -> bucketed
+    sum per (source, term) -> df computed INSIDE a term-bucketed apply (all
+    (source, term) rows of a term land in one bucket, so df = group size —
+    no separate join, no vocab broadcast) -> tiny per-source top-k. The only
+    driver-side scalar is n_sources (domain cardinality — small by nature).
+    Output: source, term, tf, df, score, rank."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    nn = docs.select_columns(["source", "text"]).map_batches(
+        _nonnull_text, batch_format="pandas", batch_size=8192
+    )
+    n_src = len(
+        nn.select_columns(["source"])
+        .map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas",
+            batch_size=32768,
+        )
+        .unique("source")
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n = toks.str.len().astype("int64")
+        src = np.repeat(batch["source"].to_numpy(), n.to_numpy())
+        term = [t for ws in toks for t in ws]
+        df = pd.DataFrame({"source": src, "term": term})
+        g = df.groupby(["source", "term"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    def sum_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "term"], sort=False)["tf"].sum()
+        return g.reset_index().astype({"tf": "int64"})
+
+    def score(bucket: pd.DataFrame) -> pd.DataFrame:
+        # counts are already one row per (source, term), so rows-per-term
+        # IS the document-frequency-by-source
+        bucket = bucket.copy()
+        bucket["df"] = bucket.groupby("term", sort=False)["source"].transform(
+            "size"
+        ).astype("int64")
+        bucket["score"] = (bucket["tf"] * n_src).astype("float64") / bucket[
+            "df"
+        ].astype("float64")
+        return bucket
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket.groupby("source", sort=False):
+            g = g.sort_values(["score", "term"], ascending=[False, True],
+                              kind="mergesort").head(k_top)
+            g = g.assign(rank=pd.array(range(1, len(g) + 1), dtype="int64"))
+            out.append(g)
+        return pd.concat(out, ignore_index=True)
+
+    counts = bucketed_group_apply(
+        nn.map_batches(partial, batch_format="pandas", batch_size=4096),
+        ["source", "term"],
+        sum_counts,
+    )
+    scored = bucketed_group_apply(counts, ["term"], score)
+    return bucketed_group_apply(scored, ["source"], topk)
+
+
+TFIDF_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT source, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT source, unnest(l) AS term FROM tk),
+c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY source, term),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY term),
+n AS (SELECT COUNT(DISTINCT source) AS nsrc FROM documents
+      WHERE text IS NOT NULL),
+s AS (
+  SELECT c.source, c.term, c.tf, d.df,
+         CAST(c.tf * n.nsrc AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+  FROM c JOIN d USING (term), n
+),
+r AS (
+  SELECT source, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT source, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k_top}
+"""
+
+
+def quota_sample_by_source(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
+    """Deterministic per-source quota sample: the ``k`` docs with the
+    smallest md5(doc_id) hex digest per source — the O5 sampling recast with
+    a per-group quota (the "cap every domain at k docs" curation step).
+    Content-independent and stable across runs/cluster sizes.
+
+    Shape: per-batch hash + LOCAL per-source top-k (combiner — at most
+    k rows per (batch, source) enter the shuffle) -> per-source final top-k
+    in a bucketed apply. Output: source, doc_id, sample_rank."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        ids = batch["doc_id"].astype("int64")
+        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in ids.to_numpy()]
+        df = pd.DataFrame(
+            {"source": batch["source"].to_numpy(), "doc_id": ids.to_numpy(),
+             "hx": hx}
+        )
+        df = df.sort_values(["hx", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["hx", "doc_id"], kind="mergesort")
+        out = bucket.groupby("source", sort=False).head(k).copy()
+        out["sample_rank"] = out.groupby("source", sort=False).cumcount() + 1
+        out["sample_rank"] = out["sample_rank"].astype("int64")
+        return out[["source", "doc_id", "sample_rank"]]
+
+    hashed = docs.select_columns(["source", "doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    return bucketed_group_apply(hashed, ["source"], final)
+
+
+QUOTA_SAMPLE_SQL_TEMPLATE = """
+WITH h AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx, doc_id)
+           AS sample_rank
+  FROM h
+)
+SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= {k}
+"""
+
+
+# whole-word denylist; every alternative appears in the synthetic corpus so
+# the scrub demonstrably fires. \b is identical in Python re and RE2.
+DENYLIST_PATTERN = r"\b(spark|flink|presto)\b"
+SCRUB_TOKEN = "[scrubbed]"
+
+
+def scrub_denylist(
+    docs: ray.data.Dataset, pattern: str = DENYLIST_PATTERN
+) -> ray.data.Dataset:
+    """Denylist scrubbing (the C4-style badword/PII removal step): replace
+    whole-word denylist matches with a fixed token and count the hits.
+    Stateless vectorized map — pandas' str engine compiles the regex once
+    per block; no shuffle. The pattern is restricted to constructs with
+    identical semantics in Python re and DuckDB RE2 (word alternation +
+    \\b), keeping the oracle value-exact.
+    Output: doc_id, clean_text, n_scrubbed."""
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        text = batch["text"]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "clean_text": text.str.replace(
+                    pattern, SCRUB_TOKEN, regex=True
+                ).to_numpy(),
+                "n_scrubbed": text.str.count(pattern).astype("int64").to_numpy(),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        scrub, batch_format="pandas", batch_size=8192
+    )
+
+
+SCRUB_SQL = rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(text, '{DENYLIST_PATTERN}', '{SCRUB_TOKEN}', 'g')
+         AS clean_text,
+       CAST(len(regexp_extract_all(text, '{DENYLIST_PATTERN}')) AS BIGINT)
+         AS n_scrubbed
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc repetition: what fraction of a document's word bigrams is its
+    single most frequent bigram (the Gopher-style "top 2-gram fraction"
+    quality rule — boilerplate and spam score high). Docs with fewer than
+    two tokens have no bigrams and are excluded, like the oracle's
+    len(l) >= 2. Purely per-row: one exploded-frame groupby per batch, no
+    shuffle. rep_frac = max_bigram_n / n_bigrams as one IEEE division
+    (oracle-exact). Output: doc_id, n_bigrams, max_bigram_n, rep_frac."""
+
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks = batch["text"].str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n_bi = toks.map(lambda ws: max(0, len(ws) - 1))
+        ids = np.repeat(
+            batch["doc_id"].astype("int64").to_numpy(), n_bi.to_numpy()
+        )
+        bi = [
+            f"{ws[i]} {ws[i+1]}" for ws in toks for i in range(len(ws) - 1)
+        ]
+        if not len(bi):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "n_bigrams": pd.array([], dtype="int64"),
+                    "max_bigram_n": pd.array([], dtype="int64"),
+                    "rep_frac": pd.array([], dtype="float64"),
+                }
+            )
+        c = (
+            pd.DataFrame({"doc_id": ids, "bigram": bi})
+            .groupby(["doc_id", "bigram"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        m = c.groupby("doc_id", sort=False)["n"].agg(["sum", "max"]).reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype("int64"),
+                "n_bigrams": m["sum"].astype("int64"),
+                "max_bigram_n": m["max"].astype("int64"),
+                "rep_frac": m["max"].astype("float64")
+                / m["sum"].astype("float64"),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        rep, batch_format="pandas", batch_size=8192
+    )
+
+
+REPETITION_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram
+  FROM tk, unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+),
+c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bi GROUP BY doc_id, bigram),
+m AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             CAST(MAX(n) AS BIGINT) AS max_bigram_n
+      FROM c GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, max_bigram_n,
+       CAST(max_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_frac
+FROM m
+"""

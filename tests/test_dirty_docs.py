@@ -120,6 +120,34 @@ def test_dirty_text_ops(ray_session, dirty):
     assert_parity(bpe_token_count_by_source(_ds(df)), BPE_TOKEN_COUNT_SQL, con)
 
 
+def test_dirty_curation_ops(ray_session, dirty):
+    """TF-IDF / quota sample / scrub / repetition on the dirty corpus —
+    null text dropped, empty text and single-token docs handled like the
+    oracles (zero tokens contribute nothing; no-bigram docs excluded)."""
+    from tcx2graph_jl_ray.stages.text import (
+        QUOTA_SAMPLE_SQL_TEMPLATE,
+        REPETITION_SQL,
+        SCRUB_SQL,
+        TFIDF_SQL_TEMPLATE,
+        quota_sample_by_source,
+        repetition_stats,
+        scrub_denylist,
+        tfidf_top_terms,
+    )
+
+    df, con = dirty
+    assert_parity(
+        tfidf_top_terms(_ds(df), k_top=3), TFIDF_SQL_TEMPLATE.format(k_top=3),
+        con,
+    )
+    assert_parity(
+        quota_sample_by_source(_ds(df), k=2),
+        QUOTA_SAMPLE_SQL_TEMPLATE.format(k=2), con,
+    )
+    assert_parity(scrub_denylist(_ds(df)), SCRUB_SQL, con)
+    assert_parity(repetition_stats(_ds(df)), REPETITION_SQL, con)
+
+
 def test_dirty_multimodal(ray_session, dirty):
     from tcx2graph_jl_ray.stages.multimodal import (
         FRAME_SAMPLE_SQL_TEMPLATE,
