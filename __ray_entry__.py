@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
         ),
         "q1_pricing_summary": _rel.q1_pricing_summary,
+        "q3_shipping_priority": _rel.q3_shipping_priority,
         "revenue_by_nation": _rel.revenue_by_nation,
         "revenue_by_segment": _rel.revenue_by_segment,
         "events_median_value": _rel.median_value_by_type,
@@ -371,6 +372,9 @@ def oracle_sql() -> dict[str, str]:
         "clean_impute_events": _cl.CLEAN_IMPUTE_EVENTS_SQL,
         "clean_missing_stats": _cl.transcripts_missing_sql(TRANSCRIPTS_SQL),
         "q1_pricing_summary": _rel.Q1_SQL,
+        "q3_shipping_priority": _rel.Q3_SQL_TEMPLATE.format(
+            segment="BUILDING", cutoff="1998-06-01", k=10
+        ),
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
         "revenue_by_segment": _rel.REVENUE_BY_SEGMENT_SQL,
         "events_median_value": _rel.MEDIAN_VALUE_SQL,

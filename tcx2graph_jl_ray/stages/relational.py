@@ -427,3 +427,120 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type
 """
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> pd.DataFrame:
+    """TPC-H Q3 shape: top-k urgent orders by pending-lineitem revenue for
+    one market segment. The point of this query is the join plan — neither
+    orders nor lineitem is a broadcastable side, so BOTH joins run through
+    the generic co-partitioned ``hash_join`` (one shuffle each, no driver
+    materialization of any input): customer(filtered) ⋈ orders(filtered) on
+    custkey, then ⋈ lineitem(filtered) on orderkey. Filters are pushed to
+    the reads; revenue aggregates per order inside a bucketed apply; top-k
+    is a per-bucket head + a k*n_buckets driver merge.
+    Output: l_orderkey, o_orderdate (yyyy-mm-dd), o_orderpriority, revenue."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    cut = pd.Timestamp(cutoff)
+
+    # all three filters are vectorized masks inside the projection
+    # map_batches (a per-row .filter() lambda would be the slow Python path)
+    def cust_proj(b: pd.DataFrame) -> pd.DataFrame:
+        kept = b[b["c_mktsegment"] == segment]
+        return pd.DataFrame({"o_custkey": kept["c_custkey"].astype("int64")})
+
+    def orders_proj(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["o_orderdate"] < cut].reset_index(drop=True)
+
+    def line_proj(b: pd.DataFrame) -> pd.DataFrame:
+        kept = b[b["l_shipdate"] > cut]
+        return pd.DataFrame(
+            {
+                "l_orderkey": kept["l_orderkey"].astype("int64"),
+                "rev": (
+                    kept["l_extendedprice"] * (1.0 - kept["l_discount"])
+                ).astype("float64"),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_proj, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_proj, batch_format="pandas")
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_proj, batch_format="pandas")
+
+    seg_orders = hash_join(orders, cust, on="o_custkey").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(seg_orders, lineitem, on="l_orderkey")
+
+    def per_order(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+            )["rev"]
+            .sum()
+            .reset_index(name="revenue")
+        )
+        g["revenue"] = g["revenue"].astype("float64").round(2)
+        # per-bucket head: only k rows per bucket reach the driver
+        return g.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    tops = bucketed_group_apply(joined, ["l_orderkey"], per_order).to_pandas()
+    out = tops.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "l_orderkey": out["l_orderkey"].astype("int64").to_numpy(),
+            "o_orderdate": pd.to_datetime(out["o_orderdate"]).dt.strftime(
+                "%Y-%m-%d"
+            ).to_numpy(),
+            "o_orderpriority": out["o_orderpriority"].to_numpy(),
+            "revenue": out["revenue"].astype("float64").to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+Q3_SQL_TEMPLATE = """
+WITH agg AS (
+  SELECT l.l_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority,
+         ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{segment}'
+    AND o.o_orderdate < TIMESTAMP '{cutoff}'
+    AND l.l_shipdate > TIMESTAMP '{cutoff}'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rn
+  FROM agg
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+FROM r WHERE rn <= {k}
+"""
