@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": lambda sf: _an.cooccurrence_edges(
             _mentions_with_entity(sf)
         ),
+        "kg_triangles": lambda sf: _an.triangle_stats(
+            _an.cooccurrence_edges(_mentions_with_entity(sf))
+        ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
         "kg_entity_degree_stats": lambda sf: _an.entity_degree_stats(
@@ -261,6 +264,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_cooccurrence": _an.COOCCURRENCE_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL
+        ),
+        "kg_triangles": _an.TRIANGLE_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            )
         ),
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP

@@ -1169,3 +1169,173 @@ pr0 AS MATERIALIZED (SELECT entity_id, 1.0 / nn.n AS rank
 {layer_sql}
 SELECT entity_id, ROUND(rank, 6) AS pagerank FROM {prev}
 """
+
+
+def triangle_stats(
+    cooccurrence: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-entity triangle counts and local clustering coefficient over the
+    undirected co-occurrence graph — triadic structure analysis one level up
+    from the reference's pairwise overlap detection
+    (src/OverlappingSegmentsUtils.jl:173-274) and path-finding
+    (src/PathFinder.jl:36-149).
+
+    Scale shape (the node-iterator-with-degree-orientation algorithm,
+    cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11 — public): every edge is ORIENTED from its lower-
+    (degree, id) endpoint to its higher one, wedges are generated only among
+    each apex's OUT-neighbours, so a hub of degree d contributes pairs only
+    among its few higher-degree neighbours (total wedge work O(m^1.5),
+    never d^2 at the hub), and each triangle is closed exactly once at its
+    minimum-(degree, id) vertex. Wedge closure is a co-partitioned
+    ``hash_join`` against the edge set — no broadcast, both sides shuffle
+    once. Degrees come from a per-batch partial count + bucketed reduce.
+
+    Input: src, dst (src < dst, distinct undirected edges).
+    Output: entity_id, degree, n_triangles, clustering (= 2T / d(d-1),
+    rounded to 6 decimals; 0.0 for degree < 2).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = cooccurrence.select_columns(["src", "dst"]).materialize()
+
+    # -- degrees: partial per-batch count -> bucketed sum (combiner shape)
+    def partial_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([batch["src"], batch["dst"]], ignore_index=True)
+        s = both.groupby(both, sort=False).size()
+        return pd.DataFrame({"node": s.index, "deg_part": s.to_numpy()})
+
+    def sum_deg(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("node", sort=False)["deg_part"].sum()
+        return pd.DataFrame(
+            {"node": s.index, "degree": s.astype("int64").to_numpy()}
+        )
+
+    deg = bucketed_group_apply(
+        edges.map_batches(partial_deg, batch_format="pandas", batch_size=65536),
+        ["node"],
+        sum_deg,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    # -- orient each edge toward the higher-(degree, id) endpoint
+    with_sdeg = hash_join(
+        edges,
+        deg.map_batches(
+            lambda b: b.rename(columns={"node": "src", "degree": "src_deg"}),
+            batch_format="pandas",
+        ),
+        on="src",
+        n_buckets=n_buckets,
+    )
+    with_both = hash_join(
+        with_sdeg,
+        deg.map_batches(
+            lambda b: b.rename(columns={"node": "dst", "degree": "dst_deg"}),
+            batch_format="pandas",
+        ),
+        on="dst",
+        n_buckets=n_buckets,
+    )
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        # src < dst always, so the (deg, id) tie-break is src on equal degree
+        fwd = (batch["src_deg"] < batch["dst_deg"]) | (
+            (batch["src_deg"] == batch["dst_deg"]) & (batch["src"] < batch["dst"])
+        )
+        fwd = fwd.to_numpy()
+        return pd.DataFrame(
+            {
+                "tail": np.where(fwd, batch["src"], batch["dst"]),
+                "head": np.where(fwd, batch["dst"], batch["src"]),
+            }
+        )
+
+    oriented = with_both.map_batches(
+        orient, batch_format="pandas", batch_size=65536
+    )
+
+    # -- wedges among each apex's out-neighbours (lo < hi by id, which is
+    # exactly the (src, dst) key of the undirected edge that would close it)
+    def wedges_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["tail", "head"])
+        m = d.merge(d, on="tail")
+        m = m[m["head_x"] < m["head_y"]]
+        return pd.DataFrame(
+            {"apex": m["tail"], "src": m["head_x"], "dst": m["head_y"]}
+        )
+
+    wedges = bucketed_group_apply(
+        oriented, ["tail"], wedges_in_bucket, n_buckets=n_buckets
+    )
+
+    # -- close: wedge (src, dst) is a triangle iff that edge exists
+    triangles = hash_join(wedges, edges, on=["src", "dst"], n_buckets=n_buckets)
+
+    def tri_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [batch["apex"], batch["src"], batch["dst"]], ignore_index=True
+        )
+        s = both.groupby(both, sort=False).size()
+        return pd.DataFrame({"node": s.index, "t_part": s.to_numpy()})
+
+    def sum_tri(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("node", sort=False)["t_part"].sum()
+        return pd.DataFrame(
+            {"node": s.index, "n_triangles": s.astype("int64").to_numpy()}
+        )
+
+    tri_counts = bucketed_group_apply(
+        triangles.map_batches(tri_nodes, batch_format="pandas", batch_size=65536),
+        ["node"],
+        sum_tri,
+        n_buckets=n_buckets,
+    )
+
+    joined = hash_join(deg, tri_counts, on="node", how="left", n_buckets=n_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["degree"].astype("int64").to_numpy()
+        t = batch["n_triangles"].fillna(0).astype("int64").to_numpy()
+        denom = d.astype("float64") * (d - 1.0)
+        clustering = np.where(d > 1, 2.0 * t / np.where(denom == 0, 1.0, denom), 0.0)
+        return pd.DataFrame(
+            {
+                "entity_id": batch["node"],
+                "degree": d,
+                "n_triangles": t,
+                "clustering": np.round(clustering, 6),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=65536)
+
+
+TRIANGLE_SQL_TEMPLATE = """
+WITH e AS MATERIALIZED ({cooccurrence}),
+d AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY node
+),
+t AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tc AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t)
+  GROUP BY node
+)
+SELECT d.node AS entity_id, d.degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree > 1
+                  THEN 2.0 * COALESCE(tc.n_triangles, 0)
+                       / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM d LEFT JOIN tc ON tc.node = d.node
+"""

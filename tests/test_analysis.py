@@ -112,3 +112,39 @@ def test_top_entities_dedup_suppression(ray_session):
     )
     out = top_entities_dedup(hot, 0.8).to_pandas()
     assert sorted(out["entity_id"]) == ["nation 7", "nation 9"]
+
+
+def test_triangle_stats_planted_graph(ray_session):
+    """Planted structure: a 4-clique (every vertex in C(3,2)=3 triangles,
+    clustering 1.0), a pendant vertex (degree 1, 0 triangles), and a hub
+    wheel (hub h connected to spokes that are NOT connected to each other:
+    0 triangles despite high degree — degree orientation must not blow up
+    or miscount at the hub)."""
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.analysis import triangle_stats
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+    pendant = [("d", "e")]
+    hub = [(f"h", f"s{i:02d}") for i in range(20)]
+    edges = pd.DataFrame(clique + pendant + hub, columns=["src", "dst"])
+    edges["src"], edges["dst"] = (
+        edges[["src", "dst"]].min(axis=1), edges[["src", "dst"]].max(axis=1)
+    )
+    out = (
+        triangle_stats(ray.data.from_pandas(edges), n_buckets=4)
+        .to_pandas()
+        .set_index("entity_id")
+        .sort_index()
+    )
+    assert out.loc["a", "n_triangles"] == 3
+    assert out.loc["a", "clustering"] == 1.0
+    assert out.loc["d", "degree"] == 4  # clique + pendant
+    assert out.loc["d", "n_triangles"] == 3
+    assert out.loc["e", "n_triangles"] == 0
+    assert out.loc["e", "clustering"] == 0.0
+    assert out.loc["h", "degree"] == 20
+    assert out.loc["h", "n_triangles"] == 0
+    assert int(out["n_triangles"].sum()) == 12  # 4 triangles x 3 vertices
