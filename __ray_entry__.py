@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quota_sample": lambda sf: _tx.quota_sample_by_source(_docs(sf)),
         "text_scrubbed": lambda sf: _tx.scrub_denylist(_docs(sf)),
         "text_repetition": lambda sf: _tx.repetition_stats(_docs(sf)),
+        "docs_split_assign": lambda sf: _tx.split_assign(_docs(sf)),
+        "kg_pmi_edges": lambda sf: _an.pmi_edges(_mentions_with_entity(sf)),
         "dedup_cosine_pairs": lambda sf: _ann.embedding_cosine_pairs(
             _embeddings_ds(sf), sf, _COSINE_TAU
         ),
@@ -342,6 +344,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quota_sample": _tx.QUOTA_SAMPLE_SQL_TEMPLATE.format(k=5),
         "text_scrubbed": _tx.SCRUB_SQL,
         "text_repetition": _tx.REPETITION_SQL,
+        "docs_split_assign": _tx.SPLIT_ASSIGN_SQL.format(
+            train_hex="cb", val_hex="e5"
+        ),
+        "kg_pmi_edges": _an.PMI_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
         "dedup_cosine_pairs": _ann.COSINE_PAIRS_SQL_TEMPLATE.format(
             threshold=_COSINE_TAU
         ),

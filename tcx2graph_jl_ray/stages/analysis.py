@@ -1339,3 +1339,119 @@ SELECT d.node AS entity_id, d.degree,
                   ELSE 0.0 END, 6) AS clustering
 FROM d LEFT JOIN tc ON tc.node = d.node
 """
+
+
+def pmi_edges(
+    mentions_with_entity: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Pointwise mutual information weighting of co-occurrence edges —
+    pmi(a,b) = ln( p(a,b) / (p(a) p(b)) ) over conversations — the
+    information-theoretic upgrade of the reference's raw shared-run edge
+    weights (src/DataPreprocessing.jl:330-397). Standard corpus-statistics
+    edge weighting (Church & Hanks 1990 — public).
+
+    Scale shape: one partial-distinct map feeds (a) the pair generation
+    (bucketed by conv, same as ``cooccurrence_edges``), (b) the per-entity
+    conversation counts (bucketed distinct count), and (c) the scalar
+    conversation universe; the marginals then attach to the edges via two
+    co-partitioned ``hash_join``s — entity marginals are NOT broadcast, so
+    a billion-entity vocabulary still streams.
+
+    Output: src, dst, n_convs, pmi (natural log, rounded to 6 decimals).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    distinct = (
+        mentions_with_entity.select_columns(["conv_id", "entity_id"])
+        .map_batches(
+            lambda b: b.drop_duplicates(),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        .materialize()
+    )
+
+    def count_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        s = d.groupby("entity_id", sort=False).size()
+        return pd.DataFrame(
+            {"entity_id": s.index, "n": s.astype("int64").to_numpy()}
+        )
+
+    ent_counts = bucketed_group_apply(
+        distinct, ["entity_id"], count_entity, n_buckets=n_buckets
+    )
+    n_convs_total = float(
+        bucketed_group_apply(
+            distinct.select_columns(["conv_id"]),
+            ["conv_id"],
+            lambda b: b.drop_duplicates(),
+            n_buckets=n_buckets,
+        ).count()
+    )
+
+    edges = cooccurrence_edges(distinct)
+    e1 = hash_join(
+        edges,
+        ent_counts.map_batches(
+            lambda b: b.rename(columns={"entity_id": "src", "n": "src_n"}),
+            batch_format="pandas",
+        ),
+        on="src",
+        n_buckets=n_buckets,
+    )
+    e2 = hash_join(
+        e1,
+        ent_counts.map_batches(
+            lambda b: b.rename(columns={"entity_id": "dst", "n": "dst_n"}),
+            batch_format="pandas",
+        ),
+        on="dst",
+        n_buckets=n_buckets,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        num = batch["n_convs"].astype("float64").to_numpy() * n_convs_total
+        den = (
+            (batch["src_n"].astype("int64") * batch["dst_n"].astype("int64"))
+            .astype("float64")
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "src": batch["src"],
+                "dst": batch["dst"],
+                "n_convs": batch["n_convs"].astype("int64"),
+                "pmi": np.round(np.log(num / den), 6),
+            }
+        )
+
+    return e2.map_batches(finish, batch_format="pandas", batch_size=65536)
+
+
+PMI_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+me AS (SELECT DISTINCT mm.conv_id, l.entity_id
+       FROM m mm JOIN lab l ON mm.norm = l.norm),
+e AS (SELECT a.entity_id AS src, b.entity_id AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n_convs
+      FROM me a JOIN me b
+        ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+      GROUP BY 1, 2),
+c AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n FROM me
+      GROUP BY entity_id),
+nv AS (SELECT CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS n FROM me)
+SELECT e.src, e.dst, e.n_convs,
+       ROUND(LN(CAST(e.n_convs AS DOUBLE) * nv.n
+                / CAST(ca.n * cb.n AS DOUBLE)), 6) AS pmi
+FROM e
+JOIN c ca ON ca.entity_id = e.src
+JOIN c cb ON cb.entity_id = e.dst
+CROSS JOIN nv
+"""
+)

@@ -647,3 +647,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, max_bigram_n,
        CAST(max_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_frac
 FROM m
 """
+
+
+def split_assign(
+    docs: ray.data.Dataset, train_cut: int = 0xCB, val_cut: int = 0xE5
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split assignment by a content-independent
+    hash of the document id: first md5 byte <= 0xcb (204/256 ~ 79.7%) ->
+    train, <= 0xe5 (230/256) -> val, else test. No shuffle, no RNG state —
+    the only split that stays stable when a 10^12-doc corpus is re-sharded,
+    re-read in a different order, or extended (new ids land in the same
+    proportions; existing assignments never move). Hex-string compare on the
+    2-char prefix equals numeric compare on the first byte (both monotone),
+    matching the SQL oracle exactly — the same trick as
+    ``analysis.sample_turns_by_hash``. Output: doc_id, split.
+    """
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        md5 = hashlib.md5
+        b0 = np.fromiter(
+            (md5(str(i).encode()).digest()[0] for i in ids.to_numpy()),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(
+            b0 <= train_cut, "train", np.where(b0 <= val_cut, "val", "test")
+        )
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "split": split})
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pandas", batch_size=65536
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{train_hex}'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{val_hex}'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

@@ -240,3 +240,23 @@ def test_minhash_pairs_oracle(ray_session, duck, sf_dir):
 
     ds = neardup_minhash_pairs(_docs(sf_dir))
     assert_parity(ds, minhash_pairs_sql(), duck)
+
+
+def test_split_assign_deterministic_ratios(ray_session):
+    """Split assignment is content-independent, deterministic, and lands
+    near the 204/26/26 per-256 proportions on a planted id range."""
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.text import split_assign
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(4000), "text": "x"})
+    )
+    a = split_assign(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = split_assign(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 204 / 256) < 0.03
+    assert abs(frac["val"] - 26 / 256) < 0.02
+    assert abs(frac["test"] - 26 / 256) < 0.02
