@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cosine_pairs": lambda sf: _ann.embedding_cosine_pairs(
             _embeddings_ds(sf), sf, _COSINE_TAU
         ),
+        "emb_centroids": lambda sf: _ann.embedding_centroids(
+            _embeddings_ds(sf)
+        ),
         "ann_brute_topk": lambda sf: _ann.ann_brute_topk(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
@@ -351,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cosine_pairs": _ann.COSINE_PAIRS_SQL_TEMPLATE.format(
             threshold=_COSINE_TAU
         ),
+        "emb_centroids": _ann.CENTROIDS_SQL,
         "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),

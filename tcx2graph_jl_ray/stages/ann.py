@@ -561,3 +561,80 @@ def ann_ivf_topk(
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_centroids(
+    embeddings: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-label embedding centroids — the cluster-summary aggregate a
+    curation pipeline runs before IVF training / semantic balancing (the
+    same per-group mean ``train_ivf_centroids`` iterates, exposed as a
+    one-pass oracle-checkable operator).
+
+    Shape: a per-batch vectorized partial (np.add.at grouped sum over the
+    stacked float64 matrix — a combiner, so at most n_labels x dim rows per
+    batch enter the shuffle) -> bucketed reduce by label -> mean. Sums are
+    float64 regardless of storage dtype, so addition-order divergence vs the
+    oracle's sequential SUM is below the 6-decimal rounding.
+
+    Output: label, dim (1-based), centroid (rounded to 6 decimals), n_vecs.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["embedding"].notna()]
+        if not len(batch):
+            return pd.DataFrame(
+                {"label": pd.Series([], dtype="int64"),
+                 "dim": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="float64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        uniq, inv = np.unique(batch["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(uniq), vecs.shape[1]))
+        np.add.at(sums, inv, vecs)
+        counts = np.bincount(inv)
+        d = vecs.shape[1]
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq.astype(np.int64), d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq)),
+                "s": sums.ravel(),
+                "n": np.repeat(counts.astype(np.int64), d),
+            }
+        )
+
+    def reduce_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["label", "dim"], sort=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        ).reset_index()
+        return pd.DataFrame(
+            {
+                "label": g["label"].astype("int64"),
+                "dim": g["dim"].astype("int64"),
+                "centroid": np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6),
+                "n_vecs": g["n"].astype("int64"),
+            }
+        )
+
+    partials = embeddings.select_columns(["label", "embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+    return bucketed_group_apply(
+        partials, ["label"], reduce_bucket, n_buckets=n_buckets
+    )
+
+
+CENTROIDS_SQL = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT label, dim, ROUND(SUM(e) / COUNT(*), 6) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM u GROUP BY label, dim
+"""
