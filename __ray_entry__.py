@@ -47,6 +47,7 @@ _SESSION_GAP_S = 1800
 _ANN_NQ, _ANN_K = 8, 10
 _NGRAM_TAU = 0.5
 _COSINE_TAU = 0.4
+_KCORE_K = 3
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Only the minhash CLUSTERING remains here: its connected-
@@ -139,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_triangles": lambda sf: _an.triangle_stats(
             _an.cooccurrence_edges(_mentions_with_entity(sf))
+        ),
+        "kg_kcore": lambda sf: _an.kcore_members(
+            _an.cooccurrence_edges(_mentions_with_entity(sf)), k=_KCORE_K
         ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
@@ -274,6 +278,10 @@ def oracle_sql() -> dict[str, str]:
             cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL
             )
+        ),
+        "kg_kcore": _an.kcore_sql(
+            _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+            _KCORE_K,
         ),
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP

@@ -148,3 +148,45 @@ def test_triangle_stats_planted_graph(ray_session):
     assert out.loc["h", "degree"] == 20
     assert out.loc["h", "n_triangles"] == 0
     assert int(out["n_triangles"].sum()) == 12  # 4 triangles x 3 vertices
+
+
+def test_kcore_planted_graph(ray_session):
+    """Planted structure for k=2: a 4-clique (3-core, survives k=2 with
+    in-core degree 3), a tail chain d-e-f hanging off the clique (chain
+    vertices have degree <= 2 but peel from the free end: f goes first,
+    then e, then d's tail edge — none survive the k=2 core), and an
+    isolated triangle (its own 2-core, in-core degree 2 each)."""
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.analysis import kcore_members
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    tri = [("x", "y"), ("x", "z"), ("y", "z")]
+    edges = pd.DataFrame(clique + tail + tri, columns=["src", "dst"])
+
+    out = (
+        kcore_members(ray.data.from_pandas(edges), k=2, n_buckets=4)
+        .to_pandas()
+        .set_index("entity_id")["core_degree"]
+        .sort_index()
+    )
+    assert set(out.index) == {"a", "b", "c", "d", "x", "y", "z"}
+    assert all(out[v] == 3 for v in "abcd")
+    assert all(out[v] == 2 for v in "xyz")
+
+    out3 = (
+        kcore_members(ray.data.from_pandas(edges), k=3, n_buckets=4)
+        .to_pandas()
+    )
+    assert set(out3["entity_id"]) == {"a", "b", "c", "d"}
+    assert set(out3["core_degree"]) == {3}
+
+    # k above the max core -> empty result with the stable schema
+    # (Dataset.to_pandas() on zero blocks drops columns, so check the
+    # dataset-level schema, which is what the driver contract promises)
+    out9 = kcore_members(ray.data.from_pandas(edges), k=9, n_buckets=4)
+    assert out9.count() == 0
+    assert out9.schema().names == ["entity_id", "core_degree"]
