@@ -50,12 +50,11 @@ _COSINE_TAU = 0.4
 _KCORE_K = 3
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
-# check for these. Only the minhash CLUSTERING remains here: its connected-
-# components step is iterative (not ANSI-SQL single-query expressible). The
-# candidate+verify path that feeds it IS oracle-exact (dedup_minhash_pairs:
-# md5-based sketch reproduced in SQL), and the clustering itself is gated by
-# planted-cluster ground-truth tests (tests/test_dedup_text.py).
-ROWS_ONLY_QUERIES = frozenset({"dedup_minhash_clusters"})
+# check for these. Currently empty: every query has a DuckDB oracle —
+# including the minhash clustering, whose iterative min-label connected
+# components are reproduced in SQL as a recursive reachability CTE
+# (dedup.minhash_clusters_sql) over the oracle-exact verified pairs.
+ROWS_ONLY_QUERIES = frozenset()
 
 
 def _docs(sf_dir: str):
@@ -381,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
             frame_bytes=64, every_n=2
         ),
         "dedup_minhash_pairs": _dd.minhash_pairs_sql(),
+        "dedup_minhash_clusters": _dd.minhash_clusters_sql(),
         "dedup_simhash": _dd.SIMHASH_SQL,
         "dedup_simhash_pairs": _dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(
             simhash=_dd.SIMHASH_SQL, max_hamming=3

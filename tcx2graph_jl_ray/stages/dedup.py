@@ -414,6 +414,38 @@ def neardup_minhash(
     )
 
 
+def minhash_clusters_sql(config: PipelineConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB oracle for ``neardup_minhash``: connected components over the
+    oracle-exact verified pairs (``minhash_pairs_sql``) as a recursive CTE
+    computing, per doc, the minimum doc_id reachable through the pair graph
+    — exactly the engine's min-label component id. Every documents row is a
+    node (singletons cluster with themselves). Polynomial, not exponential:
+    the UNION dedups, so the recursion enumerates at most
+    sum(component_size^2) (node, reach) rows — tiny at oracle scale where
+    near-dup clusters are small."""
+    pairs = minhash_pairs_sql(config).strip()
+    assert pairs.startswith("WITH ")
+    # splice our CTE list into the pairs query's own WITH clause, then make
+    # the whole thing recursive
+    inner = pairs[len("WITH "):]
+    return f"""
+WITH RECURSIVE {inner.replace("SELECT CAST(inter.a AS BIGINT) AS a",
+                              ", pairs AS (SELECT CAST(inter.a AS BIGINT) AS a", 1)}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+),
+r(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, e.v FROM r JOIN edges e ON e.u = r.reach
+)
+SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_table(docs: ray.data.Dataset) -> ray.data.Dataset:
