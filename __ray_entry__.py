@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": lambda sf: _an.kcore_members(
             _an.cooccurrence_edges(_mentions_with_entity(sf)), k=_KCORE_K
         ),
+        "kg_components": lambda sf: _an.entity_components(
+            _an.cooccurrence_edges(_mentions_with_entity(sf))
+        ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
         "kg_entity_degree_stats": lambda sf: _an.entity_degree_stats(
@@ -281,6 +284,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _an.kcore_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _KCORE_K,
+        ),
+        "kg_components": _an.COMPONENTS_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            )
         ),
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP

@@ -1584,3 +1584,101 @@ FROM (SELECT src AS node FROM {prev_e} UNION ALL SELECT dst FROM {prev_e})
 GROUP BY node
 HAVING COUNT(*) >= {k}
 """
+
+
+def entity_components(
+    cooccurrence: ray.data.Dataset,
+    config=None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Connected components of the undirected co-occurrence graph, with
+    component sizes — the graph-wide grouping the reference's overlapping-
+    segment merge produces for SEGMENTS (src/OverlappingSegmentsUtils.jl:
+    212-277 union-find over overlap pairs), lifted to the entity graph.
+
+    Reuses the dual-path ``connected_components`` (driver union-find below
+    ``small_graph_threshold``, distributed min-label propagation above), so
+    a billion-edge graph resolves through per-round keyed shuffles, never a
+    driver collect. Sizes come from a per-batch partial count + bucketed
+    reduce over labels, joined back onto the members through the
+    co-partitioned ``hash_join`` (no label-histogram broadcast).
+
+    Output: entity_id, component_id (lexicographic-min member),
+    component_size:int64.
+    """
+    from tcx2graph_jl_ray.stages.canonicalize import (
+        DEFAULT_CONFIG,
+        connected_components,
+    )
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    config = config or DEFAULT_CONFIG
+    edges = cooccurrence.select_columns(["src", "dst"])
+
+    def as_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([batch["src"], batch["dst"]], ignore_index=True)
+        return pd.DataFrame({"norm": both.unique()})
+
+    def dedup_nodes(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates("norm")
+
+    nodes = bucketed_group_apply(
+        edges.map_batches(as_nodes, batch_format="pandas"),
+        ["norm"],
+        dedup_nodes,
+        n_buckets=n_buckets,
+    )
+    labels = connected_components(
+        nodes,
+        edges.map_batches(
+            lambda b: b.rename(columns={"src": "a", "dst": "b"}),
+            batch_format="pandas",
+        ),
+        config,
+        as_dataset=True,
+    )
+
+    def partial_count(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("label", sort=False).size()
+        return pd.DataFrame({"label": s.index, "n_part": s.to_numpy()})
+
+    def sum_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("label", sort=False)["n_part"].sum()
+        return pd.DataFrame(
+            {"label": s.index, "component_size": s.astype("int64").to_numpy()}
+        )
+
+    sizes = bucketed_group_apply(
+        labels.map_batches(partial_count, batch_format="pandas"),
+        ["label"],
+        sum_count,
+        n_buckets=n_buckets,
+    )
+    return hash_join(labels, sizes, on="label", n_buckets=n_buckets).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "entity_id": b["node"],
+                "component_id": b["label"],
+                "component_size": b["component_size"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+COMPONENTS_SQL_TEMPLATE = """
+WITH RECURSIVE e AS MATERIALIZED ({cooccurrence}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ed AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+r(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, ed.v FROM r JOIN ed ON ed.u = r.reach
+),
+comp AS (SELECT node, MIN(reach) AS component_id FROM r GROUP BY node)
+SELECT node AS entity_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+         AS component_size
+FROM comp
+"""

@@ -190,3 +190,40 @@ def test_kcore_planted_graph(ray_session):
     out9 = kcore_members(ray.data.from_pandas(edges), k=9, n_buckets=4)
     assert out9.count() == 0
     assert out9.schema().names == ["entity_id", "core_degree"]
+
+
+def test_entity_components_planted(ray_session):
+    """Two planted components (a triangle and a 2-chain) plus both physical
+    paths: driver union-find (default threshold) and distributed min-label
+    propagation (small_graph_threshold=0) must produce identical labels."""
+    import dataclasses
+
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.analysis import entity_components
+    from tcx2graph_jl_ray.stages.canonicalize import DEFAULT_CONFIG
+
+    edges = pd.DataFrame(
+        [("b", "c"), ("a", "b"), ("a", "c"), ("p", "q")],
+        columns=["src", "dst"],
+    )
+    expect = {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "p": ("p", 2), "q": ("p", 2),
+    }
+    for cfg in (
+        DEFAULT_CONFIG,
+        dataclasses.replace(DEFAULT_CONFIG, small_graph_threshold=0),
+    ):
+        out = (
+            entity_components(ray.data.from_pandas(edges), cfg, n_buckets=4)
+            .to_pandas()
+            .set_index("entity_id")
+            .sort_index()
+        )
+        got = {
+            i: (r["component_id"], r["component_size"])
+            for i, r in out.iterrows()
+        }
+        assert got == expect, cfg.small_graph_threshold
