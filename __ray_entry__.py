@@ -48,6 +48,7 @@ _ANN_NQ, _ANN_K = 8, 10
 _NGRAM_TAU = 0.5
 _COSINE_TAU = 0.4
 _KCORE_K = 3
+_NBR_JACCARD_TAU = 0.5
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Currently empty: every query has a DuckDB oracle —
@@ -145,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_components": lambda sf: _an.entity_components(
             _an.cooccurrence_edges(_mentions_with_entity(sf))
+        ),
+        "kg_neighbor_jaccard": lambda sf: _an.neighbor_jaccard(
+            _an.cooccurrence_edges(_mentions_with_entity(sf)), _NBR_JACCARD_TAU
         ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
@@ -289,6 +293,12 @@ def oracle_sql() -> dict[str, str]:
             cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL
             )
+        ),
+        "kg_neighbor_jaccard": _an.NEIGHBOR_JACCARD_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            ),
+            tau=_NBR_JACCARD_TAU,
         ),
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP

@@ -1682,3 +1682,131 @@ SELECT node AS entity_id, component_id,
          AS component_size
 FROM comp
 """
+
+
+def neighbor_jaccard(
+    cooccurrence: ray.data.Dataset,
+    tau: float = 0.5,
+    n_buckets: int = 64,
+    max_pivot_degree: int = 10_000,
+) -> ray.data.Dataset:
+    """Structural similarity join: pairs of entities whose co-occurrence
+    NEIGHBORHOODS overlap (Jaccard of neighbor sets >= tau) — the node-level
+    analogue of the reference's overlap-fraction segment merge
+    (src/OverlappingSegmentsUtils.jl:222-274: candidate pairs from shared
+    cells, exact overlap verify), with the shared NEIGHBOR as the blocking
+    key instead of a geo cell.
+
+    Shape: symmetric adjacency rows -> bucketed per-neighbor vectorized
+    self-merge emits candidate pairs (a pivot with degree >
+    ``max_pivot_degree`` is SKIPPED for pair generation — hub guard, same
+    trade as the minhash hot-band cap: oracle parity holds while no pivot
+    exceeds it, asserted at test scale) -> bucketed pair count (= common
+    neighbors) -> degrees via partial-count combiner, joined on both sides
+    through the co-partitioned ``hash_join`` -> jaccard filter. No stage
+    broadcasts or driver-materializes anything.
+
+    Output: a, b (a < b), jaccard:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = cooccurrence.select_columns(["src", "dst"])
+
+    def adj_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [batch["src"], batch["dst"]], ignore_index=True
+                ),
+                "nbr": pd.concat(
+                    [batch["dst"], batch["src"]], ignore_index=True
+                ),
+            }
+        )
+
+    adj = edges.map_batches(adj_rows, batch_format="pandas", batch_size=65536)
+
+    def pairs_per_nbr(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes = bucket.groupby("nbr", sort=False)["node"].transform("size")
+        d = bucket[sizes <= max_pivot_degree]
+        m = d.merge(d, on="nbr")
+        m = m[m["node_x"] < m["node_y"]]
+        return pd.DataFrame({"a": m["node_x"], "b": m["node_y"]})
+
+    pairs = bucketed_group_apply(adj, ["nbr"], pairs_per_nbr, n_buckets=n_buckets)
+
+    def count_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["a", "b"], sort=False).size().reset_index(name="common")
+        g["common"] = g["common"].astype("int64")
+        return g
+
+    common = bucketed_group_apply(
+        pairs, ["a", "b"], count_pairs, n_buckets=n_buckets
+    )
+
+    def partial_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("node", sort=False).size()
+        return pd.DataFrame({"node": s.index, "d_part": s.to_numpy()})
+
+    def sum_deg(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("node", sort=False)["d_part"].sum()
+        return pd.DataFrame({"node": s.index, "deg": s.astype("int64").to_numpy()})
+
+    deg = bucketed_group_apply(
+        adj.map_batches(partial_deg, batch_format="pandas"),
+        ["node"],
+        sum_deg,
+        n_buckets=n_buckets,
+    )
+
+    j1 = hash_join(
+        common,
+        deg.map_batches(
+            lambda b: pd.DataFrame({"a": b["node"], "deg_a": b["deg"]}),
+            batch_format="pandas",
+        ),
+        on="a",
+        n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1,
+        deg.map_batches(
+            lambda b: pd.DataFrame({"b": b["node"], "deg_b": b["deg"]}),
+            batch_format="pandas",
+        ),
+        on="b",
+        n_buckets=n_buckets,
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["common"].to_numpy(dtype="float64")
+        u = (
+            batch["deg_a"].to_numpy(dtype="float64")
+            + batch["deg_b"].to_numpy(dtype="float64")
+            - c
+        )
+        out = batch[["a", "b"]].copy()
+        out["jaccard"] = c / u
+        return out[out["jaccard"] >= tau]
+
+    return j2.map_batches(score, batch_format="pandas")
+
+
+NEIGHBOR_JACCARD_SQL_TEMPLATE = """
+WITH e AS MATERIALIZED ({cooccurrence}),
+adj AS (SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+common AS (
+  SELECT x.node AS a, y.node AS b, COUNT(*) AS c
+  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY x.node, y.node
+)
+SELECT common.a, common.b,
+       CAST(c AS DOUBLE) / (da.d + db.d - c) AS jaccard
+FROM common
+JOIN deg da ON da.node = common.a
+JOIN deg db ON db.node = common.b
+WHERE CAST(c AS DOUBLE) / (da.d + db.d - c) >= {tau}
+"""

@@ -227,3 +227,33 @@ def test_entity_components_planted(ray_session):
             for i, r in out.iterrows()
         }
         assert got == expect, cfg.small_graph_threshold
+
+
+def test_neighbor_jaccard_planted(ray_session):
+    """4-cycle a-b-d-c-a: opposite corners have identical 2-neighborhoods
+    (jaccard 1.0), adjacent corners share nothing (0.0, filtered). A star
+    hub above max_pivot_degree is skipped for pair generation (hub guard)."""
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.analysis import neighbor_jaccard
+
+    square = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    star = [("h", f"s{i:02d}") for i in range(30)]
+    edges = ray.data.from_pandas(
+        pd.DataFrame(square + star, columns=["src", "dst"])
+    )
+
+    out = neighbor_jaccard(edges, tau=0.5, n_buckets=4).to_pandas()
+    got = {(r.a, r.b): r.jaccard for r in out.itertuples(index=False)}
+    # star spokes all have neighborhood {h}: jaccard 1.0 pairwise
+    assert got[("a", "d")] == 1.0 and got[("b", "c")] == 1.0
+    assert all(v == 1.0 for (a, b), v in got.items() if a.startswith("s"))
+    assert len(got) == 2 + 30 * 29 // 2
+
+    capped = neighbor_jaccard(
+        edges, tau=0.5, n_buckets=4, max_pivot_degree=8
+    ).to_pandas()
+    got_c = {(r.a, r.b) for r in capped.itertuples(index=False)}
+    # pivot h (degree 30 > 8) skipped: spoke pairs gone, square pairs remain
+    assert got_c == {("a", "d"), ("b", "c")}
