@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": lambda sf: _tx.quality_stats(_docs(sf)),
         "text_lang_id": lambda sf: _tx.lang_id(_docs(sf)),
         "text_fingerprint": lambda sf: _tx.fingerprints(_docs(sf)),
+        "text_winnow_fp": lambda sf: _tx.winnow_fingerprints(_docs(sf)),
         "text_token_counts": lambda sf: _tx.token_count_by_source(_docs(sf)),
         "text_bpe_token_counts": lambda sf: _tx.bpe_token_count_by_source(
             _docs(sf)
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _tx.QUALITY_SQL,
         "text_lang_id": _tx.LANG_ID_SQL,
         "text_fingerprint": _tx.FINGERPRINT_SQL,
+        "text_winnow_fp": _tx.WINNOW_SQL_TEMPLATE.format(k=3, window=4),
         "text_token_counts": _tx.TOKEN_COUNT_SQL,
         "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,
         "text_tfidf_terms": _tx.TFIDF_SQL_TEMPLATE.format(k_top=3),

@@ -690,3 +690,100 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def winnow_fingerprints(
+    docs: ray.data.Dataset, k: int = 3, window: int = 4
+) -> ray.data.Dataset:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): per
+    doc, hash every k-word-gram, then keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive grams — a locality-sensitive selection
+    guaranteeing any shared run of >= k+window-1 words between two docs
+    shares a fingerprint. The positional-robust upgrade of the whole-doc
+    ``fingerprints`` digest.
+
+    Stateless vectorized map: grams exploded across the batch, hashed once
+    (md5 family — DuckDB-reproducible), per-doc sliding min via a numpy
+    stride view. Output: doc_id, fp:int64 (uint64 hash bit-reinterpreted),
+    distinct per doc. Docs with fewer than k+window-1 words yield no rows
+    (no full window) on both engine and oracle sides.
+    """
+    import numpy as np
+
+    from tcx2graph_jl_ray.functions.minhash import token_hashes_md5
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        out_ids: list[np.ndarray] = []
+        out_fps: list[np.ndarray] = []
+        grams: list[str] = []
+        gram_doc: list[int] = []
+        gram_cnt: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].astype("int64").to_numpy(),
+            batch["text"].to_numpy(),
+        ):
+            words = [w for w in str(text).lower().split(" ") if w]
+            n = len(words) - k + 1
+            if n < window:
+                continue
+            grams.extend(
+                " ".join(words[i : i + k]) for i in range(n)
+            )
+            gram_doc.append(doc_id)
+            gram_cnt.append(n)
+        if not grams:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "fp": pd.array([], dtype="int64"),
+                }
+            )
+        h = token_hashes_md5(np.asarray(grams, dtype=object))
+        off = 0
+        for doc_id, n in zip(gram_doc, gram_cnt):
+            mins = np.lib.stride_tricks.sliding_window_view(
+                h[off : off + n], window
+            ).min(axis=1)
+            u = np.unique(mins)
+            out_ids.append(np.full(len(u), doc_id, dtype=np.int64))
+            out_fps.append(u.view(np.int64))
+            off += n
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_ids),
+                "fp": np.concatenate(out_fps),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas", batch_size=4096
+    )
+
+
+WINNOW_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5_number_lower(array_to_string(l[i:i+{k}-1], ' ')) AS h,
+         len(l) - {k} + 1 AS n
+  FROM tk, unnest(range(1, len(l) - {k} + 2)) AS t(i)
+  WHERE len(l) >= {k}
+),
+w AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window} - 1 FOLLOWING) AS mh
+  FROM g
+  QUALIFY pos <= n - {window} + 1
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CAST(mh AS HUGEINT)
+            - CASE WHEN mh >= CAST(9223372036854775808 AS UBIGINT)
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+            AS BIGINT) AS fp
+FROM w
+"""

@@ -260,3 +260,33 @@ def test_split_assign_deterministic_ratios(ray_session):
     assert abs(frac["train"] - 204 / 256) < 0.03
     assert abs(frac["val"] - 26 / 256) < 0.02
     assert abs(frac["test"] - 26 / 256) < 0.02
+
+
+def test_winnow_guarantee(ray_session):
+    """Winnowing guarantee: two docs sharing a run of >= k+window-1 words
+    share at least one fingerprint; unrelated docs share none; a doc
+    shorter than k+window-1 words yields no fingerprints."""
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.text import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+                "text": [
+                    f"one prefix here {shared} and a suffix",
+                    f"totally different opening {shared} closing words now",
+                    "nothing in common with anything else at all here",
+                    "too short",
+                ],
+            }
+        )
+    )
+    out = winnow_fingerprints(docs, k=3, window=4).to_pandas()
+    by = {i: set(g["fp"]) for i, g in out.groupby("doc_id")}
+    assert by[1] & by[2], "shared 9-word run must share a fingerprint"
+    assert not (by[1] & by[3]) and not (by[2] & by[3])
+    assert 4 not in by
