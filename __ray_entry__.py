@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_nn": lambda sf: _ann.embedding_nearest_neighbor(
             _embeddings_ds(sf), sf
         ),
+        "emb_knn_classify": lambda sf: _ann.knn_classify(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
         # --- training-data pipeline operators -------------------------------
         "dedup_exact": lambda sf: _dd.exact_dedup(_docs(sf)),
         "dedup_charset_join": lambda sf: _dd.charset_similarity_join(
@@ -383,6 +386,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_centroids": _ann.CENTROIDS_SQL,
         "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
+            n_queries=_ANN_NQ, k=_ANN_K
+        ),
+        "emb_knn_classify": _ann.KNN_CLASSIFY_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),
         # dim must match the embeddings fixture (64-d); the engine derives its

@@ -638,3 +638,123 @@ SELECT label, dim, ROUND(SUM(e) / COUNT(*), 6) AS centroid,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM u GROUP BY label, dim
 """
+
+
+class _BatchTopKLabeled:
+    """Actor-pool stage for kNN classification: per-query partial top-k rows
+    carrying the neighbor LABEL (so the vote needs no label join later); the
+    query point itself is excluded."""
+
+    def __init__(self, q_ref, k: int):
+        self.qids, q = ray.get(q_ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ self.qn.T
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        labels = batch["label"].to_numpy(dtype=np.int64)
+        out = []
+        for j, qid in enumerate(self.qids):
+            keep = ids != qid
+            col, kid, klab = sims[keep, j], ids[keep], labels[keep]
+            k = min(self.k, len(kid))
+            top = np.lexsort((kid, -col))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": kid[top],
+                        "label": klab[top],
+                        "sim": col[top],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def knn_classify(
+    embeddings: ray.data.Dataset, sf_dir: str, n_queries: int = 8, k: int = 10
+) -> ray.data.Dataset:
+    """k-nearest-neighbor majority-vote label prediction for each query
+    vector (the query point itself excluded from its neighbor set) — the
+    model-free classifier a curation pipeline runs over an embedded corpus.
+    Ties: highest vote count, then smallest label (matches the oracle's
+    ORDER BY votes DESC, label).
+
+    Same broadcast-small-queries/partial-top-k-combiner shape as
+    ``ann_brute_topk``: the query matrix ships once via ``ray.put``, each
+    batch contributes its local top-k, one tiny per-query merge votes.
+    Output: query_id, pred_label, votes (all int64).
+    """
+    q_ref = ray.put(_load_queries(sf_dir, n_queries))
+
+    partials = embeddings.select_columns(
+        ["vec_id", "embedding", "label"]
+    ).map_batches(
+        _BatchTopKLabeled,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 16),
+    )
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        counts = (
+            g.groupby("label", sort=False).size().reset_index(name="votes")
+        )
+        counts = counts.sort_values(
+            ["votes", "label"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(
+                    [int(g["query_id"].iloc[0])], dtype="int64"
+                ),
+                "pred_label": pd.array(
+                    [int(counts["label"].iloc[0])], dtype="int64"
+                ),
+                "votes": pd.array([int(counts["votes"].iloc[0])], dtype="int64"),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(vote, batch_format="pandas")
+
+
+KNN_CLASSIFY_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+s AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+           AS rank
+  FROM s
+),
+v AS (
+  SELECT query_id, label, COUNT(*) AS votes
+  FROM r WHERE rank <= {k} GROUP BY query_id, label
+),
+p AS (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM v
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(label AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM p WHERE rn = 1
+"""
