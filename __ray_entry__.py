@@ -49,6 +49,7 @@ _NGRAM_TAU = 0.5
 _COSINE_TAU = 0.4
 _KCORE_K = 3
 _NBR_JACCARD_TAU = 0.5
+_BURST_Z = 2.0
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Currently empty: every query has a DuckDB oracle —
@@ -149,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_neighbor_jaccard": lambda sf: _an.neighbor_jaccard(
             _an.cooccurrence_edges(_mentions_with_entity(sf)), _NBR_JACCARD_TAU
+        ),
+        "kg_entity_bursts": lambda sf: _an.entity_bursts(
+            _mentions_with_entity(sf), derive_transcripts(sf), _BURST_Z
         ),
         "kg_transitions": _transitions,
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
@@ -303,6 +307,9 @@ def oracle_sql() -> dict[str, str]:
                 mentions=_MENTIONS_SQL
             ),
             tau=_NBR_JACCARD_TAU,
+        ),
+        "kg_entity_bursts": _an.BURSTS_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL, z=_BURST_Z
         ),
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP

@@ -1810,3 +1810,106 @@ JOIN deg da ON da.node = common.a
 JOIN deg db ON db.node = common.b
 WHERE CAST(c AS DOUBLE) / (da.d + db.d - c) >= {tau}
 """
+
+
+def entity_bursts(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    z: float = 2.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Burst days per entity: days whose mention mass exceeds the entity's
+    own mean by ``z`` sample standard deviations — the temporal hotspot
+    detector paired with the reference's spatial hotspot argmax
+    (examples/case_study_1.jl repetitions-max over segments, here over a
+    time axis). Entities observed on a single day have no sample deviation
+    and are excluded on both engine and oracle sides.
+
+    Shape: mention rows pick up their turn timestamp through the
+    co-partitioned ``hash_join`` on (conv_id, turn_idx) — never a broadcast
+    of the transcripts side; daily mass via per-batch partial sums +
+    bucketed reduce; the per-entity mean/std screen runs inside entity
+    buckets (one vectorized pandas groupby per bucket, not one Ray group
+    per entity).
+
+    Output: entity_id, day ('YYYY-MM-DD'), n_mentions:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    joined = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id", "n_occurrences"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "ts"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def partial_day(batch: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m-%d")
+        g = (
+            pd.DataFrame(
+                {
+                    "entity_id": batch["entity_id"],
+                    "day": day,
+                    "n_part": batch["n_occurrences"],
+                }
+            )
+            .groupby(["entity_id", "day"], sort=False)["n_part"]
+            .sum()
+        )
+        return g.reset_index()
+
+    def sum_day(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["entity_id", "day"], sort=False)["n_part"].sum()
+        out = g.reset_index().rename(columns={"n_part": "n_mentions"})
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
+
+    daily = bucketed_group_apply(
+        joined.map_batches(partial_day, batch_format="pandas", batch_size=65536),
+        ["entity_id", "day"],
+        sum_day,
+        n_buckets=n_buckets,
+    )
+
+    def screen(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False)["n_mentions"]
+        mu = g.transform("mean")
+        sd = g.transform("std")  # ddof=1 == STDDEV_SAMP
+        nd = g.transform("size")
+        keep = (nd >= 2) & (bucket["n_mentions"] > mu + z * sd)
+        return bucket.loc[keep, ["entity_id", "day", "n_mentions"]]
+
+    return bucketed_group_apply(daily, ["entity_id"], screen, n_buckets=n_buckets)
+
+
+BURSTS_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+t AS ({transcripts}),
+me AS (
+  SELECT l.entity_id, strftime(CAST(t.ts AS DATE), '%Y-%m-%d') AS day,
+         mm.n_occurrences
+  FROM m mm
+  JOIN lab l ON mm.norm = l.norm
+  JOIN t ON t.conv_id = mm.conv_id AND t.turn_idx = mm.turn_idx
+),
+d AS (
+  SELECT entity_id, day, CAST(SUM(n_occurrences) AS BIGINT) AS n_mentions
+  FROM me GROUP BY entity_id, day
+),
+s AS (
+  SELECT entity_id, AVG(n_mentions) AS mu, STDDEV_SAMP(n_mentions) AS sd,
+         COUNT(*) AS nd
+  FROM d GROUP BY entity_id
+)
+SELECT d.entity_id, d.day, d.n_mentions
+FROM d JOIN s ON s.entity_id = d.entity_id
+WHERE s.nd >= 2 AND d.n_mentions > s.mu + {z} * s.sd
+"""
+)
