@@ -427,3 +427,100 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = '{right_type}') e
   ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL {window_s} SECOND
 GROUP BY s.event_id
 """
+
+
+def retention_cohorts(events: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+    """Cohort retention matrix: users are cohorted by their FIRST active day;
+    each (cohort_day, day_offset) cell counts how many of that cohort were
+    active again ``day_offset`` days later — the product-analytics rollup a
+    training-data pipeline runs over interaction logs.
+
+    Shape: per-user first day = per-batch partial MIN + bucketed reduce on
+    user_id (combiner — no global sort); distinct (user, day) activity the
+    same way; the cohort day rejoins activity through the co-partitioned
+    ``hash_join`` on user_id; the final cell count is a partial-count
+    combiner over (cohort_day, day_offset). Four keyed exchanges total,
+    nothing driver-side.
+
+    Output: cohort_day ('YYYY-MM-DD'), day_offset:int64, n_users:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def partial_days(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "day": pd.to_datetime(batch["ts"]).dt.normalize(),
+            }
+        ).drop_duplicates()
+
+    def dedup_days(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(["user_id", "day"])
+
+    activity = bucketed_group_apply(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            partial_days, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id"],
+        dedup_days,
+        n_buckets=n_buckets,
+    )
+
+    def first_day(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)["day"].min()
+        return pd.DataFrame({"user_id": g.index, "cohort_day": g.to_numpy()})
+
+    cohorts = bucketed_group_apply(
+        activity, ["user_id"], first_day, n_buckets=n_buckets
+    )
+
+    joined = hash_join(activity, cohorts, on="user_id", n_buckets=n_buckets)
+
+    def partial_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        off = (
+            (batch["day"] - batch["cohort_day"]).dt.days.astype("int64")
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "cohort_day": batch["cohort_day"].dt.strftime("%Y-%m-%d"),
+                    "day_offset": off,
+                }
+            )
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        return g
+
+    def sum_cells(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["cohort_day", "day_offset"], sort=False)["n_part"]
+            .sum()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        joined.map_batches(partial_cells, batch_format="pandas"),
+        ["cohort_day", "day_offset"],
+        sum_cells,
+        n_buckets=n_buckets,
+    )
+
+
+RETENTION_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+c AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c ON c.user_id = a.user_id
+GROUP BY c.cohort_day, a.day - c.cohort_day
+"""
