@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
         "events_retention": lambda sf: _wd.retention_cohorts(_events_ds(sf)),
+        "events_type_trend": lambda sf: _wd.event_type_trend(_events_ds(sf)),
         "events_sessionize": lambda sf: _wd.sessionize(
             _events_ds(sf), float(_SESSION_GAP_S)
         ),
@@ -420,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
             simhash=_dd.SIMHASH_SQL, max_hamming=3
         ),
         "events_retention": _wd.RETENTION_SQL,
+        "events_type_trend": _wd.TYPE_TREND_SQL,
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_tumbling": _wd.TUMBLING_SQL,
         "events_sliding": _wd.SLIDING_SQL_TEMPLATE.format(width_hours=2),

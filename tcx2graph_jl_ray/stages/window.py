@@ -524,3 +524,96 @@ SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM a JOIN c ON c.user_id = a.user_id
 GROUP BY c.cohort_day, a.day - c.cohort_day
 """
+
+
+def event_type_trend(events: ray.data.Dataset, n_buckets: int = 16) -> ray.data.Dataset:
+    """Per-event-type activity trend: least-squares slope/intercept of the
+    DAILY EVENT COUNT against the day offset since 2024-01-01 — grouped
+    regression as a distributed sufficient-statistics reduce (n, Σx, Σy,
+    Σxy, Σx² per group are exact BIGINT sums, so the combiner is
+    order-insensitive and the final float formula is bit-deterministic,
+    unlike summing raw doubles).
+
+    Types observed on a single day have an undefined slope and are
+    excluded on both engine and oracle sides.
+
+    Output: event_type, n_days:int64, slope:float64, intercept:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    epoch = pd.Timestamp("2024-01-01")
+
+    def partial_daily(batch: pd.DataFrame) -> pd.DataFrame:
+        x = (pd.to_datetime(batch["ts"]).dt.normalize() - epoch).dt.days
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "x": x})
+            .groupby(["event_type", "x"], sort=False)
+            .size()
+            .reset_index(name="y_part")
+        )
+        return g
+
+    def sum_daily(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["event_type", "x"], sort=False)["y_part"]
+            .sum()
+            .reset_index(name="y")
+        )
+        return g
+
+    daily = bucketed_group_apply(
+        events.select_columns(["event_type", "ts"]).map_batches(
+            partial_daily, batch_format="pandas", batch_size=65536
+        ),
+        ["event_type", "x"],
+        sum_daily,
+        n_buckets=n_buckets,
+    )
+
+    def fit(bucket: pd.DataFrame) -> pd.DataFrame:
+        x = bucket["x"].astype("int64")
+        y = bucket["y"].astype("int64")
+        g = bucket.assign(
+            n=1, sx=x, sy=y, sxy=x * y, sxx=x * x
+        ).groupby("event_type", sort=False)[["n", "sx", "sy", "sxy", "sxx"]].sum()
+        g = g[g["n"] >= 2]
+        n = g["n"].astype("float64")
+        det = n * g["sxx"] - g["sx"] * g["sx"]
+        slope = (n * g["sxy"] - g["sx"] * g["sy"]) / det
+        intercept = (g["sy"] - slope * g["sx"]) / n
+        return pd.DataFrame(
+            {
+                "event_type": g.index,
+                "n_days": g["n"].astype("int64").to_numpy(),
+                "slope": slope.to_numpy(),
+                "intercept": intercept.to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(daily, ["event_type"], fit, n_buckets=n_buckets)
+
+
+TYPE_TREND_SQL = """
+WITH d AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM s WHERE n >= 2
+"""
