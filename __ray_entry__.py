@@ -241,6 +241,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_retention": lambda sf: _wd.retention_cohorts(_events_ds(sf)),
         "events_type_trend": lambda sf: _wd.event_type_trend(_events_ds(sf)),
+        "events_sliding_users": lambda sf: _wd.sliding_distinct_users(
+            _events_ds(sf), 2
+        ),
+        "events_funnel": lambda sf: _wd.conversion_funnel(_events_ds(sf)),
         "events_sessionize": lambda sf: _wd.sessionize(
             _events_ds(sf), float(_SESSION_GAP_S)
         ),
@@ -422,6 +426,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_retention": _wd.RETENTION_SQL,
         "events_type_trend": _wd.TYPE_TREND_SQL,
+        "events_sliding_users": _wd.SLIDING_USERS_SQL_TEMPLATE.format(
+            width_hours=2
+        ),
+        "events_funnel": _wd.FUNNEL_SQL_TEMPLATE.format(
+            first_type="signup", then_type="purchase", within_hours=24
+        ),
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_tumbling": _wd.TUMBLING_SQL,
         "events_sliding": _wd.SLIDING_SQL_TEMPLATE.format(width_hours=2),

@@ -617,3 +617,176 @@ SELECT event_type, n AS n_days,
          / CAST(n AS DOUBLE) AS intercept
 FROM s WHERE n >= 2
 """
+
+
+def sliding_distinct_users(
+    events: ray.data.Dataset, width_hours: int = 2, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Sliding-window COUNT DISTINCT users — the aggregate that canNOT be
+    composed from per-window partial counts (distinct doesn't sum), so the
+    distributed shape is: per-batch distinct (user, hour) -> bucketed
+    (user, hour) dedup -> fan each row to the ``width_hours`` windows
+    containing it -> bucketed (window, user) dedup emitting per-bucket
+    partial counts -> tiny final sum per window. Every stage is keyed on
+    (window, user), so one window's user set never sits in a single task.
+
+    Output: window_start, n_users:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial_uh(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "hour": batch["ts"].dt.floor("h"),
+            }
+        ).drop_duplicates()
+
+    def dedup_uh(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(["user_id", "hour"])
+
+    uh = bucketed_group_apply(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            partial_uh, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id", "hour"],
+        dedup_uh,
+        n_buckets=n_buckets,
+    )
+
+    def fan(batch: pd.DataFrame) -> pd.DataFrame:
+        reps = []
+        for k in range(width_hours):
+            r = batch[["user_id"]].copy()
+            r["window_start"] = batch["hour"] - pd.to_timedelta(k, unit="h")
+            reps.append(r)
+        return pd.concat(reps, ignore_index=True)
+
+    def count_part(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["window_start", "user_id"])
+        g = d.groupby("window_start", sort=False).size().reset_index(name="n_part")
+        return g
+
+    parts = bucketed_group_apply(
+        uh.map_batches(fan, batch_format="pandas"),
+        ["window_start", "user_id"],
+        count_part,
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("window_start", sort=False)["n_part"].sum()
+        return pd.DataFrame(
+            {"window_start": g.index, "n_users": g.astype("int64").to_numpy()}
+        )
+
+    return bucketed_group_apply(parts, ["window_start"], final, n_buckets=n_buckets)
+
+
+SLIDING_USERS_SQL_TEMPLATE = """
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+),
+w AS (
+  SELECT DISTINCT user_id, hour - k.k * INTERVAL 1 HOUR AS window_start
+  FROM uh CROSS JOIN (SELECT unnest(generate_series(0, {width_hours} - 1)) AS k) k
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w GROUP BY window_start
+"""
+
+
+def conversion_funnel(
+    events: ray.data.Dataset,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    within_hours: int = 24,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Two-step funnel: of the users whose event stream contains
+    ``first_type``, how many performed ``then_type`` within
+    ``within_hours`` of their FIRST ``first_type``. The per-user decision
+    runs vectorized inside user buckets (one keyed exchange); only the
+    3-integer partial survives to the driver-side total.
+
+    Output: one row — n_first, n_converted (int64), conversion_rate
+    (float64, exact ratio of the two exact counts).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        f = bucket[bucket["event_type"] == first_type]
+        first = f.groupby("user_id", sort=False)["ts"].min()
+        if not len(first):
+            return pd.DataFrame(
+                {
+                    "n_first_part": pd.array([], dtype="int64"),
+                    "n_conv_part": pd.array([], dtype="int64"),
+                }
+            )
+        t = bucket[bucket["event_type"] == then_type].merge(
+            first.rename("t0"), left_on="user_id", right_index=True
+        )
+        dt = t["ts"] - t["t0"]
+        ok = t.loc[
+            (dt > pd.Timedelta(0))
+            & (dt <= pd.Timedelta(hours=within_hours)),
+            "user_id",
+        ].nunique()
+        return pd.DataFrame(
+            {
+                "n_first_part": pd.array([len(first)], dtype="int64"),
+                "n_conv_part": pd.array([int(ok)], dtype="int64"),
+            }
+        )
+
+    parts = bucketed_group_apply(
+        events.select_columns(["user_id", "event_type", "ts"]),
+        ["user_id"],
+        per_user,
+        n_buckets=n_buckets,
+    )
+
+    def total(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_first_part": pd.array(
+                    [int(batch["n_first_part"].sum())], dtype="int64"
+                ),
+                "n_conv_part": pd.array(
+                    [int(batch["n_conv_part"].sum())], dtype="int64"
+                ),
+            }
+        )
+
+    agg = parts.map_batches(total, batch_format="pandas").to_pandas()
+    n_first = int(agg["n_first_part"].sum())
+    n_conv = int(agg["n_conv_part"].sum())
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "n_first": pd.array([n_first], dtype="int64"),
+                "n_converted": pd.array([n_conv], dtype="int64"),
+                "conversion_rate": [n_conv / n_first if n_first else 0.0],
+            }
+        )
+    )
+
+
+FUNNEL_SQL_TEMPLATE = """
+WITH f AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = '{first_type}' GROUP BY user_id
+),
+c AS (
+  SELECT DISTINCT f.user_id
+  FROM f JOIN events e ON e.user_id = f.user_id
+  WHERE e.event_type = '{then_type}'
+    AND e.ts > f.t0 AND e.ts <= f.t0 + {within_hours} * INTERVAL 1 HOUR
+)
+SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_first,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_converted,
+       CASE WHEN (SELECT COUNT(*) FROM f) = 0 THEN 0.0
+            ELSE CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM f) END AS conversion_rate
+"""
