@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": lambda sf: _tx.lang_id(_docs(sf)),
         "text_fingerprint": lambda sf: _tx.fingerprints(_docs(sf)),
         "text_winnow_fp": lambda sf: _tx.winnow_fingerprints(_docs(sf)),
+        "docs_chunks": lambda sf: _tx.chunk_documents(_docs(sf)),
+        "docs_pack_sequences": lambda sf: _tx.pack_sequences(_docs(sf)),
         "text_token_counts": lambda sf: _tx.token_count_by_source(_docs(sf)),
         "text_bpe_token_counts": lambda sf: _tx.bpe_token_count_by_source(
             _docs(sf)
@@ -384,6 +386,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _tx.LANG_ID_SQL,
         "text_fingerprint": _tx.FINGERPRINT_SQL,
         "text_winnow_fp": _tx.WINNOW_SQL_TEMPLATE.format(k=3, window=4),
+        "docs_chunks": _tx.CHUNK_SQL_TEMPLATE.format(chunk_tokens=64, stride=48),
+        "docs_pack_sequences": _tx.PACK_SQL_TEMPLATE.format(seq_tokens=512),
         "text_token_counts": _tx.TOKEN_COUNT_SQL,
         "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,
         "text_tfidf_terms": _tx.TFIDF_SQL_TEMPLATE.format(k_top=3),

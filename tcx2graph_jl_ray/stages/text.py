@@ -787,3 +787,159 @@ SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
             AS BIGINT) AS fp
 FROM w
 """
+
+
+def chunk_documents(
+    docs: ray.data.Dataset, chunk_tokens: int = 64, stride: int = 48
+) -> ray.data.Dataset:
+    """Overlapping-window document chunking — the standard LLM-pretraining
+    prep step: each doc yields windows of ``chunk_tokens`` whitespace tokens
+    every ``stride`` tokens (overlap = chunk_tokens - stride). The chunk
+    CONTENT travels as its md5 digest, not the text, so the result stays
+    small while remaining value-checkable. Empty docs yield no chunks.
+
+    Output: doc_id, chunk_idx, start_tok, n_tokens (int64), chunk_md5.
+    """
+
+    def ch(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        ids, idxs, starts, lens, digests = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].astype("int64").to_numpy(),
+            batch["text"].to_numpy(),
+        ):
+            toks = [w for w in str(text).lower().split(" ") if w]
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = " ".join(toks[s : s + chunk_tokens])
+                ids.append(doc_id)
+                idxs.append(ci)
+                starts.append(s)
+                lens.append(min(chunk_tokens, n - s))
+                digests.append(hashlib.md5(piece.encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "chunk_idx": pd.array(idxs, dtype="int64"),
+                "start_tok": pd.array(starts, dtype="int64"),
+                "n_tokens": pd.array(lens, dtype="int64"),
+                "chunk_md5": digests,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        ch, batch_format="pandas", batch_size=4096
+    )
+
+
+CHUNK_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(s.s / {stride} AS BIGINT) AS chunk_idx,
+       CAST(s.s AS BIGINT) AS start_tok,
+       CAST(least({chunk_tokens}, len(l) - s.s) AS BIGINT) AS n_tokens,
+       md5(array_to_string(l[s.s + 1 : s.s + {chunk_tokens}], ' ')) AS chunk_md5
+FROM tk, unnest(range(0, len(l), {stride})) AS s(s)
+WHERE len(l) > 0
+"""
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    seq_tokens: int = 512,
+    chunk_docs: int = 4096,
+) -> ray.data.Dataset:
+    """Greedy training-sequence packing: documents in doc_id order are laid
+    end-to-end on a global token tape; each doc's sequence id is its start
+    offset divided by ``seq_tokens`` (GPT-style packing, boundary docs
+    assigned by where they start). The global prefix sum uses the same
+    whale-safe two-phase split as ``cumulative_tokens_chunked``
+    (graph.py): order-free per-chunk token totals via a combiner, one tiny
+    exclusive prefix over chunk totals (rows = docs/``chunk_docs``,
+    broadcast once via ``ray.put``), then a per-chunk local cumsum — no
+    global sort, no driver pass over the data.
+
+    Output: doc_id, n_tokens, offset, seq_id (all int64; empty/null docs
+    count 0 tokens and still receive a slot, matching the SQL window).
+    """
+    import numpy as np
+    import ray as _ray
+
+    src = docs.select_columns(["doc_id", "text"])
+
+    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"].fillna("")
+        toks = txt.str.lower().str.split(" ").map(
+            lambda ws: sum(1 for w in ws if w)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "chunk": batch["doc_id"].astype("int64") // chunk_docs,
+                "n_tokens": toks.astype("int64"),
+            }
+        )
+
+    rows = src.map_batches(tok_rows, batch_format="pandas", batch_size=8192)
+
+    def partial_totals(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("chunk", sort=False)["n_tokens"].sum()
+        return pd.DataFrame({"chunk": g.index, "total": g.to_numpy()})
+
+    totals = (
+        rows.map_batches(partial_totals, batch_format="pandas")
+        .to_pandas()
+        .groupby("chunk", sort=True)["total"]
+        .sum()
+    )
+    offsets = (totals.cumsum() - totals).astype("int64")
+    off_ref = _ray.put(offsets.to_dict())
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    class _Apply:
+        def __init__(self, ref):
+            self.off = _ray.get(ref)
+
+        def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
+            g = bucket.sort_values("doc_id", kind="mergesort")
+            local = g.groupby("chunk", sort=False)["n_tokens"].cumsum()
+            base = g["chunk"].map(self.off).to_numpy(dtype="int64")
+            start = base + (local - g["n_tokens"]).to_numpy(dtype="int64")
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "n_tokens": g["n_tokens"].to_numpy(),
+                    "offset": start,
+                    "seq_id": start // seq_tokens,
+                }
+            )
+
+    def apply_bucket(bucket: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "fn" not in _cache:
+            _cache["fn"] = _Apply(off_ref)
+        return _cache["fn"](bucket)
+
+    return bucketed_group_apply(rows, ["chunk"], apply_bucket)
+
+
+PACK_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS offset,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {seq_tokens} AS BIGINT) AS seq_id
+FROM d
+"""
