@@ -50,6 +50,7 @@ _COSINE_TAU = 0.4
 _KCORE_K = 3
 _NBR_JACCARD_TAU = 0.5
 _BURST_Z = 2.0
+_COPURCHASE_MIN = 2
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Currently empty: every query has a DuckDB oracle —
@@ -247,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf), 2
         ),
         "events_funnel": lambda sf: _wd.conversion_funnel(_events_ds(sf)),
+        "rel_copurchase": lambda sf: _rel.copurchase_pairs(sf, _COPURCHASE_MIN),
         "events_sessionize": lambda sf: _wd.sessionize(
             _events_ds(sf), float(_SESSION_GAP_S)
         ),
@@ -435,6 +437,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_funnel": _wd.FUNNEL_SQL_TEMPLATE.format(
             first_type="signup", then_type="purchase", within_hours=24
+        ),
+        "rel_copurchase": _rel.COPURCHASE_SQL_TEMPLATE.format(
+            min_support=_COPURCHASE_MIN
         ),
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_tumbling": _wd.TUMBLING_SQL,

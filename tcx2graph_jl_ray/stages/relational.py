@@ -544,3 +544,70 @@ r AS (
 SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
 FROM r WHERE rn <= {k}
 """
+
+
+def copurchase_pairs(
+    sf_dir: str, min_support: int = 3, n_buckets: int = 64,
+    max_basket: int = 1000,
+) -> ray.data.Dataset:
+    """Basket analysis over lineitem: pairs of parts appearing in the same
+    order at least ``min_support`` times — the same blocked pair-generation
+    shape as the entity co-occurrence graph (order = basket = blocking
+    key), pruned at the read to the two join columns. Baskets larger than
+    ``max_basket`` items are skipped for pair generation (hot-basket guard;
+    TPC-H baskets are <= 7 items, so oracle parity is unconditional there).
+
+    Output: part_a, part_b (part_a < part_b), n_orders:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def partial_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        sizes = d.groupby("l_orderkey", sort=False)["l_partkey"].transform("size")
+        d = d[sizes <= max_basket]
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {"part_a": m["l_partkey_x"], "part_b": m["l_partkey_y"]}
+        )
+
+    def count_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        g = g[g["n_orders"] >= min_support]
+        g["n_orders"] = g["n_orders"].astype("int64")
+        g["part_a"] = g["part_a"].astype("int64")
+        g["part_b"] = g["part_b"].astype("int64")
+        return g
+
+    distinct = li.map_batches(
+        partial_distinct, batch_format="pandas", batch_size=65536
+    )
+    pairs = bucketed_group_apply(
+        distinct, ["l_orderkey"], pairs_in_bucket, n_buckets=n_buckets
+    )
+    return bucketed_group_apply(
+        pairs, ["part_a", "part_b"], count_pairs, n_buckets=n_buckets
+    )
+
+
+COPURCHASE_SQL_TEMPLATE = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(x.l_partkey AS BIGINT) AS part_a,
+       CAST(y.l_partkey AS BIGINT) AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b x JOIN b y
+  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+GROUP BY x.l_partkey, y.l_partkey
+HAVING COUNT(*) >= {min_support}
+"""
