@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": lambda sf: _tx.fingerprints(_docs(sf)),
         "text_winnow_fp": lambda sf: _tx.winnow_fingerprints(_docs(sf)),
         "docs_chunks": lambda sf: _tx.chunk_documents(_docs(sf)),
+        "dedup_winnow_pairs": lambda sf: _tx.winnow_neardup_pairs(_docs(sf)),
         "docs_pack_sequences": lambda sf: _tx.pack_sequences(_docs(sf)),
         "text_token_counts": lambda sf: _tx.token_count_by_source(_docs(sf)),
         "text_bpe_token_counts": lambda sf: _tx.bpe_token_count_by_source(
@@ -389,6 +390,10 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _tx.FINGERPRINT_SQL,
         "text_winnow_fp": _tx.WINNOW_SQL_TEMPLATE.format(k=3, window=4),
         "docs_chunks": _tx.CHUNK_SQL_TEMPLATE.format(chunk_tokens=64, stride=48),
+        "dedup_winnow_pairs": _tx.WINNOW_PAIRS_SQL_TEMPLATE.format(
+            winnow=_tx.WINNOW_SQL_TEMPLATE.format(k=3, window=4),
+            min_shared=2,
+        ),
         "docs_pack_sequences": _tx.PACK_SQL_TEMPLATE.format(seq_tokens=512),
         "text_token_counts": _tx.TOKEN_COUNT_SQL,
         "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,

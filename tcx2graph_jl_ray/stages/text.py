@@ -943,3 +943,59 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
             // {seq_tokens} AS BIGINT) AS seq_id
 FROM d
 """
+
+
+def winnow_neardup_pairs(
+    docs: ray.data.Dataset,
+    min_shared: int = 2,
+    k: int = 3,
+    window: int = 4,
+    n_buckets: int = 64,
+    max_fp_block: int = 10_000,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by shared winnowing fingerprints — the MOSS
+    match step: docs sharing >= ``min_shared`` selected fingerprints are
+    flagged. The fingerprint is the blocking key (same shape as the minhash
+    band join); a fingerprint shared by more than ``max_fp_block`` docs is
+    boilerplate and is skipped for pair generation (oracle parity holds
+    while no fingerprint exceeds the cap — unconditional at test scale).
+
+    Output: a, b (a < b, int64), n_shared:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    fps = winnow_fingerprints(docs, k=k, window=window)
+
+    def pairs_per_fp(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes = bucket.groupby("fp", sort=False)["doc_id"].transform("size")
+        d = bucket[sizes <= max_fp_block]
+        m = d.merge(d, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"a": m["doc_id_x"], "b": m["doc_id_y"]})
+
+    pairs = bucketed_group_apply(fps, ["fp"], pairs_per_fp, n_buckets=n_buckets)
+
+    def count_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n_shared")
+        )
+        g = g[g["n_shared"] >= min_shared]
+        g["n_shared"] = g["n_shared"].astype("int64")
+        g["a"] = g["a"].astype("int64")
+        g["b"] = g["b"].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        pairs, ["a", "b"], count_pairs, n_buckets=n_buckets
+    )
+
+
+WINNOW_PAIRS_SQL_TEMPLATE = """
+WITH w AS ({winnow})
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM w x JOIN w y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING COUNT(*) >= {min_shared}
+"""
