@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": lambda sf: _tx.chunk_documents(_docs(sf)),
         "dedup_winnow_pairs": lambda sf: _tx.winnow_neardup_pairs(_docs(sf)),
         "docs_pack_sequences": lambda sf: _tx.pack_sequences(_docs(sf)),
+        "docs_length_deciles": lambda sf: _tx.length_deciles(_docs(sf)),
         "text_token_counts": lambda sf: _tx.token_count_by_source(_docs(sf)),
         "text_bpe_token_counts": lambda sf: _tx.bpe_token_count_by_source(
             _docs(sf)
@@ -395,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
             min_shared=2,
         ),
         "docs_pack_sequences": _tx.PACK_SQL_TEMPLATE.format(seq_tokens=512),
+        "docs_length_deciles": _tx.LENGTH_DECILES_SQL_TEMPLATE.format(n_tiles=10),
         "text_token_counts": _tx.TOKEN_COUNT_SQL,
         "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,
         "text_tfidf_terms": _tx.TFIDF_SQL_TEMPLATE.format(k_top=3),

@@ -999,3 +999,94 @@ FROM w x JOIN w y ON x.fp = y.fp AND x.doc_id < y.doc_id
 GROUP BY x.doc_id, y.doc_id
 HAVING COUNT(*) >= {min_shared}
 """
+
+
+def length_deciles(docs: ray.data.Dataset, n_tiles: int = 10, n_buckets: int = 64) -> ray.data.Dataset:
+    """Global NTILE bucketing by document length: every doc gets its decile
+    (1..n_tiles) in the corpus-wide ordering by (n_tokens, doc_id) — the
+    distributed GLOBAL-RANK primitive, done without a global sort:
+
+    1. token-count HISTOGRAM via combiner (distinct lengths ≪ docs);
+    2. driver-side exclusive prefix over the tiny sorted histogram →
+       broadcast base-rank per length (``ray.put`` once);
+    3. within each equal-length group, position by doc_id assigned in
+       length-keyed buckets (vectorized rank per group);
+    4. NTILE arithmetic on the exact global rank.
+
+    Matches SQL ``NTILE({n})`` exactly, including the first ``n_rows %
+    n_tiles`` tiles taking the extra row. Null-text docs count 0 tokens
+    and rank first, like the SQL COALESCE.
+
+    Output: doc_id, n_tokens, tile (all int64).
+    """
+    import ray as _ray
+
+    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"].fillna("")
+        toks = txt.str.lower().str.split(" ").map(
+            lambda ws: sum(1 for w in ws if w)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": toks.astype("int64"),
+            }
+        )
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        tok_rows, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("n_tokens", sort=False).size()
+        return pd.DataFrame({"n_tokens": g.index, "cnt": g.to_numpy()})
+
+    hist = (
+        rows.map_batches(partial_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("n_tokens", sort=True)["cnt"]
+        .sum()
+    )
+    total = int(hist.sum())
+    base = (hist.cumsum() - hist).astype("int64")
+    state = _ray.put((base.to_dict(), total))
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def assign(bucket: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        if "s" not in _cache:
+            _cache["s"] = _ray.get(state)
+        base_map, n = _cache["s"]
+        g = bucket.sort_values(["n_tokens", "doc_id"], kind="mergesort")
+        pos = g.groupby("n_tokens", sort=False).cumcount().to_numpy()
+        rank = g["n_tokens"].map(base_map).to_numpy(dtype="int64") + pos
+        q, rem = divmod(n, n_tiles)
+        big = rem * (q + 1)
+        tile = np.where(
+            rank < big,
+            rank // (q + 1) if q + 1 else 0,
+            rem + (rank - big) // q if q else rem,
+        ) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "tile": tile.astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(rows, ["n_tokens"], assign, n_buckets=n_buckets)
+
+
+LENGTH_DECILES_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(NTILE({n_tiles}) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS tile
+FROM d
+"""

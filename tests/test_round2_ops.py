@@ -178,3 +178,27 @@ def test_copurchase_planted(ray_session, tmp_path):
     got = {(r.part_a, r.part_b): r.n_orders for r in out.itertuples(index=False)}
     # (10,20) in orders 1,2,3 (dup 20 in order 3 counted once)
     assert got == {(10, 20): 3}
+
+
+def test_length_deciles_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import length_deciles
+
+    # 7 docs, 3 tiles -> NTILE sizes 3,2,2; lengths tie-broken by doc_id
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([0, 1, 2, 3, 4, 5, 6], dtype="int64"),
+                "text": ["a", "a b", "a b", None, "a b c", "a", "a b c d"],
+            }
+        )
+    )
+    out = (
+        length_deciles(docs, n_tiles=3, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # global order by (n_tokens, doc_id): 3(0), 0(1), 5(1), 1(2), 2(2), 4(3), 6(4)
+    # tiles: first 3 -> 1, next 2 -> 2, last 2 -> 3
+    expect = {3: 1, 0: 1, 5: 1, 1: 2, 2: 2, 4: 3, 6: 3}
+    got = dict(zip(out["doc_id"], out["tile"]))
+    assert got == expect
