@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_funnel": lambda sf: _wd.conversion_funnel(_events_ds(sf)),
         "rel_copurchase": lambda sf: _rel.copurchase_pairs(sf, _COPURCHASE_MIN),
+        "q5_local_supplier_volume": lambda sf: _rel.q5_local_supplier_volume(sf),
         "events_sessionize": lambda sf: _wd.sessionize(
             _events_ds(sf), float(_SESSION_GAP_S)
         ),
@@ -447,6 +448,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_copurchase": _rel.COPURCHASE_SQL_TEMPLATE.format(
             min_support=_COPURCHASE_MIN
+        ),
+        "q5_local_supplier_volume": _rel.Q5_SQL_TEMPLATE.format(
+            region="ASIA", date_from="1996-01-01", date_to="1997-01-01"
         ),
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_tumbling": _wd.TUMBLING_SQL,

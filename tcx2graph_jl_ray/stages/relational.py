@@ -611,3 +611,125 @@ FROM b x JOIN b y
 GROUP BY x.l_partkey, y.l_partkey
 HAVING COUNT(*) >= {min_support}
 """
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H-Q5 shape: revenue from lineitems where the customer and the
+    supplier sit in the same nation of one region, grouped by that nation.
+    The two BIG joins (orders ⋈ customer on custkey, then ⋈ lineitem on
+    orderkey) run through the co-partitioned ``hash_join`` — customer is
+    1.5M rows/SF and must not be broadcast at scale. Only supplier→nation
+    (10x smaller, the classic small side) plus the nation/region filter
+    ship once via ``ray.put``. Reads are pruned to join/filter columns;
+    dates filter at the orders read. Revenue rounds to 2 decimals on both
+    engine and oracle sides (the repo's float-aggregate convention).
+
+    Output: n_name, revenue:float64, n_items:int64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat = nat.merge(
+        reg[reg["r_name"] == region], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    sup_ref = ray.put(
+        (
+            dict(zip(sup["s_suppkey"], sup["s_nationkey"])),
+            dict(zip(nat["n_nationkey"], nat["n_name"])),
+        )
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.loc[
+            (b["o_orderdate"] >= pd.Timestamp(date_from))
+            & (b["o_orderdate"] < pd.Timestamp(date_to)),
+            ["o_orderkey", "o_custkey"],
+        ].rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    oc = hash_join(orders, cust, on="c_custkey", n_buckets=n_buckets).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "c_nationkey"]
+        ],
+        batch_format="pandas",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    ocl = hash_join(li, oc, on="l_orderkey", n_buckets=n_buckets)
+
+    class _Partial:
+        def __init__(self, ref):
+            self.sup_nat, self.nat_name = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            s_nat = batch["l_suppkey"].map(self.sup_nat)
+            keep = s_nat == batch["c_nationkey"]
+            b = batch[keep]
+            name = b["c_nationkey"].map(self.nat_name)
+            ok = name.notna()
+            b, name = b[ok], name[ok]
+            rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
+            g = pd.DataFrame({"n_name": name, "rev": rev}).groupby(
+                "n_name", sort=False
+            )
+            agg = g.agg(rev_part=("rev", "sum"), n_part=("rev", "size"))
+            return agg.reset_index()
+
+    parts = ocl.map_batches(
+        _Partial, fn_constructor_args=(sup_ref,), batch_format="pandas",
+        batch_size=65536, concurrency=(1, 8),
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_name", sort=False).agg(
+            revenue=("rev_part", "sum"), n_items=("n_part", "sum")
+        ).reset_index()
+        g["revenue"] = g["revenue"].map(lambda v: round(float(v), 2))
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    return bucketed_group_apply(parts, ["n_name"], final, n_buckets=8)
+
+
+Q5_SQL_TEMPLATE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+GROUP BY n_name
+"""
