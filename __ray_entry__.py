@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_entity_pagerank": lambda sf: _an.entity_pagerank(_transitions(sf)),
         "kg_paths_k3": lambda sf: _an.khop_paths(_transitions(sf), 3, _REACH_MIN_N),
+        "kg_bfs_levels": lambda sf: _an.bfs_levels(_transitions(sf)),
         "kg_conv_digests": lambda sf: _gr.conv_digests(derive_transcripts(sf)),
         "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(
             derive_transcripts(sf)
@@ -342,6 +343,12 @@ def oracle_sql() -> dict[str, str]:
                 mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
             ),
             min_n=_REACH_MIN_N,
+        ),
+        "kg_bfs_levels": _an.BFS_LEVELS_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            ),
+            max_rounds=30,
         ),
         "kg_paths_k3": _an.KHOP_PATHS_SQL_TEMPLATE.format(
             transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(

@@ -1913,3 +1913,130 @@ FROM d JOIN s ON s.entity_id = d.entity_id
 WHERE s.nd >= 2 AND d.n_mentions > s.mu + {z} * s.sd
 """
 )
+
+
+def bfs_levels(
+    transitions: ray.data.Dataset,
+    max_rounds: int = 30,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Single-source BFS levels over the directed transition graph from the
+    lexicographically smallest entity — the unbounded-depth generalization
+    of ``reachable_pairs``/``khop_paths`` (reference walker
+    src/PathFinder.jl:36-149 explores from a chosen segment; here the
+    frontier expands breadth-first until empty or ``max_rounds``).
+
+    Per round: frontier ⋈ edges through the co-partitioned ``hash_join``
+    (never an edge broadcast), visited-set subtraction via a LEFT join
+    against the accumulated labels, per-node dedup in buckets. The visited
+    set lives as a Dataset, so a billion-node reachable set never touches
+    the driver.
+
+    Output: entity_id, dist:int64 (0 for the source; unreachable entities
+    absent). ``max_rounds`` mirrors the oracle's recursion bound — exact
+    whenever the true eccentricity is below it (asserted at test scale).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = transitions.select_columns(["from_entity", "to_entity"]).materialize()
+
+    lo = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "m": [
+                    min(
+                        b["from_entity"].min(),
+                        b["to_entity"].min(),
+                    )
+                ]
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(lo):
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"entity_id": pa.array([], pa.string()),
+                 "dist": pa.array([], pa.int64())}
+            )
+        )
+    source = lo["m"].min()
+
+    labels = ray.data.from_pandas(
+        pd.DataFrame(
+            {"entity_id": [source], "dist": pd.array([0], dtype="int64")}
+        )
+    ).materialize()
+    frontier = labels
+
+    for rnd in range(max_rounds):
+        cand = hash_join(
+            frontier.map_batches(
+                lambda b: pd.DataFrame({"from_entity": b["entity_id"]}),
+                batch_format="pandas",
+            ),
+            edges,
+            on="from_entity",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame({"entity_id": b["to_entity"]}),
+            batch_format="pandas",
+        )
+        if cand.count() == 0:
+            break
+        new = hash_join(
+            cand,
+            labels.map_batches(
+                lambda b: pd.DataFrame(
+                    {"entity_id": b["entity_id"], "seen": 1}
+                ),
+                batch_format="pandas",
+            ),
+            on="entity_id",
+            how="left",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: b.loc[b["seen"].isna(), ["entity_id"]],
+            batch_format="pandas",
+        )
+
+        def dedup(bucket: pd.DataFrame) -> pd.DataFrame:
+            return bucket.drop_duplicates("entity_id")
+
+        new = bucketed_group_apply(
+            new, ["entity_id"], dedup, n_buckets=n_buckets
+        ).materialize()
+        if new.count() == 0:
+            break
+        d = rnd + 1
+        frontier = new.map_batches(
+            lambda b, _d=d: pd.DataFrame(
+                {
+                    "entity_id": b["entity_id"],
+                    "dist": pd.array([_d] * len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+        labels = labels.union(frontier).materialize()
+    return labels
+
+
+BFS_LEVELS_SQL_TEMPLATE = """
+WITH RECURSIVE t AS ({transitions}),
+e AS (SELECT from_entity AS u, to_entity AS v FROM t),
+src AS (
+  SELECT MIN(node) AS s
+  FROM (SELECT u AS node FROM e UNION SELECT v FROM e)
+),
+r(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node WHERE r.d < {max_rounds}
+)
+SELECT node AS entity_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM r GROUP BY node
+"""

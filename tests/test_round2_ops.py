@@ -202,3 +202,22 @@ def test_length_deciles_planted(ray_session):
     expect = {3: 1, 0: 1, 5: 1, 1: 2, 2: 2, 4: 3, 6: 3}
     got = dict(zip(out["doc_id"], out["tile"]))
     assert got == expect
+
+
+def test_bfs_levels_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import bfs_levels
+
+    # source is min entity "a"; chain a->b->c with a cycle c->a and an
+    # unreachable island x->y; shortcut a->c must NOT override dist 1 for b
+    trans = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "from_entity": ["a", "b", "c", "x", "a"],
+                "to_entity": ["b", "c", "a", "y", "c"],
+                "n": pd.array([1, 1, 1, 1, 1], dtype="int64"),
+            }
+        )
+    )
+    out = bfs_levels(trans, max_rounds=10, n_buckets=4).to_pandas()
+    got = dict(zip(out["entity_id"], out["dist"]))
+    assert got == {"a": 0, "b": 1, "c": 1}
