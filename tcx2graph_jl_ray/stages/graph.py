@@ -25,21 +25,29 @@ import ray.data
 
 def build_nodes(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     """One node per turn with its properties (reference src/GraphBuilder.jl:104-107,
-    property attach :113-122). Stateless vectorized map; no shuffle."""
+    property attach :113-122). Stateless vectorized map; no shuffle. Pure
+    projection, so the batch stays a zero-copy Arrow table end to end
+    (pyarrow.compute kernels; no pandas conversion)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def to_nodes(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        turn = pc.cast(batch["turn_idx"], pa.int32())
+        node_id = pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(turn, pa.string()), ":"
+        )
+        return pa.table(
             {
-                "node_id": batch["conv_id"] + ":" + batch["turn_idx"].astype(str),
+                "node_id": node_id,
                 "conv_id": batch["conv_id"],
-                "turn_idx": batch["turn_idx"].astype("int32"),
+                "turn_idx": turn,
                 "role": batch["role"],
-                "n_chars": batch["text"].str.len().astype("int64"),
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
                 "ts": batch["ts"],
             }
         )
 
-    return transcripts.map_batches(to_nodes, batch_format="pandas", batch_size=16384)
+    return transcripts.map_batches(to_nodes, batch_format="pyarrow", batch_size=16384)
 
 
 def _edges_for_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
