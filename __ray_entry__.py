@@ -256,6 +256,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": lambda sf: _wd.sessionize(
             _events_ds(sf), float(_SESSION_GAP_S)
         ),
+        "events_rank_topk": lambda sf: _wd.rank_topk_per_user(_events_ds(sf), 3),
+        "events_histogram": lambda sf: _wd.value_histogram(_events_ds(sf), 25.0),
+        "q4_order_priority": lambda sf: _rel.q4_order_priority(sf),
+        "kg_adamic_adar": lambda sf: _an.adamic_adar(
+            _an.cooccurrence_edges(_mentions_with_entity(sf)), min_common=2
+        ),
+        "text_rare_bigrams": lambda sf: _tx.rare_bigram_rate(_docs(sf), 3),
+        "dedup_semantic_clusters": lambda sf: _ann.semantic_clusters(
+            _embeddings_ds(sf), sf, _COSINE_TAU
+        ),
         "events_tumbling": lambda sf: _wd.tumbling_counts(_events_ds(sf)),
         "events_sliding": lambda sf: _wd.sliding_counts(_events_ds(sf), 2),
         "events_top_per_user": lambda sf: _wd.top_event_per_user(_events_ds(sf)),
@@ -460,6 +470,21 @@ def oracle_sql() -> dict[str, str]:
             region="ASIA", date_from="1996-01-01", date_to="1997-01-01"
         ),
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
+        "events_rank_topk": _wd.RANK_TOPK_SQL_TEMPLATE.format(k=3),
+        "events_histogram": _wd.VALUE_HISTOGRAM_SQL_TEMPLATE.format(
+            bin_width=25.0
+        ),
+        "q4_order_priority": _rel.Q4_SQL_TEMPLATE.format(
+            date_from="1996-01-01", date_to="1996-04-01"
+        ),
+        "kg_adamic_adar": _an.ADAMIC_ADAR_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            ),
+            min_common=2,
+        ),
+        "text_rare_bigrams": _tx.RARE_BIGRAM_SQL_TEMPLATE.format(min_count=3),
+        "dedup_semantic_clusters": _ann.semantic_clusters_sql(_COSINE_TAU),
         "events_tumbling": _wd.TUMBLING_SQL,
         "events_sliding": _wd.SLIDING_SQL_TEMPLATE.format(width_hours=2),
         "events_top_per_user": _wd.TOP_EVENT_SQL,

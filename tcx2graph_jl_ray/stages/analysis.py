@@ -2040,3 +2040,115 @@ r(node, d) AS (
 SELECT node AS entity_id, CAST(MIN(d) AS BIGINT) AS dist
 FROM r GROUP BY node
 """
+
+
+def adamic_adar(
+    cooccurrence: ray.data.Dataset,
+    min_common: int = 2,
+    n_buckets: int = 64,
+    max_pivot_degree: int = 10_000,
+) -> ray.data.Dataset:
+    """Adamic-Adar link prediction over the co-occurrence graph: for entity
+    pairs sharing ≥ ``min_common`` neighbors, score = Σ 1/ln(deg(z)) over
+    common neighbors z — ``neighbor_jaccard``'s candidate machinery with a
+    degree-weighted pivot, the standard KG link-prediction baseline (the
+    reference ranks segment hotspots by how many distinct rides share a
+    cell, src/GraphUtils.jl:117-189; here shared neighbors are the cells and
+    rare neighbors count for more).
+
+    Shape: degrees via partial-count combiner; each adjacency row picks up
+    its PIVOT's degree through the co-partitioned ``hash_join`` (never a
+    degree-dict broadcast); per-pivot vectorized self-merge emits candidate
+    pairs carrying the pivot weight 1/ln(deg(pivot)); a bucketed pair
+    reduction sums weights and counts. A pivot with degree >
+    ``max_pivot_degree`` is skipped (hub guard, same trade as
+    ``neighbor_jaccard``). A pivot that forms a pair has degree ≥ 2, so
+    ln(deg) > 0 — no division guard needed. The gate is the INTEGER common
+    count, so no float-boundary filter; the score rounds to 6 decimals on
+    both sides (the repo's float-aggregate convention — summation order
+    differs between engine and oracle).
+
+    Output: a, b (a < b), common:int64, adamic_adar:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = cooccurrence.select_columns(["src", "dst"])
+
+    def adj_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [batch["src"], batch["dst"]], ignore_index=True
+                ),
+                "nbr": pd.concat(
+                    [batch["dst"], batch["src"]], ignore_index=True
+                ),
+            }
+        )
+
+    adj = edges.map_batches(adj_rows, batch_format="pandas", batch_size=65536)
+
+    def partial_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("nbr", sort=False).size()
+        return pd.DataFrame({"nbr": s.index, "d_part": s.to_numpy()})
+
+    def sum_deg(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("nbr", sort=False)["d_part"].sum()
+        return pd.DataFrame({"nbr": s.index, "deg": s.astype("int64").to_numpy()})
+
+    deg = bucketed_group_apply(
+        adj.map_batches(partial_deg, batch_format="pandas"),
+        ["nbr"],
+        sum_deg,
+        n_buckets=n_buckets,
+    )
+    adj_w = hash_join(adj, deg, on="nbr", n_buckets=n_buckets)
+
+    def pairs_per_nbr(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["deg"] <= max_pivot_degree]
+        m = d.merge(d, on="nbr")
+        m = m[m["node_x"] < m["node_y"]]
+        return pd.DataFrame(
+            {
+                "a": m["node_x"],
+                "b": m["node_y"],
+                "w": 1.0 / np.log(m["deg_x"].to_numpy(dtype="float64")),
+            }
+        )
+
+    pairs = bucketed_group_apply(
+        adj_w, ["nbr"], pairs_per_nbr, n_buckets=n_buckets
+    )
+
+    def reduce_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["a", "b"], sort=False)["w"].agg(["size", "sum"])
+        g = g[g["size"] >= min_common].reset_index()
+        return pd.DataFrame(
+            {
+                "a": g["a"],
+                "b": g["b"],
+                "common": g["size"].astype("int64"),
+                "adamic_adar": g["sum"].astype("float64").round(6),
+            }
+        )
+
+    return bucketed_group_apply(
+        pairs, ["a", "b"], reduce_pairs, n_buckets=n_buckets
+    )
+
+
+ADAMIC_ADAR_SQL_TEMPLATE = """
+WITH e AS MATERIALIZED ({cooccurrence}),
+adj AS (SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT nbr, COUNT(*) AS d FROM adj GROUP BY nbr)
+SELECT x.node AS a, y.node AS b,
+       CAST(COUNT(*) AS BIGINT) AS common,
+       ROUND(SUM(1.0 / LN(d.d)), 6) AS adamic_adar
+FROM adj x
+JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+JOIN deg d ON d.nbr = x.nbr
+GROUP BY x.node, y.node
+HAVING COUNT(*) >= {min_common}
+"""

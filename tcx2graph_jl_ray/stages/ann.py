@@ -758,3 +758,55 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(votes AS BIGINT) AS votes
 FROM p WHERE rn = 1
 """
+
+
+def semantic_clusters(
+    embeddings: ray.data.Dataset, sf_dir: str, threshold: float = 0.4
+) -> ray.data.Dataset:
+    """Embedding-space near-duplicate CLUSTERS: connected components over
+    the cosine-similarity pair graph — the semantic analogue of the
+    MinHash clustering (same compose as the reference's overlap merge,
+    src/OverlappingSegmentsUtils.jl:212-277: verified pairs -> union-find),
+    with ``embedding_cosine_pairs`` as the verified-pair source. Vectors
+    similar to nothing are absent (singletons carry no dedup action).
+
+    Scale shape: the pair graph feeds the dual-path ``connected_components``
+    via ``entity_components`` (driver union-find below the threshold,
+    distributed min-label rounds above — labels are numeric-min member ids
+    either way, matching the oracle's MIN(reach) over BIGINT).
+
+    Output: vec_id, component_id (min member), component_size:int64.
+    """
+    from tcx2graph_jl_ray.stages.analysis import entity_components
+
+    pairs = embedding_cosine_pairs(embeddings, sf_dir, threshold)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({"src": b["a"], "dst": b["b"]}),
+        batch_format="pandas",
+    )
+    comp = entity_components(edges)
+    return comp.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "vec_id": b["entity_id"].astype("int64"),
+                "component_id": b["component_id"].astype("int64"),
+                "component_size": b["component_size"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def semantic_clusters_sql(threshold: float) -> str:
+    from tcx2graph_jl_ray.stages.analysis import COMPONENTS_SQL_TEMPLATE
+
+    pairs = COSINE_PAIRS_SQL_TEMPLATE.format(threshold=threshold)
+    comp = COMPONENTS_SQL_TEMPLATE.format(
+        cooccurrence=f"SELECT a AS src, b AS dst FROM ({pairs})"
+    )
+    return (
+        "SELECT CAST(entity_id AS BIGINT) AS vec_id,\n"
+        "       CAST(component_id AS BIGINT) AS component_id,\n"
+        "       component_size\n"
+        f"FROM ({comp})"
+    )

@@ -733,3 +733,90 @@ WHERE r_name = '{region}'
   AND o_orderdate <  TIMESTAMP '{date_to}'
 GROUP BY n_name
 """
+
+
+def q4_order_priority(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H-Q4 shape: orders in a quarter that have AT LEAST ONE returned
+    lineitem, counted by priority — the EXISTS semi-join. (The synthetic
+    lineitem table has no commit/receipt dates, so the EXISTS predicate is
+    ``l_returnflag = 'R'``; the join/dedup shape is Q4's.)
+
+    100 TB shape: the matching lineitems reduce to DISTINCT orderkeys
+    per-batch + bucket-side (a combiner, so the shuffle moves unique keys,
+    not lineitems), then meet the date-filtered orders in the co-partitioned
+    ``hash_join`` — neither fact side is broadcast or driver-materialized.
+    The per-priority count is a per-batch partial + tiny final groupby.
+    Reference analogue: the bbox semi-join prefilter
+    (src/OverlappingSegmentsUtils.jl:126-137) — qualify by existence, then
+    aggregate the qualifying set.
+
+    Output: o_orderpriority, order_count:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda b: b.loc[b["l_returnflag"] == "R", ["l_orderkey"]]
+        .drop_duplicates()
+        .rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    keys = bucketed_group_apply(
+        li,
+        ["o_orderkey"],
+        lambda bucket: bucket.drop_duplicates("o_orderkey"),
+        n_buckets=n_buckets,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.loc[
+            (b["o_orderdate"] >= pd.Timestamp(date_from))
+            & (b["o_orderdate"] < pd.Timestamp(date_to)),
+            ["o_orderkey", "o_orderpriority"],
+        ],
+        batch_format="pandas",
+    )
+    qualified = hash_join(orders, keys, on="o_orderkey", n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": s.index, "n_part": s.to_numpy()}
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("o_orderpriority", sort=False)["n_part"].sum()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": s.index,
+                "order_count": s.astype("int64").to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(
+        qualified.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        final,
+        n_buckets=8,
+    )
+
+
+Q4_SQL_TEMPLATE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""

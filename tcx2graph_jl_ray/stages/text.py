@@ -1090,3 +1090,99 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
        CAST(NTILE({n_tiles}) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS tile
 FROM d
 """
+
+
+def rare_bigram_rate(
+    docs: ray.data.Dataset, min_count: int = 3, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """LM-style quality screen from exact integer statistics: per document,
+    how many of its word bigrams are RARE in the corpus (global occurrence
+    count < ``min_count``) — the n-gram-LM out-of-vocabulary-rate proxy used
+    to flag low-quality/garbled documents, kept integer-exact (no
+    log-probability sums) so the oracle is bit-identical. The grid logic
+    mirrors the reference's hotspot screen inverted (src/GraphUtils.jl:
+    117-189: cells seen by MANY rides are hot; bigrams seen in FEW docs are
+    suspect).
+
+    Shape: per-batch (doc, bigram) multiplicity partials; corpus counts by
+    per-batch partial + bucketed sum (the combiner — the shuffle moves
+    distinct bigrams, not occurrences); doc rows meet counts in the
+    co-partitioned ``hash_join`` (no vocabulary broadcast — corpus
+    vocabularies at 100 TB are billions of bigrams); per-doc totals reduce
+    inside doc_id buckets. Docs with < 2 tokens have no bigrams and are
+    absent, as in the oracle.
+
+    Output: doc_id, n_bigrams:int64, n_rare:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks = batch["text"].str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n_bi = toks.map(lambda ws: max(0, len(ws) - 1))
+        ids = np.repeat(batch["doc_id"].to_numpy(), n_bi.to_numpy())
+        bi = [
+            f"{ws[i]} {ws[i+1]}"
+            for ws in toks
+            for i in range(len(ws) - 1)
+        ]
+        df = pd.DataFrame({"doc_id": ids, "bigram": bi})
+        g = df.groupby(["doc_id", "bigram"], sort=False).size().reset_index(name="m")
+        g["m"] = g["m"].astype("int64")
+        return g
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_bigrams, batch_format="pandas", batch_size=4096
+    )
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("bigram", sort=False)["m"].sum()
+        return pd.DataFrame({"bigram": s.index, "c_part": s.to_numpy()})
+
+    def sum_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("bigram", sort=False)["c_part"].sum()
+        return pd.DataFrame({"bigram": s.index, "c": s.astype("int64").to_numpy()})
+
+    counts = bucketed_group_apply(
+        rows.map_batches(partial_counts, batch_format="pandas"),
+        ["bigram"],
+        sum_counts,
+        n_buckets=n_buckets,
+    )
+    joined = hash_join(rows, counts, on="bigram", n_buckets=n_buckets)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.assign(
+            rare=np.where(bucket["c"] < min_count, bucket["m"], 0)
+        )
+        g = bucket.groupby("doc_id", sort=False).agg(
+            n_bigrams=("m", "sum"), n_rare=("rare", "sum")
+        ).reset_index()
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["n_bigrams"] = g["n_bigrams"].astype("int64")
+        g["n_rare"] = g["n_rare"].astype("int64")
+        return g
+
+    return bucketed_group_apply(joined, ["doc_id"], per_doc, n_buckets=n_buckets)
+
+
+RARE_BIGRAM_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram
+  FROM tk, unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+),
+c AS (SELECT bigram, COUNT(*) AS c FROM bi GROUP BY bigram)
+SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.c < {min_count} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare
+FROM bi JOIN c USING (bigram)
+GROUP BY bi.doc_id
+"""

@@ -790,3 +790,110 @@ SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_first,
             ELSE CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
                  / (SELECT COUNT(*) FROM f) END AS conversion_rate
 """
+
+
+def rank_topk_per_user(events: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """Grouped top-k with rank and gap-to-previous — the full window-function
+    trio (ROW_NUMBER + LAG) over per-user value order, generalizing
+    ``top_event_per_user`` from top-1 to ranked top-k. Order: value DESC,
+    event_id ASC (unique tiebreak). ``gap`` = previous rank's value − this
+    value (NULL at rank 1), computed from raw values so it is float-exact.
+
+    Combiner shape: each batch keeps at most k rows per user (a user's
+    global top-k is a subset of the union of its per-batch top-k), the
+    bucketed final re-ranks inside one vectorized pandas groupby — the
+    shuffle moves ≤ k rows per user, never the event stream.
+
+    Output: user_id, rank:int64, event_id, event_type, value, gap.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["value", "event_id"], ascending=[False, True],
+                           kind="mergesort")
+        return d.groupby("user_id", sort=False).head(k)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = topk(bucket).copy()
+        g = d.groupby("user_id", sort=False)
+        d["rank"] = g.cumcount().to_numpy() + 1
+        d["gap"] = g["value"].shift(1) - d["value"]
+        d["user_id"] = d["user_id"].astype("int64")
+        d["event_id"] = d["event_id"].astype("int64")
+        d["rank"] = d["rank"].astype("int64")
+        return d[["user_id", "rank", "event_id", "event_type", "value", "gap"]]
+
+    partials = events.select_columns(
+        ["user_id", "event_id", "event_type", "value"]
+    ).map_batches(topk, batch_format="pandas", batch_size=65536)
+    return bucketed_group_apply(partials, ["user_id"], final)
+
+
+RANK_TOPK_SQL_TEMPLATE = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn,
+         LAG(value) OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) - value AS gap
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(rn AS BIGINT) AS rank,
+       CAST(event_id AS BIGINT) AS event_id,
+       event_type, value, gap
+FROM r WHERE rn <= {k}
+"""
+
+
+def value_histogram(
+    events: ray.data.Dataset, bin_width: float = 25.0
+) -> ray.data.Dataset:
+    """Fixed-width histogram of event values per type — the quantized-cell
+    counting of the reference's coverage grid (src/GraphUtils.jl:18-103:
+    quantize to a cell, count distinct/total per cell) on the value axis.
+    Bin = floor(value/width); both sides compute the same IEEE double
+    division so the edge assignment is bit-identical. NULL values drop.
+
+    Combiner shape: per-batch (type, bin) partial counts, bucketed final
+    sum — the shuffle moves one row per non-empty bin per batch.
+
+    Output: event_type, bin:int64, n:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["value"].notna()]
+        bins = np.floor(
+            b["value"].to_numpy(dtype="float64") / bin_width
+        ).astype("int64")
+        s = (
+            pd.DataFrame({"event_type": b["event_type"], "bin": bins})
+            .groupby(["event_type", "bin"], sort=False)
+            .size()
+        )
+        out = s.reset_index()
+        out.columns = ["event_type", "bin", "n_part"]
+        return out
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby(["event_type", "bin"], sort=False)["n_part"].sum()
+        out = s.reset_index()
+        out.columns = ["event_type", "bin", "n"]
+        out["bin"] = out["bin"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = events.select_columns(["event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    return bucketed_group_apply(partials, ["event_type", "bin"], final, n_buckets=16)
+
+
+VALUE_HISTOGRAM_SQL_TEMPLATE = """
+SELECT event_type,
+       CAST(FLOOR(value / {bin_width}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type, FLOOR(value / {bin_width})
+"""
