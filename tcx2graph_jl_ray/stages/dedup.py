@@ -899,3 +899,63 @@ FROM sh s JOIN bench b ON s.shingle = b.shingle
 WHERE s.source != '{benchmark_source}'
 GROUP BY s.doc_id
 """
+
+
+def dedup_keep_best(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup with QUALITY-AWARE survivor selection: one representative
+    per distinct text — the longest copy (``n_chars``), ties to the lowest
+    ``doc_id`` — the "keep best" policy real curation pipelines apply where
+    ``exact_dedup`` keeps the first. Same scale shape as ``exact_dedup``:
+    hash-partition on a content digest (shuffle key only; equality is
+    re-verified group-side so hash collisions cannot merge distinct texts),
+    vectorized in-group argmax. The reference's candidate dedup keeps the
+    RICHEST candidate the same way (sort by run count desc then drop
+    overlaps, src/OverlappingSegmentsUtils.jl:220-240).
+
+    Output: doc_id, n_chars:int64, n_copies:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def add_digest(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch).copy()
+        batch["digest"] = pd.util.hash_pandas_object(
+            batch["text"], index=False
+        ).astype("int64")
+        return batch
+
+    def best_per_text(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        g = d.groupby("text", sort=False)
+        best = g.head(1)
+        n = g.size()
+        return pd.DataFrame(
+            {
+                "doc_id": best["doc_id"].astype("int64").to_numpy(),
+                "n_chars": best["n_chars"].astype("int64").to_numpy(),
+                "n_copies": n.loc[best["text"]].astype("int64").to_numpy(),
+            }
+        )
+
+    return bucketed_group_apply(
+        docs.select_columns(["doc_id", "text", "n_chars"]).map_batches(
+            add_digest, batch_format="pandas", batch_size=8192
+        ),
+        ["digest"],
+        best_per_text,
+    )
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH r AS (
+  SELECT doc_id, n_chars, COUNT(*) OVER (PARTITION BY text) AS n_copies,
+         ROW_NUMBER() OVER (PARTITION BY text
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""

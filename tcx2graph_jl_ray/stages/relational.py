@@ -820,3 +820,72 @@ WHERE o_orderdate >= TIMESTAMP '{date_from}'
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority
 """
+
+
+def mad_outliers_by_type(
+    sf_dir: str, k_mad: float = 3.0
+) -> ray.data.Dataset:
+    """Robust outlier screen per event type: median, MAD (median absolute
+    deviation), and the count of values beyond ``k_mad`` MADs — the
+    robust-statistics cousin of the mean/std burst screen
+    (``entity_bursts``), insensitive to the very outliers it flags. Two
+    exact medians per group (non-decomposable, src/DataPreprocessing.jl:
+    101-135's impute medians): groups co-locate whole in the bucketed
+    shuffle, so both are computed in one vectorized in-group pass (at 10^12
+    rows/group this becomes a t-digest pair). The outlier gate compares the
+    same IEEE doubles on both sides; medians interpolate identically
+    (mid-average) in pandas and DuckDB.
+
+    Output: event_type, median_value, mad, n_outliers:int64, n:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket[bucket["value"].notna()]
+        rows = []
+        for etype, g in bucket.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(dtype="float64")
+            med = float(np.median(v))
+            dev = np.abs(v - med)
+            mad = float(np.median(dev))
+            rows.append(
+                {
+                    "event_type": etype,
+                    "median_value": med,
+                    "mad": mad,
+                    "n_outliers": int((dev > k_mad * mad).sum()),
+                    "n": len(v),
+                }
+            )
+        out = pd.DataFrame(rows)
+        out["n_outliers"] = out["n_outliers"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_group_apply(events, ["event_type"], per_bucket, n_buckets=8)
+
+
+MAD_OUTLIERS_SQL_TEMPLATE = """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, MEDIAN(ABS(e.value - med.m)) AS mad
+  FROM events e JOIN med USING (event_type)
+  WHERE e.value IS NOT NULL GROUP BY e.event_type
+)
+SELECT e.event_type,
+       ANY_VALUE(med.m) AS median_value,
+       ANY_VALUE(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN ABS(e.value - med.m) > {k_mad} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+"""

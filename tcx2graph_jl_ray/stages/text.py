@@ -1186,3 +1186,110 @@ SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
 FROM bi JOIN c USING (bigram)
 GROUP BY bi.doc_id
 """
+
+
+def lm_logprob(docs: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+    """Corpus-trained bigram-LM score per document — the KenLM-style
+    perplexity filter of LLM data pipelines: logprob = Σ ln(c(w1,w2)/c(w1·))
+    over the doc's bigrams, where counts are CORPUS totals (MLE, no
+    smoothing needed: every observed bigram has c ≥ 1 and its left unigram
+    context c(w1·) ≥ c(w1,w2) > 0, so each term is ln of a ratio in (0,1]).
+    A self-scored corpus is the screen's calibration run; scoring a held-out
+    corpus against these counts is the same join with the count table
+    swapped. Rounds to 6 decimals on both sides (float-aggregate
+    convention: summation order differs).
+
+    Shape: doc (bigram, multiplicity) rows as in ``rare_bigram_rate``;
+    bigram counts AND left-context counts each via per-batch partial +
+    bucketed sum; the doc rows pick both up through two co-partitioned
+    ``hash_join``s (no vocabulary broadcast); per-doc reduce inside doc_id
+    buckets. Docs with < 2 tokens are absent (no bigrams), as in the oracle.
+
+    Output: doc_id, n_bigrams:int64, logprob:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks = batch["text"].str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n_bi = toks.map(lambda ws: max(0, len(ws) - 1))
+        ids = np.repeat(batch["doc_id"].to_numpy(), n_bi.to_numpy())
+        w1 = [ws[i] for ws in toks for i in range(len(ws) - 1)]
+        bi = [
+            f"{ws[i]} {ws[i+1]}"
+            for ws in toks
+            for i in range(len(ws) - 1)
+        ]
+        df = pd.DataFrame({"doc_id": ids, "w1": w1, "bigram": bi})
+        g = (
+            df.groupby(["doc_id", "w1", "bigram"], sort=False)
+            .size()
+            .reset_index(name="m")
+        )
+        g["m"] = g["m"].astype("int64")
+        return g
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_bigrams, batch_format="pandas", batch_size=4096
+    )
+
+    def make_counts(col: str, out: str):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch.groupby(col, sort=False)["m"].sum()
+            return pd.DataFrame({col: s.index, "c_part": s.to_numpy()})
+
+        def total(bucket: pd.DataFrame) -> pd.DataFrame:
+            s = bucket.groupby(col, sort=False)["c_part"].sum()
+            return pd.DataFrame({col: s.index, out: s.astype("int64").to_numpy()})
+
+        return bucketed_group_apply(
+            rows.map_batches(partial, batch_format="pandas"),
+            [col],
+            total,
+            n_buckets=n_buckets,
+        )
+
+    bi_counts = make_counts("bigram", "c_bi")
+    uni_counts = make_counts("w1", "c_uni")
+    j = hash_join(rows, bi_counts, on="bigram", n_buckets=n_buckets)
+    j = hash_join(j, uni_counts, on="w1", n_buckets=n_buckets)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        lp = bucket["m"].to_numpy(dtype="float64") * np.log(
+            bucket["c_bi"].to_numpy(dtype="float64")
+            / bucket["c_uni"].to_numpy(dtype="float64")
+        )
+        d = pd.DataFrame(
+            {"doc_id": bucket["doc_id"], "m": bucket["m"], "lp": lp}
+        )
+        g = d.groupby("doc_id", sort=False).agg(
+            n_bigrams=("m", "sum"), logprob=("lp", "sum")
+        ).reset_index()
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["n_bigrams"] = g["n_bigrams"].astype("int64")
+        g["logprob"] = g["logprob"].astype("float64").round(6)
+        return g
+
+    return bucketed_group_apply(j, ["doc_id"], per_doc, n_buckets=n_buckets)
+
+
+LM_LOGPROB_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i+1] AS bigram
+  FROM tk, unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+),
+cb AS (SELECT bigram, COUNT(*) AS c_bi FROM bi GROUP BY bigram),
+cu AS (SELECT w1, COUNT(*) AS c_uni FROM bi GROUP BY w1)
+SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(LN(CAST(c_bi AS DOUBLE) / c_uni)), 6) AS logprob
+FROM bi JOIN cb USING (bigram) JOIN cu USING (w1)
+GROUP BY bi.doc_id
+"""

@@ -897,3 +897,64 @@ SELECT event_type,
 FROM events WHERE value IS NOT NULL
 GROUP BY event_type, FLOOR(value / {bin_width})
 """
+
+
+def top_type_per_user(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped MODE: each user's most frequent event type (ties to the
+    lexicographically smaller type) — the categorical impute statistic of
+    the reference's cleaning pass (mode per file, src/DataPreprocessing.jl:
+    116-135) as a first-class distributed operator. Fully decomposable:
+    per-batch (user, type) partial counts combine in user buckets, then a
+    vectorized in-bucket argmax — the shuffle moves one row per (user, type)
+    per batch, never events.
+
+    Output: user_id, top_type, n:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby(["user_id", "event_type"], sort=False).size()
+        out = s.reset_index()
+        out.columns = ["user_id", "event_type", "n_part"]
+        return out
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            bucket.groupby(["user_id", "event_type"], sort=False)["n_part"]
+            .sum()
+            .reset_index(name="n")
+        )
+        c = c.sort_values(
+            ["n", "event_type"], ascending=[False, True], kind="mergesort"
+        )
+        best = c.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": best["user_id"].astype("int64"),
+                "top_type": best["event_type"],
+                "n": best["n"].astype("int64"),
+            }
+        )
+
+    partials = events.select_columns(["user_id", "event_type"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    return bucketed_group_apply(partials, ["user_id"], final)
+
+
+TOP_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type AS top_type,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""

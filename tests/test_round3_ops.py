@@ -1,0 +1,249 @@
+"""Planted-truth tests for the round-2 third-batch operators (each also has
+sf0.001 oracle parity via tests/test_entry_contract.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
+    df["event_id"] = range(len(df))
+    df["ts"] = pd.to_datetime("2024-01-01")
+    df["props"] = "{}"
+    return ray.data.from_pandas(df)
+
+
+def _docs(texts, n_chars=None):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    df["n_chars"] = (
+        df["text"].str.len() if n_chars is None else pd.Series(n_chars)
+    )
+    return ray.data.from_pandas(df)
+
+
+def test_rank_topk_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import rank_topk_per_user
+
+    ev = _events(
+        [
+            (1, "a", 5.0),
+            (1, "a", 9.0),
+            (1, "a", 7.0),
+            (1, "a", 1.0),  # rank 4: cut at k=3
+            (2, "a", 3.0),  # single event: rank 1, gap NULL
+        ]
+    )
+    out = rank_topk_per_user(ev, k=3).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("rank")
+    assert list(u1["value"]) == [9.0, 7.0, 5.0]
+    assert math.isnan(u1["gap"].iloc[0])
+    assert list(u1["gap"].iloc[1:]) == [2.0, 2.0]
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2["rank"].iloc[0] == 1
+
+
+def test_rank_topk_combiner_across_blocks(ray_session):
+    """Per-batch top-k partials must still yield the global top-k when a
+    user's events span many blocks."""
+    from tcx2graph_jl_ray.stages.window import rank_topk_per_user
+
+    df = pd.DataFrame(
+        {
+            "user_id": 7,
+            "event_type": "a",
+            "value": np.arange(100, dtype="float64"),
+            "event_id": range(100),
+            "ts": pd.to_datetime("2024-01-01"),
+            "props": "{}",
+        }
+    )
+    ev = ray.data.from_pandas(df).repartition(10)
+    out = rank_topk_per_user(ev, k=3).to_pandas().sort_values("rank")
+    assert list(out["value"]) == [99.0, 98.0, 97.0]
+
+
+def test_top_type_per_user_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import top_type_per_user
+
+    ev = _events(
+        [
+            (1, "b", 0.0),
+            (1, "b", 0.0),
+            (1, "a", 0.0),
+            (2, "z", 0.0),
+            (2, "a", 0.0),  # tie 1-1 -> lexicographically smaller "a"
+        ]
+    )
+    out = top_type_per_user(ev).to_pandas().set_index("user_id")
+    assert out.loc[1, "top_type"] == "b" and out.loc[1, "n"] == 2
+    assert out.loc[2, "top_type"] == "a" and out.loc[2, "n"] == 1
+
+
+def test_value_histogram_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_histogram
+
+    ev = _events(
+        [
+            (1, "x", 0.0),    # bin 0
+            (1, "x", 24.99),  # bin 0
+            (1, "x", 25.0),   # bin 1 (edge goes up)
+            (1, "y", -0.5),   # bin -1 (floor, not trunc)
+        ]
+    )
+    out = value_histogram(ev, 25.0).to_pandas()
+    got = {(r.event_type, r.bin): r.n for r in out.itertuples(index=False)}
+    assert got == {("x", 0): 2, ("x", 1): 1, ("y", -1): 1}
+
+
+def test_mad_outliers_planted(ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from tcx2graph_jl_ray.stages.relational import mad_outliers_by_type
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(7),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": 1,
+            "event_type": "t",
+            "value": [1.0, 9.0, 10.0, 11.0, 19.0, 10.0, 1000.0],
+            "props": "{}",
+        }
+    )
+    d = tempfile.mkdtemp(prefix="mad_")
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+    out = mad_outliers_by_type(d, 3.0).to_pandas()
+    r = out.iloc[0]
+    # median 10, |dev| = [9,1,0,1,9,0,990], MAD = median = 1
+    assert r["median_value"] == 10.0 and r["mad"] == 1.0
+    # outliers: |dev| > 3*1 -> 9, 9, 990 -> 3
+    assert r["n_outliers"] == 3 and r["n"] == 7
+
+
+def test_dedup_keep_best_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import dedup_keep_best
+
+    # same text, different recorded n_chars: keep longest then min doc_id
+    docs = _docs(["aa", "aa", "aa", "bb"], n_chars=[2, 5, 5, 2])
+    out = dedup_keep_best(docs).to_pandas().set_index("doc_id")
+    assert set(out.index) == {1, 3}
+    assert out.loc[1, "n_chars"] == 5 and out.loc[1, "n_copies"] == 3
+    assert out.loc[3, "n_copies"] == 1
+
+
+def test_rare_bigram_rate_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import rare_bigram_rate
+
+    # "a b" occurs 3x in corpus (docs 0,1), "c d" once (rare at min_count=2)
+    docs = _docs(["a b a b", "a b c d", "x"])
+    out = rare_bigram_rate(docs, min_count=2).to_pandas().set_index("doc_id")
+    # doc0 bigrams: "a b","b a","a b" -> "b a" occurs once -> rare
+    assert out.loc[0, "n_bigrams"] == 3 and out.loc[0, "n_rare"] == 1
+    # doc1: "a b","b c","c d" -> rare: "b c","c d"
+    assert out.loc[1, "n_bigrams"] == 3 and out.loc[1, "n_rare"] == 2
+    assert 2 not in out.index  # single-token doc: no bigrams
+
+
+def test_lm_logprob_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import lm_logprob
+
+    docs = _docs(["a b a b", "a c"])
+    out = lm_logprob(docs).to_pandas().set_index("doc_id")
+    # corpus bigrams: doc0: (a b)x2, (b a); doc1: (a c)
+    # c(a b)=2, c(b a)=1, c(a c)=1; left contexts: c(a .)=3, c(b .)=1
+    lp0 = 2 * math.log(2 / 3) + math.log(1 / 1)
+    lp1 = math.log(1 / 3)
+    assert out.loc[0, "n_bigrams"] == 3
+    assert abs(out.loc[0, "logprob"] - round(lp0, 6)) < 1e-9
+    assert abs(out.loc[1, "logprob"] - round(lp1, 6)) < 1e-9
+
+
+def test_adamic_adar_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import adamic_adar
+
+    # path graph a-z, b-z, a-w, b-w, plus z-q (deg(z)=3, deg(w)=2)
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": ["a", "b", "a", "b", "z"],
+                "dst": ["z", "z", "w", "w", "q"],
+            }
+        )
+    )
+    out = adamic_adar(edges, min_common=2).to_pandas().set_index(["a", "b"])
+    # (a,b) share pivots z (deg 3) and w (deg 2); (w,z) share pivots a and b
+    # (deg 2 each)
+    assert set(out.index) == {("a", "b"), ("w", "z")}
+    assert (out["common"] == 2).all()
+    expect_ab = 1 / math.log(3) + 1 / math.log(2)
+    assert abs(out.loc[("a", "b"), "adamic_adar"] - round(expect_ab, 6)) < 1e-9
+    assert abs(out.loc[("w", "z"), "adamic_adar"] - round(2 / math.log(2), 6)) < 1e-9
+
+
+def test_semantic_clusters_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tcx2graph_jl_ray.stages.ann import semantic_clusters
+
+    # vectors: 0 and 1 identical, 2 orthogonal, 3 = 1 (so 0-1-3 one cluster)
+    vecs = [
+        [1.0, 0.0],
+        [1.0, 0.0],
+        [0.0, 1.0],
+        [1.0, 0.0],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(4), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array(["x"] * 4),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    emb = ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
+    out = (
+        semantic_clusters(emb, str(tmp_path), threshold=0.9)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert set(out.index) == {0, 1, 3}  # vec 2 similar to nothing
+    assert set(out["component_id"]) == {0}
+    assert (out["component_size"] == 3).all()
+
+
+def test_q4_semi_join_counts_each_order_once(ray_session, sf_dir):
+    """An order with MANY returned lineitems must count once (EXISTS, not
+    join multiplicity)."""
+    import duckdb
+
+    from tcx2graph_jl_ray.stages.relational import q4_order_priority
+
+    out = q4_order_priority(sf_dir).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM '{sf_dir}/orders.parquet'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND o_orderkey IN (SELECT l_orderkey FROM '{sf_dir}/lineitem.parquet'
+                             WHERE l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    ).fetchdf()
+    got = out.sort_values("o_orderpriority").reset_index(drop=True)
+    want = want.sort_values("o_orderpriority").reset_index(drop=True)
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert list(got["order_count"]) == list(want["order_count"])
