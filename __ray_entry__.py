@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": lambda sf: _rel.mad_outliers_by_type(sf, 3.0),
         "dedup_keep_best": lambda sf: _dd.dedup_keep_best(_docs(sf)),
         "text_lm_logprob": lambda sf: _tx.lm_logprob(_docs(sf)),
+        "text_corpus_composition": lambda sf: _tx.corpus_composition(_docs(sf)),
         "events_histogram": lambda sf: _wd.value_histogram(_events_ds(sf), 25.0),
         "q4_order_priority": lambda sf: _rel.q4_order_priority(sf),
         "kg_adamic_adar": lambda sf: _an.adamic_adar(
@@ -479,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "events_mad_outliers": _rel.MAD_OUTLIERS_SQL_TEMPLATE.format(k_mad=3.0),
         "dedup_keep_best": _dd.DEDUP_KEEP_BEST_SQL,
         "text_lm_logprob": _tx.LM_LOGPROB_SQL,
+        "text_corpus_composition": _tx.corpus_composition_sql(),
         "events_histogram": _wd.VALUE_HISTOGRAM_SQL_TEMPLATE.format(
             bin_width=25.0
         ),

@@ -1293,3 +1293,59 @@ SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
 FROM bi JOIN cb USING (bigram) JOIN cu USING (w1)
 GROUP BY bi.doc_id
 """
+
+
+def corpus_composition(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus-mix report: docs and tokens per (source, detected language) —
+    the composition table every pretraining-data curation step starts from
+    (what mix am I actually training on?), composing the ``lang_id``
+    classifier with the token accounting. One streaming pass: each batch
+    classifies and counts locally (combiner), the tiny (source, lang) grid
+    reduces in one bucketed shuffle.
+
+    Output: source, lang_pred, n_docs:int64, n_tokens:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        pred = _lang_id_batch(batch)
+        n_tokens = (batch["text"].str.count(" ") + 1).astype("int64")
+        d = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(),
+                "lang_pred": pred["lang_pred"].to_numpy(),
+                "n_tokens": n_tokens.to_numpy(),
+            }
+        )
+        g = d.groupby(["source", "lang_pred"], sort=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        )
+        return g.reset_index()
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "lang_pred"], sort=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+        ).reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    partials = docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    return bucketed_group_apply(
+        partials, ["source", "lang_pred"], final, n_buckets=8
+    )
+
+
+def corpus_composition_sql() -> str:
+    return f"""
+WITH pred AS ({LANG_ID_SQL})
+SELECT d.source, p.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+WHERE d.text IS NOT NULL
+GROUP BY d.source, p.lang_pred
+"""
