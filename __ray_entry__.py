@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroids": lambda sf: _ann.embedding_centroids(
             _embeddings_ds(sf)
         ),
+        "emb_covariance": lambda sf: _ann.embedding_covariance(
+            _embeddings_ds(sf)
+        ),
         "ann_brute_topk": lambda sf: _ann.ann_brute_topk(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
@@ -434,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=_COSINE_TAU
         ),
         "emb_centroids": _ann.CENTROIDS_SQL,
+        "emb_covariance": _ann.embedding_covariance_sql(dim=64),
         "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),

@@ -810,3 +810,114 @@ def semantic_clusters_sql(threshold: float) -> str:
         "       component_size\n"
         f"FROM ({comp})"
     )
+
+
+def embedding_covariance(
+    embeddings: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Distributed covariance matrix of the embedding column — the PCA /
+    whitening preparation step (population covariance, upper triangle
+    i ≤ j): cov(i,j) = Σx_i·x_j / n − mean_i·mean_j. The classic
+    linear-algebra map-reduce: each batch contributes one dense XᵀX partial
+    (a single matmul — d² floats regardless of batch rows), partials reduce
+    by (i, j) in a bucketed shuffle, so the result never depends on batch
+    count driver-side. The d first-moment sums (d rows, bounded by the
+    DIMENSION, not the data) are pulled to the driver and shipped back as
+    one tiny broadcast — the declared small side. Rounds to 6 decimals
+    (float-aggregate convention).
+
+    Output: i, j (1-based, i ≤ j), cov:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    dim = len(embeddings.take(1)[0]["embedding"])
+    iu = np.triu_indices(dim)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        g = x.T @ x
+        sx = x.sum(axis=0)
+        out = pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int64"),
+                "j": (iu[1] + 1).astype("int64"),
+                "sxy": g[iu],
+            }
+        )
+        moments = pd.DataFrame(
+            {
+                "i": np.arange(1, dim + 1, dtype="int64"),
+                "j": np.full(dim, -1, dtype="int64"),
+                "sxy": sx,
+            }
+        )
+        nrow = pd.DataFrame({"i": [-1], "j": [-1], "sxy": [float(len(x))]})
+        return pd.concat([out, moments, nrow], ignore_index=True)
+
+    parts = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+
+    def reduce_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby(["i", "j"], sort=False)["sxy"].sum()
+        return s.reset_index()
+
+    sums = bucketed_group_apply(
+        parts, ["i", "j"], reduce_sum, n_buckets=n_buckets
+    ).materialize()
+
+    # first moments: d+1 rows, bounded by the dimension — the small side
+    mom = sums.filter(lambda r: r["j"] == -1).to_pandas()
+    n = float(mom.loc[mom["i"] == -1, "sxy"].iloc[0])
+    means = dict(
+        zip(mom.loc[mom["i"] > 0, "i"], mom.loc[mom["i"] > 0, "sxy"] / n)
+    )
+    mref = ray.put((means, n))
+
+    class _Cov:
+        def __init__(self, ref):
+            self.means, self.n = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["j"] > 0]
+            mi = b["i"].map(self.means).to_numpy(dtype="float64")
+            mj = b["j"].map(self.means).to_numpy(dtype="float64")
+            cov = (b["sxy"].to_numpy(dtype="float64") / self.n - mi * mj)
+            return pd.DataFrame(
+                {
+                    "i": b["i"].astype("int64"),
+                    "j": b["j"].astype("int64"),
+                    "cov": np.round(cov, 6),
+                }
+            )
+
+    return sums.map_batches(
+        _Cov, fn_constructor_args=(mref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def embedding_covariance_sql(dim: int = 64) -> str:
+    return f"""
+WITH x AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+p AS (
+  SELECT i, j, SUM(e[i] * e[j]) AS sxy
+  FROM x, unnest(range(1, {dim} + 1)) AS t(i),
+       unnest(range(1, {dim} + 1)) AS u(j)
+  WHERE i <= j
+  GROUP BY i, j
+),
+m AS (
+  SELECT i, SUM(e[i]) / COUNT(*) AS mean_i
+  FROM x, unnest(range(1, {dim} + 1)) AS t(i)
+  GROUP BY i
+),
+n AS (SELECT COUNT(*) AS n FROM x)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       ROUND(p.sxy / n.n - mi.mean_i * mj.mean_i, 6) AS cov
+FROM p, n
+JOIN m mi ON mi.i = p.i
+JOIN m mj ON mj.i = p.j
+"""
