@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": lambda sf: _ex.extract_triples(derive_transcripts(sf)),
         "kg_entities": _entities,
         "kg_entities_linked": _entities_linked,
+        "events_enriched_cached": _lk.enrich_events_cached,
         "kg_triples_canonical": _triples_canonical,
         "kg_conv_stats": lambda sf: _an.conv_stats(derive_transcripts(sf)),
         "kg_hot_entities": lambda sf: _an.hot_entities(
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": _MENTIONS_SQL,
         "kg_triples": _TRIPLES_SQL,
         "kg_entities": _cz.ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+        "events_enriched_cached": _lk.ENRICH_EVENTS_SQL,
         "kg_entities_linked": _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(
             entities=_cz.ENTITIES_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL)
         ),

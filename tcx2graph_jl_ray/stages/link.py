@@ -116,3 +116,64 @@ LEFT JOIN nation n
   ON trim(regexp_replace(lower(n.n_name), '[^a-z0-9]+', ' ', 'g')) = e.entity_id
 LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
 """
+
+
+def enrich_events_cached(sf_dir: str) -> "ray.data.Dataset":
+    """Driver-checkable exercise of the ``CachedEnricher`` actor pool (M9/ST3,
+    the weather-cache pattern src/TCXParser.jl:267-355): every event is
+    quantized to its (event_type, hour-of-day) cache key — a key space of
+    |types| × 24, orders of magnitude below the row stream, exactly the
+    regime the per-actor cache targets — and enriched with the key's
+    deterministic service payload (peak-hour flag + a type code). The
+    lookup itself is deterministic so DuckDB reproduces the VALUES while the
+    engine path still runs the real machinery: actor pool, per-batch key
+    dedup, per-actor cache, retry wrapper.
+
+    Output: event_id, event_type, hour:int64, peak:bool, type_code:int64.
+    """
+    import ray.data
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+
+    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "event_type": batch["event_type"],
+                "hour": batch["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    def key_fn(batch: pd.DataFrame) -> pd.Series:
+        return batch["event_type"] + "\x1f" + batch["hour"].astype(str)
+
+    def fetch_fn(key: str) -> dict:
+        etype, hour = key.split("\x1f")
+        return {"peak": 8 <= int(hour) <= 17, "type_code": len(etype)}
+
+    enriched = events.map_batches(add_hour, batch_format="pandas").map_batches(
+        CachedEnricher,
+        fn_constructor_args=(key_fn, fetch_fn),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+
+    def conform(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["type_code"] = batch["type_code"].astype("int64")
+        return batch
+
+    return enriched.map_batches(conform, batch_format="pandas")
+
+
+ENRICH_EVENTS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       EXTRACT(hour FROM ts) BETWEEN 8 AND 17 AS peak,
+       CAST(len(event_type) AS BIGINT) AS type_code
+FROM events
+"""
