@@ -247,3 +247,74 @@ def test_q4_semi_join_counts_each_order_once(ray_session, sf_dir):
     want = want.sort_values("o_orderpriority").reset_index(drop=True)
     assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
     assert list(got["order_count"]) == list(want["order_count"])
+
+
+def test_corpus_composition_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import corpus_composition
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": ["the of and", "el la de", "zzz qqq"],
+            "lang": "x",
+            "source": ["s1", "s1", "s2"],
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    out = corpus_composition(ray.data.from_pandas(df)).to_pandas()
+    got = {
+        (r.source, r.lang_pred): (r.n_docs, r.n_tokens)
+        for r in out.itertuples(index=False)
+    }
+    assert got[("s1", "en")] == (1, 3)
+    assert got[("s2", "und")] == (1, 2)
+    assert len(got) == 3  # the es/other doc forms its own cell
+
+
+def test_embedding_covariance_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.stages.ann import embedding_covariance
+
+    vecs = [[1.0, 2.0], [3.0, 6.0], [5.0, 10.0]]  # dim2 = 2*dim1 exactly
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(3), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array(["x"] * 3),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    emb = ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
+    out = (
+        embedding_covariance(emb).to_pandas().set_index(["i", "j"])["cov"]
+    )
+    # population variance of [1,3,5] = 8/3; cov(x,2x)=2*var; var(2x)=4*var
+    v = 8.0 / 3.0
+    assert abs(out.loc[(1, 1)] - round(v, 6)) < 1e-6
+    assert abs(out.loc[(1, 2)] - round(2 * v, 6)) < 1e-6
+    assert abs(out.loc[(2, 2)] - round(4 * v, 6)) < 1e-6
+    assert set(out.index) == {(1, 1), (1, 2), (2, 2)}  # upper triangle only
+
+
+def test_enrich_events_cached_fetches_once_per_key(ray_session, sf_dir):
+    """The enrichment values are right AND the cache machinery dedups keys:
+    a direct CachedEnricher drive on one batch must fetch once per key."""
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.stages.link import CachedEnricher, enrich_events_cached
+
+    out = enrich_events_cached(sf_dir).to_pandas()
+    assert (out["peak"] == out["hour"].between(8, 17)).all()
+    assert (out["type_code"] == out["event_type"].str.len()).all()
+
+    batch = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    batch["hour"] = batch["ts"].dt.hour
+    enr = CachedEnricher(
+        lambda b: b["event_type"] + "\x1f" + b["hour"].astype(str),
+        lambda k: {"peak": 8 <= int(k.split("\x1f")[1]) <= 17},
+    )
+    enr(batch)
+    n_keys = (batch["event_type"] + "\x1f" + batch["hour"].astype(str)).nunique()
+    assert enr.fetches == n_keys
