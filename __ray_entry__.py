@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_rank_topk": lambda sf: _wd.rank_topk_per_user(_events_ds(sf), 3),
         "events_top_type": lambda sf: _wd.top_type_per_user(_events_ds(sf)),
+        "events_markov": lambda sf: _wd.event_markov(_events_ds(sf)),
         "events_mad_outliers": lambda sf: _rel.mad_outliers_by_type(sf, 3.0),
         "dedup_keep_best": lambda sf: _dd.dedup_keep_best(_docs(sf)),
         "text_lm_logprob": lambda sf: _tx.lm_logprob(_docs(sf)),
@@ -483,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_rank_topk": _wd.RANK_TOPK_SQL_TEMPLATE.format(k=3),
         "events_top_type": _wd.TOP_TYPE_SQL,
+        "events_markov": _wd.EVENT_MARKOV_SQL,
         "events_mad_outliers": _rel.MAD_OUTLIERS_SQL_TEMPLATE.format(k_mad=3.0),
         "dedup_keep_best": _dd.DEDUP_KEEP_BEST_SQL,
         "text_lm_logprob": _tx.LM_LOGPROB_SQL,

@@ -958,3 +958,103 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(n AS BIGINT) AS n
 FROM r WHERE rn = 1
 """
+
+
+def event_markov(events: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+    """First-order Markov transition table over per-user event streams:
+    counts and probabilities of event_type -> next event_type — the event-
+    stream analogue of the KG's entity-transition builder (A12,
+    src/DataPreprocessing.jl:330-397: per-ride sort by start_time, pair
+    consecutive runs), aggregated to the type×type behavior matrix used for
+    next-action modeling. Consecutive = next event of the SAME user by
+    (ts, event_id) order.
+
+    Shape: user streams co-locate whole in user buckets (one keyed shuffle),
+    pairs form by vectorized in-group shift; per-batch (from, to) partial
+    counts reduce in a tiny second shuffle; probabilities divide by
+    hash-joined per-from marginals — the PMI-edge pattern, no marginal
+    broadcast. p rounds to 6 decimals (single division of exact integers;
+    rounding only normalizes the float print path).
+
+    Output: from_type, to_type, n:int64, p:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def pairs_per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = d.groupby("user_id", sort=False)["event_type"].shift(-1)
+        keep = nxt.notna()
+        p = pd.DataFrame(
+            {"from_type": d["event_type"][keep], "to_type": nxt[keep]}
+        )
+        s = p.groupby(["from_type", "to_type"], sort=False).size()
+        out = s.reset_index()
+        out.columns = ["from_type", "to_type", "n_part"]
+        return out
+
+    pairs = bucketed_group_apply(
+        events.select_columns(["user_id", "event_type", "ts", "event_id"]),
+        ["user_id"],
+        pairs_per_user,
+        n_buckets=n_buckets,
+    )
+
+    def sum_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby(["from_type", "to_type"], sort=False)["n_part"].sum()
+        out = s.reset_index()
+        out.columns = ["from_type", "to_type", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = bucketed_group_apply(
+        pairs, ["from_type", "to_type"], sum_pairs, n_buckets=16
+    )
+
+    def partial_marg(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("from_type", sort=False)["n"].sum()
+        return pd.DataFrame({"from_type": s.index, "m_part": s.to_numpy()})
+
+    def sum_marg(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("from_type", sort=False)["m_part"].sum()
+        return pd.DataFrame(
+            {"from_type": s.index, "m": s.astype("int64").to_numpy()}
+        )
+
+    marg = bucketed_group_apply(
+        counts.map_batches(partial_marg, batch_format="pandas"),
+        ["from_type"],
+        sum_marg,
+        n_buckets=8,
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["from_type", "to_type", "n"]].copy()
+        out["n"] = out["n"].astype("int64")
+        out["p"] = (
+            batch["n"].to_numpy(dtype="float64")
+            / batch["m"].to_numpy(dtype="float64")
+        ).round(6)
+        return out
+
+    return hash_join(counts, marg, on="from_type", n_buckets=8).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+EVENT_MARKOV_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""

@@ -318,3 +318,31 @@ def test_enrich_events_cached_fetches_once_per_key(ray_session, sf_dir):
     enr(batch)
     n_keys = (batch["event_type"] + "\x1f" + batch["hour"].astype(str)).nunique()
     assert enr.fetches == n_keys
+
+
+def test_event_markov_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import event_markov
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["a", "b", "a", "a", "c"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+                 "2024-01-01 00:00", "2024-01-01 01:00"]
+            ),
+            "event_id": range(5),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    out = (
+        event_markov(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index(["from_type", "to_type"])
+    )
+    # transitions: u1: a->b, b->a; u2: a->c. from 'a': b (1/2), c (1/2)
+    assert out.loc[("a", "b"), "n"] == 1 and out.loc[("a", "b"), "p"] == 0.5
+    assert out.loc[("a", "c"), "p"] == 0.5
+    assert out.loc[("b", "a"), "n"] == 1 and out.loc[("b", "a"), "p"] == 1.0
+    assert len(out) == 3  # no cross-user pair (u1 last -> u2 first)
