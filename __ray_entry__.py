@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_corpus_composition": lambda sf: _tx.corpus_composition(_docs(sf)),
         "events_histogram": lambda sf: _wd.value_histogram(_events_ds(sf), 25.0),
         "q4_order_priority": lambda sf: _rel.q4_order_priority(sf),
+        "q7_nation_pairs": lambda sf: _rel.q7_nation_pairs(sf),
+        "text_bigram_novelty": lambda sf: _tx.bigram_novelty(_docs(sf)),
         "kg_adamic_adar": lambda sf: _an.adamic_adar(
             _an.cooccurrence_edges(_mentions_with_entity(sf)), min_common=2
         ),
@@ -495,6 +497,10 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": _rel.Q4_SQL_TEMPLATE.format(
             date_from="1996-01-01", date_to="1996-04-01"
         ),
+        "q7_nation_pairs": _rel.Q7_SQL_TEMPLATE.format(
+            date_from="1996-01-01", date_to="1997-01-01"
+        ),
+        "text_bigram_novelty": _tx.BIGRAM_NOVELTY_SQL,
         "kg_adamic_adar": _an.ADAMIC_ADAR_SQL_TEMPLATE.format(
             cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL

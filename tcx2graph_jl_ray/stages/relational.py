@@ -889,3 +889,121 @@ FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
 WHERE e.value IS NOT NULL
 GROUP BY e.event_type
 """
+
+
+def q7_nation_pairs(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H-Q7 shape: trade volume between DIFFERENT customer/supplier
+    nations — revenue per ordered (cust_nation, supp_nation) pair. Same
+    join spine as ``q5_local_supplier_volume`` (orders ⋈ customer through
+    the co-partitioned ``hash_join``, then ⋈ lineitem; supplier→nation and
+    nation names broadcast once as the declared small sides) with the
+    EQUALITY filter replaced by an INEQUALITY pair grouping — the
+    cross-community edge aggregation of the KG world (PMI edges between
+    different components). Revenue rounds to 2 decimals (float-aggregate
+    convention).
+
+    Output: cust_nation, supp_nation, revenue:float64, n_items:int64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    sup_ref = ray.put(
+        (
+            dict(zip(sup["s_suppkey"], sup["s_nationkey"])),
+            dict(zip(nat["n_nationkey"], nat["n_name"])),
+        )
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.loc[
+            (b["o_orderdate"] >= pd.Timestamp(date_from))
+            & (b["o_orderdate"] < pd.Timestamp(date_to)),
+            ["o_orderkey", "o_custkey"],
+        ].rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    oc = hash_join(orders, cust, on="c_custkey", n_buckets=n_buckets).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "c_nationkey"]
+        ],
+        batch_format="pandas",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    ocl = hash_join(li, oc, on="l_orderkey", n_buckets=n_buckets)
+
+    class _Partial:
+        def __init__(self, ref):
+            self.sup_nat, self.nat_name = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            s_nat = batch["l_suppkey"].map(self.sup_nat)
+            keep = s_nat.notna() & (s_nat != batch["c_nationkey"])
+            b = batch[keep]
+            d = pd.DataFrame(
+                {
+                    "cust_nation": b["c_nationkey"].map(self.nat_name),
+                    "supp_nation": s_nat[keep].map(self.nat_name),
+                    "rev": b["l_extendedprice"].to_numpy(dtype="float64")
+                    * (1.0 - b["l_discount"].to_numpy(dtype="float64")),
+                }
+            )
+            g = d.groupby(["cust_nation", "supp_nation"], sort=False)
+            agg = g.agg(rev_part=("rev", "sum"), n_part=("rev", "size"))
+            return agg.reset_index()
+
+    parts = ocl.map_batches(
+        _Partial, fn_constructor_args=(sup_ref,), batch_format="pandas",
+        batch_size=65536, concurrency=(1, 8),
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["cust_nation", "supp_nation"], sort=False).agg(
+            revenue=("rev_part", "sum"), n_items=("n_part", "sum")
+        ).reset_index()
+        g["revenue"] = g["revenue"].map(lambda v: round(float(v), 2))
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        parts, ["cust_nation", "supp_nation"], final, n_buckets=8
+    )
+
+
+Q7_SQL_TEMPLATE = """
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE c_nationkey <> s_nationkey
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+GROUP BY cn.n_name, sn.n_name
+"""

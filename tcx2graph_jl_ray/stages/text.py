@@ -1349,3 +1349,90 @@ FROM documents d JOIN pred p ON p.doc_id = d.doc_id
 WHERE d.text IS NOT NULL
 GROUP BY d.source, p.lang_pred
 """
+
+
+def bigram_novelty(docs: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document contribution/novelty score: how many of a doc's distinct
+    word bigrams FIRST appear in that doc (first = smallest doc_id over the
+    corpus) — the marginal-contribution measure behind dedup-aware corpus
+    valuation (a doc whose n-grams all appeared earlier adds nothing). Same
+    bigram derivation as ``rare_bigram_rate``; "first doc" is a per-bigram
+    MIN(doc_id) combiner (per-batch min + bucketed min — the shuffle moves
+    distinct bigrams once), joined back to the doc's distinct-bigram rows via
+    the co-partitioned ``hash_join``. Integer-exact.
+
+    Output: doc_id, n_distinct:int64, n_novel:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks = batch["text"].str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n_bi = toks.map(lambda ws: max(0, len(ws) - 1))
+        ids = np.repeat(batch["doc_id"].to_numpy(), n_bi.to_numpy())
+        bi = [
+            f"{ws[i]} {ws[i+1]}"
+            for ws in toks
+            for i in range(len(ws) - 1)
+        ]
+        df = pd.DataFrame({"doc_id": ids, "bigram": bi}).drop_duplicates()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_bigrams, batch_format="pandas", batch_size=4096
+    )
+
+    def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("bigram", sort=False)["doc_id"].min()
+        return pd.DataFrame({"bigram": s.index, "first_part": s.to_numpy()})
+
+    def min_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("bigram", sort=False)["first_part"].min()
+        return pd.DataFrame(
+            {"bigram": s.index, "first_doc": s.astype("int64").to_numpy()}
+        )
+
+    firsts = bucketed_group_apply(
+        rows.map_batches(partial_min, batch_format="pandas"),
+        ["bigram"],
+        min_doc,
+        n_buckets=n_buckets,
+    )
+    joined = hash_join(rows, firsts, on="bigram", n_buckets=n_buckets)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.assign(
+            novel=(bucket["doc_id"] == bucket["first_doc"]).astype("int64")
+        )
+        g = bucket.groupby("doc_id", sort=False).agg(
+            n_distinct=("novel", "size"), n_novel=("novel", "sum")
+        ).reset_index()
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        g["n_novel"] = g["n_novel"].astype("int64")
+        return g
+
+    return bucketed_group_apply(joined, ["doc_id"], per_doc, n_buckets=n_buckets)
+
+
+BIGRAM_NOVELTY_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+bi AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS bigram
+  FROM tk, unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+),
+f AS (SELECT bigram, MIN(doc_id) AS first_doc FROM bi GROUP BY bigram)
+SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN bi.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM bi JOIN f USING (bigram)
+GROUP BY bi.doc_id
+"""

@@ -346,3 +346,21 @@ def test_event_markov_planted(ray_session):
     assert out.loc[("a", "c"), "p"] == 0.5
     assert out.loc[("b", "a"), "n"] == 1 and out.loc[("b", "a"), "p"] == 1.0
     assert len(out) == 3  # no cross-user pair (u1 last -> u2 first)
+
+
+def test_bigram_novelty_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import bigram_novelty
+
+    # doc0 introduces "a b"; doc1 reuses it and introduces "b c"
+    docs = _docs(["a b", "a b c"])
+    out = bigram_novelty(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_distinct"] == 1 and out.loc[0, "n_novel"] == 1
+    assert out.loc[1, "n_distinct"] == 2 and out.loc[1, "n_novel"] == 1
+
+
+def test_q7_excludes_same_nation(ray_session, sf_dir):
+    from tcx2graph_jl_ray.stages.relational import q7_nation_pairs
+
+    out = q7_nation_pairs(sf_dir).to_pandas()
+    assert (out["cust_nation"] != out["supp_nation"]).all()
+    assert (out["n_items"] > 0).all()
