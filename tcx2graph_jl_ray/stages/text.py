@@ -1133,9 +1133,12 @@ def rare_bigram_rate(
         g["m"] = g["m"].astype("int64")
         return g
 
+    # pinned once: the bigram derivation feeds BOTH the corpus-count branch
+    # and the join branch; an unpinned Dataset would re-tokenize the corpus
+    # per consumer (same reason the flagship stages its transcripts sink)
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
         doc_bigrams, batch_format="pandas", batch_size=4096
-    )
+    ).materialize()
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch.groupby("bigram", sort=False)["m"].sum()
@@ -1231,9 +1234,11 @@ def lm_logprob(docs: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
         g["m"] = g["m"].astype("int64")
         return g
 
+    # pinned once: three consumers (bigram counts, unigram-context counts,
+    # the scoring join) would otherwise re-tokenize the corpus three times
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
         doc_bigrams, batch_format="pandas", batch_size=4096
-    )
+    ).materialize()
 
     def make_counts(col: str, out: str):
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1381,9 +1386,10 @@ def bigram_novelty(docs: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Data
         df["doc_id"] = df["doc_id"].astype("int64")
         return df
 
+    # pinned once: the first-doc reduce and the join branch both consume it
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
         doc_bigrams, batch_format="pandas", batch_size=4096
-    )
+    ).materialize()
 
     def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch.groupby("bigram", sort=False)["doc_id"].min()
