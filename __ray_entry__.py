@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": lambda sf: _mm.sample_frames(
             _mm.attach_fake_payload(_docs(sf))
         ),
+        "multimodal_audio_windows": lambda sf: _mm.audio_windows(
+            _mm.attach_fake_payload(_docs(sf))
+        ),
         "text_quality": lambda sf: _tx.quality_stats(_docs(sf)),
         "text_lang_id": lambda sf: _tx.lang_id(_docs(sf)),
         "text_fingerprint": lambda sf: _tx.fingerprints(_docs(sf)),
@@ -462,6 +465,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": _mm.FRAME_SAMPLE_SQL_TEMPLATE.format(
             frame_bytes=64, every_n=2
+        ),
+        "multimodal_audio_windows": _mm.AUDIO_WINDOWS_SQL_TEMPLATE.format(
+            width=32, hop=16
         ),
         "dedup_minhash_pairs": _dd.minhash_pairs_sql(),
         "dedup_minhash_clusters": _dd.minhash_clusters_sql(),

@@ -319,3 +319,105 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             END AS BIGINT) AS frame_sig
 FROM s
 """
+
+
+class AudioFramer:
+    """Actor-pool stage: audio-like payload -> overlapping strided windows
+    with per-window energy features — the standard audio front-end shape
+    (decode once -> frame with hop -> vectorized per-frame feature). A real
+    codec (PCM decode, resample) would load in ``__init__``; the fake
+    decoder interprets the payload bytes as uint8 samples. Unknown formats
+    fail loudly, like every multimodal stage here.
+
+    Per window of ``width`` bytes every ``hop`` bytes (only FULL windows —
+    trailing partials are dropped, the usual framing convention):
+    ``energy`` = Σ sample², ``peak`` = max sample. Integer-exact, so the
+    ASCII fake corpus has a value-exact DuckDB oracle (real media keeps the
+    engine's byte semantics as the authoritative contract).
+    """
+
+    def __init__(self, width: int = 32, hop: int = 16):
+        self.width = width
+        self.hop = hop
+        self.decoders = {FAKE_FORMAT: self._decode_fake}
+
+    @staticmethod
+    def _decode_fake(payload: bytes) -> np.ndarray:
+        return np.frombuffer(payload, dtype=np.uint8)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, energies, peaks = [], [], [], []
+        for did, fmt, payload in zip(
+            batch["doc_id"].astype("int64").to_numpy(),
+            batch["format"].to_numpy(),
+            batch["payload"].to_numpy(),
+        ):
+            fn = self.decoders.get(fmt)
+            if fn is None:
+                raise NotImplementedError(f"no audio decoder for format={fmt!r}")
+            x = fn(bytes(payload)).astype(np.int64)
+            n = len(x)
+            if n < self.width:
+                continue
+            n_win = (n - self.width) // self.hop + 1
+            starts = np.arange(n_win) * self.hop
+            # strided window view: (n_win, width) without copying
+            win = np.lib.stride_tricks.sliding_window_view(x, self.width)[
+                starts
+            ]
+            ids.extend([did] * n_win)
+            idxs.extend(range(n_win))
+            energies.extend((win * win).sum(axis=1).tolist())
+            peaks.extend(win.max(axis=1).tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(idxs, dtype="int64"),
+                "energy": pd.Series(energies, dtype="int64"),
+                "peak": pd.Series(peaks, dtype="int64"),
+            }
+        )
+
+
+def audio_windows(
+    payloads: ray.data.Dataset,
+    width: int = 32,
+    hop: int = 16,
+    concurrency=(1, 4),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Strided audio framing + energy features over binary payloads.
+    Output: doc_id, window_idx, energy:int64, peak:int64."""
+    return payloads.map_batches(
+        AudioFramer,
+        fn_constructor_args=(width, hop),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# The fake payload is ASCII text, so sample value = ascii(char); energy and
+# peak reduce over the window's characters (the engine's byte semantics are
+# authoritative for real media — see FRAME_SAMPLE_SQL_TEMPLATE's note).
+AUDIO_WINDOWS_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= {width}
+),
+w AS (
+  SELECT doc_id, text, t.i AS window_idx
+  FROM d, unnest(range(0, (n - {width}) // {hop} + 1)) AS t(i)
+),
+s AS (
+  SELECT doc_id, window_idx,
+         ascii(substr(text, window_idx * {hop} + u.j + 1, 1)) AS v
+  FROM w, unnest(range(0, {width})) AS u(j)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(v) AS BIGINT) AS peak
+FROM s
+GROUP BY doc_id, window_idx
+"""

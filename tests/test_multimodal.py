@@ -89,3 +89,60 @@ def test_resize_payloads(ray_session, sf_dir):
         PayloadResizer(4, 4)(
             pd.DataFrame({"doc_id": [1], "payload": [b"ab"], "format": ["png"]})
         )
+
+
+def test_audio_windows_planted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.multimodal import (
+        attach_fake_payload,
+        audio_windows,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["abcd", "ab"],  # 4 bytes -> 2 windows (w=2,h=1... see below)
+            "lang": "en",
+            "source": "s",
+            "n_chars": [4, 2],
+        }
+    )
+    out = (
+        audio_windows(
+            attach_fake_payload(ray.data.from_pandas(df)), width=2, hop=2
+        )
+        .to_pandas()
+        .set_index(["doc_id", "window_idx"])
+    )
+    a, b, c, d = (ord(ch) for ch in "abcd")
+    # doc0 "abcd": windows [ab], [cd]; doc1 "ab": one window
+    assert out.loc[(0, 0), "energy"] == a * a + b * b
+    assert out.loc[(0, 1), "energy"] == c * c + d * d
+    assert out.loc[(0, 0), "peak"] == b and out.loc[(0, 1), "peak"] == d
+    assert out.loc[(1, 0), "energy"] == a * a + b * b
+    assert len(out) == 3
+
+
+def test_audio_windows_unknown_format_fails_loudly(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.multimodal import audio_windows
+
+    payloads = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0],
+                "payload": [b"xxxx"],
+                "format": ["wav"],
+                "width": pd.array([0], dtype="int32"),
+                "height": pd.array([0], dtype="int32"),
+            }
+        )
+    )
+    with pytest.raises(Exception):
+        audio_windows(payloads, width=2, hop=2).to_pandas()
