@@ -1058,3 +1058,94 @@ SELECT from_type, to_type, n,
              / SUM(n) OVER (PARTITION BY from_type), 6) AS p
 FROM c
 """
+
+
+def never_converted(
+    events: ray.data.Dataset,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """ANTI join at (user, day) grain: days on which a user had ≥1
+    ``first_type`` event but ZERO same-day ``then_type`` events — the
+    NOT-EXISTS complement of ``conversion_funnel`` (J6's anti-check shape,
+    src/OverlappingSegmentsUtils.jl:229-240: accept a candidate only if
+    nothing on the other side matches), materialized row-level.
+
+    Shape: each side reduces to distinct (user, day) rows + counts per
+    batch (combiner), then the co-partitioned ``hash_join`` LEFT-joins the
+    ``then`` side on; survivors are the null-side rows. Neither side
+    broadcasts; the shuffle moves one row per (user, day, batch).
+
+    Output: user_id, day ('YYYY-MM-DD'), n_first:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def partial(kind: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.loc[batch["event_type"] == kind]
+            day = pd.to_datetime(b["ts"]).dt.strftime("%Y-%m-%d")
+            s = (
+                pd.DataFrame({"user_id": b["user_id"], "day": day})
+                .groupby(["user_id", "day"], sort=False)
+                .size()
+            )
+            out = s.reset_index()
+            out.columns = ["user_id", "day", "n_part"]
+            return out
+
+        return fn
+
+    def reduce_counts(out_col: str):
+        def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+            s = bucket.groupby(["user_id", "day"], sort=False)["n_part"].sum()
+            out = s.reset_index()
+            out.columns = ["user_id", "day", out_col]
+            out[out_col] = out[out_col].astype("int64")
+            return out
+
+        return fn
+
+    src = events.select_columns(["user_id", "event_type", "ts"])
+    firsts = bucketed_group_apply(
+        src.map_batches(partial(first_type), batch_format="pandas"),
+        ["user_id", "day"],
+        reduce_counts("n_first"),
+        n_buckets=n_buckets,
+    )
+    thens = bucketed_group_apply(
+        src.map_batches(partial(then_type), batch_format="pandas"),
+        ["user_id", "day"],
+        reduce_counts("n_then"),
+        n_buckets=n_buckets,
+    )
+    joined = hash_join(
+        firsts, thens, on=["user_id", "day"], how="left", n_buckets=n_buckets
+    )
+
+    def anti(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["n_then"].isna()]
+        return pd.DataFrame(
+            {
+                "user_id": keep["user_id"].astype("int64"),
+                "day": keep["day"],
+                "n_first": keep["n_first"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(anti, batch_format="pandas")
+
+
+NEVER_CONVERTED_SQL_TEMPLATE = """
+SELECT CAST(e.user_id AS BIGINT) AS user_id,
+       strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_first
+FROM events e
+WHERE e.event_type = '{first_type}'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.user_id = e.user_id
+                    AND CAST(p.ts AS DATE) = CAST(e.ts AS DATE)
+                    AND p.event_type = '{then_type}')
+GROUP BY e.user_id, CAST(e.ts AS DATE)
+"""

@@ -364,3 +364,25 @@ def test_q7_excludes_same_nation(ray_session, sf_dir):
     out = q7_nation_pairs(sf_dir).to_pandas()
     assert (out["cust_nation"] != out["supp_nation"]).all()
     assert (out["n_items"] > 0).all()
+
+
+def test_never_converted_anti_join_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import never_converted
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3, 3],
+            "event_type": ["signup", "purchase", "signup", "signup", "purchase"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00",  # u1: converts same day
+                 "2024-01-02 10:00",                        # u2: never purchases
+                 "2024-01-03 10:00", "2024-01-04 09:00"]    # u3: NEXT day only
+            ),
+            "event_id": range(5),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    out = never_converted(ray.data.from_pandas(df)).to_pandas()
+    got = {(r.user_id, r.day): r.n_first for r in out.itertuples(index=False)}
+    assert got == {(2, "2024-01-02"): 1, (3, "2024-01-03"): 1}
