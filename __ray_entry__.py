@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_contamination": lambda sf: _dd.contamination_check(
             _docs(sf), "src0", 5
         ),
+        "dedup_cross_contamination": lambda sf: _dd.cross_contamination(
+            _docs(sf), derive_transcripts(sf), 5
+        ),
         "multimodal_features": lambda sf: _mm.payload_feature_table(_docs(sf)),
         "multimodal_frames": lambda sf: _mm.sample_frames(
             _mm.attach_fake_payload(_docs(sf))
@@ -462,6 +465,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_contamination": _dd.CONTAMINATION_SQL_TEMPLATE.format(
             k=5, benchmark_source="src0"
+        ),
+        "dedup_cross_contamination": _dd.cross_contamination_sql(
+            TRANSCRIPTS_SQL, 5
         ),
         "multimodal_features": _mm.MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": _mm.FRAME_SAMPLE_SQL_TEMPLATE.format(

@@ -959,3 +959,115 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_copies AS BIGINT) AS n_copies
 FROM r WHERE rn = 1
 """
+
+
+def cross_contamination(
+    docs: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    k: int = 5,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cross-CORPUS contamination: for every document, how many of its
+    distinct word ``k``-grams also occur anywhere in the transcript corpus —
+    ``contamination_check``'s complement for the regime where the other side
+    is NOT small (decontaminating pretraining data against another full
+    corpus, not a tiny eval set), so broadcasting it is off the table.
+
+    Shape: both corpora reduce to distinct (key, gram) rows per batch +
+    bucket-side (combiner distinct — the shuffle moves distinct grams, not
+    token streams); they meet in the co-partitioned ``hash_join`` (LEFT, so
+    unmatched doc grams survive for the totals); per-doc counts reduce in
+    doc buckets. Reference analogue: the overlap anti-check
+    (src/OverlappingSegmentsUtils.jl:229-240) across two segment sets.
+
+    Output: doc_id, n_grams:int64 (distinct k-grams), n_hit:int64 (of them,
+    in the transcript corpus); docs with < k tokens are absent.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def grams_of(texts: pd.Series) -> list[list[str]]:
+        toks = texts.str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        return [
+            [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+            for ws in toks
+        ]
+
+    def doc_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        gs = grams_of(batch["text"])
+        n = [len(g) for g in gs]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), n),
+                "gram": [g for row in gs for g in row],
+            }
+        ).drop_duplicates()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df
+
+    def turn_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["text"].notna()]
+        gs = grams_of(b["text"])
+        return pd.DataFrame(
+            {"gram": sorted({g for row in gs for g in row})}
+        )
+
+    d_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_grams, batch_format="pandas", batch_size=4096
+    )
+    t_rows = bucketed_group_apply(
+        transcripts.select_columns(["text"]).map_batches(
+            turn_grams, batch_format="pandas", batch_size=8192
+        ),
+        ["gram"],
+        lambda bucket: bucket.drop_duplicates("gram").assign(
+            hit=np.int64(1)
+        ),
+        n_buckets=n_buckets,
+    )
+    joined = hash_join(d_rows, t_rows, on="gram", how="left", n_buckets=n_buckets)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.assign(h=bucket["hit"].notna().astype("int64"))
+        g = bucket.groupby("doc_id", sort=False).agg(
+            n_grams=("h", "size"), n_hit=("h", "sum")
+        ).reset_index()
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["n_grams"] = g["n_grams"].astype("int64")
+        g["n_hit"] = g["n_hit"].astype("int64")
+        return g
+
+    return bucketed_group_apply(joined, ["doc_id"], per_doc, n_buckets=n_buckets)
+
+
+def cross_contamination_sql(transcripts_sql: str, k: int = 5) -> str:
+    span = k - 1
+    return f"""
+WITH tr AS ({transcripts_sql}),
+dtk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+{span}], ' ') AS gram
+  FROM dtk, unnest(range(1, len(l) - {k} + 2)) AS t(i)
+  WHERE len(l) >= {k}
+),
+ttk AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM tr WHERE text IS NOT NULL
+),
+tg AS (
+  SELECT DISTINCT array_to_string(l[i:i+{span}], ' ') AS gram
+  FROM ttk, unnest(range(1, len(l) - {k} + 2)) AS t(i)
+  WHERE len(l) >= {k}
+)
+SELECT CAST(dg.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit
+FROM dg LEFT JOIN tg USING (gram)
+GROUP BY dg.doc_id
+"""

@@ -386,3 +386,35 @@ def test_never_converted_anti_join_planted(ray_session):
     out = never_converted(ray.data.from_pandas(df)).to_pandas()
     got = {(r.user_id, r.day): r.n_first for r in out.itertuples(index=False)}
     assert got == {(2, "2024-01-02"): 1, (3, "2024-01-03"): 1}
+
+
+def test_cross_contamination_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import cross_contamination
+
+    docs = _docs(
+        [
+            "alpha beta gamma delta epsilon zeta",  # contains the leaked gram
+            "one two three four five",              # clean
+            "tiny",                                 # < k tokens: absent
+        ]
+    )
+    tr = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1"],
+                "turn_idx": pd.array([0, 1], dtype="int32"),
+                "role": "user",
+                "text": [
+                    "prefix alpha beta gamma delta epsilon suffix",
+                    "unrelated words entirely here now",
+                ],
+                "tool": None,
+                "ts": pd.to_datetime("2024-01-01"),
+            }
+        )
+    )
+    out = cross_contamination(docs, tr, k=5).to_pandas().set_index("doc_id")
+    # doc0 grams: [alpha..epsilon], [beta..zeta]; transcript contains the first
+    assert out.loc[0, "n_grams"] == 2 and out.loc[0, "n_hit"] == 1
+    assert out.loc[1, "n_grams"] == 1 and out.loc[1, "n_hit"] == 0
+    assert 2 not in out.index
