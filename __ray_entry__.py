@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_tfidf_terms": lambda sf: _tx.tfidf_top_terms(_docs(sf)),
         "text_quota_sample": lambda sf: _tx.quota_sample_by_source(_docs(sf)),
+        "docs_importance_sample": lambda sf: _tx.importance_sample(_docs(sf)),
         "text_scrubbed": lambda sf: _tx.scrub_denylist(_docs(sf)),
         "text_repetition": lambda sf: _tx.repetition_stats(_docs(sf)),
         "docs_split_assign": lambda sf: _tx.split_assign(_docs(sf)),
@@ -439,6 +440,9 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,
         "text_tfidf_terms": _tx.TFIDF_SQL_TEMPLATE.format(k_top=3),
         "text_quota_sample": _tx.QUOTA_SAMPLE_SQL_TEMPLATE.format(k=5),
+        "docs_importance_sample": _tx.IMPORTANCE_SAMPLE_SQL_TEMPLATE.format(
+            mod=1 << 16, full_chars=500
+        ),
         "text_scrubbed": _tx.SCRUB_SQL,
         "text_repetition": _tx.REPETITION_SQL,
         "docs_split_assign": _tx.SPLIT_ASSIGN_SQL.format(

@@ -1442,3 +1442,60 @@ SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
 FROM bi JOIN f USING (bigram)
 GROUP BY bi.doc_id
 """
+
+
+def importance_sample(
+    docs: ray.data.Dataset, full_chars: int = 500, u_bits: int = 16
+) -> ray.data.Dataset:
+    """Quality-WEIGHTED deterministic sampling: keep each document with
+    probability proportional to its quality proxy (here length, capped at
+    ``full_chars`` chars ⇒ p = min(n_chars, full_chars)/full_chars) — the
+    importance-sampling step of data mixing, where high-quality docs are
+    kept at higher rates, made shuffle-free and reproducible the same way
+    as ``sample_turns_by_hash`` (O5): the uniform draw is the document's
+    own content hash, so the decision is stable across runs, processes and
+    engines — no RNG state, no coordination. u = md5_number_lower(text)
+    mod 2^``u_bits``; keep iff u < floor(min(n_chars, full) · 2^bits /
+    full) — all integer arithmetic, bit-identical to the oracle.
+
+    Output: kept docs — doc_id, n_chars:int64, u:int64.
+    """
+    from tcx2graph_jl_ray.stages.multimodal import _md5_halves
+
+    mod = 1 << u_bits
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        u = np.fromiter(
+            (
+                _md5_halves(t.encode())[0] % mod
+                for t in batch["text"].to_numpy()
+            ),
+            dtype="int64",
+            count=len(batch),
+        )
+        n = batch["n_chars"].to_numpy(dtype="int64")
+        thresh = np.minimum(n, full_chars) * mod // full_chars
+        m = u < thresh
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy()[m],
+                "n_chars": n[m],
+                "u": u[m],
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text", "n_chars"]).map_batches(
+        keep, batch_format="pandas", batch_size=8192
+    )
+
+
+IMPORTANCE_SAMPLE_SQL_TEMPLATE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(md5_number_lower(text) % {mod} AS BIGINT) AS u
+FROM documents
+WHERE text IS NOT NULL
+  AND md5_number_lower(text) % {mod}
+      < (least(CAST(n_chars AS BIGINT), {full_chars}) * {mod}) // {full_chars}
+"""
