@@ -418,3 +418,42 @@ def test_cross_contamination_planted(ray_session):
     assert out.loc[0, "n_grams"] == 2 and out.loc[0, "n_hit"] == 1
     assert out.loc[1, "n_grams"] == 1 and out.loc[1, "n_hit"] == 0
     assert 2 not in out.index
+
+
+def test_hll_error_bound_pure():
+    """HLL estimate within ~3 standard errors of exact distinct, pure numpy
+    (no Ray): merge of split partials must equal the single-pass sketch."""
+    from tcx2graph_jl_ray.functions.hll import (
+        estimate,
+        merge_registers,
+        register_partial,
+    )
+
+    n = 20000
+    values = [f"key-{i}" for i in range(n)]
+    p = 12
+    one = register_partial(values, p)
+    # split into 7 partials and merge: must be identical registers
+    merged = register_partial([], p)
+    step = len(values) // 7 + 1
+    for i in range(0, len(values), step):
+        merged = merge_registers(merged, register_partial(values[i:i+step], p))
+    assert (one == merged).all()
+    est = estimate(one)
+    se = 1.04 / (1 << p) ** 0.5  # ~1.6% at p=12
+    assert abs(est - n) / n < 3 * se
+    # duplicates must not change the sketch
+    assert (register_partial(values * 3, p) == one).all()
+
+
+def test_hll_approx_distinct_dataset(ray_session, sf_dir):
+    import duckdb
+
+    from tcx2graph_jl_ray.functions.hll import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    est = approx_distinct(ds, "user_id", p=12)
+    exact = duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
