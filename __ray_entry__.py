@@ -279,6 +279,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": lambda sf: _rel.q4_order_priority(sf),
         "q7_nation_pairs": lambda sf: _rel.q7_nation_pairs(sf),
         "text_bigram_novelty": lambda sf: _tx.bigram_novelty(_docs(sf)),
+        # seeds restricted to one region's KB rows: with the full KB every
+        # canonical entity is already linked and rounds 1-2 would be no-ops
+        "kg_label_propagation": lambda sf: _an.label_propagation(
+            (lambda el: el[el["kb_region"] == "ASIA"])(_entities_linked(sf)),
+            _an.cooccurrence_edges(_mentions_with_entity(sf)),
+            rounds=2,
+        ),
         "kg_adamic_adar": lambda sf: _an.adamic_adar(
             _an.cooccurrence_edges(_mentions_with_entity(sf)), min_common=2
         ),
@@ -521,6 +528,16 @@ def oracle_sql() -> dict[str, str]:
             date_from="1996-01-01", date_to="1997-01-01"
         ),
         "text_bigram_novelty": _tx.BIGRAM_NOVELTY_SQL,
+        "kg_label_propagation": _an.label_propagation_sql(
+            _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(
+                entities=_cz.ENTITIES_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL
+                )
+            ),
+            _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+            rounds=2,
+            seed_region="ASIA",
+        ),
         "kg_adamic_adar": _an.ADAMIC_ADAR_SQL_TEMPLATE.format(
             cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL

@@ -2152,3 +2152,175 @@ JOIN deg d ON d.nbr = x.nbr
 GROUP BY x.node, y.node
 HAVING COUNT(*) >= {min_common}
 """
+
+
+def label_propagation(
+    entities_linked: ray.data.Dataset,
+    cooccurrence: ray.data.Dataset,
+    rounds: int = 2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Semi-supervised type inference over the KG: KB-linked entities seed
+    labels (their ``kb_region``), and each round every UNLABELED entity
+    adopts the majority label among its labeled co-occurrence neighbors
+    (ties to the lexicographically smaller label; a node once labeled is
+    frozen). The classic label-propagation inference the reference's
+    enrichment chain implies but never closes (assign_road_features
+    attaches KB attributes to matched points, src/TCXParser.jl:188-265 —
+    this pushes those attributes one/two hops outward).
+
+    Scale shape per round: symmetric adjacency rows pick up their
+    NEIGHBOR's current label through the co-partitioned ``hash_join``
+    (labels are never broadcast — at web scale the label table is the node
+    table); the per-node majority vote is a vectorized count+argmax inside
+    node buckets; the freeze is an anti-merge on the label table. Rounds
+    are a driver-side loop over a bounded round count — the unrolled-CTE
+    oracle mirrors it round for round.
+
+    Output: entity_id, kb_region, round:int64 (0 = KB seed).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def seed_batch(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["kb_region"].notna()
+        return pd.DataFrame(
+            {
+                "entity_id": b.loc[keep, "entity_id"],
+                "kb_region": b.loc[keep, "kb_region"],
+                "round": np.int64(0),
+            }
+        )
+
+    if isinstance(entities_linked, pd.DataFrame):
+        # link_entities returns pandas when the entity table fits the driver
+        # (vocabulary-bounded); at web scale it is a Dataset and stays one
+        seeds = ray.data.from_pandas(seed_batch(entities_linked))
+    else:
+        seeds = entities_linked.map_batches(seed_batch, batch_format="pandas")
+
+    edges = cooccurrence.select_columns(["src", "dst"])
+    adj = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": pd.concat([b["src"], b["dst"]], ignore_index=True),
+                "entity_id": pd.concat(
+                    [b["dst"], b["src"]], ignore_index=True
+                ),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    ).materialize()  # reused every round; derivation must not re-run
+
+    labels = seeds.materialize()
+    for r in range(1, rounds + 1):
+        # adjacency rows pick up the NEIGHBOR's label (join key = neighbor
+        # as entity_id), then votes reduce per node
+        nbr_labels = hash_join(adj, labels, on="entity_id", n_buckets=n_buckets)
+
+        def vote(bucket: pd.DataFrame, _r=r) -> pd.DataFrame:
+            c = (
+                bucket.groupby(["node", "kb_region"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            c = c.sort_values(
+                ["n", "kb_region"], ascending=[False, True], kind="mergesort"
+            )
+            best = c.drop_duplicates("node", keep="first")
+            return pd.DataFrame(
+                {
+                    "entity_id": best["node"],
+                    "kb_region": best["kb_region"],
+                    "round": np.int64(_r),
+                }
+            )
+
+        proposals = bucketed_group_apply(
+            nbr_labels, ["node"], vote, n_buckets=n_buckets
+        )
+        # freeze: drop proposals for already-labeled nodes (anti on labels)
+        merged = hash_join(
+            proposals,
+            labels.map_batches(
+                lambda b: pd.DataFrame(
+                    {"entity_id": b["entity_id"], "__have": np.int64(1)}
+                ),
+                batch_format="pandas",
+            ),
+            on="entity_id",
+            how="left",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: b.loc[
+                b["__have"].isna(), ["entity_id", "kb_region", "round"]
+            ].assign(round=lambda d: d["round"].astype("int64")),
+            batch_format="pandas",
+        )
+        labels = labels.union(merged).materialize()
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "entity_id": b["entity_id"],
+                "kb_region": b["kb_region"],
+                "round": b["round"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def label_propagation_sql(
+    entities_linked_sql: str,
+    cooccurrence_sql: str,
+    rounds: int = 2,
+    seed_region: str | None = None,
+) -> str:
+    """Unrolled-CTE oracle for ``label_propagation`` (same pattern as the
+    k-core unrolled oracle: one CTE pair per round). ``seed_region``
+    restricts the seed set, mirroring the driver query's partial-KB setup
+    (with the full KB every canonical entity is already labeled and no
+    propagation happens)."""
+    seed_where = "kb_region IS NOT NULL" + (
+        f" AND kb_region = '{seed_region}'" if seed_region else ""
+    )
+    parts = [
+        f"WITH el AS MATERIALIZED ({entities_linked_sql}),",
+        f"e AS MATERIALIZED ({cooccurrence_sql}),",
+        "adj AS (SELECT src AS node, dst AS nbr FROM e"
+        " UNION ALL SELECT dst, src FROM e),",
+        f"l0 AS (SELECT entity_id, kb_region, 0 AS rnd FROM el"
+        f" WHERE {seed_where}),",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS (
+  SELECT adj.node, l.kb_region, COUNT(*) AS n
+  FROM adj JOIN {prev} l ON l.entity_id = adj.nbr
+  WHERE adj.node NOT IN (SELECT entity_id FROM {prev})
+  GROUP BY adj.node, l.kb_region
+),
+p{r} AS (
+  SELECT node AS entity_id, kb_region, {r} AS rnd,
+         ROW_NUMBER() OVER (PARTITION BY node
+                            ORDER BY n DESC, kb_region) AS rk
+  FROM v{r}
+),
+l{r} AS (
+  SELECT entity_id, kb_region, rnd FROM {prev}
+  UNION ALL
+  SELECT entity_id, kb_region, rnd FROM p{r} WHERE rk = 1
+),"""
+        )
+        prev = f"l{r}"
+    body = "\n".join(parts).rstrip(",")
+    # strip the trailing comma of the last CTE
+    if body.endswith(","):
+        body = body[:-1]
+    return (
+        body
+        + f"\nSELECT entity_id, kb_region, CAST(rnd AS BIGINT) AS round FROM {prev}"
+    )

@@ -457,3 +457,35 @@ def test_hll_approx_distinct_dataset(ray_session, sf_dir):
         f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_label_propagation_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import label_propagation
+
+    # chain a - b - c - d; seeds: a=X. b labels at round 1, c at round 2,
+    # d stays unlabeled at rounds=2. Tie case: e adjacent to a(X) and f(W).
+    linked = pd.DataFrame(
+        {
+            "entity_id": ["a", "f"],
+            "kb_region": ["X", "W"],
+        }
+    )
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": ["a", "b", "c", "a", "f"],
+                "dst": ["b", "c", "d", "e", "e"],
+            }
+        )
+    )
+    out = (
+        label_propagation(linked, edges, rounds=2)
+        .to_pandas()
+        .set_index("entity_id")
+    )
+    assert out.loc["a", "round"] == 0 and out.loc["a", "kb_region"] == "X"
+    assert out.loc["b", "round"] == 1 and out.loc["b", "kb_region"] == "X"
+    assert out.loc["c", "round"] == 2 and out.loc["c", "kb_region"] == "X"
+    assert "d" not in out.index  # 3 hops: unreached at rounds=2
+    # e sees X and W once each at round 1: tie -> lexicographic min "W"
+    assert out.loc["e", "round"] == 1 and out.loc["e", "kb_region"] == "W"
