@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_minhash_clusters": lambda sf: _dd.neardup_minhash(_docs(sf)),
         "dedup_minhash_pairs": lambda sf: _dd.neardup_minhash_pairs(_docs(sf)),
+        "dedup_lsh_eval": lambda sf: _dd.lsh_eval(_docs(sf)),
         "dedup_simhash": lambda sf: _dd.simhash_table(_docs(sf)),
         "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: _dd.ngram_jaccard_join(
@@ -488,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
             width=32, hop=16
         ),
         "dedup_minhash_pairs": _dd.minhash_pairs_sql(),
+        "dedup_lsh_eval": _dd.lsh_eval_sql(),
         "dedup_minhash_clusters": _dd.minhash_clusters_sql(),
         "dedup_simhash": _dd.SIMHASH_SQL,
         "dedup_simhash_pairs": _dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(

@@ -1071,3 +1071,83 @@ SELECT CAST(dg.doc_id AS BIGINT) AS doc_id,
 FROM dg LEFT JOIN tg USING (gram)
 GROUP BY dg.doc_id
 """
+
+
+def lsh_eval(
+    docs: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Quality harness for the MinHash-LSH candidate generation: score the
+    verified LSH pairs against the EXACT shingle-Jaccard join at the same
+    shingle size / threshold. tp = pairs both produce, fn = true pairs the
+    banding missed (the recall trade of b bands × r rows), fp = LSH pairs
+    the exact join lacks (0 when the two shingle definitions agree — the
+    verify step is exact; nonzero would flag semantic drift between the
+    sketch and the truth operator). The measurable-gate pattern: every
+    approximate operator ships with the query that measures it.
+
+    Shape: both pair sets stream into one bucketed (a, b) reduction with a
+    side marker — no pair set is collected; the output is one row.
+
+    Output: tp:int64, fp:int64, fn:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    lsh = neardup_minhash_pairs(docs, config).map_batches(
+        lambda b: pd.DataFrame(
+            {"a": b["a"], "b": b["b"], "src": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+    truth = ngram_jaccard_join(
+        docs, threshold=config.jaccard_threshold, k=config.shingle_size
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"a": b["a"], "b": b["b"], "src": np.int64(2)}
+        ),
+        batch_format="pandas",
+    )
+
+    def tally(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["a", "b"], sort=False)["src"].sum()
+        return pd.DataFrame(
+            {
+                "tp": [int((g == 3).sum())],
+                "fp": [int((g == 1).sum())],
+                "fn": [int((g == 2).sum())],
+            }
+        )
+
+    per_bucket = bucketed_group_apply(
+        lsh.union(truth), ["a", "b"], tally, n_buckets=n_buckets
+    )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tp": pd.array([int(batch["tp"].sum())], dtype="int64"),
+                "fp": pd.array([int(batch["fp"].sum())], dtype="int64"),
+                "fn": pd.array([int(batch["fn"].sum())], dtype="int64"),
+            }
+        )
+
+    # the per-bucket tallies are n_buckets rows: a driver-size final sum
+    import ray.data as _rd
+
+    return _rd.from_pandas(final(per_bucket.to_pandas()))
+
+
+def lsh_eval_sql(config: PipelineConfig = DEFAULT_CONFIG) -> str:
+    lsh = minhash_pairs_sql(config)
+    truth = NGRAM_JACCARD_SQL_TEMPLATE.format(
+        k=config.shingle_size, threshold=config.jaccard_threshold
+    )
+    return f"""
+WITH lsh AS MATERIALIZED ({lsh}),
+truth AS MATERIALIZED (SELECT a, b FROM ({truth}))
+SELECT
+  CAST((SELECT COUNT(*) FROM lsh JOIN truth USING (a, b)) AS BIGINT) AS tp,
+  CAST((SELECT COUNT(*) FROM lsh ANTI JOIN truth USING (a, b)) AS BIGINT) AS fp,
+  CAST((SELECT COUNT(*) FROM truth ANTI JOIN lsh USING (a, b)) AS BIGINT) AS fn
+"""

@@ -489,3 +489,19 @@ def test_label_propagation_planted(ray_session):
     assert "d" not in out.index  # 3 hops: unreached at rounds=2
     # e sees X and W once each at round 1: tie -> lexicographic min "W"
     assert out.loc["e", "round"] == 1 and out.loc["e", "kb_region"] == "W"
+
+
+def test_lsh_eval_counts(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import lsh_eval
+
+    docs = _docs(
+        [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta epsilon",  # exact dup: jaccard 1
+            "zero one two three four five six",
+        ]
+    )
+    out = lsh_eval(docs).to_pandas().iloc[0]
+    assert out["tp"] >= 1          # the dup pair is found and verified
+    assert out["fp"] == 0          # verify is exact: no false positives
+    assert out["tp"] + out["fn"] >= 1
