@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_value": _rel.median_value_by_type,
         "top_customers": lambda sf: _rel.top_customers(sf, 10),
         "revenue_rollup": _rel.revenue_rollup,
+        "revenue_cube": _rel.revenue_cube,
         "events_value_percentiles": _rel.value_percentiles_by_type,
         "text_top_ngrams": lambda sf: _tx.top_ngrams_by_source(_docs(sf)),
     }
@@ -568,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "events_median_value": _rel.MEDIAN_VALUE_SQL,
         "top_customers": _rel.TOP_CUSTOMERS_SQL_TEMPLATE.format(k=10),
         "revenue_rollup": _rel.REVENUE_ROLLUP_SQL,
+        "revenue_cube": _rel.REVENUE_CUBE_SQL,
         "events_value_percentiles": _rel.VALUE_PERCENTILES_SQL,
         "text_top_ngrams": _tx.TOP_NGRAMS_SQL_TEMPLATE.format(k_top=3),
     }

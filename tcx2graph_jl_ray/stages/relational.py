@@ -1007,3 +1007,54 @@ WHERE c_nationkey <> s_nationkey
   AND o_orderdate <  TIMESTAMP '{date_to}'
 GROUP BY cn.n_name, sn.n_name
 """
+
+
+def revenue_cube(sf_dir: str) -> ray.data.Dataset:
+    """Order revenue at ALL FOUR grains of (region, nation) — (r, n), (r,
+    ALL), (ALL, n), (ALL, ALL) — the CUBE extension of ``revenue_rollup``
+    (which omits the nation-only grain). Identical scale shape: the
+    combiner runs ONCE at the finest grain (one streaming pass, broadcast
+    dimension chain); every coarser grain re-aggregates the tiny
+    finest-grain table, never a rescan.
+
+    Output: r_name, n_name, revenue:float64, n_orders:int64.
+    """
+    leaf = revenue_rollup(sf_dir).to_pandas()
+    fine = leaf[(leaf["r_name"] != "ALL") & (leaf["n_name"] != "ALL")]
+    by_nation = (
+        fine.groupby("n_name", sort=True, as_index=False)
+        .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+        .assign(r_name="ALL")
+    )[["r_name", "n_name", "revenue", "n_orders"]]
+    out = pd.concat([leaf, by_nation], ignore_index=True)
+    # cents-rounding of each grain from already-rounded leaves can drift a
+    # cent vs the oracle's raw-sum rounding only if a leaf's raw sum sat at a
+    # half-cent; leaves are rounded the same way on both sides, and coarser
+    # grains are sums of EXACT cents -> re-round is a no-op kept for form
+    out["revenue"] = out["revenue"].map(lambda v: round(float(v), 2))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+REVENUE_CUBE_SQL = """
+WITH leaf AS (
+  SELECT r.r_name AS r_name, n.n_name AS n_name,
+         ROUND(SUM(o.o_totalprice), 2) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, revenue, n_orders FROM leaf
+UNION ALL
+SELECT r_name, 'ALL', ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+FROM leaf GROUP BY r_name
+UNION ALL
+SELECT 'ALL', n_name, ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+FROM leaf GROUP BY n_name
+UNION ALL
+SELECT 'ALL', 'ALL', ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+FROM leaf
+"""
