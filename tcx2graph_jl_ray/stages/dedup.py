@@ -1124,11 +1124,15 @@ def lsh_eval(
     )
 
     def final(batch: pd.DataFrame) -> pd.DataFrame:
+        # a corpus with no pairs at all yields zero tally rows, not columns
+        t = int(batch["tp"].sum()) if "tp" in batch.columns else 0
+        p = int(batch["fp"].sum()) if "fp" in batch.columns else 0
+        n = int(batch["fn"].sum()) if "fn" in batch.columns else 0
         return pd.DataFrame(
             {
-                "tp": pd.array([int(batch["tp"].sum())], dtype="int64"),
-                "fp": pd.array([int(batch["fp"].sum())], dtype="int64"),
-                "fn": pd.array([int(batch["fn"].sum())], dtype="int64"),
+                "tp": pd.array([t], dtype="int64"),
+                "fp": pd.array([p], dtype="int64"),
+                "fn": pd.array([n], dtype="int64"),
             }
         )
 

@@ -861,6 +861,16 @@ def mad_outliers_by_type(
                     "n": len(v),
                 }
             )
+        if not rows:  # a bucket whose every value was NULL (dirty inputs)
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "median_value": pd.Series([], dtype="float64"),
+                    "mad": pd.Series([], dtype="float64"),
+                    "n_outliers": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
         out = pd.DataFrame(rows)
         out["n_outliers"] = out["n_outliers"].astype("int64")
         out["n"] = out["n"].astype("int64")

@@ -505,3 +505,36 @@ def test_lsh_eval_counts(ray_session):
     assert out["tp"] >= 1          # the dup pair is found and verified
     assert out["fp"] == 0          # verify is exact: no false positives
     assert out["tp"] + out["fn"] >= 1
+
+
+def test_mad_outliers_all_null_values(ray_session):
+    """Dirty-input contract: a type whose every value is NULL must not crash
+    and must be absent from the result (the oracle filters it the same way)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from tcx2graph_jl_ray.stages.relational import mad_outliers_by_type
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": 1,
+            "event_type": ["dead", "dead", "live", "live"],
+            "value": [None, None, 5.0, 7.0],
+            "props": "{}",
+        }
+    )
+    d = tempfile.mkdtemp(prefix="madnull_")
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+    out = mad_outliers_by_type(d, 3.0).to_pandas()
+    assert set(out["event_type"]) == {"live"}
+
+
+def test_lsh_eval_no_pairs(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import lsh_eval
+
+    docs = _docs(["completely different words", "nothing shared here at all"])
+    out = lsh_eval(docs).to_pandas().iloc[0]
+    assert out["tp"] == 0 and out["fp"] == 0 and out["fn"] == 0
