@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_funnel": lambda sf: _wd.conversion_funnel(_events_ds(sf)),
         "events_never_converted": lambda sf: _wd.never_converted(_events_ds(sf)),
+        "events_activity_islands": lambda sf: _wd.activity_islands(_events_ds(sf)),
         "rel_copurchase": lambda sf: _rel.copurchase_pairs(sf, _COPURCHASE_MIN),
         "q5_local_supplier_volume": lambda sf: _rel.q5_local_supplier_volume(sf),
         "events_sessionize": lambda sf: _wd.sessionize(
@@ -507,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "events_never_converted": _wd.NEVER_CONVERTED_SQL_TEMPLATE.format(
             first_type="signup", then_type="purchase"
         ),
+        "events_activity_islands": _wd.ACTIVITY_ISLANDS_SQL,
         "rel_copurchase": _rel.COPURCHASE_SQL_TEMPLATE.format(
             min_support=_COPURCHASE_MIN
         ),

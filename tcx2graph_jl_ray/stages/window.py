@@ -1149,3 +1149,71 @@ WHERE e.event_type = '{first_type}'
                     AND p.event_type = '{then_type}')
 GROUP BY e.user_id, CAST(e.ts AS DATE)
 """
+
+
+def activity_islands(events: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active days
+    — the classic streak/retention primitive (and the canonical SQL
+    island pattern: day − ROW_NUMBER() as the run key). Temporal cousin of
+    the reference's run-range materialization (contiguous index ranges per
+    ride, src/SegmentRuns.jl:21-38).
+
+    Shape: per-batch distinct (user, day) rows (combiner — the shuffle
+    moves active days, not events); islands form inside user buckets with a
+    vectorized day-diff/cumsum per user — no per-row Python, no window
+    shuffle.
+
+    Output: user_id, start_day, end_day ('YYYY-MM-DD'), n_days:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def distinct_days(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "day": pd.to_datetime(batch["ts"]).dt.normalize(),
+            }
+        ).drop_duplicates()
+        return d
+
+    def islands(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        same_user = d["user_id"].eq(d["user_id"].shift())
+        gap = d["day"].diff().dt.days.ne(1)
+        new_island = (~same_user) | gap
+        d = d.assign(island=new_island.cumsum())
+        g = d.groupby(["user_id", "island"], sort=False)["day"].agg(
+            ["min", "max", "size"]
+        )
+        out = g.reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "start_day": out["min"].dt.strftime("%Y-%m-%d"),
+                "end_day": out["max"].dt.strftime("%Y-%m-%d"),
+                "n_days": out["size"].astype("int64"),
+            }
+        )
+
+    rows = events.select_columns(["user_id", "ts"]).map_batches(
+        distinct_days, batch_format="pandas", batch_size=65536
+    )
+    return bucketed_group_apply(rows, ["user_id"], islands, n_buckets=n_buckets)
+
+
+ACTIVITY_ISLANDS_SQL = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+g AS (SELECT user_id, day, day - CAST(rn AS INTEGER) AS grp FROM r)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(MIN(day), '%Y-%m-%d') AS start_day,
+       strftime(MAX(day), '%Y-%m-%d') AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM g GROUP BY user_id, grp
+"""

@@ -538,3 +538,33 @@ def test_lsh_eval_no_pairs(ray_session):
     docs = _docs(["completely different words", "nothing shared here at all"])
     out = lsh_eval(docs).to_pandas().iloc[0]
     assert out["tp"] == 0 and out["fp"] == 0 and out["fn"] == 0
+
+
+def test_activity_islands_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import activity_islands
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_type": "view",
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:00", "2024-01-01 21:00",  # same day: one active day
+                 "2024-01-02 05:00",                        # consecutive: island grows
+                 "2024-01-05 05:00",                        # gap: new island
+                 "2024-01-02 00:00"]
+            ),
+            "event_id": range(5),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    out = activity_islands(ray.data.from_pandas(df)).to_pandas()
+    got = {
+        (r.user_id, r.start_day): (r.end_day, r.n_days)
+        for r in out.itertuples(index=False)
+    }
+    assert got == {
+        (1, "2024-01-01"): ("2024-01-02", 2),
+        (1, "2024-01-05"): ("2024-01-05", 1),
+        (2, "2024-01-02"): ("2024-01-02", 1),
+    }
