@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lsh_eval": lambda sf: _dd.lsh_eval(_docs(sf)),
         "dedup_simhash": lambda sf: _dd.simhash_table(_docs(sf)),
         "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
+        "dedup_simhash_clusters": lambda sf: _dd.simhash_clusters(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: _dd.ngram_jaccard_join(
             _docs(sf), _NGRAM_TAU
         ),
@@ -497,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(
             simhash=_dd.SIMHASH_SQL, max_hamming=3
         ),
+        "dedup_simhash_clusters": _dd.simhash_clusters_sql(max_hamming=3),
         "events_retention": _wd.RETENTION_SQL,
         "events_type_trend": _wd.TYPE_TREND_SQL,
         "events_sliding_users": _wd.SLIDING_USERS_SQL_TEMPLATE.format(

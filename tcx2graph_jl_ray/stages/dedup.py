@@ -1155,3 +1155,52 @@ SELECT
   CAST((SELECT COUNT(*) FROM lsh ANTI JOIN truth USING (a, b)) AS BIGINT) AS fp,
   CAST((SELECT COUNT(*) FROM truth ANTI JOIN lsh USING (a, b)) AS BIGINT) AS fn
 """
+
+
+def simhash_clusters(
+    docs: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """SimHash near-duplicate CLUSTERS: connected components over the banded
+    hamming-distance pair graph — the third member of the clustering trio
+    (MinHash-Jaccard: ``neardup_minhash``; embedding-cosine:
+    ``semantic_clusters``), same compose as the reference's overlap merge
+    (pairs -> union-find, src/OverlappingSegmentsUtils.jl:212-277). Docs
+    similar to nothing are absent.
+
+    Output: doc_id, component_id (min member), component_size:int64.
+    """
+    from tcx2graph_jl_ray.stages.analysis import entity_components
+
+    pairs = simhash_neardup_pairs(docs, max_hamming=max_hamming)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({"src": b["a"], "dst": b["b"]}),
+        batch_format="pandas",
+    )
+    comp = entity_components(edges)
+    return comp.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["entity_id"].astype("int64"),
+                "component_id": b["component_id"].astype("int64"),
+                "component_size": b["component_size"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def simhash_clusters_sql(max_hamming: int = 3) -> str:
+    from tcx2graph_jl_ray.stages.analysis import COMPONENTS_SQL_TEMPLATE
+
+    pairs = SIMHASH_PAIRS_SQL_TEMPLATE.format(
+        simhash=SIMHASH_SQL, max_hamming=max_hamming
+    )
+    comp = COMPONENTS_SQL_TEMPLATE.format(
+        cooccurrence=f"SELECT a AS src, b AS dst FROM ({pairs})"
+    )
+    return (
+        "SELECT CAST(entity_id AS BIGINT) AS doc_id,\n"
+        "       CAST(component_id AS BIGINT) AS component_id,\n"
+        "       component_size\n"
+        f"FROM ({comp})"
+    )
