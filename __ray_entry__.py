@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": lambda sf: _dd.neardup_minhash(_docs(sf)),
         "dedup_minhash_pairs": lambda sf: _dd.neardup_minhash_pairs(_docs(sf)),
         "dedup_lsh_eval": lambda sf: _dd.lsh_eval(_docs(sf)),
+        "docs_curation_funnel": lambda sf: _dd.curation_funnel(_docs(sf)),
         "dedup_simhash": lambda sf: _dd.simhash_table(_docs(sf)),
         "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
         "dedup_simhash_clusters": lambda sf: _dd.simhash_clusters(_docs(sf)),
@@ -493,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_pairs": _dd.minhash_pairs_sql(),
         "dedup_lsh_eval": _dd.lsh_eval_sql(),
+        "docs_curation_funnel": _dd.curation_funnel_sql(),
         "dedup_minhash_clusters": _dd.minhash_clusters_sql(),
         "dedup_simhash": _dd.SIMHASH_SQL,
         "dedup_simhash_pairs": _dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(

@@ -1204,3 +1204,99 @@ def simhash_clusters_sql(max_hamming: int = 3) -> str:
         "       component_size\n"
         f"FROM ({comp})"
     )
+
+
+def curation_funnel(
+    docs: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    min_chars: int = 100,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The curation FUNNEL report: how many documents survive each gate of
+    the standard training-data sequence — raw -> non-null text -> exact
+    unique (min doc_id per text) -> not a non-minimum member of a MinHash
+    near-dup cluster -> length gate (n_chars ≥ ``min_chars``). One row of
+    integer counts, the number every curation run reports first
+    (``pipelines/corpus.py`` is the operational flow; this is its
+    driver-checkable measurement).
+
+    Shape: each gate composes the already-scale-shaped operators
+    (``exact_dedup``, ``neardup_minhash``); survivor/victim sets meet
+    through the co-partitioned ``hash_join`` (anti on the null side), never
+    a collected id set; each count is a Dataset aggregate.
+
+    Output: n_raw, n_nonnull, n_exact_unique, n_after_neardup,
+    n_quality (all int64).
+    """
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    n_raw = docs.count()
+    nn = docs.map_batches(_nonnull_text, batch_format="pandas")
+    n_nonnull = nn.count()
+
+    exact = exact_dedup(docs).select_columns(["doc_id"])
+    n_exact = exact.count()
+
+    victims = neardup_minhash(docs, config).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b.loc[b["cluster_id"] != b["doc_id"], "doc_id"]
+                .astype("int64"),
+                "__victim": np.int64(1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    survivors = hash_join(
+        exact, victims, on="doc_id", how="left", n_buckets=n_buckets
+    ).map_batches(
+        lambda b: b.loc[b["__victim"].isna(), ["doc_id"]].astype(
+            {"doc_id": "int64"}
+        ),
+        batch_format="pandas",
+    )
+    n_after = survivors.count()
+
+    quality = hash_join(
+        survivors,
+        docs.select_columns(["doc_id", "n_chars"]).map_batches(
+            lambda b: b.astype({"doc_id": "int64"}), batch_format="pandas"
+        ),
+        on="doc_id",
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b[b["n_chars"] >= min_chars], batch_format="pandas"
+    )
+    n_quality = quality.count()
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "n_raw": pd.array([n_raw], dtype="int64"),
+                "n_nonnull": pd.array([n_nonnull], dtype="int64"),
+                "n_exact_unique": pd.array([n_exact], dtype="int64"),
+                "n_after_neardup": pd.array([n_after], dtype="int64"),
+                "n_quality": pd.array([n_quality], dtype="int64"),
+            }
+        )
+    )
+
+
+def curation_funnel_sql(
+    config: PipelineConfig = DEFAULT_CONFIG, min_chars: int = 100
+) -> str:
+    clusters = minhash_clusters_sql(config)
+    return f"""
+WITH cl AS MATERIALIZED ({clusters}),
+nn AS (SELECT * FROM documents WHERE text IS NOT NULL),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM nn GROUP BY text),
+victims AS (SELECT doc_id FROM cl WHERE cluster_id <> doc_id),
+nd AS (SELECT doc_id FROM ex ANTI JOIN victims USING (doc_id)),
+q AS (SELECT nd.doc_id FROM nd JOIN documents d USING (doc_id)
+      WHERE d.n_chars >= {min_chars})
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+       CAST((SELECT COUNT(*) FROM nn) AS BIGINT) AS n_nonnull,
+       CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact_unique,
+       CAST((SELECT COUNT(*) FROM nd) AS BIGINT) AS n_after_neardup,
+       CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_quality
+"""

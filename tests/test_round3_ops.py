@@ -568,3 +568,31 @@ def test_activity_islands_planted(ray_session):
         (1, "2024-01-05"): ("2024-01-05", 1),
         (2, "2024-01-02"): ("2024-01-02", 1),
     }
+
+
+def test_curation_funnel_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import curation_funnel
+
+    texts = [
+        "alpha beta gamma delta epsilon " * 10,   # long, unique
+        "alpha beta gamma delta epsilon " * 10,   # exact dup of doc0
+        None,                                     # null: dropped first
+        "short",                                  # unique but fails length gate
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    out = curation_funnel(
+        ray.data.from_pandas(df), min_chars=100
+    ).to_pandas().iloc[0]
+    assert out["n_raw"] == 4
+    assert out["n_nonnull"] == 3
+    assert out["n_exact_unique"] == 2      # dup collapses
+    assert out["n_after_neardup"] == 2     # no near-dups beyond the exact one
+    assert out["n_quality"] == 1           # "short" fails the length gate
