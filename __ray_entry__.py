@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: _wd.conversion_funnel(_events_ds(sf)),
         "events_never_converted": lambda sf: _wd.never_converted(_events_ds(sf)),
         "events_activity_islands": lambda sf: _wd.activity_islands(_events_ds(sf)),
+        "events_daily_pivot": lambda sf: _wd.daily_type_pivot(_events_ds(sf)),
+        "events_rolling_avg": lambda sf: _wd.rolling_daily_avg(_events_ds(sf), 3),
         "rel_copurchase": lambda sf: _rel.copurchase_pairs(sf, _COPURCHASE_MIN),
         "q5_local_supplier_volume": lambda sf: _rel.q5_local_supplier_volume(sf),
         "events_sessionize": lambda sf: _wd.sessionize(
@@ -513,6 +515,10 @@ def oracle_sql() -> dict[str, str]:
             first_type="signup", then_type="purchase"
         ),
         "events_activity_islands": _wd.ACTIVITY_ISLANDS_SQL,
+        "events_daily_pivot": _wd.DAILY_PIVOT_SQL,
+        "events_rolling_avg": _wd.ROLLING_AVG_SQL_TEMPLATE.format(
+            window_days=3, span=2
+        ),
         "rel_copurchase": _rel.COPURCHASE_SQL_TEMPLATE.format(
             min_support=_COPURCHASE_MIN
         ),

@@ -1217,3 +1217,134 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(COUNT(*) AS BIGINT) AS n_days
 FROM g GROUP BY user_id, grp
 """
+
+
+def daily_type_pivot(events: ray.data.Dataset, n_buckets: int = 16) -> ray.data.Dataset:
+    """PIVOT to wide form: one row per day, one int64 column per event type
+    (click/error/purchase/signup/view — the fixed event vocabulary), the
+    report/feature-matrix layout downstream ML consumes. Conditional
+    aggregation, not a reshape shuffle: per-batch (day, type) partial counts
+    reduce in day buckets, then the tiny per-day frame pivots vectorized.
+
+    Output: day ('YYYY-MM-DD'), click, error, purchase, signup, view (int64).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m-%d")
+        s = (
+            pd.DataFrame({"day": day, "event_type": batch["event_type"]})
+            .groupby(["day", "event_type"], sort=False)
+            .size()
+        )
+        out = s.reset_index()
+        out.columns = ["day", "event_type", "n_part"]
+        return out
+
+    def pivot(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            bucket.groupby(["day", "event_type"], sort=False)["n_part"]
+            .sum()
+            .unstack(fill_value=0)
+        )
+        c = c.reindex(columns=types, fill_value=0).reset_index()
+        c.columns.name = None  # unstack leaves the axis named 'event_type'
+        for t in types:
+            c[t] = c[t].astype("int64")
+        return c[["day"] + types]
+
+    partials = events.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    return bucketed_group_apply(partials, ["day"], pivot, n_buckets=n_buckets)
+
+
+DAILY_PIVOT_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+def rolling_daily_avg(
+    events: ray.data.Dataset, window_days: int = 3, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Rolling window FRAME: per event type, the ``window_days``-day moving
+    average of daily counts (frame = this day and the window−1 PRECEDING
+    CALENDAR days — absent days count 0, the time-series convention, not
+    the row-frame one). Daily counts are tiny after the combiner (days ×
+    types); the rolling pass is a vectorized in-bucket scan per type.
+    avg = integer window sum / window_days in both engines — one exact
+    division, no rounding needed.
+
+    Output: event_type, day ('YYYY-MM-DD'), n:int64, avg_n:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(batch["ts"]).dt.normalize()
+        s = (
+            pd.DataFrame({"event_type": batch["event_type"], "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+        )
+        out = s.reset_index()
+        out.columns = ["event_type", "day", "n_part"]
+        return out
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            bucket.groupby(["event_type", "day"], sort=False)["n_part"]
+            .sum()
+            .reset_index(name="n")
+        )
+        outs = []
+        for etype, g in c.groupby("event_type", sort=False):
+            g = g.sort_values("day", kind="mergesort").set_index("day")
+            # calendar-frame sum: reindex to the full day range, roll, then
+            # keep only observed days (absent days contribute 0 but emit no row)
+            full = g["n"].reindex(
+                pd.date_range(g.index.min(), g.index.max(), freq="D"),
+                fill_value=0,
+            )
+            win = full.rolling(window=window_days, min_periods=1).sum()
+            keep = win.loc[g.index]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "day": g.index.strftime("%Y-%m-%d"),
+                        "n": g["n"].astype("int64").to_numpy(),
+                        "avg_n": keep.to_numpy(dtype="float64") / window_days,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partials = events.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    return bucketed_group_apply(partials, ["event_type"], roll, n_buckets=n_buckets)
+
+
+ROLLING_AVG_SQL_TEMPLATE = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT a.event_type,
+       strftime(a.day, '%Y-%m-%d') AS day,
+       CAST(a.n AS BIGINT) AS n,
+       CAST((SELECT COALESCE(SUM(b.n), 0) FROM c b
+             WHERE b.event_type = a.event_type
+               AND b.day BETWEEN a.day - {span} AND a.day) AS DOUBLE)
+         / {window_days} AS avg_n
+FROM c a
+"""

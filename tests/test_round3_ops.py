@@ -596,3 +596,53 @@ def test_curation_funnel_planted(ray_session):
     assert out["n_exact_unique"] == 2      # dup collapses
     assert out["n_after_neardup"] == 2     # no near-dups beyond the exact one
     assert out["n_quality"] == 1           # "short" fails the length gate
+
+
+def test_daily_pivot_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import daily_type_pivot
+
+    df = pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_type": ["click", "click", "view", "signup"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00", "2024-01-01 02:00",
+                 "2024-01-01 03:00", "2024-01-02 00:00"]
+            ),
+            "event_id": range(4),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    out = daily_type_pivot(ray.data.from_pandas(df)).to_pandas().set_index("day")
+    assert out.loc["2024-01-01", "click"] == 2
+    assert out.loc["2024-01-01", "view"] == 1
+    assert out.loc["2024-01-01", "purchase"] == 0  # absent type: zero column
+    assert out.loc["2024-01-02", "signup"] == 1
+
+
+def test_rolling_avg_calendar_frame(ray_session):
+    """The frame is CALENDAR days: a skipped day contributes 0, it does not
+    pull an older row into the window."""
+    from tcx2graph_jl_ray.stages.window import rolling_daily_avg
+
+    df = pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_type": "view",
+            # 3 events on Jan 1, none Jan 2, 3 on Jan 3
+            "ts": pd.to_datetime(
+                ["2024-01-01"] * 3 + ["2024-01-03"] * 3
+            ),
+            "event_id": range(6),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    out = (
+        rolling_daily_avg(ray.data.from_pandas(df), 3)
+        .to_pandas()
+        .set_index("day")
+    )
+    assert out.loc["2024-01-01", "avg_n"] == 1.0   # 3/3
+    assert out.loc["2024-01-03", "avg_n"] == 2.0   # (3+0+3)/3
