@@ -268,6 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_never_converted": lambda sf: _wd.never_converted(_events_ds(sf)),
         "events_activity_islands": lambda sf: _wd.activity_islands(_events_ds(sf)),
         "events_daily_pivot": lambda sf: _wd.daily_type_pivot(_events_ds(sf)),
+        "events_session_stats": lambda sf: _wd.session_stats(
+            _events_ds(sf), float(_SESSION_GAP_S)
+        ),
+        "text_lang_mismatch": lambda sf: _tx.lang_mismatch(_docs(sf)),
         "events_rolling_avg": lambda sf: _wd.rolling_daily_avg(_events_ds(sf), 3),
         "rel_copurchase": lambda sf: _rel.copurchase_pairs(sf, _COPURCHASE_MIN),
         "q5_local_supplier_volume": lambda sf: _rel.q5_local_supplier_volume(sf),
@@ -516,6 +520,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_activity_islands": _wd.ACTIVITY_ISLANDS_SQL,
         "events_daily_pivot": _wd.DAILY_PIVOT_SQL,
+        "events_session_stats": _wd.SESSION_STATS_SQL_TEMPLATE.format(
+            sessionize=_wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S)
+        ),
+        "text_lang_mismatch": _tx.lang_mismatch_sql(),
         "events_rolling_avg": _wd.ROLLING_AVG_SQL_TEMPLATE.format(
             window_days=3, span=2
         ),

@@ -1499,3 +1499,40 @@ WHERE text IS NOT NULL
   AND md5_number_lower(text) % {mod}
       < (least(CAST(n_chars AS BIGINT), {full_chars}) * {mod}) // {full_chars}
 """
+
+
+def lang_mismatch(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Label-noise audit: documents whose DECLARED ``lang`` column disagrees
+    with the marker-word classifier's prediction — the data-quality check
+    run before trusting upstream metadata (mirrors the reference's
+    missing-value audits, src/DataPreprocessing.jl:90-99, for a categorical
+    label instead of nulls). One streaming pass; no shuffle.
+
+    Output: doc_id, lang, lang_pred — only disagreeing docs ('und'
+    predictions count as disagreement unless declared 'und').
+    """
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        pred = _lang_id_batch(batch)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "lang": batch["lang"].to_numpy(),
+                "lang_pred": pred["lang_pred"].to_numpy(),
+            }
+        )
+        return out[out["lang"] != out["lang_pred"]]
+
+    return docs.select_columns(["doc_id", "lang", "text"]).map_batches(
+        flag, batch_format="pandas", batch_size=8192
+    )
+
+
+def lang_mismatch_sql() -> str:
+    return f"""
+WITH pred AS ({LANG_ID_SQL})
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, p.lang_pred
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+WHERE d.text IS NOT NULL AND d.lang <> p.lang_pred
+"""

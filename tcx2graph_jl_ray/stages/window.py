@@ -1348,3 +1348,53 @@ SELECT a.event_type,
          / {window_days} AS avg_n
 FROM c a
 """
+
+
+def session_stats(
+    events: ray.data.Dataset, gap_s: float = 1800.0
+) -> ray.data.Dataset:
+    """Corpus-level session DISTRIBUTION: total sessions/events and exact
+    median + p95 session duration — the composed second level over
+    ``sessionize`` (two stacked windows: gap boundaries, then distribution
+    over the session table). The session table is already reduced (one row
+    per session), so the non-decomposable quantiles compute exactly over
+    it — the median discipline applied downstream of a window op.
+
+    Output: n_sessions:int64, n_events:int64, median_duration_s:float64,
+    p95_duration_s:float64 (linear interpolation, rounded to 6).
+    """
+    sess = sessionize(events, gap_s)
+
+    def to_stats(df: pd.DataFrame) -> pd.DataFrame:
+        dur = (
+            pd.to_datetime(df["last_ts"]) - pd.to_datetime(df["first_ts"])
+        ).dt.total_seconds()
+        return pd.DataFrame(
+            {
+                "n_sessions": pd.array([len(df)], dtype="int64"),
+                "n_events": pd.array(
+                    [int(df["n_events"].sum())], dtype="int64"
+                ),
+                "median_duration_s": [round(float(dur.quantile(0.5)), 6)],
+                "p95_duration_s": [round(float(dur.quantile(0.95)), 6)],
+            }
+        )
+
+    # the session table is one row per session — already the reduced side
+    return ray.data.from_pandas(to_stats(sess.to_pandas()))
+
+
+SESSION_STATS_SQL_TEMPLATE = """
+WITH sess AS ({sessionize}),
+d AS (
+  SELECT n_events,
+         CAST(date_diff('microsecond', first_ts, last_ts) AS DOUBLE)
+           / 1000000 AS dur_s
+  FROM sess
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(MEDIAN(dur_s), 6) AS median_duration_s,
+       ROUND(QUANTILE_CONT(dur_s, 0.95), 6) AS p95_duration_s
+FROM d
+"""

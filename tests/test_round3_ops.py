@@ -646,3 +646,44 @@ def test_rolling_avg_calendar_frame(ray_session):
     )
     assert out.loc["2024-01-01", "avg_n"] == 1.0   # 3/3
     assert out.loc["2024-01-03", "avg_n"] == 2.0   # (3+0+3)/3
+
+
+def test_session_stats_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import session_stats
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_type": "view",
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10",  # session A: 600 s
+                 "2024-01-01 02:00",                        # gap > 1800: session B
+                 "2024-01-01 00:00"]                        # user 2: session C
+            ),
+            "event_id": range(4),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    out = session_stats(ray.data.from_pandas(df), 1800.0).to_pandas().iloc[0]
+    assert out["n_sessions"] == 3 and out["n_events"] == 4
+    # durations: [600, 0, 0] -> median 0, p95 = 0.95 interp toward 600
+    assert out["median_duration_s"] == 0.0
+    assert abs(out["p95_duration_s"] - 540.0) < 1e-6
+
+
+def test_lang_mismatch_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import lang_mismatch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["the of and with", "the of and with"],
+            "lang": ["en", "es"],  # doc1's declared label disagrees
+            "source": "s",
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    out = lang_mismatch(ray.data.from_pandas(df)).to_pandas()
+    assert list(out["doc_id"]) == [1]
+    assert out["lang_pred"].iloc[0] == "en"
