@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_avg": lambda sf: _wd.rolling_daily_avg(_events_ds(sf), 3),
         "rel_copurchase": lambda sf: _rel.copurchase_pairs(sf, _COPURCHASE_MIN),
         "q5_local_supplier_volume": lambda sf: _rel.q5_local_supplier_volume(sf),
+        "q6_forecast_revenue": lambda sf: _rel.q6_forecast_revenue(sf),
+        "docs_length_histogram": lambda sf: _tx.length_histogram(_docs(sf)),
         "events_sessionize": lambda sf: _wd.sessionize(
             _events_ds(sf), float(_SESSION_GAP_S)
         ),
@@ -533,6 +535,11 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": _rel.Q5_SQL_TEMPLATE.format(
             region="ASIA", date_from="1996-01-01", date_to="1997-01-01"
         ),
+        "q6_forecast_revenue": _rel.Q6_SQL_TEMPLATE.format(
+            date_from="1996-01-01", date_to="1997-01-01",
+            disc_lo=0.02, disc_hi=0.04, max_qty=24.0,
+        ),
+        "docs_length_histogram": _tx.LENGTH_HISTOGRAM_SQL,
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_rank_topk": _wd.RANK_TOPK_SQL_TEMPLATE.format(k=3),
         "events_top_type": _wd.TOP_TYPE_SQL,

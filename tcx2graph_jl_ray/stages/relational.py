@@ -1068,3 +1068,62 @@ UNION ALL
 SELECT 'ALL', 'ALL', ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
 FROM leaf
 """
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.04,
+    max_qty: float = 24.0,
+) -> ray.data.Dataset:
+    """TPC-H-Q6 shape: revenue increase from dropping small discounts — a
+    pure filter + global SUM, the simplest pipeline in the suite and the
+    one whose whole cost is the pruned scan: only the four filter/measure
+    columns leave storage, each batch reduces to one partial, the driver
+    sums a handful of floats. Output: revenue:float64, n_items:int64.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    d0, d1 = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            (batch["l_shipdate"] >= d0)
+            & (batch["l_shipdate"] < d1)
+            & (batch["l_discount"] >= disc_lo)
+            & (batch["l_discount"] <= disc_hi)
+            & (batch["l_quantity"] < max_qty)
+        )
+        b = batch[keep]
+        rev = (
+            b["l_extendedprice"].to_numpy(dtype="float64")
+            * b["l_discount"].to_numpy(dtype="float64")
+        )
+        return pd.DataFrame({"rev": [float(rev.sum())], "n": [len(b)]})
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()  # one row per batch: bounded by batch count, tiny
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "revenue": [round(float(parts["rev"].sum()), 2)],
+                "n_items": pd.array([int(parts["n"].sum())], dtype="int64"),
+            }
+        )
+    )
+
+
+Q6_SQL_TEMPLATE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_from}'
+  AND l_shipdate <  TIMESTAMP '{date_to}'
+  AND l_discount BETWEEN {disc_lo} AND {disc_hi}
+  AND l_quantity < {max_qty}
+"""

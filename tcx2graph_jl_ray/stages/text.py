@@ -1536,3 +1536,57 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, p.lang_pred
 FROM documents d JOIN pred p ON p.doc_id = d.doc_id
 WHERE d.text IS NOT NULL AND d.lang <> p.lang_pred
 """
+
+
+def length_histogram(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Log2-binned token-length histogram per source — the length
+    distribution plot behind every truncation/packing decision, kept
+    integer-exact: bin = floor(log2(n_tokens)) computed as the token
+    count's BIT LENGTH − 1 (pure integer arithmetic, no float log edge
+    cases at powers of two). Combiner shape like every count here.
+
+    Output: source, bin:int64 (log2 bucket), n_docs:int64, n_tokens:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        n_tok = (batch["text"].str.count(" ") + 1).astype("int64")
+        # floor(log2(n)) == bit_length(n) - 1 for ints — pure integer
+        # arithmetic, no float-log edge case at powers of two
+        bins = np.array(
+            [int(v).bit_length() - 1 for v in np.maximum(n_tok, 1)],
+            dtype="int64",
+        )
+        g = pd.DataFrame(
+            {"source": batch["source"], "bin": bins, "n_tok": n_tok}
+        ).groupby(["source", "bin"], sort=False)
+        agg = g.agg(n_docs=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+        return agg.reset_index()
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "bin"], sort=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+        ).reset_index()
+        g["bin"] = g["bin"].astype("int64")
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    partials = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+    return bucketed_group_apply(partials, ["source", "bin"], final, n_buckets=8)
+
+
+LENGTH_HISTOGRAM_SQL = """
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(FLOOR(LOG2(greatest(n_tok, 1))) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM t GROUP BY source, 2
+"""
