@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_copurchase": lambda sf: _rel.copurchase_pairs(sf, _COPURCHASE_MIN),
         "q5_local_supplier_volume": lambda sf: _rel.q5_local_supplier_volume(sf),
         "q6_forecast_revenue": lambda sf: _rel.q6_forecast_revenue(sf),
+        "rel_order_sizes": lambda sf: _rel.order_size_distribution(sf),
+        "events_hourly_profile": lambda sf: _wd.hourly_profile(_events_ds(sf)),
         "docs_length_histogram": lambda sf: _tx.length_histogram(_docs(sf)),
         "events_sessionize": lambda sf: _wd.sessionize(
             _events_ds(sf), float(_SESSION_GAP_S)
@@ -297,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             (lambda el: el[el["kb_region"] == "ASIA"])(_entities_linked(sf)),
             _an.cooccurrence_edges(_mentions_with_entity(sf)),
             rounds=2,
+        ),
+        "kg_conv_diversity": lambda sf: _an.conv_entity_diversity(
+            _mentions_with_entity(sf)
         ),
         "kg_adamic_adar": lambda sf: _an.adamic_adar(
             _an.cooccurrence_edges(_mentions_with_entity(sf)), min_common=2
@@ -540,6 +545,8 @@ def oracle_sql() -> dict[str, str]:
             disc_lo=0.02, disc_hi=0.04, max_qty=24.0,
         ),
         "docs_length_histogram": _tx.LENGTH_HISTOGRAM_SQL,
+        "rel_order_sizes": _rel.ORDER_SIZES_SQL,
+        "events_hourly_profile": _wd.HOURLY_PROFILE_SQL,
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_rank_topk": _wd.RANK_TOPK_SQL_TEMPLATE.format(k=3),
         "events_top_type": _wd.TOP_TYPE_SQL,
@@ -567,6 +574,9 @@ def oracle_sql() -> dict[str, str]:
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             rounds=2,
             seed_region="ASIA",
+        ),
+        "kg_conv_diversity": _an.CONV_DIVERSITY_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
         ),
         "kg_adamic_adar": _an.ADAMIC_ADAR_SQL_TEMPLATE.format(
             cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(

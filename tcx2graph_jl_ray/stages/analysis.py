@@ -2324,3 +2324,71 @@ l{r} AS (
         body
         + f"\nSELECT entity_id, kb_region, CAST(rnd AS BIGINT) AS round FROM {prev}"
     )
+
+
+def conv_entity_diversity(
+    mentions_with_entity: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-conversation entity DIVERSITY: distinct entities, total mentions,
+    and the Herfindahl concentration index HHI = Σ share² (1 = one entity
+    dominates, → 1/n = uniform) — the KG profile of how focused each
+    conversation is, the per-group composition statistic paired with the
+    corpus-level hotspot scan (src/GraphUtils.jl:117-189 counts rides per
+    cell; this inverts to entities per conversation). HHI is one float
+    expression over integer counts, rounded to 6.
+
+    Shape: per-batch (conv, entity) partial counts; conv buckets reduce and
+    compute the index vectorized — one keyed shuffle of count rows.
+
+    Output: conv_id, n_entities:int64, n_mentions:int64, hhi:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby(["conv_id", "entity_id"], sort=False).size()
+        out = s.reset_index()
+        out.columns = ["conv_id", "entity_id", "m_part"]
+        return out
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            bucket.groupby(["conv_id", "entity_id"], sort=False)["m_part"]
+            .sum()
+            .reset_index(name="m")
+        )
+        tot = c.groupby("conv_id", sort=False)["m"].transform("sum")
+        c = c.assign(sq=(c["m"] / tot) ** 2)
+        g = c.groupby("conv_id", sort=False).agg(
+            n_entities=("m", "size"), n_mentions=("m", "sum"), hhi=("sq", "sum")
+        ).reset_index()
+        g["n_entities"] = g["n_entities"].astype("int64")
+        g["n_mentions"] = g["n_mentions"].astype("int64")
+        g["hhi"] = g["hhi"].astype("float64").round(6)
+        return g
+
+    partials = mentions_with_entity.select_columns(
+        ["conv_id", "entity_id"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_apply(partials, ["conv_id"], per_conv, n_buckets=n_buckets)
+
+
+CONV_DIVERSITY_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+c AS (
+  SELECT mm.conv_id, l.entity_id, COUNT(*) AS cnt
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+  GROUP BY mm.conv_id, l.entity_id
+),
+t AS (SELECT conv_id, SUM(cnt) AS tot FROM c GROUP BY conv_id)
+SELECT c.conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(cnt) AS BIGINT) AS n_mentions,
+       ROUND(SUM((CAST(cnt AS DOUBLE) / t.tot) ^ 2), 6) AS hhi
+FROM c JOIN t USING (conv_id)
+GROUP BY c.conv_id
+"""
+)

@@ -1127,3 +1127,57 @@ WHERE l_shipdate >= TIMESTAMP '{date_from}'
   AND l_discount BETWEEN {disc_lo} AND {disc_hi}
   AND l_quantity < {max_qty}
 """
+
+
+def order_size_distribution(sf_dir: str, n_buckets: int = 16) -> ray.data.Dataset:
+    """Distribution of order sizes: how many orders have exactly k
+    lineitems — the two-level count (count per key, then histogram of
+    counts) behind capacity planning and the degree-distribution shape of
+    graph audits. Per-order counts reduce in orderkey buckets (combiner),
+    then the tiny count-of-counts reduces again — the second level moves
+    one row per distinct size per bucket.
+
+    Output: n_items:int64 (order size), n_orders:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("l_orderkey", sort=False).size()
+        return pd.DataFrame({"l_orderkey": s.index, "c_part": s.to_numpy()})
+
+    def per_order(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("l_orderkey", sort=False)["c_part"].sum()
+        h = s.value_counts()
+        return pd.DataFrame(
+            {"n_items": h.index.astype("int64"), "h_part": h.to_numpy()}
+        )
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("n_items", sort=False)["h_part"].sum()
+        return pd.DataFrame(
+            {
+                "n_items": s.index.astype("int64"),
+                "n_orders": s.astype("int64").to_numpy(),
+            }
+        )
+
+    per = bucketed_group_apply(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        per_order,
+        n_buckets=n_buckets,
+    )
+    return bucketed_group_apply(per, ["n_items"], hist, n_buckets=4)
+
+
+ORDER_SIZES_SQL = """
+WITH c AS (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
+           GROUP BY l_orderkey)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n_items
+"""

@@ -1398,3 +1398,66 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
        ROUND(QUANTILE_CONT(dur_s, 0.95), 6) AS p95_duration_s
 FROM d
 """
+
+
+def hourly_profile(events: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dataset:
+    """Seasonality profile: average events per hour-of-day per type — total
+    count in that clock hour divided by the number of distinct DAYS the
+    corpus spans (one integer division; the denominator is a corpus-level
+    scalar, so the profile is comparable across hours). The clock-folding
+    aggregate behind load forecasting.
+
+    Output: event_type, hour:int64 (0-23), n:int64, per_day:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(batch["ts"])
+        d = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "hour": ts.dt.hour.astype("int64"),
+                "day": ts.dt.strftime("%Y-%m-%d"),
+            }
+        )
+        s = d.groupby(["event_type", "hour"], sort=False).size()
+        out = s.reset_index()
+        out.columns = ["event_type", "hour", "n_part"]
+        days = pd.DataFrame({"event_type": "\x00days", "hour": -1,
+                             "n_part": 0, "day": d["day"].unique()})
+        return pd.concat(
+            [out.assign(day=""), days], ignore_index=True
+        )
+
+    parts = events.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).materialize()  # two consumers: the day count and the hour counts
+
+    # corpus-distinct days: a tiny bounded aggregate (calendar-bounded)
+    days_rows = parts.filter(lambda r: r["hour"] == -1)
+    n_days = len(set(days_rows.to_pandas()["day"]))
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket[bucket["hour"] >= 0]
+        s = b.groupby(["event_type", "hour"], sort=False)["n_part"].sum()
+        out = s.reset_index()
+        out.columns = ["event_type", "hour", "n"]
+        out["hour"] = out["hour"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        out["per_day"] = (out["n"] / n_days).round(6)
+        return out
+
+    return bucketed_group_apply(
+        parts, ["event_type", "hour"], final, n_buckets=n_buckets
+    )
+
+
+HOURLY_PROFILE_SQL = """
+WITH nd AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM events)
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(nd.n_days), 6) AS per_day
+FROM events, nd
+GROUP BY event_type, EXTRACT(hour FROM ts)
+"""
