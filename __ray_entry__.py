@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mentions_with_entity(sf), derive_transcripts(sf), _BURST_Z
         ),
         "kg_transitions": _transitions,
+        "kg_transitions_monthly": lambda sf: _an.entity_transitions_monthly(
+            _mentions_with_entity(sf), derive_transcripts(sf), _MAX_TURN_GAP
+        ),
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
         "kg_entity_degree_stats": lambda sf: _an.entity_degree_stats(
             _transitions(sf)
@@ -277,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": lambda sf: _rel.q5_local_supplier_volume(sf),
         "q6_forecast_revenue": lambda sf: _rel.q6_forecast_revenue(sf),
         "rel_order_sizes": lambda sf: _rel.order_size_distribution(sf),
+        "rel_part_pareto": lambda sf: _rel.part_pareto(sf, 100),
         "events_hourly_profile": lambda sf: _wd.hourly_profile(_events_ds(sf)),
         "docs_length_histogram": lambda sf: _tx.length_histogram(_docs(sf)),
         "events_sessionize": lambda sf: _wd.sessionize(
@@ -383,6 +387,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+        ),
+        "kg_transitions_monthly": _an.TRANSITIONS_MONTHLY_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL,
+            transcripts=TRANSCRIPTS_SQL,
+            max_turn_gap=_MAX_TURN_GAP,
         ),
         "kg_entity_degree_stats": _an.DEGREE_STATS_SQL_TEMPLATE.format(
             transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
@@ -546,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_length_histogram": _tx.LENGTH_HISTOGRAM_SQL,
         "rel_order_sizes": _rel.ORDER_SIZES_SQL,
+        "rel_part_pareto": _rel.PART_PARETO_SQL_TEMPLATE.format(k_top=100),
         "events_hourly_profile": _wd.HOURLY_PROFILE_SQL,
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_rank_topk": _wd.RANK_TOPK_SQL_TEMPLATE.format(k=3),

@@ -2392,3 +2392,96 @@ FROM c JOIN t USING (conv_id)
 GROUP BY c.conv_id
 """
 )
+
+
+def entity_transitions_monthly(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    max_turn_gap: int = 5,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TEMPORAL KG slicing: the next-entity transition edges of
+    ``entity_transitions`` sliced by the month of the FROM turn — the
+    time-evolving edge table (how the graph's structure drifts), the
+    edge-side analogue of ``entity_bursts``'s node-side time axis. Mention
+    rows pick up their turn timestamp through the co-partitioned
+    ``hash_join`` on (conv_id, turn_idx) — never a transcripts broadcast;
+    pairing runs inside conv buckets exactly like the untimed operator.
+
+    Output: from_entity, to_entity, month ('YYYY-MM'), n:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    joined = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "ts"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        grp = g.groupby("conv_id", sort=False)
+        nxt_e = grp["entity_id"].shift(-1)
+        nxt_t = grp["turn_idx"].shift(-1)
+        keep = nxt_e.notna() & ((nxt_t - g["turn_idx"]) <= max_turn_gap)
+        month = pd.to_datetime(g["ts"]).dt.strftime("%Y-%m")
+        d = pd.DataFrame(
+            {
+                "from_entity": g["entity_id"][keep],
+                "to_entity": nxt_e[keep],
+                "month": month[keep],
+            }
+        )
+        s = d.groupby(["from_entity", "to_entity", "month"], sort=False).size()
+        out = s.reset_index()
+        out.columns = ["from_entity", "to_entity", "month", "n_part"]
+        return out
+
+    pairs = bucketed_group_apply(
+        joined, ["conv_id"], pairs_in_bucket, n_buckets=n_buckets
+    )
+
+    def reduce_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby(
+            ["from_entity", "to_entity", "month"], sort=False
+        )["n_part"].sum()
+        out = s.reset_index()
+        out.columns = ["from_entity", "to_entity", "month", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        pairs, ["from_entity", "to_entity", "month"], reduce_counts,
+        n_buckets=n_buckets,
+    )
+
+
+TRANSITIONS_MONTHLY_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+tr AS ({transcripts}),
+me AS (SELECT mm.conv_id, mm.turn_idx, l.entity_id, t.ts
+       FROM m mm
+       JOIN lab l ON mm.norm = l.norm
+       JOIN tr t ON t.conv_id = mm.conv_id AND t.turn_idx = mm.turn_idx),
+w AS (
+  SELECT conv_id, turn_idx, entity_id, ts,
+    LEAD(entity_id) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_entity,
+    LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_turn
+  FROM me
+)
+SELECT entity_id AS from_entity, next_entity AS to_entity,
+       strftime(ts, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w
+WHERE next_entity IS NOT NULL AND next_turn - turn_idx <= {max_turn_gap}
+GROUP BY entity_id, next_entity, strftime(ts, '%Y-%m')
+"""
+)

@@ -1181,3 +1181,80 @@ SELECT CAST(n_items AS BIGINT) AS n_items,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM c GROUP BY n_items
 """
+
+
+def part_pareto(sf_dir: str, k_top: int = 100, n_buckets: int = 64) -> ray.data.Dataset:
+    """Pareto concentration of revenue over parts: rank parts by lineitem
+    revenue (desc, partkey tiebreak) and report each top part's cumulative
+    revenue share — the 80/20 analysis behind inventory and sampling
+    decisions, and the global ORDERED CUMSUM pattern over a REDUCED table.
+    Per-part revenue reduces distributed (combiner + partkey buckets); the
+    ranked cumsum runs over that reduced table, which is bounded by the
+    part DIMENSION, not lineitem volume — the documented driver-side class
+    (at 10^9 parts the whale-safe two-phase chunked prefix sum replaces
+    it, as in ``docs_pack_sequences``).
+
+    Output: rank:int64, l_partkey:int64, revenue:float64, cum_share:float64
+    (top ``k_top`` parts; revenue cents-rounded, share rounded to 6).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = batch["l_extendedprice"].to_numpy(dtype="float64") * (
+            1.0 - batch["l_discount"].to_numpy(dtype="float64")
+        )
+        s = pd.DataFrame({"l_partkey": batch["l_partkey"], "rev": rev}).groupby(
+            "l_partkey", sort=False
+        )["rev"].sum()
+        return pd.DataFrame({"l_partkey": s.index, "r_part": s.to_numpy()})
+
+    def reduce_rev(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("l_partkey", sort=False)["r_part"].sum()
+        return pd.DataFrame({"l_partkey": s.index, "revenue": s.to_numpy()})
+
+    per_part = bucketed_group_apply(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_partkey"],
+        reduce_rev,
+        n_buckets=n_buckets,
+    ).to_pandas()  # dimension-bounded: one row per part
+
+    total = float(per_part["revenue"].sum())
+    d = per_part.sort_values(
+        ["revenue", "l_partkey"], ascending=[False, True], kind="mergesort"
+    ).head(k_top)
+    d = d.assign(
+        rank=pd.array(range(1, len(d) + 1), dtype="int64"),
+        cum_share=(d["revenue"].cumsum() / total).round(6),
+    )
+    d["l_partkey"] = d["l_partkey"].astype("int64")
+    d["revenue"] = d["revenue"].map(lambda v: round(float(v), 2))
+    return ray.data.from_pandas(
+        d[["rank", "l_partkey", "revenue", "cum_share"]].reset_index(drop=True)
+    )
+
+
+PART_PARETO_SQL_TEMPLATE = """
+WITH p AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT SUM(revenue) AS total FROM p),
+r AS (
+  SELECT l_partkey, revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey) AS rank,
+         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM p
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+       CAST(l_partkey AS BIGINT) AS l_partkey,
+       ROUND(revenue, 2) AS revenue,
+       ROUND(cum / t.total, 6) AS cum_share
+FROM r, t WHERE rank <= {k_top}
+"""
