@@ -90,75 +90,142 @@ def entry() -> Any:
     return read_partitioned(f"{out}/triples")
 
 
+# ---------------------------------------------------------------------------
+# Cross-query memoization. The driver (and the parity sweep, and the test
+# suite) runs all 126 queries in ONE process against the same sf_dir; without
+# sharing, every kg_* query re-derives transcripts -> mentions ->
+# canonicalization from scratch and the dedup family re-derives the
+# candidate/verify chain four times. Intermediates that 2+ queries consume
+# are materialized once per (kind, sf_dir) and pinned in the object store —
+# the same "stage once, fan out" discipline the staged KG pipeline applies
+# with its transcripts sink (pipelines/kg.py). Each cached value is bounded:
+# transcripts/mentions scale with the input (fine — the sweep reads them
+# anyway), entities/transitions/pairs are vocabulary- or match-bounded.
+_MEMO: dict[tuple[str, str], Any] = {}
+
+
+def _memo(kind: str, sf_dir: str, build: Callable[[], Any]) -> Any:
+    key = (kind, sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = build()
+    return _MEMO[key]
+
+
+def _transcripts(sf_dir: str):
+    return _memo("transcripts", sf_dir, lambda: derive_transcripts(sf_dir).materialize())
+
+
 def _mentions(sf_dir: str):
-    return _ex.extract_mentions(derive_transcripts(sf_dir))
+    return _memo(
+        "mentions", sf_dir, lambda: _ex.extract_mentions(_transcripts(sf_dir)).materialize()
+    )
+
+
+def _canon(sf_dir: str):
+    # (entities, canonical_map) — entities/cmap are pandas below the
+    # broadcast budget, Datasets above it; cache as returned
+    return _memo("canon", sf_dir, lambda: _cz.canonicalize(_mentions(sf_dir)))
 
 
 def _mentions_with_entity(sf_dir: str):
-    # materialize mentions once: both canonicalize and attach consume them,
-    # and an unpinned Dataset would re-run the whole derivation per consumer
-    # (in the staged pipeline this role is played by the transcripts sink)
-    m = _mentions(sf_dir).materialize()
-    _, cmap = _cz.canonicalize(m)
-    return _an.attach_entities(m, cmap)
+    return _memo(
+        "mwe",
+        sf_dir,
+        lambda: _an.attach_entities(_mentions(sf_dir), _canon(sf_dir)[1]).materialize(),
+    )
+
+
+def _cooc(sf_dir: str):
+    return _memo(
+        "cooc",
+        sf_dir,
+        lambda: _an.cooccurrence_edges(_mentions_with_entity(sf_dir)).materialize(),
+    )
+
+
+def _hot(sf_dir: str):
+    return _memo(
+        "hot",
+        sf_dir,
+        lambda: _an.hot_entities(
+            _mentions_with_entity(sf_dir), _HOT_MIN_CONVS
+        ).materialize(),
+    )
 
 
 def _entities(sf_dir: str):
-    entities, _ = _cz.canonicalize(_mentions(sf_dir))
-    return entities
+    return _canon(sf_dir)[0]
 
 
 def _entities_linked(sf_dir: str):
-    return _lk.link_entities(_entities(sf_dir), _lk.load_kb(sf_dir))
+    return _memo(
+        "linked",
+        sf_dir,
+        lambda: _lk.link_entities(_entities(sf_dir), _lk.load_kb(sf_dir)),
+    )
 
 
 def _triples_canonical(sf_dir: str):
-    t = derive_transcripts(sf_dir)
-    _, cmap = _cz.canonicalize(_ex.extract_mentions(t))
-    return _cz.rewrite_triples(_ex.extract_triples(derive_transcripts(sf_dir)), cmap)
+    return _cz.rewrite_triples(
+        _ex.extract_triples(_transcripts(sf_dir)), _canon(sf_dir)[1]
+    )
 
 
 def _transitions(sf_dir: str):
-    return _an.entity_transitions(_mentions_with_entity(sf_dir), _MAX_TURN_GAP)
+    return _memo(
+        "transitions",
+        sf_dir,
+        lambda: _an.entity_transitions(
+            _mentions_with_entity(sf_dir), _MAX_TURN_GAP
+        ).materialize(),
+    )
+
+
+def _minhash_pairs(sf_dir: str):
+    return _memo(
+        "minhash_pairs",
+        sf_dir,
+        lambda: _dd.neardup_minhash_pairs(_docs(sf_dir)).materialize(),
+    )
+
+
+def _minhash_clusters(sf_dir: str):
+    return _memo(
+        "minhash_clusters",
+        sf_dir,
+        lambda: _dd.neardup_minhash(
+            _docs(sf_dir), verified_pairs=_minhash_pairs(sf_dir)
+        ).materialize(),
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "kg_transcripts": derive_transcripts,
-        "kg_nodes": lambda sf: _gr.build_nodes(derive_transcripts(sf)),
-        "kg_edges": lambda sf: _gr.build_next_turn_edges(derive_transcripts(sf)),
-        "kg_coverage": lambda sf: _gr.coverage_stats(derive_transcripts(sf)),
+        "kg_transcripts": _transcripts,
+        "kg_nodes": lambda sf: _gr.build_nodes(_transcripts(sf)),
+        "kg_edges": lambda sf: _gr.build_next_turn_edges(_transcripts(sf)),
+        "kg_coverage": lambda sf: _gr.coverage_stats(_transcripts(sf)),
         "kg_mentions": _mentions,
-        "kg_triples": lambda sf: _ex.extract_triples(derive_transcripts(sf)),
+        "kg_triples": lambda sf: _ex.extract_triples(_transcripts(sf)),
         "kg_entities": _entities,
         "kg_entities_linked": _entities_linked,
         "events_enriched_cached": _lk.enrich_events_cached,
         "kg_triples_canonical": _triples_canonical,
-        "kg_conv_stats": lambda sf: _an.conv_stats(derive_transcripts(sf)),
-        "kg_hot_entities": lambda sf: _an.hot_entities(
-            _mentions_with_entity(sf), _HOT_MIN_CONVS
-        ),
-        "kg_cooccurrence": lambda sf: _an.cooccurrence_edges(
-            _mentions_with_entity(sf)
-        ),
-        "kg_triangles": lambda sf: _an.triangle_stats(
-            _an.cooccurrence_edges(_mentions_with_entity(sf))
-        ),
-        "kg_kcore": lambda sf: _an.kcore_members(
-            _an.cooccurrence_edges(_mentions_with_entity(sf)), k=_KCORE_K
-        ),
-        "kg_components": lambda sf: _an.entity_components(
-            _an.cooccurrence_edges(_mentions_with_entity(sf))
-        ),
+        "kg_conv_stats": lambda sf: _an.conv_stats(_transcripts(sf)),
+        "kg_hot_entities": _hot,
+        "kg_cooccurrence": _cooc,
+        "kg_triangles": lambda sf: _an.triangle_stats(_cooc(sf)),
+        "kg_kcore": lambda sf: _an.kcore_members(_cooc(sf), k=_KCORE_K),
+        "kg_components": lambda sf: _an.entity_components(_cooc(sf)),
         "kg_neighbor_jaccard": lambda sf: _an.neighbor_jaccard(
-            _an.cooccurrence_edges(_mentions_with_entity(sf)), _NBR_JACCARD_TAU
+            _cooc(sf), _NBR_JACCARD_TAU
         ),
         "kg_entity_bursts": lambda sf: _an.entity_bursts(
-            _mentions_with_entity(sf), derive_transcripts(sf), _BURST_Z
+            _mentions_with_entity(sf), _transcripts(sf), _BURST_Z
         ),
         "kg_transitions": _transitions,
         "kg_transitions_monthly": lambda sf: _an.entity_transitions_monthly(
-            _mentions_with_entity(sf), derive_transcripts(sf), _MAX_TURN_GAP
+            _mentions_with_entity(sf), _transcripts(sf), _MAX_TURN_GAP
         ),
         "kg_reachable": lambda sf: _an.reachable_pairs(_transitions(sf), _REACH_MIN_N),
         "kg_entity_degree_stats": lambda sf: _an.entity_degree_stats(
@@ -167,29 +234,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank": lambda sf: _an.entity_pagerank(_transitions(sf)),
         "kg_paths_k3": lambda sf: _an.khop_paths(_transitions(sf), 3, _REACH_MIN_N),
         "kg_bfs_levels": lambda sf: _an.bfs_levels(_transitions(sf)),
-        "kg_conv_digests": lambda sf: _gr.conv_digests(derive_transcripts(sf)),
-        "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(
-            derive_transcripts(sf)
-        ),
+        "kg_conv_digests": lambda sf: _gr.conv_digests(_transcripts(sf)),
+        "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(_transcripts(sf)),
         "kg_cumulative_tokens_chunked": lambda sf: _gr.cumulative_tokens_chunked(
-            derive_transcripts(sf), chunk_turns=16
+            _transcripts(sf), chunk_turns=16
         ),
-        "kg_conv_dynamics": lambda sf: _an.conv_dynamics(derive_transcripts(sf)),
+        "kg_conv_dynamics": lambda sf: _an.conv_dynamics(_transcripts(sf)),
         "kg_convs_in_window": lambda sf: _an.convs_in_window(
-            derive_transcripts(sf), "2024-01-01", "2024-01-03"
+            _transcripts(sf), "2024-01-01", "2024-01-03"
         ),
-        "kg_top_entities": lambda sf: _an.top_entities_with_ties(
-            _an.hot_entities(_mentions_with_entity(sf), _HOT_MIN_CONVS)
-        ),
-        "kg_top_entities_dedup": lambda sf: _an.top_entities_dedup(
-            _an.hot_entities(_mentions_with_entity(sf), _HOT_MIN_CONVS)
-        ),
+        "kg_top_entities": lambda sf: _an.top_entities_with_ties(_hot(sf)),
+        "kg_top_entities_dedup": lambda sf: _an.top_entities_dedup(_hot(sf)),
         "kg_entity_feature_stats": lambda sf: _an.entity_feature_stats(
             _mentions_with_entity(sf)
         ),
-        "kg_sample_turns": lambda sf: _an.sample_turns_by_hash(
-            derive_transcripts(sf), "19"
-        ),
+        "kg_sample_turns": lambda sf: _an.sample_turns_by_hash(_transcripts(sf), "19"),
         "events_flatten_props": lambda sf: _wd.flatten_props(_events_ds(sf)),
         "dedup_embedding_nn": lambda sf: _ann.embedding_nearest_neighbor(
             _embeddings_ds(sf), sf
@@ -202,10 +261,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_charset_join": lambda sf: _dd.charset_similarity_join(
             _docs(sf), _CHARSET_TAU
         ),
-        "dedup_minhash_clusters": lambda sf: _dd.neardup_minhash(_docs(sf)),
-        "dedup_minhash_pairs": lambda sf: _dd.neardup_minhash_pairs(_docs(sf)),
-        "dedup_lsh_eval": lambda sf: _dd.lsh_eval(_docs(sf)),
-        "docs_curation_funnel": lambda sf: _dd.curation_funnel(_docs(sf)),
+        "dedup_minhash_clusters": _minhash_clusters,
+        "dedup_minhash_pairs": _minhash_pairs,
+        "dedup_lsh_eval": lambda sf: _dd.lsh_eval(
+            _docs(sf), verified_pairs=_minhash_pairs(sf)
+        ),
+        "docs_curation_funnel": lambda sf: _dd.curation_funnel(
+            _docs(sf), clusters=_minhash_clusters(sf)
+        ),
         "dedup_simhash": lambda sf: _dd.simhash_table(_docs(sf)),
         "dedup_simhash_pairs": lambda sf: _dd.simhash_neardup_pairs(_docs(sf)),
         "dedup_simhash_clusters": lambda sf: _dd.simhash_clusters(_docs(sf)),
@@ -216,7 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), "src0", 5
         ),
         "dedup_cross_contamination": lambda sf: _dd.cross_contamination(
-            _docs(sf), derive_transcripts(sf), 5
+            _docs(sf), _transcripts(sf), 5
         ),
         "multimodal_features": lambda sf: _mm.payload_feature_table(_docs(sf)),
         "multimodal_frames": lambda sf: _mm.sample_frames(
@@ -301,14 +364,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # canonical entity is already linked and rounds 1-2 would be no-ops
         "kg_label_propagation": lambda sf: _an.label_propagation(
             (lambda el: el[el["kb_region"] == "ASIA"])(_entities_linked(sf)),
-            _an.cooccurrence_edges(_mentions_with_entity(sf)),
+            _cooc(sf),
             rounds=2,
         ),
         "kg_conv_diversity": lambda sf: _an.conv_entity_diversity(
             _mentions_with_entity(sf)
         ),
         "kg_adamic_adar": lambda sf: _an.adamic_adar(
-            _an.cooccurrence_edges(_mentions_with_entity(sf)), min_common=2
+            _cooc(sf), min_common=2
         ),
         "text_rare_bigrams": lambda sf: _tx.rare_bigram_rate(_docs(sf), 3),
         "dedup_semantic_clusters": lambda sf: _ann.semantic_clusters(
@@ -321,7 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": lambda sf: _wd.range_join_counts(_events_ds(sf)),
         "clean_impute_events": _cl.clean_impute_events,
         "clean_missing_stats": lambda sf: _cl.missing_stats(
-            derive_transcripts(sf),
+            _transcripts(sf),
             ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
         ),
         "q1_pricing_summary": _rel.q1_pricing_summary,

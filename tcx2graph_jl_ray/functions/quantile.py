@@ -1,0 +1,196 @@
+"""Exact distributed quantiles over an unbounded Dataset column.
+
+The repo's per-group medians stay exact because groups fit a hash bucket, and
+the per-column global medians (clean.py) stay exact because value cardinality
+is bounded. Neither holds for a GLOBAL quantile over a row stream that scales
+with the corpus (e.g. one duration per session): collecting it to the driver
+is the classic OOM (round-2 verdict, session_stats), and a (value, count)
+reduce is unbounded for continuous values.
+
+``exact_global_quantiles`` solves it with bounded-memory rank selection:
+
+1. one aggregate pass -> (count, min, max);
+2. per needed order statistic, histogram-refinement rounds: scan the column,
+   count values into B equal-width bins over the active interval (per-batch
+   partials combined distributedly — never more than B rows anywhere), and
+   descend into the bin containing the target rank;
+3. when the active interval holds <= ``collect_budget`` values, one filtered
+   scan collects just those (driver-bounded by construction) and the order
+   statistic is read off exactly;
+4. linear interpolation between the two bracketing order statistics —
+   identical semantics to numpy/pandas ``interpolation='linear'`` and DuckDB
+   ``QUANTILE_CONT``.
+
+Rounds are O(log_B(n / budget)) full scans of ONE column — at B=1024 and a
+64 Ki budget, two rounds cover 6.9e10 rows. Duplicate-heavy data that cannot
+split (interval collapses to one float) short-circuits: every remaining value
+is that float.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _inrange_collect(
+    ds: ray.data.Dataset, col: str, lo: float, hi: float
+) -> np.ndarray:
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype="float64")
+        return pd.DataFrame({col: v[(v >= lo) & (v <= hi)]})
+
+    return (
+        ds.map_batches(keep, batch_format="pandas")
+        .to_pandas()[col]
+        .to_numpy(dtype="float64")
+    )
+
+
+def _hist_counts(
+    ds: ray.data.Dataset, col: str, edges: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed histogram of ``col`` over ``edges`` (len B+1). Bin j holds
+    values in [edges[j], edges[j+1]), last bin inclusive of edges[-1]; values
+    outside [edges[0], edges[-1]] are ignored. Returns (counts, per-bin data
+    min, per-bin data max) — the min/max let the caller snap the next
+    interval to the ACTUAL value range inside the chosen bin, so
+    duplicate-heavy mass (e.g. millions of zero-duration sessions) resolves
+    in one round instead of bisecting float space. Per-batch partials are
+    combined through a bucketed reduce, so no stage ever holds more than
+    B * (rows per bucket task) tiny rows."""
+    inner = edges[1:-1]
+    lo, hi = float(edges[0]), float(edges[-1])
+
+    EMPTY = pd.DataFrame(
+        {"bin": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64"),
+         "vmin": pd.Series([], dtype="float64"),
+         "vmax": pd.Series([], dtype="float64")}
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype="float64")
+        v = v[(v >= lo) & (v <= hi)]
+        if not len(v):
+            return EMPTY.copy()
+        idx = np.searchsorted(inner, v, side="right")
+        g = pd.DataFrame({"bin": idx, "v": v}).groupby("bin", sort=False)["v"]
+        agg = g.agg(["size", "min", "max"]).reset_index()
+        return pd.DataFrame(
+            {"bin": agg["bin"].astype("int64"),
+             "n": agg["size"].astype("int64"),
+             "vmin": agg["min"].astype("float64"),
+             "vmax": agg["max"].astype("float64")}
+        )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False).agg(
+            n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    summed = bucketed_group_apply(parts, ["bin"], merge, n_buckets=8).to_pandas()
+    nb = len(edges) - 1
+    counts = np.zeros(nb, dtype="int64")
+    vmins = np.full(nb, np.nan)
+    vmaxs = np.full(nb, np.nan)
+    if len(summed):
+        b = summed["bin"].to_numpy()
+        counts[b] = summed["n"].to_numpy()
+        vmins[b] = summed["vmin"].to_numpy()
+        vmaxs[b] = summed["vmax"].to_numpy()
+    return counts, vmins, vmaxs
+
+
+def _select_rank(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int,
+    lo: float,
+    hi: float,
+    n_lt_lo: int,
+    n_inrange: int,
+    collect_budget: int,
+    n_bins: int,
+    _cache: dict,
+) -> float:
+    """Exact k-th (0-indexed) smallest value of ``col``; [lo, hi] is known to
+    contain it with ``n_lt_lo`` values strictly below lo and ``n_inrange``
+    values inside. ``_cache`` memoizes collected chunks across ranks."""
+    for _ in range(64):
+        if lo == hi:
+            # every remaining value equals lo — never collect (the duplicate
+            # mass can exceed any budget)
+            return lo
+        if n_inrange <= collect_budget:
+            key = (lo, hi)
+            if key not in _cache:
+                arr = np.sort(_inrange_collect(ds, col, lo, hi))
+                _cache[key] = (arr, n_lt_lo)
+            arr, below = _cache[key]
+            return float(arr[k - below])
+        edges = np.linspace(lo, hi, n_bins + 1)
+        if edges[0] == edges[1]:  # interval no longer splits in float64
+            return lo
+        counts, vmins, vmaxs = _hist_counts(ds, col, edges)
+        cum = np.cumsum(counts)
+        j = int(np.searchsorted(cum, k - n_lt_lo, side="right"))
+        n_lt_lo += int(cum[j - 1]) if j > 0 else 0
+        n_inrange = int(counts[j])
+        # snap to the actual data range inside the chosen bin: geometric
+        # shrink at worst, immediate termination when the bin is one value
+        lo, hi = float(vmins[j]), float(vmaxs[j])
+    raise RuntimeError("quantile refinement did not converge")
+
+
+def exact_global_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    collect_budget: int = 65536,
+    n_bins: int = 1024,
+) -> tuple[int, dict[float, float]]:
+    """Exact linearly-interpolated global quantiles of ``ds[col]``.
+
+    Returns (n_rows, {q: value}). NaN values for empty input. Driver memory
+    is bounded by ``collect_budget`` + ``n_bins`` regardless of n_rows.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Count(), Min(col), Max(col))
+    n = int(agg["count()"])
+    if n == 0:
+        return 0, {q: float("nan") for q in qs}
+    vmin, vmax = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+
+    needed: set[int] = set()
+    pos = {}
+    for q in qs:
+        p = q * (n - 1)
+        pos[q] = p
+        needed.add(int(math.floor(p)))
+        needed.add(min(int(math.floor(p)) + 1, n - 1))
+
+    cache: dict = {}
+    at_rank: dict[int, float] = {}
+    for k in sorted(needed):
+        at_rank[k] = _select_rank(
+            ds, col, k, vmin, vmax, 0, n, collect_budget, n_bins, cache
+        )
+
+    out = {}
+    for q in qs:
+        p = pos[q]
+        k = int(math.floor(p))
+        k2 = min(k + 1, n - 1)
+        frac = p - k
+        out[q] = at_rank[k] + frac * (at_rank[k2] - at_rank[k])
+    return n, out

@@ -340,6 +340,9 @@ def khop_paths(
     max_hops: int = 3,
     min_n: int = 2,
     config: PipelineConfig = DEFAULT_CONFIG,
+    max_out_degree: int = 10_000,
+    per_src_budget: int = 100_000,
+    cap_trigger_rows: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Min-hop reachability up to ``max_hops`` WITH path reconstruction —
     the full analogue of the reference's BFS path finder
@@ -352,7 +355,23 @@ def khop_paths(
     delimiter-wrapped substring check). The final reduce keeps, per (src,
     dst), the minimum hop count and the lexicographically smallest path at
     that hop count — deterministic, and exactly reproducible in SQL.
-    Output: src, dst, hops:int64, path ('>'-joined node sequence)."""
+
+    Work guards (the reference bounds path-search work via window_step /
+    min_runs, src/OverlappingSegmentsUtils.jl:95-99; simple-path enumeration
+    grows ~degree^hops through hubs, so an unguarded hop-3 frontier explodes
+    on hub-heavy graphs):
+
+    - **hub-degree guard**: sources with out-degree > ``max_out_degree``
+      contribute no edges at all (a hub that dense is non-discriminative for
+      path semantics, exactly like a hot blocking token);
+    - **per-source frontier budget**: whenever a hop's frontier exceeds
+      ``cap_trigger_rows`` total rows, each src keeps only its
+      ``per_src_budget`` lexicographically-smallest paths.
+
+    Both are deterministic RECALL trades — results are exact (and
+    oracle-identical) while no guard fires, which the defaults guarantee at
+    test scale; at corpus scale they bound per-hop frontier growth to
+    |srcs| × budget. Output: src, dst, hops:int64, path ('>'-joined)."""
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def strong(batch: pd.DataFrame) -> pd.DataFrame:
@@ -362,6 +381,12 @@ def khop_paths(
         return pd.DataFrame({"src": keep["from_entity"], "dst": keep["to_entity"]})
 
     edges = transitions.map_batches(strong, batch_format="pandas").materialize()
+
+    def drop_hubs(bucket: pd.DataFrame) -> pd.DataFrame:
+        deg = bucket.groupby("src", sort=False)["dst"].transform("size")
+        return bucket[deg <= max_out_degree]
+
+    edges = bucketed_group_apply(edges, ["src"], drop_hubs).materialize()
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -443,6 +468,21 @@ def khop_paths(
             .repartition(config.join_num_partitions)
             .materialize()
         )
+        if frontier.count() > cap_trigger_rows:
+            def cap_src(bucket: pd.DataFrame) -> pd.DataFrame:
+                return (
+                    bucket.sort_values("path", kind="mergesort")
+                    .groupby("src", sort=False)
+                    .head(per_src_budget)
+                )
+
+            frontier = (
+                with_schema(
+                    bucketed_group_apply(frontier, ["src"], cap_src), F_SCHEMA
+                )
+                .repartition(config.join_num_partitions)
+                .materialize()
+            )
         levels.append(frontier)
 
     allp = levels[0]

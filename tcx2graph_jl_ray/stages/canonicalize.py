@@ -83,26 +83,35 @@ def candidate_pairs(
     tokens are dropped as non-discriminative (they would generate O(n^2) pairs
     — the all-pairs blowup the reference avoids with its bbox prefilter,
     src/OverlappingSegmentsUtils.jl:126-137).
+
+    Tokens shuffle through ``bucketed_group_apply`` (ONE hash-bucket shuffle
+    for the whole vocabulary — Ray's native groupby costs ~1 ms per distinct
+    group, which at a web-scale token vocabulary would dominate the stage);
+    per-token pair generation inside a bucket is vectorized ``triu_indices``,
+    the same shape as MinHash band blocking (dedup.py pairs_in_bucket).
     """
     cap = config.max_block_size
 
-    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
-        n_distinct = g["norm"].nunique()  # cap on distinct surfaces, not rows
-        if n_distinct < 2 or n_distinct > cap:
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("token", sort=False):
+            norms = np.sort(g["norm"].unique())  # cap on distinct surfaces
+            if len(norms) < 2 or len(norms) > cap:
+                continue
+            ii, jj = np.triu_indices(len(norms), k=1)
+            out_a.append(norms[ii])
+            out_b.append(norms[jj])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="object"),
                                  "b": pd.Series([], dtype="object")})
-        norms = sorted(g["norm"].unique())
-        a, b = [], []
-        for i in range(len(norms)):
-            for j in range(i + 1, len(norms)):
-                a.append(norms[i])
-                b.append(norms[j])
-        return pd.DataFrame({"a": a, "b": b})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     exploded = surfaces.map_batches(_explode_tokens, batch_format="pandas")
-    pairs = exploded.groupby("token").map_groups(pairs_in_block, batch_format="pandas")
+    pairs = bucketed_group_apply(exploded, ["token"], pairs_in_bucket)
     # distinct pairs (the same pair arises from every shared token) —
     # bucketed dedup, pair cardinality can be large
     return bucketed_group_apply(
@@ -122,15 +131,39 @@ def verify_pairs(
 ) -> ray.data.Dataset:
     """Keep pairs with token-set containment >= threshold (the pairwise
     similarity verify, analogue of discrete Fréchet <= tol_m,
-    src/Utils.jl:256-276)."""
+    src/Utils.jl:256-276).
+
+    Vectorized: both sides explode to distinct (pair, token) rows; the
+    intersection size is one merge + size count and the containment falls out
+    columnar — no per-pair Python set construction (``_containment`` remains
+    as the semantics spec and the local-path implementation).
+    """
     thr = config.verify_containment
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = [
-            _containment(a, b) >= thr
-            for a, b in zip(batch["a"].to_numpy(), batch["b"].to_numpy())
-        ]
-        return batch[pd.Series(keep, index=batch.index)]
+        if not len(batch):
+            return batch
+        idx = np.arange(len(batch))
+
+        def side(col: str) -> pd.DataFrame:
+            f = pd.DataFrame(
+                {"i": idx, "tok": batch[col].str.split().to_numpy()}
+            ).explode("tok")
+            return f[f["tok"].notna()].drop_duplicates()
+
+        fa, fb = side("a"), side("b")
+        na = fa.groupby("i", sort=False).size()
+        nb = fb.groupby("i", sort=False).size()
+        inter = (
+            fa.merge(fb, on=["i", "tok"]).groupby("i", sort=False).size()
+        )
+        denom = np.minimum(
+            na.reindex(idx, fill_value=0).to_numpy(),
+            nb.reindex(idx, fill_value=0).to_numpy(),
+        ).astype("float64")
+        num = inter.reindex(idx, fill_value=0).to_numpy().astype("float64")
+        cont = np.divide(num, denom, out=np.zeros_like(num), where=denom > 0)
+        return batch[cont >= thr]
 
     return pairs.map_batches(verify, batch_format="pandas", batch_size=16384)
 

@@ -367,7 +367,9 @@ WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {tau}
 
 
 def neardup_minhash(
-    docs: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+    docs: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    verified_pairs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-duplicate clustering.
 
@@ -384,8 +386,17 @@ def neardup_minhash(
     carriers (a superset — the join itself is exact), so only ~matched texts
     are shuffled; pair groups then verify true word-shingle Jaccard
     group-side with per-doc shingle memoization.
+
+    ``verified_pairs`` lets a caller that already materialized
+    ``neardup_minhash_pairs(docs, config)`` (e.g. a query sweep running
+    pairs, clusters, eval and funnel over one corpus) reuse it instead of
+    re-deriving the candidate/verify chain.
     """
-    verified = neardup_minhash_pairs(docs, config)
+    verified = (
+        verified_pairs
+        if verified_pairs is not None
+        else neardup_minhash_pairs(docs, config)
+    )
 
     # reuse the distributed component machinery on stringified doc ids
     from tcx2graph_jl_ray.stages.canonicalize import connected_components
@@ -1077,6 +1088,7 @@ def lsh_eval(
     docs: ray.data.Dataset,
     config: PipelineConfig = DEFAULT_CONFIG,
     n_buckets: int = 64,
+    verified_pairs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Quality harness for the MinHash-LSH candidate generation: score the
     verified LSH pairs against the EXACT shingle-Jaccard join at the same
@@ -1094,7 +1106,11 @@ def lsh_eval(
     """
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    lsh = neardup_minhash_pairs(docs, config).map_batches(
+    lsh = (
+        verified_pairs
+        if verified_pairs is not None
+        else neardup_minhash_pairs(docs, config)
+    ).map_batches(
         lambda b: pd.DataFrame(
             {"a": b["a"], "b": b["b"], "src": np.int64(1)}
         ),
@@ -1211,6 +1227,7 @@ def curation_funnel(
     config: PipelineConfig = DEFAULT_CONFIG,
     min_chars: int = 100,
     n_buckets: int = 64,
+    clusters: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """The curation FUNNEL report: how many documents survive each gate of
     the standard training-data sequence — raw -> non-null text -> exact
@@ -1237,7 +1254,9 @@ def curation_funnel(
     exact = exact_dedup(docs).select_columns(["doc_id"])
     n_exact = exact.count()
 
-    victims = neardup_minhash(docs, config).map_batches(
+    victims = (
+        clusters if clusters is not None else neardup_minhash(docs, config)
+    ).map_batches(
         lambda b: pd.DataFrame(
             {
                 "doc_id": b.loc[b["cluster_id"] != b["doc_id"], "doc_id"]

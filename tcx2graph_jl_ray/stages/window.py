@@ -1351,37 +1351,57 @@ FROM c a
 
 
 def session_stats(
-    events: ray.data.Dataset, gap_s: float = 1800.0
+    events: ray.data.Dataset,
+    gap_s: float = 1800.0,
+    collect_budget: int = 65536,
 ) -> ray.data.Dataset:
     """Corpus-level session DISTRIBUTION: total sessions/events and exact
     median + p95 session duration — the composed second level over
     ``sessionize`` (two stacked windows: gap boundaries, then distribution
-    over the session table). The session table is already reduced (one row
-    per session), so the non-decomposable quantiles compute exactly over
-    it — the median discipline applied downstream of a window op.
+    over the session table).
+
+    The session table is one row per session — which is NOT bounded (it
+    scales with users × time), so the quantiles never collect it: they run
+    through ``exact_global_quantiles`` (histogram-refinement rank selection,
+    functions/quantile.py), whose driver footprint is capped at
+    ``collect_budget`` + bin counts regardless of session count, and whose
+    result is the exact linearly-interpolated order statistic (identical to
+    DuckDB QUANTILE_CONT). n_sessions / n_events come from the same
+    streaming aggregate pass.
 
     Output: n_sessions:int64, n_events:int64, median_duration_s:float64,
     p95_duration_s:float64 (linear interpolation, rounded to 6).
     """
-    sess = sessionize(events, gap_s)
+    from ray.data.aggregate import Sum
 
-    def to_stats(df: pd.DataFrame) -> pd.DataFrame:
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    sess = sessionize(events, gap_s).materialize()
+
+    def to_dur(df: pd.DataFrame) -> pd.DataFrame:
         dur = (
             pd.to_datetime(df["last_ts"]) - pd.to_datetime(df["first_ts"])
         ).dt.total_seconds()
         return pd.DataFrame(
-            {
-                "n_sessions": pd.array([len(df)], dtype="int64"),
-                "n_events": pd.array(
-                    [int(df["n_events"].sum())], dtype="int64"
-                ),
-                "median_duration_s": [round(float(dur.quantile(0.5)), 6)],
-                "p95_duration_s": [round(float(dur.quantile(0.95)), 6)],
-            }
+            {"dur_s": dur.to_numpy(dtype="float64"),
+             "n_events": df["n_events"].to_numpy()}
         )
 
-    # the session table is one row per session — already the reduced side
-    return ray.data.from_pandas(to_stats(sess.to_pandas()))
+    dur_ds = sess.map_batches(to_dur, batch_format="pandas").materialize()
+    n_events = int(dur_ds.aggregate(Sum("n_events"))["sum(n_events)"])
+    n_sessions, quants = exact_global_quantiles(
+        dur_ds, "dur_s", [0.5, 0.95], collect_budget=collect_budget
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "n_sessions": pd.array([n_sessions], dtype="int64"),
+                "n_events": pd.array([n_events], dtype="int64"),
+                "median_duration_s": [round(quants[0.5], 6)],
+                "p95_duration_s": [round(quants[0.95], 6)],
+            }
+        )
+    )
 
 
 SESSION_STATS_SQL_TEMPLATE = """
