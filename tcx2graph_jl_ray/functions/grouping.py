@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -66,4 +67,52 @@ def bucketed_group_apply(
         ds.map_batches(tag, batch_format="pandas", batch_size=batch_size)
         .groupby(BUCKET_COL)
         .map_groups(run, batch_format="pandas")
+    )
+
+
+def salted_group_apply(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 64,
+    salt_buckets: int = 16,
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """Whale-key-safe two-level bucketed aggregate (``config.salt_buckets``).
+
+    ``bucketed_group_apply`` lands EVERY row of a key in one task — a key
+    larger than a worker (one conversation/user with more rows than fit in a
+    heap) sinks that task. Here level 1 hashes ``(keys, salt)`` with a
+    row-position salt, so a whale key's rows split across ``salt_buckets``
+    tasks, each applying ``partial_fn`` — a per-key PARTIAL aggregate over
+    the rows it sees (must be order-free/algebraic: count partials, sum
+    partials, min/max, distinct subsets...). Level 2 re-buckets the partial
+    rows by ``keys`` alone and applies ``merge_fn``; by then each key
+    contributes at most ``salt_buckets × partial-rows-per-key`` rows, bounded
+    regardless of the key's raw row count.
+
+    Order-DEPENDENT per-key logic cannot salt transparently — slice on the
+    order key with a boundary carry instead (``assign_turn_idx_sliced`` in
+    sources/transcripts.py, ``cumulative_tokens_chunked`` in stages/graph.py
+    are the two shipped shapes).
+    """
+    keys = list(keys)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = add_bucket(batch, keys, n_buckets)
+        salt = np.arange(len(b)) % salt_buckets
+        b[BUCKET_COL] = (b[BUCKET_COL] * salt_buckets + salt).astype("int64")
+        return b
+
+    def run_partial(group: pd.DataFrame) -> pd.DataFrame:
+        return partial_fn(group.drop(columns=[BUCKET_COL]))
+
+    level1 = (
+        ds.map_batches(tag, batch_format="pandas", batch_size=batch_size)
+        .groupby(BUCKET_COL)
+        .map_groups(run_partial, batch_format="pandas")
+    )
+    return bucketed_group_apply(
+        level1, keys, merge_fn, n_buckets=n_buckets, batch_size=batch_size
     )

@@ -21,7 +21,6 @@ when the cell table no longer fits a shuffle.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -30,12 +29,11 @@ import ray.data
 
 def _hash64(values) -> np.ndarray:
     """Deterministic 64-bit hashes (md5 lower half, LE — the repo's
-    md5_number_lower convention)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    md5 = hashlib.md5
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(md5(str(v).encode()).digest()[8:16], "little")
-    return out
+    md5_number_lower convention), batched through the C kernel."""
+    from tcx2graph_jl_ray.functions.digest import md5_low64
+
+    strs = np.asarray(values).astype(str).astype(object)
+    return md5_low64(strs)
 
 
 def register_partial(values, p: int = 12) -> np.ndarray:

@@ -28,22 +28,15 @@ def token_hashes(tokens: pd.Series) -> np.ndarray:
 def token_hashes_md5(tokens: pd.Series | np.ndarray) -> np.ndarray:
     """Stable uint64 hash per token, REPRODUCIBLE IN SQL: equals DuckDB's
     ``md5_number_lower(tok)`` (bytes 8..16 of the md5 digest, little-endian;
-    verified empirically). md5 is per-string Python work, so the batch is
-    deduplicated first — token streams are Zipfian, the unique vocabulary per
-    batch is a small fraction of occurrences."""
-    import hashlib
+    verified empirically). The batch is deduplicated first (token streams are
+    Zipfian — the unique vocabulary per batch is a small fraction of
+    occurrences), then hashed through the batched C kernel
+    (functions/digest.py)."""
+    from tcx2graph_jl_ray.functions.digest import md5_low64
 
     arr = tokens.to_numpy() if isinstance(tokens, pd.Series) else tokens
     uniq, inv = np.unique(arr.astype(object), return_inverse=True)
-    hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
-            for t in uniq
-        ),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
-    return hs[inv]
+    return md5_low64(uniq)[inv]
 
 
 def word_shingles(text: pd.Series, k: int = 3) -> pd.Series:

@@ -130,7 +130,97 @@ def _assign_turn_idx(bucket: pd.DataFrame) -> pd.DataFrame:
     return bucket[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
 
-def derive_transcripts(sf_dir: str, mult: int = 1) -> ray.data.Dataset:
+def assign_turn_idx_sliced(
+    ds: ray.data.Dataset, slice_span_s: float = 3600.0
+) -> ray.data.Dataset:
+    """Whale-conversation-safe turn-idx assignment — identical output to the
+    single-bucket ``_assign_turn_idx`` path, bounded per-task rows.
+
+    ``bucketed_group_apply(["conv_id"], _assign_turn_idx)`` lands a whole
+    conversation in one task; a conversation longer than a worker's heap (a
+    years-long support thread, a bot account) sinks it. Ordered ranking
+    cannot salt transparently, so it slices on the ORDER key instead (the
+    ``cumulative_tokens_chunked`` boundary-carry shape, stages/graph.py):
+
+    1. slice = ts // ``slice_span_s`` — monotone in ts, so every row of
+       slice s precedes every row of slice s+1 within a conversation, and
+       ts-ties never straddle a slice boundary (floor is deterministic);
+    2. level 1 buckets on (conv_id, slice): local sort + cumcount, plus
+       per-(conv, slice) counts — a whale conversation spreads across its
+       slices' tasks;
+    3. level 2 buckets the REDUCED counts per conv_id: ordered prefix sum
+       gives each slice its global offset (rows here = active slices per
+       conversation, bounded by timespan / span, not by row count);
+    4. offsets rejoin the sliced rows via the co-partitioned ``hash_join``;
+       turn_idx = offset + local index.
+
+    Per-task bound: rows per conversation per ``slice_span_s`` window. Pick
+    the span so the densest expected burst fits a worker.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    span_ns = int(slice_span_s * 1_000_000_000)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__slice"] = (
+            pd.to_datetime(b["ts"]).astype("int64") // span_ns
+        ).astype("int64")
+        return b
+
+    def local_rank(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(
+            ["conv_id", "__slice", "ts", "event_id"], kind="mergesort"
+        )
+        return bucket.assign(
+            __local_idx=bucket.groupby(["conv_id", "__slice"], sort=False)
+            .cumcount()
+            .astype("int64")
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    local = bucketed_group_apply(
+        tagged, ["conv_id", "__slice"], local_rank
+    ).materialize()
+
+    counts = local.map_batches(
+        lambda b: b.groupby(["conv_id", "__slice"], sort=False)
+        .size()
+        .reset_index(name="__n"),
+        batch_format="pandas",
+    )
+
+    def offsets(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["conv_id", "__slice"], sort=False)["__n"]
+            .sum()
+            .reset_index()
+            .sort_values(["conv_id", "__slice"], kind="mergesort")
+        )
+        g["__offset"] = (
+            g.groupby("conv_id", sort=False)["__n"].cumsum() - g["__n"]
+        ).astype("int64")
+        return g[["conv_id", "__slice", "__offset"]]
+
+    offs = bucketed_group_apply(counts, ["conv_id"], offsets)
+
+    joined = hash_join(
+        local.drop_columns(["event_id"]), offs, on=["conv_id", "__slice"]
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            turn_idx=(b["__offset"] + b["__local_idx"]).astype("int32")
+        )
+        return b[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+def derive_transcripts(
+    sf_dir: str, mult: int = 1, slice_span_s: float | None = None
+) -> ray.data.Dataset:
     """events ⋈ nation ⋈ region → transcripts Dataset (see module docstring).
 
     One broadcast join + one bucketed keyed shuffle on conv_id to impose turn
@@ -139,6 +229,12 @@ def derive_transcripts(sf_dir: str, mult: int = 1) -> ray.data.Dataset:
     ``mult`` (bench-only; breaks oracle parity) replicates the event stream
     with disjoint user-id ranges — mult× conversations of the same shape — so
     scaling runs carry enough work per CPU to amortize fixed stage costs.
+
+    ``slice_span_s`` switches turn ordering to the whale-safe sliced path
+    (``assign_turn_idx_sliced``): identical output, per-task rows bounded by
+    conversation rows per span instead of whole conversations. Default None
+    keeps the single-shuffle path (right while no conversation approaches a
+    worker's heap).
     """
     import pyarrow.parquet as pq
 
@@ -175,6 +271,8 @@ def derive_transcripts(sf_dir: str, mult: int = 1) -> ray.data.Dataset:
 
         ds = ds.map_batches(replicate, batch_format="pandas", batch_size=2048)
     ds = ds.map_batches(derive, batch_format="pandas", batch_size=16384)
+    if slice_span_s is not None:
+        return assign_turn_idx_sliced(ds, slice_span_s)
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     return bucketed_group_apply(ds, ["conv_id"], _assign_turn_idx)

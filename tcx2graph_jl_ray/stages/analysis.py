@@ -801,21 +801,16 @@ def sample_turns_by_hash(transcripts: ray.data.Dataset, hex_max: str = "19") -> 
     hex chars are <= ``hex_max`` (rate = (int(hex_max,16)+1)/256). Stable
     across runs/processes — the right way to sample a 10^12-row table for
     inspection without a global shuffle."""
-    import hashlib
+    from tcx2graph_jl_ray.functions.digest import md5_hex
 
     # hex-string compare on 2 lowercase hex chars == numeric compare on the
-    # first digest byte (both orderings are monotone), so skip hexdigest
-    cut = int(hex_max, 16)
+    # first digest byte (both orderings are monotone)
+    hex_cut = hex_max.lower()
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch["conv_id"] + ":" + batch["turn_idx"].astype(str)
-        md5 = hashlib.md5
-        mask = np.fromiter(
-            (md5(k.encode()).digest()[0] <= cut for k in keys.to_numpy()),
-            dtype=bool,
-            count=len(keys),
-        )
-        return batch[mask]
+        p2 = np.asarray(md5_hex(keys.to_numpy()), dtype="U32").astype("U2")
+        return batch[p2 <= hex_cut]
 
     return transcripts.map_batches(keep, batch_format="pandas", batch_size=65536)
 
@@ -1045,11 +1040,131 @@ FROM u LEFT JOIN o ON o.e = u.e LEFT JOIN i ON i.e = u.e
 """
 
 
+def _pagerank_dataset_ranks(
+    edges: ray.data.Dataset,
+    ow_ds: ray.data.Dataset,
+    nodes_ds: ray.data.Dataset,
+    n_nodes: int,
+    n_iter: int,
+    damping: float,
+) -> ray.data.Dataset:
+    """PageRank with the rank vector held as a DATASET — the above-budget
+    path of ``entity_pagerank``: per round, contributions = edges ⋈ ranks
+    via the co-partitioned ``hash_join`` on from_entity, reduced per
+    to_entity; dangling mass = one scalar aggregate over the (static)
+    dangling-node semi-join. Nothing vocabulary-sized ever reaches the
+    driver or a broadcast."""
+    from ray.data.aggregate import Sum
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    # static: edge weights w = n / out_w (one join, reused every round)
+    edges_w = hash_join(
+        edges, ow_ds, on="from_entity"
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "from_entity": b["from_entity"],
+                "to_entity": b["to_entity"],
+                "w": b["n"].astype("float64") / b["out_w"].astype("float64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    # static: dangling nodes (no out-edges) — the left join's null side
+    dangling = hash_join(
+        nodes_ds.map_batches(
+            lambda b: pd.DataFrame({"from_entity": b["entity"]}),
+            batch_format="pandas",
+        ),
+        ow_ds,
+        on="from_entity",
+        how="left",
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"entity": b.loc[b["out_w"].isna(), "from_entity"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    r0 = 1.0 / n_nodes
+    rank_ds = nodes_ds.map_batches(
+        lambda b: pd.DataFrame({"entity": b["entity"], "rank": r0}),
+        batch_format="pandas",
+    ).materialize()
+
+    def reduce_c(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("to_entity", sort=False)["c"].sum()
+        return pd.DataFrame({"to_entity": s.index, "c": s.to_numpy()})
+
+    for _ in range(n_iter):
+        agg = hash_join(
+            dangling,
+            rank_ds,
+            on="entity",
+        ).aggregate(Sum("rank"))
+        dang = float(agg["sum(rank)"] or 0.0)
+
+        contrib_rows = hash_join(
+            edges_w,
+            rank_ds.map_batches(
+                lambda b: pd.DataFrame(
+                    {"from_entity": b["entity"], "rank": b["rank"]}
+                ),
+                batch_format="pandas",
+            ),
+            on="from_entity",
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"to_entity": b["to_entity"], "c": b["rank"] * b["w"]}
+            )
+            .groupby("to_entity", sort=False)["c"]
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        )
+        csum = bucketed_group_apply(contrib_rows, ["to_entity"], reduce_c)
+
+        base = (1.0 - damping) / n_nodes + damping * dang / n_nodes
+        d = damping
+        rank_ds = hash_join(
+            nodes_ds,
+            csum.map_batches(
+                lambda b: pd.DataFrame({"entity": b["to_entity"], "c": b["c"]}),
+                batch_format="pandas",
+            ),
+            on="entity",
+            how="left",
+        ).map_batches(
+            lambda b, base=base, d=d: pd.DataFrame(
+                {
+                    "entity": b["entity"],
+                    "rank": base
+                    + d * b["c"].astype("float64").fillna(0.0).to_numpy(),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    return rank_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "entity_id": b["entity"],
+                "pagerank": np.round(b["rank"].to_numpy(dtype="float64"), 6),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def entity_pagerank(
     transitions: ray.data.Dataset,
     n_iter: int = 10,
     damping: float = 0.85,
     small_graph_threshold: int = 200_000,
+    rank_vector_budget: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Weighted PageRank over the entity transition graph — the iterative
     graph analysis beyond the reference's BFS pathfinding
@@ -1057,14 +1172,20 @@ def entity_pagerank(
     redistributed uniformly; ranks rounded to 6 decimals (iteration
     accumulates ulp-order float divergence vs the oracle's sum order).
 
-    Size discipline: the rank / out-weight VECTORS are bounded by the
-    canonical-entity vocabulary (the same budget the canonical map obeys,
-    stages/canonicalize.py) and are broadcast per round; the EDGE set — up to
-    vocabulary² for dense co-occurrence graphs — always streams through
-    ``map_batches`` with per-batch partial contribution sums (combiner) and a
-    bucketed reduce. Below ``small_graph_threshold`` nodes, the whole
-    iteration additionally collapses to one driver numpy loop (edges
-    aggregated once) — the dual-path discipline of connected components.
+    Size discipline, three paths by node count (the dual-path discipline of
+    connected components and the canonical map, extended one level):
+
+    - <= ``small_graph_threshold``: one driver numpy loop (edges aggregated
+      once);
+    - <= ``rank_vector_budget``: rank / out-weight VECTORS broadcast per
+      round (vocabulary-bounded), the EDGE set — up to vocabulary² for dense
+      graphs — streams through ``map_batches`` partial sums + a bucketed
+      reduce;
+    - above the budget: the rank vector itself stays a DATASET; per-round
+      contributions flow through the co-partitioned ``hash_join`` (edges ⋈
+      ranks on from_entity) and the dangling mass is one scalar aggregate —
+      no driver-side or broadcast structure scales with the vocabulary.
+
     Output: entity_id, pagerank."""
     edges = transitions.select_columns(
         ["from_entity", "to_entity", "n"]
@@ -1081,20 +1202,43 @@ def entity_pagerank(
     # vocabulary-sized: out-weights and the node universe. Distinct targets
     # are reduced DISTRIBUTED before reaching the driver (a dense graph has
     # edge-cardinality to_entity rows; only the distinct set is vocab-sized)
-    ow = bucketed_group_apply(edges, ["from_entity"], out_weights).to_pandas()
-    froms = ow["from_entity"]
-    tos = bucketed_group_apply(
+    ow_ds = bucketed_group_apply(edges, ["from_entity"], out_weights).materialize()
+    tos_ds = bucketed_group_apply(
         edges.select_columns(["to_entity"]),
         ["to_entity"],
         lambda b: b.drop_duplicates(),
-    ).to_pandas()["to_entity"]
-    nodes = np.sort(pd.concat([froms, tos]).drop_duplicates().to_numpy())
-    n_nodes = len(nodes)
+    ).materialize()
+    nodes_ds = bucketed_group_apply(
+        ow_ds.select_columns(["from_entity"])
+        .map_batches(
+            lambda b: pd.DataFrame({"entity": b["from_entity"]}),
+            batch_format="pandas",
+        )
+        .union(
+            tos_ds.map_batches(
+                lambda b: pd.DataFrame({"entity": b["to_entity"]}),
+                batch_format="pandas",
+            )
+        ),
+        ["entity"],
+        lambda b: b.drop_duplicates(),
+    ).materialize()
+    n_nodes = nodes_ds.count()
     if n_nodes == 0:
         return ray.data.from_pandas(
             pd.DataFrame({"entity_id": pd.Series([], dtype="object"),
                           "pagerank": pd.Series([], dtype="float64")})
         )
+
+    if n_nodes > rank_vector_budget:
+        return _pagerank_dataset_ranks(
+            edges, ow_ds, nodes_ds, n_nodes, n_iter, damping
+        )
+
+    ow = ow_ds.to_pandas()
+    froms = ow["from_entity"]
+    tos = tos_ds.to_pandas()["to_entity"]
+    nodes = np.sort(pd.concat([froms, tos]).drop_duplicates().to_numpy())
 
     if n_nodes <= small_graph_threshold:
         e = edges.to_pandas()

@@ -116,6 +116,7 @@ def _verify_pairs_join(
     docs: ray.data.Dataset,
     threshold: float,
     shingle_k: int,
+    emit_sim: bool = False,
 ) -> ray.data.Dataset:
     """True-Jaccard verify of candidate (a, b) pairs as a distributed
     bucketed hash join against the docs table — no driver materialization of
@@ -206,17 +207,20 @@ def _verify_pairs_join(
         for did, txt in zip(bucket["doc_id"].to_numpy(), bucket["text"].to_numpy()):
             if did not in sh:
                 sh[did] = _word_shingle_set(txt, shingle_k)
-        out_a, out_b = [], []
+        out_a, out_b, out_s = [], [], []
         for (a, b), g in bucket.groupby(["a", "b"], sort=False):
             if g["doc_id"].nunique() < 2:  # a text side went missing
                 continue
-            if jaccard_of_sets(sh[a], sh[b]) >= threshold:
+            j = jaccard_of_sets(sh[a], sh[b])
+            if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"),
-             "b": pd.Series(out_b, dtype="int64")}
-        )
+                out_s.append(j)
+        out = {"a": pd.Series(out_a, dtype="int64"),
+               "b": pd.Series(out_b, dtype="int64")}
+        if emit_sim:
+            out["sim"] = pd.Series(out_s, dtype="float64")
+        return pd.DataFrame(out)
 
     return bucketed_group_apply(attached, ["a", "b"], verify_bucket)
 
@@ -707,35 +711,45 @@ def ngram_jaccard_join(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
     k: int = 2,
-    max_df: int = 100_000,
 ) -> ray.data.Dataset:
     """Exact word-``k``-gram Jaccard similarity join over the whole corpus —
-    the token-join (PPJoin-lite) formulation: the shingle itself is the
-    blocking/shuffle key, so only docs sharing at least one shingle ever meet,
-    and the pairwise intersection size falls out of a count — no per-pair set
-    operations anywhere.
+    the full PPJoin formulation (Xiao et al., "Efficient Similarity Joins for
+    Near Duplicate Detection", WWW'08): candidates come only from PREFIX
+    shingles under a global rarity order, so hot stop-shingles cost neither
+    recall (the old ``max_df`` drop silently lost pairs related through
+    them) nor quadratic pair blowup (a hot shingle almost never survives
+    into any doc's prefix — its document frequency ranks it last).
 
-    Plan: (1) per-doc DISTINCT shingle rows carrying the doc's shingle-set
-    size (map_batches); (2) shuffle on ``shingle``; per shingle emit candidate
-    pairs (vectorized triu), skipping shingles in more than ``max_df`` docs —
-    the hot-key guard: a stop-shingle contributes pairs quadratically while
-    discriminating nothing (same rule as token blocking's ``max_block_size``;
-    at the default it never fires at test scale so oracle parity is exact, and
-    at corpus scale the PPJoin prefix filter is the principled upgrade);
-    (3) shuffle on ``(a, b)``: |A∩B| = row count, |A∪B| = na+nb−|A∩B|.
+    Plan:
+    (1) per-doc DISTINCT shingle rows carrying the doc's shingle-set size;
+    (2) global shingle document frequencies (one bucketed count — reduced,
+        vocabulary-sized);
+    (3) df joins back to the shingle rows (co-partitioned ``hash_join``);
+        per doc keep the first ``|d| - ceil(t·|d|) + 1`` shingles in
+        (df asc, shingle asc) order — the Jaccard prefix-filter bound: two
+        docs with J >= t MUST share a prefix shingle, so dropping the rest
+        loses nothing;
+    (4) candidate pairs per prefix shingle (vectorized triu), distinct;
+    (5) exact verify via the Bloom-prefiltered bucketed text join
+        (``_verify_pairs_join`` — the MinHash verify machinery), emitting
+        the true Jaccard as ``sim``.
 
     Shingle semantics (mirrored exactly by the DuckDB oracle): lowercase,
     split on spaces, consecutive ``k``-grams; docs with fewer than ``k``
     tokens contribute their whole token string as one shingle; empty docs
-    contribute nothing. Output: a, b, sim (a < b, sim >= threshold).
+    contribute nothing. Output: a, b, sim (a < b, sim >= threshold) —
+    value-exact vs the oracle: the prefix filter is lossless by the bound
+    above and the verify recomputes the exact Jaccard.
 
     Reference analogue: the candidate/verify split of overlapping-segment
-    detection (src/OverlappingSegmentsUtils.jl:173-209) with the shingle as
-    the blocking key instead of the bbox/KD prefilter.
+    detection (src/OverlappingSegmentsUtils.jl:173-209) with the prefix
+    shingle as the blocking key instead of the bbox/KD prefilter.
     """
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
 
     kk = k
+    thr = threshold
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids_out, sh_out, n_out = [], [], []
@@ -757,51 +771,55 @@ def ngram_jaccard_join(
             }
         )
 
-    def pairs_per_shingle(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in bucket.groupby("shingle", sort=False):
-            if len(g) < 2 or len(g) > max_df:
-                continue
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            ns = g["n"].to_numpy()
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out.append(
-                pd.DataFrame(
-                    {"a": ids[ii], "b": ids[jj], "na": ns[ii], "nb": ns[jj]}
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"),
-                 "b": pd.Series([], dtype="int64"),
-                 "na": pd.Series([], dtype="int64"),
-                 "nb": pd.Series([], dtype="int64")}
-            )
-        return pd.concat(out, ignore_index=True)
-
-    def score_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        agg = bucket.groupby(["a", "b"], sort=False).agg(
-            i=("na", "size"), na=("na", "first"), nb=("nb", "first")
-        )
-        sim = agg["i"].to_numpy(dtype=np.float64) / (
-            agg["na"].to_numpy() + agg["nb"].to_numpy() - agg["i"].to_numpy()
-        )
-        keep = sim >= threshold
-        idx = agg.index[keep]
-        return pd.DataFrame(
-            {
-                "a": idx.get_level_values("a").astype("int64"),
-                "b": idx.get_level_values("b").astype("int64"),
-                "sim": sim[keep],
-            }
-        )
-
     shingles = docs.select_columns(["doc_id", "text"]).map_batches(
         shingle_rows, batch_format="pandas", batch_size=4096
+    ).materialize()
+
+    def df_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("shingle", sort=False).size()
+        return pd.DataFrame(
+            {"shingle": s.index, "df": s.to_numpy().astype("int64")}
+        )
+
+    dfs = bucketed_group_apply(
+        shingles.select_columns(["shingle"]), ["shingle"], df_count
     )
-    pairs = bucketed_group_apply(shingles, ["shingle"], pairs_per_shingle)
-    return bucketed_group_apply(pairs, ["a", "b"], score_pairs)
+    withdf = hash_join(shingles, dfs, on="shingle")
+
+    def prefix(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+        pos = b.groupby("doc_id", sort=False).cumcount().to_numpy()
+        n = b["n"].to_numpy()
+        # alpha = ceil(t·|d|), epsilon-guarded toward the SAFE side (a
+        # smaller alpha only lengthens the prefix)
+        alpha = np.ceil(thr * n - 1e-9).astype("int64")
+        return b[pos < (n - alpha + 1)]
+
+    pref = bucketed_group_apply(withdf, ["doc_id"], prefix)
+
+    def pairs_per_shingle(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("shingle", sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g["doc_id"].unique())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    pairs = bucketed_group_apply(pref, ["shingle"], pairs_per_shingle)
+    cand = bucketed_group_apply(
+        pairs, ["a", "b"], lambda b: b.drop_duplicates(["a", "b"])
+    ).materialize()
+    return _verify_pairs_join(cand, docs, thr, kk, emit_sim=True)
 
 
 NGRAM_JACCARD_SQL_TEMPLATE = """

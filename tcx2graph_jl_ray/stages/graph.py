@@ -128,8 +128,7 @@ def conv_digests(transcripts: ray.data.Dataset) -> ray.data.Dataset:
     (create_proper_polyline, src/TCXParser.jl:133-146), and the strongest
     pin on the ordering invariant: any reordering or byte change of any turn
     changes the digest. Output: conv_id, digest, n_turns."""
-    import hashlib
-
+    from tcx2graph_jl_ray.functions.digest import md5_hex
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -139,7 +138,7 @@ def conv_digests(transcripts: ray.data.Dataset) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "conv_id": agg.index.to_numpy(),
-                "digest": [hashlib.md5(s.encode()).hexdigest() for s in agg.to_numpy()],
+                "digest": md5_hex(agg.to_numpy()),
                 "n_turns": n.astype("int64").to_numpy(),
             }
         )

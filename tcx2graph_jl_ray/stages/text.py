@@ -15,7 +15,6 @@ string_split), ratios are exact integer-over-integer IEEE divisions.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -191,14 +190,13 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
     lineage digest). Output: doc_id, fingerprint."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.digest import md5_hex
+
         batch = _nonnull_text(batch)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64").to_numpy(),
-                "fingerprint": [
-                    hashlib.md5(t.encode()).hexdigest()
-                    for t in batch["text"].to_numpy()
-                ],
+                "fingerprint": md5_hex(batch["text"].to_numpy()),
             }
         )
 
@@ -493,9 +491,11 @@ def quota_sample_by_source(docs: ray.data.Dataset, k: int = 5) -> ray.data.Datas
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.digest import md5_hex
+
         batch = _nonnull_text(batch)
         ids = batch["doc_id"].astype("int64")
-        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in ids.to_numpy()]
+        hx = md5_hex(ids.astype(str).to_numpy())
         df = pd.DataFrame(
             {"source": batch["source"].to_numpy(), "doc_id": ids.to_numpy(),
              "hx": hx}
@@ -663,16 +663,18 @@ def split_assign(
     ``analysis.sample_turns_by_hash``. Output: doc_id, split.
     """
 
+    train_hex, val_hex = format(train_cut, "02x"), format(val_cut, "02x")
+
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.digest import md5_hex
+
         ids = batch["doc_id"].astype("int64")
-        md5 = hashlib.md5
-        b0 = np.fromiter(
-            (md5(str(i).encode()).digest()[0] for i in ids.to_numpy()),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        # 2-char hex prefix compares identically to the first digest byte
+        p2 = np.asarray(
+            md5_hex(ids.astype(str).to_numpy()), dtype="U32"
+        ).astype("U2")
         split = np.where(
-            b0 <= train_cut, "train", np.where(b0 <= val_cut, "val", "test")
+            p2 <= train_hex, "train", np.where(p2 <= val_hex, "val", "test")
         )
         return pd.DataFrame({"doc_id": ids.to_numpy(), "split": split})
 
@@ -802,8 +804,10 @@ def chunk_documents(
     """
 
     def ch(batch: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.digest import md5_hex
+
         batch = _nonnull_text(batch)
-        ids, idxs, starts, lens, digests = [], [], [], [], []
+        ids, idxs, starts, lens, pieces = [], [], [], [], []
         for doc_id, text in zip(
             batch["doc_id"].astype("int64").to_numpy(),
             batch["text"].to_numpy(),
@@ -811,19 +815,18 @@ def chunk_documents(
             toks = [w for w in str(text).lower().split(" ") if w]
             n = len(toks)
             for ci, s in enumerate(range(0, n, stride)):
-                piece = " ".join(toks[s : s + chunk_tokens])
+                pieces.append(" ".join(toks[s : s + chunk_tokens]))
                 ids.append(doc_id)
                 idxs.append(ci)
                 starts.append(s)
                 lens.append(min(chunk_tokens, n - s))
-                digests.append(hashlib.md5(piece.encode()).hexdigest())
         return pd.DataFrame(
             {
                 "doc_id": pd.array(ids, dtype="int64"),
                 "chunk_idx": pd.array(idxs, dtype="int64"),
                 "start_tok": pd.array(starts, dtype="int64"),
                 "n_tokens": pd.array(lens, dtype="int64"),
-                "chunk_md5": digests,
+                "chunk_md5": md5_hex(np.array(pieces, dtype=object)),
             }
         )
 

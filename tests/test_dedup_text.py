@@ -192,24 +192,42 @@ def test_ngram_jaccard_planted(ray_session):
     assert 0.5 < sim12 < 1.0
 
 
-def test_ngram_jaccard_hot_shingle_cap(ray_session):
-    """A shingle above max_df is skipped for pair generation (the hot-key
-    guard): docs related ONLY through it produce no pair."""
+def test_ngram_jaccard_prefix_filter_keeps_stop_shingle_pairs(ray_session):
+    """The PPJoin prefix filter must find pairs whose ONLY similarity runs
+    through corpus-hot stop shingles — the exact class the old max_df cap
+    silently dropped. Planted: every doc shares 'common stop phrase'; two
+    docs are near-identical. All qualifying pairs must appear, with exact
+    sims."""
     import ray.data
-    from tcx2graph_jl_ray.stages.dedup import ngram_jaccard_join
+    from tcx2graph_jl_ray.stages.dedup import _word_shingle_set, ngram_jaccard_join
 
+    texts = [f"common stop phrase unique{i}" for i in range(30)]
+    texts += [
+        "common stop phrase twin alpha beta",
+        "common stop phrase twin alpha gamma",
+    ]
     docs = ray.data.from_pandas(
-        pd.DataFrame(
-            {
-                "doc_id": list(range(6)),
-                "text": [f"common stop phrase unique{i}" for i in range(6)],
-            }
-        )
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
     )
-    capped = ngram_jaccard_join(docs, threshold=0.1, max_df=3).to_pandas()
-    assert len(capped) == 0
-    uncapped = ngram_jaccard_join(docs, threshold=0.1).to_pandas()
-    assert len(uncapped) == 15  # all pairs share the stop shingles
+    got = ngram_jaccard_join(docs, threshold=0.1).to_pandas()
+    got_pairs = {
+        (a, b): s for a, b, s in zip(got["a"], got["b"], got["sim"])
+    }
+    # brute-force truth over the planted corpus
+    sets = {i: _word_shingle_set(t, 2) for i, t in enumerate(texts)}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            if inter:
+                sim = inter / len(sets[i] | sets[j])
+                if sim >= 0.1:
+                    want[(i, j)] = sim
+    assert got_pairs.keys() == want.keys()
+    for p, s in want.items():
+        assert abs(got_pairs[p] - s) < 1e-12, p
+    # the twin pair (similar through rare AND hot shingles) is present
+    assert (30, 31) in got_pairs
 
 
 def test_bpe_token_counts_oracle(ray_session, duck, sf_dir):

@@ -56,6 +56,173 @@ def test_quantiles_empty_and_single(ray_session):
     assert n == 1 and got[0.5] == 3.25 and got[0.95] == 3.25
 
 
+# --- whale-key salting ------------------------------------------------------
+
+
+def test_salted_group_apply_matches_unsalted_and_bounds_partials(ray_session):
+    """One whale key with rows >> any batch: the salted two-level aggregate
+    must match the single-level result, and no partial_fn invocation may see
+    more than ~rows/salt_buckets of the whale."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+
+    n_whale = 50_000
+    df = pd.DataFrame(
+        {
+            "k": ["whale"] * n_whale + ["a", "a", "b"],
+            "v": np.concatenate([np.ones(n_whale), [10.0, 20.0, 5.0]]),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False)["v"].agg(["sum", "size"]).reset_index()
+        out.columns = ["k", "s", "n"]
+        # n doubles as the per-task row bound witness
+        return out
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("k", sort=False).agg(
+            s=("s", "sum"), n=("n", "sum"), max_partial=("n", "max")
+        ).reset_index()
+        return g
+
+    salted = (
+        salted_group_apply(ds, ["k"], partial, merge, salt_buckets=16)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert salted.loc[salted["k"] == "whale", "s"].iloc[0] == n_whale
+    assert salted.loc[salted["k"] == "whale", "n"].iloc[0] == n_whale
+    assert salted.loc[salted["k"] == "a", "s"].iloc[0] == 30.0
+    # the whale never hit one task whole: largest partial ≤ ~1/16 + slack
+    assert salted.loc[salted["k"] == "whale", "max_partial"].iloc[0] < n_whale / 2
+
+    plain = (
+        bucketed_group_apply(
+            ds, ["k"],
+            lambda b: b.groupby("k", sort=False)["v"].sum().reset_index(name="s"),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        salted[["k", "s"]], plain[["k", "s"]], check_dtype=False
+    )
+
+
+def test_sliced_turn_idx_matches_plain_on_whale_conv(ray_session):
+    """A single conversation with rows >> batch size spanning many slices:
+    the sliced path must produce byte-identical turn indices to the
+    single-bucket path, while no (conv, slice) group holds the whole conv."""
+    import ray.data as rd
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.sources.transcripts import (
+        _assign_turn_idx,
+        assign_turn_idx_sliced,
+    )
+
+    n = 20_000
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.arange(n) * 7, unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "conv_id": "conv_whale",
+            "event_id": np.random.RandomState(3).permutation(n),
+            "ts": ts[np.random.RandomState(4).permutation(n)],
+            "role": "user",
+            "text": "t",
+            "tool": None,
+        }
+    )
+    # a handful of ts ties to exercise the event_id tie-break
+    df.loc[5:9, "ts"] = df.loc[0, "ts"]
+    small = pd.DataFrame(
+        {
+            "conv_id": "conv_tiny",
+            "event_id": [1, 0],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+            "role": "user",
+            "text": "t",
+            "tool": None,
+        }
+    )
+    ds = rd.from_pandas(pd.concat([df, small], ignore_index=True)).repartition(8)
+
+    span = 3600.0
+    sliced = assign_turn_idx_sliced(ds, span).to_pandas()
+    plain = bucketed_group_apply(ds, ["conv_id"], _assign_turn_idx).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    sliced, plain = (
+        x.sort_values(key).reset_index(drop=True)[
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ]
+        for x in (sliced, plain)
+    )
+    pd.testing.assert_frame_equal(sliced, plain, check_dtype=False)
+    # boundedness witness: the whale spans many slices, so no slice holds it
+    slices = (
+        pd.to_datetime(df["ts"]).astype("int64") // int(span * 1e9)
+    ).nunique()
+    assert slices > 10
+
+
+def test_pagerank_dataset_rank_path_matches_broadcast(ray_session, sf_dir):
+    """Forcing rank_vector_budget=1 exercises the Dataset-join rank path; it
+    must match the broadcast-vector path after the 6-decimal rounding both
+    paths apply."""
+    import __ray_entry__ as entry_mod
+    from tcx2graph_jl_ray.stages.analysis import entity_pagerank
+
+    trans = entry_mod._transitions(sf_dir)
+    a = (
+        entity_pagerank(trans)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        entity_pagerank(trans, small_graph_threshold=0, rank_vector_budget=1)
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_khop_hub_and_frontier_guards(ray_session):
+    """Planted hub: with guards disabled paths through the hub exist; the
+    hub-degree guard removes them; the per-source frontier budget bounds the
+    surviving paths deterministically."""
+    from tcx2graph_jl_ray.stages.analysis import khop_paths
+
+    hub_edges = [("hub", f"t{i:02d}") for i in range(20)]
+    chain = [("a", "hub"), ("x", "y")]
+    df = pd.DataFrame(hub_edges + chain, columns=["from_entity", "to_entity"])
+    df["n"] = 5
+    trans = ray.data.from_pandas(df)
+
+    full = khop_paths(trans, 2, 1).to_pandas()
+    assert (full["src"] == "a").sum() == 21  # a>hub plus a>hub>t*
+
+    no_hub = khop_paths(trans, 2, 1, max_out_degree=10).to_pandas()
+    assert set(no_hub["src"]) == {"a", "x"}  # hub edges dropped entirely
+    assert list(no_hub.loc[no_hub["src"] == "a", "dst"]) == ["hub"]
+
+    capped = khop_paths(
+        trans, 2, 1, per_src_budget=3, cap_trigger_rows=0
+    ).to_pandas()
+    a_two_hop = capped[(capped["src"] == "a") & (capped["hops"] == 2)]
+    # budget keeps the 3 lexicographically smallest 2-hop paths from 'a'
+    assert sorted(a_two_hop["dst"]) == ["t00", "t01", "t02"]
+
+
 def test_session_stats_budget_path_matches_collected(ray_session, sf_dir):
     """session_stats forced through the refinement path (budget=4) must equal
     the same computation done the collected way."""
