@@ -19,10 +19,12 @@ class PipelineConfig:
     extract_batch_size: int = 8192
     # actor pool cap for stateful extract/enrich stages (reference uses
     # Threads.@threads, src/OverlappingSegmentsUtils.jl:173). This is the
-    # autoscaling MAX of a (1, N) pool — a low cap silently serializes the
-    # regex-heavy extraction on large sessions (measured: 4 actors capped the
-    # 32-CPU scaling run), while min=1 keeps small sessions deadlock-free.
-    extract_concurrency: int = 16
+    # autoscaling MAX of a (min, max) pool — a low cap silently serializes
+    # the regex-heavy extraction on large sessions (measured twice: 4 actors
+    # capped the round-1 32-CPU scaling run, and the round-2 cap of 16 held
+    # triple extraction to 1.7x from 8 -> 32 CPUs). None = one actor per
+    # session CPU (stages/extract.py pool_bounds sizes it at call time).
+    extract_concurrency: int | None = None
 
     # --- canonicalization (analogue of find_overlapping_segments params,
     #     examples/main.jl:40-53) -----------------------------------------

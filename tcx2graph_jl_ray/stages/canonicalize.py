@@ -75,7 +75,9 @@ def _explode_tokens(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def candidate_pairs(
-    surfaces: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+    surfaces: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    distinct: bool = True,
 ) -> ray.data.Dataset:
     """Token blocking: (token, norm) exploded rows -> per-token pairs.
 
@@ -112,6 +114,10 @@ def candidate_pairs(
 
     exploded = surfaces.map_batches(_explode_tokens, batch_format="pandas")
     pairs = bucketed_group_apply(exploded, ["token"], pairs_in_bucket)
+    if not distinct:
+        # caller fuses the dedup into its own (a, b) shuffle (verify_pairs
+        # dedup=True) — one pair-set exchange instead of two
+        return pairs
     # distinct pairs (the same pair arises from every shared token) —
     # bucketed dedup, pair cardinality can be large
     return bucketed_group_apply(
@@ -126,46 +132,65 @@ def _containment(a: str, b: str) -> float:
     return len(sa & sb) / min(len(sa), len(sb))
 
 
+def _verify_frame(batch: pd.DataFrame, thr: float) -> pd.DataFrame:
+    """Vectorized containment filter over an (a, b) frame: both sides explode
+    to distinct (pair, token) rows; the intersection size is one merge + size
+    count and the containment falls out columnar — no per-pair Python set
+    construction (``_containment`` remains as the semantics spec and the
+    local-path implementation)."""
+    if not len(batch):
+        return batch
+    batch = batch.reset_index(drop=True)
+    idx = np.arange(len(batch))
+
+    def side(col: str) -> pd.DataFrame:
+        f = pd.DataFrame(
+            {"i": idx, "tok": batch[col].str.split().to_numpy()}
+        ).explode("tok")
+        return f[f["tok"].notna()].drop_duplicates()
+
+    fa, fb = side("a"), side("b")
+    na = fa.groupby("i", sort=False).size()
+    nb = fb.groupby("i", sort=False).size()
+    inter = fa.merge(fb, on=["i", "tok"]).groupby("i", sort=False).size()
+    denom = np.minimum(
+        na.reindex(idx, fill_value=0).to_numpy(),
+        nb.reindex(idx, fill_value=0).to_numpy(),
+    ).astype("float64")
+    num = inter.reindex(idx, fill_value=0).to_numpy().astype("float64")
+    cont = np.divide(num, denom, out=np.zeros_like(num), where=denom > 0)
+    return batch[cont >= thr]
+
+
 def verify_pairs(
-    pairs: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+    pairs: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    dedup: bool = False,
 ) -> ray.data.Dataset:
     """Keep pairs with token-set containment >= threshold (the pairwise
     similarity verify, analogue of discrete Fréchet <= tol_m,
     src/Utils.jl:256-276).
 
-    Vectorized: both sides explode to distinct (pair, token) rows; the
-    intersection size is one merge + size count and the containment falls out
-    columnar — no per-pair Python set construction (``_containment`` remains
-    as the semantics spec and the local-path implementation).
+    ``dedup=True`` fuses the distinct-pair step into this stage's own (a, b)
+    shuffle (drop duplicates, then verify, inside one bucket apply) — pass
+    ``candidate_pairs(..., distinct=False)`` output and the pair set crosses
+    the wire once instead of twice.
     """
     thr = config.verify_containment
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return batch
-        idx = np.arange(len(batch))
+    if dedup:
+        from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-        def side(col: str) -> pd.DataFrame:
-            f = pd.DataFrame(
-                {"i": idx, "tok": batch[col].str.split().to_numpy()}
-            ).explode("tok")
-            return f[f["tok"].notna()].drop_duplicates()
-
-        fa, fb = side("a"), side("b")
-        na = fa.groupby("i", sort=False).size()
-        nb = fb.groupby("i", sort=False).size()
-        inter = (
-            fa.merge(fb, on=["i", "tok"]).groupby("i", sort=False).size()
+        return bucketed_group_apply(
+            pairs,
+            ["a", "b"],
+            lambda b: _verify_frame(b.drop_duplicates(["a", "b"]), thr),
         )
-        denom = np.minimum(
-            na.reindex(idx, fill_value=0).to_numpy(),
-            nb.reindex(idx, fill_value=0).to_numpy(),
-        ).astype("float64")
-        num = inter.reindex(idx, fill_value=0).to_numpy().astype("float64")
-        cont = np.divide(num, denom, out=np.zeros_like(num), where=denom > 0)
-        return batch[cont >= thr]
 
-    return pairs.map_batches(verify, batch_format="pandas", batch_size=16384)
+    return pairs.map_batches(
+        lambda b: _verify_frame(b, thr), batch_format="pandas",
+        batch_size=16384,
+    )
 
 
 # row kinds in the label-propagation working set
@@ -455,8 +480,8 @@ def canonicalize(
         edges = _blocking_verify_local(norms, config)
         labels = _components_local(norms, edges)
     else:
-        pairs = candidate_pairs(surfaces, config)
-        verified = verify_pairs(pairs, config)
+        pairs = candidate_pairs(surfaces, config, distinct=False)
+        verified = verify_pairs(pairs, config, dedup=True)
         if n_nodes > config.broadcast_map_budget:
             labels_ds = connected_components(
                 surfaces, verified, config, as_dataset=True

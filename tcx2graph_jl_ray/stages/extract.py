@@ -181,16 +181,27 @@ class MentionExtractor:
         )
 
 
-def pool_bounds(cap: int = 16) -> tuple[int, int]:
+def pool_bounds(cap: int | None = None) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the session: min = cpus//8
     (pre-started actors so short jobs don't wait on lazy scale-up — measured
-    3x extraction wall-time loss with min=1 at 32 CPUs), max = min(cap,
-    cpus). Never the full CPU count as the minimum: a fixed pool that large
-    starves upstream read/shuffle stages and deadlocks small sessions."""
+    3x extraction wall-time loss with min=1 at 32 CPUs), max = session CPU
+    count (a fixed cap silently serializes the regex-heavy extraction on
+    wider sessions: the round-2 cap of 16 held the triple-extraction phase
+    to a 1.7x speedup from 8 -> 32 CPUs; pass ``cap`` to bound it
+    explicitly). Never the full CPU count as the MINIMUM: a fixed pool that
+    large starves upstream read/shuffle stages and deadlocks small
+    sessions."""
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (max(1, cpus // 8), max(1, min(cap, cpus)))
+    hi = cpus if cap is None else min(cap, cpus)
+    # min stays cpus//8: actor ramp-up dominates an ISOLATED extraction
+    # phase (measured 12.9 s -> 5.2 s with a half-session pre-start), but in
+    # the overlapped flagship pipeline two pools run concurrently with the
+    # nodes/edges sinks, and a larger reserved min measured NET-NEUTRAL to
+    # worse there (57-65 s vs the 50-55 s band at mult=64/32 CPUs) — the
+    # reservation starves the sink/shuffle tasks the overlap exists to hide.
+    return (max(1, cpus // 8), max(1, hi))
 
 
 def extract_triples(

@@ -75,6 +75,34 @@ class PayloadFeatureExtractor:
 
     def __init__(self):
         self.decoders = {FAKE_FORMAT: self._decode_fake}
+        # soft-import: when the environment ships a real image codec, decode
+        # real formats; absent it, unknown formats keep failing loudly below
+        try:
+            from PIL import Image  # noqa: F401
+
+            self.decoders["png"] = self._decode_pil
+            self.decoders["jpeg"] = self._decode_pil
+        except ImportError:
+            pass
+
+    @staticmethod
+    def _decode_pil(payload: bytes) -> np.ndarray:
+        """Real-image feature head (only registered when PIL imports):
+        per-channel mean/std over RGB + normalized geometry — the same
+        8-float output contract as the fake codec, deterministic for a given
+        payload."""
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(im, dtype=np.float64) / 255.0
+        means = arr.mean(axis=(0, 1))
+        stds = arr.std(axis=(0, 1))
+        return np.array(
+            [*means, *stds, im.width / 65536.0, im.height / 65536.0],
+            dtype=np.float64,
+        )
 
     @staticmethod
     def _decode_fake(payload: bytes) -> np.ndarray:
@@ -175,8 +203,29 @@ class PayloadResizer:
     def __init__(self, width: int, height: int, bytes_per_px: int = 1):
         self.width = width
         self.height = height
+        self.bytes_per_px = bytes_per_px
         self.target = max(1, width * height * bytes_per_px)
         self.resizers = {FAKE_FORMAT: self._resize_fake}
+        # soft-import: real image resize when PIL is present
+        try:
+            from PIL import Image  # noqa: F401
+
+            self.resizers["png"] = self._resize_pil
+            self.resizers["jpeg"] = self._resize_pil
+        except ImportError:
+            pass
+
+    def _resize_pil(self, payload: bytes) -> bytes:
+        """Real decode-resize (only registered when PIL imports): raw
+        grayscale (bytes_per_px=1) or RGB bytes at the target geometry —
+        same output byte budget as the fake path."""
+        import io
+
+        from PIL import Image
+
+        mode = "L" if self.bytes_per_px == 1 else "RGB"
+        im = Image.open(io.BytesIO(payload)).convert(mode)
+        return im.resize((self.width, self.height)).tobytes()
 
     def _resize_fake(self, payload: bytes) -> bytes:
         if not payload:
@@ -340,10 +389,32 @@ class AudioFramer:
         self.width = width
         self.hop = hop
         self.decoders = {FAKE_FORMAT: self._decode_fake}
+        # soft-import: real PCM decode when the environment has soundfile
+        try:
+            import soundfile  # noqa: F401
+
+            self.decoders["wav"] = self._decode_wav
+            self.decoders["flac"] = self._decode_wav
+        except ImportError:
+            pass
 
     @staticmethod
     def _decode_fake(payload: bytes) -> np.ndarray:
         return np.frombuffer(payload, dtype=np.uint8)
+
+    @staticmethod
+    def _decode_wav(payload: bytes) -> np.ndarray:
+        """Real audio decode (only registered when soundfile imports):
+        PCM samples scaled to int16 range, mono-mixed — windows/energy/peak
+        then follow the same integer framing as the fake path."""
+        import io
+
+        import soundfile as sf
+
+        data, _sr = sf.read(io.BytesIO(payload), dtype="float64")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return np.clip(data * 32767.0, -32768, 32767).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, idxs, energies, peaks = [], [], [], []

@@ -162,20 +162,18 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
         g = batch.groupby("o_custkey", sort=False)["o_totalprice"].sum()
         return pd.DataFrame({"c_custkey": g.index.to_numpy(), "spend": g.to_numpy()})
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "c_custkey": [int(g["c_custkey"].iloc[0])],
-                "spend": [float(g["spend"].sum())],
-            }
-        )
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("c_custkey", sort=False)["spend"].sum().reset_index()
+        g["c_custkey"] = g["c_custkey"].astype("int64")
+        return g
 
-    spend = (
-        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("c_custkey")
-        .map_groups(final, batch_format="pandas")
-        .to_pandas()  # one row per customer: small
-    )
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    spend = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["c_custkey"],
+        merge,
+    ).to_pandas()  # one row per customer: small
     spend["spend"] = spend["spend"].round(2)
     top = spend.sort_values(
         ["spend", "c_custkey"], ascending=[False, True], kind="mergesort"

@@ -86,21 +86,24 @@ def tumbling_counts(events: ray.data.Dataset) -> ray.data.Dataset:
         agg = g.agg(n=("value", "size"), sum_value=("value", "sum"))
         return agg.reset_index()
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n": pd.array([int(g["n"].sum())], dtype="int64"),
-                "sum_value": [round(float(g["sum_value"].sum()), 2)],
-            }
-        )
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["event_type", "window_start"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        g["sum_value"] = g["sum_value"].round(2)
+        return g
 
-    return (
-        events.select_columns(["event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pandas", batch_size=16384)
-        .groupby(["event_type", "window_start"])
-        .map_groups(final, batch_format="pandas")
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    # (type, hour) cardinality grows with the corpus timespan — bucketed
+    # merge, not one Ray group per window
+    return bucketed_group_apply(
+        events.select_columns(["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pandas", batch_size=16384
+        ),
+        ["event_type", "window_start"],
+        merge,
     )
 
 

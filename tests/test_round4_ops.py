@@ -4,7 +4,79 @@ and budget-switched rank vectors."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data
+
+
+def _has(mod: str) -> bool:
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+# --- multimodal soft-imported real codecs -----------------------------------
+
+
+def test_codec_registration_tracks_environment():
+    """Real-format decoders register exactly when their lib imports; absent
+    libs keep the loud-fail contract (unknown format -> NotImplementedError,
+    never fabricated output)."""
+    from tcx2graph_jl_ray.stages.multimodal import (
+        AudioFramer,
+        PayloadFeatureExtractor,
+        PayloadResizer,
+    )
+
+    fx, rs, au = PayloadFeatureExtractor(), PayloadResizer(4, 4), AudioFramer()
+    assert ("png" in fx.decoders) == _has("PIL")
+    assert ("png" in rs.resizers) == _has("PIL")
+    assert ("wav" in au.decoders) == _has("soundfile")
+    with pytest.raises(NotImplementedError):
+        fx(pd.DataFrame({"doc_id": [1], "format": ["mp4"], "payload": [b"x"]}))
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="PIL not in this environment")
+def test_pil_decode_and_resize_real_image():
+    import io
+
+    from PIL import Image
+
+    from tcx2graph_jl_ray.stages.multimodal import (
+        PayloadFeatureExtractor,
+        PayloadResizer,
+    )
+
+    im = Image.new("RGB", (8, 6), (255, 0, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    payload = buf.getvalue()
+    batch = pd.DataFrame(
+        {"doc_id": [7], "format": ["png"], "payload": [payload]}
+    )
+    feat = PayloadFeatureExtractor()(batch)["feature"].iloc[0]
+    assert len(feat) == 8
+    assert abs(feat[0] - 1.0) < 1e-6 and feat[1] < 1e-6  # solid red
+    out = PayloadResizer(4, 4, bytes_per_px=3)(batch)
+    assert len(out["payload"].iloc[0]) == 4 * 4 * 3
+
+
+@pytest.mark.skipif(not _has("soundfile"), reason="soundfile not present")
+def test_soundfile_decode_real_audio():
+    import io
+
+    import soundfile as sf
+
+    from tcx2graph_jl_ray.stages.multimodal import AudioFramer
+
+    buf = io.BytesIO()
+    sf.write(buf, np.sin(np.linspace(0, 20, 400)), 8000, format="WAV")
+    batch = pd.DataFrame(
+        {"doc_id": [1], "format": ["wav"], "payload": [buf.getvalue()]}
+    )
+    out = AudioFramer(width=32, hop=16)(batch)
+    assert len(out) > 0 and (out["energy"] > 0).any()
 
 
 # --- exact_global_quantiles -------------------------------------------------
