@@ -199,8 +199,40 @@ def _minhash_clusters(sf_dir: str):
     )
 
 
+# Queries with an independent driver-green CORRECTNESS_r02 row. The round-2
+# driver verified only the FIRST 50 queries() entries before its budget ran
+# out, so the sweep order now leads with the other 77: a budget-truncated
+# round-3 sweep then maximizes the union of independently verified queries
+# across rounds (every entry remains verified by scripts/parity_full.py ->
+# PARITY_full_sf001.json regardless).
+_R02_DRIVER_VERIFIED = frozenset({
+    "kg_transcripts", "kg_nodes", "kg_edges", "kg_coverage", "kg_mentions",
+    "kg_triples", "kg_entities", "kg_entities_linked",
+    "events_enriched_cached", "kg_triples_canonical", "kg_conv_stats",
+    "kg_hot_entities", "kg_cooccurrence", "kg_triangles", "kg_kcore",
+    "kg_components", "kg_neighbor_jaccard", "kg_entity_bursts",
+    "kg_transitions", "kg_transitions_monthly", "kg_reachable",
+    "kg_entity_degree_stats", "kg_entity_pagerank", "kg_paths_k3",
+    "kg_bfs_levels", "kg_conv_digests", "kg_cumulative_tokens",
+    "kg_cumulative_tokens_chunked", "kg_conv_dynamics", "kg_convs_in_window",
+    "kg_top_entities", "kg_top_entities_dedup", "kg_entity_feature_stats",
+    "kg_sample_turns", "events_flatten_props", "dedup_embedding_nn",
+    "emb_knn_classify", "dedup_exact", "dedup_charset_join",
+    "dedup_minhash_clusters", "dedup_minhash_pairs", "dedup_lsh_eval",
+    "docs_curation_funnel", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_simhash_clusters", "dedup_ngram_jaccard", "dedup_contamination",
+    "dedup_cross_contamination", "multimodal_features",
+})
+
+
+def _sweep_order(q: dict) -> dict:
+    head = [n for n in q if n not in _R02_DRIVER_VERIFIED]
+    tail = [n for n in q if n in _R02_DRIVER_VERIFIED]
+    return {n: q[n] for n in head + tail}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    return _sweep_order({
         "kg_transcripts": _transcripts,
         "kg_nodes": lambda sf: _gr.build_nodes(_transcripts(sf)),
         "kg_edges": lambda sf: _gr.build_next_turn_edges(_transcripts(sf)),
@@ -235,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_paths_k3": lambda sf: _an.khop_paths(_transitions(sf), 3, _REACH_MIN_N),
         "kg_bfs_levels": lambda sf: _an.bfs_levels(_transitions(sf)),
         "kg_conv_digests": lambda sf: _gr.conv_digests(_transcripts(sf)),
+        "kg_conv_simplify": lambda sf: _gr.conv_simplify(_transcripts(sf)),
         "kg_cumulative_tokens": lambda sf: _gr.cumulative_tokens(_transcripts(sf)),
         "kg_cumulative_tokens_chunked": lambda sf: _gr.cumulative_tokens_chunked(
             _transcripts(sf), chunk_turns=16
@@ -397,7 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": _rel.revenue_cube,
         "events_value_percentiles": _rel.value_percentiles_by_type,
         "text_top_ngrams": lambda sf: _tx.top_ngrams_by_source(_docs(sf)),
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
@@ -487,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conv_digests": _gr.CONV_DIGEST_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),
+        "kg_conv_simplify": _gr.conv_simplify_sql(TRANSCRIPTS_SQL),
         "kg_cumulative_tokens": _gr.CUMULATIVE_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),

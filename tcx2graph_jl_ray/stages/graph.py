@@ -18,6 +18,7 @@ Ray-Data recast of the reference's ``create_property_graph``
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -404,3 +405,160 @@ def simplify_conversations(
         ["conv_id"],
         per_bucket,
     )
+
+
+def _dp_keep_mask(x: np.ndarray, y: np.ndarray, tol: float, depth: int) -> np.ndarray:
+    """Bounded-depth Douglas-Peucker keep mask over an ordered polyline.
+    Endpoints always kept; each level splits every open segment at its
+    max-perpendicular-distance interior point when that distance exceeds
+    ``tol`` (ties -> smallest index, np.argmax semantics). The distance
+    expression is written in exactly the operation order the SQL oracle
+    uses, so float comparisons at the tol boundary agree bit-for-bit."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    segs = [(0, n - 1)]
+    for _ in range(depth):
+        nxt: list[tuple[int, int]] = []
+        for i, j in segs:
+            if j - i < 2:
+                continue
+            dx, dy = x[j] - x[i], y[j] - y[i]
+            length = np.sqrt(dx * dx + dy * dy)
+            px, py = x[i + 1 : j], y[i + 1 : j]
+            dist = np.abs(dx * (py - y[i]) - (px - x[i]) * dy) / length
+            k = int(np.argmax(dist))
+            if dist[k] > tol:
+                mid = i + 1 + k
+                keep[mid] = True
+                nxt.extend([(i, mid), (mid, j)])
+        segs = nxt
+        if not segs:
+            break
+    return keep
+
+
+def conv_simplify(
+    transcripts: ray.data.Dataset, tol: float = 2.0, depth: int = 5
+) -> ray.data.Dataset:
+    """Tolerance-parameterized LOSSY conversation reduction — the engine's
+    analogue of the reference's Douglas-Peucker polyline simplification
+    (``tol_m`` over GPS tracks, src/Utils.jl:156-186; M3/M4): each
+    conversation becomes the polyline (turn_idx, token_count) and keeps only
+    the turns that shape it — endpoints plus every interior turn whose
+    perpendicular deviation from the running chord exceeds ``tol`` tokens,
+    refined ``depth`` levels deep (the bounded-work analogue of the
+    reference's recursion; depth >= log2(max turns) is exact DP).
+
+    One conv-keyed bucketed shuffle; per-conversation DP runs vectorized
+    inside the bucket (a whale conversation is the
+    ``assign_turn_idx_sliced`` story — slice first, simplify slices).
+
+    Output: conv_id, turn_idx, n_tokens (the kept skeleton — what a
+    downstream summarizer or embedder would consume instead of the full
+    transcript). Value-exact vs the unrolled-CTE DuckDB oracle
+    (``conv_simplify_sql``) at any depth: a segment whose max deviation is
+    <= tol adds no point at any later level, so re-examining it (the SQL
+    formulation) and dropping it (this one) agree.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        toks = (
+            bucket["text"]
+            .str.split(" ")
+            .map(lambda ws: sum(1 for w in ws if w))
+            .to_numpy(dtype="float64")
+        )
+        out = []
+        start = 0
+        conv_ids = bucket["conv_id"].to_numpy()
+        turn_idx = bucket["turn_idx"].to_numpy()
+        bounds = np.flatnonzero(conv_ids[1:] != conv_ids[:-1]) + 1
+        for end in list(bounds) + [len(bucket)]:
+            x = turn_idx[start:end].astype("float64")
+            y = toks[start:end]
+            m = _dp_keep_mask(x, y, tol, depth)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv_ids[start:end][m],
+                        "turn_idx": turn_idx[start:end][m],
+                        "n_tokens": y[m].astype("int64"),
+                    }
+                )
+            )
+            start = end
+        if not out:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype="object"),
+                 "turn_idx": pd.Series([], dtype="int32"),
+                 "n_tokens": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"],
+        per_bucket,
+    )
+
+
+def conv_simplify_sql(
+    transcripts_sql: str, tol: float = 2.0, depth: int = 5
+) -> str:
+    """DuckDB oracle for ``conv_simplify``: the bounded DP recursion unrolled
+    as ``depth`` CTE layers. Each layer pairs consecutive kept points via
+    LEAD into segments, scores every interior point's perpendicular distance
+    (identical operation order to the engine), and adds each segment's
+    argmax point (ties -> smallest turn_idx) when its distance > tol."""
+    parts = [
+        f"WITH t AS MATERIALIZED ({transcripts_sql}),",
+        """pts AS MATERIALIZED (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS DOUBLE) AS y
+  FROM t
+),
+k0 AS (
+  SELECT conv_id, MIN(turn_idx) AS turn_idx FROM pts GROUP BY conv_id
+  UNION
+  SELECT conv_id, MAX(turn_idx) AS turn_idx FROM pts GROUP BY conv_id
+)""",
+    ]
+    for lv in range(depth):
+        parts.append(
+            f""", segs{lv} AS (
+  SELECT k.conv_id, k.turn_idx AS lx, p.y AS ly,
+         LEAD(k.turn_idx) OVER w AS rx, LEAD(p.y) OVER w AS ry
+  FROM k{lv} k JOIN pts p USING (conv_id, turn_idx)
+  WINDOW w AS (PARTITION BY k.conv_id ORDER BY k.turn_idx)
+), cand{lv} AS (
+  SELECT s.conv_id, s.lx, p.turn_idx,
+         abs((s.rx - s.lx) * (p.y - s.ly) - (p.turn_idx - s.lx) * (s.ry - s.ly))
+           / sqrt((s.rx - s.lx) * (s.rx - s.lx) + (s.ry - s.ly) * (s.ry - s.ly))
+           AS dist
+  FROM segs{lv} s
+  JOIN pts p ON p.conv_id = s.conv_id
+            AND p.turn_idx > s.lx AND p.turn_idx < s.rx
+  WHERE s.rx IS NOT NULL
+), k{lv + 1} AS MATERIALIZED (
+  SELECT conv_id, turn_idx FROM k{lv}
+  UNION
+  SELECT conv_id, turn_idx FROM (
+    SELECT conv_id, turn_idx, dist,
+           ROW_NUMBER() OVER (PARTITION BY conv_id, lx
+                              ORDER BY dist DESC, turn_idx) AS rn
+    FROM cand{lv}
+  ) WHERE rn = 1 AND dist > {tol}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p.conv_id, p.turn_idx, CAST(p.y AS BIGINT) AS n_tokens
+FROM pts p JOIN k{depth} k USING (conv_id, turn_idx)"""
+    )
+    return "\n".join(parts)

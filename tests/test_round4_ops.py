@@ -128,6 +128,43 @@ def test_quantiles_empty_and_single(ray_session):
     assert n == 1 and got[0.5] == 3.25 and got[0.95] == 3.25
 
 
+def test_conv_simplify_planted(ray_session):
+    """Douglas-Peucker keep set: flat conversation -> endpoints only; a
+    token-count spike above tol is kept (plus recursion around it); a
+    single-turn conversation survives whole."""
+    from tcx2graph_jl_ray.stages.graph import conv_simplify
+
+    def turns(conv, texts):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": np.arange(len(texts), dtype="int32"),
+                "role": "user",
+                "text": texts,
+                "tool": None,
+                "ts": pd.to_datetime("2024-01-01"),
+            }
+        )
+
+    flat = turns("flat", ["a b c"] * 8)                      # constant y=3
+    spike = turns("spike", ["a"] * 3 + ["a " * 9] * 1 + ["a"] * 3)
+    single = turns("single", ["hello world"])
+    ds = ray.data.from_pandas(pd.concat([flat, spike, single], ignore_index=True))
+
+    out = conv_simplify(ds, tol=2.0, depth=5).to_pandas()
+    f = out[out["conv_id"] == "flat"]
+    assert sorted(f["turn_idx"]) == [0, 7]  # endpoints only
+    s = out[out["conv_id"] == "spike"]
+    assert 3 in set(s["turn_idx"])          # the spike survives
+    assert int(s.set_index("turn_idx").loc[3, "n_tokens"]) == 9
+    assert sorted(out[out["conv_id"] == "single"]["turn_idx"]) == [0]
+
+    # tol above the spike: everything flattens to endpoints
+    out_hi = conv_simplify(ds, tol=50.0, depth=5).to_pandas()
+    s_hi = out_hi[out_hi["conv_id"] == "spike"]
+    assert sorted(s_hi["turn_idx"]) == [0, 6]
+
+
 # --- whale-key salting ------------------------------------------------------
 
 
