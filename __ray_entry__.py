@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quota_sample": lambda sf: _tx.quota_sample_by_source(_docs(sf)),
         "docs_importance_sample": lambda sf: _tx.importance_sample(_docs(sf)),
         "text_scrubbed": lambda sf: _tx.scrub_denylist(_docs(sf)),
+        "text_pii_scrub": lambda sf: _tx.pii_scrub(_docs(sf)),
+        "text_vocab_size": lambda sf: _tx.vocab_by_source(_docs(sf)),
         "text_repetition": lambda sf: _tx.repetition_stats(_docs(sf)),
         "docs_split_assign": lambda sf: _tx.split_assign(_docs(sf)),
         "kg_pmi_edges": lambda sf: _an.pmi_edges(_mentions_with_entity(sf)),
@@ -575,6 +577,8 @@ def oracle_sql() -> dict[str, str]:
             mod=1 << 16, full_chars=500
         ),
         "text_scrubbed": _tx.SCRUB_SQL,
+        "text_pii_scrub": _tx.pii_scrub_sql(),
+        "text_vocab_size": _tx.VOCAB_SQL,
         "text_repetition": _tx.REPETITION_SQL,
         "docs_split_assign": _tx.SPLIT_ASSIGN_SQL.format(
             train_hex="cb", val_hex="e5"

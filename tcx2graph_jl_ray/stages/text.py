@@ -1593,3 +1593,129 @@ SELECT source,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM t GROUP BY source, 2
 """
+
+
+def vocab_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source vocabulary statistics — the Heaps'-law corpus gauge every
+    training-mix report carries: distinct words vs total occurrences per
+    source (type/token ratio falls out downstream).
+
+    Scale shape: occurrences reduce with a per-batch (source, word)-level
+    partial BEFORE any shuffle, so the exchange carries per-batch vocabulary
+    rows, not the word stream; global distinctness is one bucketed
+    (source, word) dedup; both reduced tables collapse to one row per
+    source. Output: source, n_distinct_words, n_words.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def explode_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        words = batch["text"].str.lower().str.split(" ")
+        df = pd.DataFrame({"source": batch["source"], "w": words}).explode("w")
+        df = df[df["w"].notna() & (df["w"] != "")]
+        g = df.groupby(["source", "w"], sort=False).size().reset_index(name="n")
+        return g
+
+    pairs = docs.select_columns(["source", "text"]).map_batches(
+        explode_partial, batch_format="pandas", batch_size=4096
+    )
+
+    def merge_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "w"], sort=False)["n"].sum().reset_index()
+        return g
+
+    per_word = bucketed_group_apply(pairs, ["source", "w"], merge_pairs)
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("source", sort=False).agg(
+            n_distinct_words=("w", "size"), n_words=("n", "sum")
+        ).reset_index()
+        return g
+
+    def merge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False).agg(
+            n_distinct_words=("n_distinct_words", "sum"),
+            n_words=("n_words", "sum"),
+        ).reset_index()
+        g["n_distinct_words"] = g["n_distinct_words"].astype("int64")
+        g["n_words"] = g["n_words"].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        per_word.map_batches(partial_counts, batch_format="pandas"),
+        ["source"],
+        merge_counts,
+    )
+
+
+VOCAB_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM w GROUP BY source
+"""
+
+
+# PII regex classes written to the RE2 ∩ Python-re common subset (no
+# lookaround), applied in a FIXED order so engine and oracle rewrite
+# identically even when classes could overlap
+_PII_CLASSES = [
+    ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9\-]{7,14}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """PII detection + redaction — the curation gate every released corpus
+    runs: emails, IPv4 literals and international phone numbers are counted
+    and replaced with typed tags (email -> ip -> phone, fixed order).
+    Patterns live in the RE2 ∩ Python-re common subset so the DuckDB oracle
+    (``regexp_replace(..., 'g')`` / ``regexp_extract_all``) rewrites
+    byte-identically. Pure vectorized map — no shuffle; pandas' str engine
+    compiles each pattern once per batch.
+
+    Output: doc_id, text_clean, n_emails, n_ips, n_phones.
+    """
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        text = batch["text"]
+        counts = {}
+        for name, pat, tag in _PII_CLASSES:
+            counts[name] = text.str.count(pat).astype("int64")
+            text = text.str.replace(pat, tag, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "text_clean": text.to_numpy(),
+                "n_emails": counts["email"].to_numpy(),
+                "n_ips": counts["ip"].to_numpy(),
+                "n_phones": counts["phone"].to_numpy(),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        scrub, batch_format="pandas", batch_size=8192
+    )
+
+
+def pii_scrub_sql() -> str:
+    email, ip, phone = (c[1] for c in _PII_CLASSES)
+    return rf"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+         '{phone}', '<PHONE>', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'), '{ip}'))
+            AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{phone}'))
+            AS BIGINT) AS n_phones
+FROM documents WHERE text IS NOT NULL
+"""

@@ -165,6 +165,53 @@ def test_conv_simplify_planted(ray_session):
     assert sorted(s_hi["turn_idx"]) == [0, 6]
 
 
+def test_pii_scrub_planted(ray_session):
+    """Each PII class is counted then redacted in the fixed class order;
+    counts run on the progressively scrubbed text (so a class never counts
+    inside an earlier class's tag)."""
+    from tcx2graph_jl_ray.stages.text import pii_scrub
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "mail me at jo.doe+x@ex-ample.org or admin@a.bc thanks",
+                    "server 10.0.255.1 rebooted, call +1-555-0100-22",
+                    "plain text with no pii at all",
+                    None,
+                ],
+            }
+        )
+    )
+    out = pii_scrub(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_ips"] == 0
+    assert out.loc[1, "text_clean"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out.loc[2, "n_ips"] == 1 and out.loc[2, "n_phones"] == 1
+    assert out.loc[2, "text_clean"] == "server <IP> rebooted, call <PHONE>"
+    assert out.loc[3, "text_clean"] == "plain text with no pii at all"
+    assert 4 not in out.index  # null text drops at the operator boundary
+
+
+def test_vocab_by_source_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import vocab_by_source
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["a", "a", "b"],
+                "text": ["x y x", "y z", "x x x"],
+            }
+        )
+    ).repartition(3)
+    out = vocab_by_source(docs).to_pandas().set_index("source")
+    assert out.loc["a", "n_distinct_words"] == 3  # x y z
+    assert out.loc["a", "n_words"] == 5
+    assert out.loc["b", "n_distinct_words"] == 1
+    assert out.loc["b", "n_words"] == 3
+
+
 # --- whale-key salting ------------------------------------------------------
 
 
