@@ -1719,3 +1719,117 @@ SELECT doc_id,
             AS BIGINT) AS n_phones
 FROM documents WHERE text IS NOT NULL
 """
+
+
+def heavy_hitter_words(
+    docs: ray.data.Dataset,
+    phi: float = 0.01,
+    depth: int = 4,
+    width: int = 16384,
+) -> ray.data.Dataset:
+    """EXACT φ-frequent words (count >= ceil(φ · total words)) with exact
+    counts — without ever shuffling the vocabulary. The textbook two-pass
+    count-min heavy hitters:
+
+    1. **Sketch pass**: every batch folds its words into a (depth, width)
+       count-min partial (functions/cms.py — constant-size per batch) plus
+       its word-count; partials ADD-merge into one corpus sketch and the
+       total N. The merge is associative — a tree reduce at cluster scale;
+       collected per batch here, like the HLL gauge.
+    2. **Gated exact pass**: the merged sketch broadcasts (ray.put); each
+       batch re-derives its words and keeps only those whose sketch
+       ESTIMATE >= T = ceil(φ·N). CMS only overcounts, so the survivors are
+       a SUPERSET of the truly φ-frequent — at most width·depth-collision
+       inflated, and the truly frequent number <= 1/φ. Survivor partial
+       counts bucket-merge and the exact threshold applies to exact counts.
+
+    Result is value-EXACT (the sketch only gates; the counts and the final
+    filter are exact), which is why this approximate-machinery operator
+    still carries a plain SQL oracle — the measurable-gate discipline of
+    ``dedup_lsh_eval`` taken one step further. Output: w, n.
+    """
+    import math
+
+    import ray as _ray
+
+    from tcx2graph_jl_ray.functions.cms import cms_estimate, cms_partial
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def words_of(batch: pd.DataFrame) -> pd.Series:
+        batch = _nonnull_text(batch)
+        w = batch["text"].str.lower().str.split(" ").explode()
+        return w[w.notna() & (w != "")].reset_index(drop=True)
+
+    def sketch_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = words_of(batch)
+        return pd.DataFrame(
+            {
+                "cms": [cms_partial(w, depth, width).tobytes()],
+                "n": pd.array([len(w)], dtype="int64"),
+            }
+        )
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    total = 0
+    parts = docs.select_columns(["text"]).map_batches(
+        sketch_partial, batch_format="pandas", batch_size=8192
+    )
+    for b in parts.iter_batches(batch_size=64, batch_format="pandas"):
+        for raw, n in zip(b["cms"].to_numpy(), b["n"].to_numpy()):
+            merged += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+            total += int(n)
+
+    if total == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"w": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64")})
+        )
+    threshold = int(math.ceil(phi * total))
+    cms_ref = _ray.put(merged)
+
+    class _Gate:
+        def __init__(self, ref, t):
+            self.cms = _ray.get(ref)
+            self.t = t
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            w = words_of(batch)
+            if not len(w):
+                return pd.DataFrame(
+                    {"w": pd.Series([], dtype="object"),
+                     "n": pd.Series([], dtype="int64")}
+                )
+            keep = w[cms_estimate(self.cms, w) >= self.t]
+            g = keep.groupby(keep, sort=False).size()
+            return pd.DataFrame(
+                {"w": g.index.to_numpy(), "n": g.to_numpy().astype("int64")}
+            )
+
+    survivors = docs.select_columns(["text"]).map_batches(
+        _Gate,
+        fn_constructor_args=(cms_ref, threshold),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("w", sort=False)["n"].sum().reset_index()
+        g = g[g["n"] >= threshold]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return bucketed_group_apply(survivors, ["w"], merge)
+
+
+def heavy_hitters_sql(phi: float = 0.01) -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT COUNT(*) AS n FROM w)
+SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY w
+HAVING COUNT(*) >= ceil((SELECT n FROM tot) * {phi})
+"""

@@ -1456,8 +1456,11 @@ def hourly_profile(events: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dat
         partial, batch_format="pandas", batch_size=65536
     ).materialize()  # two consumers: the day count and the hour counts
 
-    # corpus-distinct days: a tiny bounded aggregate (calendar-bounded)
-    days_rows = parts.filter(lambda r: r["hour"] == -1)
+    # corpus-distinct days: a tiny bounded aggregate (calendar-bounded);
+    # vectorized batch filter, not a per-row predicate
+    days_rows = parts.map_batches(
+        lambda b: b.loc[b["hour"] == -1, ["day"]], batch_format="pandas"
+    )
     n_days = len(set(days_rows.to_pandas()["day"]))
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:

@@ -212,6 +212,35 @@ def test_vocab_by_source_planted(ray_session):
     assert out.loc["b", "n_words"] == 3
 
 
+def test_heavy_hitters_planted(ray_session):
+    """Exact φ-frequent set: a word at exactly the threshold survives, one
+    below it does not, and counts are exact despite the sketch gate."""
+    from tcx2graph_jl_ray.stages.text import heavy_hitter_words
+
+    # 100 words total: 'hot' x 50, 'warm' x 30, 'edge' x 10, 10 singletons
+    texts = (["hot"] * 50 + ["warm"] * 30 + ["edge"] * 10
+             + [f"rare{i}" for i in range(10)])
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(8)
+    out = heavy_hitter_words(docs, phi=0.10).to_pandas().set_index("w")
+    # threshold = ceil(0.10 * 100) = 10: edge is IN, singletons are out
+    assert set(out.index) == {"hot", "warm", "edge"}
+    assert int(out.loc["hot", "n"]) == 50
+    assert int(out.loc["edge", "n"]) == 10
+
+
+def test_cms_never_undercounts():
+    from tcx2graph_jl_ray.functions.cms import cms_estimate, cms_partial
+
+    rng = np.random.RandomState(5)
+    vals = pd.Series(rng.choice([f"w{i}" for i in range(5000)], size=20000))
+    regs = cms_partial(vals, depth=4, width=512)  # narrow: force collisions
+    true = vals.value_counts()
+    est = cms_estimate(regs, pd.Series(true.index))
+    assert (est >= true.to_numpy()).all()
+
+
 # --- whale-key salting ------------------------------------------------------
 
 
