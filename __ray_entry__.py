@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lm_logprob": lambda sf: _tx.lm_logprob(_docs(sf)),
         "text_corpus_composition": lambda sf: _tx.corpus_composition(_docs(sf)),
         "events_histogram": lambda sf: _wd.value_histogram(_events_ds(sf), 25.0),
+        "events_value_quantiles": lambda sf: _wd.value_quantiles(_events_ds(sf)),
         "q4_order_priority": lambda sf: _rel.q4_order_priority(sf),
         "q7_nation_pairs": lambda sf: _rel.q7_nation_pairs(sf),
         "text_bigram_novelty": lambda sf: _tx.bigram_novelty(_docs(sf)),
@@ -671,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "events_histogram": _wd.VALUE_HISTOGRAM_SQL_TEMPLATE.format(
             bin_width=25.0
         ),
+        "events_value_quantiles": _wd.VALUE_QUANTILES_SQL,
         "q4_order_priority": _rel.Q4_SQL_TEMPLATE.format(
             date_from="1996-01-01", date_to="1996-04-01"
         ),

@@ -1780,9 +1780,11 @@ def heavy_hitter_words(
             total += int(n)
 
     if total == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame({"w": pd.Series([], dtype="object"),
-                          "n": pd.Series([], dtype="int64")})
+        # an empty Dataset loses its schema at to_pandas; hand back the
+        # typed empty frame directly (a valid driver result shape)
+        return pd.DataFrame(
+            {"w": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64")}
         )
     threshold = int(math.ceil(phi * total))
     cms_ref = _ray.put(merged)

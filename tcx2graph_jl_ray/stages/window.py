@@ -1487,3 +1487,42 @@ SELECT event_type,
 FROM events, nd
 GROUP BY event_type, EXTRACT(hour FROM ts)
 """
+
+
+def value_quantiles(
+    events: ray.data.Dataset,
+    qs: tuple = (0.5, 0.9, 0.99),
+    collect_budget: int = 65536,
+) -> ray.data.Dataset:
+    """Exact global quantiles of the event value column — the direct query
+    surface of ``exact_global_quantiles`` (functions/quantile.py): the value
+    stream scales with the corpus, the driver footprint does not
+    (histogram-refinement rank selection under ``collect_budget``). Linear
+    interpolation, identical to DuckDB QUANTILE_CONT, rounded to 6.
+
+    Output: one row — p50, p90, p99 (float64).
+    """
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    vals = events.select_columns(["value"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"value": b["value"].dropna().to_numpy(dtype="float64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    _, got = exact_global_quantiles(
+        vals, "value", list(qs), collect_budget=collect_budget
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {f"p{int(q * 100)}": [round(got[q], 6)] for q in qs}
+        )
+    )
+
+
+VALUE_QUANTILES_SQL = """
+SELECT ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+       ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90,
+       ROUND(QUANTILE_CONT(value, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL
+"""

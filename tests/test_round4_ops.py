@@ -241,6 +241,31 @@ def test_cms_never_undercounts():
     assert (est >= true.to_numpy()).all()
 
 
+def test_heavy_hitters_empty_and_null_corpus(ray_session):
+    from tcx2graph_jl_ray.stages.text import heavy_hitter_words
+
+    from tests.parity import to_pandas
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": [None, ""]})
+    )
+    out = to_pandas(heavy_hitter_words(docs, phi=0.1))
+    assert len(out) == 0
+    assert sorted(out.columns) == ["n", "w"]
+
+
+def test_vocab_by_source_null_text_drops(ray_session):
+    from tcx2graph_jl_ray.stages.text import vocab_by_source
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "source": ["a", "a"], "text": ["x y", None]}
+        )
+    )
+    out = vocab_by_source(docs).to_pandas()
+    assert len(out) == 1 and int(out["n_words"].iloc[0]) == 2
+
+
 # --- whale-key salting ------------------------------------------------------
 
 
