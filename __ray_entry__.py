@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: _ann.ann_lsh_topk(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
+        "ann_pq_topk": lambda sf: _ann.ann_pq_topk(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
         "events_retention": lambda sf: _wd.retention_cohorts(_events_ds(sf)),
         "events_type_trend": lambda sf: _wd.event_type_trend(_events_ds(sf)),
         "events_sliding_users": lambda sf: _wd.sliding_distinct_users(
@@ -602,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         # anchors from the data, so a dim change here must be deliberate
         "ann_ivf_topk": _ann.ann_ivf_sql(_ANN_NQ, _ANN_K, dim=64),
         "ann_lsh_topk": _ann.ann_lsh_sql(_ANN_NQ, _ANN_K),
+        "ann_pq_topk": _ann.ann_pq_sql(_ANN_NQ, _ANN_K, dim=64),
         "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=2, threshold=_NGRAM_TAU
         ),

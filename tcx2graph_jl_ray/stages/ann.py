@@ -921,3 +921,162 @@ FROM p, n
 JOIN m mi ON mi.i = p.i
 JOIN m mj ON mj.i = p.j
 """
+
+
+def _pq_codebooks(
+    dim: int, m: int = 8, ksub: int = 16, seed: int = 29
+) -> np.ndarray:
+    """Deterministic seeded product-quantization codebooks, shape
+    (m subspaces, ksub codewords, dim/m). Seeded codewords keep the encode
+    and the ADC tables DuckDB-reproducible (inlined literals) — at corpus
+    scale train each subspace's codebook with the same distributed k-means
+    as ``train_ivf_centroids``; the encode/ADC machinery is identical."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((m, ksub, dim // m))
+
+
+def ann_pq_topk(
+    embeddings: ray.data.Dataset,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+) -> ray.data.Dataset:
+    """Product-quantization ANN with asymmetric distance computation (ADC) —
+    the compressed-vector regime: each database vector is stored as m uint8
+    codes (here 8 bytes instead of 512 — the layout that lets 100 TB of
+    float32 embeddings fit an object store), queries precompute per-subspace
+    distance tables against the codebooks, and the approximate distance is a
+    table-lookup SUM — no float vector ever leaves the encode stage.
+
+    Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"
+    (TPAMI 2011), the standard public formulation. Encode ties resolve to
+    the lowest codeword id; ADC distances round to 9 decimals before
+    ranking so the m-term summation order can never flip a rank between
+    engine and oracle; ties then break on vec_id. With the default seeded
+    codebooks the result is value-exact vs ``ann_pq_sql``.
+
+    Output: query_id, vec_id, rank (1..k per query).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    qids, q = _load_queries(sf_dir, n_queries)
+    dim = q.shape[1]
+    books = _pq_codebooks(dim, m, ksub)
+    sub = dim // m
+
+    # per-query ADC tables: d[j, s, c] = list_distance(q_sub, codeword)^2
+    qsub = q.reshape(len(qids), m, sub)
+    dtab = (
+        np.sqrt(((qsub[:, :, None, :] - books[None]) ** 2).sum(-1)) ** 2
+    )
+
+    ref = ray.put((qids, books, dtab))
+    kk = k
+
+    class _PqAdc:
+        def __init__(self, r):
+            self.qids, self.books, self.dtab = ray.get(r)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            n = len(ids)
+            vs = vecs.reshape(n, m, sub)
+            # encode: per subspace argmin of list_distance (first min = the
+            # oracle's ties -> lowest codeword id)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                d = np.sqrt(
+                    ((vs[:, s, None, :] - self.books[s][None]) ** 2).sum(-1)
+                )
+                codes[:, s] = np.argmin(d, axis=1)
+            out = []
+            srange = np.arange(m)
+            for j, qid in enumerate(self.qids):
+                adc = np.round(self.dtab[j][srange, codes].sum(axis=1), 9)
+                top = np.lexsort((ids, adc))[: min(kk, n)]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": ids[top], "dist": adc[top]}
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _PqAdc, fn_constructor_args=(ref,), batch_format="pandas",
+        batch_size=4096, concurrency=(1, 16),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "dist", "vec_id"], kind="mergesort")
+        out = []
+        for qid, gg in g.groupby("query_id", sort=False):
+            top = gg.head(kk)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": top["query_id"].astype("int64").to_numpy(),
+                        "vec_id": top["vec_id"].astype("int64").to_numpy(),
+                        "rank": pd.array(range(1, len(top) + 1), dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(partials, ["query_id"], merge, n_buckets=8)
+
+
+def ann_pq_sql(
+    n_queries: int, k: int, m: int = 8, ksub: int = 16, dim: int = 64
+) -> str:
+    """DuckDB oracle for ``ann_pq_topk``: seeded codebooks inlined as
+    literal DOUBLE[] rows; encode = per-(vector, subspace) argmin
+    list_distance (ties -> lowest codeword id); ADC = SUM of the query's
+    per-subspace table entries over the vector's codes, rounded to 9."""
+    books = _pq_codebooks(dim, m, ksub)
+    sub = dim // m
+
+    def lit(s: int, c: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in books[s, c]) + "]::DOUBLE[]"
+
+    values = ",\n  ".join(
+        f"({s}, {c}, {lit(s, c)})" for s in range(m) for c in range(ksub)
+    )
+    return f"""
+WITH cb(s, cid, cw) AS (VALUES
+  {values}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+enc AS (
+  SELECT vec_id, s, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, s
+           ORDER BY list_distance(ve[s * {sub} + 1 : s * {sub} + {sub}], cw)
+                    ASC, cid) AS rn
+  FROM v CROSS JOIN cb
+),
+codes AS (SELECT vec_id, s, cid FROM enc WHERE rn = 1),
+qt AS (
+  SELECT q.vec_id AS query_id, c.s, c.cid,
+         pow(list_distance(
+               q.ve[c.s * {sub} + 1 : c.s * {sub} + {sub}], c.cw), 2) AS d
+  FROM v q CROSS JOIN cb c WHERE q.vec_id < {n_queries}
+),
+adc AS (
+  SELECT qt.query_id, codes.vec_id, ROUND(SUM(qt.d), 9) AS dist
+  FROM codes JOIN qt ON qt.s = codes.s AND qt.cid = codes.cid
+  GROUP BY qt.query_id, codes.vec_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id) AS rank
+  FROM adc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""

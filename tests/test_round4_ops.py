@@ -266,6 +266,36 @@ def test_vocab_by_source_null_text_drops(ray_session):
     assert len(out) == 1 and int(out["n_words"].iloc[0]) == 2
 
 
+def test_ann_pq_exact_on_codeword_vectors(ray_session, tmp_path):
+    """Vectors assembled from codebook codewords quantize losslessly, so a
+    query built the same way has ADC distance exactly 0 to itself -> rank 1;
+    ranks are deterministic via the (dist, vec_id) tie-break."""
+    from tcx2graph_jl_ray.stages.ann import _pq_codebooks, ann_pq_topk
+
+    m, ksub, dim = 8, 16, 64
+    books = _pq_codebooks(dim, m, ksub)
+    rng = np.random.RandomState(13)
+    vecs = [
+        np.concatenate([books[s, rng.randint(ksub)] for s in range(m)])
+        for _ in range(12)
+    ]
+    df = pd.DataFrame(
+        {"vec_id": range(len(vecs)),
+         "embedding": [v.astype("float64") for v in vecs],
+         "label": "x"}
+    )
+    sf = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df), f"{sf}/embeddings.parquet")
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    out = ann_pq_topk(ds, sf, n_queries=2, k=3).to_pandas()
+    for qid in (0, 1):
+        top = out[(out["query_id"] == qid) & (out["rank"] == 1)]
+        assert int(top["vec_id"].iloc[0]) == qid  # self at ADC distance 0
+
+
 # --- whale-key salting ------------------------------------------------------
 
 
