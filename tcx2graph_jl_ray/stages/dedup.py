@@ -815,9 +815,12 @@ def ngram_jaccard_join(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    pairs = bucketed_group_apply(pref, ["shingle"], pairs_per_shingle)
+    # duplicate (a, b) rows (docs sharing 2+ prefix shingles) ride straight
+    # into the verify: its own (a, b) bucket groupby collapses them, so a
+    # dedicated distinct-pair shuffle would only add a stage (the Bloom
+    # capacity below uses the duplicate-inclusive count — a safe upper bound)
     cand = bucketed_group_apply(
-        pairs, ["a", "b"], lambda b: b.drop_duplicates(["a", "b"])
+        pref, ["shingle"], pairs_per_shingle
     ).materialize()
     return _verify_pairs_join(cand, docs, thr, kk, emit_sim=True)
 
