@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii_scrub": lambda sf: _tx.pii_scrub(_docs(sf)),
         "text_vocab_size": lambda sf: _tx.vocab_by_source(_docs(sf)),
         "text_heavy_hitters": lambda sf: _tx.heavy_hitter_words(_docs(sf)),
+        "text_bm25_topk": lambda sf: _tx.bm25_topk(_docs(sf)),
         "text_repetition": lambda sf: _tx.repetition_stats(_docs(sf)),
         "docs_split_assign": lambda sf: _tx.split_assign(_docs(sf)),
         "kg_pmi_edges": lambda sf: _an.pmi_edges(_mentions_with_entity(sf)),
@@ -585,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _tx.pii_scrub_sql(),
         "text_vocab_size": _tx.VOCAB_SQL,
         "text_heavy_hitters": _tx.heavy_hitters_sql(),
+        "text_bm25_topk": _tx.bm25_sql(),
         "text_repetition": _tx.REPETITION_SQL,
         "docs_split_assign": _tx.SPLIT_ASSIGN_SQL.format(
             train_hex="cb", val_hex="e5"

@@ -1835,3 +1835,190 @@ SELECT w, CAST(COUNT(*) AS BIGINT) AS n
 FROM w GROUP BY w
 HAVING COUNT(*) >= ceil((SELECT n FROM tot) * {phi})
 """
+
+
+# fixed keyword queries for the BM25 surface (terms drawn from the corpus
+# vocabulary; a production caller passes its own)
+BM25_QUERIES: tuple = (
+    (0, ("spark", "join")),
+    (1, ("window", "sort")),
+    (2, ("customer",)),
+)
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    queries=BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """BM25 top-k retrieval over the corpus — the lexical-retrieval operator
+    a RAG / data-curation stack runs next to the ANN family (Robertson &
+    Zaragoza 2009, the standard public formulation):
+
+        score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+        idf(t)      = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    Scale shape — no inverted-index shuffle is needed for scoring because a
+    document's text lives in ONE row: pass 1 reduces N, total length and
+    per-query-term document frequencies from per-batch partials (tiny: one
+    row per batch per term); the resulting idf/avgdl table broadcasts
+    (query-term-bounded); pass 2 scores each batch's docs entirely in-batch
+    and keeps a LOCAL top-k per query, so only batches × k rows reach the
+    final per-query merge. Scores round to 6 (summation-order guard), ties
+    break on doc_id. Output: query_id, doc_id, rank, score.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    terms = sorted({t for _, ts in queries for t in ts})
+
+    def tokens_of(batch: pd.DataFrame):
+        return batch["text"].str.lower().str.split(" ").map(
+            lambda ws: [w for w in ws if w]
+        )
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks = tokens_of(batch)
+        lens = toks.map(len)
+        rows = {"__n": [len(batch)], "__len": [int(lens.sum())]}
+        for t in terms:
+            rows[f"df_{t}"] = [int(toks.map(lambda ws, t=t: t in ws).sum())]
+        return pd.DataFrame(rows)
+
+    agg = (
+        docs.select_columns(["text"])
+        .map_batches(stats_partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+        .sum()
+    )
+    n_docs = int(agg["__n"])
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    avgdl = float(agg["__len"]) / n_docs
+    idf = {
+        t: float(np.log((n_docs - int(agg[f"df_{t}"]) + 0.5)
+                        / (int(agg[f"df_{t}"]) + 0.5) + 1.0))
+        for t in terms
+    }
+
+    kk, k1f, bf = k, k1, b
+    qlist = [(int(qid), tuple(ts)) for qid, ts in queries]
+
+    def score_local(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks = tokens_of(batch)
+        dl = toks.map(len).to_numpy(dtype="float64")
+        ids = batch["doc_id"].astype("int64").to_numpy()
+        tf = {
+            t: toks.map(lambda ws, t=t: ws.count(t)).to_numpy(dtype="float64")
+            for t in terms
+        }
+        norm = k1f * (1.0 - bf + bf * dl / avgdl)
+        out = []
+        for qid, ts in qlist:
+            s = np.zeros(len(ids))
+            for t in ts:
+                s += idf[t] * tf[t] * (k1f + 1.0) / (tf[t] + norm)
+            s = np.round(s, 6)
+            hit = s > 0
+            if not hit.any():
+                continue
+            hids, hs = ids[hit], s[hit]
+            top = np.lexsort((hids, -hs))[: min(kk, len(hids))]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": np.int64(qid), "doc_id": hids[top],
+                     "score": hs[top]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        score_local, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = []
+        for qid, gg in g.groupby("query_id", sort=False):
+            top = gg.head(kk)
+            out.append(
+                pd.DataFrame(
+                    {"query_id": top["query_id"].astype("int64").to_numpy(),
+                     "doc_id": top["doc_id"].astype("int64").to_numpy(),
+                     "rank": pd.array(range(1, len(top) + 1), dtype="int64"),
+                     "score": top["score"].to_numpy()}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(partials, ["query_id"], merge, n_buckets=4)
+
+
+def bm25_sql(
+    queries=BM25_QUERIES, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    qvals = ",\n  ".join(
+        f"({qid}, '{t}')" for qid, ts in queries for t in ts
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT COUNT(*) AS n, SUM(len(l)) AS total_len FROM d),
+q(query_id, term) AS (VALUES
+  {qvals}
+),
+df AS (
+  SELECT q.term, COUNT(*) AS df
+  FROM (SELECT DISTINCT term FROM q) q
+  JOIN d ON list_contains(d.l, q.term)
+  GROUP BY q.term
+),
+tf AS (
+  SELECT q.query_id, q.term, d.doc_id,
+         CAST(len(list_filter(d.l, x -> x = q.term)) AS DOUBLE) AS tf,
+         CAST(len(d.l) AS DOUBLE) AS dl
+  FROM q JOIN d ON list_contains(d.l, q.term)
+),
+score AS (
+  SELECT tf.query_id, tf.doc_id,
+         ROUND(SUM(
+           ln((CAST(s.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({k1} + 1.0)
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl
+                              / (CAST(s.total_len AS DOUBLE) / s.n)))
+         ), 6) AS score
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s
+  GROUP BY tf.query_id, tf.doc_id
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM score WHERE score > 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank AS BIGINT) AS rank,
+       score
+FROM r WHERE rank <= {k}
+"""

@@ -296,6 +296,32 @@ def test_ann_pq_exact_on_codeword_vectors(ray_session, tmp_path):
         assert int(top["vec_id"].iloc[0]) == qid  # self at ADC distance 0
 
 
+def test_bm25_planted(ray_session):
+    """Higher term frequency wins within a query; docs without any query
+    term never appear; length normalization demotes a padded doc with the
+    same tf."""
+    from tcx2graph_jl_ray.stages.text import bm25_topk
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha alpha alpha beta",
+                    "alpha beta gamma delta",
+                    "alpha beta " + "pad " * 30,
+                    "nothing relevant here",
+                ],
+            }
+        )
+    ).repartition(2)
+    out = bm25_topk(docs, queries=((0, ("alpha",)),), k=10).to_pandas()
+    ranked = out.sort_values("rank")["doc_id"].tolist()
+    assert ranked[0] == 1          # tf=3 beats tf=1
+    assert 4 not in ranked         # no query term -> excluded
+    assert ranked.index(2) < ranked.index(3)  # same tf, shorter doc wins
+
+
 # --- whale-key salting ------------------------------------------------------
 
 
