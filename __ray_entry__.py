@@ -199,12 +199,13 @@ def _minhash_clusters(sf_dir: str):
     )
 
 
-# Queries with an independent driver-green CORRECTNESS_r02 row. The round-2
-# driver verified only the FIRST 50 queries() entries before its budget ran
-# out, so the sweep order now leads with the other 77: a budget-truncated
-# round-3 sweep then maximizes the union of independently verified queries
-# across rounds (every entry remains verified by scripts/parity_full.py ->
-# PARITY_full_sf001.json regardless).
+# Queries with an independent driver-green CORRECTNESS row from a past round.
+# The driver verifies only the FIRST 50 queries() entries per round, so the
+# sweep order leads with the never-driver-checked entries (plus any past
+# FAIL, so its fix gets a fresh row): a budget-truncated sweep then maximizes
+# the union of independently verified queries across rounds (every entry
+# remains verified by scripts/parity_full.py -> PARITY_full_sf001.json
+# regardless).
 _R02_DRIVER_VERIFIED = frozenset({
     "kg_transcripts", "kg_nodes", "kg_edges", "kg_coverage", "kg_mentions",
     "kg_triples", "kg_entities", "kg_entities_linked",
@@ -224,10 +225,51 @@ _R02_DRIVER_VERIFIED = frozenset({
     "dedup_cross_contamination", "multimodal_features",
 })
 
+# CORRECTNESS_r03.json green rows (49/50; rel_part_pareto failed its value
+# hash there — cent-boundary float summation, fixed in round 4 via exact
+# scaled-int money sums — and stays OUT of this set so it re-verifies).
+_R03_DRIVER_VERIFIED = frozenset({
+    "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
+    "dedup_cosine_pairs", "dedup_winnow_pairs", "docs_chunks",
+    "docs_importance_sample", "docs_length_deciles",
+    "docs_length_histogram", "docs_pack_sequences", "docs_split_assign",
+    "emb_centroids", "emb_covariance", "events_activity_islands",
+    "events_daily_pivot", "events_funnel", "events_hourly_profile",
+    "events_never_converted", "events_rank_topk", "events_retention",
+    "events_rolling_avg", "events_session_stats", "events_sessionize",
+    "events_sliding_users", "events_type_trend", "kg_conv_simplify",
+    "kg_pmi_edges", "multimodal_audio_windows", "multimodal_frames",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "rel_copurchase",
+    "rel_order_sizes", "text_bm25_topk", "text_bpe_token_counts",
+    "text_fingerprint", "text_heavy_hitters", "text_lang_id",
+    "text_lang_mismatch", "text_pii_scrub", "text_quality",
+    "text_quota_sample", "text_repetition", "text_scrubbed",
+    "text_tfidf_terms", "text_token_counts", "text_vocab_size",
+    "text_winnow_fp",
+})
+
+# CORRECTNESS_r01.json green rows not re-listed above.
+_R01_DRIVER_VERIFIED = frozenset({
+    "clean_missing_stats", "events_median_value", "events_sliding",
+    "events_top_per_user", "events_tumbling", "q1_pricing_summary",
+    "revenue_by_nation", "revenue_by_segment", "top_customers",
+})
+
+_DRIVER_VERIFIED = (
+    _R01_DRIVER_VERIFIED | _R02_DRIVER_VERIFIED | _R03_DRIVER_VERIFIED
+)
+
+# Changed in round 4 (exact scaled-int money arithmetic), so their past
+# driver-green rows are stale — force a fresh front-window row.
+_FORCE_FRONT = frozenset({
+    "q1_pricing_summary", "revenue_by_nation", "revenue_by_segment",
+    "top_customers", "q5_local_supplier_volume", "q6_forecast_revenue",
+})
+
 
 def _sweep_order(q: dict) -> dict:
-    head = [n for n in q if n not in _R02_DRIVER_VERIFIED]
-    tail = [n for n in q if n in _R02_DRIVER_VERIFIED]
+    head = [n for n in q if n not in _DRIVER_VERIFIED or n in _FORCE_FRONT]
+    tail = [n for n in q if n in _DRIVER_VERIFIED and n not in _FORCE_FRONT]
     return {n: q[n] for n in head + tail}
 
 

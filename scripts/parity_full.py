@@ -84,7 +84,12 @@ def main() -> int:
                     f"columns {list(got.columns)} vs {list(want.columns)}"
                 )
                 assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
-                pd.testing.assert_frame_equal(got, want, check_dtype=False)
+                # check_exact: the driver hashes float values EXACTLY, so
+                # default rtol would hide cent-boundary divergence (round 3's
+                # rel_part_pareto lesson)
+                pd.testing.assert_frame_equal(
+                    got, want, check_dtype=False, check_exact=True
+                )
                 rec["status"] = "ok"
             else:
                 rec["status"] = "rows_only_ok" if len(got) > 0 else "rows_only_empty"

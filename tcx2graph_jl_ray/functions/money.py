@@ -1,0 +1,102 @@
+"""Exact money arithmetic in scaled int64 — summation-order-proof cents.
+
+The driver's correctness gate hashes float values EXACTLY, so a money sum
+whose true value sits at a half-cent boundary is a coin flip between two
+engines that sum doubles in different orders (this broke ``rel_part_pareto``
+in round 3: two of 100 ranks landed one cent low).  The inputs make exactness
+cheap: every money column in the corpus carries exactly 2 decimals
+(``l_extendedprice``, ``o_totalprice``) and every rate carries 2 decimals
+(``l_discount``), so
+
+    price * (1 - discount)  ==  cents(price) * (100 - cents(discount)) / 1e4
+
+is EXACT in int64.  Both the engine (these helpers) and the oracle SQL (the
+``SQL_*`` snippet builders) sum the scaled integers and convert to a display
+double ONCE, with an explicit half-up rule in *integer* space — the two sides
+produce bit-identical doubles regardless of partial-sum order, task count, or
+shuffle layout.
+
+Overflow headroom: a scaled-1e4 revenue row is < 1.05e9; int64 holds 9.2e18,
+so a single partial sum overflows only beyond ~8.8e9 rows per task — far past
+any per-bucket row count (buckets are sized to worker heaps).  Global totals
+at the 100 TB tier route through Python ints (arbitrary precision) on the
+driver; DuckDB's SUM(BIGINT) is HUGEINT (int128) for the same reason.
+
+Reference analogue: TCX2Graph.jl keeps trackpoint properties in their native
+fixed-point-ish encodings until display (src/TCXReader.jl parsing discipline);
+this module is that discipline applied to money aggregates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cents_i64(x) -> np.ndarray:
+    """Nearest-int of ``x*100`` as int64 — exact for 2-dp-valued doubles.
+
+    Inputs sit within ~1e-9 of the cent grid (measured on the corpus), so any
+    round-to-nearest agrees; ``np.rint``'s half-even vs SQL ROUND's half-away
+    can't diverge because the scaled value is never at an exact .5.
+    """
+    return np.rint(np.asarray(x, dtype="float64") * 100.0).astype("int64")
+
+
+def rev_scaled4(price, discount) -> np.ndarray:
+    """``price * (1 - discount)`` exactly, in 1e-4-scaled int64."""
+    return cents_i64(price) * (100 - cents_i64(discount))
+
+
+def mul_scaled4(price, rate) -> np.ndarray:
+    """``price * rate`` exactly, in 1e-4-scaled int64 (Q6's price*discount)."""
+    return cents_i64(price) * cents_i64(rate)
+
+
+def money_from_cents(total_cents) -> float:
+    """Exact cents -> display dollars (deterministic double)."""
+    return int(total_cents) / 100.0
+
+
+def money_from_scaled4(total_scaled) -> float:
+    """1e-4-scaled sum -> dollars, half-up to the cent in integer space.
+
+    Non-negative sums only (prices/discounts are non-negative); floor
+    division would round toward -inf for negatives.
+    """
+    return ((int(total_scaled) + 50) // 100) / 100.0
+
+
+def money_from_scaled4_series(scaled):
+    """Vectorized ``money_from_scaled4`` over an int64 array/Series."""
+    s = np.asarray(scaled, dtype="int64")
+    return ((s + 50) // 100) / 100.0
+
+
+# --- DuckDB oracle snippets: the same arithmetic, same rounding rule -------
+
+def sql_cents(col: str) -> str:
+    return f"CAST(ROUND(({col}) * 100) AS BIGINT)"
+
+
+def sql_rev_scaled4(price: str = "l_extendedprice",
+                    discount: str = "l_discount") -> str:
+    return f"{sql_cents(price)} * (100 - {sql_cents(discount)})"
+
+
+def sql_mul_scaled4(price: str, rate: str) -> str:
+    return f"{sql_cents(price)} * {sql_cents(rate)}"
+
+
+def sql_money_from_cents_sum(cents_expr: str) -> str:
+    """SUM of exact cents -> dollars (no rounding needed: sum is exact)."""
+    return f"CAST(SUM({cents_expr}) AS DOUBLE) / 100.0"
+
+
+def sql_money_from_scaled4_sum(scaled_expr: str) -> str:
+    """SUM of 1e-4-scaled ints -> dollars, half-up in integer space."""
+    return f"CAST((SUM({scaled_expr}) + 50) // 100 AS DOUBLE) / 100.0"
+
+
+def sql_money_from_scaled4(scaled_expr: str) -> str:
+    """A single 1e-4-scaled int value -> dollars, half-up."""
+    return f"CAST((({scaled_expr}) + 50) // 100 AS DOUBLE) / 100.0"

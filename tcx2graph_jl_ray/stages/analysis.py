@@ -117,10 +117,25 @@ def conv_stats(transcripts: ray.data.Dataset) -> ray.data.Dataset:
             out[c] = out[c].astype("int64")
         return out
 
+    def re_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        # salt-level partial: same algebraic re-aggregate, no derived column
+        g = bucket.groupby("conv_id", sort=False)
+        return g.agg(
+            n_turns=("n_turns", "sum"), n_user=("n_user", "sum"),
+            n_assistant=("n_assistant", "sum"), n_tool=("n_tool", "sum"),
+            first_ts=("first_ts", "min"), last_ts=("last_ts", "max"),
+        ).reset_index()
+
     partials = transcripts.select_columns(["conv_id", "role", "ts"]).map_batches(
         partial, batch_format="pandas", batch_size=65536
     )
-    return bucketed_group_apply(partials, ["conv_id"], merge)
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    # whale-conversation safe: a conv with more partial rows than a worker
+    # heap splits across salt tasks (sum/min/max are order-free)
+    return salted_group_apply(
+        partials, ["conv_id"], partial_fn=re_sum, merge_fn=merge
+    )
 
 
 def hot_entities(
@@ -130,17 +145,26 @@ def hot_entities(
     the hotspot scan (cells visited by >= K rides, src/GraphUtils.jl:117-189).
 
     Per-batch partial (entity, conv) counts collapse the mention stream before
-    the shuffle; the final bucketed merge re-groups per entity and counts
-    distinct conversations exactly (each (entity, conv) pair survives the
-    partial with its count, so the distinct-conv count is precise).
+    the shuffle; a salted two-level reduce then (1) re-sums at (entity, conv)
+    grain — a whale entity's rows split across salt tasks, each emitting its
+    own (entity, conv) partials — and (2) re-groups per entity to count
+    distinct conversations exactly (bounded by the entity's distinct-conv
+    count, not its raw mention count).
     """
-    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return (
             batch.groupby(["entity_id", "conv_id"], sort=False)
             .size()
             .reset_index(name="n")
+        )
+
+    def re_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["entity_id", "conv_id"], sort=False)["n"]
+            .sum()
+            .reset_index()
         )
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -155,7 +179,9 @@ def hot_entities(
     partials = mentions_with_entity.select_columns(
         ["entity_id", "conv_id"]
     ).map_batches(partial, batch_format="pandas", batch_size=65536)
-    return bucketed_group_apply(partials, ["entity_id"], merge)
+    return salted_group_apply(
+        partials, ["entity_id"], partial_fn=re_sum, merge_fn=merge
+    )
 
 
 def cooccurrence_edges(mentions_with_entity: ray.data.Dataset) -> ray.data.Dataset:
@@ -762,9 +788,11 @@ SELECT * FROM ties WHERE entity_id NOT IN (SELECT eid FROM sup)
 def entity_feature_stats(mentions_with_entity: ray.data.Dataset) -> ray.data.Dataset:
     """Per-canonical-entity feature statistics — the A3 grouped min/max/mean
     (get_feature_stats / extract_segment_features, src/SegmentAnalysis.jl:96-146)
-    over mention features. Combiner pattern: per-batch partials, bucketed
-    merge. Output: entity_id, n_rows, min_turn, max_turn, mean_occurrences."""
-    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    over mention features. Combiner pattern: per-batch partials, salted
+    two-level merge (sum/min/max are order-free, so a whale entity's partial
+    rows split across salt tasks; the mean is derived once at the end).
+    Output: entity_id, n_rows, min_turn, max_turn, mean_occurrences."""
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("entity_id", sort=False)
@@ -775,14 +803,17 @@ def entity_feature_stats(mentions_with_entity: ray.data.Dataset) -> ray.data.Dat
             sum_occ=("n_occurrences", "sum"),
         ).reset_index()
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+    def re_sum(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("entity_id", sort=False)
-        out = g.agg(
+        return g.agg(
             n_rows=("n_rows", "sum"),
             min_turn=("min_turn", "min"),
             max_turn=("max_turn", "max"),
             sum_occ=("sum_occ", "sum"),
         ).reset_index()
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = re_sum(bucket)
         out["mean_occurrences"] = out["sum_occ"] / out["n_rows"]
         out["n_rows"] = out["n_rows"].astype("int64")
         out["min_turn"] = out["min_turn"].astype("int32")
@@ -792,7 +823,9 @@ def entity_feature_stats(mentions_with_entity: ray.data.Dataset) -> ray.data.Dat
     partials = mentions_with_entity.select_columns(
         ["entity_id", "turn_idx", "n_occurrences"]
     ).map_batches(partial, batch_format="pandas", batch_size=65536)
-    return bucketed_group_apply(partials, ["entity_id"], merge)
+    return salted_group_apply(
+        partials, ["entity_id"], partial_fn=re_sum, merge_fn=merge
+    )
 
 
 def sample_turns_by_hash(transcripts: ray.data.Dataset, hex_max: str = "19") -> ray.data.Dataset:

@@ -40,10 +40,12 @@ def distinct_surfaces(mentions: ray.data.Dataset) -> ray.data.Dataset:
     """Mentions -> one row per normalized surface with usage stats.
 
     Pre-aggregation before the wide steps (combiner pattern): the mention
-    stream is reduced by a single groupby(norm) shuffle.
+    stream is reduced by a salted two-level groupby(norm) — a whale surface
+    (one norm carrying a large share of all mentions) splits its partial
+    rows across salt tasks instead of sinking one worker.
     Output: norm, n_turns, n_mentions.
     """
-    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("norm", sort=False).agg(
@@ -62,7 +64,11 @@ def distinct_surfaces(mentions: ray.data.Dataset) -> ray.data.Dataset:
     partials = mentions.select_columns(["norm", "n_occurrences"]).map_batches(
         partial, batch_format="pandas", batch_size=65536
     )
-    return bucketed_group_apply(partials, ["norm"], merge)
+    # merge is an idempotent algebraic re-sum, so it serves as both the
+    # salt-level partial and the final merge
+    return salted_group_apply(
+        partials, ["norm"], partial_fn=merge, merge_fn=merge
+    )
 
 
 def _explode_tokens(batch: pd.DataFrame) -> pd.DataFrame:

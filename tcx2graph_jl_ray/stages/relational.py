@@ -3,9 +3,10 @@ aggregate, broadcast-join rollups, top-k.
 
 These demonstrate the engine's generic aggregation/join/top-k surface (the
 reference's feature-stat aggregates A2/A3 and sort/top-k O1/O2 recast over
-relational inputs). Money sums are rounded to cents AFTER aggregation in both
-engines; quantities are integral-valued doubles so their sums and averages are
-exact in IEEE double.
+relational inputs). Money sums run in EXACT scaled-int64 on both the engine
+and oracle sides (``functions/money.py``) so summation order can never flip a
+cent at the half-cent boundary; quantities are integral-valued doubles so
+their sums and averages are exact in IEEE double.
 
 Patterns: per-batch partial aggregation before every groupby (combiner);
 dimension tables broadcast once via ``ray.put``; top-k = grouped partial
@@ -18,6 +19,20 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
+
+from tcx2graph_jl_ray.functions.money import (
+    cents_i64,
+    money_from_cents,
+    money_from_scaled4,
+    money_from_scaled4_series,
+    mul_scaled4,
+    rev_scaled4,
+    sql_cents,
+    sql_money_from_cents_sum,
+    sql_money_from_scaled4_sum,
+    sql_mul_scaled4,
+    sql_rev_scaled4,
+)
 
 
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
@@ -36,19 +51,20 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         keep = batch[batch["l_shipdate"] <= cutoff]
-        disc = keep["l_extendedprice"] * (1 - keep["l_discount"])
         g = pd.DataFrame(
             {
                 "l_returnflag": keep["l_returnflag"],
                 "l_linestatus": keep["l_linestatus"],
                 "qty": keep["l_quantity"],
-                "base": keep["l_extendedprice"],
-                "disc": disc,
+                "base_c": cents_i64(keep["l_extendedprice"]),
+                "disc_s": rev_scaled4(
+                    keep["l_extendedprice"], keep["l_discount"]
+                ),
             }
         ).groupby(["l_returnflag", "l_linestatus"], sort=False)
         agg = g.agg(
-            sum_qty=("qty", "sum"), sum_base=("base", "sum"),
-            sum_disc=("disc", "sum"), n=("qty", "size"),
+            sum_qty=("qty", "sum"), base_c=("base_c", "sum"),
+            disc_s=("disc_s", "sum"), n=("qty", "size"),
         )
         return agg.reset_index()
 
@@ -60,8 +76,8 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
                 "l_returnflag": [g["l_returnflag"].iloc[0]],
                 "l_linestatus": [g["l_linestatus"].iloc[0]],
                 "sum_qty": [sum_qty],
-                "sum_base_price": [round(float(g["sum_base"].sum()), 2)],
-                "sum_disc_price": [round(float(g["sum_disc"].sum()), 2)],
+                "sum_base_price": [money_from_cents(g["base_c"].sum())],
+                "sum_disc_price": [money_from_scaled4(g["disc_s"].sum())],
                 "avg_qty": [sum_qty / n],
                 "n": pd.array([n], dtype="int64"),
             }
@@ -74,11 +90,11 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
   SUM(l_quantity) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  {sql_money_from_cents_sum(sql_cents('l_extendedprice'))} AS sum_base_price,
+  {sql_money_from_scaled4_sum(sql_rev_scaled4())} AS sum_disc_price,
   SUM(l_quantity) / COUNT(*) AS avg_qty,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
@@ -113,16 +129,16 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             n_name = batch["o_custkey"].map(self.lookup)
             g = pd.DataFrame(
-                {"n_name": n_name, "price": batch["o_totalprice"]}
+                {"n_name": n_name, "price_c": cents_i64(batch["o_totalprice"])}
             ).groupby("n_name", sort=False)
-            agg = g.agg(revenue=("price", "sum"), n_orders=("price", "size"))
+            agg = g.agg(rev_c=("price_c", "sum"), n_orders=("price_c", "size"))
             return agg.reset_index()
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "n_name": [g["n_name"].iloc[0]],
-                "revenue": [round(float(g["revenue"].sum()), 2)],
+                "revenue": [money_from_cents(g["rev_c"].sum())],
                 "n_orders": pd.array([int(g["n_orders"].sum())], dtype="int64"),
             }
         )
@@ -137,9 +153,9 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-REVENUE_BY_NATION_SQL = """
+REVENUE_BY_NATION_SQL = f"""
 SELECT n.n_name AS n_name,
-  ROUND(SUM(o.o_totalprice), 2) AS revenue,
+  {sql_money_from_cents_sum(sql_cents('o.o_totalprice'))} AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -159,11 +175,14 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("o_custkey", sort=False)["o_totalprice"].sum()
-        return pd.DataFrame({"c_custkey": g.index.to_numpy(), "spend": g.to_numpy()})
+        b = batch.assign(spend_c=cents_i64(batch["o_totalprice"]))
+        g = b.groupby("o_custkey", sort=False)["spend_c"].sum()
+        return pd.DataFrame(
+            {"c_custkey": g.index.to_numpy(), "spend_c": g.to_numpy()}
+        )
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby("c_custkey", sort=False)["spend"].sum().reset_index()
+        g = bucket.groupby("c_custkey", sort=False)["spend_c"].sum().reset_index()
         g["c_custkey"] = g["c_custkey"].astype("int64")
         return g
 
@@ -174,7 +193,7 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
         ["c_custkey"],
         merge,
     ).to_pandas()  # one row per customer: small
-    spend["spend"] = spend["spend"].round(2)
+    spend["spend"] = spend["spend_c"].to_numpy(dtype="int64") / 100.0
     top = spend.sort_values(
         ["spend", "c_custkey"], ascending=[False, True], kind="mergesort"
     ).head(k)
@@ -208,17 +227,17 @@ def revenue_by_segment(sf_dir: str) -> ray.data.Dataset:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             seg = batch["o_custkey"].map(self.lookup)
             g = pd.DataFrame(
-                {"c_mktsegment": seg, "price": batch["o_totalprice"]}
+                {"c_mktsegment": seg, "price_c": cents_i64(batch["o_totalprice"])}
             ).groupby("c_mktsegment", sort=False)
             return g.agg(
-                revenue=("price", "sum"), n_orders=("price", "size")
+                rev_c=("price_c", "sum"), n_orders=("price_c", "size")
             ).reset_index()
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "c_mktsegment": [g["c_mktsegment"].iloc[0]],
-                "revenue": [round(float(g["revenue"].sum()), 2)],
+                "revenue": [money_from_cents(g["rev_c"].sum())],
                 "n_orders": pd.array([int(g["n_orders"].sum())], dtype="int64"),
             }
         )
@@ -233,9 +252,9 @@ def revenue_by_segment(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-REVENUE_BY_SEGMENT_SQL = """
+REVENUE_BY_SEGMENT_SQL = f"""
 SELECT c.c_mktsegment AS c_mktsegment,
-  ROUND(SUM(o.o_totalprice), 2) AS revenue,
+  {sql_money_from_cents_sum(sql_cents('o.o_totalprice'))} AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -271,15 +290,16 @@ FROM events GROUP BY event_type
 """
 
 
-TOP_CUSTOMERS_SQL_TEMPLATE = """
+TOP_CUSTOMERS_SQL_TEMPLATE = f"""
 WITH spend AS (
-  SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+  SELECT o_custkey AS c_custkey,
+         {sql_money_from_cents_sum(sql_cents('o_totalprice'))} AS spend
   FROM orders GROUP BY o_custkey
 )
 SELECT CAST(s.c_custkey AS BIGINT) AS c_custkey, c.c_name AS c_name, s.spend
 FROM spend s JOIN customer c ON s.c_custkey = c.c_custkey
 ORDER BY s.spend DESC, s.c_custkey
-LIMIT {k}
+LIMIT {{k}}
 """
 
 
@@ -325,11 +345,11 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
                 {
                     "r_name": batch["o_custkey"].map(self.lookup["r"]),
                     "n_name": batch["o_custkey"].map(self.lookup["n"]),
-                    "price": batch["o_totalprice"],
+                    "price_c": cents_i64(batch["o_totalprice"]),
                 }
             ).groupby(["r_name", "n_name"], sort=False)
             return g.agg(
-                revenue=("price", "sum"), n_orders=("price", "size")
+                rev_c=("price_c", "sum"), n_orders=("price_c", "size")
             ).reset_index()
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -337,7 +357,7 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
             {
                 "r_name": [g["r_name"].iloc[0]],
                 "n_name": [g["n_name"].iloc[0]],
-                "revenue": [float(g["revenue"].sum())],
+                "rev_c": pd.array([int(g["rev_c"].sum())], dtype="int64"),
                 "n_orders": pd.array([int(g["n_orders"].sum())], dtype="int64"),
             }
         )
@@ -351,33 +371,37 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
         .map_groups(final, batch_format="pandas")
     ).to_pandas()  # finest grain: |regions| x |nations| rows — tiny
 
+    # coarser grains re-aggregate the tiny leaf in EXACT integer cents —
+    # the display double is produced once per row, identically on both sides
     leaf = leaf.sort_values(["r_name", "n_name"], kind="mergesort")
     by_region = (
         leaf.groupby("r_name", sort=True, as_index=False)
-        .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+        .agg(rev_c=("rev_c", "sum"), n_orders=("n_orders", "sum"))
         .assign(n_name="ALL")
     )
     grand = pd.DataFrame(
         {
             "r_name": ["ALL"],
             "n_name": ["ALL"],
-            "revenue": [by_region["revenue"].sum()],
+            "rev_c": pd.array([int(by_region["rev_c"].sum())], dtype="int64"),
             "n_orders": pd.array([int(by_region["n_orders"].sum())], dtype="int64"),
         }
     )
     out = pd.concat(
-        [leaf, by_region[["r_name", "n_name", "revenue", "n_orders"]], grand],
+        [leaf, by_region[["r_name", "n_name", "rev_c", "n_orders"]], grand],
         ignore_index=True,
     )
-    out["revenue"] = out["revenue"].map(lambda v: round(float(v), 2))
+    out["revenue"] = out["rev_c"].to_numpy(dtype="int64") / 100.0
     out["n_orders"] = out["n_orders"].astype("int64")
-    return ray.data.from_pandas(out.reset_index(drop=True))
+    return ray.data.from_pandas(
+        out[["r_name", "n_name", "revenue", "n_orders"]].reset_index(drop=True)
+    )
 
 
-REVENUE_ROLLUP_SQL = """
+REVENUE_ROLLUP_SQL = f"""
 SELECT COALESCE(r.r_name, 'ALL') AS r_name,
        COALESCE(n.n_name, 'ALL') AS n_name,
-       ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       {sql_money_from_cents_sum(sql_cents('o.o_totalprice'))} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -461,9 +485,9 @@ def q3_shipping_priority(
         return pd.DataFrame(
             {
                 "l_orderkey": kept["l_orderkey"].astype("int64"),
-                "rev": (
-                    kept["l_extendedprice"] * (1.0 - kept["l_discount"])
-                ).astype("float64"),
+                "rev_s": rev_scaled4(
+                    kept["l_extendedprice"], kept["l_discount"]
+                ),
             }
         )
 
@@ -495,11 +519,12 @@ def q3_shipping_priority(
         g = (
             bucket.groupby(
                 ["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False
-            )["rev"]
+            )["rev_s"]
             .sum()
-            .reset_index(name="revenue")
+            .reset_index(name="rev_s")
         )
-        g["revenue"] = g["revenue"].astype("float64").round(2)
+        g["revenue"] = money_from_scaled4_series(g["rev_s"])
+        g = g.drop(columns=["rev_s"])
         # per-bucket head: only k rows per bucket reach the driver
         return g.sort_values(
             ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
@@ -521,18 +546,18 @@ def q3_shipping_priority(
     ).reset_index(drop=True)
 
 
-Q3_SQL_TEMPLATE = """
+Q3_SQL_TEMPLATE = f"""
 WITH agg AS (
   SELECT l.l_orderkey,
          strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
          o.o_orderpriority,
-         ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+         {sql_money_from_scaled4_sum(sql_rev_scaled4('l.l_extendedprice', 'l.l_discount'))} AS revenue
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
-  WHERE c.c_mktsegment = '{segment}'
-    AND o.o_orderdate < TIMESTAMP '{cutoff}'
-    AND l.l_shipdate > TIMESTAMP '{cutoff}'
+  WHERE c.c_mktsegment = '{{segment}}'
+    AND o.o_orderdate < TIMESTAMP '{{cutoff}}'
+    AND l.l_shipdate > TIMESTAMP '{{cutoff}}'
   GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ),
 r AS (
@@ -540,7 +565,7 @@ r AS (
   FROM agg
 )
 SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
-FROM r WHERE rn <= {k}
+FROM r WHERE rn <= {{k}}
 """
 
 
@@ -693,11 +718,11 @@ def q5_local_supplier_volume(
             name = b["c_nationkey"].map(self.nat_name)
             ok = name.notna()
             b, name = b[ok], name[ok]
-            rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
-            g = pd.DataFrame({"n_name": name, "rev": rev}).groupby(
+            rev_s = rev_scaled4(b["l_extendedprice"], b["l_discount"])
+            g = pd.DataFrame({"n_name": name, "rev_s": rev_s}).groupby(
                 "n_name", sort=False
             )
-            agg = g.agg(rev_part=("rev", "sum"), n_part=("rev", "size"))
+            agg = g.agg(rev_part=("rev_s", "sum"), n_part=("rev_s", "size"))
             return agg.reset_index()
 
     parts = ocl.map_batches(
@@ -707,18 +732,18 @@ def q5_local_supplier_volume(
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("n_name", sort=False).agg(
-            revenue=("rev_part", "sum"), n_items=("n_part", "sum")
+            rev_s=("rev_part", "sum"), n_items=("n_part", "sum")
         ).reset_index()
-        g["revenue"] = g["revenue"].map(lambda v: round(float(v), 2))
+        g["revenue"] = money_from_scaled4_series(g["rev_s"])
         g["n_items"] = g["n_items"].astype("int64")
-        return g
+        return g[["n_name", "revenue", "n_items"]]
 
     return bucketed_group_apply(parts, ["n_name"], final, n_buckets=8)
 
 
-Q5_SQL_TEMPLATE = """
+Q5_SQL_TEMPLATE = f"""
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       {sql_money_from_scaled4_sum(sql_rev_scaled4())} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
@@ -726,9 +751,9 @@ JOIN customer ON c_custkey = o_custkey
 JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
 JOIN nation   ON n_nationkey = c_nationkey
 JOIN region   ON r_regionkey = n_regionkey
-WHERE r_name = '{region}'
-  AND o_orderdate >= TIMESTAMP '{date_from}'
-  AND o_orderdate <  TIMESTAMP '{date_to}'
+WHERE r_name = '{{region}}'
+  AND o_orderdate >= TIMESTAMP '{{date_from}}'
+  AND o_orderdate <  TIMESTAMP '{{date_to}}'
 GROUP BY n_name
 """
 
@@ -973,12 +998,11 @@ def q7_nation_pairs(
                 {
                     "cust_nation": b["c_nationkey"].map(self.nat_name),
                     "supp_nation": s_nat[keep].map(self.nat_name),
-                    "rev": b["l_extendedprice"].to_numpy(dtype="float64")
-                    * (1.0 - b["l_discount"].to_numpy(dtype="float64")),
+                    "rev_s": rev_scaled4(b["l_extendedprice"], b["l_discount"]),
                 }
             )
             g = d.groupby(["cust_nation", "supp_nation"], sort=False)
-            agg = g.agg(rev_part=("rev", "sum"), n_part=("rev", "size"))
+            agg = g.agg(rev_part=("rev_s", "sum"), n_part=("rev_s", "size"))
             return agg.reset_index()
 
     parts = ocl.map_batches(
@@ -988,21 +1012,21 @@ def q7_nation_pairs(
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["cust_nation", "supp_nation"], sort=False).agg(
-            revenue=("rev_part", "sum"), n_items=("n_part", "sum")
+            rev_s=("rev_part", "sum"), n_items=("n_part", "sum")
         ).reset_index()
-        g["revenue"] = g["revenue"].map(lambda v: round(float(v), 2))
+        g["revenue"] = money_from_scaled4_series(g["rev_s"])
         g["n_items"] = g["n_items"].astype("int64")
-        return g
+        return g[["cust_nation", "supp_nation", "revenue", "n_items"]]
 
     return bucketed_group_apply(
         parts, ["cust_nation", "supp_nation"], final, n_buckets=8
     )
 
 
-Q7_SQL_TEMPLATE = """
+Q7_SQL_TEMPLATE = f"""
 SELECT cn.n_name AS cust_nation,
        sn.n_name AS supp_nation,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       {sql_money_from_scaled4_sum(sql_rev_scaled4())} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
@@ -1011,8 +1035,8 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation cn ON cn.n_nationkey = c_nationkey
 JOIN nation sn ON sn.n_nationkey = s_nationkey
 WHERE c_nationkey <> s_nationkey
-  AND o_orderdate >= TIMESTAMP '{date_from}'
-  AND o_orderdate <  TIMESTAMP '{date_to}'
+  AND o_orderdate >= TIMESTAMP '{{date_from}}'
+  AND o_orderdate <  TIMESTAMP '{{date_to}}'
 GROUP BY cn.n_name, sn.n_name
 """
 
@@ -1028,26 +1052,30 @@ def revenue_cube(sf_dir: str) -> ray.data.Dataset:
     Output: r_name, n_name, revenue:float64, n_orders:int64.
     """
     leaf = revenue_rollup(sf_dir).to_pandas()
+    # the rollup's revenue doubles are exact cents/100.0, so cents round-trip
+    # losslessly; all cube grains then aggregate in exact integer cents
+    leaf = leaf.assign(rev_c=cents_i64(leaf["revenue"]))
     fine = leaf[(leaf["r_name"] != "ALL") & (leaf["n_name"] != "ALL")]
     by_nation = (
         fine.groupby("n_name", sort=True, as_index=False)
-        .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+        .agg(rev_c=("rev_c", "sum"), n_orders=("n_orders", "sum"))
         .assign(r_name="ALL")
-    )[["r_name", "n_name", "revenue", "n_orders"]]
-    out = pd.concat([leaf, by_nation], ignore_index=True)
-    # cents-rounding of each grain from already-rounded leaves can drift a
-    # cent vs the oracle's raw-sum rounding only if a leaf's raw sum sat at a
-    # half-cent; leaves are rounded the same way on both sides, and coarser
-    # grains are sums of EXACT cents -> re-round is a no-op kept for form
-    out["revenue"] = out["revenue"].map(lambda v: round(float(v), 2))
+    )[["r_name", "n_name", "rev_c", "n_orders"]]
+    out = pd.concat(
+        [leaf[["r_name", "n_name", "rev_c", "n_orders"]], by_nation],
+        ignore_index=True,
+    )
+    out["revenue"] = out["rev_c"].to_numpy(dtype="int64") / 100.0
     out["n_orders"] = out["n_orders"].astype("int64")
-    return ray.data.from_pandas(out.reset_index(drop=True))
+    return ray.data.from_pandas(
+        out[["r_name", "n_name", "revenue", "n_orders"]].reset_index(drop=True)
+    )
 
 
-REVENUE_CUBE_SQL = """
+REVENUE_CUBE_SQL = f"""
 WITH leaf AS (
   SELECT r.r_name AS r_name, n.n_name AS n_name,
-         ROUND(SUM(o.o_totalprice), 2) AS revenue,
+         SUM({sql_cents('o.o_totalprice')}) AS rev_c,
          CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1055,15 +1083,19 @@ WITH leaf AS (
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY r.r_name, n.n_name
 )
-SELECT r_name, n_name, revenue, n_orders FROM leaf
+SELECT r_name, n_name, CAST(rev_c AS DOUBLE) / 100.0 AS revenue, n_orders
+FROM leaf
 UNION ALL
-SELECT r_name, 'ALL', ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+SELECT r_name, 'ALL', CAST(SUM(rev_c) AS DOUBLE) / 100.0,
+       CAST(SUM(n_orders) AS BIGINT)
 FROM leaf GROUP BY r_name
 UNION ALL
-SELECT 'ALL', n_name, ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+SELECT 'ALL', n_name, CAST(SUM(rev_c) AS DOUBLE) / 100.0,
+       CAST(SUM(n_orders) AS BIGINT)
 FROM leaf GROUP BY n_name
 UNION ALL
-SELECT 'ALL', 'ALL', ROUND(SUM(revenue), 2), CAST(SUM(n_orders) AS BIGINT)
+SELECT 'ALL', 'ALL', CAST(SUM(rev_c) AS DOUBLE) / 100.0,
+       CAST(SUM(n_orders) AS BIGINT)
 FROM leaf
 """
 
@@ -1097,11 +1129,8 @@ def q6_forecast_revenue(
             & (batch["l_quantity"] < max_qty)
         )
         b = batch[keep]
-        rev = (
-            b["l_extendedprice"].to_numpy(dtype="float64")
-            * b["l_discount"].to_numpy(dtype="float64")
-        )
-        return pd.DataFrame({"rev": [float(rev.sum())], "n": [len(b)]})
+        rev_s = mul_scaled4(b["l_extendedprice"], b["l_discount"])
+        return pd.DataFrame({"rev_s": [int(rev_s.sum())], "n": [len(b)]})
 
     parts = ds.map_batches(
         partial, batch_format="pandas", batch_size=65536
@@ -1109,21 +1138,21 @@ def q6_forecast_revenue(
     return ray.data.from_pandas(
         pd.DataFrame(
             {
-                "revenue": [round(float(parts["rev"].sum()), 2)],
+                "revenue": [money_from_scaled4(parts["rev_s"].sum())],
                 "n_items": pd.array([int(parts["n"].sum())], dtype="int64"),
             }
         )
     )
 
 
-Q6_SQL_TEMPLATE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+Q6_SQL_TEMPLATE = f"""
+SELECT {sql_money_from_scaled4_sum(sql_mul_scaled4('l_extendedprice', 'l_discount'))} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '{date_from}'
-  AND l_shipdate <  TIMESTAMP '{date_to}'
-  AND l_discount BETWEEN {disc_lo} AND {disc_hi}
-  AND l_quantity < {max_qty}
+WHERE l_shipdate >= TIMESTAMP '{{date_from}}'
+  AND l_shipdate <  TIMESTAMP '{{date_to}}'
+  AND l_discount BETWEEN {{disc_lo}} AND {{disc_hi}}
+  AND l_quantity < {{max_qty}}
 """
 
 
@@ -1203,17 +1232,15 @@ def part_pareto(sf_dir: str, k_top: int = 100, n_buckets: int = 64) -> ray.data.
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rev = batch["l_extendedprice"].to_numpy(dtype="float64") * (
-            1.0 - batch["l_discount"].to_numpy(dtype="float64")
-        )
-        s = pd.DataFrame({"l_partkey": batch["l_partkey"], "rev": rev}).groupby(
-            "l_partkey", sort=False
-        )["rev"].sum()
+        rev_s = rev_scaled4(batch["l_extendedprice"], batch["l_discount"])
+        s = pd.DataFrame(
+            {"l_partkey": batch["l_partkey"], "rev_s": rev_s}
+        ).groupby("l_partkey", sort=False)["rev_s"].sum()
         return pd.DataFrame({"l_partkey": s.index, "r_part": s.to_numpy()})
 
     def reduce_rev(bucket: pd.DataFrame) -> pd.DataFrame:
         s = bucket.groupby("l_partkey", sort=False)["r_part"].sum()
-        return pd.DataFrame({"l_partkey": s.index, "revenue": s.to_numpy()})
+        return pd.DataFrame({"l_partkey": s.index, "rev_s": s.to_numpy()})
 
     per_part = bucketed_group_apply(
         li.map_batches(partial, batch_format="pandas", batch_size=65536),
@@ -1222,37 +1249,41 @@ def part_pareto(sf_dir: str, k_top: int = 100, n_buckets: int = 64) -> ray.data.
         n_buckets=n_buckets,
     ).to_pandas()  # dimension-bounded: one row per part
 
-    total = float(per_part["revenue"].sum())
+    # rank + cumsum run on EXACT scaled ints; the three floats (revenue,
+    # cum_share, the division) are each produced once from exact ints, so
+    # both sides see bit-identical doubles whatever the summation order was
+    total = int(per_part["rev_s"].sum())
     d = per_part.sort_values(
-        ["revenue", "l_partkey"], ascending=[False, True], kind="mergesort"
+        ["rev_s", "l_partkey"], ascending=[False, True], kind="mergesort"
     ).head(k_top)
+    cum = d["rev_s"].to_numpy(dtype="int64").cumsum()
     d = d.assign(
         rank=pd.array(range(1, len(d) + 1), dtype="int64"),
-        cum_share=(d["revenue"].cumsum() / total).round(6),
+        revenue=money_from_scaled4_series(d["rev_s"]),
+        cum_share=np.round(cum / total, 6),
     )
     d["l_partkey"] = d["l_partkey"].astype("int64")
-    d["revenue"] = d["revenue"].map(lambda v: round(float(v), 2))
     return ray.data.from_pandas(
         d[["rank", "l_partkey", "revenue", "cum_share"]].reset_index(drop=True)
     )
 
 
-PART_PARETO_SQL_TEMPLATE = """
+PART_PARETO_SQL_TEMPLATE = f"""
 WITH p AS (
-  SELECT l_partkey, SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
+  SELECT l_partkey, SUM({sql_rev_scaled4()}) AS rev_s
   FROM lineitem GROUP BY l_partkey
 ),
-t AS (SELECT SUM(revenue) AS total FROM p),
+t AS (SELECT SUM(rev_s) AS total FROM p),
 r AS (
-  SELECT l_partkey, revenue,
-         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey) AS rank,
-         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                            ROWS UNBOUNDED PRECEDING) AS cum
+  SELECT l_partkey, rev_s,
+         ROW_NUMBER() OVER (ORDER BY rev_s DESC, l_partkey) AS rank,
+         SUM(rev_s) OVER (ORDER BY rev_s DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
   FROM p
 )
 SELECT CAST(rank AS BIGINT) AS rank,
        CAST(l_partkey AS BIGINT) AS l_partkey,
-       ROUND(revenue, 2) AS revenue,
-       ROUND(cum / t.total, 6) AS cum_share
-FROM r, t WHERE rank <= {k_top}
+       CAST((rev_s + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_share
+FROM r, t WHERE rank <= {{k_top}}
 """

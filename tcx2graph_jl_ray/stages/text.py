@@ -1602,11 +1602,13 @@ def vocab_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     Scale shape: occurrences reduce with a per-batch (source, word)-level
     partial BEFORE any shuffle, so the exchange carries per-batch vocabulary
-    rows, not the word stream; global distinctness is one bucketed
-    (source, word) dedup; both reduced tables collapse to one row per
-    source. Output: source, n_distinct_words, n_words.
+    rows, not the word stream; global distinctness is one SALTED
+    (source, word) reduce — a stopword whale ("the" in one source, with one
+    partial row per input batch) splits across salt tasks; both reduced
+    tables collapse to one row per source via a second salted reduce.
+    Output: source, n_distinct_words, n_words.
     """
-    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
 
     def explode_partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = _nonnull_text(batch)
@@ -1624,7 +1626,9 @@ def vocab_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
         g = bucket.groupby(["source", "w"], sort=False)["n"].sum().reset_index()
         return g
 
-    per_word = bucketed_group_apply(pairs, ["source", "w"], merge_pairs)
+    per_word = salted_group_apply(
+        pairs, ["source", "w"], partial_fn=merge_pairs, merge_fn=merge_pairs
+    )
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("source", sort=False).agg(
@@ -1641,10 +1645,11 @@ def vocab_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
         g["n_words"] = g["n_words"].astype("int64")
         return g
 
-    return bucketed_group_apply(
+    return salted_group_apply(
         per_word.map_batches(partial_counts, batch_format="pandas"),
         ["source"],
-        merge_counts,
+        partial_fn=merge_counts,
+        merge_fn=merge_counts,
     )
 
 

@@ -75,35 +75,46 @@ FROM s GROUP BY user_id, session_idx
 def tumbling_counts(events: ray.data.Dataset) -> ray.data.Dataset:
     """Hourly tumbling-window aggregate per event_type — combiner pattern:
     per-batch partial (type, hour) sums, then one small groupby.
-    Output: event_type, window_start, n, sum_value (rounded to cents)."""
+    Value sums run in exact integer cents (events.value is 2-dp —
+    ``functions/money.py`` discipline), so summation order can't move a
+    cent. A hot window (one (type, hour) with most of the traffic) is
+    whale-split by the salted two-level reduce.
+    Output: event_type, window_start, n, sum_value (exact cents)."""
+    from tcx2graph_jl_ray.functions.money import cents_i64
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         w = batch["ts"].dt.floor("h")
         g = pd.DataFrame(
             {"event_type": batch["event_type"], "window_start": w,
-             "value": batch["value"]}
+             "value_c": cents_i64(batch["value"])}
         ).groupby(["event_type", "window_start"], sort=False)
-        agg = g.agg(n=("value", "size"), sum_value=("value", "sum"))
+        agg = g.agg(n=("value_c", "size"), value_c=("value_c", "sum"))
         return agg.reset_index()
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+    def re_sum(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["event_type", "window_start"], sort=False).agg(
-            n=("n", "sum"), sum_value=("sum_value", "sum")
+            n=("n", "sum"), value_c=("value_c", "sum")
         ).reset_index()
         g["n"] = g["n"].astype("int64")
-        g["sum_value"] = g["sum_value"].round(2)
         return g
 
-    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = re_sum(bucket)
+        g["sum_value"] = g["value_c"].to_numpy(dtype="int64") / 100.0
+        return g.drop(columns=["value_c"])
+
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
 
     # (type, hour) cardinality grows with the corpus timespan — bucketed
-    # merge, not one Ray group per window
-    return bucketed_group_apply(
+    # merge, not one Ray group per window; salted so a single hot window
+    # never lands whole in one task
+    return salted_group_apply(
         events.select_columns(["event_type", "ts", "value"]).map_batches(
             partial, batch_format="pandas", batch_size=16384
         ),
         ["event_type", "window_start"],
-        merge,
+        partial_fn=re_sum,
+        merge_fn=merge,
     )
 
 
@@ -111,7 +122,8 @@ TUMBLING_SQL = """
 SELECT event_type,
        date_trunc('hour', ts) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -120,16 +132,19 @@ def sliding_counts(events: ray.data.Dataset, width_hours: int = 2) -> ray.data.D
     """Sliding window aggregate: per event_type, a window starting at every
     hour covering the next ``width_hours`` hours. Composed from the tumbling
     partials (each hourly bucket feeds ``width_hours`` overlapping windows —
-    a flat_map of partials, then the same bucketed merge; no event is read
-    twice). Output: event_type, window_start, n, sum_value."""
-    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    a flat_map of partials, then the same salted merge; no event is read
+    twice). Value sums in exact integer cents (``functions/money.py``).
+    Output: event_type, window_start, n, sum_value."""
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         hour = batch["ts"].dt.floor("h")
         g = pd.DataFrame(
-            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+            {"event_type": batch["event_type"], "hour": hour,
+             "value_c": cents_i64(batch["value"])}
         ).groupby(["event_type", "hour"], sort=False)
-        agg = g.agg(n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        agg = g.agg(n=("value_c", "size"), value_c=("value_c", "sum")).reset_index()
         # fan each hourly partial out to every sliding window containing it
         reps = []
         for k in range(width_hours):
@@ -138,35 +153,43 @@ def sliding_counts(events: ray.data.Dataset, width_hours: int = 2) -> ray.data.D
             reps.append(r.drop(columns=["hour"]))
         return pd.concat(reps, ignore_index=True)
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+    def re_sum(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["event_type", "window_start"], sort=False).agg(
-            n=("n", "sum"), sum_value=("sum_value", "sum")
+            n=("n", "sum"), value_c=("value_c", "sum")
         ).reset_index()
         g["n"] = g["n"].astype("int64")
-        g["sum_value"] = g["sum_value"].map(lambda v: round(float(v), 2))
         return g
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = re_sum(bucket)
+        g["sum_value"] = g["value_c"].to_numpy(dtype="int64") / 100.0
+        return g.drop(columns=["value_c"])
 
     partials = events.select_columns(["event_type", "ts", "value"]).map_batches(
         partial, batch_format="pandas", batch_size=16384
     )
-    return bucketed_group_apply(partials, ["event_type", "window_start"], merge)
+    return salted_group_apply(
+        partials, ["event_type", "window_start"],
+        partial_fn=re_sum, merge_fn=merge,
+    )
 
 
 SLIDING_SQL_TEMPLATE = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         COUNT(*) AS n, SUM(value) AS sv
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv_c
   FROM events GROUP BY 1, 2
 ),
 fanned AS (
   SELECT event_type,
          hour - INTERVAL (k) HOUR AS window_start,
-         n, sv
+         n, sv_c
   FROM hourly, (SELECT UNNEST(range({width_hours})) AS k)
 )
 SELECT event_type, window_start,
        CAST(SUM(n) AS BIGINT) AS n,
-       ROUND(SUM(sv), 2) AS sum_value
+       CAST(SUM(sv_c) AS DOUBLE) / 100.0 AS sum_value
 FROM fanned GROUP BY event_type, window_start
 """
 
@@ -174,9 +197,11 @@ FROM fanned GROUP BY event_type, window_start
 def top_event_per_user(events: ray.data.Dataset) -> ray.data.Dataset:
     """Per-group argmax (grouped top-1): each user's highest-value event,
     ties broken by lower event_id — the grouped top-k window pattern.
-    Combiner-style: per-batch argmax partials, bucketed final argmax.
+    Combiner-style: per-batch argmax partials, salted two-level final argmax
+    (argmax is associative with the total (value desc, event_id) order, so a
+    whale user's partial rows split safely across salt tasks).
     Output: user_id, event_id, event_type, value."""
-    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
 
     def argmax(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["value", "event_id"], ascending=[False, True],
@@ -196,7 +221,9 @@ def top_event_per_user(events: ray.data.Dataset) -> ray.data.Dataset:
     partials = events.select_columns(
         ["user_id", "event_id", "event_type", "value"]
     ).map_batches(partial, batch_format="pandas", batch_size=65536)
-    return bucketed_group_apply(partials, ["user_id"], merge)
+    return salted_group_apply(
+        partials, ["user_id"], partial_fn=argmax, merge_fn=merge
+    )
 
 
 TOP_EVENT_SQL = """

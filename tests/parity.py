@@ -1,8 +1,10 @@
 """Driver-mimicking parity check: Ray pipeline result vs DuckDB oracle SQL.
 
 The driver sorts columns by name, then compares row count + schema + an
-order-insensitive value hash. We go stricter: exact value equality after a
-canonical row sort, so a local pass implies a driver pass.
+order-insensitive value hash. We go stricter: BIT-EXACT value equality
+(``check_exact=True`` — never a relative tolerance, which would hide the
+cent-boundary float divergence that failed ``rel_part_pareto`` in round 3)
+after a canonical row sort, so a local pass implies a driver pass.
 """
 
 from __future__ import annotations
@@ -37,4 +39,6 @@ def assert_parity(ray_result, sql: str, duck, check_dtype: bool = False):
         f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=check_dtype)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=check_dtype, check_exact=True
+    )
