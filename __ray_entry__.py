@@ -53,11 +53,13 @@ _BURST_Z = 2.0
 _COPURCHASE_MIN = 2
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
-# check for these. Currently empty: every query has a DuckDB oracle —
-# including the minhash clustering, whose iterative min-label connected
-# components are reproduced in SQL as a recursive reachability CTE
-# (dedup.minhash_clusters_sql) over the oracle-exact verified pairs.
-ROWS_ONLY_QUERIES = frozenset()
+# check for these. Exactly one: the HyperLogLog approximate vocabulary —
+# the repo's declared-approximate operator (±1.04/sqrt(2^p) bound, asserted
+# vs the exact vocab in tests/test_salted_sites.py). Everything else has a
+# DuckDB oracle — including the minhash clustering, whose iterative
+# min-label connected components are reproduced in SQL as a recursive
+# reachability CTE (dedup.minhash_clusters_sql) over the verified pairs.
+ROWS_ONLY_QUERIES = frozenset({"text_vocab_approx"})
 
 
 def _docs(sf_dir: str):
@@ -381,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_scrubbed": lambda sf: _tx.scrub_denylist(_docs(sf)),
         "text_pii_scrub": lambda sf: _tx.pii_scrub(_docs(sf)),
         "text_vocab_size": lambda sf: _tx.vocab_by_source(_docs(sf)),
+        "text_vocab_approx": lambda sf: _tx.vocab_approx_by_source(_docs(sf)),
         "text_heavy_hitters": lambda sf: _tx.heavy_hitter_words(_docs(sf)),
         "text_bm25_topk": lambda sf: _tx.bm25_topk(_docs(sf)),
         "text_repetition": lambda sf: _tx.repetition_stats(_docs(sf)),

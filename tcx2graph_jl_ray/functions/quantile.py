@@ -110,45 +110,68 @@ def _hist_counts(
     return counts, vmins, vmaxs
 
 
-def _select_rank(
+def _select_ranks(
     ds: ray.data.Dataset,
     col: str,
-    k: int,
+    ks: list[int],
     lo: float,
     hi: float,
     n_lt_lo: int,
     n_inrange: int,
     collect_budget: int,
     n_bins: int,
-    _cache: dict,
-) -> float:
-    """Exact k-th (0-indexed) smallest value of ``col``; [lo, hi] is known to
-    contain it with ``n_lt_lo`` values strictly below lo and ``n_inrange``
-    values inside. ``_cache`` memoizes collected chunks across ranks."""
-    for _ in range(64):
+) -> dict[int, float]:
+    """Exact k-th (0-indexed) smallest values of ``col`` for EVERY rank in
+    ``ks``; [lo, hi] is known to contain them with ``n_lt_lo`` values
+    strictly below lo and ``n_inrange`` inside. Each histogram/collect scan
+    is SHARED by every rank whose active interval coincides (median + p95
+    start in the same interval, so round 1 is always one scan, diverging
+    per-rank only when their target bins split — the ADVICE-round fix for
+    the one-descent-per-rank rescan)."""
+    out: dict[int, float] = {}
+    # work item: (lo, hi, n_below_lo, n_inrange, ranks sharing the interval)
+    work = [(lo, hi, n_lt_lo, n_inrange, sorted(ks))]
+    scans = 0
+    while work:
+        lo, hi, below, inr, group = work.pop()
         if lo == hi:
             # every remaining value equals lo — never collect (the duplicate
             # mass can exceed any budget)
-            return lo
-        if n_inrange <= collect_budget:
-            key = (lo, hi)
-            if key not in _cache:
-                arr = np.sort(_inrange_collect(ds, col, lo, hi))
-                _cache[key] = (arr, n_lt_lo)
-            arr, below = _cache[key]
-            return float(arr[k - below])
+            for k in group:
+                out[k] = lo
+            continue
+        if inr <= collect_budget:
+            arr = np.sort(_inrange_collect(ds, col, lo, hi))
+            for k in group:
+                out[k] = float(arr[k - below])
+            continue
         edges = np.linspace(lo, hi, n_bins + 1)
         if edges[0] == edges[1]:  # interval no longer splits in float64
-            return lo
+            for k in group:
+                out[k] = lo
+            continue
+        scans += 1
+        if scans > 64 * len(ks):
+            raise RuntimeError("quantile refinement did not converge")
         counts, vmins, vmaxs = _hist_counts(ds, col, edges)
         cum = np.cumsum(counts)
-        j = int(np.searchsorted(cum, k - n_lt_lo, side="right"))
-        n_lt_lo += int(cum[j - 1]) if j > 0 else 0
-        n_inrange = int(counts[j])
-        # snap to the actual data range inside the chosen bin: geometric
-        # shrink at worst, immediate termination when the bin is one value
-        lo, hi = float(vmins[j]), float(vmaxs[j])
-    raise RuntimeError("quantile refinement did not converge")
+        by_bin: dict[int, list[int]] = {}
+        for k in group:
+            j = int(np.searchsorted(cum, k - below, side="right"))
+            by_bin.setdefault(j, []).append(k)
+        for j, ks_j in by_bin.items():
+            # snap to the actual data range inside the chosen bin: geometric
+            # shrink at worst, immediate termination when the bin is one value
+            work.append(
+                (
+                    float(vmins[j]),
+                    float(vmaxs[j]),
+                    below + (int(cum[j - 1]) if j > 0 else 0),
+                    int(counts[j]),
+                    ks_j,
+                )
+            )
+    return out
 
 
 def exact_global_quantiles(
@@ -179,12 +202,9 @@ def exact_global_quantiles(
         needed.add(int(math.floor(p)))
         needed.add(min(int(math.floor(p)) + 1, n - 1))
 
-    cache: dict = {}
-    at_rank: dict[int, float] = {}
-    for k in sorted(needed):
-        at_rank[k] = _select_rank(
-            ds, col, k, vmin, vmax, 0, n, collect_budget, n_bins, cache
-        )
+    at_rank = _select_ranks(
+        ds, col, sorted(needed), vmin, vmax, 0, n, collect_budget, n_bins
+    )
 
     out = {}
     for q in qs:

@@ -107,6 +107,7 @@ def run_kg_pipeline(
     )
     t_dir = os.path.join(out_dir, "transcripts")
     f_t = None
+    _sink_pool = None
     if stage_via == "parquet":
         m_t = resumable_write(transcripts, t_dir, "conv_id", n_parts, fp, lineage)
         staged = read_transcripts(t_dir)
@@ -119,6 +120,31 @@ def run_kg_pipeline(
             resumable_write, staged, t_dir, "conv_id", n_parts, fp, lineage
         )
 
+    try:
+        return _run_kg_body(
+            staged, out_dir, sf_dir, config, n_parts, lineage, fp,
+            m_t_future=f_t, m_t=None if f_t is not None else m_t,
+        )
+    finally:
+        # an exception mid-pipeline must still join the background
+        # transcripts sink and release its thread (otherwise a non-daemon
+        # writer delays process exit and its write result goes unchecked;
+        # on the success path the body already consumed f_t.result())
+        if _sink_pool is not None:
+            _sink_pool.shutdown(wait=True)
+
+
+def _run_kg_body(
+    staged: ray.data.Dataset,
+    out_dir: str,
+    sf_dir: str | None,
+    config: PipelineConfig,
+    n_parts: int,
+    lineage: dict,
+    fp: str,
+    m_t_future=None,
+    m_t: dict | None = None,
+) -> dict:
     nodes = build_nodes(staged)
     edges = build_next_turn_edges(staged)
     from tcx2graph_jl_ray.stages.extract import pool_bounds
@@ -157,17 +183,37 @@ def run_kg_pipeline(
         if sf_dir is not None:
             entities = link_entities(entities, load_kb(sf_dir))
 
+        m_nodes = m_edges = None
+        if isinstance(cmap, ray.data.Dataset):
+            # web-scale branch: the rewrite is a distributed hash JOIN whose
+            # shuffle actors reserve CPUs up front — at low CPU counts that
+            # reservation deadlocks against the still-executing sink
+            # datasets, so drain the sinks first (sequencing only this
+            # branch keeps the measured overlap win on the broadcast path)
+            m_nodes, m_edges = f_nodes.result(), f_edges.result()
+
         triples_c = rewrite_triples(f_triples_raw.result(), cmap)
         m_triples = resumable_write(
             triples_c, os.path.join(out_dir, "triples"),
             "conv_id", n_parts, fp, lineage,
         )
-        m_nodes, m_edges = f_nodes.result(), f_edges.result()
-    if f_t is not None:
-        m_t = f_t.result()
-        _sink_pool.shutdown()
-    entities_path = os.path.join(out_dir, "entities.parquet")
-    entities.to_parquet(entities_path, index=False)  # small canonical table
+        if m_nodes is None:
+            m_nodes, m_edges = f_nodes.result(), f_edges.result()
+    if m_t_future is not None:
+        m_t = m_t_future.result()
+    if isinstance(entities, ray.data.Dataset):
+        # web-scale branch (surfaces > broadcast_map_budget): the entity
+        # table never touched the driver — partitioned resumable sink,
+        # same lineage discipline as the fact tables
+        m_ent = resumable_write(
+            entities, os.path.join(out_dir, "entities"),
+            "entity_id", n_parts, fp, lineage,
+        )
+        n_entities = int(m_ent["total_rows"])
+    else:
+        entities_path = os.path.join(out_dir, "entities.parquet")
+        entities.to_parquet(entities_path, index=False)  # vocabulary-bounded
+        n_entities = int(len(entities))
 
     write_inspection_summary(out_dir)  # human-openable run summary (S7 sink)
 
@@ -177,7 +223,7 @@ def run_kg_pipeline(
         "nodes": m_nodes["total_rows"],
         "edges": m_edges["total_rows"],
         "triples": m_triples["total_rows"],
-        "entities": int(len(entities)),
+        "entities": n_entities,
         "out_dir": out_dir,
     }
 

@@ -412,7 +412,19 @@ def khop_paths(
         deg = bucket.groupby("src", sort=False)["dst"].transform("size")
         return bucket[deg <= max_out_degree]
 
+    n_edges_raw = edges.count()
     edges = bucketed_group_apply(edges, ["src"], drop_hubs).materialize()
+    n_dropped = n_edges_raw - edges.count()
+    if n_dropped:
+        # the hub guard is a deterministic RECALL trade the SQL oracle does
+        # not model — make a fired guard observable instead of silent
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "khop_paths: drop_hubs removed %d of %d edges "
+            "(max_out_degree=%d); results diverge from the unguarded oracle",
+            n_dropped, n_edges_raw, max_out_degree,
+        )
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -494,7 +506,8 @@ def khop_paths(
             .repartition(config.join_num_partitions)
             .materialize()
         )
-        if frontier.count() > cap_trigger_rows:
+        n_frontier = frontier.count()
+        if n_frontier > cap_trigger_rows:
             def cap_src(bucket: pd.DataFrame) -> pd.DataFrame:
                 return (
                     bucket.sort_values("path", kind="mergesort")
@@ -509,6 +522,18 @@ def khop_paths(
                 .repartition(config.join_num_partitions)
                 .materialize()
             )
+            n_capped = n_frontier - frontier.count()
+            if n_capped:
+                # same observability rule as drop_hubs: a fired recall
+                # guard must not be silent
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "khop_paths: per-source cap dropped %d of %d hop-%d "
+                    "paths (per_src_budget=%d); results diverge from the "
+                    "unguarded oracle",
+                    n_capped, n_frontier, hop, per_src_budget,
+                )
         levels.append(frontier)
 
     allp = levels[0]
@@ -837,8 +862,13 @@ def sample_turns_by_hash(transcripts: ray.data.Dataset, hex_max: str = "19") -> 
     from tcx2graph_jl_ray.functions.digest import md5_hex
 
     # hex-string compare on 2 lowercase hex chars == numeric compare on the
-    # first digest byte (both orderings are monotone)
-    hex_cut = hex_max.lower()
+    # first digest byte (both orderings are monotone) — but ONLY when the
+    # cutoff is exactly 2 chars, so normalize: a 1-char "9" would otherwise
+    # silently compare lexically ("10" <= "9") instead of numerically
+    cut_val = int(hex_max, 16)
+    if not 0 <= cut_val <= 0xFF:
+        raise ValueError(f"hex_max must be one byte (00..ff), got {hex_max!r}")
+    hex_cut = format(cut_val, "02x")
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch["conv_id"] + ":" + batch["turn_idx"].astype(str)

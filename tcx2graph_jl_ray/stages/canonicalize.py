@@ -489,10 +489,16 @@ def canonicalize(
         pairs = candidate_pairs(surfaces, config, distinct=False)
         verified = verify_pairs(pairs, config, dedup=True)
         if n_nodes > config.broadcast_map_budget:
+            # web-scale branch: BOTH outputs stay Datasets — the entity
+            # table flows to a partitioned resumable sink downstream
+            # (pipelines/kg.py) and the canonical map applies via a
+            # distributed hash join; the driver holds neither
             labels_ds = connected_components(
                 surfaces, verified, config, as_dataset=True
             ).materialize()
-            entities = _entities_distributed(surfaces, labels_ds, config)
+            entities = _entities_distributed(
+                surfaces, labels_ds, config, as_dataset=True
+            )
             canonical_map = labels_ds.map_batches(
                 lambda b: b.rename(columns={"node": "norm", "label": "entity_id"}),
                 batch_format="pandas",
@@ -526,22 +532,30 @@ def _entities_distributed(
     surfaces: ray.data.Dataset,
     labels_ds: ray.data.Dataset,
     config: PipelineConfig,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | ray.data.Dataset:
     """Entity aggregation without a driver-side surface table: surfaces
     ⟕ labels via the native hash join on norm, then a bucketed per-entity
-    aggregate. Only the final entity vocabulary (orders of magnitude smaller
-    than the surface table) is collected."""
+    aggregate. With ``as_dataset`` the aggregate STAYS a Dataset (the
+    web-scale form: the entity table flows straight to a partitioned
+    resumable sink, never touching the driver); otherwise only the final
+    entity vocabulary (orders of magnitude smaller than the surface table)
+    is collected."""
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    from tcx2graph_jl_ray.functions.join import hash_join
 
     lab = labels_ds.map_batches(
         lambda b: b.rename(columns={"node": "norm", "label": "__label"}),
         batch_format="pandas",
     )
-    joined = surfaces.join(
-        lab,
-        join_type="left_outer",
-        num_partitions=config.join_num_partitions,
-        on=("norm",),
+    # the repo's co-partitioned bucketed hash_join, not Ray's native join:
+    # the native join's shuffle-aggregator ACTORS reserve CPUs up front and
+    # deadlock against concurrently executing datasets at low CPU counts
+    # (observed in run_kg_pipeline); the bucketed join is plain tasks
+    joined = hash_join(
+        surfaces, lab, on="norm", how="left",
+        n_buckets=config.join_num_partitions,
     )
 
     def agg(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -558,12 +572,15 @@ def _entities_distributed(
         lambda b: b.assign(__label=b["__label"].fillna(b["norm"])),
         batch_format="pandas",
     )
-    entities = (
-        bucketed_group_apply(filled, ["__label"], agg)
-        .to_pandas()
-        .sort_values("entity_id")
-        .reset_index(drop=True)
-    )
+    agged = bucketed_group_apply(filled, ["__label"], agg)
+    if as_dataset:
+        def cast(b: pd.DataFrame) -> pd.DataFrame:
+            for c in ("n_surfaces", "n_turns", "n_mentions"):
+                b[c] = b[c].astype("int64")
+            return b[["entity_id", "n_surfaces", "n_turns", "n_mentions"]]
+
+        return agged.map_batches(cast, batch_format="pandas")
+    entities = agged.to_pandas().sort_values("entity_id").reset_index(drop=True)
     for c in ("n_surfaces", "n_turns", "n_mentions"):
         entities[c] = entities[c].astype("int64")
     return entities[["entity_id", "n_surfaces", "n_turns", "n_mentions"]]
@@ -601,7 +618,11 @@ def apply_map_join(
     """Rewrite each surface column in ``cols`` to its canonical entity id via
     a distributed hash join on the normalized surface — the large-map path
     (one shuffle per rewritten column, no driver dict, no broadcast). Unmatched
-    surfaces keep their original value."""
+    surfaces keep their original value. Joins run through the repo's
+    co-partitioned bucketed ``hash_join`` (plain tasks) rather than Ray's
+    native join, whose up-front actor reservation deadlocks against
+    concurrently executing datasets at low CPU counts."""
+    from tcx2graph_jl_ray.functions.join import hash_join
     from tcx2graph_jl_ray.stages.extract import _norm_series
 
     lab = canonical_map.map_batches(
@@ -609,23 +630,30 @@ def apply_map_join(
             {"__join_norm": b["norm"], "__label": b["entity_id"]}
         ),
         batch_format="pandas",
-    )
+    ).materialize()  # tiny vs the fact stream; reused once per rewritten col
     for col in cols:
         keyed = ds.map_batches(
             lambda b, c=col: b.assign(__join_norm=_norm_series(b[c])),
             batch_format="pandas",
         )
-        joined = keyed.join(
-            lab,
-            join_type="left_outer",
-            num_partitions=config.join_num_partitions,
-            on=("__join_norm",),
+        joined = hash_join(
+            keyed, lab, on="__join_norm", how="left",
+            n_buckets=config.join_num_partitions,
         )
 
         def resolve(b: pd.DataFrame, c=col) -> pd.DataFrame:
             b = b.copy()
             b[c] = b["__label"].fillna(b[c]).astype("object")
-            return b.drop(columns=["__join_norm", "__label"])
+            b = b.drop(columns=["__join_norm", "__label"])
+            # the join's union-schema conformance widens ints to pandas
+            # nullable dtypes; a LEFT join emits only left rows, so those
+            # columns are null-free — restore plain numpy ints for clean
+            # Arrow schemas at the sinks
+            for cc in b.columns:
+                dt = b[cc].dtype
+                if isinstance(dt, pd.Int64Dtype | pd.Int32Dtype):
+                    b[cc] = b[cc].astype(str(dt).lower())
+            return b
 
         ds = joined.map_batches(resolve, batch_format="pandas")
     return ds

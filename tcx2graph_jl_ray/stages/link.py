@@ -35,17 +35,30 @@ def load_kb(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def link_entities(entities: pd.DataFrame, kb: pd.DataFrame) -> pd.DataFrame:
+def link_entities(entities, kb: pd.DataFrame):
     """entities (entity_id = canonical surface) -> + kb_nationkey, kb_region.
 
     The canonical id is already a normalized surface; unlinked entities keep
     null KB columns (the reference's get_or_missing semantics,
     src/TCXParser.jl:117-119).
+
+    Accepts a pandas DataFrame (vocabulary-bounded path) or a
+    ``ray.data.Dataset`` (web-scale path above ``broadcast_map_budget``):
+    the KB is dimension-bounded, so the Dataset form applies the same merge
+    per batch with the KB shipped once in the task closure — a broadcast
+    join, never a shuffle.
     """
-    out = entities.merge(kb, left_on="entity_id", right_on="kb_norm", how="left")
-    out = out.drop(columns=["kb_norm"])
-    out["kb_nationkey"] = out["kb_nationkey"].astype("Int32")
-    return out
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(kb, left_on="entity_id", right_on="kb_norm", how="left")
+        out = out.drop(columns=["kb_norm"])
+        out["kb_nationkey"] = out["kb_nationkey"].astype("Int32")
+        return out
+
+    import ray.data
+
+    if isinstance(entities, ray.data.Dataset):
+        return entities.map_batches(_merge, batch_format="pandas")
+    return _merge(entities)
 
 
 class CachedEnricher:

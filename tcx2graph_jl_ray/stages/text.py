@@ -1666,6 +1666,87 @@ FROM w GROUP BY source
 """
 
 
+def vocab_approx_by_source(
+    docs: ray.data.Dataset, p: int = 14
+) -> ray.data.Dataset:
+    """Approximate per-source vocabulary via HyperLogLog — the web-scale
+    regime of ``vocab_by_source``: at 10^12 documents the exact
+    (source, word) distinct pass shuffles the whole vocabulary, while this
+    ships one 2^p-byte register array per (source, batch) regardless of how
+    many words a batch holds. The repo's ONE deliberately approximate
+    operator family (``functions/hll.py``): standard ±1.04/sqrt(2^p) relative
+    error (~0.8% at p=14), asserted against the exact operator in
+    tests/test_salted_sites.py; rows-only in the driver (no value-hash
+    oracle — declared in ``__ray_entry__.ROWS_ONLY_QUERIES``).
+
+    Register merge is elementwise max (associative/commutative), so the
+    per-source reduce salts safely: a whale source's partials split across
+    salt tasks. Output: source, n_distinct_words_approx:int64,
+    n_words:int64, rel_err_bound:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+    from tcx2graph_jl_ray.functions.hll import estimate, register_partial
+
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        words = batch["text"].str.lower().str.split(" ")
+        df = pd.DataFrame({"source": batch["source"], "w": words}).explode("w")
+        df = df[df["w"].notna() & (df["w"] != "")]
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            regs = register_partial(g["w"].to_numpy(), p)
+            rows.append(
+                {"source": src, "regs": regs.tobytes(), "n_words": len(g)}
+            )
+        if not rows:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "regs": pd.Series([], dtype="object"),
+                 "n_words": pd.Series([], dtype="int64")}
+            )
+        out = pd.DataFrame(rows)
+        out["n_words"] = out["n_words"].astype("int64")
+        return out
+
+    def re_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in bucket.groupby("source", sort=False):
+            regs = np.zeros(m, dtype=np.uint8)
+            for raw in g["regs"].to_numpy():
+                np.maximum(regs, np.frombuffer(raw, dtype=np.uint8), out=regs)
+            rows.append(
+                {"source": src, "regs": regs.tobytes(),
+                 "n_words": int(g["n_words"].sum())}
+            )
+        out = pd.DataFrame(rows)
+        out["n_words"] = out["n_words"].astype("int64")
+        return out
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = re_merge(bucket)
+        ests = [
+            int(round(estimate(np.frombuffer(raw, dtype=np.uint8))))
+            for raw in g["regs"].to_numpy()
+        ]
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_distinct_words_approx": pd.array(ests, dtype="int64"),
+                "n_words": g["n_words"],
+                "rel_err_bound": 1.04 / np.sqrt(float(m)),
+            }
+        )
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+    return salted_group_apply(
+        parts, ["source"], partial_fn=re_merge, merge_fn=final
+    )
+
+
 # PII regex classes written to the RE2 ∩ Python-re common subset (no
 # lookaround), applied in a FIXED order so engine and oracle rewrite
 # identically even when classes could overlap
@@ -1785,8 +1866,10 @@ def heavy_hitter_words(
             total += int(n)
 
     if total == 0:
-        # an empty Dataset loses its schema at to_pandas; hand back the
-        # typed empty frame directly (a valid driver result shape)
+        # typed empty PANDAS frame, deliberately not a Dataset: Ray drops
+        # empty blocks at to_pandas()/schema(), so a Dataset return would
+        # lose the (w, n) schema the driver contract checks (verified on
+        # both from_pandas and from_arrow empty blocks)
         return pd.DataFrame(
             {"w": pd.Series([], dtype="object"),
              "n": pd.Series([], dtype="int64")}
@@ -1878,18 +1961,36 @@ def bm25_topk(
 
     terms = sorted({t for _, ts in queries for t in ts})
 
-    def tokens_of(batch: pd.DataFrame):
-        return batch["text"].str.lower().str.split(" ").map(
-            lambda ws: [w for w in ws if w]
+    def _tf_matrix(batch: pd.DataFrame):
+        """Vectorized per-batch term-frequency matrix: one token explode +
+        categorical bincount — no per-row Python over token lists.
+        Returns (dl, tf) with dl[i] = non-empty token count of doc i and
+        tf[i, j] = count of terms[j] in doc i."""
+        lists = batch["text"].str.lower().str.split(" ")
+        n = len(batch)
+        if n == 0:
+            return np.zeros(0), np.zeros((0, len(terms)))
+        counts = lists.str.len().to_numpy(dtype="int64")
+        idx = np.repeat(np.arange(n), counts)
+        words = np.concatenate(lists.to_numpy()) if counts.sum() else np.array(
+            [], dtype=object
         )
+        keep = words != ""
+        idx, words = idx[keep], words[keep]
+        dl = np.bincount(idx, minlength=n).astype("float64")
+        codes = pd.Categorical(words, categories=terms).codes
+        hit = codes >= 0
+        tf = np.zeros((n, len(terms)))
+        np.add.at(tf, (idx[hit], codes[hit]), 1.0)
+        return dl, tf
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = _nonnull_text(batch)
-        toks = tokens_of(batch)
-        lens = toks.map(len)
-        rows = {"__n": [len(batch)], "__len": [int(lens.sum())]}
-        for t in terms:
-            rows[f"df_{t}"] = [int(toks.map(lambda ws, t=t: t in ws).sum())]
+        dl, tf = _tf_matrix(batch)
+        rows = {"__n": [len(batch)], "__len": [int(dl.sum())]}
+        df_t = (tf > 0).sum(axis=0)
+        for j, t in enumerate(terms):
+            rows[f"df_{t}"] = [int(df_t[j])]
         return pd.DataFrame(rows)
 
     agg = (
@@ -1900,6 +2001,9 @@ def bm25_topk(
     )
     n_docs = int(agg["__n"])
     if n_docs == 0:
+        # typed empty PANDAS frame, deliberately not a Dataset: Ray drops
+        # empty blocks at to_pandas()/schema(), so a Dataset return would
+        # lose the typed schema the driver contract checks
         return pd.DataFrame(
             {"query_id": pd.Series([], dtype="int64"),
              "doc_id": pd.Series([], dtype="int64"),
@@ -1916,21 +2020,19 @@ def bm25_topk(
     kk, k1f, bf = k, k1, b
     qlist = [(int(qid), tuple(ts)) for qid, ts in queries]
 
+    term_col = {t: j for j, t in enumerate(terms)}
+
     def score_local(batch: pd.DataFrame) -> pd.DataFrame:
         batch = _nonnull_text(batch)
-        toks = tokens_of(batch)
-        dl = toks.map(len).to_numpy(dtype="float64")
+        dl, tf_mat = _tf_matrix(batch)
         ids = batch["doc_id"].astype("int64").to_numpy()
-        tf = {
-            t: toks.map(lambda ws, t=t: ws.count(t)).to_numpy(dtype="float64")
-            for t in terms
-        }
         norm = k1f * (1.0 - bf + bf * dl / avgdl)
         out = []
         for qid, ts in qlist:
             s = np.zeros(len(ids))
             for t in ts:
-                s += idf[t] * tf[t] * (k1f + 1.0) / (tf[t] + norm)
+                tf = tf_mat[:, term_col[t]]
+                s += idf[t] * tf * (k1f + 1.0) / (tf + norm)
             s = np.round(s, 6)
             hit = s > 0
             if not hit.any():

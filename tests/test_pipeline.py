@@ -101,3 +101,45 @@ def test_ordering_invariant_under_shuffled_input(ray_session, tmp_path):
     edges = edges.sort_values(["conv_id", "src_turn"]).reset_index(drop=True)
     assert list(edges[edges.conv_id == "c1"]["src_turn"]) == [0, 1, 2]
     assert list(edges[edges.conv_id == "c2"]["src_turn"]) == [0, 1]
+
+
+def test_kg_pipeline_entity_dataset_sink(ray_session, sf_dir, tmp_path):
+    """Planted small-budget run: with broadcast_map_budget=0 the entity table
+    stays a Dataset end-to-end and lands in a partitioned resumable sink
+    (entities/ with a manifest), with the same entity vocabulary as the
+    default vocabulary-bounded path writes to entities.parquet."""
+    from tcx2graph_jl_ray.config import PipelineConfig
+
+    out = str(tmp_path / "kg_dsent")
+    cfg = PipelineConfig(
+        small_graph_threshold=0, broadcast_map_budget=0, join_num_partitions=4
+    )
+    summary = run_kg_pipeline_from_sf(sf_dir, out, config=cfg)
+    assert summary["entities"] == 25
+    m = load_manifest(os.path.join(out, "entities"))
+    assert m["total_rows"] == 25
+    assert not os.path.exists(os.path.join(out, "entities.parquet"))
+
+    ents = (
+        read_partitioned(os.path.join(out, "entities"))
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    # KB links applied on the Dataset path too
+    assert ents["kb_nationkey"].notna().all()
+
+    # same vocabulary as the default driver-side path
+    out2 = str(tmp_path / "kg_default")
+    run_kg_pipeline_from_sf(sf_dir, out2)
+    ents2 = (
+        pq.read_table(os.path.join(out2, "entities.parquet"))
+        .to_pandas()
+        .sort_values("entity_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        ents[["entity_id", "n_surfaces", "n_turns", "n_mentions"]],
+        ents2[["entity_id", "n_surfaces", "n_turns", "n_mentions"]],
+        check_dtype=False,
+    )

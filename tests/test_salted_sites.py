@@ -233,3 +233,28 @@ def test_vocab_by_source_whale_word(ray_session):
     # distinct: the, alpha, beta
     assert int(out.loc["web", "n_distinct_words"]) == 3
     assert int(out.loc["web", "n_words"]) == 2000 * 4 + 2
+
+
+def test_vocab_approx_within_hll_bound(ray_session):
+    """The HLL approximate vocabulary must land within 3x the advertised
+    ±1.04/sqrt(2^p) relative error of the exact per-source distinct count
+    (and n_words must be exact — it is a plain integer sum)."""
+    from tcx2graph_jl_ray.stages.text import vocab_approx_by_source, vocab_by_source
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(5000)]
+    texts = [
+        " ".join(rng.choice(vocab, size=40)) for _ in range(800)
+    ]
+    df = pd.DataFrame(
+        {"source": ["web"] * 400 + ["books"] * 400, "text": texts}
+    )
+    ds = _ds(df, parts=6)
+    exact = vocab_by_source(ds).to_pandas().set_index("source")
+    approx = vocab_approx_by_source(ds, p=14).to_pandas().set_index("source")
+    for src in ["web", "books"]:
+        e = int(exact.loc[src, "n_distinct_words"])
+        a = int(approx.loc[src, "n_distinct_words_approx"])
+        bound = float(approx.loc[src, "rel_err_bound"])
+        assert abs(a - e) / e <= 3.0 * bound, (src, a, e, bound)
+        assert int(approx.loc[src, "n_words"]) == int(exact.loc[src, "n_words"])
