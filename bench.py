@@ -30,6 +30,10 @@ MULT = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
 # the single box's object store + shared disk saturate and the 32-CPU run
 # stalls (see BASELINE.md scaling table); ~4 min total
 SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "64"))
+# model-inference stand-in layers per extraction batch (0 = off): moves the
+# scaling measurement into the compute-dominated regime a real model-based
+# extractor runs in (~6-7 µs/row/layer; see stages/extract._InferenceStandIn)
+HEAVY_REPS = int(os.environ.get("GRAFT_HEAVY_REPS", "0"))
 
 # queries timed individually (a representative slice of SURVEY.md §2)
 TIMED_QUERIES = [
@@ -90,9 +94,15 @@ def run_bench() -> dict:
     for t in ["events", "nation", "region"]:
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
+    from tcx2graph_jl_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+    config = DEFAULT_CONFIG
+    if HEAVY_REPS:
+        config = PipelineConfig(extract_heavy_reps=HEAVY_REPS)
+
     out = tempfile.mkdtemp(prefix="kg_bench_")
     t0 = time.perf_counter()
-    summary = run_kg_pipeline_from_sf(SF_DIR, out, mult=MULT)
+    summary = run_kg_pipeline_from_sf(SF_DIR, out, mult=MULT, config=config)
     headline = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
 
@@ -116,6 +126,8 @@ def run_bench() -> dict:
         "turns_per_sec": round(summary["turns"] / headline, 1),
         "triples_per_sec": round(summary["triples"] / headline, 1),
     }
+    if HEAVY_REPS:
+        result["heavy_reps"] = HEAVY_REPS
     ray.shutdown()
     return result
 
@@ -140,7 +152,7 @@ def run_scaling() -> dict:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)  # 1.0 = linear scaling
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -152,6 +164,9 @@ def run_scaling() -> dict:
         "mult": SCALING_MULT,
         "sf": SF_DIR,
     }
+    if HEAVY_REPS:
+        out["heavy_reps"] = HEAVY_REPS
+    return out
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ class PipelineConfig:
     # triple extraction to 1.7x from 8 -> 32 CPUs). None = one actor per
     # session CPU (stages/extract.py pool_bounds sizes it at call time).
     extract_concurrency: int | None = None
+    # bench-only: per-batch model-inference stand-in layers inside the
+    # extractor actors (stages/extract.py _InferenceStandIn). 0 = off (all
+    # production/correctness paths). Nonzero moves the scaling protocol into
+    # the compute-dominated regime a real (model-based) extractor runs in.
+    extract_heavy_reps: int = 0
 
     # --- canonicalization (analogue of find_overlapping_segments params,
     #     examples/main.jl:40-53) -----------------------------------------

@@ -151,10 +151,12 @@ def _run_kg_body(
 
     bounds = pool_bounds(config.extract_concurrency)
     mentions = extract_mentions(
-        staged, concurrency=bounds, batch_size=config.extract_batch_size
+        staged, concurrency=bounds, batch_size=config.extract_batch_size,
+        heavy_reps=config.extract_heavy_reps,
     )
     triples = extract_triples(
-        staged, concurrency=bounds, batch_size=config.extract_batch_size
+        staged, concurrency=bounds, batch_size=config.extract_batch_size,
+        heavy_reps=config.extract_heavy_reps,
     )
 
     # Critical-path overlap: nodes/edges sinks and raw-triple extraction do

@@ -24,8 +24,39 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import ray.data
+
+
+class _InferenceStandIn:
+    """Bench-only per-row compute stand-in for model-based extraction.
+
+    The synthetic regex rules cost ~1 µs/row, so sandbox scaling runs are
+    bound by per-stage fixed costs and the shared disk, not worker CPU
+    (BASELINE.md, single-box ceiling). A real KG extractor is a batched
+    model forward pass, orders of magnitude heavier per row. This stand-in
+    reproduces that shape — one float32 (rows × d) @ (d × d) matmul chain
+    per batch, ``reps`` layers deep — so the scaling protocol can measure
+    the engine in the compute-dominated regime the 100 TB deployment
+    actually runs in. Deterministic, output-independent, OFF by default
+    (``reps=0``); enabled only via ``PipelineConfig.extract_heavy_reps``
+    (bench.py wires GRAFT_HEAVY_REPS). Measured ~6-7 µs/row/rep at d=128
+    on this host (single-threaded BLAS under Ray's OMP_NUM_THREADS=1).
+    """
+
+    def __init__(self, reps: int, dim: int = 128):
+        rng = np.random.default_rng(0)
+        self.w = (rng.standard_normal((dim, dim)) * 0.1).astype("float32")
+        self.reps = int(reps)
+        self.dim = dim
+
+    def burn(self, n_rows: int) -> None:
+        if self.reps <= 0 or n_rows <= 0:
+            return
+        x = np.ones((n_rows, self.dim), dtype="float32")
+        for _ in range(self.reps):
+            x = np.tanh(x @ self.w)
 
 USER_PATTERN = r"^please look up (.+) and report (\S+)$"
 ASSISTANT_PATTERN = r"^(.+?) is located in (.+?) ; (.+?) reported (\S+)$"
@@ -51,12 +82,14 @@ class TripleExtractor:
     src/OverlappingSegmentsUtils.jl:212-277).
     """
 
-    def __init__(self):
+    def __init__(self, heavy_reps: int = 0):
         self.user_re = re.compile(USER_PATTERN)
         self.assistant_re = re.compile(ASSISTANT_PATTERN)
         self.tool_re = re.compile(TOOL_PATTERN)
+        self.standin = _InferenceStandIn(heavy_reps)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        self.standin.burn(len(batch))
         out = []
         text = batch["text"]
         conv = batch["conv_id"]
@@ -142,12 +175,14 @@ class MentionExtractor:
     src/GraphUtils.jl:46-57).
     """
 
-    def __init__(self):
+    def __init__(self, heavy_reps: int = 0):
         self.user_re = re.compile(USER_PATTERN)
         self.assistant_re = re.compile(ASSISTANT_PATTERN)
         self.tool_re = re.compile(TOOL_PATTERN)
+        self.standin = _InferenceStandIn(heavy_reps)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        self.standin.burn(len(batch))
         text = batch["text"]
         surface = text.str.extract(self.user_re)[0]
         surface = surface.fillna(text.str.extract(self.assistant_re)[0])
@@ -205,10 +240,12 @@ def pool_bounds(cap: int | None = None) -> tuple[int, int]:
 
 
 def extract_triples(
-    transcripts: ray.data.Dataset, concurrency=None, batch_size: int = 8192
+    transcripts: ray.data.Dataset, concurrency=None, batch_size: int = 8192,
+    heavy_reps: int = 0,
 ) -> ray.data.Dataset:
     return transcripts.map_batches(
         TripleExtractor,
+        fn_constructor_kwargs={"heavy_reps": heavy_reps},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency or pool_bounds(),
@@ -216,10 +253,12 @@ def extract_triples(
 
 
 def extract_mentions(
-    transcripts: ray.data.Dataset, concurrency=None, batch_size: int = 8192
+    transcripts: ray.data.Dataset, concurrency=None, batch_size: int = 8192,
+    heavy_reps: int = 0,
 ) -> ray.data.Dataset:
     return transcripts.map_batches(
         MentionExtractor,
+        fn_constructor_kwargs={"heavy_reps": heavy_reps},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency or pool_bounds(),

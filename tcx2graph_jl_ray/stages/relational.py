@@ -429,10 +429,10 @@ def value_percentiles_by_type(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]],
-                "p25": [round(float(qs.loc[0.25]), 6)],
-                "p50": [round(float(qs.loc[0.5]), 6)],
-                "p75": [round(float(qs.loc[0.75]), 6)],
-                "p95": [round(float(qs.loc[0.95]), 6)],
+                "p25": [float(np.round(qs.loc[0.25], 6))],
+                "p50": [float(np.round(qs.loc[0.5], 6))],
+                "p75": [float(np.round(qs.loc[0.75], 6))],
+                "p95": [float(np.round(qs.loc[0.95], 6))],
             }
         )
 

@@ -1427,8 +1427,8 @@ def session_stats(
             {
                 "n_sessions": pd.array([n_sessions], dtype="int64"),
                 "n_events": pd.array([n_events], dtype="int64"),
-                "median_duration_s": [round(quants[0.5], 6)],
-                "p95_duration_s": [round(quants[0.95], 6)],
+                "median_duration_s": [float(np.round(quants[0.5], 6))],
+                "p95_duration_s": [float(np.round(quants[0.95], 6))],
             }
         )
     )
@@ -1542,7 +1542,7 @@ def value_quantiles(
     )
     return ray.data.from_pandas(
         pd.DataFrame(
-            {f"p{int(q * 100)}": [round(got[q], 6)] for q in qs}
+            {f"p{int(q * 100)}": [float(np.round(got[q], 6))] for q in qs}
         )
     )
 
