@@ -51,6 +51,7 @@ _KCORE_K = 3
 _NBR_JACCARD_TAU = 0.5
 _BURST_Z = 2.0
 _COPURCHASE_MIN = 2
+_SUBSTR_K, _SUBSTR_TOP = 32, 100
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Exactly one: the HyperLogLog approximate vocabulary —
@@ -352,6 +353,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: _dd.ngram_jaccard_join(
             _docs(sf), _NGRAM_TAU
         ),
+        "dedup_substring_grams": lambda sf: _dd.duplicated_grams(
+            _docs(sf), k=_SUBSTR_K, min_docs=2, top=_SUBSTR_TOP
+        ),
+        "dedup_doc_dup_ratio": lambda sf: _dd.doc_dup_ratio(
+            _docs(sf), k=_SUBSTR_K, min_docs=2
+        ),
+        "text_char_entropy": lambda sf: _tx.char_entropy(_docs(sf)),
         "dedup_contamination": lambda sf: _dd.contamination_check(
             _docs(sf), "src0", 5
         ),
@@ -656,6 +664,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_SQL_TEMPLATE.format(
             k=2, threshold=_NGRAM_TAU
         ),
+        "dedup_substring_grams": _dd.DUP_GRAMS_SQL_TEMPLATE.format(
+            k=_SUBSTR_K, min_docs=2, top=_SUBSTR_TOP
+        ),
+        "dedup_doc_dup_ratio": _dd.DOC_DUP_RATIO_SQL_TEMPLATE.format(
+            k=_SUBSTR_K, min_docs=2
+        ),
+        "text_char_entropy": _tx.CHAR_ENTROPY_SQL,
         "dedup_contamination": _dd.CONTAMINATION_SQL_TEMPLATE.format(
             k=5, benchmark_source="src0"
         ),

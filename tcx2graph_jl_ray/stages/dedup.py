@@ -1340,3 +1340,194 @@ SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
        CAST((SELECT COUNT(*) FROM nd) AS BIGINT) AS n_after_neardup,
        CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_quality
 """
+
+
+# --- exact substring (char-gram) duplication ---------------------------------
+
+def _distinct_char_grams(batch: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Distinct char-k-grams per document: (doc_id, gram) pairs.
+
+    Vectorized per document: the text's byte buffer is windowed with
+    ``sliding_window_view`` (zero-copy), viewed as fixed-width ``S{k}``
+    byte-strings and uniqued — no per-position Python slicing. Byte grams
+    equal character grams for ASCII corpora (this corpus is ASCII; the SQL
+    oracle's ``substr`` is character-based, so parity assumes ASCII and the
+    docstring of each consumer states it). Documents shorter than k emit
+    nothing — matching the oracle's ``len(text) >= k`` predicate.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    batch = _nonnull_text(batch)
+    ids: list[np.ndarray] = []
+    grams: list[np.ndarray] = []
+    for doc_id, t in zip(batch["doc_id"].to_numpy(), batch["text"].to_numpy()):
+        b = np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8)
+        if b.size < k:
+            continue
+        w = np.ascontiguousarray(sliding_window_view(b, k)).view(f"S{k}").ravel()
+        u = np.unique(w)
+        ids.append(np.full(u.size, doc_id, dtype="int64"))
+        grams.append(u)
+    if not ids:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "gram": pd.Series([], dtype="object")}
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(ids),
+            "gram": pd.Series(np.concatenate(grams)).str.decode("ascii"),
+        }
+    )
+
+
+def _gram_pairs(docs: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: _distinct_char_grams(b, k),
+        batch_format="pandas",
+        batch_size=1024,
+    )
+
+
+def _gram_doc_counts(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """(gram, n_docs) — documents containing each gram. Whale-safe: a gram
+    appearing in every document (boilerplate) splits across salt tasks."""
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, gram) rows are globally distinct (one row per doc per
+        # gram), so a per-salt size() is a partial doc count.
+        return b.groupby("gram", sort=False).size().reset_index(name="n_docs")
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("gram", sort=False)["n_docs"].sum().reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    return salted_group_apply(pairs, ["gram"], partial_fn=partial, merge_fn=merge)
+
+
+def duplicated_grams(
+    docs: ray.data.Dataset, k: int = 32, min_docs: int = 2, top: int = 100
+) -> ray.data.Dataset:
+    """Exact duplicated substrings: the k-char grams shared by >= min_docs
+    documents, ranked by document frequency — the detection half of
+    suffix-style exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"; the reference's
+    unique-grid-cell duplication surface src/GraphUtils.jl:46-88 recast at
+    substring granularity).
+
+    Scale shape: per-doc distinct grams are extracted vectorized (one
+    windowed view + unique per doc, no Python position loop), the doc-count
+    reduce is SALTED by gram so boilerplate grams that occur in most of the
+    corpus cannot sink one task, and top-k is two-phase (per-block head-k,
+    then one bounded driver merge of <= top rows per block). At 100 TB the
+    exchange would carry a 64-bit rolling gram hash instead of the k-byte
+    string, with survivor strings recovered in a second gated pass (the
+    heavy-hitters discipline above); at test scale the string key keeps the
+    operator oracle-exact with one pass.
+
+    Output: gram, n_docs — ordered (n_docs desc, gram asc), <= top rows.
+    """
+    counts = _gram_doc_counts(_gram_pairs(docs, k))
+    dup = counts.map_batches(
+        lambda b: b[b["n_docs"] >= min_docs], batch_format="pandas"
+    )
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["n_docs", "gram"], ascending=[False, True]
+        ).head(top)
+
+    cand = dup.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["n_docs", "gram"], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+DUP_GRAMS_SQL_TEMPLATE = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS gram
+  FROM documents, unnest(range(1, len(text) - {k} + 2)) AS t(i)
+  WHERE text IS NOT NULL AND len(text) >= {k}
+),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY gram)
+SELECT gram, n_docs FROM c
+WHERE n_docs >= {min_docs}
+ORDER BY n_docs DESC, gram
+LIMIT {top}
+"""
+
+
+def doc_dup_ratio(
+    docs: ray.data.Dataset, k: int = 32, min_docs: int = 2
+) -> ray.data.Dataset:
+    """Per-document duplicated-content fraction: of each document's distinct
+    k-char grams, the share that also appear in >= min_docs documents
+    (itself included) — the per-document drop/trim signal of exact-substring
+    dedup (Lee et al. 2021 report dup tokens/doc the same way).
+
+    Scale shape: reuses the salted gram doc-count reduce, then joins counts
+    back to the (doc_id, gram) pairs with the co-partitioned ``hash_join``
+    (both sides scale with the corpus — never a broadcast), and reduces per
+    doc with a second salted aggregate. dup_frac is ONE division of two
+    exact int64 counts, rounded once — no summation-order exposure.
+
+    Output: doc_id, n_grams, n_dup_grams, dup_frac (round 6); documents
+    shorter than k are absent, matching the oracle's len >= k predicate.
+    """
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    pairs = _gram_pairs(docs, k).materialize()  # consumed by 2 branches
+    counts = _gram_doc_counts(pairs)
+    joined = hash_join(pairs, counts, on="gram", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(dup=(b["n_docs"] >= min_docs).astype("int64"))
+        return (
+            b.groupby("doc_id", sort=False)
+            .agg(n_grams=("gram", "size"), n_dup_grams=("dup", "sum"))
+            .reset_index()
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.groupby("doc_id", sort=False)
+            .agg(n_grams=("n_grams", "sum"), n_dup_grams=("n_dup_grams", "sum"))
+            .reset_index()
+        )
+        g["n_grams"] = g["n_grams"].astype("int64")
+        g["n_dup_grams"] = g["n_dup_grams"].astype("int64")
+        g["dup_frac"] = np.round(
+            g["n_dup_grams"].to_numpy(dtype="float64")
+            / g["n_grams"].to_numpy(dtype="float64"),
+            6,
+        )
+        return g
+
+    return salted_group_apply(
+        joined, ["doc_id"], partial_fn=partial, merge_fn=merge
+    )
+
+
+DOC_DUP_RATIO_SQL_TEMPLATE = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS gram
+  FROM documents, unnest(range(1, len(text) - {k} + 2)) AS t(i)
+  WHERE text IS NOT NULL AND len(text) >= {k}
+),
+c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.n_docs >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN c.n_docs >= {min_docs} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM g JOIN c USING (gram)
+GROUP BY g.doc_id
+"""

@@ -2129,3 +2129,71 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        score
 FROM r WHERE rank <= {k}
 """
+
+
+def char_entropy(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document character-level Shannon entropy — the classic cheap
+    quality gate (Gopher/RefinedWeb-style rules drop near-zero-entropy
+    boilerplate and high-entropy binary junk).
+
+    Fully vectorized across the BATCH, not per doc: all texts' bytes are
+    concatenated once, and one ``bincount`` over ``doc_ordinal*256 + byte``
+    yields every document's character histogram in a single kernel — a pure
+    map stage, no shuffle, embarrassingly parallel at any corpus size. Byte
+    histogram == character histogram for ASCII corpora (this corpus is
+    ASCII; the character-based SQL oracle assumes it, as in
+    ``_distinct_char_grams``).
+
+    Output: doc_id, n_chars:int64, char_entropy:float64 (bits, round 6;
+    ``+ 0.0`` forces IEEE -0.0 -> +0.0 on single-character documents so the
+    value hash matches the oracle). Empty/null texts are absent.
+    """
+
+    def ent(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        batch = batch[batch["text"].str.len() > 0]
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_chars": pd.Series([], dtype="int64"),
+                    "char_entropy": pd.Series([], dtype="float64"),
+                }
+            )
+        enc = [t.encode("utf-8") for t in batch["text"]]
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        allb = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        counts = np.bincount(idx * 256 + allb, minlength=n * 256).reshape(n, 256)
+        p = counts / lens[:, None]
+        term = np.where(counts > 0, p * np.log2(np.where(counts > 0, p, 1.0)), 0.0)
+        e = -term.sum(axis=1) + 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_chars": lens,
+                "char_entropy": np.round(e, 6),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        ent, batch_format="pandas", batch_size=4096
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+  WHERE text IS NOT NULL AND len(text) > 0
+  GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, SUM(n) AS nt FROM c GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(tot.nt AS BIGINT) AS n_chars,
+       ROUND(0.0 - SUM((c.n / tot.nt) * log2(c.n / tot.nt)), 6) AS char_entropy
+FROM c JOIN tot ON c.doc_id = tot.doc_id
+GROUP BY c.doc_id, tot.nt
+"""

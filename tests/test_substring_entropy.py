@@ -1,0 +1,125 @@
+"""Planted-truth tests for the exact-substring duplication suite
+(duplicated_grams / doc_dup_ratio) and the char-entropy quality gate —
+brute-force Python oracles over tiny corpora, independent of DuckDB."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from tcx2graph_jl_ray.stages.dedup import doc_dup_ratio, duplicated_grams
+from tcx2graph_jl_ray.stages.text import char_entropy
+
+SHARED = "the quick brown fox jumps over the lazy dog!"  # 44 chars > k=32
+
+
+def _docs_ds(texts):
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                      "text": texts})
+    )
+
+
+def _brute_grams(texts, k):
+    per_doc = [
+        {t[i:i + k] for i in range(len(t) - k + 1)} if t and len(t) >= k else set()
+        for t in texts
+    ]
+    counts = {}
+    for s in per_doc:
+        for g in s:
+            counts[g] = counts.get(g, 0) + 1
+    return per_doc, counts
+
+
+def test_duplicated_grams_planted(ray_session):
+    texts = [
+        "A" * 10 + SHARED + "B" * 10,
+        "C" * 7 + SHARED + "D" * 3,
+        "unrelated filler content with nothing shared at all here....",
+        None,
+        "short",  # < k: emits nothing
+    ]
+    k = 32
+    _, counts = _brute_grams([t for t in texts if t], k)
+    want = sorted(
+        [(g, n) for g, n in counts.items() if n >= 2],
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = duplicated_grams(_docs_ds(texts), k=k, min_docs=2, top=100).to_pandas()
+    assert list(map(tuple, got[["gram", "n_docs"]].to_numpy())) == want
+    # the shared sentence contributes exactly len-k+1 duplicated grams
+    assert len(want) == len(SHARED) - k + 1
+    assert set(got["n_docs"]) == {2}
+
+
+def test_duplicated_grams_top_truncates_with_total_order(ray_session):
+    texts = ["x" + SHARED, "y" + SHARED]
+    got = duplicated_grams(_docs_ds(texts), k=32, min_docs=2, top=5).to_pandas()
+    _, counts = _brute_grams(texts, 32)
+    want = sorted(
+        [(g, n) for g, n in counts.items() if n >= 2],
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert list(map(tuple, got[["gram", "n_docs"]].to_numpy())) == want
+
+
+def test_doc_dup_ratio_planted(ray_session):
+    texts = [
+        "A" * 10 + SHARED + "B" * 10,
+        "C" * 7 + SHARED + "D" * 3,
+        "unrelated filler content with nothing shared at all here....",
+        "short",
+    ]
+    k = 32
+    per_doc, counts = _brute_grams(texts, k)
+    got = (
+        doc_dup_ratio(_docs_ds(texts), k=k, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_ids = [i for i, s in enumerate(per_doc) if s]
+    assert list(got["doc_id"]) == want_ids
+    for _, row in got.iterrows():
+        s = per_doc[int(row["doc_id"])]
+        n_dup = sum(1 for g in s if counts[g] >= 2)
+        assert int(row["n_grams"]) == len(s)
+        assert int(row["n_dup_grams"]) == n_dup
+        assert row["dup_frac"] == float(np.round(n_dup / len(s), 6))
+
+
+def test_char_entropy_planted(ray_session):
+    texts = ["aaaa", "abab", "aabb" * 4, None, ""]
+    got = (
+        char_entropy(_docs_ds(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # null and empty texts are absent
+    assert list(got["doc_id"]) == [0, 1, 2]
+    assert list(got["n_chars"]) == [4, 4, 16]
+    assert got.loc[0, "char_entropy"] == 0.0  # and +0.0, not -0.0
+    assert math.copysign(1.0, got.loc[0, "char_entropy"]) == 1.0
+    assert got.loc[1, "char_entropy"] == 1.0
+    assert got.loc[2, "char_entropy"] == 1.0
+
+
+def test_char_entropy_matches_brute(ray_session):
+    rng = np.random.default_rng(7)
+    alphabet = np.array(list("abcdefg hij"))
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(1, 200)))
+             for _ in range(50)]
+    got = (
+        char_entropy(_docs_ds(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        c = pd.Series(list(t)).value_counts().to_numpy().astype("float64")
+        p = c / c.sum()
+        want = float(np.round(-(p * np.log2(p)).sum() + 0.0, 6))
+        assert abs(got.loc[i, "char_entropy"] - want) < 2e-6, (i, t)
