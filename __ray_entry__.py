@@ -52,6 +52,7 @@ _NBR_JACCARD_TAU = 0.5
 _BURST_Z = 2.0
 _COPURCHASE_MIN = 2
 _SUBSTR_K, _SUBSTR_TOP = 32, 100
+_ZIPF_TOP_N = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Exactly one: the HyperLogLog approximate vocabulary —
@@ -360,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), k=_SUBSTR_K, min_docs=2
         ),
         "text_char_entropy": lambda sf: _tx.char_entropy(_docs(sf)),
+        "text_zipf_slope": lambda sf: _tx.zipf_slope_by_source(
+            _docs(sf), top_n=_ZIPF_TOP_N
+        ),
         "dedup_contamination": lambda sf: _dd.contamination_check(
             _docs(sf), "src0", 5
         ),
@@ -671,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
             k=_SUBSTR_K, min_docs=2
         ),
         "text_char_entropy": _tx.CHAR_ENTROPY_SQL,
+        "text_zipf_slope": _tx.ZIPF_SLOPE_SQL_TEMPLATE.format(top_n=_ZIPF_TOP_N),
         "dedup_contamination": _dd.CONTAMINATION_SQL_TEMPLATE.format(
             k=5, benchmark_source="src0"
         ),

@@ -2197,3 +2197,93 @@ SELECT c.doc_id,
 FROM c JOIN tot ON c.doc_id = tot.doc_id
 GROUP BY c.doc_id, tot.nt
 """
+
+
+def zipf_slope_by_source(docs: ray.data.Dataset, top_n: int = 50) -> ray.data.Dataset:
+    """Per-source Zipf fit: OLS slope of ln(frequency) on ln(rank) over the
+    top-N words — the corpus-health diagnostic (natural text sits near -1;
+    boilerplate-heavy or synthetic sources drift off it; Piantadosi 2014
+    reviews the law).
+
+    Scale shape: (source, word) occurrence counts reduce with the same
+    pre-shuffle combiner + SALTED exchange as ``vocab_by_source`` (a
+    stopword whale never lands in one task); per-source top-N is two-phase
+    (per-block head-N per source, then one driver merge bounded by
+    N × sources × blocks); the regression itself runs over <= N points per
+    source — sources are dimension-bounded (the stated bound of every
+    per-source report here). The slope is tie-ORDER-invariant: equal
+    frequencies contribute identical (ln n) terms whichever word takes
+    which rank, so the deterministic (n desc, w asc) tie-break is cosmetic,
+    not load-bearing.
+
+    Output: source, n_top:int64 (= min(top_n, vocabulary)), zipf_slope
+    (round 6).
+    """
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    def explode_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        words = batch["text"].str.lower().str.split(" ")
+        df = pd.DataFrame({"source": batch["source"], "w": words}).explode("w")
+        df = df[df["w"].notna() & (df["w"] != "")]
+        return df.groupby(["source", "w"], sort=False).size().reset_index(name="n")
+
+    def merge_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "w"], sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = salted_group_apply(
+        docs.select_columns(["source", "text"]).map_batches(
+            explode_partial, batch_format="pandas", batch_size=4096
+        ),
+        ["source", "w"],
+        partial_fn=merge_pairs,
+        merge_fn=merge_pairs,
+    )
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["source", "n", "w"], ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(top_n)
+        )
+
+    cand = counts.map_batches(local_top, batch_format="pandas").to_pandas()
+    top = (
+        cand.sort_values(["source", "n", "w"], ascending=[True, False, True])
+        .groupby("source", sort=False)
+        .head(top_n)
+    )
+
+    out = []
+    for src, g in top.groupby("source", sort=False):
+        y = np.log(g["n"].to_numpy(dtype="float64"))
+        m = y.size
+        x = np.log(np.arange(1, m + 1, dtype="float64"))
+        denom = m * np.sum(x * x) - np.sum(x) ** 2
+        slope = (m * np.sum(x * y) - np.sum(x) * np.sum(y)) / denom
+        out.append((src, m, float(np.round(slope, 6))))
+    df = pd.DataFrame(out, columns=["source", "n_top", "zipf_slope"])
+    df["n_top"] = df["n_top"].astype("int64")
+    return ray.data.from_pandas(df)
+
+
+ZIPF_SLOPE_SQL_TEMPLATE = """
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT source, w, COUNT(*) AS n FROM w GROUP BY source, w),
+r AS (SELECT source, n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, w) AS rnk
+      FROM c),
+t AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+      FROM r WHERE rnk <= {top_n})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_top,
+       ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6) AS zipf_slope
+FROM t GROUP BY source
+"""

@@ -123,3 +123,60 @@ def test_char_entropy_matches_brute(ray_session):
         p = c / c.sum()
         want = float(np.round(-(p * np.log2(p)).sum() + 0.0, 6))
         assert abs(got.loc[i, "char_entropy"] - want) < 2e-6, (i, t)
+
+
+def test_zipf_slope_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import zipf_slope_by_source
+
+    # source A: word k appears (4-k) times -> freqs 3,2,1 at ranks 1,2,3
+    texts_a = ["w1 w1 w1 w2 w2 w3"]
+    # source B: uniform freqs -> slope exactly 0 (ties in every position)
+    texts_b = ["u1 u2 u3 u4"]
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(2, dtype="int64"),
+                "text": texts_a + texts_b,
+                "source": ["A", "B"],
+            }
+        )
+    )
+    got = (
+        zipf_slope_by_source(docs, top_n=50)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    x = np.log(np.arange(1, 4, dtype="float64"))
+    y = np.log(np.array([3.0, 2.0, 1.0]))
+    m = 3
+    want_a = (m * np.sum(x * y) - x.sum() * y.sum()) / (
+        m * np.sum(x * x) - x.sum() ** 2
+    )
+    assert list(got["source"]) == ["A", "B"]
+    assert list(got["n_top"]) == [3, 4]
+    assert got.loc[0, "zipf_slope"] == float(np.round(want_a, 6))
+    assert got.loc[1, "zipf_slope"] == 0.0  # uniform freqs: flat fit
+
+
+def test_zipf_slope_top_n_truncates(ray_session):
+    from tcx2graph_jl_ray.stages.text import zipf_slope_by_source
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([0], dtype="int64"),
+                "text": ["a a a a b b b c c d"],
+                "source": ["A"],
+            }
+        )
+    )
+    got = zipf_slope_by_source(docs, top_n=2).to_pandas()
+    # only ranks 1..2 (freqs 4,3) enter the fit
+    x = np.log(np.array([1.0, 2.0]))
+    y = np.log(np.array([4.0, 3.0]))
+    want = (2 * np.sum(x * y) - x.sum() * y.sum()) / (
+        2 * np.sum(x * x) - x.sum() ** 2
+    )
+    assert int(got.loc[0, "n_top"]) == 2
+    assert got.loc[0, "zipf_slope"] == float(np.round(want, 6))
