@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": lambda sf: _rel.q6_forecast_revenue(sf),
         "rel_order_sizes": lambda sf: _rel.order_size_distribution(sf),
         "rel_part_pareto": lambda sf: _rel.part_pareto(sf, 100),
+        "rel_part_min_price": _rel.part_min_price_supplier,
         "events_hourly_profile": lambda sf: _wd.hourly_profile(_events_ds(sf)),
         "docs_length_histogram": lambda sf: _tx.length_histogram(_docs(sf)),
         "events_sessionize": lambda sf: _wd.sessionize(
@@ -731,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_histogram": _tx.LENGTH_HISTOGRAM_SQL,
         "rel_order_sizes": _rel.ORDER_SIZES_SQL,
         "rel_part_pareto": _rel.PART_PARETO_SQL_TEMPLATE.format(k_top=100),
+        "rel_part_min_price": _rel.PART_MIN_PRICE_SQL,
         "events_hourly_profile": _wd.HOURLY_PROFILE_SQL,
         "events_sessionize": _wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S),
         "events_rank_topk": _wd.RANK_TOPK_SQL_TEMPLATE.format(k=3),

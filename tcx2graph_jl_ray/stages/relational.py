@@ -1287,3 +1287,96 @@ SELECT CAST(rank AS BIGINT) AS rank,
        ROUND(CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_share
 FROM r, t WHERE rank <= {{k_top}}
 """
+
+
+def part_min_price_supplier(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-min (argmin) join, the TPC-H Q2 shape: for every part, the
+    minimum lineitem price and the lowest-keyed supplier that achieves it.
+
+    The textbook plan is MIN-per-part then a join back on
+    (partkey, price = min_price); here both passes COLLAPSE into one
+    algebraic combiner — each partial keeps, per part, its local
+    (min_price, min suppkey at that price), and the salted merge re-applies
+    the same rule, so a whale part (one partkey dominating the fact table)
+    splits across salt tasks and only one small row per (part, salt) ever
+    shuffles. MIN is order-free and exact on the 2-dp money doubles (no
+    summation — no scaled-int needed). The part-name dimension broadcasts
+    once via ``ray.put``; only lineitem streams.
+
+    Output: p_partkey:int64, p_name, min_price:float64, min_suppkey:int64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    name_ref = ray.put(dict(zip(part["p_partkey"], part["p_name"])))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_suppkey"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mp = b.groupby("l_partkey", sort=False)["l_extendedprice"].transform("min")
+        at_min = b[b["l_extendedprice"] == mp]
+        return (
+            at_min.groupby("l_partkey", sort=False)
+            .agg(min_price=("l_extendedprice", "min"),
+                 min_suppkey=("l_suppkey", "min"))
+            .reset_index()
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        mp = b.groupby("l_partkey", sort=False)["min_price"].transform("min")
+        at_min = b[b["min_price"] == mp]
+        g = (
+            at_min.groupby("l_partkey", sort=False)
+            .agg(min_price=("min_price", "min"),
+                 min_suppkey=("min_suppkey", "min"))
+            .reset_index()
+        )
+        g["min_suppkey"] = g["min_suppkey"].astype("int64")
+        return g
+
+    reduced = salted_group_apply(
+        li, ["l_partkey"], partial_fn=partial, merge_fn=merge
+    )
+
+    class _AttachName:
+        def __init__(self, ref):
+            self.names = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "p_partkey": b["l_partkey"].astype("int64"),
+                    "p_name": b["l_partkey"].map(self.names),
+                    "min_price": b["min_price"],
+                    "min_suppkey": b["min_suppkey"],
+                }
+            )
+
+    return reduced.map_batches(
+        _AttachName, fn_constructor_args=(name_ref,),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+
+PART_MIN_PRICE_SQL = """
+WITH m AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT m.l_partkey AS p_partkey,
+       p.p_name AS p_name,
+       m.min_price AS min_price,
+       CAST(MIN(l.l_suppkey) AS BIGINT) AS min_suppkey
+FROM m
+JOIN lineitem l
+  ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+JOIN part p ON p.p_partkey = m.l_partkey
+GROUP BY m.l_partkey, p.p_name, m.min_price
+"""

@@ -180,3 +180,35 @@ def test_zipf_slope_top_n_truncates(ray_session):
     )
     assert int(got.loc[0, "n_top"]) == 2
     assert got.loc[0, "zipf_slope"] == float(np.round(want, 6))
+
+
+def test_part_min_price_argmin_ties(ray_session, tmp_path):
+    """Two suppliers at the identical min price -> lowest suppkey wins; the
+    combiner's partial/merge must agree with the brute join-back."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.stages.relational import part_min_price_supplier
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 2, 2, 3],
+            "l_extendedprice": [5.0, 5.0, 9.0, 7.5, 8.0, 2.25],
+            "l_suppkey": [20, 10, 1, 4, 3, 9],
+            "l_orderkey": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    part = pd.DataFrame({"p_partkey": [1, 2, 3], "p_name": ["a", "b", "c"]})
+    pq.write_table(pa.Table.from_pandas(li), f"{tmp_path}/lineitem.parquet")
+    pq.write_table(pa.Table.from_pandas(part), f"{tmp_path}/part.parquet")
+
+    got = (
+        part_min_price_supplier(str(tmp_path))
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    assert list(got["p_partkey"]) == [1, 2, 3]
+    assert list(got["min_price"]) == [5.0, 7.5, 2.25]
+    assert list(got["min_suppkey"]) == [10, 4, 9]  # tie on part 1 -> supp 10
+    assert list(got["p_name"]) == ["a", "b", "c"]
