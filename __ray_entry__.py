@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": lambda sf: _ann.embedding_covariance(
             _embeddings_ds(sf)
         ),
+        "emb_label_outliers": lambda sf: _ann.label_outliers(
+            _embeddings_ds(sf)
+        ),
         "ann_brute_topk": lambda sf: _ann.ann_brute_topk(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
@@ -655,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_centroids": _ann.CENTROIDS_SQL,
         "emb_covariance": _ann.embedding_covariance_sql(dim=64),
+        "emb_label_outliers": _ann.LABEL_OUTLIERS_SQL,
         "ann_brute_topk": _ann.ANN_BRUTE_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),

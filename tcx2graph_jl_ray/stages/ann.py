@@ -1080,3 +1080,151 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
+
+
+def label_outliers(
+    embeddings: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Label-noise screen: per label, the squared-L2 distance distribution
+    from the label centroid and the worst offender — the curation report
+    that flags mislabeled / contaminated embedding clusters before they
+    poison retrieval or balancing.
+
+    Two passes, both combiner-shaped: (1) the same (label, dim) partial-sum
+    reduce as ``embedding_centroids``, collected UNROUNDED to the driver —
+    a labels × dim table, dimension-bounded like the covariance moments —
+    and broadcast back as a dense centroid matrix; (2) one vectorized
+    map over the corpus computing each vector's rounded dist², reduced per
+    label with an algebraic (n, sum, max, argmax-with-min-vec_id-ties)
+    partial/merge. No per-vector state ever reaches the driver.
+
+    Distances round to 6 before any comparison on BOTH sides, so the
+    argmax tie-break (lowest vec_id) is deterministic and oracle-stable.
+    Output: label, n_vecs, mean_dist2, max_dist2, outlier_vec_id.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def cent_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["embedding"].notna()]
+        if not len(batch):
+            return pd.DataFrame(
+                {"label": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        uniq, inv = np.unique(batch["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(uniq), vecs.shape[1]))
+        np.add.at(sums, inv, vecs)
+        return pd.DataFrame(
+            {
+                "label": uniq.astype(np.int64),
+                "s": [row.tobytes() for row in sums],
+                "n": np.bincount(inv).astype("int64"),
+            }
+        )
+
+    parts = embeddings.select_columns(["label", "embedding"]).map_batches(
+        cent_partial, batch_format="pandas", batch_size=4096
+    )
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for b in parts.iter_batches(batch_size=256, batch_format="pandas"):
+        for lbl, raw, n in zip(b["label"], b["s"], b["n"]):
+            v = np.frombuffer(raw, dtype=np.float64)
+            if int(lbl) in sums:
+                sums[int(lbl)] += v
+                counts[int(lbl)] += int(n)
+            else:
+                sums[int(lbl)] = v.copy()
+                counts[int(lbl)] = int(n)
+    centroids = {lbl: sums[lbl] / counts[lbl] for lbl in sums}
+    cent_ref = ray.put(centroids)
+
+    class _Dist:
+        def __init__(self, ref):
+            cent = ray.get(ref)
+            self.keys = np.array(sorted(cent), dtype=np.int64)
+            self.mat = np.stack([cent[int(k)] for k in self.keys])
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[batch["embedding"].notna()]
+            if not len(batch):
+                return pd.DataFrame(
+                    {"label": pd.Series([], dtype="int64"),
+                     "n": pd.Series([], dtype="int64"),
+                     "s": pd.Series([], dtype="float64"),
+                     "mx": pd.Series([], dtype="float64"),
+                     "vid": pd.Series([], dtype="int64")}
+                )
+            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            labels = batch["label"].to_numpy().astype(np.int64)
+            cmat = self.mat[np.searchsorted(self.keys, labels)]
+            d2 = np.round(((vecs - cmat) ** 2).sum(axis=1), 6)
+            df = pd.DataFrame(
+                {"label": labels, "d2": d2,
+                 "vec_id": batch["vec_id"].to_numpy().astype(np.int64)}
+            )
+            mx = df.groupby("label", sort=False)["d2"].transform("max")
+            at_max = df[df["d2"] == mx]
+            g1 = df.groupby("label", sort=False).agg(
+                n=("d2", "size"), s=("d2", "sum"), mx=("d2", "max")
+            )
+            g2 = at_max.groupby("label", sort=False)["vec_id"].min().rename("vid")
+            return g1.join(g2).reset_index()
+
+    partials = embeddings.select_columns(
+        ["vec_id", "label", "embedding"]
+    ).map_batches(
+        _Dist, fn_constructor_args=(cent_ref,), batch_format="pandas",
+        batch_size=4096, concurrency=(1, 8),
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        gmx = bucket.groupby("label", sort=False)["mx"].transform("max")
+        at_max = bucket[bucket["mx"] == gmx]
+        g1 = bucket.groupby("label", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mx=("mx", "max")
+        )
+        g2 = at_max.groupby("label", sort=False)["vid"].min().rename("vid")
+        g = g1.join(g2).reset_index()
+        return pd.DataFrame(
+            {
+                "label": g["label"].astype("int64"),
+                "n_vecs": g["n"].astype("int64"),
+                "mean_dist2": np.round(
+                    g["s"].to_numpy() / g["n"].to_numpy(), 6
+                ),
+                "max_dist2": g["mx"],
+                "outlier_vec_id": g["vid"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(partials, ["label"], merge, n_buckets=n_buckets)
+
+
+LABEL_OUTLIERS_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+c AS (SELECT label, dim, SUM(e) / COUNT(*) AS cent FROM u GROUP BY label, dim),
+d AS (
+  SELECT u.vec_id, u.label,
+         ROUND(SUM((u.e - c.cent) * (u.e - c.cent)), 6) AS dist2
+  FROM u JOIN c ON u.label = c.label AND u.dim = c.dim
+  GROUP BY u.vec_id, u.label
+),
+g AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         ROUND(AVG(dist2), 6) AS mean_dist2, MAX(dist2) AS max_dist2
+  FROM d GROUP BY label
+)
+SELECT g.label, g.n_vecs, g.mean_dist2, g.max_dist2,
+       CAST(MIN(d.vec_id) AS BIGINT) AS outlier_vec_id
+FROM g JOIN d ON d.label = g.label AND d.dist2 = g.max_dist2
+GROUP BY g.label, g.n_vecs, g.mean_dist2, g.max_dist2
+"""

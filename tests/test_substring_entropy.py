@@ -212,3 +212,38 @@ def test_part_min_price_argmin_ties(ray_session, tmp_path):
     assert list(got["min_price"]) == [5.0, 7.5, 2.25]
     assert list(got["min_suppkey"]) == [10, 4, 9]  # tie on part 1 -> supp 10
     assert list(got["p_name"]) == ["a", "b", "c"]
+
+
+def test_emb_label_outliers_planted(ray_session):
+    """Hand-planted clusters: centroid math, the worst offender per label,
+    and the rounded-distance tie broken by lowest vec_id."""
+    from tcx2graph_jl_ray.stages.ann import label_outliers
+
+    # label 0: three points on a line; centroid = (2,0); vec 2 is farthest.
+    # label 1: two points symmetric about the centroid -> dist tie; the
+    # lower vec_id (3) must win the argmax.
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(5, dtype="int64"),
+            "label": np.array([0, 0, 0, 1, 1], dtype="int32"),
+            "embedding": [
+                [0.0, 0.0], [1.0, 0.0], [5.0, 0.0],
+                [0.0, 2.0], [0.0, 6.0],
+            ],
+        }
+    )
+    got = (
+        label_outliers(ray.data.from_pandas(emb))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    assert list(got["label"]) == [0, 1]
+    assert list(got["n_vecs"]) == [3, 2]
+    # label 0: centroid (2, 0); dists 4, 1, 9 -> max 9 at vec 2
+    assert got.loc[0, "max_dist2"] == 9.0
+    assert int(got.loc[0, "outlier_vec_id"]) == 2
+    assert got.loc[0, "mean_dist2"] == float(np.round((4 + 1 + 9) / 3, 6))
+    # label 1: centroid (0, 4); both dists 4 -> tie -> vec 3
+    assert got.loc[1, "max_dist2"] == 4.0
+    assert int(got.loc[1, "outlier_vec_id"]) == 3
