@@ -1440,6 +1440,15 @@ def duplicated_grams(
         ).head(top)
 
     cand = dup.map_batches(local_top, batch_format="pandas").to_pandas()
+    if not len(cand):
+        # typed empty PANDAS frame (house pattern, heavy_hitter_words):
+        # Ray drops empty blocks at to_pandas(), losing the (gram, n_docs)
+        # schema the driver contract checks — and the collected frame may
+        # arrive column-less, so rebuild it rather than sort it
+        return pd.DataFrame(
+            {"gram": pd.Series([], dtype="object"),
+             "n_docs": pd.Series([], dtype="int64")}
+        )
     out = (
         cand.sort_values(["n_docs", "gram"], ascending=[False, True])
         .head(top)

@@ -2250,6 +2250,14 @@ def zipf_slope_by_source(docs: ray.data.Dataset, top_n: int = 50) -> ray.data.Da
         )
 
     cand = counts.map_batches(local_top, batch_format="pandas").to_pandas()
+    if not len(cand):
+        # empty corpus: the collected frame may arrive column-less (Ray
+        # drops empty blocks), so return the typed empty frame directly
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype="object"),
+             "n_top": pd.Series([], dtype="int64"),
+             "zipf_slope": pd.Series([], dtype="float64")}
+        )
     top = (
         cand.sort_values(["source", "n", "w"], ascending=[True, False, True])
         .groupby("source", sort=False)
@@ -2266,6 +2274,11 @@ def zipf_slope_by_source(docs: ray.data.Dataset, top_n: int = 50) -> ray.data.Da
         out.append((src, m, float(np.round(slope, 6))))
     df = pd.DataFrame(out, columns=["source", "n_top", "zipf_slope"])
     df["n_top"] = df["n_top"].astype("int64")
+    df["zipf_slope"] = df["zipf_slope"].astype("float64")
+    if not len(df):
+        # typed empty PANDAS frame (house pattern, heavy_hitter_words):
+        # an empty Dataset loses its schema at to_pandas()
+        return df
     return ray.data.from_pandas(df)
 
 

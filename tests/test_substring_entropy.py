@@ -247,3 +247,23 @@ def test_emb_label_outliers_planted(ray_session):
     # label 1: centroid (0, 4); both dists 4 -> tie -> vec 3
     assert got.loc[1, "max_dist2"] == 4.0
     assert int(got.loc[1, "outlier_vec_id"]) == 3
+
+
+def test_empty_corpus_keeps_schema(ray_session):
+    """No duplicated grams / no words: typed empty frames with the contract
+    schema (the house empty-path pattern — Ray drops empty blocks)."""
+    from tcx2graph_jl_ray.stages.text import zipf_slope_by_source
+    from tests.parity import to_pandas
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.array([0], dtype="int64"),
+             "text": [None], "source": ["A"]}
+        )
+    )
+    g = to_pandas(duplicated_grams(docs, k=32, min_docs=2, top=10))
+    assert list(g.columns) == ["gram", "n_docs"]
+    assert len(g) == 0 and str(g["n_docs"].dtype) == "int64"
+    z = to_pandas(zipf_slope_by_source(docs))
+    assert list(z.columns) == ["source", "n_top", "zipf_slope"]
+    assert len(z) == 0 and str(z["zipf_slope"].dtype) == "float64"
