@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_doc_dup_ratio": lambda sf: _dd.doc_dup_ratio(
             _docs(sf), k=_SUBSTR_K, min_docs=2
         ),
+        "dedup_dup_span_coverage": lambda sf: _dd.dup_span_coverage(
+            _docs(sf), k=_SUBSTR_K, min_docs=2
+        ),
         "text_char_entropy": lambda sf: _tx.char_entropy(_docs(sf)),
         "text_zipf_slope": lambda sf: _tx.zipf_slope_by_source(
             _docs(sf), top_n=_ZIPF_TOP_N
@@ -677,6 +680,9 @@ def oracle_sql() -> dict[str, str]:
             k=_SUBSTR_K, min_docs=2, top=_SUBSTR_TOP
         ),
         "dedup_doc_dup_ratio": _dd.DOC_DUP_RATIO_SQL_TEMPLATE.format(
+            k=_SUBSTR_K, min_docs=2
+        ),
+        "dedup_dup_span_coverage": _dd.DUP_SPAN_COVERAGE_SQL_TEMPLATE.format(
             k=_SUBSTR_K, min_docs=2
         ),
         "text_char_entropy": _tx.CHAR_ENTROPY_SQL,

@@ -1540,3 +1540,143 @@ SELECT g.doc_id,
 FROM g JOIN c USING (gram)
 GROUP BY g.doc_id
 """
+
+
+def dup_span_coverage(
+    docs: ray.data.Dataset, k: int = 32, min_docs: int = 2
+) -> ray.data.Dataset:
+    """Per-document duplicated-CHARACTER coverage: how many of a document's
+    characters sit under at least one k-gram that also appears in
+    >= min_docs documents — the span metric exact-substring dedup actually
+    trims on (Lee et al. 2021 cut the covered spans, not whole docs).
+    Completes the substring triptych: corpus signal (``duplicated_grams``)
+    -> per-doc gram ratio (``doc_dup_ratio``) -> per-doc char coverage.
+
+    Semantics: covered chars = |union of [pos, pos+k) over every occurrence
+    of a duplicated gram| — computed as a sorted-position interval merge
+    (sum of min(gap, k) + k per doc), which equals the oracle's
+    COUNT(DISTINCT position) exactly in integers. Scale shape: the
+    all-positions (doc_id, pos, gram) stream joins the duplicated-gram set
+    through the co-partitioned ``hash_join`` (the dup set is unbounded at
+    corpus scale — never broadcast); the interval merge runs per doc inside
+    one hash bucket (a doc's positions are bounded by its text length, the
+    row-size bound that already holds everywhere); docs with no duplicated
+    gram re-enter through a left join against the per-doc length table.
+
+    Output: doc_id, n_chars, n_dup_chars, dup_char_frac (round 6, one
+    exact-int division); documents shorter than k are absent.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def pos_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        batch = _nonnull_text(batch)
+        ids, poss, grams = [], [], []
+        for doc_id, t in zip(
+            batch["doc_id"].to_numpy(), batch["text"].to_numpy()
+        ):
+            b = np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8)
+            if b.size < k:
+                continue
+            w = np.ascontiguousarray(sliding_window_view(b, k)).view(
+                f"S{k}"
+            ).ravel()
+            ids.append(np.full(w.size, doc_id, dtype="int64"))
+            poss.append(np.arange(1, w.size + 1, dtype="int64"))
+            grams.append(w)
+        if not ids:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int64"),
+                 "gram": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "pos": np.concatenate(poss),
+                "gram": pd.Series(np.concatenate(grams)).str.decode("ascii"),
+            }
+        )
+
+    positions = docs.select_columns(["doc_id", "text"]).map_batches(
+        pos_grams, batch_format="pandas", batch_size=1024
+    )
+    counts = _gram_doc_counts(_gram_pairs(docs, k))
+    dup = counts.map_batches(
+        lambda b: b.loc[b["n_docs"] >= min_docs, ["gram"]],
+        batch_format="pandas",
+    )
+    hit = hash_join(positions, dup, on="gram", how="inner")
+
+    def cover(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs_id, outs_n = [], []
+        for doc_id, g in bucket.groupby("doc_id", sort=False):
+            p = np.sort(g["pos"].to_numpy(dtype=np.int64))
+            gaps = np.diff(p)
+            outs_id.append(int(doc_id))
+            outs_n.append(int(np.minimum(gaps, k).sum()) + k)
+        return pd.DataFrame(
+            {"doc_id": pd.array(outs_id, dtype="int64"),
+             "n_dup_chars": pd.array(outs_n, dtype="int64")}
+        )
+
+    covered = bucketed_group_apply(hit, ["doc_id"], cover)
+
+    def doc_lens(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        lens = batch["text"].str.len().astype("int64")
+        keep = lens >= k
+        return pd.DataFrame(
+            {"doc_id": batch.loc[keep, "doc_id"].astype("int64"),
+             "n_chars": lens[keep]}
+        )
+
+    base = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_lens, batch_format="pandas"
+    )
+    joined = hash_join(base, covered, on="doc_id", how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n_dup = b["n_dup_chars"].fillna(0).to_numpy(dtype="int64")
+        n_chars = b["n_chars"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_chars": n_chars,
+                "n_dup_chars": n_dup,
+                "dup_char_frac": np.round(
+                    n_dup.astype("float64") / n_chars.astype("float64"), 6
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+DUP_SPAN_COVERAGE_SQL_TEMPLATE = """
+WITH g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INT), {k}) AS gram
+  FROM documents, unnest(range(1, len(text) - {k} + 2)) AS t(i)
+  WHERE text IS NOT NULL AND len(text) >= {k}
+),
+c AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+dup AS (SELECT gram FROM c WHERE nd >= {min_docs}),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.i + CAST(o.off AS BIGINT) AS pos
+  FROM g JOIN dup USING (gram), unnest(range(0, {k})) AS o(off)
+),
+base AS (
+  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars FROM documents
+  WHERE text IS NOT NULL AND len(text) >= {k}
+)
+SELECT b.doc_id, b.n_chars,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_dup_chars,
+       ROUND(CAST(COALESCE(cnt.n, 0) AS DOUBLE) / b.n_chars, 6)
+         AS dup_char_frac
+FROM base b
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) cnt
+  ON b.doc_id = cnt.doc_id
+"""

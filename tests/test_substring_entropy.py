@@ -267,3 +267,28 @@ def test_empty_corpus_keeps_schema(ray_session):
     z = to_pandas(zipf_slope_by_source(docs))
     assert list(z.columns) == ["source", "n_top", "zipf_slope"]
     assert len(z) == 0 and str(z["zipf_slope"].dtype) == "float64"
+
+
+def test_dup_span_coverage_planted(ray_session):
+    """Two docs sharing one 44-char sentence: each covers exactly 44 chars
+    (13 overlapping 32-gram windows merge into one 44-char interval); the
+    unrelated doc reports zero."""
+    from tcx2graph_jl_ray.stages.dedup import dup_span_coverage
+
+    texts = [
+        "A" * 10 + SHARED + "B" * 10,
+        "C" * 7 + SHARED + "D" * 3,
+        "unrelated filler content with nothing shared at all here....",
+        "short",
+    ]
+    got = (
+        dup_span_coverage(_docs_ds(texts), k=32, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 1, 2]  # "short" absent (< k)
+    assert list(got["n_chars"]) == [64, 54, 60]
+    assert list(got["n_dup_chars"]) == [44, 44, 0]
+    assert got.loc[0, "dup_char_frac"] == float(np.round(44 / 64, 6))
+    assert got.loc[2, "dup_char_frac"] == 0.0
