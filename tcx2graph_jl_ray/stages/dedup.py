@@ -1407,8 +1407,91 @@ def _gram_doc_counts(pairs: ray.data.Dataset) -> ray.data.Dataset:
     return salted_group_apply(pairs, ["gram"], partial_fn=partial, merge_fn=merge)
 
 
+def _gram_doc_counts_hash64(
+    docs: ray.data.Dataset, k: int, min_docs: int
+) -> ray.data.Dataset:
+    """(gram, n_docs) via the 8-byte-hash exchange + gated exact second pass
+    (see ``duplicated_grams(exchange="hash64")``). Counts below min_docs may
+    be absent (the gate drops them) — callers filter on min_docs anyway."""
+    from tcx2graph_jl_ray.functions.digest import md5_low64
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    def hash_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        g = _distinct_char_grams(b, k)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"],
+             "h": md5_low64(g["gram"]).astype("uint64")}
+        )
+
+    pairs_h = docs.select_columns(["doc_id", "text"]).map_batches(
+        hash_pairs, batch_format="pandas", batch_size=1024
+    )
+
+    def partial_h(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("h", sort=False).size().reset_index(name="n_docs")
+
+    def merge_h(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("h", sort=False)["n_docs"].sum().reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    counts_h = salted_group_apply(
+        pairs_h, ["h"], partial_fn=partial_h, merge_fn=merge_h
+    )
+    surv = counts_h.map_batches(
+        lambda b: b.loc[b["n_docs"] >= min_docs, ["h"]], batch_format="pandas"
+    ).to_pandas()
+    # survivor set = duplicated-gram population: the bounded gate (CMS
+    # heavy-hitters discipline); broadcast once as a sorted probe array
+    surv_arr = (
+        np.sort(surv["h"].to_numpy(dtype=np.uint64))
+        if len(surv)
+        else np.array([], dtype=np.uint64)
+    )
+    surv_ref = ray.put(surv_arr)
+
+    class _Gate:
+        def __init__(self, ref):
+            self.surv = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            g = _distinct_char_grams(b, k)
+            if not len(g) or not self.surv.size:
+                return pd.DataFrame(
+                    {"gram": pd.Series([], dtype="object"),
+                     "n_docs": pd.Series([], dtype="int64")}
+                )
+            h = md5_low64(g["gram"]).astype("uint64")
+            idx = np.searchsorted(self.surv, h)
+            idx[idx == self.surv.size] = 0
+            keep = g.loc[self.surv[idx] == h]
+            return (
+                keep.groupby("gram", sort=False)
+                .size()
+                .reset_index(name="n_docs")
+            )
+
+    survivors = docs.select_columns(["doc_id", "text"]).map_batches(
+        _Gate, fn_constructor_args=(surv_ref,), batch_format="pandas",
+        batch_size=1024, concurrency=(1, 8),
+    )
+
+    def merge_g(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("gram", sort=False)["n_docs"].sum().reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    return salted_group_apply(
+        survivors, ["gram"], partial_fn=merge_g, merge_fn=merge_g
+    )
+
+
 def duplicated_grams(
-    docs: ray.data.Dataset, k: int = 32, min_docs: int = 2, top: int = 100
+    docs: ray.data.Dataset,
+    k: int = 32,
+    min_docs: int = 2,
+    top: int = 100,
+    exchange: str = "string",
 ) -> ray.data.Dataset:
     """Exact duplicated substrings: the k-char grams shared by >= min_docs
     documents, ranked by document frequency — the detection half of
@@ -1421,15 +1504,28 @@ def duplicated_grams(
     windowed view + unique per doc, no Python position loop), the doc-count
     reduce is SALTED by gram so boilerplate grams that occur in most of the
     corpus cannot sink one task, and top-k is two-phase (per-block head-k,
-    then one bounded driver merge of <= top rows per block). At 100 TB the
-    exchange would carry a 64-bit rolling gram hash instead of the k-byte
-    string, with survivor strings recovered in a second gated pass (the
-    heavy-hitters discipline above); at test scale the string key keeps the
-    operator oracle-exact with one pass.
+    then one bounded driver merge of <= top rows per block).
+
+    ``exchange`` picks the corpus-scale layout:
+
+    - ``"string"`` (default): the k-byte gram itself is the shuffle key —
+      one pass, the oracle-checked path.
+    - ``"hash64"``: the 100 TB path. Pass 1 shuffles only the 8-byte
+      ``md5_low64`` gram hash (k/8× less exchange payload) and counts docs
+      per hash; the >= min_docs survivor hashes broadcast back (bounded by
+      the duplicated-gram population — the same gate discipline as the CMS
+      heavy hitters), and pass 2 re-derives grams, keeps survivors via a
+      sorted-array membership probe, and counts doc frequency by the gram
+      STRING — so hash collisions can only admit extra candidates into the
+      exact second pass, never corrupt a count. Output is identical to
+      ``"string"`` (asserted in tests/test_substring_entropy.py).
 
     Output: gram, n_docs — ordered (n_docs desc, gram asc), <= top rows.
     """
-    counts = _gram_doc_counts(_gram_pairs(docs, k))
+    if exchange == "hash64":
+        counts = _gram_doc_counts_hash64(docs, k, min_docs)
+    else:
+        counts = _gram_doc_counts(_gram_pairs(docs, k))
     dup = counts.map_batches(
         lambda b: b[b["n_docs"] >= min_docs], batch_format="pandas"
     )

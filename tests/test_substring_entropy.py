@@ -292,3 +292,26 @@ def test_dup_span_coverage_planted(ray_session):
     assert list(got["n_dup_chars"]) == [44, 44, 0]
     assert got.loc[0, "dup_char_frac"] == float(np.round(44 / 64, 6))
     assert got.loc[2, "dup_char_frac"] == 0.0
+
+
+def test_duplicated_grams_hash64_matches_string(ray_session):
+    """The 8-byte-hash exchange with gated exact recovery returns exactly
+    the string-keyed result — on the planted corpus and on sf0.001."""
+    texts = [
+        "A" * 10 + SHARED + "B" * 10,
+        "C" * 7 + SHARED + "D" * 3,
+        "unrelated filler content with nothing shared at all here....",
+        "pad " * 20 + SHARED,
+    ]
+    a = duplicated_grams(
+        _docs_ds(texts), k=32, min_docs=2, top=100, exchange="string"
+    ).to_pandas()
+    b = duplicated_grams(
+        _docs_ds(texts), k=32, min_docs=2, top=100, exchange="hash64"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    a = duplicated_grams(docs, top=50, exchange="string").to_pandas()
+    b = duplicated_grams(docs, top=50, exchange="hash64").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
