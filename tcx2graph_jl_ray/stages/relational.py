@@ -1350,6 +1350,10 @@ def part_min_price_supplier(sf_dir: str) -> ray.data.Dataset:
             self.names = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            # INNER-join semantics like the oracle: a partkey absent from
+            # the part dimension drops the row (no-op on FK-clean TPC-H)
+            keep = b["l_partkey"].isin(self.names)
+            b = b[keep]
             return pd.DataFrame(
                 {
                     "p_partkey": b["l_partkey"].astype("int64"),
