@@ -464,6 +464,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": lambda sf: _wd.value_quantiles(_events_ds(sf)),
         "q4_order_priority": lambda sf: _rel.q4_order_priority(sf),
         "q7_nation_pairs": lambda sf: _rel.q7_nation_pairs(sf),
+        "q10_returned_revenue": lambda sf: _rel.q10_returned_revenue(sf),
+        "q12_late_lines": lambda sf: _rel.q12_late_lines(sf),
+        "q13_order_counts": lambda sf: _rel.q13_order_counts(sf),
+        "q14_promo_revenue": lambda sf: _rel.q14_promo_revenue(sf),
+        "q15_top_supplier": lambda sf: _rel.q15_top_supplier(sf),
+        "q18_large_volume": lambda sf: _rel.q18_large_volume(sf),
+        "q22_idle_customers": lambda sf: _rel.q22_idle_customers(sf),
         "text_bigram_novelty": lambda sf: _tx.bigram_novelty(_docs(sf)),
         # seeds restricted to one region's KB rows: with the full KB every
         # canonical entity is already linked and rounds 1-2 would be no-ops
@@ -761,6 +768,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q7_nation_pairs": _rel.Q7_SQL_TEMPLATE.format(
             date_from="1996-01-01", date_to="1997-01-01"
+        ),
+        "q10_returned_revenue": _rel.Q10_SQL_TEMPLATE.format(
+            date_from="1996-01-01", date_to="1996-07-01", k=20
+        ),
+        "q12_late_lines": _rel.Q12_SQL_TEMPLATE.format(late_days=90),
+        "q13_order_counts": _rel.Q13_SQL,
+        "q14_promo_revenue": _rel.Q14_SQL_TEMPLATE.format(
+            date_from="1996-01-01", date_to="1996-02-01"
+        ),
+        "q15_top_supplier": _rel.Q15_SQL_TEMPLATE.format(
+            date_from="1996-01-01", date_to="1996-04-01"
+        ),
+        "q18_large_volume": _rel.Q18_SQL_TEMPLATE.format(min_qty=300),
+        "q22_idle_customers": _rel.Q22_SQL_TEMPLATE.format(
+            cutoff="2000-01-01"
         ),
         "text_bigram_novelty": _tx.BIGRAM_NOVELTY_SQL,
         "kg_label_propagation": _an.label_propagation_sql(

@@ -29,6 +29,7 @@ from tcx2graph_jl_ray.functions.money import (
     rev_scaled4,
     sql_cents,
     sql_money_from_cents_sum,
+    sql_money_from_scaled4,
     sql_money_from_scaled4_sum,
     sql_mul_scaled4,
     sql_rev_scaled4,
@@ -1383,4 +1384,748 @@ JOIN lineitem l
   ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
 JOIN part p ON p.p_partkey = m.l_partkey
 GROUP BY m.l_partkey, p.p_name, m.min_price
+"""
+
+
+def q10_returned_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    k: int = 20,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H-Q10 shape: the top-k customers by revenue lost to RETURNED
+    items in a window — the returned-item reporting query. Fact × fact
+    (lineitem ⋈ orders) through the co-partitioned ``hash_join``, the
+    per-customer revenue reduced by a salted combiner BEFORE customer
+    attributes join in (so the shuffle moves per-customer partials, never
+    lineitems), customer attached via a second co-partitioned join (the
+    customer table is a fact at corpus scale), nation names broadcast.
+    Top-k = per-batch head-k partials merged once on the driver (each
+    partial is <= k rows; the merge input is k × n_batches, tiny).
+    Revenue is exact scaled-int64 (functions/money.py).
+
+    Reference analogue: hotspot argmax over qualified runs
+    (src/GPSAnalysis.jl:61-118) — qualify, reduce per key, rank.
+
+    Output: c_custkey, c_name, n_name, revenue:float64, n_items:int64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    d0, d1 = pd.Timestamp(date_from), pd.Timestamp(date_to)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.loc[
+            (b["o_orderdate"] >= d0) & (b["o_orderdate"] < d1),
+            ["o_orderkey", "o_custkey"],
+        ].rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_s": rev_scaled4(b["l_extendedprice"], b["l_discount"]),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas", batch_size=65536)
+
+    joined = hash_join(li, orders, on="l_orderkey", n_buckets=n_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", sort=False).agg(
+            rev_part=("rev_s", "sum"), n_part=("rev_s", "size")
+        )
+        return g.reset_index().rename(columns={"o_custkey": "c_custkey"})
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("c_custkey", sort=False).agg(
+            rev_s=("rev_part", "sum"), n_items=("n_part", "sum")
+        ).reset_index()
+        g["c_custkey"] = g["c_custkey"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    per_cust = bucketed_group_apply(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["c_custkey"],
+        merge,
+        n_buckets=n_buckets,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    with_name = hash_join(per_cust, cust, on="c_custkey", n_buckets=n_buckets)
+
+    def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["rev_s", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    # <= k rows per batch; the concat is k x n_batches — driver-bounded
+    cand = with_name.map_batches(
+        topk_partial, batch_format="pandas"
+    ).to_pandas()
+    top = cand.sort_values(
+        ["rev_s", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    nmap = ray.get(nat_ref)
+    return pd.DataFrame(
+        {
+            "c_custkey": top["c_custkey"].astype("int64").to_numpy(),
+            "c_name": top["c_name"].to_numpy(),
+            "n_name": top["c_nationkey"].map(nmap).to_numpy(),
+            "revenue": money_from_scaled4_series(top["rev_s"]),
+            "n_items": top["n_items"].astype("int64").to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+Q10_SQL_TEMPLATE = f"""
+SELECT c_custkey,
+       c_name,
+       n_name,
+       {sql_money_from_scaled4_sum(sql_rev_scaled4())} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{{date_from}}'
+  AND o_orderdate <  TIMESTAMP '{{date_to}}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM({sql_rev_scaled4()}) DESC, c_custkey
+LIMIT {{k}}
+"""
+
+
+def q12_late_lines(
+    sf_dir: str, late_days: int = 90, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """TPC-H-Q12 shape: shipping-latency accounting per order priority.
+    (The synthetic lineitem has no l_shipmode/l_commitdate, so the Q12
+    split is recast as ship-after-order latency: a line is LATE when it
+    shipped more than ``late_days`` after the order date.) Fact × fact
+    join through the co-partitioned ``hash_join``, then a per-batch
+    conditional-count combiner — the shuffle after the join moves one
+    partial row per (batch, priority), never lines.
+
+    late_frac is a single double division of two exact int64 counts,
+    rounded to 6 — deterministic on both sides regardless of task layout.
+
+    Output: o_orderpriority, late_lines, total_lines:int64, late_frac.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    joined = hash_join(li, orders, on="l_orderkey", n_buckets=n_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            (b["l_shipdate"] - b["o_orderdate"]).dt.days > late_days
+        ).astype("int64")
+        g = (
+            pd.DataFrame({"o_orderpriority": b["o_orderpriority"], "late": late})
+            .groupby("o_orderpriority", sort=False)
+            .agg(late_part=("late", "sum"), n_part=("late", "size"))
+        )
+        return g.reset_index()
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("o_orderpriority", sort=False).agg(
+            late_lines=("late_part", "sum"), total_lines=("n_part", "sum")
+        ).reset_index()
+        g["late_lines"] = g["late_lines"].astype("int64")
+        g["total_lines"] = g["total_lines"].astype("int64")
+        g["late_frac"] = np.round(
+            g["late_lines"].to_numpy(dtype="float64")
+            / g["total_lines"].to_numpy(dtype="float64"),
+            6,
+        )
+        return g
+
+    return bucketed_group_apply(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        final,
+        n_buckets=8,
+    )
+
+
+Q12_SQL_TEMPLATE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > {late_days}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+       CAST(COUNT(*) AS BIGINT) AS total_lines,
+       ROUND(CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > {late_days}
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_frac
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q13_order_counts(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """TPC-H-Q13 shape: the customer order-count DISTRIBUTION, including
+    the zero bucket — customer LEFT JOIN orders, per-customer count, then
+    count-of-counts. The per-customer count is a salted combiner (order
+    rows reduce to per-customer partials before any shuffle); the zero
+    bucket comes from the co-partitioned LEFT join's null side (customer
+    is a fact at corpus scale — never broadcast); the final distribution
+    is a tiny second-level groupby over <= max-count distinct keys.
+
+    Output: n_orders:int64, n_customers:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def o_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("o_custkey", sort=False).size()
+        return pd.DataFrame(
+            {"c_custkey": s.index.to_numpy(), "cnt_part": s.to_numpy()}
+        )
+
+    def o_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("c_custkey", sort=False)["cnt_part"].sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": g.index.to_numpy(),
+                "n_orders": g.to_numpy(dtype="int64"),
+            }
+        )
+
+    counts = salted_group_apply(
+        orders.map_batches(o_partial, batch_format="pandas", batch_size=65536),
+        ["c_custkey"],
+        partial_fn=lambda b: pd.DataFrame(
+            {
+                "c_custkey": (g := b.groupby("c_custkey", sort=False)[
+                    "cnt_part"
+                ].sum()).index.to_numpy(),
+                "cnt_part": g.to_numpy(),
+            }
+        ),
+        merge_fn=o_merge,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    with_cnt = hash_join(cust, counts, on="c_custkey", how="left",
+                         n_buckets=n_buckets)
+
+    def dist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_orders"].fillna(0).astype("int64")
+        s = n.value_counts()
+        return pd.DataFrame(
+            {"n_orders": s.index.to_numpy(dtype="int64"),
+             "nc_part": s.to_numpy()}
+        )
+
+    def dist_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_orders", sort=False)["nc_part"].sum()
+        return pd.DataFrame(
+            {
+                "n_orders": g.index.to_numpy(dtype="int64"),
+                "n_customers": g.to_numpy(dtype="int64"),
+            }
+        )
+
+    return bucketed_group_apply(
+        with_cnt.map_batches(dist_partial, batch_format="pandas"),
+        ["n_orders"],
+        dist_final,
+        n_buckets=4,
+    )
+
+
+Q13_SQL = """
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+def q14_promo_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+) -> ray.data.Dataset:
+    """TPC-H-Q14 shape: the promotion-revenue share of one month — what
+    fraction of discounted revenue came from PROMO-type parts. The part
+    dimension reduces to the promo-partkey SET broadcast once (``ray.put``
+    — parts are the declared small side, like q5/q7's supplier map); the
+    pruned lineitem scan folds each batch into ONE (promo_s, total_s, n)
+    partial in exact scaled-int64, and the driver sums a handful of
+    Python ints (arbitrary precision — no double-accumulation even at
+    corpus scale). promo_pct is one double expression over the two exact
+    totals, identical on both sides.
+
+    Output (one row): promo_revenue, total_revenue, promo_pct, n_items.
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    # partkey -> is_promo; inner-join semantics like the oracle (a partkey
+    # absent from the dimension drops the line — no-op on FK-clean TPC-H)
+    promo_ref = ray.put(
+        dict(zip(part["p_partkey"], (part["p_type"] == "PROMO").tolist()))
+    )
+    d0, d1 = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    class _Partial:
+        def __init__(self, ref):
+            self.promo = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[(b["l_shipdate"] >= d0) & (b["l_shipdate"] < d1)]
+            flag = b["l_partkey"].map(self.promo)
+            b = b[flag.notna()]
+            is_promo = flag.dropna().astype(bool).to_numpy()
+            rev_s = rev_scaled4(b["l_extendedprice"], b["l_discount"])
+            return pd.DataFrame(
+                {
+                    "promo_s": [int(rev_s[is_promo].sum())],
+                    "total_s": [int(rev_s.sum())],
+                    "n": [len(b)],
+                }
+            )
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        _Partial, fn_constructor_args=(promo_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 8),
+    ).to_pandas()  # one row per batch — bounded by batch count
+
+    promo_s = int(parts["promo_s"].sum())
+    total_s = int(parts["total_s"].sum())
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "promo_revenue": [money_from_scaled4(promo_s)],
+                "total_revenue": [money_from_scaled4(total_s)],
+                "promo_pct": [
+                    float(np.round(100.0 * float(promo_s) / float(total_s), 6))
+                    if total_s
+                    else 0.0
+                ],
+                "n_items": pd.array([int(parts["n"].sum())], dtype="int64"),
+            }
+        )
+    )
+
+
+Q14_SQL_TEMPLATE = f"""
+SELECT {sql_money_from_scaled4_sum("CASE WHEN p_type = 'PROMO' THEN " + sql_rev_scaled4() + " ELSE 0 END")} AS promo_revenue,
+       {sql_money_from_scaled4_sum(sql_rev_scaled4())} AS total_revenue,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {sql_rev_scaled4()} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({sql_rev_scaled4()}) AS DOUBLE), 6) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '{{date_from}}'
+  AND l_shipdate <  TIMESTAMP '{{date_to}}'
+"""
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H-Q15 shape: the top supplier(s) by revenue in a quarter, TIES
+    KEPT — the grouped-max-then-equality pattern (revenue view + MAX
+    subquery). Per-supplier revenue reduces via a salted combiner in
+    exact scaled-int64; the global max is a per-batch max partial merged
+    on the driver (one int per batch) and broadcast back as a plain
+    closure constant; supplier names broadcast once (declared dimension).
+    The tie comparison happens on the EXACT scaled ints, so no float
+    boundary can split a genuine tie.
+
+    Output: s_suppkey:int64, s_name, total_revenue:float64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    d0, d1 = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= d0) & (b["l_shipdate"] < d1)]
+        g = (
+            pd.DataFrame(
+                {
+                    "s_suppkey": b["l_suppkey"],
+                    "rev_s": rev_scaled4(b["l_extendedprice"], b["l_discount"]),
+                }
+            )
+            .groupby("s_suppkey", sort=False)["rev_s"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {"s_suppkey": g.index.to_numpy(), "rev_s": g.to_numpy()}
+        )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("s_suppkey", sort=False)["rev_s"].sum()
+        return pd.DataFrame(
+            {
+                "s_suppkey": g.index.to_numpy(dtype="int64"),
+                "rev_s": g.to_numpy(dtype="int64"),
+            }
+        )
+
+    rev = salted_group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(li_partial, batch_format="pandas", batch_size=65536),
+        ["s_suppkey"],
+        partial_fn=merge,
+        merge_fn=merge,
+    ).materialize()  # consumed twice: max scan + equality filter
+
+    # global max: one int per batch to the driver
+    maxes = rev.map_batches(
+        lambda b: pd.DataFrame({"m": [int(b["rev_s"].max())]})
+        if len(b)
+        else pd.DataFrame({"m": pd.array([], dtype="int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(maxes):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "s_suppkey": pd.array([], dtype="int64"),
+                    "s_name": pd.array([], dtype="string"),
+                    "total_revenue": pd.array([], dtype="float64"),
+                }
+            )
+        )
+    best = int(maxes["m"].max())
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    name_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_name"])))
+
+    class _Winners:
+        def __init__(self, ref):
+            self.names = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["rev_s"] == best]
+            # inner-join semantics: suppkey absent from the dimension drops
+            b = b[b["s_suppkey"].isin(self.names)]
+            return pd.DataFrame(
+                {
+                    "s_suppkey": b["s_suppkey"].astype("int64"),
+                    "s_name": b["s_suppkey"].map(self.names),
+                    "total_revenue": money_from_scaled4_series(b["rev_s"]),
+                }
+            )
+
+    return rev.map_batches(
+        _Winners, fn_constructor_args=(name_ref,),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+
+Q15_SQL_TEMPLATE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey, SUM({sql_rev_scaled4()}) AS rev_s
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{{date_from}}'
+    AND l_shipdate <  TIMESTAMP '{{date_to}}'
+  GROUP BY l_suppkey
+)
+SELECT rev.s_suppkey,
+       s_name,
+       {sql_money_from_scaled4("rev_s")} AS total_revenue
+FROM rev
+JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
+WHERE rev_s = (SELECT MAX(rev_s) FROM rev)
+"""
+
+
+def q18_large_volume(
+    sf_dir: str, min_qty: int = 300, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """TPC-H-Q18 shape: large-volume orders — orders whose total lineitem
+    quantity exceeds ``min_qty``, with customer identity attached. The
+    per-order quantity sum is a salted combiner over exact int64
+    (quantities are integral-valued doubles); the HAVING gate fires on the
+    reduced table, so only qualifying orderkeys (a vanishing fraction)
+    enter the two co-partitioned ``hash_join``s against orders and
+    customer — both facts at corpus scale, neither broadcast.
+
+    Output: c_custkey, c_name, o_orderkey, o_orderdate(str),
+    o_totalprice, total_qty:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"],
+                    "qty": np.rint(b["l_quantity"].to_numpy()).astype("int64"),
+                }
+            )
+            .groupby("o_orderkey", sort=False)["qty"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {"o_orderkey": g.index.to_numpy(), "qty": g.to_numpy()}
+        )
+
+    def qty_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("o_orderkey", sort=False)["qty"].sum()
+        return pd.DataFrame(
+            {
+                "o_orderkey": g.index.to_numpy(dtype="int64"),
+                "qty": g.to_numpy(dtype="int64"),
+            }
+        )
+
+    qual = salted_group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        ).map_batches(qty_partial, batch_format="pandas", batch_size=65536),
+        ["o_orderkey"],
+        partial_fn=qty_merge,
+        merge_fn=qty_merge,
+    ).map_batches(
+        lambda b: b[b["qty"] > min_qty].rename(columns={"qty": "total_qty"}),
+        batch_format="pandas",
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    with_orders = hash_join(qual, orders, on="o_orderkey", n_buckets=n_buckets)
+    with_orders = with_orders.map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = hash_join(with_orders, cust, on="c_custkey", n_buckets=n_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_name": b["c_name"],
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                "o_totalprice": b["o_totalprice"],
+                "total_qty": b["total_qty"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q18_SQL_TEMPLATE = """
+SELECT c_custkey,
+       c_name,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {min_qty}
+"""
+
+
+def q22_idle_customers(
+    sf_dir: str, cutoff: str = "2000-01-01", n_buckets: int = 64
+) -> ray.data.Dataset:
+    """TPC-H-Q22 shape: well-funded customers gone idle — customers whose
+    balance exceeds the positive-balance average and who placed NO order
+    on/after ``cutoff``, grouped by nation. (The synthetic customer has no
+    phone country code, so Q22's prefix grouping is recast over nation.)
+    Three scale disciplines in one query: the global average is a
+    two-int partial (sum of exact cents + count) merged on the driver and
+    compared as ONE deterministic double expression; the recent-orderer
+    key set reduces by a distinct combiner and ANTI-joins through the
+    co-partitioned LEFT join's null side (customer and orders are both
+    facts — no broadcast); the per-nation rollup sums exact cents.
+
+    Output: n_name, n_custs:int64, total_acctbal:float64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    # pass 1: global positive-balance average from exact-cent partials
+    bal_parts = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "sum_c": [int(cents_i64(b.loc[b["c_acctbal"] > 0.0,
+                                              "c_acctbal"]).sum())],
+                "n": [int((b["c_acctbal"] > 0.0).sum())],
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    ).to_pandas()  # one row per batch
+    n_pos = int(bal_parts["n"].sum())
+    if n_pos == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "n_name": pd.array([], dtype="string"),
+                    "n_custs": pd.array([], dtype="int64"),
+                    "total_acctbal": pd.array([], dtype="float64"),
+                }
+            )
+        )
+    # same expression shape as the oracle: (double(sum_cents)/100.0)/n
+    avg_bal = float(int(bal_parts["sum_c"].sum())) / 100.0 / float(n_pos)
+
+    # recent-orderer distinct keys (combiner: unique per batch + per bucket)
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.loc[
+            b["o_orderdate"] >= pd.Timestamp(cutoff), ["o_custkey"]
+        ].drop_duplicates().rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    recent_keys = bucketed_group_apply(
+        recent,
+        ["c_custkey"],
+        lambda bucket: bucket.drop_duplicates("c_custkey").assign(
+            has_recent=np.int64(1)
+        ),
+        n_buckets=n_buckets,
+    )
+
+    rich = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(
+        lambda b: b[b["c_acctbal"] > avg_bal],
+        batch_format="pandas",
+    )
+    marked = hash_join(rich, recent_keys, on="c_custkey", how="left",
+                       n_buckets=n_buckets)
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    class _Partial:
+        def __init__(self, ref):
+            self.names = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["has_recent"].isna()]
+            d = pd.DataFrame(
+                {
+                    "n_name": b["c_nationkey"].map(self.names),
+                    "bal_c": cents_i64(b["c_acctbal"]),
+                }
+            )
+            g = d.groupby("n_name", sort=False).agg(
+                n_part=("bal_c", "size"), bal_part=("bal_c", "sum")
+            )
+            return g.reset_index()
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_name", sort=False).agg(
+            n_custs=("n_part", "sum"), bal_c=("bal_part", "sum")
+        ).reset_index()
+        g["n_custs"] = g["n_custs"].astype("int64")
+        g["total_acctbal"] = g["bal_c"].to_numpy(dtype="int64") / 100.0
+        return g[["n_name", "n_custs", "total_acctbal"]]
+
+    return bucketed_group_apply(
+        marked.map_batches(
+            _Partial, fn_constructor_args=(nat_ref,),
+            batch_format="pandas", concurrency=(1, 4),
+        ),
+        ["n_name"],
+        final,
+        n_buckets=8,
+    )
+
+
+Q22_SQL_TEMPLATE = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{cutoff}'
+      )
+GROUP BY n_name
 """
