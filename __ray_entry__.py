@@ -471,6 +471,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": lambda sf: _rel.q15_top_supplier(sf),
         "q18_large_volume": lambda sf: _rel.q18_large_volume(sf),
         "q22_idle_customers": lambda sf: _rel.q22_idle_customers(sf),
+        "events_corr_value_hour": lambda sf: _wd.corr_value_hour(_events_ds(sf)),
+        "kg_degree_assortativity": lambda sf: _an.degree_assortativity(
+            _transitions(sf)
+        ),
         "text_bigram_novelty": lambda sf: _tx.bigram_novelty(_docs(sf)),
         # seeds restricted to one region's KB rows: with the full KB every
         # canonical entity is already linked and rounds 1-2 would be no-ops
@@ -783,6 +787,12 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": _rel.Q18_SQL_TEMPLATE.format(min_qty=300),
         "q22_idle_customers": _rel.Q22_SQL_TEMPLATE.format(
             cutoff="2000-01-01"
+        ),
+        "events_corr_value_hour": _wd.CORR_VALUE_HOUR_SQL,
+        "kg_degree_assortativity": _an.DEGREE_ASSORT_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            )
         ),
         "text_bigram_novelty": _tx.BIGRAM_NOVELTY_SQL,
         "kg_label_propagation": _an.label_propagation_sql(

@@ -2732,3 +2732,136 @@ WHERE next_entity IS NOT NULL AND next_turn - turn_idx <= {max_turn_gap}
 GROUP BY entity_id, next_entity, strftime(ts, '%Y-%m')
 """
 )
+
+
+def degree_assortativity(
+    transitions: ray.data.Dataset, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Degree assortativity of the entity transition graph — the Pearson
+    correlation, over directed edges, between the source's out-degree and
+    the target's in-degree (Newman 2002's mixing coefficient, the
+    one-number answer to "do hub entities point at hubs?"). The structural
+    summary beyond per-node `entity_degree_stats`.
+
+    Scale shape: degrees are per-key count reductions (per-batch partial →
+    bucketed merge — partial rows per key are batch-bounded); each degree
+    table joins back onto the edge stream through the co-partitioned
+    ``hash_join`` (both sides are edge/vocabulary-scale facts — never
+    broadcast); every batch of the joined stream folds to ONE row of six
+    integer sufficient statistics, and the driver sums a handful of
+    PYTHON ints (exact at any scale; the oracle's SUM(BIGINT) is HUGEINT).
+    The coefficient is one shared double expression, rounded to 6.
+
+    Output (one row; empty if degenerate): n_edges:int64,
+    assortativity:float64.
+    """
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = transitions.map_batches(
+        lambda b: b[["from_entity", "to_entity"]], batch_format="pandas"
+    ).materialize()  # consumed three times: two degree scans + the join
+
+    def make_degrees(key: str, out_col: str) -> ray.data.Dataset:
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            s = b.groupby(key, sort=False).size()
+            return pd.DataFrame(
+                {key: s.index.to_numpy(), "d_part": s.to_numpy()}
+            )
+
+        def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+            g = bucket.groupby(key, sort=False)["d_part"].sum()
+            return pd.DataFrame(
+                {
+                    key: g.index.to_numpy(),
+                    out_col: g.to_numpy(dtype="int64"),
+                }
+            )
+
+        return bucketed_group_apply(
+            edges.map_batches(part, batch_format="pandas"),
+            [key],
+            merge,
+            n_buckets=n_buckets,
+        )
+
+    out_deg = make_degrees("from_entity", "xd")
+    in_deg = make_degrees("to_entity", "yd")
+    j = hash_join(
+        hash_join(edges, out_deg, on="from_entity", n_buckets=n_buckets),
+        in_deg,
+        on="to_entity",
+        n_buckets=n_buckets,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["xd"].to_numpy(dtype="int64")
+        y = b["yd"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "n": [len(b)],
+                "sx": [int(x.sum())],
+                "sy": [int(y.sum())],
+                "sxy": [int((x * y).sum())],
+                "sx2": [int((x * x).sum())],
+                "sy2": [int((y * y).sum())],
+            }
+        )
+
+    parts = j.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()  # one row per batch
+
+    empty = pd.DataFrame(
+        {
+            "n_edges": pd.array([], dtype="int64"),
+            "assortativity": pd.array([], dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    n = sum(int(v) for v in parts["n"])
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    sx2 = sum(int(v) for v in parts["sx2"])
+    sy2 = sum(int(v) for v in parts["sy2"])
+    dx = n * sx2 - sx * sx
+    dy = n * sy2 - sy * sy
+    if n == 0 or dx <= 0 or dy <= 0:
+        return empty
+    corr = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+    return pd.DataFrame(
+        {
+            "n_edges": pd.array([n], dtype="int64"),
+            "assortativity": pd.array([float(np.round(corr, 6))],
+                                      dtype="float64"),
+        }
+    )
+
+
+DEGREE_ASSORT_SQL_TEMPLATE = """
+WITH tr AS ({transitions}),
+e AS (SELECT from_entity, to_entity FROM tr),
+od AS (SELECT from_entity, CAST(COUNT(*) AS BIGINT) AS xd
+       FROM e GROUP BY from_entity),
+idg AS (SELECT to_entity, CAST(COUNT(*) AS BIGINT) AS yd
+        FROM e GROUP BY to_entity),
+j AS (SELECT xd, yd
+      FROM e
+      JOIN od USING (from_entity)
+      JOIN idg USING (to_entity)),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(xd) AS sx, SUM(yd) AS sy, SUM(xd * yd) AS sxy,
+             SUM(xd * xd) AS sx2, SUM(yd * yd) AS sy2
+      FROM j)
+SELECT n AS n_edges,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+         AS assortativity
+FROM s
+WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+"""

@@ -1553,3 +1553,112 @@ SELECT ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
        ROUND(QUANTILE_CONT(value, 0.99), 6) AS p99
 FROM events WHERE value IS NOT NULL
 """
+
+
+def corr_value_hour(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-type Pearson correlation between event value and hour-of-day —
+    the grouped bivariate statistic (does this event type's value follow a
+    daily cycle?), computed the `events_type_trend` way: EXACT integer
+    sufficient statistics, one double expression at the very end.
+
+    Determinism discipline: value is 2-dp exact so x = cents(value) is
+    int64; y = hour is int64; each batch folds to per-type partial sums of
+    (n, Σx, Σy, Σxy, Σx², Σy²) — int64-safe per batch — and the final
+    merge sums them as PYTHON ints (arbitrary precision; the oracle's
+    SUM(BIGINT) is HUGEINT for the same reason), so the six totals are
+    bit-identical to the oracle under any batch layout. The correlation is
+    then ONE shared double expression (cast, multiply, sqrt, divide,
+    round 6) on both sides. Zero-variance groups drop (the oracle's
+    WHERE den > 0).
+
+    Output: event_type, n:int64, corr_value_hour:float64.
+    """
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna() & b["ts"].notna()]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.array([], dtype="string"),
+                    **{
+                        c: pd.array([], dtype="int64")
+                        for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")
+                    },
+                }
+            )
+        x = cents_i64(b["value"])
+        y = b["ts"].dt.hour.to_numpy(dtype="int64")
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "n": np.ones(len(b), dtype="int64"),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sx2": x * x,
+                "sy2": y * y,
+            }
+        )
+        return d.groupby("event_type", sort=False).sum().reset_index()
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in bucket.groupby("event_type", sort=False):
+            # Python ints: exact at any scale (oracle side is HUGEINT)
+            n = sum(int(v) for v in g["n"])
+            sx = sum(int(v) for v in g["sx"])
+            sy = sum(int(v) for v in g["sy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            sx2 = sum(int(v) for v in g["sx2"])
+            sy2 = sum(int(v) for v in g["sy2"])
+            dx = n * sx2 - sx * sx
+            dy = n * sy2 - sy * sy
+            if dx <= 0 or dy <= 0:
+                continue
+            corr = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+            rows.append((et, n, float(np.round(corr, 6))))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "corr_value_hour"]
+        ).astype({"n": "int64", "corr_value_hour": "float64"})
+
+    return bucketed_group_apply(
+        events.select_columns(["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["event_type"],
+        final,
+        n_buckets=n_buckets,
+    )
+
+
+CORR_VALUE_HOUR_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sx,
+         SUM(CAST(date_part('hour', ts) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(date_part('hour', ts) AS BIGINT)) AS sxy,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS sx2,
+         SUM(CAST(date_part('hour', ts) AS BIGINT)
+             * CAST(date_part('hour', ts) AS BIGINT)) AS sy2
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+         AS corr_value_hour
+FROM s
+WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+"""
