@@ -72,6 +72,22 @@ def money_from_scaled4_series(scaled):
     return ((s + 50) // 100) / 100.0
 
 
+def money_from_scaled4_signed(total_scaled) -> float:
+    """Signed 1e-4-scaled sum -> dollars, half-AWAY-from-zero to the cent in
+    integer space (q9-style profit can be negative; plain floor division
+    would round negatives toward -inf)."""
+    s = int(total_scaled)
+    mag = (abs(s) + 50) // 100
+    return (mag if s >= 0 else -mag) / 100.0
+
+
+def money_from_scaled4_signed_series(scaled):
+    """Vectorized ``money_from_scaled4_signed``."""
+    s = np.asarray(scaled, dtype="int64")
+    mag = (np.abs(s) + 50) // 100
+    return np.where(s >= 0, mag, -mag) / 100.0
+
+
 # --- DuckDB oracle snippets: the same arithmetic, same rounding rule -------
 
 def sql_cents(col: str) -> str:
@@ -100,3 +116,13 @@ def sql_money_from_scaled4_sum(scaled_expr: str) -> str:
 def sql_money_from_scaled4(scaled_expr: str) -> str:
     """A single 1e-4-scaled int value -> dollars, half-up."""
     return f"CAST((({scaled_expr}) + 50) // 100 AS DOUBLE) / 100.0"
+
+
+def sql_money_from_scaled4_sum_signed(scaled_expr: str) -> str:
+    """SUM of signed 1e-4-scaled ints -> dollars, half-away-from-zero
+    (matches ``money_from_scaled4_signed``)."""
+    return (
+        f"CAST(CASE WHEN SUM({scaled_expr}) >= 0 "
+        f"THEN (SUM({scaled_expr}) + 50) // 100 "
+        f"ELSE -((-SUM({scaled_expr}) + 50) // 100) END AS DOUBLE) / 100.0"
+    )

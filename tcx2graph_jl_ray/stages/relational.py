@@ -25,12 +25,15 @@ from tcx2graph_jl_ray.functions.money import (
     money_from_cents,
     money_from_scaled4,
     money_from_scaled4_series,
+    money_from_scaled4_signed,
+    money_from_scaled4_signed_series,
     mul_scaled4,
     rev_scaled4,
     sql_cents,
     sql_money_from_cents_sum,
     sql_money_from_scaled4,
     sql_money_from_scaled4_sum,
+    sql_money_from_scaled4_sum_signed,
     sql_mul_scaled4,
     sql_rev_scaled4,
 )
@@ -2128,4 +2131,897 @@ WHERE c_acctbal > (
           AND o_orderdate >= TIMESTAMP '{cutoff}'
       )
 GROUP BY n_name
+"""
+
+
+def q8_market_share(
+    sf_dir: str,
+    region: str = "EUROPE",
+    supp_nation: str = "NATION_7",
+    p_type: str = "STANDARD",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H-Q8 shape: one supplier nation's market share, per order year,
+    of a part type sold into one region's market. The region's nation-key
+    set, the type-filtered partkey set and the supplier->nation map are the
+    declared small sides (broadcast once via ``ray.put``); orders⋈customer
+    and lineitem⋈orders are co-partitioned ``hash_join``s — both facts at
+    corpus scale. Numerator and denominator accumulate in exact scaled
+    int64, so the share is ONE double expression over two exact ints —
+    identical on both sides regardless of partial-sum order.
+
+    Output: o_year:int64, mkt_share:float64 (round 6),
+    total_revenue:float64, n_items:int64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    region_keys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    market_nations = set(
+        nat.loc[nat["n_regionkey"].isin(region_keys), "n_nationkey"]
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    type_parts = set(part.loc[part["p_type"] == p_type, "p_partkey"])
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    target_key = nat.loc[nat["n_name"] == supp_nation, "n_nationkey"]
+    target = int(target_key.iloc[0]) if len(target_key) else -1
+    dims_ref = ray.put(
+        (market_nations, type_parts, dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+    )
+    d0, d1 = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    class _OrdFilter:
+        def __init__(self, ref):
+            self.market, _, _ = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[(b["o_orderdate"] >= d0) & (b["o_orderdate"] < d1)]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "c_custkey": b["o_custkey"],
+                    "o_year": b["o_orderdate"].dt.year.astype("int64"),
+                }
+            )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        _OrdFilter, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    oc = hash_join(orders, cust, on="c_custkey", n_buckets=n_buckets)
+
+    class _MarketOnly:
+        def __init__(self, ref):
+            self.market, _, _ = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["c_nationkey"].isin(self.market)]
+            return pd.DataFrame(
+                {"l_orderkey": b["o_orderkey"], "o_year": b["o_year"]}
+            )
+
+    oc = oc.map_batches(
+        _MarketOnly, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+    class _LiFilter:
+        def __init__(self, ref):
+            _, self.type_parts, _ = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_partkey"].isin(self.type_parts)]
+            return b[["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]]
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(
+        _LiFilter, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    )
+    joined = hash_join(li, oc, on="l_orderkey", n_buckets=n_buckets)
+
+    class _Partial:
+        def __init__(self, ref):
+            _, _, self.sup_nat = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            s_nat = b["l_suppkey"].map(self.sup_nat)
+            b = b[s_nat.notna()]
+            is_target = (s_nat.dropna() == target).to_numpy()
+            rev_s = rev_scaled4(b["l_extendedprice"], b["l_discount"])
+            d = pd.DataFrame(
+                {
+                    # inner join keeps no nulls; coerce any nullable Int64
+                    "o_year": np.asarray(b["o_year"], dtype="int64"),
+                    "num_s": np.where(is_target, rev_s, 0),
+                    "den_s": rev_s,
+                }
+            )
+            g = d.groupby("o_year", sort=False).agg(
+                num_s=("num_s", "sum"), den_s=("den_s", "sum"),
+                n=("den_s", "size"),
+            )
+            return g.reset_index()
+
+    parts = joined.map_batches(
+        _Partial, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    ).to_pandas()  # one row per (batch, year): years are calendar-bounded
+
+    if not len(parts):
+        return ray.data.from_pandas(pd.DataFrame({
+            "o_year": pd.array([], dtype="int64"),
+            "mkt_share": pd.array([], dtype="float64"),
+            "total_revenue": pd.array([], dtype="float64"),
+            "n_items": pd.array([], dtype="int64"),
+        }))
+    g = parts.groupby("o_year", sort=True).agg(
+        num_s=("num_s", "sum"), den_s=("den_s", "sum"), n=("n", "sum")
+    ).reset_index()
+    return ray.data.from_pandas(pd.DataFrame({
+        "o_year": g["o_year"].astype("int64"),
+        "mkt_share": np.round(
+            g["num_s"].to_numpy(dtype="float64")
+            / g["den_s"].to_numpy(dtype="float64"), 6
+        ),
+        "total_revenue": money_from_scaled4_series(g["den_s"]),
+        "n_items": g["n"].astype("int64"),
+    }))
+
+
+Q8_SQL_TEMPLATE = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{{supp_nation}}'
+                           THEN {sql_rev_scaled4()} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({sql_rev_scaled4()}) AS DOUBLE), 6) AS mkt_share,
+       {sql_money_from_scaled4_sum(sql_rev_scaled4())} AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = cn.n_regionkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE r_name = '{{region}}'
+  AND p_type = '{{p_type}}'
+  AND o_orderdate >= TIMESTAMP '{{date_from}}'
+  AND o_orderdate <  TIMESTAMP '{{date_to}}'
+GROUP BY 1
+"""
+
+
+def q9_profit(
+    sf_dir: str,
+    name_suffix: str = " gear",
+    n_buckets: int = 8,
+) -> ray.data.Dataset:
+    """TPC-H-Q9 shape: profit by supplier nation and (ship) year for one
+    product family. The synthetic schema has no partsupp, so unit cost is
+    the documented stand-in ``0.1 * p_retailprice`` (1-dp retail price ->
+    exact cents; x0.1 at 1e-4 scale is cents*qty*10, an exact int):
+    ``amount = extprice*(1-disc) - 0.1*retail*qty`` in scaled int64, which
+    CAN be negative — summed exactly and displayed with the signed
+    half-away-from-zero rule shared with the oracle. Part cost map and
+    supplier->nation map broadcast once; the (nation, year) rollup is
+    calendar-x-dimension bounded.
+
+    Output: nation, o_year:int64, profit:float64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).to_pandas()
+    fam = part[part["p_name"].str.endswith(name_suffix)]
+    cost_map = dict(zip(fam["p_partkey"], cents_i64(fam["p_retailprice"])))
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dims_ref = ray.put((
+        cost_map,
+        dict(zip(sup["s_suppkey"], sup["s_nationkey"])),
+        dict(zip(nat["n_nationkey"], nat["n_name"])),
+    ))
+
+    class _Partial:
+        def __init__(self, ref):
+            self.cost, self.sup_nat, self.nat_name = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            retail_c = b["l_partkey"].map(self.cost)
+            nation = b["l_suppkey"].map(self.sup_nat).map(self.nat_name)
+            keep = retail_c.notna() & nation.notna()
+            b, retail_c, nation = b[keep], retail_c[keep], nation[keep]
+            qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+            amount_s = (
+                rev_scaled4(b["l_extendedprice"], b["l_discount"])
+                - retail_c.to_numpy(dtype="int64") * qty * 10
+            )
+            d = pd.DataFrame({
+                "nation": nation.to_numpy(),
+                "o_year": b["l_shipdate"].dt.year.astype("int64").to_numpy(),
+                "amount_s": amount_s,
+            })
+            g = d.groupby(["nation", "o_year"], sort=False)["amount_s"].sum()
+            return g.reset_index()
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        _Partial, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 8),
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["nation", "o_year"], sort=False)["amount_s"].sum()
+        g = g.reset_index()
+        return pd.DataFrame({
+            "nation": g["nation"],
+            "o_year": g["o_year"].astype("int64"),
+            "profit": money_from_scaled4_signed_series(g["amount_s"]),
+        })
+
+    return bucketed_group_apply(parts, ["nation", "o_year"], final,
+                                n_buckets=n_buckets)
+
+
+Q9_SQL_TEMPLATE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
+       {sql_money_from_scaled4_sum_signed(
+           sql_rev_scaled4()
+           + " - " + sql_cents("p_retailprice")
+           + " * CAST(ROUND(l_quantity) AS BIGINT) * 10"
+       )} AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{{name_suffix}}'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    fraction_ppm: int = 1000,
+) -> ray.data.Dataset:
+    """TPC-H-Q11 shape: the parts carrying a disproportionate share of one
+    nation's supply value (no partsupp in the synthetic schema, so value is
+    shipped revenue from that nation's suppliers). Per-part value reduces
+    via a salted combiner in exact scaled int64; the global total is a
+    per-batch int partial merged as PYTHON ints on the driver (arbitrary
+    precision); the HAVING gate ``value*1e6 > total*ppm`` is rewritten to
+    the overflow-proof integer form ``value > (total*ppm) // 1e6`` (exact:
+    v*1e6 > T  <=>  v > T//1e6 for positive ints), so no per-row product
+    can overflow int64 at corpus scale.
+
+    Output: p_partkey:int64, value:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nkey = nat.loc[nat["n_name"] == nation, "n_nationkey"]
+    nation_supps = set(
+        sup.loc[sup["s_nationkey"] == int(nkey.iloc[0]), "s_suppkey"]
+    ) if len(nkey) else set()
+    supp_ref = ray.put(nation_supps)
+
+    class _Partial:
+        def __init__(self, ref):
+            self.supps = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_suppkey"].isin(self.supps)]
+            g = pd.DataFrame({
+                "p_partkey": b["l_partkey"],
+                "value_s": rev_scaled4(b["l_extendedprice"], b["l_discount"]),
+            }).groupby("p_partkey", sort=False)["value_s"].sum()
+            return pd.DataFrame({
+                "p_partkey": g.index.to_numpy(), "value_s": g.to_numpy()
+            })
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("p_partkey", sort=False)["value_s"].sum()
+        return pd.DataFrame({
+            "p_partkey": g.index.to_numpy(dtype="int64"),
+            "value_s": g.to_numpy(dtype="int64"),
+        })
+
+    values = salted_group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(
+            _Partial, fn_constructor_args=(supp_ref,),
+            batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+        ),
+        ["p_partkey"],
+        partial_fn=merge,
+        merge_fn=merge,
+    ).materialize()  # consumed twice: total scan + threshold filter
+
+    totals = values.map_batches(
+        lambda b: pd.DataFrame({"t": [int(b["value_s"].sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    total_s = int(totals["t"].sum()) if len(totals) else 0
+    thr = (total_s * fraction_ppm) // 1_000_000  # keep iff value_s > thr
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value_s"] > thr]
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].astype("int64"),
+            "value": money_from_scaled4_series(b["value_s"]),
+        })
+
+    return values.map_batches(finish, batch_format="pandas")
+
+
+Q11_SQL_TEMPLATE = f"""
+WITH v AS (
+  SELECT l_partkey AS p_partkey, SUM({sql_rev_scaled4()}) AS value_s
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = '{{nation}}'
+  GROUP BY 1
+)
+SELECT p_partkey,
+       {sql_money_from_scaled4("value_s")} AS value
+FROM v
+WHERE value_s > (SELECT SUM(value_s) * {{fraction_ppm}} // 1000000 FROM v)
+"""
+
+
+def q16_supplier_counts(
+    sf_dir: str,
+    exclude_brand: str = "Brand#5",
+    exclude_type: str = "PROMO",
+    sizes: tuple = (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49),
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H-Q16 shape: how many distinct suppliers ship each retained
+    (brand, type, size) combo, excluding one brand, one type and
+    "complained-about" suppliers (no comment column — negative account
+    balance is the documented stand-in). The part-attribute map and the
+    excluded-supplier set broadcast once; the COUNT(DISTINCT) reduces by a
+    per-batch (combo, suppkey) drop_duplicates combiner, then one bucketed
+    shuffle keyed on the combo so each task counts its combos' supplier
+    sets vectorized (supplier sets are dimension-bounded).
+
+    Output: p_brand, p_type, p_size:int64, supplier_cnt:int64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    keep = part[
+        (part["p_brand"] != exclude_brand)
+        & (part["p_type"] != exclude_type)
+        & (part["p_size"].isin(sizes))
+    ]
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad_supps = set(sup.loc[sup["s_acctbal"] < 0.0, "s_suppkey"])
+    dims_ref = ray.put((
+        dict(zip(keep["p_partkey"],
+                 zip(keep["p_brand"], keep["p_type"], keep["p_size"]))),
+        bad_supps,
+    ))
+
+    class _Partial:
+        def __init__(self, ref):
+            self.attrs, self.bad = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            attr = b["l_partkey"].map(self.attrs)
+            ok = attr.notna() & ~b["l_suppkey"].isin(self.bad)
+            attr, supp = attr[ok], b.loc[ok, "l_suppkey"]
+            if not len(attr):
+                return pd.DataFrame({
+                    "p_brand": pd.array([], dtype="string"),
+                    "p_type": pd.array([], dtype="string"),
+                    "p_size": pd.array([], dtype="int64"),
+                    "s_suppkey": pd.array([], dtype="int64"),
+                })
+            d = pd.DataFrame({
+                "p_brand": [a[0] for a in attr],
+                "p_type": [a[1] for a in attr],
+                "p_size": np.asarray([a[2] for a in attr], dtype="int64"),
+                "s_suppkey": supp.to_numpy(),
+            })
+            return d.drop_duplicates()
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        _Partial, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.drop_duplicates()
+            .groupby(["p_brand", "p_type", "p_size"], sort=False)["s_suppkey"]
+            .size()
+            .reset_index(name="supplier_cnt")
+        )
+        g["p_size"] = g["p_size"].astype("int64")
+        g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        parts, ["p_brand", "p_type", "p_size"], final, n_buckets=n_buckets
+    )
+
+
+Q16_SQL_TEMPLATE = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{exclude_brand}'
+  AND p_type <> '{exclude_type}'
+  AND p_size IN ({sizes_csv})
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_qty_revenue(
+    sf_dir: str,
+    brand: str = "Brand#3",
+    max_size: int = 10,
+) -> ray.data.Dataset:
+    """TPC-H-Q17 shape: average yearly revenue lost to small-quantity
+    orders of one brand's small parts (no container column — ``p_size <
+    max_size`` is the stand-in). Two passes over the partkey-pruned
+    lineitem scan: pass 1 reduces per-part (sum_qty, count) — bounded by
+    the brand-slice of the part dimension — and broadcasts it; pass 2
+    keeps lines with ``qty < 0.2 * avg`` via the EXACT integer cross-
+    multiplication ``5*qty*count < sum_qty`` (quantities are integral) and
+    sums exact cents. ``avg_yearly = round_half_up(cents/7)`` happens in
+    integer space: ``(2*total + 7) // 14`` — bit-identical to the oracle.
+
+    Output (one row): avg_yearly:float64, n_items:int64.
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    pk = set(part.loc[
+        (part["p_brand"] == brand) & (part["p_size"] < max_size), "p_partkey"
+    ])
+    pk_ref = ray.put(pk)
+
+    class _QtyPartial:
+        def __init__(self, ref):
+            self.pk = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_partkey"].isin(self.pk)]
+            g = pd.DataFrame({
+                "p_partkey": b["l_partkey"],
+                "qty": np.rint(b["l_quantity"].to_numpy()).astype("int64"),
+            }).groupby("p_partkey", sort=False)["qty"].agg(["sum", "size"])
+            return pd.DataFrame({
+                "p_partkey": g.index.to_numpy(),
+                "sum_qty": g["sum"].to_numpy(),
+                "cnt": g["size"].to_numpy(),
+            })
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=li_cols[:2]
+    ).map_batches(
+        _QtyPartial, fn_constructor_args=(pk_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    ).to_pandas()  # bounded by the brand/size slice of the part dimension
+    if len(stats):
+        stats = stats.groupby("p_partkey", sort=False).agg(
+            sum_qty=("sum_qty", "sum"), cnt=("cnt", "sum")
+        )
+        thr_ref = ray.put((
+            dict(zip(stats.index, stats["sum_qty"])),
+            dict(zip(stats.index, stats["cnt"])),
+        ))
+    else:
+        thr_ref = ray.put(({}, {}))
+
+    class _RevPartial:
+        def __init__(self, ref):
+            self.sum_qty, self.cnt = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sq = b["l_partkey"].map(self.sum_qty)
+            b = b[sq.notna()]
+            sq = sq.dropna().to_numpy(dtype="int64")
+            cnt = b["l_partkey"].map(self.cnt).to_numpy(dtype="int64")
+            qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+            small = 5 * qty * cnt < sq
+            return pd.DataFrame({
+                "rev_c": [int(cents_i64(b["l_extendedprice"])[small].sum())],
+                "n": [int(small.sum())],
+            })
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=li_cols
+    ).map_batches(
+        _RevPartial, fn_constructor_args=(thr_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    ).to_pandas()  # one row per batch
+    total_c = int(parts["rev_c"].sum()) if len(parts) else 0
+    n = int(parts["n"].sum()) if len(parts) else 0
+    return ray.data.from_pandas(pd.DataFrame({
+        "avg_yearly": [((2 * total_c + 7) // 14) / 100.0],
+        "n_items": pd.array([n], dtype="int64"),
+    }))
+
+
+Q17_SQL_TEMPLATE = f"""
+WITH pp AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = '{{brand}}' AND p_size < {{max_size}}
+),
+s AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem JOIN pp ON p_partkey = l_partkey
+  GROUP BY 1
+)
+SELECT CAST((2 * COALESCE(SUM({sql_cents('l_extendedprice')}), 0) + 7) // 14
+            AS DOUBLE) / 100.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN s ON s.pk = l_partkey
+WHERE 5 * CAST(ROUND(l_quantity) AS BIGINT) * cnt < sum_qty
+"""
+
+
+def q19_discounted_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q19 shape: revenue from three OR'd (brand, size-range,
+    quantity-range) arm predicates — the disjunctive broadcast-filter sum.
+    Part attributes broadcast once; each batch folds to ONE exact
+    scaled-int partial; the driver sums Python ints.
+
+    Output (one row): revenue:float64, n_items:int64.
+    """
+    import pyarrow.parquet as pq
+
+    arms = (
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#20", 1, 10, 10, 20),
+        ("Brand#24", 1, 15, 20, 30),
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    dims_ref = ray.put((
+        dict(zip(part["p_partkey"], part["p_brand"])),
+        dict(zip(part["p_partkey"], part["p_size"])),
+    ))
+
+    class _Partial:
+        def __init__(self, ref):
+            self.brand, self.size = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            brand = b["l_partkey"].map(self.brand)
+            size = b["l_partkey"].map(self.size).to_numpy(dtype="float64")
+            qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+            hit = np.zeros(len(b), dtype=bool)
+            for arm_brand, s0, s1, q0, q1 in arms:
+                hit |= (
+                    (brand == arm_brand).to_numpy()
+                    & (size >= s0) & (size <= s1)
+                    & (qty >= q0) & (qty <= q1)
+                )
+            rev_s = rev_scaled4(b["l_extendedprice"], b["l_discount"])
+            return pd.DataFrame({
+                "rev_s": [int(rev_s[hit].sum())], "n": [int(hit.sum())],
+            })
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        _Partial, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    ).to_pandas()  # one row per batch
+    rev_s = int(parts["rev_s"].sum()) if len(parts) else 0
+    n = int(parts["n"].sum()) if len(parts) else 0
+    return ray.data.from_pandas(pd.DataFrame({
+        "revenue": [money_from_scaled4(rev_s)],
+        "n_items": pd.array([n], dtype="int64"),
+    }))
+
+
+Q19_SQL = f"""
+SELECT {sql_money_from_scaled4(
+    "COALESCE(SUM(" + sql_rev_scaled4() + "), 0)")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+def q20_promo_suppliers(
+    sf_dir: str,
+    name_prefix: str = "red ",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    min_qty: int = 300,
+) -> ray.data.Dataset:
+    """TPC-H-Q20 shape: suppliers who shipped a large volume of one part
+    family in a window (no partsupp availqty in the synthetic schema, so
+    the gate is shipped quantity > ``min_qty``). The name-prefix partkey
+    set broadcasts once; per-supplier quantity reduces via a salted
+    combiner in exact int64; the survivor set is supplier-dimension
+    bounded, so names attach via one broadcast map.
+
+    Output: s_suppkey:int64, s_name, promo_qty:int64.
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    pk = set(part.loc[part["p_name"].str.startswith(name_prefix), "p_partkey"])
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    dims_ref = ray.put((pk, dict(zip(sup["s_suppkey"], sup["s_name"]))))
+    d0, d1 = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    class _Partial:
+        def __init__(self, ref):
+            self.pk, _ = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[
+                b["l_partkey"].isin(self.pk)
+                & (b["l_shipdate"] >= d0) & (b["l_shipdate"] < d1)
+            ]
+            g = pd.DataFrame({
+                "s_suppkey": b["l_suppkey"],
+                "qty": np.rint(b["l_quantity"].to_numpy()).astype("int64"),
+            }).groupby("s_suppkey", sort=False)["qty"].sum()
+            return pd.DataFrame({
+                "s_suppkey": g.index.to_numpy(), "qty": g.to_numpy()
+            })
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("s_suppkey", sort=False)["qty"].sum()
+        return pd.DataFrame({
+            "s_suppkey": g.index.to_numpy(dtype="int64"),
+            "qty": g.to_numpy(dtype="int64"),
+        })
+
+    qty = salted_group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        ).map_batches(
+            _Partial, fn_constructor_args=(dims_ref,),
+            batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+        ),
+        ["s_suppkey"],
+        partial_fn=merge,
+        merge_fn=merge,
+    )
+
+    class _Finish:
+        def __init__(self, ref):
+            _, self.names = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[(b["qty"] > min_qty) & b["s_suppkey"].isin(self.names)]
+            return pd.DataFrame({
+                "s_suppkey": b["s_suppkey"].astype("int64"),
+                "s_name": b["s_suppkey"].map(self.names),
+                "promo_qty": b["qty"].astype("int64"),
+            })
+
+    return qty.map_batches(
+        _Finish, fn_constructor_args=(dims_ref,),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+
+Q20_SQL_TEMPLATE = """
+SELECT s_suppkey,
+       s_name,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS promo_qty
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN part     ON p_partkey = l_partkey
+WHERE p_name LIKE '{name_prefix}%'
+  AND l_shipdate >= TIMESTAMP '{date_from}'
+  AND l_shipdate <  TIMESTAMP '{date_to}'
+GROUP BY 1, 2
+HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {min_qty}
+"""
+
+
+def q21_waiting_suppliers(
+    sf_dir: str,
+    late_days: int = 60,
+    k: int = 20,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H-Q21 shape: suppliers who alone held up multi-supplier orders.
+    No commit/receipt dates in the synthetic lineitem, so "late" is
+    ``l_shipdate > o_orderdate + late_days``. Finalized ('F') orders join
+    lineitem through the co-partitioned ``hash_join`` (both facts); a
+    per-batch (order, supplier) dedup combiner feeds ONE bucketed shuffle
+    keyed on the order, where each task finds orders with >= 2 distinct
+    suppliers of which EXACTLY ONE was late and emits that supplier; the
+    per-supplier wait count reduces by a second combiner and the top-k —
+    supplier-dimension bounded — sorts on the driver with a deterministic
+    (numwait DESC, s_name) tie-break shared with the oracle.
+
+    Output: s_suppkey:int64, s_name, numwait:int64 (top k).
+    """
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.loc[b["o_orderstatus"] == "F",
+                        ["o_orderkey", "o_orderdate"]]
+        .rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    joined = hash_join(li, orders, on="l_orderkey", n_buckets=n_buckets)
+    lag = pd.Timedelta(days=late_days)
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "late": (b["l_shipdate"] > b["o_orderdate"] + lag).astype("int64"),
+        })
+        g = d.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"].max()
+        return g.reset_index()
+
+    pairs = joined.map_batches(
+        pair_partial, batch_format="pandas", batch_size=65536,
+    )
+
+    def order_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        # re-dedup across batches, then the exactly-one-late gate per order
+        g = bucket.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"].max()
+        g = g.reset_index()
+        stats = g.groupby("l_orderkey", sort=False)["late"].agg(
+            ["size", "sum"]
+        )
+        ok = set(stats.index[(stats["size"] >= 2) & (stats["sum"] == 1)])
+        hit = g[(g["late"] == 1) & g["l_orderkey"].isin(ok)]
+        cnt = hit.groupby("l_suppkey", sort=False).size()
+        return pd.DataFrame({
+            "s_suppkey": cnt.index.to_numpy(dtype="int64"),
+            "numwait": cnt.to_numpy(dtype="int64"),
+        })
+
+    waits = bucketed_group_apply(
+        pairs, ["l_orderkey"], order_final, n_buckets=n_buckets
+    )
+
+    def wait_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("s_suppkey", sort=False)["numwait"].sum()
+        return pd.DataFrame({
+            "s_suppkey": g.index.to_numpy(dtype="int64"),
+            "numwait": g.to_numpy(dtype="int64"),
+        })
+
+    per_supp = bucketed_group_apply(
+        waits, ["s_suppkey"], wait_merge, n_buckets=8
+    ).to_pandas()  # supplier-dimension bounded
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = per_supp.merge(sup, on="s_suppkey", how="inner")
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return ray.data.from_pandas(pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype("int64").to_numpy(),
+        "s_name": out["s_name"].to_numpy(),
+        "numwait": out["numwait"].astype("int64").to_numpy(),
+    }))
+
+
+Q21_SQL_TEMPLATE = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT l_orderkey FROM f
+  GROUP BY 1
+  HAVING COUNT(*) >= 2 AND SUM(late) = 1
+)
+SELECT s_suppkey,
+       s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM f
+JOIN g USING (l_orderkey)
+JOIN supplier ON s_suppkey = f.l_suppkey
+WHERE late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name
+LIMIT {k}
 """

@@ -113,3 +113,103 @@ def test_q13_whale_customer_and_zero_bucket(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.astype({"n_orders": "int64", "n_customers": "int64"}), want
     )
+
+
+def test_q11_whale_part(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import q11_important_parts
+
+    # whale part 1: N_WHALE rows of $1.00; part 2: one $5.00 row.
+    # total = N_WHALE + 5, ppm=1000 -> threshold ~ $20 -> only part 1 kept.
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1] * N_WHALE + [2],
+            "l_suppkey": [1] * (N_WHALE + 1),
+            "l_extendedprice": [1.0] * N_WHALE + [5.0],
+            "l_discount": [0.0] * (N_WHALE + 1),
+        }
+    )
+    sup = pd.DataFrame({"s_suppkey": [1], "s_nationkey": [0]})
+    nat = pd.DataFrame({"n_nationkey": [0], "n_name": ["NATION_X"]})
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "supplier", sup)
+    _write(tmp_path, "nation", nat)
+
+    out = (
+        q11_important_parts(str(tmp_path), nation="NATION_X",
+                            fraction_ppm=1000)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out["p_partkey"].tolist() == [1]
+    assert out["value"].tolist() == [float(N_WHALE)]
+
+
+def test_q20_whale_supplier(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import q20_promo_suppliers
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1] * (N_WHALE + 2),
+            "l_suppkey": [1] * N_WHALE + [2, 3],
+            "l_quantity": [1.0] * N_WHALE + [400.0, 10.0],
+            "l_shipdate": pd.to_datetime(["1997-06-01"] * (N_WHALE + 2)),
+        }
+    )
+    part = pd.DataFrame({"p_partkey": [1], "p_name": ["red bolt"]})
+    sup = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["s1", "s2", "s3"]}
+    )
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "part", part)
+    _write(tmp_path, "supplier", sup)
+
+    out = (
+        q20_promo_suppliers(str(tmp_path), min_qty=300)
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["promo_qty"].tolist() == [N_WHALE, 400]
+    assert out["s_name"].tolist() == ["s1", "s2"]
+
+
+def test_q21_whale_order(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import q21_waiting_suppliers
+
+    # whale order 1: N_WHALE on-time lines from supplier 1 + ONE late line
+    # from supplier 2 -> supplier 2 waits. order 2: two late suppliers ->
+    # excluded. order 3: single-supplier late -> excluded (needs >= 2).
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1] * (N_WHALE + 1) + [2, 2, 3],
+            "l_suppkey": [1] * N_WHALE + [2, 1, 2, 3],
+            "l_shipdate": pd.to_datetime(
+                ["1996-01-10"] * N_WHALE
+                + ["1996-06-01", "1996-06-01", "1996-06-01", "1996-06-01"]
+            ),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_orderstatus": ["F", "F", "F"],
+            "o_orderdate": pd.to_datetime(
+                ["1996-01-01", "1996-01-01", "1996-01-01"]
+            ),
+        }
+    )
+    sup = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["s1", "s2", "s3"]}
+    )
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "supplier", sup)
+
+    out = (
+        q21_waiting_suppliers(str(tmp_path), late_days=60)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out["s_suppkey"].tolist() == [2]
+    assert out["numwait"].tolist() == [1]
