@@ -2550,20 +2550,21 @@ def q16_supplier_counts(
     ).to_pandas()
     bad_supps = set(sup.loc[sup["s_acctbal"] < 0.0, "s_suppkey"])
     dims_ref = ray.put((
-        dict(zip(keep["p_partkey"],
-                 zip(keep["p_brand"], keep["p_type"], keep["p_size"]))),
+        dict(zip(keep["p_partkey"], keep["p_brand"])),
+        dict(zip(keep["p_partkey"], keep["p_type"])),
+        dict(zip(keep["p_partkey"], keep["p_size"])),
         bad_supps,
     ))
 
     class _Partial:
         def __init__(self, ref):
-            self.attrs, self.bad = ray.get(ref)
+            self.brand, self.type, self.size, self.bad = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            attr = b["l_partkey"].map(self.attrs)
-            ok = attr.notna() & ~b["l_suppkey"].isin(self.bad)
-            attr, supp = attr[ok], b.loc[ok, "l_suppkey"]
-            if not len(attr):
+            brand = b["l_partkey"].map(self.brand)
+            ok = brand.notna() & ~b["l_suppkey"].isin(self.bad)
+            b, brand = b[ok], brand[ok]
+            if not len(b):
                 return pd.DataFrame({
                     "p_brand": pd.array([], dtype="string"),
                     "p_type": pd.array([], dtype="string"),
@@ -2571,10 +2572,11 @@ def q16_supplier_counts(
                     "s_suppkey": pd.array([], dtype="int64"),
                 })
             d = pd.DataFrame({
-                "p_brand": [a[0] for a in attr],
-                "p_type": [a[1] for a in attr],
-                "p_size": np.asarray([a[2] for a in attr], dtype="int64"),
-                "s_suppkey": supp.to_numpy(),
+                "p_brand": brand.to_numpy(),
+                "p_type": b["l_partkey"].map(self.type).to_numpy(),
+                "p_size": b["l_partkey"].map(self.size)
+                .to_numpy(dtype="int64"),
+                "s_suppkey": b["l_suppkey"].to_numpy(),
             })
             return d.drop_duplicates()
 

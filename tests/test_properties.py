@@ -129,3 +129,72 @@ def test_bucketed_group_apply_equals_pandas(ray_session):
         got.astype({"s": "int64", "n": "int64"}),
         want.astype({"s": "int64", "n": "int64"}),
     )
+
+
+@given(st.integers(min_value=-(10**17), max_value=10**17))
+def test_signed_money_matches_decimal_half_away(s):
+    """money_from_scaled4_signed == Decimal ROUND_HALF_UP away from zero,
+    for any signed 1e-4-scaled int (the q9 profit display rule)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tcx2graph_jl_ray.functions.money import money_from_scaled4_signed
+
+    want = float(
+        (Decimal(s) / Decimal(10_000)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert money_from_scaled4_signed(s) == want
+
+
+@given(
+    st.integers(min_value=0, max_value=10**18),
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_q11_threshold_rewrite_is_exact(total, value, ppm):
+    """The overflow-proof HAVING rewrite used by q11_important_parts:
+    value * 1e6 > total * ppm  <=>  value > (total * ppm) // 1e6
+    for non-negative ints (exact, no per-row big product needed)."""
+    lhs = value * 1_000_000 > total * ppm  # Python ints: no overflow
+    rhs = value > (total * ppm) // 1_000_000
+    assert lhs == rhs
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+def test_q17_integer_div7_half_up(total_cents):
+    """q17's (2c+7)//14 == round-half-up(c/7) in exact integer space."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = int(
+        (Decimal(total_cents) / Decimal(7)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert (2 * total_cents + 7) // 14 == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.decimals(
+                min_value="0.01", max_value="99999.99", places=2
+            ),
+            st.decimals(min_value="0.00", max_value="0.99", places=2),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_rev_scaled4_is_exact_decimal_product(rows):
+    """rev_scaled4 equals the exact Decimal price*(1-disc) at 1e-4 scale
+    for any 2-dp price/discount — the invariant every money sum rests on."""
+    from decimal import Decimal
+
+    from tcx2graph_jl_ray.functions.money import rev_scaled4
+
+    prices = np.array([float(p) for p, _ in rows])
+    discs = np.array([float(d) for _, d in rows])
+    got = rev_scaled4(prices, discs)
+    for (p, d), g in zip(rows, got):
+        assert int(g) == int(p * (Decimal(1) - d) * 10_000)
