@@ -523,6 +523,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": _rel.revenue_cube,
         "events_value_percentiles": _rel.value_percentiles_by_type,
         "text_top_ngrams": lambda sf: _tx.top_ngrams_by_source(_docs(sf)),
+        # round-4d late additions: appended last so they sit at head
+        # positions 50-51 — just OUTSIDE round 4's driver window, leaving
+        # the 50 packed never-checked entries untouched; round 5 rotates
+        # them forward once this round's window goes green.
+        "rel_order_skyline": _rel.order_skyline,
+        "dedup_edit_pairs": lambda sf: _dd.edit_distance_pairs(
+            _mentions(sf), col="norm", k=2
+        ),
     })
 
 
@@ -872,4 +880,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_cube": _rel.REVENUE_CUBE_SQL,
         "events_value_percentiles": _rel.VALUE_PERCENTILES_SQL,
         "text_top_ngrams": _tx.TOP_NGRAMS_SQL_TEMPLATE.format(k_top=3),
+        "rel_order_skyline": _rel.ORDER_SKYLINE_SQL,
+        "dedup_edit_pairs": _dd.EDIT_PAIRS_SQL_TEMPLATE.format(
+            source=_MENTIONS_SQL, col="norm", k=2
+        ),
     }

@@ -1776,3 +1776,183 @@ FROM base b
 LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) cnt
   ON b.doc_id = cnt.doc_id
 """
+
+
+# --- edit-distance similarity join ------------------------------------------
+
+def edit_distance_pairs(
+    strings: ray.data.Dataset,
+    col: str = "surf",
+    k: int = 2,
+    q: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact edit-distance similarity self-join: all unordered pairs of
+    DISTINCT values of ``col`` with Levenshtein distance in ``1..k`` — the
+    Ed-Join formulation (Xiao, Wang, Lin, "Ed-Join: an efficient algorithm
+    for similarity joins with edit distance constraints", VLDB'08), the
+    complementary typo-level verifier to the token-overlap canonicalizer
+    (canonicalize.py) and the set-similarity PPJoin (ngram_jaccard_join).
+
+    Candidate filter (lossless): one edit alters at most ``q`` distinct
+    positional ``q``-grams, so ed(a,b) <= k implies
+    |grams(a) ∩ grams(b)| >= max(|grams(a)|, |grams(b)|) - q·k; by the
+    standard prefix-filter pigeonhole, the first ``q·k + 1`` grams of each
+    side under one global (df asc, gram asc) rarity order must intersect.
+    Hot stop-grams therefore almost never block anything — they rank last.
+    Degenerate-short strings (< q·k + 1 distinct grams) can lose their whole
+    gram set to k edits, so every string with < 2·q·k + 1 distinct grams
+    ALSO enters one shared SHORT block (a partner of a short string is
+    itself short: |grams| grows by <= q per edit), keeping the filter
+    lossless; that block is all-pairs but bounded by the near-empty-string
+    vocabulary.
+
+    Verify: candidate pairs shuffle once by (a, b) — the same bucketed
+    exchange dedups multi-gram duplicates — then the banded-DP kernel
+    (functions/editdist.py) scores each bucket's pairs in O(L·k) vectorized
+    numpy; |len diff| <= k pre-filters.
+
+    Output: surf_a, surf_b, dist (surf_a < surf_b, 1 <= dist <= k).
+
+    Reference analogue: the candidate/verify split of overlapping-segment
+    detection (src/OverlappingSegmentsUtils.jl:173-209) with the rarity-
+    ordered gram prefix as the blocking key.
+    """
+    from tcx2graph_jl_ray.functions.editdist import banded_edit_distances
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    prefix_len = q * k + 1
+    short_cut = 2 * q * k + 1
+    short_key = "\x00S"  # length 2 != q: can never collide with a real gram
+
+    def distinct_vals(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates()
+
+    vals = bucketed_group_apply(
+        strings.select_columns([col])
+        .map_batches(
+            lambda b: b[b[col].notna() & (b[col] != "")]
+            .rename(columns={col: "s"})
+            .drop_duplicates(),
+            batch_format="pandas",
+            batch_size=32768,
+        ),
+        ["s"],
+        distinct_vals,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def _typed_empty() -> pd.DataFrame:
+        # typed empty PANDAS frame, deliberately not a Dataset: Ray drops
+        # empty blocks at to_pandas()/schema() (same convention as
+        # text.py heavy_hitter_words)
+        return pd.DataFrame({
+            "surf_a": pd.Series([], dtype="object"),
+            "surf_b": pd.Series([], dtype="object"),
+            "dist": pd.Series([], dtype="int64"),
+        })
+
+    if vals.count() == 0:
+        return _typed_empty()
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_g, out_n = [], [], []
+        for s in batch["s"].to_numpy():
+            grams = {s[i : i + q] for i in range(len(s) - q + 1)}
+            ng = len(grams)
+            for g in grams:
+                out_s.append(s)
+                out_g.append(g)
+                out_n.append(ng)
+            if ng < short_cut:
+                out_s.append(s)
+                out_g.append(short_key)
+                out_n.append(ng)
+        return pd.DataFrame({
+            "s": pd.Series(out_s, dtype="object"),
+            "gram": pd.Series(out_g, dtype="object"),
+            "n": pd.Series(out_n, dtype="int64"),
+        })
+
+    grams = vals.map_batches(
+        gram_rows, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    def df_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket.groupby("gram", sort=False).size()
+        return pd.DataFrame({"gram": c.index, "df": c.to_numpy().astype("int64")})
+
+    dfs = bucketed_group_apply(
+        grams.select_columns(["gram"]), ["gram"], df_count, n_buckets=n_buckets
+    )
+    withdf = hash_join(grams, dfs, on="gram", n_buckets=n_buckets)
+
+    def prefix(bucket: pd.DataFrame) -> pd.DataFrame:
+        # SHORT rows bypass prefix selection — they must always block
+        is_short = bucket["gram"] == short_key
+        b = bucket[~is_short].sort_values(
+            ["s", "df", "gram"], kind="mergesort"
+        )
+        pos = b.groupby("s", sort=False).cumcount().to_numpy()
+        kept = b[pos < prefix_len]
+        return pd.concat([kept, bucket[is_short]], ignore_index=True)[
+            ["s", "gram"]
+        ]
+
+    pref = bucketed_group_apply(withdf, ["s"], prefix, n_buckets=n_buckets)
+
+    def pairs_per_gram(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("gram", sort=False):
+            if len(g) < 2:
+                continue
+            ss = np.sort(g["s"].unique())
+            ii, jj = np.triu_indices(len(ss), k=1)
+            out_a.append(ss[ii])
+            out_b.append(ss[jj])
+        if not out_a:
+            return pd.DataFrame({
+                "surf_a": pd.Series([], dtype="object"),
+                "surf_b": pd.Series([], dtype="object"),
+            })
+        return pd.DataFrame({
+            "surf_a": np.concatenate(out_a), "surf_b": np.concatenate(out_b)
+        })
+
+    cand = bucketed_group_apply(
+        pref, ["gram"], pairs_per_gram, n_buckets=n_buckets
+    )
+
+    def verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        d = banded_edit_distances(
+            b["surf_a"].tolist(), b["surf_b"].tolist(), k
+        )
+        keep = d <= k
+        return pd.DataFrame({
+            "surf_a": b["surf_a"].to_numpy()[keep],
+            "surf_b": b["surf_b"].to_numpy()[keep],
+            "dist": d[keep].astype("int64"),
+        })
+
+    out = bucketed_group_apply(
+        cand, ["surf_a", "surf_b"], verify, n_buckets=n_buckets
+    ).materialize()  # pair list: output-sized, far below the corpus
+    if out.count() == 0:
+        return _typed_empty()
+    return out
+
+
+EDIT_PAIRS_SQL_TEMPLATE = """
+WITH src AS ({source}),
+s AS (
+  SELECT DISTINCT {col} AS surf FROM src
+  WHERE {col} IS NOT NULL AND {col} != ''
+)
+SELECT a.surf AS surf_a, b.surf AS surf_b,
+       CAST(levenshtein(a.surf, b.surf) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.surf < b.surf
+WHERE abs(length(a.surf) - length(b.surf)) <= {k}
+  AND levenshtein(a.surf, b.surf) <= {k}
+"""

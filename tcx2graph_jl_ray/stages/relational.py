@@ -3027,3 +3027,105 @@ GROUP BY 1, 2
 ORDER BY numwait DESC, s_name
 LIMIT {k}
 """
+
+
+def order_skyline(sf_dir: str) -> ray.data.Dataset:
+    """2-D Pareto skyline of orders: the dominance frontier of
+    (earlier o_orderdate, higher o_totalprice) — an order survives iff no
+    other order is at least as early AND at least as valuable with one
+    strict. The classic two-phase distributed skyline (Borzsonyi/Kossmann/
+    Stocker, "The Skyline Operator", ICDE'01) specialised to 2-D, where the
+    merge step degenerates to a prefix-max staircase:
+
+    (1) one map_batches pass folds each batch to its per-date max price —
+        dates are CALENDAR-BOUNDED (the synthetic order span is ~2.4k
+        distinct days at ANY scale factor), so every partial is
+        dimension-bounded;
+    (2) the driver merges partials, sorts the <=2.4k dates once, and takes
+        the shifted running max as the staircase (prev_max(d) = best price
+        strictly before d);
+    (3) the staircase broadcasts via ray.put and a second streaming pass
+        keeps rows with price == max_of_own_date AND prev_max < price —
+        exact dominance, no all-pairs, no full-table shuffle.
+
+    Survivor semantics: duplicate (date, price) maxima all survive
+    (dominance needs one strict coordinate). Comparisons are pure float64
+    comparisons (no arithmetic), so engine and DuckDB agree bit-exactly.
+
+    Output: o_orderkey, o_orderdate, o_totalprice.
+
+    Reference analogue: the per-cell best-candidate reduction of the
+    overlap grid (src/GraphUtils.jl:46-88) with the grid replaced by the
+    date axis and "best" by Pareto dominance.
+    """
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_date_max(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_orderdate", sort=False)["o_totalprice"].max()
+        return pd.DataFrame({
+            "o_orderdate": g.index, "my": g.to_numpy(dtype="float64")
+        })
+
+    partials = orders.map_batches(
+        per_date_max, batch_format="pandas", batch_size=65536
+    ).to_pandas()  # <= n_batches x 2.4k rows: calendar-bounded
+    if not len(partials):
+        return ray.data.from_pandas(pd.DataFrame({
+            "o_orderkey": pd.array([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.array([], dtype="float64"),
+        }))
+    agg = (
+        partials.groupby("o_orderdate", sort=False)["my"].max()
+        .sort_index()
+    )
+    my = agg.to_numpy()
+    prev_max = np.empty_like(my)
+    prev_max[0] = -np.inf
+    np.maximum.accumulate(my[:-1], out=prev_max[1:])
+    stair_ref = ray.put({
+        d: (m, p) for d, m, p in zip(agg.index, my, prev_max)
+    })
+
+    class _Keep:
+        def __init__(self, ref):
+            self.stair = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            mp = b["o_orderdate"].map(self.stair)
+            my_b = np.fromiter(
+                (t[0] for t in mp), dtype="float64", count=len(b)
+            )
+            pm_b = np.fromiter(
+                (t[1] for t in mp), dtype="float64", count=len(b)
+            )
+            y = b["o_totalprice"].to_numpy()
+            return b[(y == my_b) & (pm_b < y)]
+
+    return orders.map_batches(
+        _Keep, fn_constructor_args=(stair_ref,),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    )
+
+
+ORDER_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+),
+agg AS (
+  SELECT o_orderdate AS x, MAX(o_totalprice) AS my FROM pts GROUP BY x
+),
+cum AS (
+  SELECT x, my,
+         MAX(my) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM agg
+)
+SELECT p.o_orderkey, p.o_orderdate, p.o_totalprice
+FROM pts p JOIN cum c ON p.o_orderdate = c.x
+WHERE p.o_totalprice = c.my AND (c.pm IS NULL OR c.pm < p.o_totalprice)
+"""

@@ -1,0 +1,143 @@
+"""Round-4d late operators: Ed-Join edit-distance pairs + 2-D skyline.
+
+Planted-input tests against brute-force references — the oracle-parity
+tests in test_entry_contract.py cover the registry wiring separately.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tcx2graph_jl_ray.functions.editdist import banded_edit_distances
+from tcx2graph_jl_ray.stages.dedup import edit_distance_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        nd = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            nd[j] = min(d[j] + 1, nd[j - 1] + 1,
+                        d[j - 1] + (a[i - 1] != b[j - 1]))
+        d = nd
+    return d[len(b)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcX ", max_size=12),
+    st.text(alphabet="abcX ", max_size=12),
+    st.integers(min_value=1, max_value=3),
+)
+def test_banded_dp_matches_reference(a, b, k):
+    got = banded_edit_distances([a], [b], k)[0]
+    assert got == min(_lev(a, b), k + 1)
+
+
+def _brute_pairs(strings, k):
+    uniq = sorted({s for s in strings if s})
+    rows = []
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            d = _lev(a, b)
+            if d <= k:
+                rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["surf_a", "surf_b", "dist"]).astype(
+        {"dist": "int64"}
+    )
+
+
+def _run_pairs(strings, k, **kw):
+    ds = ray.data.from_pandas(pd.DataFrame({"surf": strings}))
+    res = edit_distance_pairs(ds, col="surf", k=k, **kw)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    return res.sort_values(["surf_a", "surf_b"]).reset_index(drop=True)
+
+
+def test_edit_pairs_planted(ray_session):
+    """Distance boundaries, duplicates, and the degenerate-short channel
+    (strings below q*k+1 distinct grams MUST still pair — the lossless
+    SHORT-block guarantee)."""
+    strings = [
+        "acme corporation", "acme corporation",  # dup input, not a pair
+        "acme corporatio",        # d=1
+        "acme corp",              # d>2 from the above
+        "acme corp.",             # d=1 vs acme corp
+        "ab", "ba", "b", "",      # short channel: d(ab,ba)=2, d(ab,b)=1
+        None,
+        "zzzzzzzzzzzzzzzzzzzzzz",  # isolated
+    ]
+    got = _run_pairs(strings, k=2)
+    want = _brute_pairs([s for s in strings if s], 2)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    # the short strings genuinely paired
+    assert (("ab" == got["surf_a"]) & (got["surf_b"] == "ba")).any()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd", max_size=8), min_size=0, max_size=40),
+    st.integers(min_value=1, max_value=2),
+)
+def test_edit_pairs_random_vs_brute(ray_session, strings, k):
+    got = _run_pairs(strings, k, n_buckets=8)
+    want = _brute_pairs(strings, k)
+    assert len(got) == len(want)
+    if len(got):
+        pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def _brute_skyline(df):
+    keep = []
+    for _, r in df.iterrows():
+        dominated = (
+            (df["o_orderdate"] <= r["o_orderdate"])
+            & (df["o_totalprice"] >= r["o_totalprice"])
+            & (
+                (df["o_orderdate"] < r["o_orderdate"])
+                | (df["o_totalprice"] > r["o_totalprice"])
+            )
+        ).any()
+        keep.append(not dominated)
+    return df[np.array(keep)]
+
+
+def test_skyline_planted_vs_brute(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype="int64"),
+        "o_orderdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.integers(0, 60, n), unit="D"),
+        "o_totalprice": np.round(rng.uniform(10, 1000, n), 2),
+    })
+    # plant exact ties at one date so tie-survival is exercised
+    df.loc[0, ["o_orderdate", "o_totalprice"]] = [
+        pd.Timestamp("1995-01-05"), 999.99]
+    df.loc[1, ["o_orderdate", "o_totalprice"]] = [
+        pd.Timestamp("1995-01-05"), 999.99]
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+
+    from tcx2graph_jl_ray.stages.relational import order_skyline
+
+    got = (
+        order_skyline(str(tmp_path)).to_pandas()
+        .sort_values(["o_orderkey"]).reset_index(drop=True)
+    )
+    want = (
+        _brute_skyline(df).sort_values(["o_orderkey"])
+        .reset_index(drop=True)[got.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"o_orderdate": "datetime64[us]"}),
+        want.astype({"o_orderdate": "datetime64[us]"}),
+    )
+    # both planted ties survived
+    assert set(got["o_orderkey"]) >= {0, 1} or (
+        (want["o_totalprice"] > 999.99)
+        & (want["o_orderdate"] <= pd.Timestamp("1995-01-05"))
+    ).any()
