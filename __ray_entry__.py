@@ -531,6 +531,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_pairs": lambda sf: _dd.edit_distance_pairs(
             _mentions(sf), col="norm", k=2
         ),
+        "kg_temporal_reach": lambda sf: _an.temporal_reach(
+            _mentions_with_entity(sf), _transcripts(sf),
+            max_turn_gap=_MAX_TURN_GAP, max_rounds=30,
+        ),
     })
 
 
@@ -883,5 +887,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_order_skyline": _rel.ORDER_SKYLINE_SQL,
         "dedup_edit_pairs": _dd.EDIT_PAIRS_SQL_TEMPLATE.format(
             source=_MENTIONS_SQL, col="norm", k=2
+        ),
+        "kg_temporal_reach": _an.TEMPORAL_REACH_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL,
+            max_turn_gap=_MAX_TURN_GAP, max_rounds=30,
         ),
     }

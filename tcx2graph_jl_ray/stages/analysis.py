@@ -2865,3 +2865,191 @@ SELECT n AS n_edges,
 FROM s
 WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
 """
+
+
+def temporal_reach(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    max_turn_gap: int = 5,
+    max_rounds: int = 30,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Time-respecting (temporal) reachability: earliest-arrival search over
+    TIMESTAMPED entity transitions, where a path may only traverse edges in
+    non-decreasing time order — the "information flow" closure of the
+    transition graph (a static-graph path through (a -> b at 4pm,
+    b -> c at 9am) is NOT a temporal path). Classic earliest-arrival
+    label-correcting (Wu et al., "Path Problems in Temporal Graphs",
+    VLDB'14): per node keep only the MINIMUM arrival time — an earlier
+    arrival strictly dominates (it enables a superset of outgoing edges),
+    so the frontier is dominance-pruned every round.
+
+    Edges: consecutive same-conversation mentions within ``max_turn_gap``
+    turns (the ``entity_transitions`` pairing), timestamped with the
+    DESTINATION turn's ``ts`` (when the handoff completes), self-loops
+    dropped, distinct (u, v, t). Source: lexicographically smallest
+    entity, arrival = epoch (before all data).
+
+    Per round: frontier |><| edges through the co-partitioned ``hash_join``
+    keyed on the source entity (never an edge broadcast), time-monotonic
+    filter ``t >= arr(u)``, bucketed min-arrival per destination, improvement
+    test via a LEFT join against the current labels; labels stay min-unique
+    per node. Converges when no arrival improves; ``max_rounds`` mirrors the
+    oracle's recursion depth (exact whenever converged within the bound —
+    asserted at test scale, same discipline as ``bfs_levels``).
+
+    Output: entity_id, first_reach:timestamp[us] (source row at epoch;
+    temporally unreachable entities absent).
+
+    Reference analogue: the time-ordered run walker constraint
+    (src/DataPreprocessing.jl:330-397 pairs runs by start_time order) lifted
+    from within one file to a corpus-wide reachability closure.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    me = mentions_with_entity.select_columns(
+        ["conv_id", "turn_idx", "entity_id"]
+    )
+    ts = transcripts.select_columns(["conv_id", "turn_idx", "ts"])
+    met = hash_join(me, ts, on=["conv_id", "turn_idx"], n_buckets=n_buckets)
+
+    def edges_in_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        grp = g.groupby("conv_id", sort=False)
+        nxt_e = grp["entity_id"].shift(-1)
+        nxt_i = grp["turn_idx"].shift(-1)
+        nxt_t = grp["ts"].shift(-1)
+        keep = (
+            nxt_e.notna()
+            & ((nxt_i - g["turn_idx"]) <= max_turn_gap)
+            & (nxt_e != g["entity_id"])
+        )
+        return pd.DataFrame({
+            "u": g.loc[keep, "entity_id"].to_numpy(),
+            "v": nxt_e[keep].to_numpy(),
+            "t": nxt_t[keep].to_numpy(),
+        }).drop_duplicates()
+
+    def distinct_triples(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates()
+
+    edges = bucketed_group_apply(
+        met, ["conv_id"], edges_in_conv, n_buckets=n_buckets
+    )
+    edges = bucketed_group_apply(
+        edges, ["u", "v", "t"], distinct_triples, n_buckets=n_buckets
+    ).materialize()
+
+    lo = edges.map_batches(
+        lambda b: pd.DataFrame({"m": [min(b["u"].min(), b["v"].min())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(lo):
+        return pd.DataFrame({
+            "entity_id": pd.Series([], dtype="object"),
+            "first_reach": pd.Series([], dtype="datetime64[us]"),
+        })
+    source = lo["m"].min()
+    epoch = pd.Timestamp("1970-01-01")
+
+    labels = ray.data.from_pandas(pd.DataFrame({
+        "entity_id": [source],
+        "first_reach": pd.Series([epoch], dtype="datetime64[us]"),
+    })).materialize()
+    frontier = labels
+
+    def min_per_node(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False)["first_reach"].min()
+        return pd.DataFrame({
+            "entity_id": g.index,
+            "first_reach": g.to_numpy(),
+        })
+
+    for _ in range(max_rounds):
+        cand = hash_join(
+            frontier.map_batches(
+                lambda b: pd.DataFrame({
+                    "u": b["entity_id"], "arr": b["first_reach"]
+                }),
+                batch_format="pandas",
+            ),
+            edges,
+            on="u",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame({
+                "entity_id": b.loc[b["t"] >= b["arr"], "v"],
+                "first_reach": b.loc[b["t"] >= b["arr"], "t"],
+            }),
+            batch_format="pandas",
+        )
+        cand = bucketed_group_apply(
+            cand, ["entity_id"], min_per_node, n_buckets=n_buckets
+        ).materialize()
+        if cand.count() == 0:  # frontier had no time-usable out-edges
+            break
+        improved = hash_join(
+            cand,
+            labels.map_batches(
+                lambda b: pd.DataFrame({
+                    "entity_id": b["entity_id"], "old": b["first_reach"]
+                }),
+                batch_format="pandas",
+            ),
+            on="entity_id",
+            how="left",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: b.loc[
+                b["old"].isna() | (b["first_reach"] < b["old"]),
+                ["entity_id", "first_reach"],
+            ],
+            batch_format="pandas",
+        ).materialize()
+        if improved.count() == 0:
+            break
+        labels = bucketed_group_apply(
+            labels.union(improved), ["entity_id"], min_per_node,
+            n_buckets=n_buckets,
+        ).materialize()
+        frontier = improved
+    return labels
+
+
+TEMPORAL_REACH_SQL_TEMPLATE = (
+    r"""
+WITH RECURSIVE m AS ({mentions}),
+tt AS ({transcripts}),
+"""
+    + _LABELS
+    + r""",
+me AS (SELECT mm.conv_id, mm.turn_idx, l.entity_id, tt.ts
+       FROM m mm JOIN lab l ON mm.norm = l.norm
+       JOIN tt ON tt.conv_id = mm.conv_id AND tt.turn_idx = mm.turn_idx),
+w AS (
+  SELECT conv_id, turn_idx, entity_id, ts,
+    LEAD(entity_id) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt_e,
+    LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt_i,
+    LEAD(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt_t
+  FROM me
+),
+e AS (
+  SELECT DISTINCT entity_id AS u, nxt_e AS v, nxt_t AS t FROM w
+  WHERE nxt_e IS NOT NULL AND nxt_i - turn_idx <= {max_turn_gap}
+    AND nxt_e != entity_id
+),
+src AS (
+  SELECT MIN(node) AS s
+  FROM (SELECT u AS node FROM e UNION SELECT v FROM e)
+),
+r(node, arr, d) AS (
+  SELECT s, TIMESTAMP '1970-01-01', 0 FROM src
+  UNION
+  SELECT e.v, e.t, r.d + 1
+  FROM r JOIN e ON e.u = r.node AND e.t >= r.arr
+  WHERE r.d < {max_rounds}
+)
+SELECT node AS entity_id, MIN(arr) AS first_reach FROM r GROUP BY node
+"""
+)

@@ -141,3 +141,39 @@ def test_skyline_planted_vs_brute(ray_session, tmp_path):
         (want["o_totalprice"] > 999.99)
         & (want["o_orderdate"] <= pd.Timestamp("1995-01-05"))
     ).any()
+
+
+def test_temporal_reach_planted(ray_session):
+    """The defining property: a static path through a time-DECREASING edge
+    pair must NOT count. a->b at t=10 (conv 1), b->c at t=5 (conv 2): c is
+    statically reachable from a but NOT temporally; d is reachable via
+    b->d at t=12."""
+    from tcx2graph_jl_ray.stages.analysis import temporal_reach
+
+    def conv(cid, turns):  # turns: [(turn_idx, entity, ts_sec)]
+        me = pd.DataFrame({
+            "conv_id": [cid] * len(turns),
+            "turn_idx": [t[0] for t in turns],
+            "entity_id": [t[1] for t in turns],
+        })
+        tr = pd.DataFrame({
+            "conv_id": [cid] * len(turns),
+            "turn_idx": [t[0] for t in turns],
+            "ts": pd.to_datetime([t[2] for t in turns], unit="s"),
+        })
+        return me, tr
+
+    me1, tr1 = conv("c1", [(0, "a", 8), (1, "b", 10)])
+    me2, tr2 = conv("c2", [(0, "b", 4), (1, "c", 5)])
+    me3, tr3 = conv("c3", [(0, "b", 11), (1, "d", 12)])
+    mentions = ray.data.from_pandas(pd.concat([me1, me2, me3]))
+    transcripts = ray.data.from_pandas(pd.concat([tr1, tr2, tr3]))
+
+    res = temporal_reach(mentions, transcripts, max_turn_gap=5)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    got = dict(zip(res["entity_id"], res["first_reach"]))
+    assert set(got) == {"a", "b", "d"}  # c unreachable in time order
+    assert got["a"] == pd.Timestamp("1970-01-01")
+    assert got["b"] == pd.Timestamp(10, unit="s")
+    assert got["d"] == pd.Timestamp(12, unit="s")
