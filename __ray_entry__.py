@@ -43,6 +43,8 @@ _HOT_MIN_CONVS = 5
 _MAX_TURN_GAP = 5
 _REACH_MIN_N = 2
 _CHARSET_TAU = 0.86
+_SNM_W = 6
+_SNM_TAU = 0.9
 _SESSION_GAP_S = 1800
 _ANN_NQ, _ANN_K = 8, 10
 _NGRAM_TAU = 0.5
@@ -535,6 +537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mentions_with_entity(sf), _transcripts(sf),
             max_turn_gap=_MAX_TURN_GAP, max_rounds=30,
         ),
+        "dedup_sorted_neighborhood": lambda sf: _dd.sorted_neighborhood_pairs(
+            _docs(sf), window=_SNM_W, threshold=_SNM_TAU, key_len=16
+        ),
     })
 
 
@@ -891,5 +896,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_reach": _an.TEMPORAL_REACH_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL,
             max_turn_gap=_MAX_TURN_GAP, max_rounds=30,
+        ),
+        "dedup_sorted_neighborhood": _dd.SORTED_NEIGHBORHOOD_SQL_TEMPLATE.format(
+            key_len=16, wm1=_SNM_W - 1, threshold=_SNM_TAU
         ),
     }

@@ -1956,3 +1956,250 @@ FROM s a JOIN s b ON a.surf < b.surf
 WHERE abs(length(a.surf) - length(b.surf)) <= {k}
   AND levenshtein(a.surf, b.surf) <= {k}
 """
+
+
+# --- sorted-neighborhood blocking (SNM) --------------------------------------
+
+def sorted_neighborhood_pairs(
+    docs: ray.data.Dataset,
+    window: int = 6,
+    threshold: float = 0.9,
+    key_len: int = 16,
+    bucket_rows: int = 8192,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood dedup blocking (Hernandez-Stolfo merge/purge): sort
+    the corpus by a normalized blocking key, slide a fixed ``window`` over the
+    GLOBAL sorted order, verify every in-window pair with distinct-byte
+    Jaccard (DuckDB ``jaccard`` semantics — the same bit-exact kernel as
+    ``charset_similarity_join``). The sort-based counterpart of the hash/gram
+    blocking elsewhere in this module (reference's grid blocking,
+    src/GraphUtils.jl:46-88, re-expressed as the classic sort paradigm).
+
+    Distributed shape (the 100 TB story):
+
+    1. **Key + sort.** key = first ``key_len`` chars of lowercased
+       alphanumeric-only text (pure ASCII by construction, so Ray, pandas and
+       DuckDB agree on its order). ``ds.sort([key, doc_id])`` is Ray's
+       range-partitioned distributed sort; (key, doc_id) is a unique total
+       order, so block key-ranges are disjoint.
+    2. **Global rank, two-phase.** Per sorted block: (first-row key,
+       first-row doc_id, row count) — ONE summary row per block. The driver
+       prefix-sums block counts in key order (bounded by block count, not
+       rows) and broadcasts first-row -> offset; each block then ranks
+       locally as offset + arange. The same sorted-block-offset pattern as
+       ``cumulative_tokens_chunked``.
+    3. **Ghost-row windowing.** rank r goes to bucket r // bucket_rows, plus
+       a ghost copy to the next bucket when it sits within window-1 rows of
+       the bucket edge — every in-window pair is co-located in the (unique)
+       bucket where its HIGHER rank is native. No all-pairs, no driver rows.
+    4. **Verify.** Per bucket: ranks are consecutive, so in-window pairs are
+       the d-shifted arrays for d = 1..window-1; similarity is the 256-bit
+       byte-mask popcount kernel (vectorized, no per-pair set ops).
+
+    Output: a, b (doc_ids, a = lower rank), rank_dist, sim.
+    """
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+
+    w = int(window)
+    B = int(bucket_rows)
+    if w < 2:
+        raise ValueError("window must be >= 2")
+    if B <= w:
+        raise ValueError("bucket_rows must exceed window")
+
+    import re as _re
+
+    _strip = _re.compile(r"[^a-z0-9]")
+
+    _KEY_SCHEMA = pa.schema([("doc_id", pa.int64()), ("key", pa.string())])
+
+    def keyed(batch: pd.DataFrame) -> pa.Table:
+        b = _nonnull_text(batch)
+        b = b[b["text"].str.len() > 0]
+        # Arrow out with a pinned schema: an all-filtered block must keep its
+        # columns through the sort (pandas empty-block degradation drops them)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"].astype("int64").to_numpy(),
+                "key": [
+                    _strip.sub("", t)[:key_len]
+                    for t in b["text"].str.lower().to_numpy()
+                ],
+            },
+            schema=_KEY_SCHEMA,
+        )
+
+    keys = docs.select_columns(["doc_id", "text"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    # materialize the sorted (key, doc_id) ribbon ONCE so both rank passes
+    # see identical blocks; 2 narrow columns, never the texts
+    skeys = keys.sort(["key", "doc_id"]).materialize()
+
+    def block_summary(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype="object"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"key": [batch["key"].iloc[0]],
+             "doc_id": [int(batch["doc_id"].iloc[0])],
+             "n": [len(batch)]}
+        )
+
+    # batch_size=None -> one batch per materialized block; the summary table
+    # is one row per BLOCK (driver-bounded by cluster block count, not data)
+    summ = skeys.map_batches(
+        block_summary, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if not len(summ):
+        # empty corpus: keep the output contract (typed empty Dataset)
+        return ray.data.from_arrow(
+            pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()),
+                 ("rank_dist", pa.int64()), ("sim", pa.float64())]
+            ).empty_table()
+        )
+    summ = summ.sort_values(["key", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    offsets = (summ["n"].cumsum() - summ["n"]).astype("int64")
+    off_by_first = {
+        (k, int(d)): int(o)
+        for k, d, o in zip(summ["key"], summ["doc_id"], offsets)
+    }
+
+    def rank_block(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        off = off_by_first[(batch["key"].iloc[0], int(batch["doc_id"].iloc[0]))]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64"),
+             "rank": (off + np.arange(len(batch))).astype("int64")}
+        )
+
+    ranked = skeys.map_batches(
+        rank_block, batch_format="pandas", batch_size=None
+    )
+
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def texts_of(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        b = b[b["text"].str.len() > 0]
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "text": b["text"]}
+        )
+
+    with_text = hash_join(
+        ranked,
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            texts_of, batch_format="pandas"
+        ),
+        on="doc_id",
+    )
+
+    def to_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        r = batch["rank"].to_numpy()
+        native = batch.assign(bucket=(r // B).astype("int64"))
+        ghost_mask = (r % B) >= (B - (w - 1))
+        ghosts = batch[ghost_mask].assign(
+            bucket=(r[ghost_mask] // B + 1).astype("int64")
+        )
+        return pd.concat([native, ghosts], ignore_index=True)
+
+    bucketed = with_text.map_batches(to_buckets, batch_format="pandas")
+
+    EMPTY = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64"),
+         "rank_dist": pd.Series([], dtype="int64"),
+         "sim": pd.Series([], dtype="float64")}
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        g = g.sort_values("rank", kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return EMPTY
+        ranks = g["rank"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype("int64")
+        # byte masks once per bucket (same exact-DuckDB-jaccard kernel as
+        # charset_similarity_join: distinct UTF-8 bytes, 256-bit mask)
+        masks = np.zeros((n, 4), dtype=np.uint64)
+        for i, t in enumerate(g["text"].to_numpy()):
+            for o in set(t.encode()):
+                masks[i, o >> 6] |= np.uint64(1) << np.uint64(o & 63)
+        counts = np.unpackbits(masks.view(np.uint8), axis=1).sum(axis=1)
+
+        out = []
+        for d in range(1, w):
+            if n <= d:
+                break
+            ii = np.arange(0, n - d)
+            jj = ii + d
+            # ranks in a bucket (incl. ghosts) are consecutive, so the
+            # d-shift IS rank distance d. Emit a pair only where the HIGHER
+            # rank is native: a boundary pair co-locates solely in the next
+            # bucket (ghost lower + native higher), and a pair whose both
+            # ends ghost forward would otherwise double-emit.
+            ok = (ranks[jj] - ranks[ii] == d) & (ranks[jj] // B == bucket)
+            ii, jj = ii[ok], jj[ok]
+            if not len(ii):
+                continue
+            inter = sum(
+                np.unpackbits(
+                    np.ascontiguousarray(masks[ii, wd] & masks[jj, wd])
+                    .view(np.uint8).reshape(len(ii), -1),
+                    axis=1,
+                ).sum(axis=1)
+                for wd in range(4)
+            )
+            union = counts[ii] + counts[jj] - inter
+            sim = inter / union
+            keep = sim >= threshold
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {"a": ids[ii[keep]], "b": ids[jj[keep]],
+                         "rank_dist": np.full(int(keep.sum()), d, dtype="int64"),
+                         "sim": sim[keep]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else EMPTY
+
+    out = bucketed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    return with_schema(
+        out,
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("rank_dist", pa.int64()), ("sim", pa.float64())],
+    )
+
+
+SORTED_NEIGHBORHOOD_SQL_TEMPLATE = """
+WITH k AS (
+  SELECT doc_id, text,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, {key_len}) AS key
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+),
+r AS (
+  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn FROM k
+)
+SELECT CAST(x.doc_id AS BIGINT) AS a,
+       CAST(y.doc_id AS BIGINT) AS b,
+       CAST(y.rn - x.rn AS BIGINT) AS rank_dist,
+       jaccard(x.text, y.text) AS sim
+FROM r x JOIN r y ON y.rn - x.rn BETWEEN 1 AND {wm1}
+WHERE jaccard(x.text, y.text) >= {threshold}
+"""

@@ -177,3 +177,69 @@ def test_temporal_reach_planted(ray_session):
     assert got["a"] == pd.Timestamp("1970-01-01")
     assert got["b"] == pd.Timestamp(10, unit="s")
     assert got["d"] == pd.Timestamp(12, unit="s")
+
+
+# --- sorted-neighborhood blocking --------------------------------------------
+
+def _snm_brute(df: pd.DataFrame, window: int, threshold: float,
+               key_len: int) -> pd.DataFrame:
+    import re
+    d = df[df["text"].notna() & (df["text"].str.len() > 0)].copy()
+    d["key"] = d["text"].str.lower().map(
+        lambda t: re.sub(r"[^a-z0-9]", "", t)[:key_len]
+    )
+    d = d.sort_values(["key", "doc_id"], kind="mergesort").reset_index(drop=True)
+    rows = []
+    for i in range(len(d)):
+        for j in range(i + 1, min(i + window, len(d))):
+            sa, sb = set(d["text"].iloc[i].encode()), set(d["text"].iloc[j].encode())
+            sim = len(sa & sb) / len(sa | sb)
+            if sim >= threshold:
+                rows.append((int(d["doc_id"].iloc[i]), int(d["doc_id"].iloc[j]),
+                             j - i, sim))
+    out = pd.DataFrame(rows, columns=["a", "b", "rank_dist", "sim"])
+    return out.astype({"a": "int64", "b": "int64", "rank_dist": "int64"})
+
+
+def _sorted_frames_equal(got: pd.DataFrame, want: pd.DataFrame):
+    cols = sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_exact=True)
+
+
+def test_sorted_neighborhood_matches_brute(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(7)
+    base = ["alpha beta gamma", "alpha beta gamm", "Zeta-9 test!",
+            "zeta 9 TEST", "quick brown fox", "quick brown fax",
+            "lorem ipsum", "LOREM ipsum.", "unrelated xyz", ""]
+    texts, ids = [], []
+    for i in range(120):
+        t = base[int(rng.integers(0, len(base)))]
+        if rng.random() < 0.3:
+            t = t + " " + "pad" * int(rng.integers(0, 3))
+        texts.append(t if rng.random() > 0.05 else None)
+        ids.append(i)
+    df = pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "text": texts})
+
+    # bucket_rows=16 << 120 rows: forces many ghost boundaries; every
+    # in-window pair must still appear exactly once
+    got = sorted_neighborhood_pairs(
+        ray.data.from_pandas(df), window=5, threshold=0.6, key_len=8,
+        bucket_rows=16,
+    ).to_pandas()
+    want = _snm_brute(df, window=5, threshold=0.6, key_len=8)
+    assert len(want) > 0
+    _sorted_frames_equal(got, want)
+
+
+def test_sorted_neighborhood_empty_corpus(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import sorted_neighborhood_pairs
+
+    df = pd.DataFrame({"doc_id": pd.array([1, 2], dtype="int64"),
+                       "text": [None, ""]})
+    out = sorted_neighborhood_pairs(ray.data.from_pandas(df))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"a", "b", "rank_dist", "sim"}
