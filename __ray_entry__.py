@@ -45,6 +45,7 @@ _REACH_MIN_N = 2
 _CHARSET_TAU = 0.86
 _SNM_W = 6
 _SNM_TAU = 0.9
+_CONTAIN_MIN_W = 1
 _SESSION_GAP_S = 1800
 _ANN_NQ, _ANN_K = 8, 10
 _NGRAM_TAU = 0.5
@@ -540,6 +541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_sorted_neighborhood": lambda sf: _dd.sorted_neighborhood_pairs(
             _docs(sf), window=_SNM_W, threshold=_SNM_TAU, key_len=16
         ),
+        "dedup_containment_pairs": lambda sf: _dd.containment_pairs(
+            _docs(sf), min_words=_CONTAIN_MIN_W
+        ),
     })
 
 
@@ -899,5 +903,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_sorted_neighborhood": _dd.SORTED_NEIGHBORHOOD_SQL_TEMPLATE.format(
             key_len=16, wm1=_SNM_W - 1, threshold=_SNM_TAU
+        ),
+        "dedup_containment_pairs": _dd.CONTAINMENT_SQL_TEMPLATE.format(
+            min_words=_CONTAIN_MIN_W
         ),
     }

@@ -2203,3 +2203,246 @@ SELECT CAST(x.doc_id AS BIGINT) AS a,
 FROM r x JOIN r y ON y.rn - x.rn BETWEEN 1 AND {wm1}
 WHERE jaccard(x.text, y.text) >= {threshold}
 """
+
+
+# --- set-containment join -----------------------------------------------------
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    min_words: int = 1,
+    max_posting: int = 100_000,
+) -> ray.data.Dataset:
+    """Set-containment join: all ordered pairs (sub, sup) of distinct docs
+    where sub's distinct word set is contained in sup's — the "drop subsumed
+    documents" dedup primitive (reference's range-overlap dedup,
+    src/OverlappingSegmentsUtils.jl:229-240, as subset instead of interval
+    containment). Tokenization matches the corpus convention: lowercase,
+    split on single spaces, empty tokens dropped.
+
+    Fully relational distributed shape — no per-pair Python set ops and no
+    all-pairs stage:
+
+    1. **Distinct words + df.** (doc_id, word) distinct rows (each doc lives
+       in one input row, so per-doc dedup is in-batch); document frequency
+       df(word) by bucketed count.
+    2. **Rarest-word anchoring.** Each doc anchors at its min-df word
+       (lexicographic tie-break). If sub ⊆ sup, then sup contains sub's
+       rarest word, so the pair co-locates in that ONE word bucket: postings
+       of w × anchors of w is a complete, duplicate-free candidate set. A
+       word with a posting list over ``max_posting`` is skipped with a
+       warning (the non-discriminative-block cap; lossy ONLY if it fires).
+    3. **Intersection count, two exchanges.** Candidates (a, b) join a's
+       word rows (bucketed on a), re-key by (b, word), meet sup's word rows
+       there — a hit row per shared word; count hits per (a, b).
+       Containment iff hits == nw(a). Exact counting, no sketches.
+
+    Output: sub_id, sup_id, n_sub, n_sup (distinct-word counts).
+    """
+    import logging
+
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def distinct_words(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        s = b.set_index(b["doc_id"].astype("int64"))["text"].str.lower().str.split(" ").explode()
+        s = s[s.notna() & (s != "")]
+        out = s.reset_index()
+        out.columns = ["doc_id", "word"]
+        out = out.drop_duplicates()
+        nw = out.groupby("doc_id", sort=False)["word"].transform("size")
+        out["nw"] = nw.astype("int64")
+        return out[nw >= min_words].reset_index(drop=True)
+
+    # the distinct-word table fans out to five consumers (df, anchors,
+    # postings, both verify sides); pin it once instead of re-tokenizing per
+    # consumer. Token-scale, so the object store may spill — at corpus scale
+    # this is the staged-parquet-sink candidate (pipelines/kg.py discipline).
+    words = docs.select_columns(["doc_id", "text"]).map_batches(
+        distinct_words, batch_format="pandas"
+    ).materialize()
+
+    def df_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("word", sort=False).size()
+        return pd.DataFrame(
+            {"word": g.index.to_numpy(), "df": g.to_numpy().astype("int64")}
+        )
+
+    dfreq = bucketed_group_apply(
+        words.select_columns(["word"]), ["word"], df_count
+    )
+
+    with_df = hash_join(words, dfreq, on="word")
+
+    def rarest(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["doc_id", "df", "word"], kind="mergesort")
+        first = g.drop_duplicates("doc_id")
+        return pd.DataFrame(
+            {"word": first["word"],
+             "doc_id": first["doc_id"].astype("int64"),
+             "nw": first["nw"].astype("int64"),
+             "role": np.zeros(len(first), dtype="int64")}
+        )
+
+    anchors = bucketed_group_apply(with_df, ["doc_id"], rarest)
+
+    def as_posting(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"word": batch["word"],
+             "doc_id": batch["doc_id"].astype("int64"),
+             "nw": batch["nw"].astype("int64"),
+             "role": np.ones(len(batch), dtype="int64")}
+        )
+
+    postings = words.map_batches(as_posting, batch_format="pandas")
+
+    CAND_EMPTY = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64"),
+         "nw_a": pd.Series([], dtype="int64")}
+    )
+
+    def pairs_in_word(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket.groupby("word", sort=False):
+            an = g[g["role"] == 0]
+            po = g[g["role"] == 1]
+            if not len(an) or len(po) < 2:
+                continue
+            if len(po) > max_posting:
+                logging.getLogger(__name__).warning(
+                    "containment_pairs: skipping word with %d postings "
+                    "(> max_posting=%d) — %d anchors lose recall",
+                    len(po), max_posting, len(an),
+                )
+                continue
+            c = an[["doc_id", "nw"]].rename(
+                columns={"doc_id": "a", "nw": "nw_a"}
+            ).merge(
+                po[["doc_id", "nw"]].rename(
+                    columns={"doc_id": "b", "nw": "nw_b"}
+                ),
+                how="cross",
+            )
+            c = c[(c["a"] != c["b"]) & (c["nw_a"] <= c["nw_b"])]
+            out.append(c[["a", "b", "nw_a"]])
+        return (
+            pd.concat(out, ignore_index=True).astype(
+                {"a": "int64", "b": "int64", "nw_a": "int64"}
+            )
+            if out
+            else CAND_EMPTY
+        )
+
+    cands = bucketed_group_apply(
+        anchors.union(postings), ["word"], pairs_in_word
+    )
+
+    # exchange 1: candidates meet sub's word rows on a
+    a_words = words.map_batches(
+        lambda b: pd.DataFrame(
+            {"a": b["doc_id"].astype("int64"), "word": b["word"]}
+        ),
+        batch_format="pandas",
+    )
+    probe = hash_join(cands, a_words, on="a")  # (a, b, nw_a, word): one row per sub-word
+
+    # exchange 2: re-key by (b, word); sup's word rows answer membership
+    def as_probe(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["b"].astype("int64"),
+             "word": batch["word"],
+             "a": batch["a"].astype("int64"),
+             "nw_a": batch["nw_a"].astype("int64")}
+        )
+
+    def as_member(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64"),
+             "word": batch["word"],
+             "a": np.full(len(batch), -1, dtype="int64"),
+             "nw_a": batch["nw"].astype("int64")}
+        )
+
+    tagged = probe.map_batches(as_probe, batch_format="pandas").union(
+        words.map_batches(as_member, batch_format="pandas")
+    )
+
+    HIT_EMPTY = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64"),
+         "nw_a": pd.Series([], dtype="int64"),
+         "nw_b": pd.Series([], dtype="int64")}
+    )
+
+    def hits(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (_, _), g in bucket.groupby(["doc_id", "word"], sort=False):
+            mem = g[g["a"] < 0]
+            if not len(mem):
+                continue
+            pr = g[g["a"] >= 0]
+            if not len(pr):
+                continue
+            out.append(
+                pd.DataFrame(
+                    {"a": pr["a"].astype("int64"),
+                     "b": pr["doc_id"].astype("int64"),
+                     "nw_a": pr["nw_a"].astype("int64"),
+                     "nw_b": np.full(len(pr), int(mem["nw_a"].iloc[0]),
+                                      dtype="int64")}
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else HIT_EMPTY
+
+    hit_rows = bucketed_group_apply(tagged, ["doc_id", "word"], hits)
+
+    OUT_EMPTY = pd.DataFrame(
+        {"sub_id": pd.Series([], dtype="int64"),
+         "sup_id": pd.Series([], dtype="int64"),
+         "n_sub": pd.Series([], dtype="int64"),
+         "n_sup": pd.Series([], dtype="int64")}
+    )
+
+    def contained(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["a", "b", "nw_a", "nw_b"], sort=False).size()
+        g = g[g.index.get_level_values("nw_a") == g.to_numpy()]
+        if not len(g):
+            return OUT_EMPTY
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame(
+            {"sub_id": idx["a"].astype("int64"),
+             "sup_id": idx["b"].astype("int64"),
+             "n_sub": idx["nw_a"].astype("int64"),
+             "n_sup": idx["nw_b"].astype("int64")}
+        )
+
+    out = bucketed_group_apply(hit_rows, ["a", "b"], contained)
+    return with_schema(
+        out,
+        [("sub_id", pa.int64()), ("sup_id", pa.int64()),
+         ("n_sub", pa.int64()), ("n_sup", pa.int64())],
+    )
+
+
+CONTAINMENT_SQL_TEMPLATE = """
+WITH w AS (
+  SELECT doc_id, list(DISTINCT word) AS ws, count(DISTINCT word) AS nw
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) t
+  WHERE word <> ''
+  GROUP BY doc_id
+  HAVING count(DISTINCT word) >= {min_words}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS sub_id,
+       CAST(b.doc_id AS BIGINT) AS sup_id,
+       CAST(a.nw AS BIGINT) AS n_sub,
+       CAST(b.nw AS BIGINT) AS n_sup
+FROM w a JOIN w b
+  ON a.doc_id <> b.doc_id AND a.nw <= b.nw AND list_has_all(b.ws, a.ws)
+"""

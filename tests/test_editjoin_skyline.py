@@ -243,3 +243,52 @@ def test_sorted_neighborhood_empty_corpus(ray_session):
     out = sorted_neighborhood_pairs(ray.data.from_pandas(df))
     assert out.count() == 0
     assert set(out.schema().names) == {"a", "b", "rank_dist", "sim"}
+
+
+# --- set-containment join -----------------------------------------------------
+
+def _containment_brute(df: pd.DataFrame, min_words: int) -> pd.DataFrame:
+    sets = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        if t is None or not isinstance(t, str):
+            continue
+        ws = {w for w in t.lower().split(" ") if w}
+        if len(ws) >= min_words:
+            sets[int(did)] = ws
+    rows = [
+        (a, b, len(sa), len(sb))
+        for a, sa in sets.items()
+        for b, sb in sets.items()
+        if a != b and sa <= sb
+    ]
+    return pd.DataFrame(
+        rows, columns=["sub_id", "sup_id", "n_sub", "n_sup"]
+    ).astype({"sub_id": "int64", "sup_id": "int64",
+              "n_sub": "int64", "n_sup": "int64"})
+
+
+def test_containment_pairs_matches_brute(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import containment_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = ["apple", "banana", "cherry", "date", "elder", "fig", "grape"]
+    texts, ids = [], []
+    for i in range(60):
+        k = int(rng.integers(1, 6))
+        ws = list(rng.choice(vocab, size=k, replace=True))
+        texts.append(" ".join(ws))
+        ids.append(i)
+    # planted exact subset / equal-set / empty / null rows
+    texts += ["apple banana", "apple banana cherry", "apple banana", "", None]
+    ids += [100, 101, 102, 103, 104]
+    df = pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "text": texts})
+
+    got = containment_pairs(
+        ray.data.from_pandas(df), min_words=2
+    ).to_pandas()
+    want = _containment_brute(df, min_words=2)
+    assert len(want) > 0
+    # equal sets must appear in both directions
+    assert ((want["sub_id"] == 100) & (want["sup_id"] == 102)).any()
+    assert ((want["sub_id"] == 102) & (want["sup_id"] == 100)).any()
+    _sorted_frames_equal(got, want)
