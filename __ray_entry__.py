@@ -544,6 +544,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment_pairs": lambda sf: _dd.containment_pairs(
             _docs(sf), min_words=_CONTAIN_MIN_W
         ),
+        "events_user_trend": lambda sf: _wd.user_value_trend(
+            _events_ds(sf), min_n=2
+        ),
     })
 
 
@@ -907,4 +910,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment_pairs": _dd.CONTAINMENT_SQL_TEMPLATE.format(
             min_words=_CONTAIN_MIN_W
         ),
+        "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
     }

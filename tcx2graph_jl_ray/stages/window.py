@@ -1662,3 +1662,114 @@ SELECT event_type,
 FROM s
 WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
 """
+
+
+def user_value_trend(
+    events: ray.data.Dataset, min_n: int = 2, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Per-user OLS trend of event value over time (is this user's spend
+    rising or falling?) — grouped least-squares as EXACT integer sufficient
+    statistics, the ``corr_value_hour`` discipline extended to two
+    regression coefficients.
+
+    x = hour-boundary count since 2020-01-01 (DuckDB ``date_diff('hour',
+    ...)`` semantics: hour-truncated difference — int64, and small enough
+    that per-batch int64 partial sums of x² cannot overflow at any batch
+    size); y = cents(value). Each batch folds per-user (n, Σx, Σy, Σxy,
+    Σx²); merge sums as Python ints (oracle HUGEINT). Closed forms, each ONE
+    double expression rounded to 6 on both sides:
+
+        slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)      [cents per hour]
+        intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)    [cents at the anchor]
+
+    Zero-time-variance users drop (oracle WHERE den > 0).
+    Output: user_id, n:int64, slope:float64, intercept:float64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    anchor = pd.Timestamp("2020-01-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna() & b["ts"].notna()]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    **{
+                        c: pd.array([], dtype="int64")
+                        for c in ("n", "sx", "sy", "sxy", "sx2")
+                    },
+                }
+            )
+        x = ((b["ts"].dt.floor("h") - anchor) // pd.Timedelta(hours=1)).to_numpy(
+            dtype="int64"
+        )
+        y = cents_i64(b["value"])
+        d = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64").to_numpy(),
+                "n": np.ones(len(b), dtype="int64"),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sx2": x * x,
+            }
+        )
+        return d.groupby("user_id", sort=False).sum().reset_index()
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in bucket.groupby("user_id", sort=False):
+            n = sum(int(v) for v in g["n"])
+            sx = sum(int(v) for v in g["sx"])
+            sy = sum(int(v) for v in g["sy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            sx2 = sum(int(v) for v in g["sx2"])
+            den = n * sx2 - sx * sx
+            if n < min_n or den <= 0:
+                continue
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = float(sy * sx2 - sx * sxy) / float(den)
+            rows.append(
+                (int(uid), n, float(np.round(slope, 6)),
+                 float(np.round(intercept, 6)))
+            )
+        return pd.DataFrame(
+            rows, columns=["user_id", "n", "slope", "intercept"]
+        ).astype({"user_id": "int64", "n": "int64",
+                  "slope": "float64", "intercept": "float64"})
+
+    return bucketed_group_apply(
+        events.select_columns(["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id"],
+        final,
+        n_buckets=n_buckets,
+    )
+
+
+USER_VALUE_TREND_SQL_TEMPLATE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(date_diff('hour', TIMESTAMP '2020-01-01', ts) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sy,
+         SUM(CAST(date_diff('hour', TIMESTAMP '2020-01-01', ts) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(date_diff('hour', TIMESTAMP '2020-01-01', ts) AS BIGINT)
+             * CAST(date_diff('hour', TIMESTAMP '2020-01-01', ts) AS BIGINT)) AS sx2
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy * sx2 - sx * sxy AS DOUBLE)
+             / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS intercept
+FROM s
+WHERE n >= {min_n} AND (n * sx2 - sx * sx) > 0
+"""

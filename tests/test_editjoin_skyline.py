@@ -292,3 +292,50 @@ def test_containment_pairs_matches_brute(ray_session):
     assert ((want["sub_id"] == 100) & (want["sup_id"] == 102)).any()
     assert ((want["sub_id"] == 102) & (want["sup_id"] == 100)).any()
     _sorted_frames_equal(got, want)
+
+
+# --- per-user OLS trend --------------------------------------------------------
+
+def _trend_brute(df: pd.DataFrame, min_n: int) -> pd.DataFrame:
+    anchor = pd.Timestamp("2020-01-01")
+    d = df[df["value"].notna() & df["ts"].notna()]
+    rows = []
+    for uid, g in d.groupby("user_id"):
+        x = [int((t.floor("h") - anchor) / pd.Timedelta(hours=1)) for t in g["ts"]]
+        y = [int(round(v * 100)) for v in g["value"]]
+        n = len(g)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sx2 = sum(a * a for a in x)
+        den = n * sx2 - sx * sx
+        if n < min_n or den <= 0:
+            continue
+        rows.append((int(uid), n,
+                     float(np.round(float(n * sxy - sx * sy) / float(den), 6)),
+                     float(np.round(float(sy * sx2 - sx * sxy) / float(den), 6))))
+    return pd.DataFrame(rows, columns=["user_id", "n", "slope", "intercept"]).astype(
+        {"user_id": "int64", "n": "int64"}
+    )
+
+
+def test_user_value_trend_matches_brute_any_layout(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_value_trend
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 12, n), dtype="int64"),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86400 * 30, n), unit="s"),
+        "value": np.round(rng.uniform(0, 500, n), 2),
+    })
+    # plant a single-timestamp user (den == 0 -> dropped) and nulls
+    df.loc[df["user_id"] == 3, "ts"] = pd.Timestamp("2024-01-05 12:30:00")
+    df.loc[:4, "value"] = None
+
+    want = _trend_brute(df, min_n=2)
+    assert (df["user_id"] == 3).any() and not (want["user_id"] == 3).any()
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = user_value_trend(ds, min_n=2).to_pandas()
+        _sorted_frames_equal(got, want)
