@@ -1418,34 +1418,18 @@ SELECT entity_id, ROUND(rank, 6) AS pagerank FROM {prev}
 """
 
 
-def triangle_stats(
-    cooccurrence: ray.data.Dataset, n_buckets: int = 64
-) -> ray.data.Dataset:
-    """Per-entity triangle counts and local clustering coefficient over the
-    undirected co-occurrence graph — triadic structure analysis one level up
-    from the reference's pairwise overlap detection
-    (src/OverlappingSegmentsUtils.jl:173-274) and path-finding
-    (src/PathFinder.jl:36-149).
-
-    Scale shape (the node-iterator-with-degree-orientation algorithm,
-    cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
-    Reducer", WWW'11 — public): every edge is ORIENTED from its lower-
-    (degree, id) endpoint to its higher one, wedges are generated only among
-    each apex's OUT-neighbours, so a hub of degree d contributes pairs only
-    among its few higher-degree neighbours (total wedge work O(m^1.5),
-    never d^2 at the hub), and each triangle is closed exactly once at its
-    minimum-(degree, id) vertex. Wedge closure is a co-partitioned
-    ``hash_join`` against the edge set — no broadcast, both sides shuffle
-    once. Degrees come from a per-batch partial count + bucketed reduce.
-
-    Input: src, dst (src < dst, distinct undirected edges).
-    Output: entity_id, degree, n_triangles, clustering (= 2T / d(d-1),
-    rounded to 6 decimals; 0.0 for degree < 2).
-    """
+def _oriented_triangles(
+    edges: ray.data.Dataset, n_buckets: int = 64
+) -> tuple:
+    """Enumerate each triangle of an undirected edge set (src < dst,
+    distinct, MATERIALIZED by the caller) exactly once, degree-oriented so a
+    hub generates wedges only among its higher-(degree, id) neighbours
+    (Suri & Vassilvitskii WWW'11; total wedge work O(m^1.5)). Returns
+    (triangles Dataset[apex, src, dst], degree Dataset[node, degree]) —
+    shared by ``triangle_stats`` (node counts) and ``ktruss_edges``
+    (per-edge support)."""
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
     from tcx2graph_jl_ray.functions.join import hash_join
-
-    edges = cooccurrence.select_columns(["src", "dst"]).materialize()
 
     # -- degrees: partial per-batch count -> bucketed sum (combiner shape)
     def partial_deg(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1519,6 +1503,38 @@ def triangle_stats(
 
     # -- close: wedge (src, dst) is a triangle iff that edge exists
     triangles = hash_join(wedges, edges, on=["src", "dst"], n_buckets=n_buckets)
+    return triangles, deg
+
+
+def triangle_stats(
+    cooccurrence: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-entity triangle counts and local clustering coefficient over the
+    undirected co-occurrence graph — triadic structure analysis one level up
+    from the reference's pairwise overlap detection
+    (src/OverlappingSegmentsUtils.jl:173-274) and path-finding
+    (src/PathFinder.jl:36-149).
+
+    Scale shape (the node-iterator-with-degree-orientation algorithm,
+    cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11 — public): every edge is ORIENTED from its lower-
+    (degree, id) endpoint to its higher one, wedges are generated only among
+    each apex's OUT-neighbours, so a hub of degree d contributes pairs only
+    among its few higher-degree neighbours (total wedge work O(m^1.5),
+    never d^2 at the hub), and each triangle is closed exactly once at its
+    minimum-(degree, id) vertex. Wedge closure is a co-partitioned
+    ``hash_join`` against the edge set — no broadcast, both sides shuffle
+    once. Degrees come from a per-batch partial count + bucketed reduce.
+
+    Input: src, dst (src < dst, distinct undirected edges).
+    Output: entity_id, degree, n_triangles, clustering (= 2T / d(d-1),
+    rounded to 6 decimals; 0.0 for degree < 2).
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = cooccurrence.select_columns(["src", "dst"]).materialize()
+    triangles, deg = _oriented_triangles(edges, n_buckets)
 
     def tri_nodes(batch: pd.DataFrame) -> pd.DataFrame:
         both = pd.concat(
@@ -3053,3 +3069,213 @@ r(node, arr, d) AS (
 SELECT node AS entity_id, MIN(arr) AS first_reach FROM r GROUP BY node
 """
 )
+
+
+def ktruss_edges(
+    edges: ray.data.Dataset,
+    k: int = 4,
+    n_buckets: int = 64,
+    max_rounds: int = 100,
+    small_graph_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """k-truss decomposition of an undirected graph (src < dst, distinct):
+    iteratively drop every edge in fewer than k-2 triangles until fixpoint —
+    the EDGE-level cohesion filter one step stronger than the node-level
+    ``kcore_members`` (an edge in a k-truss has k-2 common-neighbour
+    witnesses; reference's min-run edge support, src/PathFinder.jl:59-63,
+    recursively enforced).
+
+    Per round: triangles via the degree-oriented wedge machinery
+    (``_oriented_triangles`` — O(m^1.5) wedge work, hub-safe), each triangle
+    emits support to its three canonical edges, support counts by bucketed
+    reduce, and the edge set filters through a co-partitioned left
+    ``hash_join`` (edges without triangles get support 0). Every round
+    strictly shrinks the edge set; the loop stops at fixpoint and returns
+    the surviving edges with their within-truss support.
+
+    Dual path (the ``connected_components`` discipline): a graph at or
+    below ``small_graph_threshold`` edges peels vectorized on the driver —
+    the multi-round distributed loop is ~25 Ray stages per round of pure
+    launch overhead at that size — while anything larger runs the bounded
+    per-round shuffles above. Identical output either way (planted test
+    pins the two paths to each other).
+
+    Output: src, dst, support:int64 (triangle count inside the k-truss).
+    """
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+
+    empty = pa.table(
+        {"src": pa.array([], pa.int64()),
+         "dst": pa.array([], pa.int64()),
+         "support": pa.array([], pa.int64())}
+    )
+
+    def tri_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        # triangle (apex, src, dst) with src < dst; apex vs src/dst order is
+        # arbitrary, so canonicalize the two apex edges
+        a = batch["apex"].to_numpy()
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [np.minimum(a, s), np.minimum(a, d), s]
+                ),
+                "dst": np.concatenate(
+                    [np.maximum(a, s), np.maximum(a, d), d]
+                ),
+            }
+        )
+
+    def sum_support(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["src", "dst"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame(
+            {"src": idx["src"], "dst": idx["dst"],
+             "support": g.to_numpy().astype("int64")}
+        )
+
+    cur = edges.select_columns(["src", "dst"]).materialize()
+
+    if cur.count() <= small_graph_threshold:
+        e = cur.to_pandas()  # bounded by small_graph_threshold rows
+        for _ in range(max_rounds):
+            if not len(e):
+                return ray.data.from_arrow(empty)
+            idx = pd.MultiIndex.from_frame(e[["src", "dst"]])
+            m = e.merge(e, left_on="dst", right_on="src")
+            tri = m[
+                pd.MultiIndex.from_arrays(
+                    [m["src_x"], m["dst_y"]]
+                ).isin(idx)
+            ]
+            sup = (
+                pd.concat(
+                    [
+                        tri[["src_x", "dst_x"]].set_axis(["src", "dst"], axis=1),
+                        tri[["src_x", "dst_y"]].set_axis(["src", "dst"], axis=1),
+                        tri[["dst_x", "dst_y"]].set_axis(["src", "dst"], axis=1),
+                    ],
+                    ignore_index=True,
+                )
+                .groupby(["src", "dst"], sort=False)
+                .size()
+                .rename("support")
+                .reset_index()
+            )
+            scored = e.merge(sup, on=["src", "dst"], how="left")
+            scored["support"] = scored["support"].fillna(0).astype("int64")
+            surv = scored[scored["support"] >= k - 2]
+            if len(surv) == len(e):
+                if not len(surv):
+                    return ray.data.from_arrow(empty)
+                return ray.data.from_pandas(
+                    surv.astype(
+                        {"src": "int64", "dst": "int64", "support": "int64"}
+                    ).reset_index(drop=True)
+                )
+            e = surv[["src", "dst"]].reset_index(drop=True)
+        raise RuntimeError(f"k-truss did not converge in {max_rounds} rounds")
+
+    for _ in range(max_rounds):
+        n_edges = cur.count()
+        if n_edges == 0:
+            return ray.data.from_arrow(empty)
+        triangles, _deg = _oriented_triangles(cur, n_buckets)
+        support = bucketed_group_apply(
+            triangles.map_batches(
+                tri_edges, batch_format="pandas", batch_size=65536
+            ),
+            ["src", "dst"],
+            sum_support,
+            n_buckets=n_buckets,
+        )
+        joined = hash_join(
+            cur, support, on=["src", "dst"], how="left", n_buckets=n_buckets
+        )
+
+        def finish(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "src": batch["src"].astype("int64"),
+                    "dst": batch["dst"].astype("int64"),
+                    "support": batch["support"].fillna(0).astype("int64"),
+                }
+            )
+
+        scored = joined.map_batches(
+            finish, batch_format="pandas", batch_size=65536
+        ).materialize()
+        survivors = scored.filter(expr=f"support >= {k - 2}")
+        n_surv = survivors.count()
+        if n_surv == n_edges:
+            return survivors
+        cur = survivors.select_columns(["src", "dst"]).materialize()
+    raise RuntimeError(f"k-truss did not converge in {max_rounds} rounds")
+
+
+def ktruss_sql(edges_sql: str, k: int, rounds: int = 10) -> str:
+    """DuckDB oracle for ``ktruss_edges``: the peel loop UNROLLED as
+    ``rounds`` (triangle-support -> edge-filter) CTE layer pairs, the
+    ``kcore_sql`` discipline — sound while ``rounds`` >= the true peel
+    count (extra layers are no-ops at the fixpoint; verified by parity with
+    the fixpoint loop at the driver scales). The final layer recomputes
+    support on the fixpoint edge set, which equals the engine's last-round
+    support."""
+    layers = []
+    prev_e = "e0"
+    for i in range(1, rounds + 1):
+        layers.append(f"""t{i} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM {prev_e} e1
+  JOIN {prev_e} e2 ON e2.src = e1.dst
+  JOIN {prev_e} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+s{i} AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM (SELECT a AS src, b AS dst FROM t{i}
+        UNION ALL SELECT a, c FROM t{i}
+        UNION ALL SELECT b, c FROM t{i})
+  GROUP BY src, dst
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev_e} e
+  JOIN s{i} s ON s.src = e.src AND s.dst = e.dst
+  WHERE s.sup >= {k - 2}
+)""")
+        prev_e = f"e{i}"
+    layer_sql = ",\n".join(layers)
+    return f"""
+WITH e0 AS MATERIALIZED ({edges_sql}),
+{layer_sql},
+t_fin AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM {prev_e} e1
+  JOIN {prev_e} e2 ON e2.src = e1.dst
+  JOIN {prev_e} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
+       CAST(s.sup AS BIGINT) AS support
+FROM {prev_e} e
+JOIN (
+  SELECT src, dst, COUNT(*) AS sup
+  FROM (SELECT a AS src, b AS dst FROM t_fin
+        UNION ALL SELECT a, c FROM t_fin
+        UNION ALL SELECT b, c FROM t_fin)
+  GROUP BY src, dst
+) s ON s.src = e.src AND s.dst = e.dst
+"""
+
+
+COPURCHASE_EDGES_SQL = """
+SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+       CAST(b.l_partkey AS BIGINT) AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""

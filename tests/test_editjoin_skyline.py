@@ -339,3 +339,29 @@ def test_user_value_trend_matches_brute_any_layout(ray_session):
         ds = ray.data.from_pandas(df).repartition(nblocks)
         got = user_value_trend(ds, min_n=2).to_pandas()
         _sorted_frames_equal(got, want)
+
+
+# --- k-truss ------------------------------------------------------------------
+
+def test_ktruss_dual_paths_agree(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import ktruss_edges
+
+    rng = np.random.default_rng(5)
+    # a 6-clique (stays in any truss up to k=6) + a sparse random periphery
+    nodes = list(range(6))
+    edges = {(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]}
+    while len(edges) < 120:
+        a, b = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = pd.DataFrame(sorted(edges), columns=["src", "dst"]).astype("int64")
+    ds = ray.data.from_pandas(df)
+
+    for k in (3, 4, 6):
+        driver = ktruss_edges(ds, k=k).to_pandas()
+        dist = ktruss_edges(ds, k=k, small_graph_threshold=0).to_pandas()
+        assert len(driver) > 0  # the 6-clique survives k<=6
+        _sorted_frames_equal(dist, driver)
+        # every clique edge must be present with support >= k-2
+        clique = driver[(driver["src"] < 6) & (driver["dst"] < 6)]
+        assert len(clique) == 15 and (clique["support"] >= k - 2).all()
