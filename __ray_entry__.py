@@ -47,6 +47,7 @@ _SNM_W = 6
 _SNM_TAU = 0.9
 _CONTAIN_MIN_W = 1
 _TRUSS_K = 5
+_BAND_EPS = 0.02
 _SESSION_GAP_S = 1800
 _ANN_NQ, _ANN_K = 8, 10
 _NGRAM_TAU = 0.5
@@ -548,6 +549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": lambda sf: _wd.user_value_trend(
             _events_ds(sf), min_n=2
         ),
+        "events_value_band_join": lambda sf: _wd.value_band_join(
+            _events_ds(sf), eps=_BAND_EPS
+        ),
         "rel_copurchase_truss": lambda sf: _an.ktruss_edges(
             _rel.copurchase_pairs(sf, min_support=1).map_batches(
                 lambda b: b[["part_a", "part_b"]].rename(
@@ -921,6 +925,9 @@ def oracle_sql() -> dict[str, str]:
             min_words=_CONTAIN_MIN_W
         ),
         "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
+        "events_value_band_join": _wd.VALUE_BAND_JOIN_SQL_TEMPLATE.format(
+            ceps=int(round(_BAND_EPS * 100))
+        ),
         "rel_copurchase_truss": _an.ktruss_sql(
             _an.COPURCHASE_EDGES_SQL, k=_TRUSS_K, rounds=10
         ),

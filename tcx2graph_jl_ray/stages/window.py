@@ -1773,3 +1773,124 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM s
 WHERE n >= {min_n} AND (n * sx2 - sx * sx) > 0
 """
+
+
+def value_band_join(
+    events: ray.data.Dataset, eps: float = 0.02, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Band self-join with NO equi-key on the band axis: all pairs of
+    same-type events whose values differ by at most ``eps`` — the 1-D
+    interval analogue of the bbox semi-join (J5), and the join family's
+    missing member next to asof/range/equi/similarity (a band join has no
+    natural hash key, so the partition IS the algorithm).
+
+    Tiling shape: values go to exact integer cents (the money discipline —
+    the band test is |Δcents| <= round(eps·100), no float boundary
+    ambiguity); the cent axis is tiled into eps-wide cells, every row lands
+    in its native cell plus a GHOST copy in the next cell up. Any qualifying
+    pair then co-locates in exactly one (event_type, cell) bucket under the
+    not-both-ghost rule: same-cell pairs emit where both are native,
+    adjacent-cell pairs in the upper cell (ghost lower + native upper). Per
+    bucket the pairs come from one sort + ``searchsorted`` window sweep —
+    vectorized, output-bounded, no all-pairs anywhere.
+
+    Output: event_type, a, b (event_ids, a < b), diff_cents:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    ceps = int(round(eps * 100))
+    if ceps < 1:
+        raise ValueError("eps must be at least one cent")
+
+    def tiled(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["value"].notna()]
+        c = cents_i64(b["value"])
+        cell = c // ceps
+        base = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "event_id": b["event_id"].astype("int64").to_numpy(),
+                "c": c,
+                "cell": cell,
+                "ghost": np.zeros(len(b), dtype="int64"),
+            }
+        )
+        gh = base.copy()
+        gh["cell"] = gh["cell"] + 1
+        gh["ghost"] = 1
+        return pd.concat([base, gh], ignore_index=True)
+
+    EMPTY = pd.DataFrame(
+        {"event_type": pd.Series([], dtype="object"),
+         "a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64"),
+         "diff_cents": pd.Series([], dtype="int64")}
+    )
+
+    def pairs_in_cell(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (et, _), g in bucket.groupby(["event_type", "cell"], sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            g = g.sort_values(["c", "event_id"], kind="mergesort")
+            c = g["c"].to_numpy()
+            ids = g["event_id"].to_numpy()
+            ghost = g["ghost"].to_numpy()
+            hi = np.searchsorted(c, c + ceps, side="right")
+            starts = np.arange(n)
+            counts = hi - starts - 1
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            ii = np.repeat(starts, counts)
+            offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            jj = np.arange(total) - np.repeat(offs, counts) + ii + 1
+            keep = ~(ghost[ii].astype(bool) & ghost[jj].astype(bool))
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            a = np.minimum(ids[ii], ids[jj])
+            bb = np.maximum(ids[ii], ids[jj])
+            out.append(
+                pd.DataFrame(
+                    {"event_type": et, "a": a, "b": bb,
+                     "diff_cents": np.abs(c[ii] - c[jj]).astype("int64")}
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else EMPTY
+
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+
+    out = bucketed_group_apply(
+        events.select_columns(["event_id", "event_type", "value"]).map_batches(
+            tiled, batch_format="pandas", batch_size=65536
+        ),
+        ["event_type", "cell"],
+        pairs_in_cell,
+        n_buckets=n_buckets,
+    )
+    return with_schema(
+        out,
+        [("event_type", pa.string()), ("a", pa.int64()),
+         ("b", pa.int64()), ("diff_cents", pa.int64())],
+    )
+
+
+VALUE_BAND_JOIN_SQL_TEMPLATE = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT a.event_type AS event_type,
+       CAST(a.event_id AS BIGINT) AS a,
+       CAST(b.event_id AS BIGINT) AS b,
+       CAST(abs(a.c - b.c) AS BIGINT) AS diff_cents
+FROM v a JOIN v b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(a.c - b.c) <= {ceps}
+"""

@@ -365,3 +365,37 @@ def test_ktruss_dual_paths_agree(ray_session):
         # every clique edge must be present with support >= k-2
         clique = driver[(driver["src"] < 6) & (driver["dst"] < 6)]
         assert len(clique) == 15 and (clique["support"] >= k - 2).all()
+
+
+# --- value band join ------------------------------------------------------------
+
+def test_value_band_join_matches_brute(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_band_join
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": pd.array(np.arange(n), dtype="int64"),
+        "event_type": rng.choice(["x", "y"], n),
+        # dense integer-cent grid so exact-boundary pairs (|d| == eps) occur
+        "value": np.round(rng.integers(0, 60, n) / 100.0, 2),
+    })
+    df.loc[:3, "value"] = None
+    eps = 0.02
+
+    rows = []
+    d = df[df["value"].notna()]
+    c = {int(i): int(round(v * 100)) for i, v in zip(d["event_id"], d["value"])}
+    t = dict(zip(d["event_id"].astype(int), d["event_type"]))
+    ids = sorted(c)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if t[a] == t[b] and abs(c[a] - c[b]) <= 2:
+                rows.append((t[a], a, b, abs(c[a] - c[b])))
+    want = pd.DataFrame(rows, columns=["event_type", "a", "b", "diff_cents"]).astype(
+        {"a": "int64", "b": "int64", "diff_cents": "int64"}
+    )
+    assert (want["diff_cents"] == 2).any()  # boundary pairs exercised
+
+    got = value_band_join(ray.data.from_pandas(df), eps=eps).to_pandas()
+    _sorted_frames_equal(got, want)
