@@ -549,6 +549,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": lambda sf: _wd.user_value_trend(
             _events_ds(sf), min_n=2
         ),
+        "docs_length_percent_rank": lambda sf: _tx.length_percent_rank(
+            _docs(sf)
+        ),
+        "dedup_split_leakage": lambda sf: _dd.split_leakage(
+            _minhash_pairs(sf), _tx.split_assign(_docs(sf))
+        ),
         "events_value_band_join": lambda sf: _wd.value_band_join(
             _events_ds(sf), eps=_BAND_EPS
         ),
@@ -925,6 +931,11 @@ def oracle_sql() -> dict[str, str]:
             min_words=_CONTAIN_MIN_W
         ),
         "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
+        "docs_length_percent_rank": _tx.LENGTH_PERCENT_RANK_SQL,
+        "dedup_split_leakage": _dd.SPLIT_LEAKAGE_SQL_TEMPLATE.format(
+            pairs=_dd.minhash_pairs_sql(),
+            splits=_tx.SPLIT_ASSIGN_SQL.format(train_hex="cb", val_hex="e5"),
+        ),
         "events_value_band_join": _wd.VALUE_BAND_JOIN_SQL_TEMPLATE.format(
             ceps=int(round(_BAND_EPS * 100))
         ),

@@ -2446,3 +2446,81 @@ SELECT CAST(a.doc_id AS BIGINT) AS sub_id,
 FROM w a JOIN w b
   ON a.doc_id <> b.doc_id AND a.nw <= b.nw AND list_has_all(b.ws, a.ws)
 """
+
+
+# --- split leakage ------------------------------------------------------------
+
+def split_leakage(
+    pairs: ray.data.Dataset,
+    splits: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Train/test contamination audit: near-duplicate pairs whose two docs
+    landed in DIFFERENT splits — the leakage every eval pipeline must check
+    before trusting a held-out score. Pure composition: verified near-dup
+    pairs (``neardup_minhash_pairs``) x the deterministic hash split
+    (``text.split_assign``), stitched by two co-partitioned ``hash_join``s
+    (no broadcast of either side; a trillion-doc split table co-shuffles
+    with the match-bounded pair list).
+
+    Output: a, b (a < b), split_a, split_b (split_a <> split_b).
+    """
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    j1 = hash_join(
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"a": b["a"].astype("int64"), "b": b["b"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        splits.map_batches(
+            lambda b: pd.DataFrame(
+                {"a": b["doc_id"].astype("int64"),
+                 "split_a": b["split"].astype("object")}
+            ),
+            batch_format="pandas",
+        ),
+        on="a",
+        n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1,
+        splits.map_batches(
+            lambda b: pd.DataFrame(
+                {"b": b["doc_id"].astype("int64"),
+                 "split_b": b["split"].astype("object")}
+            ),
+            batch_format="pandas",
+        ),
+        on="b",
+        n_buckets=n_buckets,
+    )
+
+    def leak(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[batch["split_a"] != batch["split_b"]]
+        return pd.DataFrame(
+            {"a": k["a"].astype("int64"), "b": k["b"].astype("int64"),
+             "split_a": k["split_a"], "split_b": k["split_b"]}
+        )
+
+    return with_schema(
+        j2.map_batches(leak, batch_format="pandas"),
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("split_a", pa.string()), ("split_b", pa.string())],
+    )
+
+
+SPLIT_LEAKAGE_SQL_TEMPLATE = """
+WITH p AS ({pairs}),
+s AS ({splits})
+SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       sa.split AS split_a, sb.split AS split_b
+FROM p
+JOIN s sa ON sa.doc_id = p.a
+JOIN s sb ON sb.doc_id = p.b
+WHERE sa.split <> sb.split
+"""

@@ -2300,3 +2300,101 @@ SELECT source,
              / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6) AS zipf_slope
 FROM t GROUP BY source
 """
+
+
+def length_percent_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributional CALIBRATION of a per-doc metric: the exact
+    PERCENT_RANK of every document's token count — the normalization that
+    turns raw quality/length scores into corpus-relative [0,1] scores for
+    threshold-free filtering (``length_deciles``' NTILE gives coarse
+    buckets; this is the continuous CDF transform).
+
+    Exactly SQL's (RANK()-1)/(n-1) with RANK = min rank over ties.
+    Distributed as a count-of-counts: per-batch token-count histograms
+    partial-merge (combiner — the value domain is bounded by the longest
+    document, NOT the corpus), the driver prefix-sums the tiny histogram
+    into cum_below per distinct count, and a broadcast lookup maps every
+    doc. One double division + round 6 on both sides; n == 1 degenerates
+    to 0.0 (SQL's 0/0 guard).
+
+    Output: doc_id, n_tokens:int64, pr:float64.
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+
+    def ntok(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        n = t.str.lower().str.split(" ").map(
+            lambda ws: sum(1 for w in ws if w) if isinstance(ws, list) else 0
+        )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64"),
+             "n_tokens": n.astype("int64")}
+        )
+
+    counts = docs.select_columns(["doc_id", "text"]).map_batches(
+        ntok, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("n_tokens", sort=False).size()
+        return pd.DataFrame(
+            {"n_tokens": g.index.to_numpy(), "c": g.to_numpy().astype("int64")}
+        )
+
+    # histogram rows are one per DISTINCT token count — bounded by the
+    # longest doc, so the driver merge is constant-size at any corpus scale
+    h = counts.map_batches(hist, batch_format="pandas").to_pandas()
+    h = h.groupby("n_tokens", sort=True)["c"].sum()
+    total = int(h.sum())
+    cum_below = (h.cumsum() - h).astype("int64")
+    lut_ref = _ray.put(dict(zip(h.index.astype("int64"), cum_below)))
+
+    class _Rank:
+        def __init__(self, ref, n):
+            self.lut = _ray.get(ref)
+            self.n = n
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            below = batch["n_tokens"].map(self.lut).astype("int64")
+            pr = (
+                np.round(below.to_numpy() / float(self.n - 1), 6)
+                if self.n > 1
+                else np.zeros(len(batch))
+            )
+            return pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"),
+                 "n_tokens": batch["n_tokens"].astype("int64"),
+                 "pr": pr.astype("float64")}
+            )
+
+    out = counts.map_batches(
+        _Rank,
+        fn_constructor_args=(lut_ref, total),
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=(1, 8),
+    )
+    return with_schema(
+        out,
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("pr", pa.float64())],
+    )
+
+
+LENGTH_PERCENT_RANK_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       ROUND(CASE WHEN COUNT(*) OVER () = 1 THEN 0.0
+             ELSE CAST(RANK() OVER (ORDER BY n_tokens) - 1 AS DOUBLE)
+                  / (COUNT(*) OVER () - 1) END, 6) AS pr
+FROM d
+"""

@@ -399,3 +399,41 @@ def test_value_band_join_matches_brute(ray_session):
 
     got = value_band_join(ray.data.from_pandas(df), eps=eps).to_pandas()
     _sorted_frames_equal(got, want)
+
+
+# --- split leakage + percent rank ----------------------------------------------
+
+def test_split_leakage_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import split_leakage
+
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"a": pd.array([1, 2, 5], dtype="int64"),
+         "b": pd.array([2, 3, 6], dtype="int64")}
+    ))
+    splits = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.array([1, 2, 3, 5, 6], dtype="int64"),
+         "split": ["train", "test", "test", "val", "val"]}
+    ))
+    got = split_leakage(pairs, splits).to_pandas()
+    want = pd.DataFrame(
+        {"a": pd.array([1], dtype="int64"), "b": pd.array([2], dtype="int64"),
+         "split_a": ["train"], "split_b": ["test"]}
+    )
+    _sorted_frames_equal(got, want)
+
+
+def test_length_percent_rank_ties_and_nulls(ray_session):
+    from tcx2graph_jl_ray.stages.text import length_percent_rank
+
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(6), dtype="int64"),
+        "text": ["a b c", "a b c", None, "", "x", "x y z w"],
+    })
+    got = length_percent_rank(ray.data.from_pandas(df)).to_pandas()
+    got = got.set_index("doc_id")
+    # counts: doc0=3, doc1=3, doc2(null)=0, doc3(empty)=0, doc4=1, doc5=4
+    # sorted: [0,0,1,3,3,4]; min-rank-1: 0,0,2,3,3,5; /5
+    assert got.loc[2, "pr"] == 0.0 and got.loc[3, "pr"] == 0.0
+    assert got.loc[4, "pr"] == 0.4
+    assert got.loc[0, "pr"] == 0.6 and got.loc[1, "pr"] == 0.6
+    assert got.loc[5, "pr"] == 1.0
