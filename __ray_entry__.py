@@ -549,6 +549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": lambda sf: _wd.user_value_trend(
             _events_ds(sf), min_n=2
         ),
+        "events_type_trigrams": lambda sf: _wd.event_type_trigrams(
+            _events_ds(sf), min_n=2
+        ),
         "docs_length_percent_rank": lambda sf: _tx.length_percent_rank(
             _docs(sf)
         ),
@@ -931,6 +934,9 @@ def oracle_sql() -> dict[str, str]:
             min_words=_CONTAIN_MIN_W
         ),
         "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
+        "events_type_trigrams": _wd.EVENT_TYPE_TRIGRAMS_SQL_TEMPLATE.format(
+            min_n=2
+        ),
         "docs_length_percent_rank": _tx.LENGTH_PERCENT_RANK_SQL,
         "dedup_split_leakage": _dd.SPLIT_LEAKAGE_SQL_TEMPLATE.format(
             pairs=_dd.minhash_pairs_sql(),

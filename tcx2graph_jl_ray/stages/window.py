@@ -1894,3 +1894,76 @@ FROM v a JOIN v b
  AND a.event_id < b.event_id
  AND abs(a.c - b.c) <= {ceps}
 """
+
+
+def event_type_trigrams(
+    events: ray.data.Dataset, min_n: int = 2, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Second-order sequence mining over per-user event streams: counts of
+    every (t1 -> t2 -> t3) CONSECUTIVE event-type trigram with support >=
+    ``min_n`` — one order up from ``event_markov``'s transition matrix (the
+    motif table for next-action models; support-thresholded instead of
+    top-k so no tie ambiguity enters the oracle).
+
+    Same two-shuffle shape as the markov table: user streams co-locate
+    whole in user buckets, trigrams form by a double vectorized in-group
+    shift, per-batch partial counts reduce in a tiny type³-bounded second
+    shuffle. Output: t1, t2, t3, n:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def tris_per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = d.groupby("user_id", sort=False)["event_type"]
+        n1 = g.shift(-1)
+        n2 = g.shift(-2)
+        keep = n2.notna()
+        p = pd.DataFrame(
+            {"t1": d["event_type"][keep], "t2": n1[keep], "t3": n2[keep]}
+        )
+        s = p.groupby(["t1", "t2", "t3"], sort=False).size()
+        out = s.reset_index()
+        out.columns = ["t1", "t2", "t3", "n_part"]
+        return out
+
+    tris = bucketed_group_apply(
+        events.select_columns(["user_id", "event_type", "ts", "event_id"]),
+        ["user_id"],
+        tris_per_user,
+        n_buckets=n_buckets,
+    )
+
+    def sum_tris(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby(["t1", "t2", "t3"], sort=False)["n_part"].sum()
+        out = s.reset_index()
+        out.columns = ["t1", "t2", "t3", "n"]
+        out = out[out["n"] >= min_n]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+
+    counts = bucketed_group_apply(tris, ["t1", "t2", "t3"], sum_tris, n_buckets=16)
+    return with_schema(
+        counts,
+        [("t1", pa.string()), ("t2", pa.string()), ("t3", pa.string()),
+         ("n", pa.int64())],
+    )
+
+
+EVENT_TYPE_TRIGRAMS_SQL_TEMPLATE = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+HAVING COUNT(*) >= {min_n}
+"""

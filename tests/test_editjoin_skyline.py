@@ -437,3 +437,27 @@ def test_length_percent_rank_ties_and_nulls(ray_session):
     assert got.loc[4, "pr"] == 0.4
     assert got.loc[0, "pr"] == 0.6 and got.loc[1, "pr"] == 0.6
     assert got.loc[5, "pr"] == 1.0
+
+
+def test_event_type_trigrams_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import event_type_trigrams
+
+    # user 1: A B A B A -> trigrams ABA, BAB, ABA; user 2: A B A -> ABA
+    # tie timestamps resolved by event_id
+    df = pd.DataFrame({
+        "event_id": pd.array(range(8), dtype="int64"),
+        "user_id": pd.array([1, 1, 1, 1, 1, 2, 2, 2], dtype="int64"),
+        "ts": pd.to_datetime(
+            ["2024-01-01"] * 2 + ["2024-01-02"] * 3 + ["2024-01-01"] * 3
+        ),
+        "event_type": ["A", "B", "A", "B", "A", "A", "B", "A"],
+    })
+    got = event_type_trigrams(
+        ray.data.from_pandas(df).repartition(3), min_n=2
+    ).to_pandas()
+    want = pd.DataFrame(
+        {"t1": ["A"], "t2": ["B"], "t3": ["A"],
+         "n": pd.array([3], dtype="int64")}
+    )
+    # ABA x3 (2 from user1 + 1 from user2); BAB occurs once -> below min_n
+    _sorted_frames_equal(got, want)
