@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trend": lambda sf: _wd.user_value_trend(
             _events_ds(sf), min_n=2
         ),
+        "docs_rrf_fusion": lambda sf: _tx.rrf_fusion(_docs(sf)),
         "events_type_trigrams": lambda sf: _wd.event_type_trigrams(
             _events_ds(sf), min_n=2
         ),
@@ -934,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
             min_words=_CONTAIN_MIN_W
         ),
         "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
+        "docs_rrf_fusion": _tx.rrf_fusion_sql(),
         "events_type_trigrams": _wd.EVENT_TYPE_TRIGRAMS_SQL_TEMPLATE.format(
             min_n=2
         ),

@@ -2398,3 +2398,133 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
                   / (COUNT(*) OVER () - 1) END, 6) AS pr
 FROM d
 """
+
+
+def rrf_fusion(
+    docs: ray.data.Dataset,
+    queries=BM25_QUERIES,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of the
+    BM25 lexical ranking with a query-independent QUALITY PRIOR ranking
+    (stopword-ratio, the natural-prose signal from ``quality_stats``) — the
+    standard two-ranker fusion a retrieval stack runs when it has no
+    trained re-ranker:
+
+        rrf(q, d) = 1/(rrf_k + rank_bm25(q, d)) + 1/(rrf_k + rank_prior(d))
+
+    with a list absence contributing 0. Both inputs are top-``k`` lists, so
+    the fusion operates on (|queries| + 1) · k rows — RANK-BOUNDED, never
+    corpus-bounded: bm25_topk's two distributed passes produce the lexical
+    lists, the prior list reduces via per-batch local top-k + one bounded
+    merge, and the fuse itself is a driver join over <= (nq+1)·k rows (the
+    dimension-bounded-driver convention, bound stated here). The two
+    reciprocal terms are one double expression on both sides; ties break on
+    doc_id. Output: query_id, doc_id, rrf:float64, rank:int64 (1..k).
+    """
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+
+    bm = bm25_topk(docs, queries, k)
+    bm_df = bm.to_pandas() if not isinstance(bm, pd.DataFrame) else bm
+    # bm25_topk's empty-corpus path returns a typed empty pandas frame
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_frame(batch)
+        q = q[q["n_tokens"] > 0]
+        q = q.sort_values(
+            ["stopword_ratio", "doc_id"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+        return q[["doc_id", "stopword_ratio"]]
+
+    prior = docs.select_columns(["doc_id", "text"]).map_batches(
+        local_top, batch_format="pandas", batch_size=65536
+    ).to_pandas()  # batches x k rows, k-bounded merge
+    prior = prior.sort_values(
+        ["stopword_ratio", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    prior["rank_prior"] = np.arange(1, len(prior) + 1, dtype="int64")
+
+    out_rows = []
+    for qid in sorted(bm_df["query_id"].unique()) if len(bm_df) else []:
+        lex = bm_df[bm_df["query_id"] == qid][["doc_id", "rank"]]
+        m = lex.merge(prior[["doc_id", "rank_prior"]], on="doc_id", how="outer")
+        r1 = m["rank"].to_numpy(dtype="float64", na_value=np.inf)
+        r2 = m["rank_prior"].to_numpy(dtype="float64", na_value=np.inf)
+        rrf = np.round(
+            np.where(np.isinf(r1), 0.0, 1.0 / (rrf_k + r1))
+            + np.where(np.isinf(r2), 0.0, 1.0 / (rrf_k + r2)),
+            6,
+        )
+        f = pd.DataFrame(
+            {"query_id": qid, "doc_id": m["doc_id"].astype("int64"),
+             "rrf": rrf}
+        ).sort_values(["rrf", "doc_id"], ascending=[False, True],
+                      kind="mergesort").head(k).reset_index(drop=True)
+        f["rank"] = np.arange(1, len(f) + 1, dtype="int64")
+        out_rows.append(f)
+    fused = (
+        pd.concat(out_rows, ignore_index=True)
+        if out_rows
+        else pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "rrf": pd.Series([], dtype="float64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    )
+    fused["query_id"] = fused["query_id"].astype("int64")
+    return with_schema(
+        ray.data.from_pandas(fused) if len(fused) else ray.data.from_arrow(
+            pa.schema(
+                [("query_id", pa.int64()), ("doc_id", pa.int64()),
+                 ("rrf", pa.float64()), ("rank", pa.int64())]
+            ).empty_table()
+        ),
+        [("query_id", pa.int64()), ("doc_id", pa.int64()),
+         ("rrf", pa.float64()), ("rank", pa.int64())],
+    )
+
+
+def rrf_fusion_sql(k: int = 10, rrf_k: int = 60) -> str:
+    """DuckDB oracle for ``rrf_fusion``: bm25_sql()'s ranked lists FULL
+    OUTER JOIN the stopword-ratio prior top-k, one shared reciprocal
+    expression, re-ranked per query."""
+    return f"""
+WITH bm AS ({bm25_sql()}),
+prior AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+           ORDER BY stopword_ratio DESC, doc_id) AS rank_prior
+  FROM ({QUALITY_SQL})
+  WHERE n_tokens > 0
+  ORDER BY stopword_ratio DESC, doc_id
+  LIMIT {k}
+),
+qids AS (SELECT DISTINCT query_id FROM bm),
+cand AS (
+  SELECT query_id, doc_id FROM bm
+  UNION
+  SELECT q.query_id, p.doc_id FROM qids q CROSS JOIN prior p
+),
+fused AS (
+  SELECT c.query_id, c.doc_id,
+         ROUND(COALESCE(1.0 / ({rrf_k} + b.rank), 0)
+               + COALESCE(1.0 / ({rrf_k} + p.rank_prior), 0), 6) AS rrf
+  FROM cand c
+  LEFT JOIN bm b ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+  LEFT JOIN prior p ON p.doc_id = c.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id, rrf,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, doc_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+WHERE rank <= {k}
+"""

@@ -461,3 +461,27 @@ def test_event_type_trigrams_planted(ray_session):
     )
     # ABA x3 (2 from user1 + 1 from user2); BAB occurs once -> below min_n
     _sorted_frames_equal(got, want)
+
+
+def test_rrf_fusion_hand_checked(ray_session):
+    from tcx2graph_jl_ray.stages.text import rrf_fusion
+
+    # one query ["apple"]; doc 0 matches lexically; doc 1 is stopword-rich
+    # (prior top); doc 2 both
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2], dtype="int64"),
+        "text": ["apple apple apple orchard",
+                 "the and is of to in it the and is",
+                 "the apple and the is of"],
+    })
+    got = rrf_fusion(
+        ray.data.from_pandas(df), queries=[(0, ["apple"])], k=2, rrf_k=60
+    ).to_pandas().set_index("doc_id")
+    # bm25 list: docs {0, 2}; prior list (stopword ratio desc): doc1=1.0,
+    # doc2=4/6 -> prior ranks [1, 2]
+    assert set(got.index) == {2, 1} or set(got.index) == {2, 0}
+    # doc 2 is in both lists, must rank first
+    assert got.loc[2, "rank"] == 1
+    r = got.loc[2, "rrf"]
+    import numpy as np
+    assert r > 1.0 / 61  # two contributions
