@@ -2306,35 +2306,35 @@ def containment_pairs(
     )
 
     def pairs_in_word(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in bucket.groupby("word", sort=False):
-            an = g[g["role"] == 0]
-            po = g[g["role"] == 1]
-            if not len(an) or len(po) < 2:
-                continue
-            if len(po) > max_posting:
-                logging.getLogger(__name__).warning(
-                    "containment_pairs: skipping word with %d postings "
-                    "(> max_posting=%d) — %d anchors lose recall",
-                    len(po), max_posting, len(an),
-                )
-                continue
-            c = an[["doc_id", "nw"]].rename(
-                columns={"doc_id": "a", "nw": "nw_a"}
-            ).merge(
-                po[["doc_id", "nw"]].rename(
-                    columns={"doc_id": "b", "nw": "nw_b"}
-                ),
-                how="cross",
+        # ONE vectorized equi-merge on word generates every (anchor x
+        # posting) candidate in the bucket — no per-word Python loop. The
+        # hot-word cap filters posting lists first (lossy ONLY if it fires).
+        an = bucket[bucket["role"] == 0]
+        po = bucket[bucket["role"] == 1]
+        if not len(an) or not len(po):
+            return CAND_EMPTY
+        sizes = po.groupby("word", sort=False)["doc_id"].transform("size")
+        hot = sizes > max_posting
+        if hot.any():
+            logging.getLogger(__name__).warning(
+                "containment_pairs: skipping %d hot words "
+                "(posting > max_posting=%d) — recall loss",
+                po[hot]["word"].nunique(), max_posting,
             )
-            c = c[(c["a"] != c["b"]) & (c["nw_a"] <= c["nw_b"])]
-            out.append(c[["a", "b", "nw_a"]])
-        return (
-            pd.concat(out, ignore_index=True).astype(
-                {"a": "int64", "b": "int64", "nw_a": "int64"}
-            )
-            if out
-            else CAND_EMPTY
+            po = po[~hot]
+        c = an[["word", "doc_id", "nw"]].rename(
+            columns={"doc_id": "a", "nw": "nw_a"}
+        ).merge(
+            po[["word", "doc_id", "nw"]].rename(
+                columns={"doc_id": "b", "nw": "nw_b"}
+            ),
+            on="word",
+        )
+        c = c[(c["a"] != c["b"]) & (c["nw_a"] <= c["nw_b"])]
+        if not len(c):
+            return CAND_EMPTY
+        return c[["a", "b", "nw_a"]].astype(
+            {"a": "int64", "b": "int64", "nw_a": "int64"}
         )
 
     cands = bucketed_group_apply(
@@ -2379,24 +2379,24 @@ def containment_pairs(
     )
 
     def hits(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (_, _), g in bucket.groupby(["doc_id", "word"], sort=False):
-            mem = g[g["a"] < 0]
-            if not len(mem):
-                continue
-            pr = g[g["a"] >= 0]
-            if not len(pr):
-                continue
-            out.append(
-                pd.DataFrame(
-                    {"a": pr["a"].astype("int64"),
-                     "b": pr["doc_id"].astype("int64"),
-                     "nw_a": pr["nw_a"].astype("int64"),
-                     "nw_b": np.full(len(pr), int(mem["nw_a"].iloc[0]),
-                                      dtype="int64")}
-                )
-            )
-        return pd.concat(out, ignore_index=True) if out else HIT_EMPTY
+        # membership as ONE vectorized merge: probe rows match the (sup
+        # doc, word) member rows — words are distinct per doc, so the merge
+        # is 1:N, never a blow-up
+        mem = bucket[bucket["a"] < 0][["doc_id", "word", "nw_a"]].rename(
+            columns={"nw_a": "nw_b"}
+        )
+        pr = bucket[bucket["a"] >= 0]
+        if not len(mem) or not len(pr):
+            return HIT_EMPTY
+        m = pr.merge(mem, on=["doc_id", "word"])
+        if not len(m):
+            return HIT_EMPTY
+        return pd.DataFrame(
+            {"a": m["a"].astype("int64"),
+             "b": m["doc_id"].astype("int64"),
+             "nw_a": m["nw_a"].astype("int64"),
+             "nw_b": m["nw_b"].astype("int64")}
+        )
 
     hit_rows = bucketed_group_apply(tagged, ["doc_id", "word"], hits)
 

@@ -2325,10 +2325,9 @@ def length_percent_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
     from tcx2graph_jl_ray.functions.arrowutil import with_schema
 
     def ntok(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch["text"]
-        n = t.str.lower().str.split(" ").map(
-            lambda ws: sum(1 for w in ws if w) if isinstance(ws, list) else 0
-        )
+        # non-empty single-space-split tokens == maximal [^ ]+ runs: one
+        # vectorized regex count, no per-row Python over token lists
+        n = batch["text"].str.count(r"[^ ]+").fillna(0)
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].astype("int64"),
              "n_tokens": n.astype("int64")}
