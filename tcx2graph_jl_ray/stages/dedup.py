@@ -2020,13 +2020,15 @@ def sorted_neighborhood_pairs(
         b = b[b["text"].str.len() > 0]
         # Arrow out with a pinned schema: an all-filtered block must keep its
         # columns through the sort (pandas empty-block degradation drops them)
+        key = (
+            b["text"].str.lower()
+            .str.replace(_strip, "", regex=True)
+            .str.slice(0, key_len)
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": b["doc_id"].astype("int64").to_numpy(),
-                "key": [
-                    _strip.sub("", t)[:key_len]
-                    for t in b["text"].str.lower().to_numpy()
-                ],
+                "key": key.to_numpy(),
             },
             schema=_KEY_SCHEMA,
         )
