@@ -485,3 +485,24 @@ def test_rrf_fusion_hand_checked(ray_session):
     r = got.loc[2, "rrf"]
     import numpy as np
     assert r > 1.0 / 61  # two contributions
+
+
+def test_containment_hot_word_cap_drops_with_warning(ray_session, caplog):
+    import logging
+
+    from tcx2graph_jl_ray.stages.dedup import containment_pairs
+
+    # every doc shares the hot word; with max_posting below the corpus size
+    # the only anchor word is capped away -> zero candidates, plus a warning
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(8), dtype="int64"),
+        "text": ["common"] * 8,
+    })
+    with caplog.at_level(logging.WARNING):
+        out = containment_pairs(
+            ray.data.from_pandas(df), min_words=1, max_posting=4
+        ).to_pandas()
+    assert len(out) == 0
+    # uncapped, equal singleton sets contain each other in both directions
+    full = containment_pairs(ray.data.from_pandas(df), min_words=1).to_pandas()
+    assert len(full) == 8 * 7
