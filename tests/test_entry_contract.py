@@ -38,3 +38,20 @@ def test_entry_smoke(ray_session):
     df = to_pandas(ds)
     assert len(df) > 0
     assert set(df.columns) == {"conv_id", "turn_idx", "subj", "pred", "obj"}
+
+
+def test_cli_list_is_ray_free_and_complete():
+    """`python -m tcx2graph_jl_ray list` must enumerate the registry without
+    owning a Ray session (subprocess: no ray.init side effects leak here)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "tcx2graph_jl_ray", "list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0
+    names = out.stdout.split()
+    import __ray_entry__ as entry
+
+    assert set(names) == set(entry.queries())
