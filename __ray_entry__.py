@@ -550,6 +550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf), min_n=2
         ),
         "docs_rrf_fusion": lambda sf: _tx.rrf_fusion(_docs(sf)),
+        "kg_surface_clusters": lambda sf: _dd.edit_clusters(
+            _mentions(sf), col="norm", k=2
+        ),
         "events_type_trigrams": lambda sf: _wd.event_type_trigrams(
             _events_ds(sf), min_n=2
         ),
@@ -936,6 +939,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
         "docs_rrf_fusion": _tx.rrf_fusion_sql(),
+        "kg_surface_clusters": _dd.edit_clusters_sql(
+            _MENTIONS_SQL, col="norm", k=2
+        ),
         "events_type_trigrams": _wd.EVENT_TYPE_TRIGRAMS_SQL_TEMPLATE.format(
             min_n=2
         ),

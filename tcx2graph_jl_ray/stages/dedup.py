@@ -2526,3 +2526,61 @@ JOIN s sa ON sa.doc_id = p.a
 JOIN s sb ON sb.doc_id = p.b
 WHERE sa.split <> sb.split
 """
+
+
+def edit_clusters(
+    source: ray.data.Dataset, col: str = "norm", k: int = 2
+) -> ray.data.Dataset:
+    """Surface-form clusters within edit distance ``k``: connected
+    components over the Ed-Join pair graph — the entity-resolution compose
+    (typo/variant surfaces collapse to one cluster), fourth member of the
+    clustering family (MinHash / SimHash / cosine / EDIT). Surfaces similar
+    to nothing are absent, like the other three.
+
+    Output: surf, cluster_id (lexicographic min member), cluster_size:int64.
+    """
+    from tcx2graph_jl_ray.stages.analysis import entity_components
+
+    pairs = edit_distance_pairs(source, col=col, k=k)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({"src": b["surf_a"], "dst": b["surf_b"]}),
+        batch_format="pandas",
+    )
+    comp = entity_components(edges)
+    return comp.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "surf": b["entity_id"].astype("object"),
+                "cluster_id": b["component_id"].astype("object"),
+                "cluster_size": b["component_size"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def edit_clusters_sql(source_sql: str, col: str = "norm", k: int = 2) -> str:
+    """DuckDB oracle for ``edit_clusters``: min-reachable-label recursive
+    CTE over the oracle-exact Ed-Join pairs (the ``minhash_clusters_sql``
+    discipline; nodes are the pair endpoints, so surfaces similar to
+    nothing are absent on both sides)."""
+    pairs = EDIT_PAIRS_SQL_TEMPLATE.format(source=source_sql, col=col, k=k)
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+edges AS (
+  SELECT surf_a AS u, surf_b AS v FROM p
+  UNION ALL
+  SELECT surf_b, surf_a FROM p
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+r(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.v FROM r JOIN edges e ON e.u = r.reach
+),
+lab AS (SELECT node AS surf, MIN(reach) AS cluster_id FROM r GROUP BY node)
+SELECT l.surf, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY cluster_id) c
+  USING (cluster_id)
+"""

@@ -506,3 +506,21 @@ def test_containment_hot_word_cap_drops_with_warning(ray_session, caplog):
     # uncapped, equal singleton sets contain each other in both directions
     full = containment_pairs(ray.data.from_pandas(df), min_words=1).to_pandas()
     assert len(full) == 8 * 7
+
+
+def test_edit_clusters_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import edit_clusters
+
+    df = pd.DataFrame({"norm": [
+        "acme corp", "acme corp.", "acme corpx",   # chain -> one cluster
+        "zebra", "zebro",                           # pair cluster
+        "isolated thing",                           # similar to nothing
+        None, "",
+    ]})
+    got = edit_clusters(ray.data.from_pandas(df), col="norm", k=2).to_pandas()
+    want = pd.DataFrame({
+        "surf": ["acme corp", "acme corp.", "acme corpx", "zebra", "zebro"],
+        "cluster_id": ["acme corp"] * 3 + ["zebra"] * 2,
+        "cluster_size": pd.array([3, 3, 3, 2, 2], dtype="int64"),
+    })
+    _sorted_frames_equal(got, want)
