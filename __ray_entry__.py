@@ -269,12 +269,15 @@ _DRIVER_VERIFIED = (
 )
 
 # Queries whose semantics changed after their last driver-green row and so
-# deserve a fresh front-window check when slots allow. Round 4 has EXACTLY
-# 50 never-driver-checked entries (42 carried over + the 8 new TPC-H
-# shapes), filling the driver's 50-query window with zero slack, so the
-# round-3 money-arithmetic re-checks (q1/q5/q6, revenue_by_*,
-# top_customers — all exact-green in PARITY_full_sf001.json under the new
-# scaled-int sums) are deferred to round 5's window.
+# deserve a fresh front-window check when slots allow. Round 4's window
+# (positions 0-49) holds exactly the 50 entries that were never
+# driver-checked when the round started (42 carried over + the 8 new TPC-H
+# shapes); the 12 round-4 late additions were deliberately appended at
+# positions 50-61 so they do NOT displace that packed window — round 5
+# rotates them forward once this window goes green. The round-3
+# money-arithmetic re-checks (q1/q5/q6, revenue_by_*, top_customers — all
+# exact-green in PARITY_full_sf001.json under the new scaled-int sums) are
+# likewise deferred to round 5's window.
 _FORCE_FRONT = frozenset()
 
 
