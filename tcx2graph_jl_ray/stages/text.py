@@ -1820,8 +1820,10 @@ def heavy_hitter_words(
     1. **Sketch pass**: every batch folds its words into a (depth, width)
        count-min partial (functions/cms.py — constant-size per batch) plus
        its word-count; partials ADD-merge into one corpus sketch and the
-       total N. The merge is associative — a tree reduce at cluster scale;
-       collected per batch here, like the HLL gauge.
+       total N. The merge is a real two-level TREE REDUCE: per-batch
+       partials add within FAN_IN worker-side buckets, so the driver pulls
+       at most FAN_IN sketches — never one per batch (at corpus scale the
+       per-batch pull is a driver-network bottleneck, 512 KB x #batches).
     2. **Gated exact pass**: the merged sketch broadcasts (ray.put); each
        batch re-derives its words and keeps only those whose sketch
        ESTIMATE >= T = ceil(φ·N). CMS only overcounts, so the survivors are
@@ -1846,21 +1848,51 @@ def heavy_hitter_words(
         w = batch["text"].str.lower().str.split(" ").explode()
         return w[w.notna() & (w != "")].reset_index(drop=True)
 
+    FAN_IN = 32
+
     def sketch_partial(batch: pd.DataFrame) -> pd.DataFrame:
         w = words_of(batch)
+        # deterministic fan-in key: the sketches are commutative adds, so
+        # ANY assignment works; first doc id spreads batches ~uniformly
+        fb = int(batch["doc_id"].iloc[0]) % FAN_IN if len(batch) else 0
         return pd.DataFrame(
             {
                 "cms": [cms_partial(w, depth, width).tobytes()],
                 "n": pd.array([len(w)], dtype="int64"),
+                "fb": pd.array([fb], dtype="int64"),
             }
         )
 
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for raw in bucket["cms"].to_numpy():
+            acc += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+        return pd.DataFrame(
+            {"cms": [acc.tobytes()],
+             "n": pd.array([int(bucket["n"].sum())], dtype="int64"),
+             "fb": pd.array([0], dtype="int64")}
+        )
+
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply as _bga,
+    )
+
+    # two-level tree reduce: per-batch partials add WITHIN FAN_IN buckets on
+    # workers, so the driver pulls <= FAN_IN sketches (512 KB each) — never
+    # one per batch (which at corpus scale is the driver's network, not its
+    # CPU, that breaks)
+    parts = _bga(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            sketch_partial, batch_format="pandas", batch_size=8192
+        ),
+        ["fb"],
+        merge_bucket,
+        n_buckets=FAN_IN,
+    )
+
     merged = np.zeros((depth, width), dtype=np.int64)
     total = 0
-    parts = docs.select_columns(["text"]).map_batches(
-        sketch_partial, batch_format="pandas", batch_size=8192
-    )
-    for b in parts.iter_batches(batch_size=64, batch_format="pandas"):
+    for b in parts.iter_batches(batch_size=FAN_IN, batch_format="pandas"):
         for raw, n in zip(b["cms"].to_numpy(), b["n"].to_numpy()):
             merged += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
             total += int(n)
