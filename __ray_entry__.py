@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf), min_n=2
         ),
         "docs_rrf_fusion": lambda sf: _tx.rrf_fusion(_docs(sf)),
+        "kg_tool_stats": lambda sf: _an.tool_stats(_transcripts(sf)),
         "kg_surface_clusters": lambda sf: _dd.edit_clusters(
             _mentions(sf), col="norm", k=2
         ),
@@ -942,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
         "docs_rrf_fusion": _tx.rrf_fusion_sql(),
+        "kg_tool_stats": _an.TOOL_STATS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
         "kg_surface_clusters": _dd.edit_clusters_sql(
             _MENTIONS_SQL, col="norm", k=2
         ),

@@ -3279,3 +3279,92 @@ SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
 FROM lineitem a JOIN lineitem b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 """
+
+
+def tool_stats(
+    transcripts: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-tool usage statistics over the transcript corpus — the one
+    input_hint column (``tool``) no other operator aggregates BY: for every
+    tool name, how often it is called, in how many conversations, and how
+    many calls are immediately followed by an assistant turn in the same
+    conversation (the tool-call-got-consumed proxy an agent-quality
+    dashboard tracks).
+
+    Order-dependent per conversation, so conv streams co-locate whole in
+    conv buckets (one keyed shuffle), the next-turn role comes from a
+    vectorized in-group shift, and per-tool partials reduce in a tiny
+    tool-cardinality-bounded second shuffle — the ``event_markov`` shape
+    over the transcripts table. Output: tool, n_calls:int64, n_convs:int64,
+    n_followed_by_assistant:int64.
+    """
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt = d.groupby("conv_id", sort=False)["role"].shift(-1)
+        k = d["tool"].notna()
+        if not k.any():
+            return pd.DataFrame(
+                {"tool": pd.Series([], dtype="object"),
+                 "conv_id": pd.Series([], dtype="object"),
+                 "n_calls": pd.Series([], dtype="int64"),
+                 "n_followed": pd.Series([], dtype="int64")}
+            )
+        t = pd.DataFrame(
+            {"tool": d["tool"][k], "conv_id": d["conv_id"][k],
+             "followed": (nxt[k] == "assistant").astype("int64")}
+        )
+        g = t.groupby(["tool", "conv_id"], sort=False).agg(
+            n_calls=("followed", "size"), n_followed=("followed", "sum")
+        ).reset_index()
+        g["n_calls"] = g["n_calls"].astype("int64")
+        g["n_followed"] = g["n_followed"].astype("int64")
+        return g
+
+    per = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "tool"]),
+        ["conv_id"],
+        per_conv,
+        n_buckets=n_buckets,
+    )
+
+    def per_tool(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("tool", sort=False).agg(
+            n_calls=("n_calls", "sum"),
+            n_convs=("conv_id", "nunique"),
+            n_followed_by_assistant=("n_followed", "sum"),
+        ).reset_index()
+        for c in ("n_calls", "n_convs", "n_followed_by_assistant"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+
+    out = bucketed_group_apply(per, ["tool"], per_tool, n_buckets=16)
+    return with_schema(
+        out,
+        [("tool", pa.string()), ("n_calls", pa.int64()),
+         ("n_convs", pa.int64()), ("n_followed_by_assistant", pa.int64())],
+    )
+
+
+TOOL_STATS_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+seq AS (
+  SELECT tool,
+         conv_id,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM t
+)
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) FILTER (next_role = 'assistant') AS BIGINT)
+         AS n_followed_by_assistant
+FROM seq
+WHERE tool IS NOT NULL
+GROUP BY tool
+"""

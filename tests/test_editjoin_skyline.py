@@ -524,3 +524,26 @@ def test_edit_clusters_planted(ray_session):
         "cluster_size": pd.array([3, 3, 3, 2, 2], dtype="int64"),
     })
     _sorted_frames_equal(got, want)
+
+
+def test_tool_stats_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import tool_stats
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"] * 3,
+        "turn_idx": pd.array([0, 1, 2, 3, 0, 1, 2], dtype="int32"),
+        "role": ["user", "tool", "assistant", "tool",
+                 "tool", "tool", "assistant"],
+        "text": ["q", "r", "a", "r2", "r", "r", "a"],
+        "tool": [None, "search", None, "search", "calc", "search", None],
+    })
+    got = tool_stats(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    got = got.set_index("tool")
+    # search: 3 calls (c1 x2, c2 x1); followed-by-assistant: c1 turn1 ->
+    # assistant, c1 turn3 -> end (no), c2 turn1 -> assistant = 2
+    assert got.loc["search", "n_calls"] == 3
+    assert got.loc["search", "n_convs"] == 2
+    assert got.loc["search", "n_followed_by_assistant"] == 2
+    # calc: 1 call followed by another tool turn -> 0
+    assert got.loc["calc", "n_calls"] == 1
+    assert got.loc["calc", "n_followed_by_assistant"] == 0
