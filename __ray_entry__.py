@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_rrf_fusion": lambda sf: _tx.rrf_fusion(_docs(sf)),
         "kg_tool_stats": lambda sf: _an.tool_stats(_transcripts(sf)),
+        "events_profile": lambda sf: _cl.events_profile(_events_ds(sf)),
         "kg_surface_clusters": lambda sf: _dd.edit_clusters(
             _mentions(sf), col="norm", k=2
         ),
@@ -943,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_trend": _wd.USER_VALUE_TREND_SQL_TEMPLATE.format(min_n=2),
         "docs_rrf_fusion": _tx.rrf_fusion_sql(),
+        "events_profile": _cl.EVENTS_PROFILE_SQL,
         "kg_tool_stats": _an.TOOL_STATS_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),

@@ -354,3 +354,122 @@ def _global_fills_distributed(
         else:
             fills[row["column"]] = row["fill_str"]
     return fills
+
+
+def events_profile(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Column-level data profile of the events table — the data-contract
+    audit a pipeline runs before trusting an input drop (null counts,
+    distinct cardinalities per column; the Deequ/TFDV basic-stats shape).
+    All-integer output, so the oracle parity has zero float surface.
+
+    Distinct counting is EXACT and distributed: each batch emits its
+    distinct (column, value-representation) rows — representations are
+    injective per dtype (int64 epoch-us for ts, raw float64 bits for
+    value), never display strings — then one bucketed shuffle dedups and
+    counts per column. Null/row counts fold as per-batch partials
+    (combiner). NULLs are excluded from distinct, matching
+    COUNT(DISTINCT). Output: column, n_rows, n_null, n_distinct (int64).
+    """
+    import pyarrow as pa
+
+    from tcx2graph_jl_ray.functions.arrowutil import with_schema
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def reps(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in COLS:
+            s = batch[c]
+            nn = s[s.notna()]
+            if c == "ts":
+                r = nn.astype("int64").astype(str)
+            elif c == "value":
+                # + 0.0 folds -0.0 into +0.0 BEFORE taking bits — SQL
+                # DISTINCT treats them equal, distinct bit patterns don't
+                r = pd.Series(
+                    (nn.to_numpy(dtype="float64") + 0.0).view("int64"),
+                    index=nn.index,
+                ).astype(str)
+            else:
+                r = nn.astype(str)
+            u = pd.unique(r)
+            frames.append(pd.DataFrame({"column": c, "rep": u}))
+        return pd.concat(frames, ignore_index=True)
+
+    def distinct_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.drop_duplicates().groupby("column", sort=False).size()
+        return pd.DataFrame(
+            {"column": g.index.to_numpy(),
+             "nd_part": g.to_numpy().astype("int64")}
+        )
+
+    # bucket on the REP so one column's values spread across buckets (a
+    # column is a whale key by construction); per-column partial counts
+    # then fold in a tiny second pass
+    nd_parts = bucketed_group_apply(
+        events.select_columns(COLS).map_batches(
+            reps, batch_format="pandas", batch_size=65536
+        ),
+        ["column", "rep"],
+        distinct_count,
+        n_buckets=n_buckets,
+    ).to_pandas()  # <= n_buckets x |COLS| rows
+    nd = nd_parts.groupby("column")["nd_part"].sum().astype("int64")
+
+    def null_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"column": COLS,
+             "n_rows": np.full(len(COLS), len(batch), dtype="int64"),
+             "n_null": np.array(
+                 [int(batch[c].isna().sum()) for c in COLS], dtype="int64"
+             )}
+        )
+
+    nulls = events.select_columns(COLS).map_batches(
+        null_partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()  # |COLS| rows per batch: combiner-sized
+    agg = nulls.groupby("column")[["n_rows", "n_null"]].sum()
+
+    out = pd.DataFrame(
+        {"column": COLS,
+         "n_rows": [int(agg.loc[c, "n_rows"]) for c in COLS],
+         "n_null": [int(agg.loc[c, "n_null"]) for c in COLS],
+         "n_distinct": [int(nd.get(c, 0)) for c in COLS]}
+    ).astype({"n_rows": "int64", "n_null": "int64", "n_distinct": "int64"})
+    import ray.data as rd
+
+    return with_schema(
+        rd.from_pandas(out),
+        [("column", pa.string()), ("n_rows", pa.int64()),
+         ("n_null", pa.int64()), ("n_distinct", pa.int64())],
+    )
+
+
+EVENTS_PROFILE_SQL = """
+SELECT 'event_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+       CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(props) AS BIGINT),
+       CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
+"""

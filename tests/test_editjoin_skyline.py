@@ -547,3 +547,28 @@ def test_tool_stats_planted(ray_session):
     # calc: 1 call followed by another tool turn -> 0
     assert got.loc["calc", "n_calls"] == 1
     assert got.loc["calc", "n_followed_by_assistant"] == 0
+
+
+def test_events_profile_nulls_and_distincts(ray_session):
+    from tcx2graph_jl_ray.stages.clean import events_profile
+
+    df = pd.DataFrame({
+        "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-01", None, "2024-01-02", "2024-01-02"]
+        ),
+        "user_id": pd.array([7, 7, None, 9, 9], dtype="Int64"),
+        "event_type": ["a", "a", "b", None, "b"],
+        "value": [1.5, 1.5, None, -0.0, 0.0],
+        "props": [None, None, None, None, None],
+    })
+    got = events_profile(
+        ray.data.from_pandas(df).repartition(3)
+    ).to_pandas().set_index("column")
+    assert (got["n_rows"] == 5).all()
+    assert got.loc["ts", "n_null"] == 1 and got.loc["ts", "n_distinct"] == 2
+    assert got.loc["user_id", "n_distinct"] == 2
+    assert got.loc["event_type", "n_null"] == 1
+    # SQL DISTINCT semantics: -0.0 == 0.0, so {1.5, ±0.0} counts 2
+    assert got.loc["value", "n_distinct"] == 2
+    assert got.loc["props", "n_null"] == 5 and got.loc["props", "n_distinct"] == 0
