@@ -2889,6 +2889,7 @@ def temporal_reach(
     max_turn_gap: int = 5,
     max_rounds: int = 30,
     n_buckets: int = 64,
+    small_graph_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Time-respecting (temporal) reachability: earliest-arrival search over
     TIMESTAMPED entity transitions, where a path may only traverse edges in
@@ -2969,6 +2970,39 @@ def temporal_reach(
     source = lo["m"].min()
     epoch = pd.Timestamp("1970-01-01")
 
+    if edges.count() <= small_graph_threshold:
+        # budget-switched driver path (the ktruss / connected_components
+        # discipline): the edge table is match-bounded, and the distributed
+        # loop below costs ~15 Ray stages PER ROUND of pure launch overhead
+        # at sandbox scale. Identical label-correcting semantics; the
+        # planted test pins the two paths to each other.
+        e = edges.to_pandas()  # bounded by small_graph_threshold rows
+        arr: dict = {source: epoch}
+        frontier_d: dict = {source: epoch}
+        for _ in range(max_rounds):
+            f = pd.DataFrame(
+                {"u": list(frontier_d), "arr": list(frontier_d.values())}
+            )
+            m = e.merge(f, on="u")
+            m = m[m["t"] >= m["arr"]]
+            if not len(m):
+                break
+            cand = m.groupby("v", sort=False)["t"].min()
+            improved = {
+                v: t for v, t in cand.items()
+                if v not in arr or t < arr[v]
+            }
+            if not improved:
+                break
+            arr.update(improved)
+            frontier_d = improved
+        out = pd.DataFrame(
+            {"entity_id": list(arr),
+             "first_reach": pd.Series(list(arr.values()),
+                                       dtype="datetime64[us]")}
+        )
+        return ray.data.from_pandas(out)
+
     labels = ray.data.from_pandas(pd.DataFrame({
         "entity_id": [source],
         "first_reach": pd.Series([epoch], dtype="datetime64[us]"),
@@ -3030,7 +3064,13 @@ def temporal_reach(
             n_buckets=n_buckets,
         ).materialize()
         frontier = improved
-    return labels
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {"entity_id": b["entity_id"],
+             "first_reach": b["first_reach"].astype("datetime64[us]")}
+        ),
+        batch_format="pandas",
+    )
 
 
 TEMPORAL_REACH_SQL_TEMPLATE = (

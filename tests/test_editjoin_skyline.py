@@ -572,3 +572,30 @@ def test_events_profile_nulls_and_distincts(ray_session):
     # SQL DISTINCT semantics: -0.0 == 0.0, so {1.5, ±0.0} counts 2
     assert got.loc["value", "n_distinct"] == 2
     assert got.loc["props", "n_null"] == 5 and got.loc["props", "n_distinct"] == 0
+
+
+def test_temporal_reach_dual_paths_agree(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import temporal_reach
+
+    rng = np.random.default_rng(17)
+    rows_me, rows_tr = [], []
+    for c in range(12):
+        n = int(rng.integers(2, 7))
+        ents = [f"e{int(rng.integers(0, 9))}" for _ in range(n)]
+        base = int(rng.integers(0, 1000))
+        for i, ent in enumerate(ents):
+            rows_me.append({"conv_id": f"c{c}", "turn_idx": i,
+                            "entity_id": ent})
+            rows_tr.append({"conv_id": f"c{c}", "turn_idx": i,
+                            "ts": pd.Timestamp(base + i * 7, unit="s")})
+    me = ray.data.from_pandas(pd.DataFrame(rows_me))
+    tr = ray.data.from_pandas(pd.DataFrame(rows_tr))
+
+    def as_df(r):
+        return (r if isinstance(r, pd.DataFrame) else r.to_pandas())
+
+    driver = as_df(temporal_reach(me, tr, max_turn_gap=3))
+    dist = as_df(temporal_reach(me, tr, max_turn_gap=3,
+                                small_graph_threshold=0))
+    assert len(driver) > 1
+    _sorted_frames_equal(dist, driver)
