@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             k=_TRUSS_K,
         ),
+        "events_user_growth": lambda sf: _wd.user_growth(_events_ds(sf)),
     })
 
 
@@ -965,4 +966,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_copurchase_truss": _an.ktruss_sql(
             _an.COPURCHASE_EDGES_SQL, k=_TRUSS_K, rounds=10
         ),
+        "events_user_growth": _wd.USER_GROWTH_SQL,
     }

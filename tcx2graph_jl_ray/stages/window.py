@@ -1967,3 +1967,90 @@ WHERE t3 IS NOT NULL
 GROUP BY t1, t2, t3
 HAVING COUNT(*) >= {min_n}
 """
+
+
+def user_growth(events: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """Daily user-growth curve — new users (first-ever activity day),
+    active users, and the cumulative distinct-user count per day: the
+    growth dashboard every event log feeds, and the per-key-first-seen
+    pattern (min over a keyed stream) the reference's per-file property
+    scan implies (src/DataPreprocessing.jl:330-397 orders per key the same
+    way).
+
+    Scale shape: one keyed shuffle. Per-batch (user, day) dedup shrinks the
+    stream before the user_id-bucketed global dedup; the same bucket apply
+    tags each distinct (user, day) row with is-first (day == per-user min).
+    Per-day counts reduce through a second tiny shuffle (day cardinality is
+    time-range-bounded), and only the per-day frame — bounded by the number
+    of distinct days, never by users or events — reaches the driver for the
+    cumulative sum. Output: day (str), new_users, active_users, cum_users
+    (all int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"user_id": batch["user_id"],
+             "day": pd.to_datetime(batch["ts"]).dt.floor("D")}
+        )
+        return d.drop_duplicates()
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        first = d.groupby("user_id", sort=False)["day"].transform("min")
+        return pd.DataFrame(
+            {"day": d["day"],
+             "is_first": (d["day"] == first).astype("int64")}
+        )
+
+    per_day_rows = bucketed_group_apply(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            partial_dedup, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id"],
+        per_user,
+        n_buckets=n_buckets,
+    )
+
+    def sum_day(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("day", sort=False).agg(
+            new_users=("is_first", "sum"), active_users=("is_first", "size")
+        ).reset_index()
+        return g
+
+    per_day = bucketed_group_apply(
+        per_day_rows, ["day"], sum_day, n_buckets=8
+    ).to_pandas()
+    # driver frame is DAY-cardinality-bounded (a 100-year log is ~37k rows),
+    # the documented dimension-bounded-cumsum fallback (rel_part_pareto)
+    if not len(per_day):
+        # typed empty PANDAS frame (house pattern, heavy_hitter_words):
+        # an empty Dataset loses its schema at to_pandas()
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="object"),
+            "new_users": pd.Series([], dtype="int64"),
+            "active_users": pd.Series([], dtype="int64"),
+            "cum_users": pd.Series([], dtype="int64"),
+        })
+    per_day = per_day.sort_values("day", kind="mergesort").reset_index(drop=True)
+    out = pd.DataFrame({
+        "day": pd.to_datetime(per_day["day"]).dt.strftime("%Y-%m-%d"),
+        "new_users": per_day["new_users"].astype("int64"),
+        "active_users": per_day["active_users"].astype("int64"),
+        "cum_users": per_day["new_users"].astype("int64").cumsum(),
+    })
+    return ray.data.from_pandas(out)
+
+
+USER_GROWTH_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+fd AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
+nu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fd GROUP BY day),
+au AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users
+       FROM ud GROUP BY day)
+SELECT strftime(au.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+       au.active_users,
+       CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY au.day)
+            AS BIGINT) AS cum_users
+FROM au LEFT JOIN nu ON nu.day = au.day
+"""
