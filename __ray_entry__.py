@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=_TRUSS_K,
         ),
         "events_user_growth": lambda sf: _wd.user_growth(_events_ds(sf)),
+        "rel_order_gaps": lambda sf: _rel.order_gaps(sf),
     })
 
 
@@ -967,4 +968,5 @@ def oracle_sql() -> dict[str, str]:
             _an.COPURCHASE_EDGES_SQL, k=_TRUSS_K, rounds=10
         ),
         "events_user_growth": _wd.USER_GROWTH_SQL,
+        "rel_order_gaps": _rel.ORDER_GAPS_SQL,
     }

@@ -3129,3 +3129,77 @@ SELECT p.o_orderkey, p.o_orderdate, p.o_totalprice
 FROM pts p JOIN cum c ON p.o_orderdate = c.x
 WHERE p.o_totalprice = c.my AND (c.pm IS NULL OR c.pm < p.o_totalprice)
 """
+
+
+def order_gaps(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Per-customer order-sequence window statistics — the LAG/ROW_NUMBER/
+    running-MAX window-function family over the orders fact: each order's
+    rank within its customer, days since the customer's previous order
+    (-1 for the first), and whether it set a new personal spend record.
+
+    Scale shape: ONE keyed shuffle (customer streams co-locate whole in
+    custkey hash buckets via ``bucketed_group_apply``), then every window
+    derives from vectorized in-group shift/cumcount/cummax — the
+    ``sessionize``/``tool_stats`` discipline on the relational side. Record
+    detection compares exact integer cents (functions/money.py), never
+    floats. Output: o_custkey, o_orderkey, order_rank, gap_days,
+    record_price (all int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_cust(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        g = d.groupby("o_custkey", sort=False)
+        day = pd.to_datetime(d["o_orderdate"]).dt.floor("D")
+        prev_day = day.groupby(d["o_custkey"], sort=False).shift()
+        gap = (day - prev_day).dt.days
+        price_c = pd.Series(cents_i64(d["o_totalprice"]), index=d.index)
+        prior_max = (
+            price_c.groupby(d["o_custkey"], sort=False).cummax()
+            .groupby(d["o_custkey"], sort=False).shift()
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": d["o_custkey"].astype("int64"),
+                "o_orderkey": d["o_orderkey"].astype("int64"),
+                "order_rank": (g.cumcount() + 1).astype("int64"),
+                "gap_days": gap.fillna(-1).astype("int64"),
+                "record_price": (
+                    prior_max.isna() | (price_c > prior_max)
+                ).astype("int64"),
+            }
+        )
+
+    return bucketed_group_apply(
+        orders, ["o_custkey"], per_cust, n_buckets=n_buckets
+    )
+
+
+ORDER_GAPS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_rank,
+  CAST(COALESCE(
+    date_diff('day', LAG(o_orderdate) OVER w, o_orderdate), -1
+  ) AS BIGINT) AS gap_days,
+  CAST(CASE WHEN MAX(cents) OVER (
+         w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ) IS NULL
+       OR cents > MAX(cents) OVER (
+         w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       )
+       THEN 1 ELSE 0 END AS BIGINT) AS record_price
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

@@ -50,3 +50,33 @@ def test_user_growth_empty(ray_session):
     assert isinstance(got, pd.DataFrame) and len(got) == 0
     assert list(got.columns) == ["day", "new_users", "active_users",
                                  "cum_users"]
+
+
+def test_order_gaps_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import order_gaps
+
+    df = pd.DataFrame({
+        "o_orderkey": pd.array([11, 10, 12, 20], dtype="int64"),
+        "o_custkey": pd.array([1, 1, 1, 2], dtype="int64"),
+        "o_orderstatus": ["F"] * 4,
+        # same-day tie broken by orderkey; 2-day gap to the third order
+        "o_orderdate": pd.to_datetime(
+            ["2024-03-01", "2024-03-01", "2024-03-03", "2024-05-01"]
+        ),
+        "o_totalprice": [9.99, 10.00, 10.00, 5.00],
+        "o_orderpriority": ["1-URGENT"] * 4,
+    })
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+    got = (
+        order_gaps(str(tmp_path))
+        .to_pandas()
+        .sort_values(["o_custkey", "order_rank"])
+        .reset_index(drop=True)
+    )
+    # cust 1 order: key 10 (10.00) -> 11 (9.99) -> 12 (10.00)
+    assert list(got["o_orderkey"]) == [10, 11, 12, 20]
+    assert list(got["order_rank"]) == [1, 2, 3, 1]
+    assert list(got["gap_days"]) == [-1, 0, 2, -1]
+    # 10.00 sets the record; 9.99 doesn't; the equal 10.00 is NOT a record
+    assert list(got["record_price"]) == [1, 0, 0, 1]
+    assert got["gap_days"].dtype == "int64"
