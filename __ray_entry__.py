@@ -581,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_user_growth": lambda sf: _wd.user_growth(_events_ds(sf)),
         "rel_order_gaps": lambda sf: _rel.order_gaps(sf),
+        "events_attribution": lambda sf: _wd.first_touch_attribution(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -969,4 +972,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_growth": _wd.USER_GROWTH_SQL,
         "rel_order_gaps": _rel.ORDER_GAPS_SQL,
+        "events_attribution": _wd.first_touch_attribution_sql(),
     }

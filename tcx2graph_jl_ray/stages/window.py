@@ -2054,3 +2054,138 @@ SELECT strftime(au.day, '%Y-%m-%d') AS day,
             AS BIGINT) AS cum_users
 FROM au LEFT JOIN nu ON nu.day = au.day
 """
+
+
+def first_touch_attribution(
+    events: ray.data.Dataset,
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """First-touch conversion attribution: every ``conversion_type`` event is
+    credited to the event type of the FIRST event inside its user's
+    ``lookback_days`` window (ts >= conversion_ts - lookback, strictly
+    earlier in (ts, event_id) stream order), or to ``'direct'`` when the
+    window holds nothing before the conversion — the marketing-attribution
+    aggregate every event log grows.
+
+    Scale shape: one user-keyed shuffle; inside each bucket the window start
+    is resolved with a vectorized ``merge_asof`` (last event strictly before
+    ts - lookback, +1 = first in window) against per-user sequence numbers —
+    no per-purchase scan. Conversion value sums in exact integer cents
+    (functions/money.py; nulls count 0). Output: first_touch,
+    n_conversions:int64, value:money(2dp)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import (
+        cents_i64,
+        money_from_cents,
+        )
+
+    look = pd.Timedelta(days=lookback_days)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        d["seq"] = d.groupby("user_id", sort=False).cumcount()
+        p = d[d["event_type"] == conversion_type]
+        if not len(p):
+            return pd.DataFrame({
+                "first_touch": pd.Series([], dtype="object"),
+                "n_part": pd.Series([], dtype="int64"),
+                "cents_part": pd.Series([], dtype="int64"),
+            })
+        # asof keys as int64 microseconds: pandas requires identical units
+        # and the inputs arrive as us (parquet) or ns (from_pandas) depending
+        # on the caller
+        ts_us = pd.to_datetime(d["ts"]).astype("datetime64[us]").astype("int64")
+        look_us = look.value // 1000
+        probe = pd.DataFrame({
+            "user_id": p["user_id"], "t0": ts_us[p.index] - look_us,
+            "pseq": p["seq"],
+            "cents": cents_i64(p["value"].fillna(0.0)),
+        }).sort_values("t0", kind="mergesort")
+        base = pd.DataFrame({
+            "user_id": d["user_id"], "ts": ts_us, "prev_seq": d["seq"],
+        }).sort_values("ts", kind="mergesort")
+        hit = pd.merge_asof(
+            probe, base,
+            left_on="t0", right_on="ts", by="user_id",
+            allow_exact_matches=False, direction="backward",
+        )
+        first_seq = (hit["prev_seq"].fillna(-1) + 1).astype("int64")
+        att = pd.DataFrame({
+            "user_id": hit["user_id"], "seq": first_seq,
+            "pseq": hit["pseq"], "cents": hit["cents"],
+        }).merge(
+            d[["user_id", "seq", "event_type"]], on=["user_id", "seq"],
+            how="left",
+        )
+        touch = att["event_type"].where(att["seq"] < att["pseq"], "direct")
+        g = pd.DataFrame({"first_touch": touch, "cents": att["cents"]}).groupby(
+            "first_touch", sort=False
+        ).agg(n_part=("cents", "size"), cents_part=("cents", "sum"))
+        g = g.reset_index()
+        g["n_part"] = g["n_part"].astype("int64")
+        g["cents_part"] = g["cents_part"].astype("int64")
+        return g
+
+    parts = bucketed_group_apply(
+        events.select_columns(["user_id", "event_id", "ts", "event_type",
+                               "value"]),
+        ["user_id"],
+        per_bucket,
+        n_buckets=n_buckets,
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("first_touch", sort=False).agg(
+            n_conversions=("n_part", "sum"), cents=("cents_part", "sum")
+        ).reset_index()
+        return pd.DataFrame({
+            "first_touch": g["first_touch"],
+            "n_conversions": g["n_conversions"].astype("int64"),
+            "value": [money_from_cents(c) for c in g["cents"]],
+        })
+
+    return bucketed_group_apply(parts, ["first_touch"], merge, n_buckets=4)
+
+
+def first_touch_attribution_sql(
+    conversion_type: str = "purchase", lookback_days: int = 7
+) -> str:
+    """DuckDB oracle for ``first_touch_attribution``: per-user sequence
+    numbers, window start = count of events strictly before
+    ts - lookback (DuckDB flattens the correlated COUNT into a join),
+    credit = event at that sequence or 'direct'."""
+    from tcx2graph_jl_ray.functions.money import (
+        sql_cents,
+        sql_money_from_cents_sum,
+    )
+
+    money = sql_money_from_cents_sum(sql_cents("COALESCE(f.value, 0)"))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS seq
+  FROM events
+),
+p AS (SELECT user_id, ts, seq, value FROM e
+      WHERE event_type = '{conversion_type}'),
+fs AS (
+  SELECT p.user_id, p.seq AS pseq, p.value,
+         (SELECT COUNT(*) FROM e e2
+          WHERE e2.user_id = p.user_id
+            AND e2.ts < p.ts - INTERVAL {lookback_days} DAY) AS first_seq
+  FROM p
+)
+SELECT
+  CASE WHEN f.first_seq < f.pseq THEN t.event_type ELSE 'direct' END
+    AS first_touch,
+  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+  {money} AS value
+FROM fs f
+LEFT JOIN e t ON t.user_id = f.user_id AND t.seq = f.first_seq
+GROUP BY 1
+"""

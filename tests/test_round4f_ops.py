@@ -80,3 +80,37 @@ def test_order_gaps_planted(ray_session, tmp_path):
     # 10.00 sets the record; 9.99 doesn't; the equal 10.00 is NOT a record
     assert list(got["record_price"]) == [1, 0, 0, 1]
     assert got["gap_days"].dtype == "int64"
+
+
+def test_first_touch_attribution_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import first_touch_attribution
+
+    rows = [
+        # u1: view exactly at the 7-day boundary (IN window), click later;
+        # purchase credits the view
+        (1, "2024-01-01 00:00:00", "view", None),
+        (1, "2024-01-05 00:00:00", "click", None),
+        (1, "2024-01-08 00:00:00", "purchase", 10.00),
+        # u2: only touch is OUTSIDE the window -> direct
+        (2, "2024-01-01 00:00:00", "view", None),
+        (2, "2024-01-09 00:00:01", "purchase", 3.50),
+        # u3: purchase with no prior events at all -> direct (null value)
+        (3, "2024-02-01 00:00:00", "purchase", None),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "ts": pd.to_datetime([r[1] for r in rows]),
+        "event_type": [r[2] for r in rows],
+        "value": [r[3] for r in rows],
+    })
+    got = (
+        first_touch_attribution(ray.data.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("first_touch").reset_index(drop=True)
+    )
+    want = pd.DataFrame({
+        "first_touch": ["direct", "view"],
+        "n_conversions": pd.array([2, 1], dtype="int64"),
+        "value": [3.50, 10.00],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
