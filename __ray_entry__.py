@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": lambda sf: _wd.first_touch_attribution(
             _events_ds(sf)
         ),
+        "docs_keywords": lambda sf: _tx.doc_keywords(_docs(sf)),
     })
 
 
@@ -973,4 +974,5 @@ def oracle_sql() -> dict[str, str]:
         "events_user_growth": _wd.USER_GROWTH_SQL,
         "rel_order_gaps": _rel.ORDER_GAPS_SQL,
         "events_attribution": _wd.first_touch_attribution_sql(),
+        "docs_keywords": _tx.DOC_KEYWORDS_SQL_TEMPLATE.format(k_top=3),
     }

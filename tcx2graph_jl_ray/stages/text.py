@@ -2559,3 +2559,91 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def doc_keywords(docs: ray.data.Dataset, k_top: int = 3) -> ray.data.Dataset:
+    """Per-DOCUMENT keyword extraction: the ``k_top`` terms of each doc by
+    linear-idf TF-IDF (score = tf * n_docs / df — ONE IEEE division, the
+    ``tfidf_top_terms`` bit-exactness discipline), ties broken by term. The
+    per-doc counterpart of the per-source characteristic vocabulary: what a
+    retrieval index or dataset card stores per document.
+
+    Shape: documents are one row per doc, so per-batch tokenization yields
+    FINAL (doc, term) tf counts with no combine shuffle; document frequency
+    is the group size inside a term-bucketed apply (no vocab broadcast, no
+    join); per-doc top-k is one doc-bucketed apply with a vectorized
+    cumcount rank — never a Python loop over docs. The only driver scalar is
+    n_docs. Output: doc_id, term, tf, df, score, rank."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    nn = docs.select_columns(["doc_id", "text"]).map_batches(
+        _nonnull_text, batch_format="pandas", batch_size=8192
+    )
+    n_docs = nn.count()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(" ")
+        toks = toks.map(lambda ws: [w for w in ws if w])
+        n = toks.str.len().astype("int64")
+        did = np.repeat(batch["doc_id"].to_numpy(), n.to_numpy())
+        term = [t for ws in toks for t in ws]
+        df = pd.DataFrame({"doc_id": did, "term": term})
+        g = df.groupby(["doc_id", "term"], sort=False).size().reset_index(
+            name="tf"
+        )
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    def score(bucket: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, term) already, so rows-per-term IS the df
+        bucket = bucket.copy()
+        bucket["df"] = bucket.groupby("term", sort=False)["doc_id"].transform(
+            "size"
+        ).astype("int64")
+        bucket["score"] = (bucket["tf"] * n_docs).astype("float64") / bucket[
+            "df"
+        ].astype("float64")
+        return bucket
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.assign(
+            rank=(g.groupby("doc_id", sort=False).cumcount() + 1).astype(
+                "int64"
+            )
+        )
+        return g[g["rank"] <= k_top].reset_index(drop=True)
+
+    counts = nn.map_batches(partial, batch_format="pandas", batch_size=4096)
+    scored = bucketed_group_apply(counts, ["term"], score)
+    return bucketed_group_apply(scored, ["doc_id"], topk)
+
+
+DOC_KEYWORDS_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT doc_id, unnest(l) AS term FROM tk),
+c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, term),
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY term),
+n AS (SELECT COUNT(*) AS ndoc FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT c.doc_id, c.term, c.tf, d.df,
+         CAST(c.tf * n.ndoc AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+  FROM c JOIN d USING (term), n
+),
+r AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k_top}
+"""

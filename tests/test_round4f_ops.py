@@ -114,3 +114,30 @@ def test_first_touch_attribution_planted(ray_session):
         "value": [3.50, 10.00],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_doc_keywords_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import doc_keywords
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        # "rare" appears in one doc, "shared" in all three
+        "text": ["rare shared shared", "shared only two", None],
+        "lang": ["en"] * 3,
+        "source": ["a", "a", "b"],
+        "n_chars": pd.array([18, 15, 0], dtype="int64"),
+    })
+    got = (
+        doc_keywords(ray.data.from_pandas(df).repartition(2), k_top=2)
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    # n_docs = 2 (null text dropped). doc 1: rare tf=1 df=1 -> 2.0;
+    # shared tf=2 df=2 -> 2.0; tie broken by term ('rare' < 'shared')
+    d1 = got[got["doc_id"] == 1]
+    assert list(d1["term"]) == ["rare", "shared"]
+    assert list(d1["score"]) == [2.0, 2.0]
+    assert list(d1["rank"]) == [1, 2]
+    d2 = got[got["doc_id"] == 2]
+    # doc 2: only/two tf=1 df=1 -> 2.0; shared tf=1 df=2 -> 1.0
+    assert list(d2["term"]) == ["only", "two"]
+    assert 3 not in set(got["doc_id"])
