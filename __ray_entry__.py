@@ -585,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf)
         ),
         "docs_keywords": lambda sf: _tx.doc_keywords(_docs(sf)),
+        "text_readability": lambda sf: _tx.readability(_docs(sf)),
     })
 
 
@@ -975,4 +976,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_order_gaps": _rel.ORDER_GAPS_SQL,
         "events_attribution": _wd.first_touch_attribution_sql(),
         "docs_keywords": _tx.DOC_KEYWORDS_SQL_TEMPLATE.format(k_top=3),
+        "text_readability": _tx.READABILITY_SQL,
     }

@@ -2647,3 +2647,61 @@ r AS (
 SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k_top}
 """
+
+
+def readability(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document Flesch-style readability from three regex-countable
+    signals — words (non-space runs), sentence marks ([.!?]+ runs, clamped
+    to >= 1), and syllables (vowel-group runs [aeiouy]+ on the lowered
+    text, the standard public heuristic) — the reading-ease quality score a
+    curation funnel bins corpora by.
+
+    score = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    written as the IDENTICAL IEEE expression on both sides and rounded to 6
+    (house float discipline). Embarrassingly parallel: one vectorized
+    map_batches, no shuffle. Zero-word docs drop (mirrored by the oracle's
+    WHERE). Output: doc_id, n_words, n_sentences, n_syllables, flesch."""
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        words = b["text"].str.count(r"[^ ]+").astype("int64")
+        sents = b["text"].str.count(r"[.!?]+").astype("int64")
+        syl = b["text"].str.lower().str.count(r"[aeiouy]+").astype("int64")
+        k = (words > 0).to_numpy()
+        w = words.to_numpy(dtype="float64")[k]
+        s = np.maximum(sents.to_numpy(dtype="float64")[k], 1.0)
+        y = syl.to_numpy(dtype="float64")[k]
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[k],
+                "n_words": words.to_numpy()[k],
+                "n_sentences": sents.to_numpy()[k],
+                "n_syllables": syl.to_numpy()[k],
+                "flesch": np.round(flesch, 6),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        per_batch, batch_format="pandas", batch_size=8192
+    )
+
+
+READABILITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / GREATEST(CAST(n_sentences AS DOUBLE), 1.0))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE)), 6) AS flesch
+FROM m WHERE n_words > 0
+"""

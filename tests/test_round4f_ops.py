@@ -141,3 +141,24 @@ def test_doc_keywords_planted(ray_session):
     # doc 2: only/two tf=1 df=1 -> 2.0; shared tf=1 df=2 -> 1.0
     assert list(d2["term"]) == ["only", "two"]
     assert 3 not in set(got["doc_id"])
+
+
+def test_readability_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import readability
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        # doc 1: 4 words, "Hi there. Go now!" -> 2 sentence runs,
+        # syllables: hi(1) there(2: e+e... vowel runs 'e','e') go(1) now(1)
+        "text": ["Hi there. Go now!", "", None],
+        "lang": ["en"] * 3,
+        "source": ["a"] * 3,
+        "n_chars": pd.array([17, 0, 0], dtype="int64"),
+    })
+    got = readability(ray.data.from_pandas(df)).to_pandas()
+    assert list(got["doc_id"]) == [1]          # empty + null drop
+    assert int(got["n_words"].iloc[0]) == 4
+    assert int(got["n_sentences"].iloc[0]) == 2
+    syl = int(got["n_syllables"].iloc[0])
+    want = np.round(206.835 - 1.015 * (4 / 2) - 84.6 * (syl / 4), 6)
+    assert got["flesch"].iloc[0] == want
