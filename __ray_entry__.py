@@ -586,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_keywords": lambda sf: _tx.doc_keywords(_docs(sf)),
         "text_readability": lambda sf: _tx.readability(_docs(sf)),
+        "kg_directed_triads": lambda sf: _an.directed_triads(
+            _transitions(sf)
+        ),
     })
 
 
@@ -977,4 +980,9 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": _wd.first_touch_attribution_sql(),
         "docs_keywords": _tx.DOC_KEYWORDS_SQL_TEMPLATE.format(k_top=3),
         "text_readability": _tx.READABILITY_SQL,
+        "kg_directed_triads": _an.DIRECTED_TRIADS_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            )
+        ),
     }

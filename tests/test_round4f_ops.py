@@ -162,3 +162,24 @@ def test_readability_planted(ray_session):
     syl = int(got["n_syllables"].iloc[0])
     want = np.round(206.835 - 1.015 * (4 / 2) - 84.6 * (syl / 4), 6)
     assert got["flesch"].iloc[0] == want
+
+
+def test_directed_triads_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import directed_triads
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),   # transitive triangle
+             ("d", "e"), ("e", "f"), ("f", "d"),   # 3-cycle
+             ("a", "b"),                           # duplicate drops
+             ("g", "g")]                           # self-loop drops
+    df = pd.DataFrame({
+        "from_entity": [e[0] for e in edges],
+        "to_entity": [e[1] for e in edges],
+        "n": pd.array([1] * len(edges), dtype="int64"),
+    })
+    got = directed_triads(
+        ray.data.from_pandas(df).repartition(3)
+    ).to_pandas().iloc[0]
+    assert got["n_edges"] == 6
+    assert got["n_wedges"] == 4        # abc + 3 rotations of def
+    assert got["n_transitive"] == 1
+    assert got["n_cyclic"] == 1
