@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_directed_triads": lambda sf: _an.directed_triads(
             _transitions(sf)
         ),
+        "kg_hits": lambda sf: _an.entity_hits(_transitions(sf)),
     })
 
 
@@ -982,6 +983,11 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": _tx.READABILITY_SQL,
         "kg_directed_triads": _an.DIRECTED_TRIADS_SQL_TEMPLATE.format(
             transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            )
+        ),
+        "kg_hits": _an.hits_sql(
+            _an.TRANSITIONS_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
             )
         ),

@@ -3496,3 +3496,183 @@ SELECT
   (SELECT CAST(COUNT(*) // 3 AS BIGINT)
    FROM w JOIN e ON e.a = w.c AND e.b = w.a) AS n_cyclic
 """
+
+
+def entity_hits(
+    transitions: ray.data.Dataset,
+    n_iter: int = 10,
+    small_graph_threshold: int = 200_000,
+) -> ray.data.Dataset:
+    """HITS hubs-and-authorities (Kleinberg JACM'99, public) over the
+    weighted entity transition graph, L1-normalized per half-step: the
+    second iterative centrality next to ``entity_pagerank``, separating
+    entities that POINT AT important things (hubs) from the important
+    things themselves (authorities).
+
+    Size discipline mirrors ``entity_pagerank``: at or below
+    ``small_graph_threshold`` nodes the iteration is one driver numpy loop
+    over the (aggregated once) edge arrays; above it, the hub/authority
+    VECTORS broadcast per half-step (vocabulary-bounded, ray.put once per
+    round) while the edge set streams through ``map_batches`` partial sums
+    + a bucketed reduce — contributions never land on the driver. (A
+    vocabulary beyond broadcast budget would thread through the
+    ``_pagerank_dataset_ranks`` dataset-vector shape; transitions
+    vocabularies are entity-bounded well before that.) Scores round to 6
+    (iteration accumulates ulp-order sum-order divergence vs the oracle).
+    Output: entity_id, authority, hub."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    edges = transitions.select_columns(
+        ["from_entity", "to_entity", "n"]
+    ).materialize()
+
+    def agg_edges(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby(["from_entity", "to_entity"], sort=False)["n"].sum()
+        return s.reset_index().astype({"n": "int64"})
+
+    e = bucketed_group_apply(
+        edges, ["from_entity", "to_entity"], agg_edges
+    ).materialize()
+
+    nodes_ds = bucketed_group_apply(
+        e.select_columns(["from_entity"]).map_batches(
+            lambda b: pd.DataFrame({"entity": b["from_entity"]}),
+            batch_format="pandas",
+        ).union(
+            e.select_columns(["to_entity"]).map_batches(
+                lambda b: pd.DataFrame({"entity": b["to_entity"]}),
+                batch_format="pandas",
+            )
+        ),
+        ["entity"],
+        lambda b: b.drop_duplicates(),
+    ).materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "entity_id": pd.Series([], dtype="object"),
+            "authority": pd.Series([], dtype="float64"),
+            "hub": pd.Series([], dtype="float64"),
+        }))
+
+    nodes = np.sort(nodes_ds.to_pandas()["entity"].to_numpy())
+
+    if n_nodes <= small_graph_threshold:
+        ep = e.to_pandas()
+        idx = {v: i for i, v in enumerate(nodes)}
+        src = ep["from_entity"].map(idx).to_numpy()
+        dst = ep["to_entity"].map(idx).to_numpy()
+        w = ep["n"].to_numpy(dtype="float64")
+        h = np.full(n_nodes, 1.0 / n_nodes)
+        a = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(n_iter):
+            ra = np.zeros(n_nodes)
+            np.add.at(ra, dst, h[src] * w)
+            a = ra / ra.sum()
+            rh = np.zeros(n_nodes)
+            np.add.at(rh, src, a[dst] * w)
+            h = rh / rh.sum()
+        return ray.data.from_pandas(pd.DataFrame({
+            "entity_id": nodes,
+            "authority": np.round(a, 6),
+            "hub": np.round(h, 6),
+        }))
+
+    # streaming path: broadcast one score vector per half-step, stream edges
+    h = pd.Series(np.full(n_nodes, 1.0 / n_nodes), index=nodes)
+    a = pd.Series(np.full(n_nodes, 1.0 / n_nodes), index=nodes)
+
+    class _Push:
+        """Half-step partial: contribution = score[key_col] * w grouped by
+        the opposite endpoint."""
+
+        def __init__(self, ref, key_col, out_col):
+            self.score = ray.get(ref)
+            self.key_col, self.out_col = key_col, out_col
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            s = self.score.reindex(batch[self.key_col]).to_numpy()
+            df = pd.DataFrame({
+                "node": batch[self.out_col],
+                "x": s * batch["n"].to_numpy(dtype="float64"),
+            })
+            g = df.groupby("node", sort=False)["x"].sum()
+            return pd.DataFrame({"node": g.index, "x": g.to_numpy()})
+
+    def reduce_x(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("node", sort=False)["x"].sum()
+        return pd.DataFrame({"node": g.index, "x": g.to_numpy()})
+
+    def half_step(score, key_col, out_col):
+        ref = ray.put(score)
+        parts = e.map_batches(
+            _Push, fn_constructor_args=(ref, key_col, out_col),
+            batch_format="pandas", batch_size=65536, concurrency=(1, 8),
+        )
+        raw = bucketed_group_apply(parts, ["node"], reduce_x).to_pandas()
+        v = raw.set_index("node")["x"].reindex(nodes).fillna(0.0)
+        return v / v.to_numpy().sum()
+
+    for _ in range(n_iter):
+        a = half_step(h, "from_entity", "to_entity")
+        h = half_step(a, "to_entity", "from_entity")
+
+    return ray.data.from_pandas(pd.DataFrame({
+        "entity_id": nodes,
+        "authority": np.round(a.to_numpy(), 6),
+        "hub": np.round(h.to_numpy(), 6),
+    }))
+
+
+def hits_sql(transitions_sql: str, n_iter: int = 10) -> str:
+    """DuckDB oracle for ``entity_hits``: the bounded iteration UNROLLED as
+    paired a{i}/h{i} CTE layers (the ``pagerank_sql`` pattern), each
+    half-step = weighted push + L1 normalization."""
+    layers = []
+    prev_h = "h0"
+    last_a = None
+    for i in range(1, n_iter + 1):
+        ar, ai, hr, hi = f"ar{i}", f"a{i}", f"hr{i}", f"h{i}"
+        layers.append(f"""{ar} AS MATERIALIZED (
+  SELECT nd.entity_id, COALESCE(s.x, 0.0) AS x
+  FROM nodes nd LEFT JOIN (
+    SELECT e.v AS entity_id, SUM(p.h * e.w) AS x
+    FROM {prev_h} p JOIN e ON e.u = p.entity_id GROUP BY e.v
+  ) s USING (entity_id)
+),
+{ai} AS MATERIALIZED (
+  SELECT entity_id, x / (SELECT SUM(x) FROM {ar}) AS a FROM {ar}
+),
+{hr} AS MATERIALIZED (
+  SELECT nd.entity_id, COALESCE(s.x, 0.0) AS x
+  FROM nodes nd LEFT JOIN (
+    SELECT e.u AS entity_id, SUM(q.a * e.w) AS x
+    FROM {ai} q JOIN e ON e.v = q.entity_id GROUP BY e.u
+  ) s USING (entity_id)
+),
+{hi} AS MATERIALIZED (
+  SELECT entity_id, x / (SELECT SUM(x) FROM {hr}) AS h FROM {hr}
+)""")
+        prev_h = hi
+        last_a = ai
+    layer_sql = ",\n".join(layers)
+    return f"""
+WITH tr AS MATERIALIZED ({transitions_sql}),
+e AS MATERIALIZED (
+  SELECT from_entity AS u, to_entity AS v, CAST(SUM(n) AS DOUBLE) AS w
+  FROM tr GROUP BY from_entity, to_entity
+),
+nodes AS MATERIALIZED (
+  SELECT u AS entity_id FROM e UNION SELECT v FROM e
+),
+h0 AS MATERIALIZED (
+  SELECT entity_id, 1.0 / (SELECT COUNT(*) FROM nodes) AS h FROM nodes
+),
+{layer_sql}
+SELECT n.entity_id,
+       ROUND(a.a, 6) AS authority,
+       ROUND(h.h, 6) AS hub
+FROM nodes n
+JOIN {last_a} a USING (entity_id)
+JOIN {prev_h} h USING (entity_id)
+"""

@@ -183,3 +183,29 @@ def test_directed_triads_planted(ray_session):
     assert got["n_wedges"] == 4        # abc + 3 rotations of def
     assert got["n_transitive"] == 1
     assert got["n_cyclic"] == 1
+
+
+def test_hits_dual_paths_agree(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import entity_hits
+
+    rng = np.random.default_rng(7)
+    n_nodes = 30
+    src = rng.integers(0, n_nodes, 200)
+    dst = rng.integers(0, n_nodes, 200)
+    k = src != dst
+    df = pd.DataFrame({
+        "from_entity": [f"e{i}" for i in src[k]],
+        "to_entity": [f"e{i}" for i in dst[k]],
+        "n": pd.array(rng.integers(1, 5, int(k.sum())), dtype="int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    small = entity_hits(ds).to_pandas().sort_values("entity_id")
+    big = entity_hits(ds, small_graph_threshold=0).to_pandas().sort_values(
+        "entity_id"
+    )
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True), big.reset_index(drop=True)
+    )
+    # authorities and hubs are L1-normalized distributions
+    assert abs(small["authority"].sum() - 1.0) < 1e-4
+    assert abs(small["hub"].sum() - 1.0) < 1e-4
