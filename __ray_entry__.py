@@ -590,6 +590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _transitions(sf)
         ),
         "kg_hits": lambda sf: _an.entity_hits(_transitions(sf)),
+        "events_user_anomalies": lambda sf: _wd.user_value_anomalies(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -990,5 +993,8 @@ def oracle_sql() -> dict[str, str]:
             _an.TRANSITIONS_SQL_TEMPLATE.format(
                 mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
             )
+        ),
+        "events_user_anomalies": _wd.USER_VALUE_ANOMALIES_SQL_TEMPLATE.format(
+            z2=9.0, min_n=5
         ),
     }

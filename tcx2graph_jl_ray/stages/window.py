@@ -2189,3 +2189,105 @@ FROM fs f
 LEFT JOIN e t ON t.user_id = f.user_id AND t.seq = f.first_seq
 GROUP BY 1
 """
+
+
+def user_value_anomalies(
+    events: ray.data.Dataset,
+    z: float = 3.0,
+    min_n: int = 5,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-user z-score anomaly flags: events whose value deviates from the
+    user's own mean by more than ``z`` standard deviations (population),
+    among users with at least ``min_n`` valued events — the personalized
+    outlier gate of a fraud/telemetry pipeline, vs the global MAD gate of
+    ``events_mad_outliers``.
+
+    Exactness discipline (the ``events_corr_value_hour`` pattern): per-user
+    sufficient statistics (n, sum, sum-of-squares) in exact integer cents;
+    the widening composite n*s2 - s1^2 in unbounded Python ints (== the
+    oracle's HUGEINT); the final test is ONE shared double expression —
+    diff^2 > z^2 * n * nvar with diff = c*n - s1 exact in int64 — so both
+    sides evaluate the identical IEEE tree. Bounds: |cents|*n and n*c^2
+    must fit int64 (any 2-dp money column and per-user streams < 2^40 rows
+    do). One user-keyed shuffle, per-row work fully vectorized.
+    Output: user_id, event_id, value, n_user."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    z2 = float(z) * float(z)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["value"].notna()]
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "event_id": pd.Series([], dtype="int64"),
+            "value": pd.Series([], dtype="float64"),
+            "n_user": pd.Series([], dtype="int64"),
+        })
+        if not len(d):
+            return empty
+        c = cents_i64(d["value"])
+        df = pd.DataFrame({
+            "user_id": d["user_id"].astype("int64"),
+            "event_id": d["event_id"].astype("int64"),
+            "value": d["value"].astype("float64"),
+            "c": c,
+        })
+        df["c2"] = df["c"] * df["c"]
+        agg = df.groupby("user_id", sort=False).agg(
+            n=("c", "size"), s1=("c", "sum"), s2=("c2", "sum")
+        )
+        agg = agg[agg["n"] >= min_n]
+        if not len(agg):
+            return empty
+        # widening composite in unbounded Python ints (oracle: HUGEINT)
+        nvar = (
+            agg["n"].astype(object) * agg["s2"].astype(object)
+            - agg["s1"].astype(object) * agg["s1"].astype(object)
+        )
+        # (v - s1/n)^2 > z^2 * (n*s2 - s1^2)/n^2  <=>  (v*n - s1)^2 > z^2*nvar
+        agg["rhs"] = z2 * nvar.astype("float64")
+        m = df.merge(
+            agg[["n", "s1", "rhs"]], left_on="user_id", right_index=True,
+            how="inner",
+        )
+        diff = (m["c"] * m["n"] - m["s1"]).astype("float64")
+        keep = (diff * diff) > m["rhs"]
+        out = m.loc[keep, ["user_id", "event_id", "value"]].copy()
+        out["n_user"] = m.loc[keep, "n"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return bucketed_group_apply(
+        events.select_columns(["user_id", "event_id", "value"]),
+        ["user_id"],
+        per_bucket,
+        n_buckets=n_buckets,
+    )
+
+
+USER_VALUE_ANOMALIES_SQL_TEMPLATE = """
+WITH v AS (
+  SELECT user_id, event_id, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(c) AS s1, SUM(c * c) AS s2
+  FROM v GROUP BY user_id
+),
+t AS (
+  SELECT user_id, n, s1,
+         CAST(CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+              - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+           AS nvard
+  FROM s
+)
+SELECT v.user_id, v.event_id, v.value, t.n AS n_user
+FROM v JOIN t USING (user_id)
+WHERE t.n >= {min_n}
+  AND CAST(v.c * t.n - t.s1 AS DOUBLE)
+      * CAST(v.c * t.n - t.s1 AS DOUBLE)
+      > {z2} * t.nvard
+"""

@@ -209,3 +209,27 @@ def test_hits_dual_paths_agree(ray_session):
     # authorities and hubs are L1-normalized distributions
     assert abs(small["authority"].sum() - 1.0) < 1e-4
     assert abs(small["hub"].sum() - 1.0) < 1e-4
+
+
+def test_user_value_anomalies_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_value_anomalies
+
+    # user 1: sixteen 10.00s and one 100.00 -> a lone spike among n-1
+    # constants scores z = sqrt(n-1) = 4 > 3 (at n=10 it is EXACTLY 3 and
+    # the strict inequality excludes it)
+    # user 2: constant values -> zero variance, nothing flags
+    # user 3: too few events (min_n) -> skipped entirely
+    vals = [10.0] * 16 + [100.0] + [5.0] * 6 + [42.0]
+    users = [1] * 17 + [2] * 6 + [3]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(vals), dtype="int64"),
+        "user_id": pd.array(users, dtype="int64"),
+        "value": vals,
+    })
+    got = user_value_anomalies(
+        ray.data.from_pandas(df).repartition(3), z=3.0, min_n=5
+    ).to_pandas()
+    assert len(got) == 1
+    assert int(got["user_id"].iloc[0]) == 1
+    assert got["value"].iloc[0] == 100.0
+    assert int(got["n_user"].iloc[0]) == 17
