@@ -593,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_anomalies": lambda sf: _wd.user_value_anomalies(
             _events_ds(sf)
         ),
+        "events_power_users": lambda sf: _wd.power_users(_events_ds(sf)),
+        "rel_cohort_ltv": lambda sf: _rel.cohort_ltv(sf),
     })
 
 
@@ -997,4 +999,6 @@ def oracle_sql() -> dict[str, str]:
         "events_user_anomalies": _wd.USER_VALUE_ANOMALIES_SQL_TEMPLATE.format(
             z2=9.0, min_n=5
         ),
+        "events_power_users": _wd.POWER_USERS_SQL_TEMPLATE.format(q=0.99),
+        "rel_cohort_ltv": _rel.COHORT_LTV_SQL,
     }

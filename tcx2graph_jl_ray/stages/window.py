@@ -2291,3 +2291,70 @@ WHERE t.n >= {min_n}
       * CAST(v.c * t.n - t.s1 AS DOUBLE)
       > {z2} * t.nvard
 """
+
+
+def power_users(
+    events: ray.data.Dataset, q: float = 0.99, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Users above the exact global ``q``-quantile of per-user event counts
+    — the "power user" cut every engagement dashboard draws, and a
+    production consumer of ``functions/quantile.exact_global_quantiles``
+    (bounded driver memory at ANY user cardinality; the per-user counts
+    never collect).
+
+    Shape: per-batch partial counts -> bucketed per-user sum (combiner) ->
+    one histogram-refinement quantile over the counts Dataset ->
+    broadcast-threshold filter. Threshold is QUANTILE_CONT-identical, so
+    the >= comparison matches the oracle bit-for-bit. Output: user_id,
+    n_events, threshold (rounded 6)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("user_id", sort=False).size()
+        return pd.DataFrame({"user_id": s.index.astype("int64"),
+                             "n_part": s.to_numpy().astype("int64")})
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("user_id", sort=False)["n_part"].sum()
+        return pd.DataFrame({"user_id": s.index.astype("int64"),
+                             "n_events": s.to_numpy().astype("int64")})
+
+    counts = bucketed_group_apply(
+        events.select_columns(["user_id"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id"],
+        per_user,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    n, quants = exact_global_quantiles(counts, "n_events", [q])
+    if n == 0:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "threshold": pd.Series([], dtype="float64"),
+        })
+    thr = quants[q]
+    thr_r = float(np.round(thr, 6))
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["n_events"].to_numpy(dtype="float64") >= thr
+        out = batch[k].copy()
+        out["threshold"] = thr_r
+        return out
+
+    return counts.map_batches(flag, batch_format="pandas", batch_size=65536)
+
+
+POWER_USERS_SQL_TEMPLATE = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+t AS (SELECT QUANTILE_CONT(n_events, {q}) AS thr FROM c)
+SELECT c.user_id, c.n_events, ROUND(t.thr, 6) AS threshold
+FROM c, t
+WHERE CAST(c.n_events AS DOUBLE) >= t.thr
+"""

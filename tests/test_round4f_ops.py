@@ -233,3 +233,48 @@ def test_user_value_anomalies_planted(ray_session):
     assert int(got["user_id"].iloc[0]) == 1
     assert got["value"].iloc[0] == 100.0
     assert int(got["n_user"].iloc[0]) == 17
+
+
+def test_power_users_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import power_users
+
+    # 10 users: counts 1..10; p50 of counts = 5.5 -> users with >= 5.5
+    rows = []
+    for u in range(1, 11):
+        rows += [u] * u
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array(rows, dtype="int64"),
+    })
+    got = power_users(
+        ray.data.from_pandas(df).repartition(4), q=0.5
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert list(got["user_id"]) == [6, 7, 8, 9, 10]
+    assert list(got["n_events"]) == [6, 7, 8, 9, 10]
+    assert (got["threshold"] == 5.5).all()
+
+
+def test_cohort_ltv_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import cohort_ltv
+
+    df = pd.DataFrame({
+        "o_orderkey": pd.array([1, 2, 3, 4], dtype="int64"),
+        "o_custkey": pd.array([1, 1, 2, 3], dtype="int64"),
+        "o_orderstatus": ["F"] * 4,
+        # cust 1 acquired Jan (second order Mar still counts to Jan);
+        # cust 2 Jan; cust 3 Feb
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-05", "2024-03-01", "2024-01-20", "2024-02-02"]
+        ),
+        "o_totalprice": [10.00, 20.01, 5.00, 7.77],
+        "o_orderpriority": ["1-URGENT"] * 4,
+    })
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+    got = cohort_ltv(str(tmp_path)).to_pandas().sort_values(
+        "cohort_month"
+    ).reset_index(drop=True)
+    assert list(got["cohort_month"]) == ["2024-01", "2024-02"]
+    assert list(got["n_customers"]) == [2, 1]
+    assert list(got["revenue"]) == [35.01, 7.77]
+    # Jan avg = 3501 cents / 2 = 1750.5 -> half-up 1751 cents = 17.51
+    assert list(got["avg_ltv"]) == [17.51, 7.77]
