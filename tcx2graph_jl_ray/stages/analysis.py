@@ -2422,6 +2422,7 @@ def label_propagation(
     cooccurrence: ray.data.Dataset,
     rounds: int = 2,
     n_buckets: int = 64,
+    small_graph_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Semi-supervised type inference over the KG: KB-linked entities seed
     labels (their ``kb_region``), and each round every UNLABELED entity
@@ -2462,7 +2463,43 @@ def label_propagation(
     else:
         seeds = entities_linked.map_batches(seed_batch, batch_format="pandas")
 
-    edges = cooccurrence.select_columns(["src", "dst"])
+    edges = cooccurrence.select_columns(["src", "dst"]).materialize()
+
+    if edges.count() <= small_graph_threshold:
+        # budget-switched driver path (house rule for iterative loops: each
+        # distributed round costs ~15-25 Ray stage launches; below the edge
+        # budget one pandas loop is strictly faster and output-identical —
+        # tests/test_round4f_ops.py plants the both-paths-agree check)
+        ep = edges.to_pandas()
+        adj_pd = pd.DataFrame({
+            "node": pd.concat([ep["src"], ep["dst"]], ignore_index=True),
+            "nbr": pd.concat([ep["dst"], ep["src"]], ignore_index=True),
+        })
+        labels_pd = seeds.to_pandas()
+        for r in range(1, rounds + 1):
+            nbr = adj_pd.merge(
+                labels_pd[["entity_id", "kb_region"]],
+                left_on="nbr", right_on="entity_id", how="inner",
+            )
+            c = (
+                nbr.groupby(["node", "kb_region"], sort=False)
+                .size().reset_index(name="n")
+                .sort_values(["n", "kb_region"], ascending=[False, True],
+                             kind="mergesort")
+            )
+            best = c.drop_duplicates("node", keep="first")
+            fresh = best[~best["node"].isin(labels_pd["entity_id"])]
+            labels_pd = pd.concat(
+                [labels_pd, pd.DataFrame({
+                    "entity_id": fresh["node"],
+                    "kb_region": fresh["kb_region"],
+                    "round": np.int64(r),
+                })],
+                ignore_index=True,
+            )
+        labels_pd["round"] = labels_pd["round"].astype("int64")
+        return ray.data.from_pandas(labels_pd.reset_index(drop=True))
+
     adj = edges.map_batches(
         lambda b: pd.DataFrame(
             {

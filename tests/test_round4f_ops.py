@@ -278,3 +278,38 @@ def test_cohort_ltv_planted(ray_session, tmp_path):
     assert list(got["revenue"]) == [35.01, 7.77]
     # Jan avg = 3501 cents / 2 = 1750.5 -> half-up 1751 cents = 17.51
     assert list(got["avg_ltv"]) == [17.51, 7.77]
+
+
+def test_label_propagation_dual_paths_agree(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import label_propagation
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i}" for i in range(40)]
+    src = rng.integers(0, 40, 120)
+    dst = rng.integers(0, 40, 120)
+    k = src != dst
+    cooc = pd.DataFrame({
+        "src": [nodes[i] for i in src[k]],
+        "dst": [nodes[i] for i in dst[k]],
+    })
+    ents = pd.DataFrame({
+        "entity_id": nodes,
+        "kb_region": [("R" + str(i % 3)) if i < 8 else None
+                      for i in range(40)],
+    })
+    ents_ds = ray.data.from_pandas(ents).repartition(3)
+    cooc_ds = ray.data.from_pandas(cooc).repartition(3)
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["entity_id"]).reset_index(drop=True)
+        )
+
+    fast = norm(label_propagation(ents_ds, cooc_ds, rounds=2))
+    slow = norm(label_propagation(
+        ents_ds, cooc_ds, rounds=2, small_graph_threshold=0
+    ))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert (fast["round"] == 0).sum() == 8
+    assert (fast["round"] >= 1).any()
