@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_power_users": lambda sf: _wd.power_users(_events_ds(sf)),
         "rel_cohort_ltv": lambda sf: _rel.cohort_ltv(sf),
+        "dedup_prefix_pairs": lambda sf: _dd.prefix_pairs(_docs(sf)),
     })
 
 
@@ -1001,4 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_power_users": _wd.POWER_USERS_SQL_TEMPLATE.format(q=0.99),
         "rel_cohort_ltv": _rel.COHORT_LTV_SQL,
+        "dedup_prefix_pairs": _dd.PREFIX_PAIRS_SQL_TEMPLATE.format(
+            min_len=32
+        ),
     }

@@ -2584,3 +2584,103 @@ FROM lab l
 JOIN (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY cluster_id) c
   USING (cluster_id)
 """
+
+
+def prefix_pairs(
+    docs: ray.data.Dataset, min_len: int = 32, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Exact PREFIX-containment pairs: (sub, sup) where sub's full text is a
+    prefix of sup's (sub at least ``min_len`` chars; equal texts pair once,
+    lower id as sub) — the boilerplate/truncation duplicate class that
+    near-dup shingling over-pays for and exact-hash dedup misses.
+
+    Blocking is LOSSLESS by construction: a prefix-pair's two docs share
+    their first ``min_len`` characters, so blocking on that key puts every
+    qualifying pair in exactly one bucket. Inside a bucket the texts are
+    sorted once and each doc's prefix-supersets are the CONTIGUOUS sorted
+    range [text, text + U+FFFF) — two vectorized searchsorteds + the
+    cumsum/arange flat-range expansion, no per-pair compare, no cross
+    join (ASCII-corpus assumption of the substring suite,
+    ``dedup_substring_grams``). Output: sub_id, sup_id, sub_len."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = _nonnull_text(batch)
+        n = d["text"].str.len()
+        d = d[n >= min_len]
+        if not len(d):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "text": pd.Series([], dtype="object"),
+                "key": pd.Series([], dtype="object"),
+            })
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "text": d["text"],
+            "key": d["text"].str[:min_len],
+        })
+
+    def per_block(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "sub_id": pd.Series([], dtype="int64"),
+            "sup_id": pd.Series([], dtype="int64"),
+            "sub_len": pd.Series([], dtype="int64"),
+        })
+        out = [empty]
+        for _, g in bucket.groupby("key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("text", kind="mergesort")
+            texts = g["text"].to_numpy()
+            ids = g["doc_id"].to_numpy()
+            lens = g["text"].str.len().to_numpy()
+            lo = np.searchsorted(texts, texts, side="left")
+            hi = np.searchsorted(
+                texts, np.char.add(texts.astype(str), "￿"), side="left"
+            )
+            counts = hi - lo
+            if counts.sum() <= len(g):
+                continue
+            offs = np.zeros(len(g), dtype="int64")
+            np.cumsum(counts[:-1], out=offs[1:])
+            a_idx = np.repeat(np.arange(len(g)), counts)
+            b_idx = np.arange(counts.sum()) - np.repeat(offs, counts) \
+                + np.repeat(lo, counts)
+            keep = b_idx != a_idx
+            a_idx, b_idx = a_idx[keep], b_idx[keep]
+            # equal-length (== equal-text) pairs once, lower id as sub
+            eq = lens[a_idx] == lens[b_idx]
+            keep = ~eq | (ids[a_idx] < ids[b_idx])
+            a_idx, b_idx = a_idx[keep], b_idx[keep]
+            if len(a_idx):
+                out.append(pd.DataFrame({
+                    "sub_id": ids[a_idx],
+                    "sup_id": ids[b_idx],
+                    "sub_len": lens[a_idx].astype("int64"),
+                }))
+        return pd.concat(out, ignore_index=True)
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            prep, batch_format="pandas", batch_size=8192
+        ),
+        ["key"],
+        per_block,
+        n_buckets=n_buckets,
+    )
+
+
+PREFIX_PAIRS_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT doc_id, text, len(text) AS n
+  FROM documents WHERE text IS NOT NULL AND len(text) >= {min_len}
+)
+SELECT a.doc_id AS sub_id, b.doc_id AS sup_id,
+       CAST(a.n AS BIGINT) AS sub_len
+FROM d a JOIN d b
+  ON left(a.text, {min_len}) = left(b.text, {min_len})
+ AND a.doc_id <> b.doc_id
+ AND left(b.text, a.n) = a.text
+ AND (b.n > a.n OR (b.n = a.n AND a.doc_id < b.doc_id))
+"""

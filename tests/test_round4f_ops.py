@@ -313,3 +313,29 @@ def test_label_propagation_dual_paths_agree(ray_session):
     pd.testing.assert_frame_equal(fast, slow)
     assert (fast["round"] == 0).sum() == 8
     assert (fast["round"] >= 1).any()
+
+
+def test_prefix_pairs_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import prefix_pairs
+
+    base = "x" * 30 + "ab"                      # exactly min_len = 32
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": [
+            base,                               # 1: prefix of 2 and 3
+            base + " more words here",          # 2: also prefix of 3
+            base + " more words here tail",     # 3
+            base,                               # 4: equal to 1 -> 1<4 once
+            "y" * 40,                           # 5: unrelated block
+        ],
+        "lang": ["en"] * 5,
+        "source": ["a"] * 5,
+        "n_chars": pd.array([32, 48, 53, 32, 40], dtype="int64"),
+    })
+    got = (
+        prefix_pairs(ray.data.from_pandas(df).repartition(3), min_len=32)
+        .to_pandas().sort_values(["sub_id", "sup_id"]).reset_index(drop=True)
+    )
+    pairs = set(zip(got["sub_id"], got["sup_id"]))
+    assert pairs == {(1, 2), (1, 3), (1, 4), (2, 3), (4, 2), (4, 3)}
+    assert (got.loc[got["sub_id"] == 1, "sub_len"] == 32).all()
