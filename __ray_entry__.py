@@ -596,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_power_users": lambda sf: _wd.power_users(_events_ds(sf)),
         "rel_cohort_ltv": lambda sf: _rel.cohort_ltv(sf),
         "dedup_prefix_pairs": lambda sf: _dd.prefix_pairs(_docs(sf)),
+        "rel_basket_lift": lambda sf: _rel.basket_lift(sf),
     })
 
 
@@ -1004,5 +1005,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_cohort_ltv": _rel.COHORT_LTV_SQL,
         "dedup_prefix_pairs": _dd.PREFIX_PAIRS_SQL_TEMPLATE.format(
             min_len=32
+        ),
+        "rel_basket_lift": _rel.BASKET_LIFT_SQL_TEMPLATE.format(
+            min_support=3
         ),
     }

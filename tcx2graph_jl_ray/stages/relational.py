@@ -3287,3 +3287,115 @@ SELECT cohort_month,
          / 100.0 AS avg_ltv
 FROM pc GROUP BY cohort_month
 """
+
+
+def basket_lift(
+    sf_dir: str, min_support: int = 3, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Association-rule metrics over the copurchase pairs: lift and both
+    directed confidences for every part pair co-purchased at least
+    ``min_support`` times (Agrawal-Srikant support/confidence/lift,
+    public) — the market-basket layer on top of ``rel_copurchase``.
+
+    Exactness: every metric is ONE division of two exact int64 products
+    (n_ab*N / n_a*n_b etc.), rounded 6 — bit-identical to the oracle.
+    Scale shape: pair counts come from the blocked ``copurchase_pairs``;
+    per-part basket counts reduce distributed and ship once via ray.put
+    (part is the dimension-bounded side, the ``rel_part_min_price``
+    broadcast discipline); the basket total is one distinct-count
+    aggregate. Output: part_a, part_b, n_ab, n_a, n_b, lift, conf_ab,
+    conf_ba."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    baskets = bucketed_group_apply(
+        li.map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas",
+            batch_size=65536,
+        ),
+        ["l_orderkey", "l_partkey"],
+        lambda b: b.drop_duplicates(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def part_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("l_partkey", sort=False).size()
+        return pd.DataFrame({"l_partkey": s.index.astype("int64"),
+                             "n_p": s.to_numpy().astype("int64")})
+
+    pc = bucketed_group_apply(
+        baskets, ["l_partkey"], part_counts, n_buckets=n_buckets
+    ).to_pandas()  # part-dimension-bounded (the broadcast small side)
+    n_baskets = int(
+        bucketed_group_apply(
+            baskets.select_columns(["l_orderkey"]),
+            ["l_orderkey"],
+            lambda b: b.drop_duplicates(),
+            n_buckets=n_buckets,
+        ).count()
+    )
+    np_ref = ray.put(dict(zip(pc["l_partkey"], pc["n_p"])))
+
+    pairs = copurchase_pairs(sf_dir, min_support=min_support,
+                             n_buckets=n_buckets)
+
+    class _Lift:
+        def __init__(self, ref, n):
+            self.n_p = ray.get(ref)
+            self.n = np.int64(n)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            na = batch["part_a"].map(self.n_p).to_numpy(dtype="int64")
+            nb = batch["part_b"].map(self.n_p).to_numpy(dtype="int64")
+            nab = batch["n_orders"].to_numpy(dtype="int64")
+            return pd.DataFrame({
+                "part_a": batch["part_a"].astype("int64"),
+                "part_b": batch["part_b"].astype("int64"),
+                "n_ab": nab,
+                "n_a": na,
+                "n_b": nb,
+                "lift": np.round(
+                    (nab * self.n).astype("float64")
+                    / (na * nb).astype("float64"), 6
+                ),
+                "conf_ab": np.round(
+                    nab.astype("float64") / na.astype("float64"), 6
+                ),
+                "conf_ba": np.round(
+                    nab.astype("float64") / nb.astype("float64"), 6
+                ),
+            })
+
+    return pairs.map_batches(
+        _Lift, fn_constructor_args=(np_ref, n_baskets),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 4),
+    )
+
+
+BASKET_LIFT_SQL_TEMPLATE = """
+WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p
+       FROM b GROUP BY l_partkey),
+nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+pairs AS (
+  SELECT CAST(x.l_partkey AS BIGINT) AS part_a,
+         CAST(y.l_partkey AS BIGINT) AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING COUNT(*) >= {min_support}
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       pa.n_p AS n_a, pb.n_p AS n_b,
+       ROUND(CAST(p.n_ab * nn.n AS DOUBLE)
+             / CAST(pa.n_p * pb.n_p AS DOUBLE), 6) AS lift,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(pa.n_p AS DOUBLE), 6) AS conf_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(pb.n_p AS DOUBLE), 6) AS conf_ba
+FROM pairs p
+JOIN pc pa ON pa.l_partkey = p.part_a
+JOIN pc pb ON pb.l_partkey = p.part_b
+CROSS JOIN nn
+"""

@@ -339,3 +339,29 @@ def test_prefix_pairs_planted(ray_session):
     pairs = set(zip(got["sub_id"], got["sup_id"]))
     assert pairs == {(1, 2), (1, 3), (1, 4), (2, 3), (4, 2), (4, 3)}
     assert (got.loc[got["sub_id"] == 1, "sub_len"] == 32).all()
+
+
+def test_basket_lift_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import basket_lift
+
+    # 4 baskets; parts 10 & 20 co-occur in 3 -> min_support met;
+    # part 30 appears in 2 baskets but never pairs 3x
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20), (3, 10),  # dup line in same order dedupes
+        (4, 30),
+    ]
+    df = pd.DataFrame({
+        "l_orderkey": pd.array([r[0] for r in rows], dtype="int64"),
+        "l_partkey": pd.array([r[1] for r in rows], dtype="int64"),
+    })
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    got = basket_lift(str(tmp_path), min_support=3).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["part_a"], r["part_b"]) == (10, 20)
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (3, 3, 3)
+    # lift = n_ab*N / (n_a*n_b) = 3*4/9
+    assert r["lift"] == np.round(12.0 / 9.0, 6)
+    assert r["conf_ab"] == 1.0 and r["conf_ba"] == 1.0
