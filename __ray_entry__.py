@@ -597,6 +597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cohort_ltv": lambda sf: _rel.cohort_ltv(sf),
         "dedup_prefix_pairs": lambda sf: _dd.prefix_pairs(_docs(sf)),
         "rel_basket_lift": lambda sf: _rel.basket_lift(sf),
+        "ann_ivf_recall": lambda sf: _ann.ann_recall_eval(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
     })
 
 
@@ -1009,4 +1012,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_basket_lift": _rel.BASKET_LIFT_SQL_TEMPLATE.format(
             min_support=3
         ),
+        "ann_ivf_recall": _ann.ann_recall_sql(_ANN_NQ, _ANN_K, dim=64),
     }

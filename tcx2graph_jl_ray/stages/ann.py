@@ -1228,3 +1228,72 @@ SELECT g.label, g.n_vecs, g.mean_dist2, g.max_dist2,
 FROM g JOIN d ON d.label = g.label AND d.dist2 = g.max_dist2
 GROUP BY g.label, g.n_vecs, g.mean_dist2, g.max_dist2
 """
+
+
+def ann_recall_eval(
+    embeddings: ray.data.Dataset,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Per-query recall@k of the IVF index against the exact brute-force
+    baseline — the index-quality harness every ANN deployment ships next to
+    the index itself (the ``dedup_lsh_eval`` discipline applied to
+    retrieval): recall = |IVF top-k ∩ exact top-k| / k.
+
+    Both rankings come from the production operators (``ann_ivf_topk`` /
+    ``ann_brute_topk``); the intersection is one co-partitioned
+    ``hash_join`` on (query_id, vec_id) with the EXACT list as the left
+    base (so zero-hit queries still emit), and the per-query reduce is
+    query-bounded. recall is one division by the constant k, rounded 6.
+    Output: query_id, n_hits, recall."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    brute = ann_brute_topk(embeddings, sf_dir, n_queries, k).map_batches(
+        lambda b: b[["query_id", "vec_id"]], batch_format="pandas",
+    )
+    ivf = ann_ivf_topk(embeddings, sf_dir, n_queries, k).map_batches(
+        lambda b: b[["query_id", "vec_id"]].assign(hit=np.int64(1)),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        brute, ivf, on=["query_id", "vec_id"], how="left",
+        n_buckets=n_buckets,
+    )
+
+    kf = float(k)
+
+    def per_query(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("query_id", sort=False)["hit"].agg(
+            lambda s: int(s.notna().sum())
+        )
+        n = g.to_numpy().astype("int64")
+        return pd.DataFrame({
+            "query_id": g.index.astype("int64"),
+            "n_hits": n,
+            "recall": np.round(n.astype("float64") / kf, 6),
+        })
+
+    return bucketed_group_apply(j, ["query_id"], per_query, n_buckets=4)
+
+
+def ann_recall_sql(n_queries: int, k: int, dim: int = 64) -> str:
+    """Oracle for ``ann_recall_eval``: the two production index oracles
+    composed, LEFT-joined on (query_id, vec_id), counted per query."""
+    brute = ANN_BRUTE_SQL_TEMPLATE.format(n_queries=n_queries, k=k)
+    ivf = ann_ivf_sql(n_queries, k, dim=dim)
+    return f"""
+WITH brute AS MATERIALIZED ({brute}),
+ivf AS MATERIALIZED ({ivf}),
+h AS (
+  SELECT b.query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits
+  FROM brute b
+  LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+  GROUP BY b.query_id
+)
+SELECT query_id, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / {float(k)}, 6) AS recall
+FROM h
+"""
