@@ -600,6 +600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": lambda sf: _ann.ann_recall_eval(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
+        "events_interarrival": lambda sf: _wd.interarrival_stats(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1013,4 +1016,5 @@ def oracle_sql() -> dict[str, str]:
             min_support=3
         ),
         "ann_ivf_recall": _ann.ann_recall_sql(_ANN_NQ, _ANN_K, dim=64),
+        "events_interarrival": _wd.INTERARRIVAL_SQL,
     }

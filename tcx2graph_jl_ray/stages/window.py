@@ -2358,3 +2358,94 @@ SELECT c.user_id, c.n_events, ROUND(t.thr, 6) AS threshold
 FROM c, t
 WHERE CAST(c.n_events AS DOUBLE) >= t.thr
 """
+
+
+def interarrival_stats(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-event-type cadence: statistics of the gap between consecutive
+    events of the same type BY THE SAME USER — count, min, max, and
+    half-up-rounded mean inter-arrival, all in exact integer microseconds
+    (no float ever enters; the ``rel_cohort_ltv`` half-up discipline).
+
+    Scale shape: one user-keyed shuffle; gaps come from a vectorized
+    in-group shift over (user, type) streams; per-type partials (n, sum,
+    min, max — all order-free) reduce through a tiny type-bounded second
+    shuffle. Output: event_type, n_gaps, min_gap_us, max_gap_us,
+    avg_gap_us (all int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        us = pd.to_datetime(d["ts"]).astype("datetime64[us]").astype("int64")
+        prev = us.groupby(
+            [d["user_id"], d["event_type"]], sort=False
+        ).shift()
+        gap = us - prev
+        k = gap.notna()
+        if not k.any():
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "mn": pd.Series([], dtype="int64"),
+                "mx": pd.Series([], dtype="int64"),
+            })
+        g = pd.DataFrame({
+            "event_type": d["event_type"][k],
+            "gap": gap[k].astype("int64"),
+        }).groupby("event_type", sort=False)["gap"].agg(
+            ["size", "sum", "min", "max"]
+        )
+        return pd.DataFrame({
+            "event_type": g.index,
+            "n": g["size"].astype("int64").to_numpy(),
+            "s": g["sum"].astype("int64").to_numpy(),
+            "mn": g["min"].astype("int64").to_numpy(),
+            "mx": g["max"].astype("int64").to_numpy(),
+        })
+
+    parts = bucketed_group_apply(
+        events.select_columns(["user_id", "event_id", "ts", "event_type"]),
+        ["user_id"],
+        per_bucket,
+        n_buckets=n_buckets,
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False).agg(
+            n_gaps=("n", "sum"), s=("s", "sum"),
+            min_gap_us=("mn", "min"), max_gap_us=("mx", "max"),
+        ).reset_index()
+        n = g["n_gaps"].astype("int64")
+        s = g["s"].astype("int64")
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_gaps": n,
+            "min_gap_us": g["min_gap_us"].astype("int64"),
+            "max_gap_us": g["max_gap_us"].astype("int64"),
+            "avg_gap_us": (2 * s + n) // (2 * n),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], merge, n_buckets=4)
+
+
+INTERARRIVAL_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         )) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CAST((2 * SUM(gap) + COUNT(gap)) // (2 * COUNT(gap)) AS BIGINT)
+         AS avg_gap_us
+FROM seq WHERE gap IS NOT NULL
+GROUP BY event_type
+"""

@@ -365,3 +365,34 @@ def test_basket_lift_planted(ray_session, tmp_path):
     # lift = n_ab*N / (n_a*n_b) = 3*4/9
     assert r["lift"] == np.round(12.0 / 9.0, 6)
     assert r["conf_ab"] == 1.0 and r["conf_ba"] == 1.0
+
+
+def test_interarrival_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import interarrival_stats
+
+    rows = [
+        # u1 clicks at t=0s, 10s, 13s -> gaps 10s, 3s
+        (1, "click", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:00:10"),
+        (1, "click", "2024-01-01 00:00:13"),
+        # u2 single click -> no gap; u2 views 0s and 4s -> gap 4s
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 00:01:00"),
+        (2, "view", "2024-01-01 00:01:04"),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "event_type": [r[1] for r in rows],
+        "ts": pd.to_datetime([r[2] for r in rows]),
+    })
+    got = interarrival_stats(
+        ray.data.from_pandas(df).repartition(3)
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    M = 1_000_000
+    assert list(got["event_type"]) == ["click", "view"]
+    assert list(got["n_gaps"]) == [2, 1]
+    assert list(got["min_gap_us"]) == [3 * M, 4 * M]
+    assert list(got["max_gap_us"]) == [10 * M, 4 * M]
+    # click avg = 6.5s -> half-up 6500001? no: (2*13M+2)//4 = 6500000 (int us)
+    assert list(got["avg_gap_us"]) == [(2 * 13 * M + 2) // 4, 4 * M]
