@@ -603,6 +603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": lambda sf: _wd.interarrival_stats(
             _events_ds(sf)
         ),
+        "kg_response_latency": lambda sf: _an.response_latency(
+            _transcripts(sf)
+        ),
     })
 
 
@@ -1017,4 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_recall": _ann.ann_recall_sql(_ANN_NQ, _ANN_K, dim=64),
         "events_interarrival": _wd.INTERARRIVAL_SQL,
+        "kg_response_latency": _an.RESPONSE_LATENCY_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
     }

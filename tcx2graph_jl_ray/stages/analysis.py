@@ -3713,3 +3713,80 @@ FROM nodes n
 JOIN {last_a} a USING (entity_id)
 JOIN {prev_h} h USING (entity_id)
 """
+
+
+def response_latency(
+    transcripts: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-conversation assistant response latency: for every user turn, the
+    time to the FIRST assistant turn that follows it in the conversation —
+    the agent-quality latency metric next to ``tool_stats``'s consumption
+    metric. All statistics in exact integer microseconds (half-up mean, the
+    ``rel_cohort_ltv`` discipline; no float enters).
+
+    Order-dependent per conversation: conv streams co-locate whole in conv
+    buckets (one keyed shuffle); the next-assistant timestamp is one
+    vectorized in-group backfill over assistant-only timestamps (turn order
+    is (ts, event_id)-monotone, so the backfilled value IS the first
+    following assistant). Output: conv_id, n_responses, min_latency_us,
+    max_latency_us, avg_latency_us (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        us = pd.to_datetime(d["ts"]).astype("datetime64[us]").astype("int64")
+        a_ts = us.where((d["role"] == "assistant").to_numpy())
+        next_a = a_ts.groupby(d["conv_id"], sort=False).bfill()
+        k = ((d["role"] == "user") & next_a.notna()).to_numpy()
+        if not k.any():
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "n_responses": pd.Series([], dtype="int64"),
+                "min_latency_us": pd.Series([], dtype="int64"),
+                "max_latency_us": pd.Series([], dtype="int64"),
+                "avg_latency_us": pd.Series([], dtype="int64"),
+            })
+        lat = (next_a[k] - us[k]).astype("int64")
+        g = pd.DataFrame({"conv_id": d["conv_id"][k], "lat": lat}).groupby(
+            "conv_id", sort=False
+        )["lat"].agg(["size", "sum", "min", "max"])
+        n = g["size"].astype("int64")
+        s = g["sum"].astype("int64")
+        return pd.DataFrame({
+            "conv_id": g.index,
+            "n_responses": n.to_numpy(),
+            "min_latency_us": g["min"].astype("int64").to_numpy(),
+            "max_latency_us": g["max"].astype("int64").to_numpy(),
+            "avg_latency_us": ((2 * s + n) // (2 * n)).to_numpy(),
+        })
+
+    return bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "ts"]),
+        ["conv_id"],
+        per_conv,
+        n_buckets=n_buckets,
+    )
+
+
+RESPONSE_LATENCY_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+w1 AS (
+  SELECT conv_id, role, ts,
+         MIN(CASE WHEN role = 'assistant' THEN epoch_us(ts) END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_a
+  FROM t
+),
+lat AS (
+  SELECT conv_id, next_a - epoch_us(ts) AS lat
+  FROM w1 WHERE role = 'user' AND next_a IS NOT NULL
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_responses,
+       CAST(MIN(lat) AS BIGINT) AS min_latency_us,
+       CAST(MAX(lat) AS BIGINT) AS max_latency_us,
+       CAST((2 * SUM(lat) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS avg_latency_us
+FROM lat GROUP BY conv_id
+"""

@@ -396,3 +396,39 @@ def test_interarrival_planted(ray_session):
     assert list(got["max_gap_us"]) == [10 * M, 4 * M]
     # click avg = 6.5s -> half-up 6500001? no: (2*13M+2)//4 = 6500000 (int us)
     assert list(got["avg_gap_us"]) == [(2 * 13 * M + 2) // 4, 4 * M]
+
+
+def test_response_latency_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import response_latency
+
+    rows = [
+        # c1: user@0 -> assistant@5s (lat 5s); tool between doesn't count;
+        # user@10s -> assistant@12s (lat 2s); trailing user has no answer
+        ("c1", 0, "user", "2024-01-01 00:00:00"),
+        ("c1", 1, "tool", "2024-01-01 00:00:01"),
+        ("c1", 2, "assistant", "2024-01-01 00:00:05"),
+        ("c1", 3, "user", "2024-01-01 00:00:10"),
+        ("c1", 4, "assistant", "2024-01-01 00:00:12"),
+        ("c1", 5, "user", "2024-01-01 00:00:20"),
+        # c2: assistant-first then lone user -> no responses at all
+        ("c2", 0, "assistant", "2024-01-01 00:00:00"),
+        ("c2", 1, "user", "2024-01-01 00:00:03"),
+    ]
+    df = pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+        "role": [r[2] for r in rows],
+        "ts": pd.to_datetime([r[3] for r in rows]),
+    })
+    got = response_latency(
+        ray.data.from_pandas(df).repartition(3)
+    ).to_pandas()
+    assert list(got["conv_id"]) == ["c1"]
+    M = 1_000_000
+    r = got.iloc[0]
+    assert r["n_responses"] == 2
+    assert r["min_latency_us"] == 2 * M
+    assert r["max_latency_us"] == 5 * M
+    # mean 3.5s -> half-up on us: (2*7M + 2)//4 = 3500000 + 0 (exact .5 on
+    # us scale never occurs here; value is 3.5M us exactly)
+    assert r["avg_latency_us"] == 3_500_000
