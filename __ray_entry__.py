@@ -606,6 +606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_response_latency": lambda sf: _an.response_latency(
             _transcripts(sf)
         ),
+        "kg_reciprocity": lambda sf: _an.reciprocity(_transitions(sf)),
+        "dedup_source_matrix": lambda sf: _dd.source_dup_matrix(
+            _minhash_pairs(sf), _docs(sf)
+        ),
     })
 
 
@@ -1022,5 +1026,13 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": _wd.INTERARRIVAL_SQL,
         "kg_response_latency": _an.RESPONSE_LATENCY_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_reciprocity": _an.RECIPROCITY_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            )
+        ),
+        "dedup_source_matrix": _dd.SOURCE_DUP_MATRIX_SQL_TEMPLATE.format(
+            pairs=_dd.minhash_pairs_sql()
         ),
     }

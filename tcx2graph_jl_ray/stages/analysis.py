@@ -3790,3 +3790,94 @@ SELECT conv_id,
          AS avg_latency_us
 FROM lat GROUP BY conv_id
 """
+
+
+def reciprocity(
+    transitions: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-entity edge reciprocity over the distinct directed transition
+    graph: out-degree, the number of out-neighbors that point back, and
+    their ratio — the dialogue-symmetry signal that separates
+    command-response entity pairs from one-way references (complements
+    ``kg_directed_triads``' triangle census at the node level).
+
+    Shape: distinct edges dedupe once (bucketed apply); the reciprocal
+    check is ONE co-partitioned self-join of the edge set against its own
+    reversal (never a broadcast); per-entity counts reduce bucketed. The
+    ratio is one division of exact ints, rounded 6. Output: entity_id,
+    out_deg, n_recip, reciprocity."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = bucketed_group_apply(
+        transitions.select_columns(["from_entity", "to_entity"]).map_batches(
+            lambda b: b[b["from_entity"] != b["to_entity"]].drop_duplicates(),
+            batch_format="pandas", batch_size=65536,
+        ),
+        ["from_entity", "to_entity"],
+        lambda b: b.drop_duplicates(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def count_out(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("a", sort=False).size()
+        return pd.DataFrame({"a": s.index,
+                             "out_deg": s.to_numpy().astype("int64")})
+
+    eab = edges.map_batches(
+        lambda b: b.rename(columns={"from_entity": "a", "to_entity": "b"}),
+        batch_format="pandas",
+    )
+    erev = edges.map_batches(
+        lambda b: pd.DataFrame({"a": b["to_entity"], "b": b["from_entity"],
+                                "back": np.int64(1)}),
+        batch_format="pandas",
+    )
+    od = bucketed_group_apply(eab, ["a"], count_out, n_buckets=n_buckets)
+    recip_rows = hash_join(eab, erev, on=["a", "b"], n_buckets=n_buckets)
+    rc = bucketed_group_apply(
+        recip_rows.select_columns(["a"]),
+        ["a"],
+        lambda b: pd.DataFrame({
+            "a": b.groupby("a", sort=False).size().index,
+            "n_recip": b.groupby("a", sort=False).size().to_numpy()
+            .astype("int64"),
+        }),
+        n_buckets=n_buckets,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nr = batch["n_recip"].fillna(0).astype("int64")
+        od_ = batch["out_deg"].astype("int64")
+        return pd.DataFrame({
+            "entity_id": batch["a"],
+            "out_deg": od_,
+            "n_recip": nr,
+            "reciprocity": np.round(
+                nr.to_numpy(dtype="float64") / od_.to_numpy(dtype="float64"),
+                6,
+            ),
+        })
+
+    return hash_join(od, rc, on="a", how="left", n_buckets=n_buckets)\
+        .map_batches(finish, batch_format="pandas", batch_size=65536)
+
+
+RECIPROCITY_SQL_TEMPLATE = """
+WITH tr AS ({transitions}),
+e AS MATERIALIZED (
+  SELECT DISTINCT from_entity AS a, to_entity AS b
+  FROM tr WHERE from_entity <> to_entity
+),
+od AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY a),
+rc AS (
+  SELECT e.a, CAST(COUNT(*) AS BIGINT) AS n_recip
+  FROM e JOIN e r ON r.a = e.b AND r.b = e.a
+  GROUP BY e.a
+)
+SELECT od.a AS entity_id, od.out_deg,
+       CAST(COALESCE(rc.n_recip, 0) AS BIGINT) AS n_recip,
+       ROUND(CAST(COALESCE(rc.n_recip, 0) AS DOUBLE)
+             / CAST(od.out_deg AS DOUBLE), 6) AS reciprocity
+FROM od LEFT JOIN rc ON rc.a = od.a
+"""

@@ -2684,3 +2684,81 @@ FROM d a JOIN d b
  AND left(b.text, a.n) = a.text
  AND (b.n > a.n OR (b.n = a.n AND a.doc_id < b.doc_id))
 """
+
+
+def source_dup_matrix(
+    pairs: ray.data.Dataset, docs: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Cross-source near-duplication matrix: how many verified near-dup
+    pairs land within/between each pair of sources — the
+    contamination-by-domain heat map a curation team reads before deciding
+    which domains to de-weight. Same composition shape as
+    ``dedup_split_leakage``: the match-bounded pair list co-shuffles twice
+    with the doc -> source map (``hash_join``, no broadcast of the doc
+    table), then (source_a <= source_b) normalized counts reduce in a
+    source-pair-bounded groupby. Output: source_a, source_b, n_pairs."""
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    j1 = hash_join(
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"a": b["a"].astype("int64"), "b": b["b"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ),
+        docs.map_batches(
+            lambda b: pd.DataFrame(
+                {"a": b["doc_id"].astype("int64"), "src_a": b["source"]}
+            ),
+            batch_format="pandas",
+        ),
+        on="a",
+        n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1,
+        docs.map_batches(
+            lambda b: pd.DataFrame(
+                {"b": b["doc_id"].astype("int64"), "src_b": b["source"]}
+            ),
+            batch_format="pandas",
+        ),
+        on="b",
+        n_buckets=n_buckets,
+    )
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch[["src_a", "src_b"]].min(axis=1)
+        hi = batch[["src_a", "src_b"]].max(axis=1)
+        g = pd.DataFrame({"source_a": lo, "source_b": hi}).groupby(
+            ["source_a", "source_b"], sort=False
+        ).size()
+        out = g.reset_index(name="n_pairs")
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source_a", "source_b"], sort=False)[
+            "n_pairs"
+        ].sum()
+        return g.reset_index().astype({"n_pairs": "int64"})
+
+    return bucketed_group_apply(
+        j2.map_batches(norm, batch_format="pandas", batch_size=65536),
+        ["source_a", "source_b"],
+        merge,
+        n_buckets=8,
+    )
+
+
+SOURCE_DUP_MATRIX_SQL_TEMPLATE = """
+WITH p AS ({pairs})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p
+JOIN documents da ON da.doc_id = p.a
+JOIN documents db ON db.doc_id = p.b
+GROUP BY 1, 2
+"""

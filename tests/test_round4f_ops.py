@@ -432,3 +432,23 @@ def test_response_latency_planted(ray_session):
     # mean 3.5s -> half-up on us: (2*7M + 2)//4 = 3500000 + 0 (exact .5 on
     # us scale never occurs here; value is 3.5M us exactly)
     assert r["avg_latency_us"] == 3_500_000
+
+
+def test_reciprocity_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import reciprocity
+
+    edges = [("a", "b"), ("b", "a"),      # reciprocated pair
+             ("a", "c"),                  # one-way
+             ("c", "c")]                  # self-loop drops
+    df = pd.DataFrame({
+        "from_entity": [e[0] for e in edges],
+        "to_entity": [e[1] for e in edges],
+        "n": pd.array([1] * len(edges), dtype="int64"),
+    })
+    got = reciprocity(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values("entity_id").reset_index(drop=True)
+    assert list(got["entity_id"]) == ["a", "b"]
+    assert list(got["out_deg"]) == [2, 1]
+    assert list(got["n_recip"]) == [1, 1]
+    assert list(got["reciprocity"]) == [0.5, 1.0]
