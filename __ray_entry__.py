@@ -610,6 +610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_source_matrix": lambda sf: _dd.source_dup_matrix(
             _minhash_pairs(sf), _docs(sf)
         ),
+        "text_hapax_ratio": lambda sf: _tx.hapax_ratio(_docs(sf)),
+        "kg_role_stats": lambda sf: _an.role_stats(_transcripts(sf)),
     })
 
 
@@ -1034,5 +1036,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_source_matrix": _dd.SOURCE_DUP_MATRIX_SQL_TEMPLATE.format(
             pairs=_dd.minhash_pairs_sql()
+        ),
+        "text_hapax_ratio": _tx.HAPAX_SQL,
+        "kg_role_stats": _an.ROLE_STATS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
         ),
     }

@@ -3881,3 +3881,79 @@ SELECT od.a AS entity_id, od.out_deg,
              / CAST(od.out_deg AS DOUBLE), 6) AS reciprocity
 FROM od LEFT JOIN rc ON rc.a = od.a
 """
+
+
+def role_stats(
+    transcripts: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Corpus composition by ROLE: turns, conversations touched, total and
+    half-up-average whitespace tokens per role — the transcript-side
+    counterpart of ``text_corpus_composition`` (what share of the corpus is
+    user ask vs assistant answer vs tool output drives every token-budget
+    decision).
+
+    Order-free: per-batch partials (token counts via the house
+    ``str.count('[^ ]+')`` == non-empty split-token rule), conv
+    distinctness via per-batch (role, conv) dedup then a bucketed exact
+    reduce, final rollup role-bounded. Output: role, n_turns, n_convs,
+    n_tokens, avg_tokens (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ntok = batch["text"].str.count(r"[^ ]+").fillna(0).astype("int64")
+        g = pd.DataFrame({
+            "role": batch["role"], "conv_id": batch["conv_id"], "ntok": ntok,
+        }).groupby(["role", "conv_id"], sort=False)["ntok"].agg(
+            ["size", "sum"]
+        ).reset_index()
+        g.columns = ["role", "conv_id", "n_turns", "n_tokens"]
+        return g
+
+    parts = transcripts.select_columns(
+        ["conv_id", "role", "text"]
+    ).map_batches(partial, batch_format="pandas", batch_size=8192)
+
+    def per_role_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["role", "conv_id"], sort=False).agg(
+            n_turns=("n_turns", "sum"), n_tokens=("n_tokens", "sum")
+        ).reset_index()
+        return g
+
+    rc = bucketed_group_apply(
+        parts, ["role", "conv_id"], per_role_conv, n_buckets=n_buckets
+    )
+
+    def finish(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("role", sort=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_convs=("conv_id", "size"),
+            n_tokens=("n_tokens", "sum"),
+        ).reset_index()
+        nt = g["n_turns"].astype("int64")
+        tk = g["n_tokens"].astype("int64")
+        return pd.DataFrame({
+            "role": g["role"],
+            "n_turns": nt,
+            "n_convs": g["n_convs"].astype("int64"),
+            "n_tokens": tk,
+            "avg_tokens": (2 * tk + nt) // (2 * nt),
+        })
+
+    return bucketed_group_apply(rc, ["role"], finish, n_buckets=4)
+
+
+ROLE_STATS_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+m AS (
+  SELECT role, conv_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM t
+)
+SELECT role,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST((2 * SUM(ntok) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS avg_tokens
+FROM m GROUP BY role
+"""

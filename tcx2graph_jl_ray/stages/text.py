@@ -2705,3 +2705,86 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
                        / CAST(n_words AS DOUBLE)), 6) AS flesch
 FROM m WHERE n_words > 0
 """
+
+
+def hapax_ratio(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source hapax legomena ratio: the share of each source's
+    vocabulary that occurs exactly once — the classic lexical-richness /
+    OCR-noise signal next to ``vocab_by_source``'s Heaps gauge (a spike in
+    hapaxes flags garbled text; a collapse flags boilerplate).
+
+    Same scale shape as ``vocab_by_source``: per-batch (source, word)
+    partials, one SALTED (source, word) exact reduce (stopword whales
+    split), then a salted per-source rollup counting n == 1 rows. The
+    ratio is one division of exact ints, rounded 6. Output: source,
+    n_hapax, n_distinct_words, hapax_ratio."""
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    def explode_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        words = batch["text"].str.lower().str.split(" ")
+        df = pd.DataFrame({"source": batch["source"], "w": words}).explode("w")
+        df = df[df["w"].notna() & (df["w"] != "")]
+        return df.groupby(["source", "w"], sort=False).size().reset_index(
+            name="n"
+        )
+
+    pairs = docs.select_columns(["source", "text"]).map_batches(
+        explode_partial, batch_format="pandas", batch_size=4096
+    )
+
+    def merge_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["source", "w"], sort=False)["n"].sum()\
+            .reset_index()
+
+    per_word = salted_group_apply(
+        pairs, ["source", "w"], partial_fn=merge_pairs, merge_fn=merge_pairs
+    )
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.assign(h=(batch["n"] == 1).astype("int64")).groupby(
+            "source", sort=False
+        ).agg(n_hapax=("h", "sum"), n_distinct_words=("h", "size"))
+        return g.reset_index()
+
+    def merge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False).agg(
+            n_hapax=("n_hapax", "sum"),
+            n_distinct_words=("n_distinct_words", "sum"),
+        ).reset_index()
+        h = g["n_hapax"].astype("int64")
+        v = g["n_distinct_words"].astype("int64")
+        return pd.DataFrame({
+            "source": g["source"],
+            "n_hapax": h,
+            "n_distinct_words": v,
+            "hapax_ratio": np.round(
+                h.to_numpy(dtype="float64") / v.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return salted_group_apply(
+        per_word.map_batches(partial_counts, batch_format="pandas"),
+        ["source"],
+        partial_fn=lambda b: b.groupby("source", sort=False).agg(
+            n_hapax=("n_hapax", "sum"),
+            n_distinct_words=("n_distinct_words", "sum"),
+        ).reset_index(),
+        merge_fn=merge_counts,
+    )
+
+
+HAPAX_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT source, w, COUNT(*) AS n FROM w GROUP BY source, w)
+SELECT source,
+       CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       ROUND(CAST(COUNT(*) FILTER (n = 1) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+FROM c GROUP BY source
+"""

@@ -452,3 +452,41 @@ def test_reciprocity_planted(ray_session):
     assert list(got["out_deg"]) == [2, 1]
     assert list(got["n_recip"]) == [1, 1]
     assert list(got["reciprocity"]) == [0.5, 1.0]
+
+
+def test_hapax_ratio_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import hapax_ratio
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        # source a: words {x:2, y:1, z:1} -> hapax 2 of 3
+        "text": ["x y x", "z"],
+        "lang": ["en"] * 2,
+        "source": ["a", "a"],
+        "n_chars": pd.array([5, 1], dtype="int64"),
+    })
+    got = hapax_ratio(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["n_hapax"], r["n_distinct_words"]) == (2, 3)
+    assert r["hapax_ratio"] == np.round(2 / 3, 6)
+
+
+def test_role_stats_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import role_stats
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pd.array([0, 1, 0], dtype="int32"),
+        "role": ["user", "assistant", "user"],
+        "text": ["a b c", "d e", "f g h i"],
+    })
+    got = role_stats(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values("role").reset_index(drop=True)
+    assert list(got["role"]) == ["assistant", "user"]
+    assert list(got["n_turns"]) == [1, 2]
+    assert list(got["n_convs"]) == [1, 2]
+    assert list(got["n_tokens"]) == [2, 7]
+    # user avg = 7/2 = 3.5 -> half-up 4
+    assert list(got["avg_tokens"]) == [2, 4]
