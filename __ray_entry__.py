@@ -612,6 +612,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_hapax_ratio": lambda sf: _tx.hapax_ratio(_docs(sf)),
         "kg_role_stats": lambda sf: _an.role_stats(_transcripts(sf)),
+        "dedup_degree_hist": lambda sf: _dd.dup_degree_hist(
+            _minhash_pairs(sf)
+        ),
+        "events_busy_minutes": lambda sf: _wd.busy_minutes(_events_ds(sf)),
     })
 
 
@@ -1041,4 +1045,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_role_stats": _an.ROLE_STATS_SQL_TEMPLATE.format(
             transcripts=TRANSCRIPTS_SQL
         ),
+        "dedup_degree_hist": _dd.DUP_DEGREE_HIST_SQL_TEMPLATE.format(
+            pairs=_dd.minhash_pairs_sql()
+        ),
+        "events_busy_minutes": _wd.BUSY_MINUTES_SQL_TEMPLATE.format(k=20),
     }

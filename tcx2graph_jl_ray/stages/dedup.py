@@ -2762,3 +2762,63 @@ JOIN documents da ON da.doc_id = p.a
 JOIN documents db ON db.doc_id = p.b
 GROUP BY 1, 2
 """
+
+
+def dup_degree_hist(
+    pairs: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Degree histogram of the near-duplicate graph: how many docs
+    participate in exactly d verified near-dup pairs — the one-glance
+    duplication profile (a heavy tail means template families, a flat 1
+    means scattered copies). Two-level count-of-counts, both exact: pair
+    endpoints explode per batch, per-doc degrees reduce in a doc-keyed
+    shuffle, then the degree histogram reduces in a degree-bounded second
+    shuffle (the ``docs_length_histogram`` shape over the pair graph).
+    Output: degree, n_docs (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    ends = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": pd.concat(
+                [b["a"].astype("int64"), b["b"].astype("int64")],
+                ignore_index=True,
+            )
+        }),
+        batch_format="pandas", batch_size=65536,
+    )
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("doc_id", sort=False).size()
+        return pd.DataFrame({"doc_id": s.index,
+                             "degree": s.to_numpy().astype("int64")})
+
+    deg = bucketed_group_apply(ends, ["doc_id"], per_doc, n_buckets=n_buckets)
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("degree", sort=False).size()
+        return pd.DataFrame({"degree": s.index.astype("int64"),
+                             "n_docs": s.to_numpy().astype("int64")})
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("degree", sort=False)["n_docs"].sum()
+        return pd.DataFrame({"degree": g.index.astype("int64"),
+                             "n_docs": g.to_numpy().astype("int64")})
+
+    return bucketed_group_apply(
+        deg.map_batches(hist, batch_format="pandas", batch_size=65536),
+        ["degree"],
+        merge,
+        n_buckets=4,
+    )
+
+
+DUP_DEGREE_HIST_SQL_TEMPLATE = """
+WITH p AS ({pairs}),
+d AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p)
+  GROUP BY doc_id
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY degree
+"""

@@ -2449,3 +2449,72 @@ SELECT event_type,
 FROM seq WHERE gap IS NOT NULL
 GROUP BY event_type
 """
+
+
+def busy_minutes(
+    events: ray.data.Dataset, k: int = 20, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """The ``k`` busiest wall-clock minutes of the event log with
+    deterministic ties (count desc, minute asc) — the incident-triage
+    cut ("what minute melted?") over any telemetry stream.
+
+    Combiner shape: per-batch minute partial counts, bucketed exact sums,
+    per-bucket LOCAL head-k (at most k rows per bucket survive), one tiny
+    driver merge of n_buckets*k rows. Output: minute (str
+    'YYYY-MM-DD HH:MM'), n_events, rank (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(batch["ts"]).dt.floor("min")
+        s = m.groupby(m, sort=False).size()
+        return pd.DataFrame({"minute": s.index,
+                             "n_part": s.to_numpy().astype("int64")})
+
+    def per_minute(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("minute", sort=False)["n_part"].sum().reset_index(
+            name="n_events"
+        )
+        # local head-k: only candidates for the global top-k leave the task
+        g = g.sort_values(["n_events", "minute"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    cands = bucketed_group_apply(
+        events.select_columns(["ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["minute"],
+        per_minute,
+        n_buckets=n_buckets,
+    ).to_pandas()  # <= n_buckets * k rows: the bounded driver merge
+    if not len(cands):
+        return pd.DataFrame({
+            "minute": pd.Series([], dtype="object"),
+            "n_events": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+        })
+    top = cands.sort_values(
+        ["n_events", "minute"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    return ray.data.from_pandas(pd.DataFrame({
+        "minute": pd.to_datetime(top["minute"]).dt.strftime("%Y-%m-%d %H:%M"),
+        "n_events": top["n_events"].astype("int64"),
+        "rank": pd.array(range(1, len(top) + 1), dtype="int64"),
+    }))
+
+
+BUSY_MINUTES_SQL_TEMPLATE = """
+WITH m AS (
+  SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT minute, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, minute) AS rank
+  FROM m
+)
+SELECT minute, n_events, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""

@@ -490,3 +490,36 @@ def test_role_stats_planted(ray_session):
     assert list(got["n_tokens"]) == [2, 7]
     # user avg = 7/2 = 3.5 -> half-up 4
     assert list(got["avg_tokens"]) == [2, 4]
+
+
+def test_dup_degree_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import dup_degree_hist
+
+    pairs = pd.DataFrame({
+        "a": pd.array([1, 1, 2], dtype="int64"),
+        "b": pd.array([2, 3, 3], dtype="int64"),
+    })
+    got = dup_degree_hist(
+        ray.data.from_pandas(pairs).repartition(2)
+    ).to_pandas().sort_values("degree").reset_index(drop=True)
+    # every doc participates in exactly 2 pairs -> one histogram row
+    assert list(got["degree"]) == [2]
+    assert list(got["n_docs"]) == [3]
+
+
+def test_busy_minutes_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import busy_minutes
+
+    ts = (["2024-01-01 10:00:%02d" % s for s in range(5)]  # 5 in 10:00
+          + ["2024-01-01 10:01:00"] * 3                    # 3 in 10:01
+          + ["2024-01-01 09:59:59"] * 3)                   # 3 in 09:59 (tie)
+    df = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype="int64"),
+        "ts": pd.to_datetime(ts),
+    })
+    got = busy_minutes(
+        ray.data.from_pandas(df).repartition(3), k=2
+    ).to_pandas()
+    assert list(got["minute"]) == ["2024-01-01 10:00", "2024-01-01 09:59"]
+    assert list(got["n_events"]) == [5, 3]
+    assert list(got["rank"]) == [1, 2]
