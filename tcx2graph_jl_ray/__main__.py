@@ -7,6 +7,7 @@ the grading driver initializes Ray before importing `__ray_entry__`).
 Commands:
   kg      --sf DIR --out DIR [--parts N] [--mult M]   flagship KG build
   corpus  --sf DIR --out DIR [--parts N]              curation pipeline
+  analytics --sf DIR --out DIR [--parts N]            events analytics mart
   query   NAME --sf DIR [--out PARQUET_DIR]           any registry query
   list                                                registry query names
 """
@@ -45,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
     p_co.add_argument("--out", required=True)
     p_co.add_argument("--parts", type=int, default=32)
 
+    p_an = sub.add_parser(
+        "analytics", help="run the events analytics-mart pipeline"
+    )
+    p_an.add_argument("--sf", required=True)
+    p_an.add_argument("--out", required=True)
+    p_an.add_argument("--parts", type=int, default=16)
+
     p_q = sub.add_parser("query", help="run one registry query")
     p_q.add_argument("name")
     p_q.add_argument("--sf", required=True)
@@ -79,6 +87,15 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = rd.read_parquet(f"{args.sf}/documents.parquet")
             summary = run_corpus_pipeline(docs, args.out, n_parts=args.parts)
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "analytics":
+            from tcx2graph_jl_ray.pipelines.analytics import (
+                run_analytics_pipeline,
+            )
+
+            summary = run_analytics_pipeline(
+                args.sf, args.out, n_parts=args.parts
+            )
             print(json.dumps(summary, default=str))
         elif args.cmd == "query":
             import pandas as pd

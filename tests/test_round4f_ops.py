@@ -523,3 +523,22 @@ def test_busy_minutes_planted(ray_session):
     assert list(got["minute"]) == ["2024-01-01 10:00", "2024-01-01 09:59"]
     assert list(got["n_events"]) == [5, 3]
     assert list(got["rank"]) == [1, 2]
+
+
+def test_analytics_pipeline_end_to_end(ray_session, tmp_path):
+    from tcx2graph_jl_ray.pipelines.analytics import run_analytics_pipeline
+
+    out = str(tmp_path / "mart")
+    s1 = run_analytics_pipeline("/root/testdata/sf0.001", out, n_parts=4)
+    assert s1["rows"]["sessions"] > 0
+    assert s1["rows"]["growth"] > 0
+    assert s1["rows"]["busy_minutes"] > 0
+    import pyarrow.parquet as pq
+    g = pq.read_table(f"{out}/growth.parquet").to_pandas()
+    assert list(g.columns) == ["day", "new_users", "active_users",
+                               "cum_users"]
+    # resume: a second run over identical input writes nothing new for the
+    # manifested row-scale tables (manifest skips finished partitions)
+    s2 = run_analytics_pipeline("/root/testdata/sf0.001", out, n_parts=4)
+    assert s2["rows"]["sessions"] == s1["rows"]["sessions"]
+    assert s2["fingerprint"] == s1["fingerprint"]
