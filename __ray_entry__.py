@@ -616,6 +616,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _minhash_pairs(sf)
         ),
         "events_busy_minutes": lambda sf: _wd.busy_minutes(_events_ds(sf)),
+        "kg_summary": lambda sf: _an.graph_summary(_transitions(sf)),
+        "dedup_cluster_sizes": lambda sf: _dd.cluster_size_hist(
+            _minhash_clusters(sf)
+        ),
+        "events_monthly_mix": lambda sf: _wd.monthly_type_mix(
+            _events_ds(sf)
+        ),
+        "rel_ship_delay_hist": lambda sf: _rel.ship_delay_hist(sf),
     })
 
 
@@ -1049,4 +1057,14 @@ def oracle_sql() -> dict[str, str]:
             pairs=_dd.minhash_pairs_sql()
         ),
         "events_busy_minutes": _wd.BUSY_MINUTES_SQL_TEMPLATE.format(k=20),
+        "kg_summary": _an.GRAPH_SUMMARY_SQL_TEMPLATE.format(
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            )
+        ),
+        "dedup_cluster_sizes": _dd.CLUSTER_SIZE_HIST_SQL_TEMPLATE.format(
+            clusters=_dd.minhash_clusters_sql()
+        ),
+        "events_monthly_mix": _wd.MONTHLY_TYPE_MIX_SQL,
+        "rel_ship_delay_hist": _rel.SHIP_DELAY_HIST_SQL,
     }

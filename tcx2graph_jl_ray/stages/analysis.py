@@ -3957,3 +3957,81 @@ SELECT role,
          AS avg_tokens
 FROM m GROUP BY role
 """
+
+
+def graph_summary(
+    transitions: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """One-row global summary of the entity transition graph: node count,
+    distinct directed edge count (self-loops excluded), max out-degree, and
+    density = e / (n * (n - 1)) as one division of exact ints (rounded 6)
+    — the at-a-glance gauge a KG dashboard leads with.
+
+    Distinct edges dedupe once; nodes and the degree max reduce
+    distributed; only four scalars reach the driver. Output: n_nodes,
+    n_edges, max_out_degree (int64), density (float64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    edges = bucketed_group_apply(
+        transitions.select_columns(["from_entity", "to_entity"]).map_batches(
+            lambda b: b[b["from_entity"] != b["to_entity"]].drop_duplicates(),
+            batch_format="pandas", batch_size=65536,
+        ),
+        ["from_entity", "to_entity"],
+        lambda b: b.drop_duplicates(),
+        n_buckets=n_buckets,
+    ).materialize()
+    n_edges = edges.count()
+
+    nodes = bucketed_group_apply(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"node": pd.concat(
+                [b["from_entity"], b["to_entity"]], ignore_index=True
+            )}),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda b: b.drop_duplicates(),
+        n_buckets=n_buckets,
+    )
+    n_nodes = nodes.count()
+
+    def out_deg(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("from_entity", sort=False).size()
+        return pd.DataFrame({"from_entity": s.index,
+                             "d": s.to_numpy().astype("int64")})
+
+    od = bucketed_group_apply(
+        edges.select_columns(["from_entity"]), ["from_entity"], out_deg,
+        n_buckets=n_buckets,
+    )
+    max_od = int(od.max("d")) if n_edges else 0
+
+    dens = (
+        np.round(float(n_edges) / float(n_nodes * (n_nodes - 1)), 6)
+        if n_nodes > 1 else 0.0
+    )
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_nodes": pd.array([n_nodes], dtype="int64"),
+        "n_edges": pd.array([n_edges], dtype="int64"),
+        "max_out_degree": pd.array([max_od], dtype="int64"),
+        "density": [dens],
+    }))
+
+
+GRAPH_SUMMARY_SQL_TEMPLATE = """
+WITH tr AS ({transitions}),
+e AS MATERIALIZED (
+  SELECT DISTINCT from_entity AS a, to_entity AS b
+  FROM tr WHERE from_entity <> to_entity
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM (SELECT a FROM e UNION SELECT b FROM e)),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+d AS (SELECT CAST(MAX(cnt) AS BIGINT) AS max_out_degree
+      FROM (SELECT COUNT(*) AS cnt FROM e GROUP BY a))
+SELECT n.n_nodes, m.n_edges, d.max_out_degree,
+       ROUND(CAST(m.n_edges AS DOUBLE)
+             / CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE), 6) AS density
+FROM n, m, d
+"""

@@ -2822,3 +2822,50 @@ d AS (
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM d GROUP BY degree
 """
+
+
+def cluster_size_hist(
+    clusters: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Size histogram of the near-duplicate clusters: how many clusters
+    hold exactly s docs — the companion of ``dedup_degree_hist`` at the
+    component level (template families show as the tail; s=1 is the
+    dedup-clean mass). Two exact count-of-counts shuffles (cluster-keyed,
+    then size-bounded). Output: cluster_size, n_clusters (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_cluster(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("cluster_id", sort=False).size()
+        return pd.DataFrame({"cluster_id": s.index,
+                             "sz": s.to_numpy().astype("int64")})
+
+    sizes = bucketed_group_apply(
+        clusters.select_columns(["cluster_id"]), ["cluster_id"], per_cluster,
+        n_buckets=n_buckets,
+    )
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("sz", sort=False).size()
+        return pd.DataFrame({"cluster_size": s.index.astype("int64"),
+                             "n_clusters": s.to_numpy().astype("int64")})
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("cluster_size", sort=False)["n_clusters"].sum()
+        return pd.DataFrame({"cluster_size": g.index.astype("int64"),
+                             "n_clusters": g.to_numpy().astype("int64")})
+
+    return bucketed_group_apply(
+        sizes.map_batches(hist, batch_format="pandas", batch_size=65536),
+        ["cluster_size"],
+        merge,
+        n_buckets=4,
+    )
+
+
+CLUSTER_SIZE_HIST_SQL_TEMPLATE = """
+WITH c AS ({clusters}),
+s AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM c GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM s GROUP BY cluster_size
+"""

@@ -3399,3 +3399,55 @@ JOIN pc pa ON pa.l_partkey = p.part_a
 JOIN pc pb ON pb.l_partkey = p.part_b
 CROSS JOIN nn
 """
+
+
+def ship_delay_hist(sf_dir: str, n_buckets: int = 8) -> ray.data.Dataset:
+    """Histogram of shipping delay (l_shipdate - o_orderdate in whole
+    days) over all lineitems — the fulfillment-latency distribution behind
+    ``q12_late_lines``' binary late/ontime cut. The order date attaches
+    through the co-partitioned ``hash_join`` on orderkey (orders is a fact,
+    never broadcast); day buckets reduce exact. Output: delay_days,
+    n_items (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    j = hash_join(li, orders, on="l_orderkey", n_buckets=64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            pd.to_datetime(batch["l_shipdate"]).dt.floor("D")
+            - pd.to_datetime(batch["o_orderdate"]).dt.floor("D")
+        ).dt.days.astype("int64")
+        s = d.groupby(d, sort=False).size()
+        return pd.DataFrame({"delay_days": s.index.astype("int64"),
+                             "n_part": s.to_numpy().astype("int64")})
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("delay_days", sort=False)["n_part"].sum()
+        return pd.DataFrame({"delay_days": g.index.astype("int64"),
+                             "n_items": g.to_numpy().astype("int64")})
+
+    return bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["delay_days"],
+        merge,
+        n_buckets=n_buckets,
+    )
+
+
+SHIP_DELAY_HIST_SQL = """
+SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+         AS delay_days,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""

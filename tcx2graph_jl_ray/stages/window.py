@@ -2518,3 +2518,60 @@ r AS (
 SELECT minute, n_events, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
+
+
+def monthly_type_mix(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Monthly event-type mix: counts and within-month share per type —
+    the composition time-series (is the error share creeping up?) next to
+    ``events_type_trend``'s absolute counts. Share is one division of
+    exact ints, rounded 6; per-batch (month, type) partials keep the
+    exchange month*type-bounded. Output: month, event_type, n_events,
+    share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m")
+        g = pd.DataFrame({"month": m, "event_type": batch["event_type"]})\
+            .groupby(["month", "event_type"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def per_month(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["month", "event_type"], sort=False)["n"].sum()\
+            .reset_index(name="n_events")
+        tot = g.groupby("month", sort=False)["n_events"].transform("sum")
+        return pd.DataFrame({
+            "month": g["month"],
+            "event_type": g["event_type"],
+            "n_events": g["n_events"].astype("int64"),
+            "share": np.round(
+                g["n_events"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    parts = events.select_columns(["ts", "event_type"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    # month buckets hold every type row of a month, so the within-month
+    # total is local to the apply
+    return bucketed_group_apply(
+        parts, ["month"], per_month, n_buckets=n_buckets
+    )
+
+
+MONTHLY_TYPE_MIX_SQL = """
+WITH c AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT month, event_type, n_events,
+       ROUND(CAST(n_events AS DOUBLE)
+             / CAST(SUM(n_events) OVER (PARTITION BY month) AS DOUBLE), 6)
+         AS share
+FROM c
+"""

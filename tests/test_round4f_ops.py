@@ -542,3 +542,36 @@ def test_analytics_pipeline_end_to_end(ray_session, tmp_path):
     s2 = run_analytics_pipeline("/root/testdata/sf0.001", out, n_parts=4)
     assert s2["rows"]["sessions"] == s1["rows"]["sessions"]
     assert s2["fingerprint"] == s1["fingerprint"]
+
+
+def test_graph_summary_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import graph_summary
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b"), ("c", "c")]
+    df = pd.DataFrame({
+        "from_entity": [e[0] for e in edges],
+        "to_entity": [e[1] for e in edges],
+        "n": pd.array([1] * len(edges), dtype="int64"),
+    })
+    got = graph_summary(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().iloc[0]
+    assert got["n_nodes"] == 3 and got["n_edges"] == 3
+    assert got["max_out_degree"] == 2
+    assert got["density"] == np.round(3 / 6, 6)
+
+
+def test_monthly_mix_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import monthly_type_mix
+
+    ts = ["2024-01-05", "2024-01-06", "2024-01-07", "2024-02-01"]
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype="int64"),
+        "ts": pd.to_datetime(ts),
+        "event_type": ["click", "click", "view", "view"],
+    })
+    got = monthly_type_mix(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values(["month", "event_type"]).reset_index(drop=True)
+    assert list(got["n_events"]) == [2, 1, 1]
+    assert list(got["share"]) == [np.round(2 / 3, 6), np.round(1 / 3, 6), 1.0]
