@@ -624,6 +624,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf)
         ),
         "rel_ship_delay_hist": lambda sf: _rel.ship_delay_hist(sf),
+        "events_session_overlap": lambda sf: _wd.session_overlap_join(
+            _events_ds(sf), gap_s=_SESSION_GAP_S
+        ),
     })
 
 
@@ -1067,4 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_monthly_mix": _wd.MONTHLY_TYPE_MIX_SQL,
         "rel_ship_delay_hist": _rel.SHIP_DELAY_HIST_SQL,
+        "events_session_overlap": _wd.SESSION_OVERLAP_SQL_TEMPLATE.format(
+            sessions=_wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S)
+        ),
     }

@@ -2575,3 +2575,121 @@ SELECT month, event_type, n_events,
          AS share
 FROM c
 """
+
+
+def session_overlap_join(
+    events: ray.data.Dataset,
+    gap_s: float = 1800.0,
+    cell_s: int = 3600,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """INTERVAL self-join over the session table: all pairs of sessions
+    from DIFFERENT users whose [first_ts, last_ts] spans intersect — who
+    was on concurrently — the join family's interval member next to
+    asof / range / band (an interval has no equi-key; the partition is the
+    algorithm, ``events_value_band_join``'s discipline on the time axis).
+
+    Tiling shape: the time axis splits into ``cell_s``-second cells; every
+    session replicates into EACH cell its span touches; an overlapping
+    pair co-locates in every shared cell and is emitted EXACTLY ONCE by
+    the canonical-cell rule (only in the cell holding the later start —
+    the overlap's first instant lives in exactly one cell). Inside a cell
+    the pairs come from one sort-by-start + ``searchsorted`` window sweep
+    (overlap for j after i in start order is exactly start_j <= last_i) —
+    output-bounded, no all-pairs. Microsecond integers throughout. Output:
+    user_a, session_a, user_b, session_b (user_a < user_b),
+    overlap_us:int64."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    cell_us = int(cell_s) * 1_000_000
+    sessions = sessionize(events, gap_s=gap_s)
+
+    def tiled(batch: pd.DataFrame) -> pd.DataFrame:
+        f = pd.to_datetime(batch["first_ts"]).astype("datetime64[us]")\
+            .astype("int64").to_numpy()
+        l = pd.to_datetime(batch["last_ts"]).astype("datetime64[us]")\
+            .astype("int64").to_numpy()
+        c0 = f // cell_us
+        c1 = l // cell_us
+        reps = (c1 - c0 + 1).astype("int64")
+        idx = np.repeat(np.arange(len(batch)), reps)
+        offs = np.zeros(len(batch), dtype="int64")
+        np.cumsum(reps[:-1], out=offs[1:])
+        cell = (np.arange(reps.sum()) - np.repeat(offs, reps)
+                + np.repeat(c0, reps))
+        return pd.DataFrame({
+            "cell": cell,
+            "user_id": batch["user_id"].astype("int64").to_numpy()[idx],
+            "session_idx": batch["session_idx"].astype("int64")
+            .to_numpy()[idx],
+            "f": f[idx],
+            "l": l[idx],
+        })
+
+    def per_cell(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_a": pd.Series([], dtype="int64"),
+            "session_a": pd.Series([], dtype="int64"),
+            "user_b": pd.Series([], dtype="int64"),
+            "session_b": pd.Series([], dtype="int64"),
+            "overlap_us": pd.Series([], dtype="int64"),
+        })
+        out = [empty]
+        for cell, g in bucket.groupby("cell", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["f", "user_id", "session_idx"],
+                              kind="mergesort")
+            f = g["f"].to_numpy()
+            l = g["l"].to_numpy()
+            u = g["user_id"].to_numpy()
+            s = g["session_idx"].to_numpy()
+            hi = np.searchsorted(f, l, side="right")
+            lo = np.arange(len(g)) + 1
+            counts = np.maximum(hi - lo, 0)
+            if not counts.sum():
+                continue
+            offs = np.zeros(len(g), dtype="int64")
+            np.cumsum(counts[:-1], out=offs[1:])
+            i = np.repeat(np.arange(len(g)), counts)
+            j = (np.arange(counts.sum()) - np.repeat(offs, counts)
+                 + np.repeat(lo, counts))
+            # canonical cell: emit only where the LATER start falls here;
+            # cross-user only
+            keep = (f[j] // cell_us == cell) & (u[i] != u[j])
+            i, j = i[keep], j[keep]
+            if not len(i):
+                continue
+            swap = u[i] > u[j]
+            ua = np.where(swap, u[j], u[i])
+            ub = np.where(swap, u[i], u[j])
+            sa = np.where(swap, s[j], s[i])
+            sb = np.where(swap, s[i], s[j])
+            out.append(pd.DataFrame({
+                "user_a": ua, "session_a": sa,
+                "user_b": ub, "session_b": sb,
+                "overlap_us": np.minimum(l[i], l[j]) - f[j],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        sessions.map_batches(tiled, batch_format="pandas", batch_size=65536),
+        ["cell"],
+        per_cell,
+        n_buckets=n_buckets,
+    )
+
+
+SESSION_OVERLAP_SQL_TEMPLATE = """
+WITH s AS MATERIALIZED ({sessions})
+SELECT a.user_id AS user_a,
+       a.session_idx AS session_a,
+       b.user_id AS user_b,
+       b.session_idx AS session_b,
+       epoch_us(least(a.last_ts, b.last_ts))
+         - epoch_us(greatest(a.first_ts, b.first_ts)) AS overlap_us
+FROM s a JOIN s b
+  ON a.user_id < b.user_id
+ AND a.first_ts <= b.last_ts
+ AND b.first_ts <= a.last_ts
+"""

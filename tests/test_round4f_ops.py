@@ -575,3 +575,31 @@ def test_monthly_mix_planted(ray_session):
     ).to_pandas().sort_values(["month", "event_type"]).reset_index(drop=True)
     assert list(got["n_events"]) == [2, 1, 1]
     assert list(got["share"]) == [np.round(2 / 3, 6), np.round(1 / 3, 6), 1.0]
+
+
+def test_session_overlap_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import session_overlap_join
+
+    # u1 session spans 10:00-12:30 (crosses 3 hourly cells);
+    # u2 session 12:00-12:10 overlaps it (10 min); u3 at 15:00 overlaps
+    # nothing; same-user overlap never happens by construction
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:20:00"),
+        (1, "2024-01-01 10:45:00"), (1, "2024-01-01 11:10:00"),
+        (1, "2024-01-01 11:40:00"), (1, "2024-01-01 12:05:00"),
+        (1, "2024-01-01 12:30:00"),
+        (2, "2024-01-01 12:00:00"), (2, "2024-01-01 12:10:00"),
+        (3, "2024-01-01 15:00:00"),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "ts": pd.to_datetime([r[1] for r in rows]),
+    })
+    got = session_overlap_join(
+        ray.data.from_pandas(df).repartition(3)
+    ).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert r["overlap_us"] == 10 * 60 * 1_000_000
