@@ -627,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_overlap": lambda sf: _wd.session_overlap_join(
             _events_ds(sf), gap_s=_SESSION_GAP_S
         ),
+        "text_collocations": lambda sf: _tx.collocations(_docs(sf)),
     })
 
 
@@ -1072,5 +1073,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_ship_delay_hist": _rel.SHIP_DELAY_HIST_SQL,
         "events_session_overlap": _wd.SESSION_OVERLAP_SQL_TEMPLATE.format(
             sessions=_wd.SESSIONIZE_SQL_TEMPLATE.format(gap_s=_SESSION_GAP_S)
+        ),
+        "text_collocations": _tx.COLLOCATIONS_SQL_TEMPLATE.format(
+            min_n=5, k_top=50
         ),
     }

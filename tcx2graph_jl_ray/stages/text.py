@@ -2788,3 +2788,169 @@ SELECT source,
              / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
 FROM c GROUP BY source
 """
+
+
+def collocations(
+    docs: ray.data.Dataset,
+    min_n: int = 5,
+    k_top: int = 50,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Corpus collocations: the ``k_top`` word bigrams (count >= ``min_n``)
+    ranked by LIFT — n_ab·N / (n_a·n_b), the linear association measure
+    (the log of it is PMI; staying linear keeps the score ONE exact-int
+    division, the ``rel_basket_lift`` discipline — libm-free). "new york"
+    scores high, "of the" scores ~1. Ties break by bigram text.
+
+    Shape: unigram and bigram counts each reduce through per-batch partials
+    + a bucketed exact sum; the two unigram attachments are co-partitioned
+    ``hash_join``s on the word (no vocab broadcast); the global top-k is a
+    per-bucket local head-k + one <= n_buckets*k_top-row driver merge
+    (``events_busy_minutes``). int64 bound: n_ab·N must fit (any corpus
+    under ~2^31 tokens with bigram counts under ~2^31 does; beyond that,
+    scale N down by documented sampling). Output: w1, w2, n_ab, n_a, n_b,
+    lift, rank."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    nn = docs.select_columns(["text"]).map_batches(
+        _nonnull_text, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(" ")
+        words = [w for ws in toks for w in ws if w]
+        c = pd.Series(words).value_counts()
+        return pd.DataFrame({"w": c.index, "n": c.to_numpy().astype("int64")})
+
+    def bi_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(" ").map(
+            lambda ws: [w for w in ws if w]
+        )
+        pairs = [
+            (ws[i], ws[i + 1])
+            for ws in toks for i in range(len(ws) - 1)
+        ]
+        if not pairs:
+            return pd.DataFrame({
+                "w1": pd.Series([], dtype="object"),
+                "w2": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        df = pd.DataFrame(pairs, columns=["w1", "w2"])
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def sum_uni(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("w", sort=False)["n"].sum()
+        return pd.DataFrame({"w": g.index,
+                             "n": g.to_numpy().astype("int64")})
+
+    def sum_bi(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        g = g[g["n"] >= min_n]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    uni = bucketed_group_apply(
+        nn.map_batches(uni_partial, batch_format="pandas", batch_size=4096),
+        ["w"], sum_uni, n_buckets=n_buckets,
+    ).materialize()
+    n_total = int(uni.sum("n"))
+    bi = bucketed_group_apply(
+        nn.map_batches(bi_partial, batch_format="pandas", batch_size=4096),
+        ["w1", "w2"], sum_bi, n_buckets=n_buckets,
+    )
+
+    j1 = hash_join(
+        bi.map_batches(
+            lambda b: b.rename(columns={"n": "n_ab", "w1": "w"}),
+            batch_format="pandas",
+        ),
+        uni.map_batches(
+            lambda b: b.rename(columns={"n": "n_a"}), batch_format="pandas",
+        ),
+        on="w",
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.rename(columns={"w": "w1", "w2": "w"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1,
+        uni.map_batches(
+            lambda b: b.rename(columns={"n": "n_b"}), batch_format="pandas",
+        ),
+        on="w",
+        n_buckets=n_buckets,
+    )
+
+    def local_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({
+            "w1": bucket["w1"], "w2": bucket["w"],
+            "n_ab": bucket["n_ab"].astype("int64"),
+            "n_a": bucket["n_a"].astype("int64"),
+            "n_b": bucket["n_b"].astype("int64"),
+        })
+        b["lift"] = np.round(
+            (b["n_ab"].to_numpy() * np.int64(n_total)).astype("float64")
+            / (b["n_a"].to_numpy() * b["n_b"].to_numpy()).astype("float64"),
+            6,
+        )
+        return b.sort_values(["lift", "w1", "w2"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(k_top)
+
+    cands = bucketed_group_apply(
+        j2, ["w1", "w"], local_top, n_buckets=8
+    ).to_pandas()  # <= 8 * k_top rows
+    if not len(cands):
+        return pd.DataFrame({
+            "w1": pd.Series([], dtype="object"),
+            "w2": pd.Series([], dtype="object"),
+            "n_ab": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "lift": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int64"),
+        })
+    top = cands.sort_values(
+        ["lift", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(k_top).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype="int64")
+    return ray.data.from_pandas(top)
+
+
+COLLOCATIONS_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(l) AS w FROM tk) GROUP BY w
+),
+nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT l[i] AS w1, l[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM tk, unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_n}
+),
+s AS (
+  SELECT b.w1, b.w2, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+         ROUND(CAST(b.n_ab * nn.n AS DOUBLE)
+               / CAST(ua.n * ub.n AS DOUBLE), 6) AS lift
+  FROM bi b JOIN uni ua ON ua.w = b.w1
+  JOIN uni ub ON ub.w = b.w2
+  CROSS JOIN nn
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rank
+  FROM s
+)
+SELECT w1, w2, n_ab, n_a, n_b, lift, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k_top}
+"""

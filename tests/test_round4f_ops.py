@@ -603,3 +603,26 @@ def test_session_overlap_planted(ray_session):
     r = got.iloc[0]
     assert (r["user_a"], r["user_b"]) == (1, 2)
     assert r["overlap_us"] == 10 * 60 * 1_000_000
+
+
+def test_collocations_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import collocations
+
+    # "new york" always adjacent (lift high); "of the" adjacent but both
+    # words everywhere (lift ~ 1)
+    texts = ["new york of the"] * 5 + ["of it the end"] * 5
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["a"] * len(texts),
+        "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+    })
+    got = collocations(
+        ray.data.from_pandas(df).repartition(3), min_n=5, k_top=3
+    ).to_pandas()
+    assert list(got["rank"]) == [1, 2, 3]
+    r1 = got.iloc[0]
+    # N = 40 tokens; new:5 york:5 ab:5 -> lift = 5*40/25 = 8
+    assert (r1["w1"], r1["w2"]) == ("new", "york")
+    assert r1["lift"] == 8.0
