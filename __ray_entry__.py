@@ -628,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf), gap_s=_SESSION_GAP_S
         ),
         "text_collocations": lambda sf: _tx.collocations(_docs(sf)),
+        "text_dup_sentences": lambda sf: _tx.dup_sentences(_docs(sf)),
+        "rel_trade_balance": lambda sf: _rel.trade_balance(sf),
     })
 
 
@@ -1077,4 +1079,8 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations": _tx.COLLOCATIONS_SQL_TEMPLATE.format(
             min_n=5, k_top=50
         ),
+        "text_dup_sentences": _tx.DUP_SENTENCES_SQL_TEMPLATE.format(
+            min_docs=2, k_top=50
+        ),
+        "rel_trade_balance": _rel.TRADE_BALANCE_SQL,
     }

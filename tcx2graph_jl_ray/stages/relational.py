@@ -3451,3 +3451,127 @@ SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
 """
+
+
+def trade_balance(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-nation trade balance: revenue its customers SPENT vs revenue its
+    suppliers EARNED over the same lineitems, and the signed balance — the
+    two-role rollup that exercises BOTH dimension paths of the schema at
+    once (customer->nation via orders, supplier->nation directly).
+
+    Exactness: revenue accumulates in 1e-4-scaled int64
+    (price x (1-discount) is exact there — functions/money.py); the
+    balance is a difference of the two HALF-UP-rounded cent totals, so
+    bought - sold == balance holds to the cent by construction. Scale
+    shape: lineitem joins orders through the co-partitioned ``hash_join``
+    (fact x fact); the two nation attachments broadcast (bounded dims);
+    partial per-nation sums reduce through a nation-bounded shuffle.
+    Output: n_name, bought, sold, balance."""
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import (
+        money_from_scaled4,
+        rev_scaled4,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    n_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cust_nation = ray.put({
+        k: n_names[v] for k, v in zip(cust["c_custkey"], cust["c_nationkey"])
+    })
+    supp_nation = ray.put({
+        k: n_names[v] for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+    })
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    j = hash_join(li, orders, on="l_orderkey", n_buckets=n_buckets)
+
+    class _Partial:
+        def __init__(self, cref, sref):
+            self.cn = ray.get(cref)
+            self.sn = ray.get(sref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rev = rev_scaled4(batch["l_extendedprice"], batch["l_discount"])
+            buy = pd.DataFrame({
+                "n_name": batch["o_custkey"].map(self.cn),
+                "bought_s": rev, "sold_s": np.int64(0),
+            })
+            sell = pd.DataFrame({
+                "n_name": batch["l_suppkey"].map(self.sn),
+                "bought_s": np.int64(0), "sold_s": rev,
+            })
+            both = pd.concat([buy, sell], ignore_index=True)
+            g = both.groupby("n_name", sort=False).agg(
+                bought_s=("bought_s", "sum"), sold_s=("sold_s", "sum")
+            )
+            return g.reset_index()
+
+    parts = j.map_batches(
+        _Partial, fn_constructor_args=(cust_nation, supp_nation),
+        batch_format="pandas", batch_size=65536, concurrency=(1, 8),
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_name", sort=False).agg(
+            bought_s=("bought_s", "sum"), sold_s=("sold_s", "sum")
+        ).reset_index()
+        bought = [money_from_scaled4(v) for v in g["bought_s"]]
+        sold = [money_from_scaled4(v) for v in g["sold_s"]]
+        return pd.DataFrame({
+            "n_name": g["n_name"],
+            "bought": bought,
+            "sold": sold,
+            # difference of the two rounded cent totals: add in cents, not
+            # dollars, so no float subtraction error can appear
+            "balance": [
+                (round(b * 100) - round(s * 100)) / 100.0
+                for b, s in zip(bought, sold)
+            ],
+        })
+
+    return bucketed_group_apply(parts, ["n_name"], merge, n_buckets=4)
+
+
+TRADE_BALANCE_SQL = f"""
+WITH buy AS (
+  SELECT n.n_name, SUM({sql_rev_scaled4('l.l_extendedprice', 'l.l_discount')}) AS s
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+sell AS (
+  SELECT n.n_name, SUM({sql_rev_scaled4('l.l_extendedprice', 'l.l_discount')}) AS s
+  FROM lineitem l
+  JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = sp.s_nationkey
+  GROUP BY n.n_name
+)
+SELECT COALESCE(b.n_name, s.n_name) AS n_name,
+       CAST((COALESCE(b.s, 0) + 50) // 100 AS DOUBLE) / 100.0 AS bought,
+       CAST((COALESCE(s.s, 0) + 50) // 100 AS DOUBLE) / 100.0 AS sold,
+       CAST((COALESCE(b.s, 0) + 50) // 100
+            - (COALESCE(s.s, 0) + 50) // 100 AS DOUBLE) / 100.0 AS balance
+FROM buy b FULL OUTER JOIN sell s USING (n_name)
+"""

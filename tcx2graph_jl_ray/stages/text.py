@@ -2954,3 +2954,83 @@ r AS (
 SELECT w1, w2, n_ab, n_a, n_b, lift, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k_top}
 """
+
+
+def dup_sentences(
+    docs: ray.data.Dataset,
+    min_docs: int = 2,
+    k_top: int = 50,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Boilerplate sentence detection: sentences (maximal [.!?]-delimited,
+    whitespace-trimmed, lowercased) that appear in at least ``min_docs``
+    DISTINCT documents, top-``k_top`` by reach — the repeated-footer /
+    template-paragraph signal that gram-level dedup
+    (``dedup_substring_grams``) pays k-gram granularity for.
+
+    Shape: per-batch explode + (sentence, doc) dedup (documents are one
+    row per doc, so per-batch pairs are final), one sentence-bucketed
+    exact distinct-doc count (a boilerplate whale's rows split across the
+    dedup partial first), per-bucket local head-k, bounded driver merge
+    (``events_busy_minutes``). Output: sentence, n_docs, rank."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        parts = b["text"].str.lower().str.split(r"[.!?]+", regex=True)
+        df = pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"), "sentence": parts,
+        }).explode("sentence")
+        df["sentence"] = df["sentence"].str.strip()
+        df = df[df["sentence"].notna() & (df["sentence"] != "")]
+        return df.drop_duplicates()
+
+    pairs = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas", batch_size=4096
+    )
+
+    def count_docs(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        s = d.groupby("sentence", sort=False).size()
+        g = pd.DataFrame({"sentence": s.index,
+                          "n_docs": s.to_numpy().astype("int64")})
+        g = g[g["n_docs"] >= min_docs]
+        return g.sort_values(["n_docs", "sentence"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k_top)
+
+    cands = bucketed_group_apply(
+        pairs, ["sentence"], count_docs, n_buckets=n_buckets
+    ).to_pandas()  # <= n_buckets * k_top rows
+    if not len(cands):
+        return pd.DataFrame({
+            "sentence": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+        })
+    top = cands.sort_values(
+        ["n_docs", "sentence"], ascending=[False, True], kind="mergesort"
+    ).head(k_top).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype="int64")
+    return ray.data.from_pandas(top)
+
+
+DUP_SENTENCES_SQL_TEMPLATE = """
+WITH s AS (
+  SELECT DISTINCT doc_id,
+         trim(unnest(string_split_regex(lower(text), '[.!?]+'))) AS sentence
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT sentence, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM s WHERE sentence <> ''
+  GROUP BY sentence HAVING COUNT(*) >= {min_docs}
+),
+r AS (
+  SELECT sentence, n_docs,
+         ROW_NUMBER() OVER (ORDER BY n_docs DESC, sentence) AS rank
+  FROM c
+)
+SELECT sentence, n_docs, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k_top}
+"""

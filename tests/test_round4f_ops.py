@@ -626,3 +626,31 @@ def test_collocations_planted(ray_session):
     # N = 40 tokens; new:5 york:5 ab:5 -> lift = 5*40/25 = 8
     assert (r1["w1"], r1["w2"]) == ("new", "york")
     assert r1["lift"] == 8.0
+
+
+def test_dup_sentences_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import dup_sentences
+
+    texts = [
+        "Unique opening. All rights reserved. Something else!",
+        "Another doc here. All rights reserved.",
+        "all rights reserved. Totally different? All rights reserved.",
+        None,
+    ]
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["a"] * len(texts),
+        "n_chars": pd.array(
+            [len(t) if t else 0 for t in texts], dtype="int64"
+        ),
+    })
+    got = dup_sentences(
+        ray.data.from_pandas(df).repartition(2), min_docs=2, k_top=5
+    ).to_pandas()
+    # "all rights reserved" reaches 3 docs (doc 2's double counts once)
+    assert got.iloc[0]["sentence"] == "all rights reserved"
+    assert got.iloc[0]["n_docs"] == 3
+    assert (got["n_docs"] >= 2).all()
+    assert len(got) == 1
