@@ -630,6 +630,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations": lambda sf: _tx.collocations(_docs(sf)),
         "text_dup_sentences": lambda sf: _tx.dup_sentences(_docs(sf)),
         "rel_trade_balance": lambda sf: _rel.trade_balance(sf),
+        "events_type_affinity": lambda sf: _wd.type_affinity(_events_ds(sf)),
+        "events_daily_autocorr": lambda sf: _wd.daily_autocorr(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1083,4 +1087,6 @@ def oracle_sql() -> dict[str, str]:
             min_docs=2, k_top=50
         ),
         "rel_trade_balance": _rel.TRADE_BALANCE_SQL,
+        "events_type_affinity": _wd.TYPE_AFFINITY_SQL,
+        "events_daily_autocorr": _wd.DAILY_AUTOCORR_SQL,
     }

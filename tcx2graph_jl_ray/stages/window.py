@@ -2693,3 +2693,233 @@ FROM s a JOIN s b
  AND a.first_ts <= b.last_ts
  AND b.first_ts <= a.last_ts
 """
+
+
+def type_affinity(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Event-type affinity: for every pair of types, how many users did
+    BOTH, with lift against independence — the bipartite user-type
+    projection (the ``rel_basket_lift`` shape with users as baskets), i.e.
+    "users who error also purchase?".
+
+    All-integer counts; lift = one division of exact int64 products,
+    rounded 6. Distinct (user, type) pairs reduce through a user-keyed
+    dedup; per-user type sets are type-bounded, so the pair explosion
+    inside the bucket apply is |types|^2-bounded per user. Output: type_a,
+    type_b (a < b), n_both, n_a, n_b, lift."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    ut = bucketed_group_apply(
+        events.select_columns(["user_id", "event_type"]).map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas",
+            batch_size=65536,
+        ),
+        ["user_id"],
+        lambda b: b.drop_duplicates(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def pair_partial(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["user_id", "event_type"], kind="mergesort")
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        g = m.groupby(["event_type_x", "event_type_y"], sort=False).size()
+        out = g.reset_index(name="n")
+        out.columns = ["type_a", "type_b", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pair_counts = bucketed_group_apply(
+        ut, ["user_id"], pair_partial, n_buckets=n_buckets
+    )
+
+    def type_partial(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("event_type", sort=False).size()
+        return pd.DataFrame({"event_type": s.index,
+                             "n_t": s.to_numpy().astype("int64")})
+
+    tc = bucketed_group_apply(
+        ut.select_columns(["event_type"]), ["event_type"], type_partial,
+        n_buckets=4,
+    ).to_pandas()  # type-bounded small side
+    n_users = int(
+        bucketed_group_apply(
+            ut.select_columns(["user_id"]), ["user_id"],
+            lambda b: b.drop_duplicates(), n_buckets=n_buckets,
+        ).count()
+    )
+    t_counts = ray.put(dict(zip(tc["event_type"], tc["n_t"])))
+
+    class _Lift:
+        def __init__(self, ref, n):
+            self.t = ray.get(ref)
+            self.n = np.int64(n)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            g = batch.groupby(["type_a", "type_b"], sort=False)["n"].sum()\
+                .reset_index(name="n_both")
+            na = g["type_a"].map(self.t).to_numpy(dtype="int64")
+            nb = g["type_b"].map(self.t).to_numpy(dtype="int64")
+            nboth = g["n_both"].astype("int64").to_numpy()
+            return pd.DataFrame({
+                "type_a": g["type_a"], "type_b": g["type_b"],
+                "n_both": nboth, "n_a": na, "n_b": nb,
+                "lift": np.round(
+                    (nboth * self.n).astype("float64")
+                    / (na * nb).astype("float64"), 6
+                ),
+            })
+
+    return bucketed_group_apply(
+        pair_counts, ["type_a", "type_b"],
+        lambda b: b.groupby(["type_a", "type_b"], sort=False)["n"].sum()
+        .reset_index(),
+        n_buckets=4,
+    ).map_batches(
+        _Lift, fn_constructor_args=(t_counts, n_users),
+        batch_format="pandas", concurrency=(1, 2),
+    )
+
+
+TYPE_AFFINITY_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+       FROM ut GROUP BY event_type),
+nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ut),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, ta.n_t AS n_a, tb.n_t AS n_b,
+       ROUND(CAST(p.n_both * nn.n AS DOUBLE)
+             / CAST(ta.n_t * tb.n_t AS DOUBLE), 6) AS lift
+FROM p
+JOIN tc ta ON ta.event_type = p.type_a
+JOIN tc tb ON tb.event_type = p.type_b
+CROSS JOIN nn
+"""
+
+
+def daily_autocorr(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Lag-1 autocorrelation of each event type's DAILY count series — the
+    trend-memory diagnostic (is today's error volume predicted by
+    yesterday's?) in the exact-integer Pearson discipline of
+    ``events_corr_value_hour``: the (x_t, x_{t+1}) pairs over consecutive
+    calendar days are all-integer, the six sufficient statistics stay
+    exact, and the final correlation is ONE shared double expression
+    rounded 6. Days with zero events count as 0 (the series is dense over
+    the [min_day, max_day] span per type).
+
+    The per-(type, day) reduce is time-bounded, so the series assembles in
+    a type-keyed apply (a 100-year log is ~37k points per type — the
+    ``rel_part_pareto`` dimension-bounded discipline). Zero-variance
+    series drop on both sides. Output: event_type, n_days, autocorr."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["ts"]).dt.floor("D")
+        g = pd.DataFrame({"event_type": batch["event_type"], "day": d})\
+            .groupby(["event_type", "day"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_day = bucketed_group_apply(
+        events.select_columns(["ts", "event_type"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["event_type", "day"],
+        lambda b: b.groupby(["event_type", "day"], sort=False)["n"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def per_type(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_days": pd.Series([], dtype="int64"),
+            "autocorr": pd.Series([], dtype="float64"),
+        })
+        out = [empty]
+        for t, g in bucket.groupby("event_type", sort=False):
+            g = g.sort_values("day", kind="mergesort")
+            days = g["day"].to_numpy()
+            span = pd.date_range(days[0], days[-1], freq="D")
+            series = pd.Series(0, index=span, dtype="int64")
+            series.loc[g["day"]] = g["n"].to_numpy()
+            x = series.to_numpy()
+            if len(x) < 2:
+                continue
+            a, b = x[:-1].astype(object), x[1:].astype(object)
+            n = len(a)
+            sx, sy = sum(a), sum(b)
+            sxy = sum(a * b)
+            sx2, sy2 = sum(a * a), sum(b * b)
+            vx = n * sx2 - sx * sx
+            vy = n * sy2 - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            corr = float(n * sxy - sx * sy) / float(
+                np.sqrt(float(vx) * float(vy))
+            )
+            out.append(pd.DataFrame({
+                "event_type": [t],
+                "n_days": np.array([len(x)], dtype="int64"),
+                "autocorr": [np.round(corr, 6)],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        per_day, ["event_type"], per_type, n_buckets=4
+    )
+
+
+DAILY_AUTOCORR_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM c
+  GROUP BY event_type
+),
+cal AS (
+  SELECT unnest(CAST(generate_series(
+           (SELECT MIN(CAST(ts AS DATE)) FROM events),
+           (SELECT MAX(CAST(ts AS DATE)) FROM events),
+           INTERVAL 1 DAY) AS DATE[])) AS day
+),
+dense AS (
+  SELECT s.event_type, cal.day, COALESCE(c.n, 0) AS n
+  FROM spans s
+  JOIN cal ON cal.day BETWEEN s.d0 AND s.d1
+  LEFT JOIN c ON c.event_type = s.event_type AND c.day = cal.day
+),
+pairs AS (
+  SELECT event_type, n AS x,
+         LEAD(n) OVER (PARTITION BY event_type ORDER BY day) AS y
+  FROM dense
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM pairs WHERE y IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n + 1 AS BIGINT) AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) AS autocorr
+FROM s
+WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+"""

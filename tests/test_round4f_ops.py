@@ -654,3 +654,48 @@ def test_dup_sentences_planted(ray_session):
     assert got.iloc[0]["n_docs"] == 3
     assert (got["n_docs"] >= 2).all()
     assert len(got) == 1
+
+
+def test_type_affinity_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import type_affinity
+
+    # 4 users: u1 {a,b}, u2 {a,b}, u3 {a}, u4 {b} -> n_a=3, n_b=3, both=2
+    rows = [(1, "a"), (1, "b"), (1, "a"),
+            (2, "a"), (2, "b"), (3, "a"), (4, "b")]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "event_type": [r[1] for r in rows],
+    })
+    got = type_affinity(
+        ray.data.from_pandas(df).repartition(3)
+    ).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["lift"] == np.round(2 * 4 / 9, 6)
+
+
+def test_daily_autocorr_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import daily_autocorr
+
+    # type "up": counts 1,2,3,4,5 over 5 days -> autocorr 1.0
+    # type "gap": events on day 1 and day 3 only -> dense series 1,0,1 ->
+    # pairs (1,0),(0,1): corr = -1.0
+    rows = []
+    for d in range(5):
+        rows += [("up", f"2024-01-0{d+1}")] * (d + 1)
+    rows += [("gap", "2024-02-01"), ("gap", "2024-02-03")]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "event_type": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows]),
+    })
+    got = daily_autocorr(
+        ray.data.from_pandas(df).repartition(3)
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert list(got["event_type"]) == ["gap", "up"]
+    assert list(got["n_days"]) == [3, 5]
+    assert got.loc[1, "autocorr"] == 1.0
+    assert got.loc[0, "autocorr"] == -1.0
