@@ -634,6 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_autocorr": lambda sf: _wd.daily_autocorr(
             _events_ds(sf)
         ),
+        "kg_tool_chains": lambda sf: _an.tool_chains(_transcripts(sf)),
+        "events_user_lifetimes": lambda sf: _wd.user_lifetimes(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1089,4 +1093,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_trade_balance": _rel.TRADE_BALANCE_SQL,
         "events_type_affinity": _wd.TYPE_AFFINITY_SQL,
         "events_daily_autocorr": _wd.DAILY_AUTOCORR_SQL,
+        "kg_tool_chains": _an.TOOL_CHAINS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "events_user_lifetimes": _wd.USER_LIFETIMES_SQL,
     }

@@ -4035,3 +4035,62 @@ SELECT n.n_nodes, m.n_edges, d.max_out_degree,
              / CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE), 6) AS density
 FROM n, m, d
 """
+
+
+def tool_chains(
+    transcripts: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Tool-call chains: counts of consecutive (tool -> next tool) calls
+    within a conversation, adjacency taken over the TOOL TURNS ONLY (the
+    assistant/user turns between them don't break a chain) — the workflow
+    mining view on top of ``tool_stats`` (which tools pipeline into which).
+
+    Order-dependent per conversation: conv streams co-locate whole, the
+    next-tool column is one vectorized in-group shift over the tool-turn
+    subsequence, pair counts reduce in a tool-pair-bounded second shuffle.
+    Output: tool_a, tool_b, n (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        d = d[d["tool"].notna()]
+        if not len(d):
+            return pd.DataFrame({
+                "tool_a": pd.Series([], dtype="object"),
+                "tool_b": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        nxt = d.groupby("conv_id", sort=False)["tool"].shift(-1)
+        k = nxt.notna()
+        g = pd.DataFrame({"tool_a": d["tool"][k], "tool_b": nxt[k]})\
+            .groupby(["tool_a", "tool_b"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "tool"]),
+        ["conv_id"],
+        per_conv,
+        n_buckets=n_buckets,
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["tool_a", "tool_b"], sort=False)["n"].sum()
+        return g.reset_index().astype({"n": "int64"})
+
+    return bucketed_group_apply(parts, ["tool_a", "tool_b"], merge,
+                                n_buckets=4)
+
+
+TOOL_CHAINS_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+seq AS (
+  SELECT tool AS tool_a,
+         LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_b
+  FROM t WHERE tool IS NOT NULL
+)
+SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE tool_b IS NOT NULL
+GROUP BY tool_a, tool_b
+"""

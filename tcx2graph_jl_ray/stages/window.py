@@ -2923,3 +2923,68 @@ SELECT event_type,
 FROM s
 WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
 """
+
+
+def user_lifetimes(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-user lifetime profile: first/last active day, span in days,
+    distinct active days, and total events — the user dimension table the
+    growth curve (``events_user_growth``) aggregates away. All-integer /
+    date-string output; one user-keyed shuffle over per-batch
+    (user, day) partials. Output: user_id, first_day, last_day, span_days,
+    active_days, n_events."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "day": pd.to_datetime(batch["ts"]).dt.floor("D"),
+        })
+        g = d.groupby(["user_id", "day"], sort=False).size().reset_index(
+            name="n"
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.groupby(["user_id", "day"], sort=False)["n"].sum()\
+            .reset_index()
+        g = d.groupby("user_id", sort=False).agg(
+            first=("day", "min"), last=("day", "max"),
+            active_days=("day", "size"), n_events=("n", "sum"),
+        )
+        return pd.DataFrame({
+            "user_id": g.index.astype("int64"),
+            "first_day": g["first"].dt.strftime("%Y-%m-%d"),
+            "last_day": g["last"].dt.strftime("%Y-%m-%d"),
+            "span_days": ((g["last"] - g["first"]).dt.days + 1)
+            .astype("int64"),
+            "active_days": g["active_days"].astype("int64"),
+            "n_events": g["n_events"].astype("int64"),
+        })
+
+    return bucketed_group_apply(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id"],
+        per_user,
+        n_buckets=n_buckets,
+    )
+
+
+USER_LIFETIMES_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(MIN(day), '%Y-%m-%d') AS first_day,
+       strftime(MAX(day), '%Y-%m-%d') AS last_day,
+       CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+         AS span_days,
+       CAST(COUNT(*) AS BIGINT) AS active_days,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM d GROUP BY user_id
+"""

@@ -699,3 +699,51 @@ def test_daily_autocorr_planted(ray_session):
     assert list(got["n_days"]) == [3, 5]
     assert got.loc[1, "autocorr"] == 1.0
     assert got.loc[0, "autocorr"] == -1.0
+
+
+def test_tool_chains_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import tool_chains
+
+    rows = [
+        # c1 tools in order: grep -> read -> grep (assistant between
+        # doesn't break the chain)
+        ("c1", 0, "user", None),
+        ("c1", 1, "tool", "grep"),
+        ("c1", 2, "assistant", None),
+        ("c1", 3, "tool", "read"),
+        ("c1", 4, "tool", "grep"),
+        # c2: single tool, no chain
+        ("c2", 0, "tool", "read"),
+    ]
+    df = pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+        "role": [r[2] for r in rows],
+        "tool": [r[3] for r in rows],
+    })
+    got = tool_chains(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
+    assert list(zip(got["tool_a"], got["tool_b"])) == [
+        ("grep", "read"), ("read", "grep")
+    ]
+    assert list(got["n"]) == [1, 1]
+
+
+def test_user_lifetimes_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_lifetimes
+
+    rows = [(1, "2024-01-01 10:00"), (1, "2024-01-01 11:00"),
+            (1, "2024-01-05 09:00"), (2, "2024-03-01 00:00")]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "ts": pd.to_datetime([r[1] for r in rows]),
+    })
+    got = user_lifetimes(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert list(got["first_day"]) == ["2024-01-01", "2024-03-01"]
+    assert list(got["span_days"]) == [5, 1]
+    assert list(got["active_days"]) == [2, 1]
+    assert list(got["n_events"]) == [3, 1]
