@@ -638,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lifetimes": lambda sf: _wd.user_lifetimes(
             _events_ds(sf)
         ),
+        "events_stickiness": lambda sf: _wd.stickiness(_events_ds(sf)),
     })
 
 
@@ -1097,4 +1098,5 @@ def oracle_sql() -> dict[str, str]:
             transcripts=TRANSCRIPTS_SQL
         ),
         "events_user_lifetimes": _wd.USER_LIFETIMES_SQL,
+        "events_stickiness": _wd.STICKINESS_SQL_TEMPLATE.format(w1=6),
     }

@@ -2988,3 +2988,106 @@ SELECT user_id,
        CAST(SUM(n) AS BIGINT) AS n_events
 FROM d GROUP BY user_id
 """
+
+
+def stickiness(
+    events: ray.data.Dataset, window_days: int = 7, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Engagement stickiness: per active day, DAU / trailing-``window_days``
+    active users — the DAU/WAU ratio every growth team tracks. COUNT
+    DISTINCT over sliding windows cannot compose from partials
+    (``sliding_distinct_users``' lesson at day scale): distinct (user, day)
+    rows fan to the ``window_days`` windows ENDING at each later day, the
+    (window, user) dedup is keyed so no window's user set sits in one
+    task, and only the day-bounded (day, dau, wau) frame reaches the
+    driver for the ratio (one division, rounded 6). Output: day, n_dau,
+    n_wau, stickiness."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial_ud(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "day": pd.to_datetime(batch["ts"]).dt.floor("D"),
+        }).drop_duplicates()
+
+    ud = bucketed_group_apply(
+        events.select_columns(["user_id", "ts"]).map_batches(
+            partial_ud, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id", "day"],
+        lambda b: b.drop_duplicates(["user_id", "day"]),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def dau_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("day", sort=False).size()
+        return pd.DataFrame({"day": s.index,
+                             "n_dau": s.to_numpy().astype("int64")})
+
+    dau = bucketed_group_apply(ud, ["day"], dau_count, n_buckets=8)\
+        .to_pandas()  # day-bounded
+
+    def fan(batch: pd.DataFrame) -> pd.DataFrame:
+        reps = []
+        for k in range(window_days):
+            r = batch[["user_id"]].copy()
+            r["win_end"] = batch["day"] + pd.to_timedelta(k, unit="D")
+            reps.append(r)
+        return pd.concat(reps, ignore_index=True)
+
+    def wau_partial(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["win_end", "user_id"])
+        s = d.groupby("win_end", sort=False).size()
+        return pd.DataFrame({"win_end": s.index,
+                             "n_part": s.to_numpy().astype("int64")})
+
+    wau = bucketed_group_apply(
+        ud.map_batches(fan, batch_format="pandas", batch_size=65536),
+        ["win_end", "user_id"],
+        wau_partial,
+        n_buckets=n_buckets,
+    )
+
+    def wau_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("win_end", sort=False)["n_part"].sum()
+        return pd.DataFrame({"win_end": g.index,
+                             "n_wau": g.to_numpy().astype("int64")})
+
+    wau = bucketed_group_apply(wau, ["win_end"], wau_sum, n_buckets=8)\
+        .to_pandas()  # day-bounded
+
+    m = dau.merge(wau.rename(columns={"win_end": "day"}), on="day",
+                  how="inner")
+    if not len(m):
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="object"),
+            "n_dau": pd.Series([], dtype="int64"),
+            "n_wau": pd.Series([], dtype="int64"),
+            "stickiness": pd.Series([], dtype="float64"),
+        })
+    m = m.sort_values("day", kind="mergesort").reset_index(drop=True)
+    return ray.data.from_pandas(pd.DataFrame({
+        "day": pd.to_datetime(m["day"]).dt.strftime("%Y-%m-%d"),
+        "n_dau": m["n_dau"].astype("int64"),
+        "n_wau": m["n_wau"].astype("int64"),
+        "stickiness": np.round(
+            m["n_dau"].to_numpy(dtype="float64")
+            / m["n_wau"].to_numpy(dtype="float64"), 6
+        ),
+    }))
+
+
+STICKINESS_SQL_TEMPLATE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_wau
+  FROM (SELECT DISTINCT day FROM ud) d
+  JOIN ud u ON u.day BETWEEN d.day - INTERVAL {w1} DAY AND d.day
+  GROUP BY d.day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.n_dau, wau.n_wau,
+       ROUND(CAST(dau.n_dau AS DOUBLE) / CAST(wau.n_wau AS DOUBLE), 6)
+         AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day
+"""

@@ -747,3 +747,24 @@ def test_user_lifetimes_planted(ray_session):
     assert list(got["span_days"]) == [5, 1]
     assert list(got["active_days"]) == [2, 1]
     assert list(got["n_events"]) == [3, 1]
+
+
+def test_stickiness_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import stickiness
+
+    # day1: users {1,2}; day2: {1}; day9: {3} (outside day2's window)
+    rows = [(1, "2024-01-01"), (2, "2024-01-01"), (1, "2024-01-02"),
+            (3, "2024-01-09")]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "ts": pd.to_datetime([r[1] for r in rows]),
+    })
+    got = stickiness(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas()
+    assert list(got["day"]) == ["2024-01-01", "2024-01-02", "2024-01-09"]
+    assert list(got["n_dau"]) == [2, 1, 1]
+    # trailing-7d AU: day1 {1,2}=2; day2 {1,2}=2; day9 {3}=1
+    assert list(got["n_wau"]) == [2, 2, 1]
+    assert list(got["stickiness"]) == [1.0, 0.5, 1.0]
