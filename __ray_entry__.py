@@ -639,6 +639,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf)
         ),
         "events_stickiness": lambda sf: _wd.stickiness(_events_ds(sf)),
+        "kg_cooc_conditional": lambda sf: _an.cooc_conditional(
+            _cooc(sf), _mentions_with_entity(sf)
+        ),
+        "rel_priority_mix": lambda sf: _rel.priority_mix(sf),
+        "text_oov_rate": lambda sf: _tx.oov_rate(_docs(sf)),
+        "docs_source_median_len": lambda sf: _tx.source_median_length(
+            _docs(sf)
+        ),
     })
 
 
@@ -1099,4 +1107,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_lifetimes": _wd.USER_LIFETIMES_SQL,
         "events_stickiness": _wd.STICKINESS_SQL_TEMPLATE.format(w1=6),
+        "kg_cooc_conditional": _an.COOC_CONDITIONAL_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "rel_priority_mix": _rel.PRIORITY_MIX_SQL,
+        "text_oov_rate": _tx.OOV_RATE_SQL_TEMPLATE.format(k_vocab=1000),
+        "docs_source_median_len": _tx.SOURCE_MEDIAN_LEN_SQL,
     }

@@ -4094,3 +4094,96 @@ SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n
 FROM seq WHERE tool_b IS NOT NULL
 GROUP BY tool_a, tool_b
 """
+
+
+def cooc_conditional(
+    cooccurrence: ray.data.Dataset,
+    mentions_with_entity: ray.data.Dataset,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Directed conditional co-occurrence: P(b | a) = conversations
+    containing both / conversations containing a, for every ordered
+    co-occurring entity pair — the association-rule confidence over the
+    KG's undirected co-occurrence counts (asymmetry is the signal: a
+    niche entity implies its hub, never the reverse).
+
+    The per-entity conversation counts reduce distributed and ship once
+    via ray.put (entity-vocabulary-bounded — the canonicalization small
+    side); both directions of each undirected edge emit in one map; the
+    probability is one division of exact ints, rounded 6. Output:
+    entity_a, entity_b, n_both, n_a, p_b_given_a."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["conv_id", "entity_id"]].drop_duplicates()
+
+    def count_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        s = d.groupby("entity_id", sort=False).size()
+        return pd.DataFrame({"entity_id": s.index,
+                             "n": s.to_numpy().astype("int64")})
+
+    ec = bucketed_group_apply(
+        mentions_with_entity.select_columns(["conv_id", "entity_id"])
+        .map_batches(partial_distinct, batch_format="pandas",
+                     batch_size=65536),
+        ["entity_id"],
+        count_entity,
+        n_buckets=n_buckets,
+    ).to_pandas()  # entity-vocabulary-bounded
+    n_ref = ray.put(dict(zip(ec["entity_id"], ec["n"])))
+
+    class _Cond:
+        def __init__(self, ref):
+            self.n = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            a = pd.concat([batch["src"], batch["dst"]], ignore_index=True)
+            b = pd.concat([batch["dst"], batch["src"]], ignore_index=True)
+            nb = pd.concat(
+                [batch["n_convs"], batch["n_convs"]], ignore_index=True
+            ).astype("int64")
+            na = a.map(self.n).astype("int64")
+            return pd.DataFrame({
+                "entity_a": a, "entity_b": b,
+                "n_both": nb, "n_a": na,
+                "p_b_given_a": np.round(
+                    nb.to_numpy(dtype="float64")
+                    / na.to_numpy(dtype="float64"), 6
+                ),
+            })
+
+    return cooccurrence.map_batches(
+        _Cond, fn_constructor_args=(n_ref,), batch_format="pandas",
+        batch_size=65536, concurrency=(1, 4),
+    )
+
+
+COOC_CONDITIONAL_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+me AS (SELECT DISTINCT mm.conv_id, l.entity_id
+       FROM m mm JOIN lab l ON mm.norm = l.norm),
+ec AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n
+       FROM me GROUP BY entity_id),
+cooc AS (
+  SELECT a.entity_id AS src, b.entity_id AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n_convs
+  FROM me a JOIN me b
+    ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT src AS entity_a, dst AS entity_b, n_convs FROM cooc
+  UNION ALL
+  SELECT dst, src, n_convs FROM cooc
+)
+SELECT d.entity_a, d.entity_b, d.n_convs AS n_both, ec.n AS n_a,
+       ROUND(CAST(d.n_convs AS DOUBLE) / CAST(ec.n AS DOUBLE), 6)
+         AS p_b_given_a
+FROM d JOIN ec ON ec.entity_id = d.entity_a
+"""
+)

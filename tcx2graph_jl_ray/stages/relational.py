@@ -3575,3 +3575,60 @@ SELECT COALESCE(b.n_name, s.n_name) AS n_name,
             - (COALESCE(s.s, 0) + 50) // 100 AS DOUBLE) / 100.0 AS balance
 FROM buy b FULL OUTER JOIN sell s USING (n_name)
 """
+
+
+def priority_mix(sf_dir: str, n_buckets: int = 8) -> ray.data.Dataset:
+    """Monthly order-priority mix: counts and within-month share per
+    o_orderpriority — the ``events_monthly_mix`` composition series on the
+    orders fact (is the urgent share drifting?). Share is one division of
+    exact ints, rounded 6; per-batch (month, priority) partials bound the
+    exchange. Output: month, o_orderpriority, n_orders, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderpriority"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(batch["o_orderdate"]).dt.strftime("%Y-%m")
+        g = pd.DataFrame({
+            "month": m, "o_orderpriority": batch["o_orderpriority"],
+        }).groupby(["month", "o_orderpriority"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def per_month(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["month", "o_orderpriority"], sort=False)["n"]\
+            .sum().reset_index(name="n_orders")
+        tot = g.groupby("month", sort=False)["n_orders"].transform("sum")
+        return pd.DataFrame({
+            "month": g["month"],
+            "o_orderpriority": g["o_orderpriority"],
+            "n_orders": g["n_orders"].astype("int64"),
+            "share": np.round(
+                g["n_orders"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["month"],
+        per_month,
+        n_buckets=n_buckets,
+    )
+
+
+PRIORITY_MIX_SQL = """
+WITH c AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER (PARTITION BY month) AS DOUBLE), 6)
+         AS share
+FROM c
+"""

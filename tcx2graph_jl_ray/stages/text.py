@@ -3034,3 +3034,154 @@ r AS (
 SELECT sentence, n_docs, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k_top}
 """
+
+
+def oov_rate(
+    docs: ray.data.Dataset, k_vocab: int = 1000, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-document out-of-vocabulary rate against the corpus top-``k_vocab``
+    words (deterministic ties: count desc, word asc) — the
+    tokenizer-coverage / domain-shift signal a data mixer reads per doc.
+
+    Shape: corpus word counts reduce exact (per-batch partials + bucketed
+    sums), the top-k resolves via per-bucket local head-k + a bounded
+    driver merge (``events_busy_minutes``), the k-word set broadcasts once
+    (ray.put — bounded by k, never the vocabulary), and the per-doc rate
+    is one vectorized isin + one division, rounded 6. Zero-token docs
+    drop (mirrored in the oracle). Output: doc_id, n_tokens, n_oov,
+    oov_rate."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    nn = docs.select_columns(["doc_id", "text"]).map_batches(
+        _nonnull_text, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    def wc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(" ")
+        words = [w for ws in toks for w in ws if w]
+        c = pd.Series(words).value_counts()
+        return pd.DataFrame({"w": c.index,
+                             "n": c.to_numpy().astype("int64")})
+
+    def local_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("w", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g.sort_values(["n", "w"], ascending=[False, True],
+                             kind="mergesort").head(k_vocab)
+
+    cands = bucketed_group_apply(
+        nn.map_batches(wc_partial, batch_format="pandas", batch_size=4096),
+        ["w"], local_top, n_buckets=n_buckets,
+    ).to_pandas()  # <= n_buckets * k_vocab rows
+    top = set(
+        cands.sort_values(["n", "w"], ascending=[False, True],
+                          kind="mergesort").head(k_vocab)["w"]
+    )
+    top_ref = ray.put(top)
+
+    class _Rate:
+        def __init__(self, ref):
+            self.top = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.split(" ").map(
+                lambda ws: [w for w in ws if w]
+            )
+            n = toks.str.len().astype("int64")
+            k = (n > 0).to_numpy()
+            if not k.any():
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "n_oov": pd.Series([], dtype="int64"),
+                    "oov_rate": pd.Series([], dtype="float64"),
+                })
+            top = self.top
+            oov = toks[k].map(
+                lambda ws: sum(1 for w in ws if w not in top)
+            ).astype("int64")
+            nt = n[k]
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64")[k],
+                "n_tokens": nt,
+                "n_oov": oov,
+                "oov_rate": np.round(
+                    oov.to_numpy(dtype="float64")
+                    / nt.to_numpy(dtype="float64"), 6
+                ),
+            })
+
+    return nn.map_batches(
+        _Rate, fn_constructor_args=(top_ref,), batch_format="pandas",
+        batch_size=8192, concurrency=(1, 8),
+    )
+
+
+OOV_RATE_SQL_TEMPLATE = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (SELECT doc_id, unnest(l) AS w FROM tk),
+c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY w),
+top AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r FROM c
+  ) WHERE r <= {k_vocab}
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (t.w IS NULL) AS BIGINT) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (t.w IS NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM w LEFT JOIN top t USING (w)
+GROUP BY w.doc_id
+"""
+
+
+def source_median_length(
+    docs: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Per-source exact median token length + doc count — the length
+    calibration per domain (``docs_length_percent_rank``'s CDF collapsed
+    to the one number a mixing config stores). Groups co-locate whole in
+    source buckets (the ``events_median_value`` exact-median shape; at
+    10^12 docs per source this becomes the count-of-counts histogram —
+    token lengths are value-domain-bounded). Output: source, median_len,
+    n_docs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        return pd.DataFrame({
+            "source": b["source"],
+            "ntok": b["text"].str.count(r"[^ ]+").astype("int64"),
+        })
+
+    def per_source(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False)["ntok"]
+        out = g.agg(median_len="median", n_docs="size").reset_index()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        docs.select_columns(["source", "text"]).map_batches(
+            prep, batch_format="pandas", batch_size=8192
+        ),
+        ["source"],
+        per_source,
+        n_buckets=n_buckets,
+    )
+
+
+SOURCE_MEDIAN_LEN_SQL = """
+WITH m AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, MEDIAN(ntok) AS median_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY source
+"""

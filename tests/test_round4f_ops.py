@@ -768,3 +768,40 @@ def test_stickiness_planted(ray_session):
     # trailing-7d AU: day1 {1,2}=2; day2 {1,2}=2; day9 {3}=1
     assert list(got["n_wau"]) == [2, 2, 1]
     assert list(got["stickiness"]) == [1.0, 0.5, 1.0]
+
+
+def test_oov_rate_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import oov_rate
+
+    # vocab top-2 = {"the" (4x), "cat" (3x)}; "zebra"/"xylophone" are OOV
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": ["the cat the cat", "the zebra xylophone cat the", ""],
+        "lang": ["en"] * 3,
+        "source": ["a"] * 3,
+        "n_chars": pd.array([15, 27, 0], dtype="int64"),
+    })
+    got = oov_rate(
+        ray.data.from_pandas(df).repartition(2), k_vocab=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [1, 2]       # empty doc drops
+    assert list(got["n_oov"]) == [0, 2]
+    assert got.loc[1, "oov_rate"] == np.round(2 / 5, 6)
+
+
+def test_source_median_len_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import source_median_length
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": ["a b c", "a b c d e", "one two", None],
+        "lang": ["en"] * 4,
+        "source": ["s1", "s1", "s2", "s2"],
+        "n_chars": pd.array([5, 9, 7, 0], dtype="int64"),
+    })
+    got = source_median_length(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    # s1: lengths {3,5} -> median 4.0; s2: {2} (null drops)
+    assert list(got["median_len"]) == [4.0, 2.0]
+    assert list(got["n_docs"]) == [2, 1]
