@@ -647,6 +647,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_median_len": lambda sf: _tx.source_median_length(
             _docs(sf)
         ),
+        "kg_entity_trend": lambda sf: _an.entity_trend(
+            _mentions_with_entity(sf), _transcripts(sf)
+        ),
+        "events_hourly_entropy": lambda sf: _wd.hourly_entropy(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1113,4 +1119,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_priority_mix": _rel.PRIORITY_MIX_SQL,
         "text_oov_rate": _tx.OOV_RATE_SQL_TEMPLATE.format(k_vocab=1000),
         "docs_source_median_len": _tx.SOURCE_MEDIAN_LEN_SQL,
+        "kg_entity_trend": _an.ENTITY_TREND_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL,
+            min_days=2,
+        ),
+        "events_hourly_entropy": _wd.HOURLY_ENTROPY_SQL,
     }

@@ -4187,3 +4187,127 @@ SELECT d.entity_a, d.entity_b, d.n_convs AS n_both, ec.n AS n_a,
 FROM d JOIN ec ON ec.entity_id = d.entity_a
 """
 )
+
+
+def entity_trend(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    min_days: int = 2,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity activity trend: OLS slope + intercept of DAILY mention
+    counts over days-since-2020 — is an entity heating up or fading
+    (``events_user_trend``'s exact-integer OLS applied to the KG's
+    temporal axis; only days WITH mentions enter the fit, stated
+    contract). Mention timestamps attach from transcripts through the
+    co-partitioned (conv, turn) join the monthly transitions already use.
+
+    All sufficient statistics exact int64; slope and intercept are one
+    shared double expression each, rounded 6; zero-variance (single-day)
+    entities drop. Output: entity_id, n_days, slope, intercept."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    me = mentions_with_entity.select_columns(
+        ["conv_id", "turn_idx", "entity_id"]
+    )
+    ts = transcripts.select_columns(["conv_id", "turn_idx", "ts"])
+    j = hash_join(me, ts, on=["conv_id", "turn_idx"], n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(batch["ts"])
+        mi = (
+            (t.dt.floor("D") - pd.Timestamp("2020-01-01")).dt.days
+        ).astype("int64")
+        g = pd.DataFrame({"entity_id": batch["entity_id"], "m": mi})\
+            .groupby(["entity_id", "m"], sort=False).size()
+        out = g.reset_index(name="y")
+        out["y"] = out["y"].astype("int64")
+        return out
+
+    per_month = bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["entity_id", "m"],
+        lambda b: b.groupby(["entity_id", "m"], sort=False)["y"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def per_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket
+        x = d["m"].astype("int64")
+        y = d["y"].astype("int64")
+        g = pd.DataFrame({
+            "entity_id": d["entity_id"], "x": x, "y": y,
+            "xy": x * y, "x2": x * x,
+        }).groupby("entity_id", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sx2=("x2", "sum"),
+        )
+        n = g["n"].astype("int64")
+        det = n * g["sx2"] - g["sx"] * g["sx"]
+        k = (n >= min_days) & (det > 0)
+        g, n, det = g[k], n[k], det[k]
+        if not len(g):
+            return pd.DataFrame({
+                "entity_id": pd.Series([], dtype="object"),
+                "n_days": pd.Series([], dtype="int64"),
+                "slope": pd.Series([], dtype="float64"),
+                "intercept": pd.Series([], dtype="float64"),
+            })
+        num_s = (n * g["sxy"] - g["sx"] * g["sy"]).astype("int64")
+        num_i = (g["sy"] * g["sx2"] - g["sx"] * g["sxy"]).astype("int64")
+        return pd.DataFrame({
+            "entity_id": g.index,
+            "n_days": n.to_numpy(),
+            "slope": np.round(
+                num_s.to_numpy(dtype="float64")
+                / det.to_numpy(dtype="float64"), 6
+            ),
+            "intercept": np.round(
+                num_i.to_numpy(dtype="float64")
+                / det.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(
+        per_month, ["entity_id"], per_entity, n_buckets=8
+    )
+
+
+ENTITY_TREND_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+t AS ({transcripts}),
+me AS (
+  SELECT l.entity_id,
+         date_diff('day', DATE '2020-01-01', CAST(t.ts AS DATE)) AS mo
+  FROM m mm
+  JOIN lab l ON mm.norm = l.norm
+  JOIN t ON t.conv_id = mm.conv_id AND t.turn_idx = mm.turn_idx
+),
+c AS (
+  SELECT entity_id, CAST(mo AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM me GROUP BY entity_id, mo
+),
+s AS (
+  SELECT entity_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sx2
+  FROM c GROUP BY entity_id
+)
+SELECT entity_id,
+       n AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy * sx2 - sx * sxy AS DOUBLE)
+             / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS intercept
+FROM s
+WHERE n >= {min_days} AND (n * sx2 - sx * sx) > 0
+"""
+)

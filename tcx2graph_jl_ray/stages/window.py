@@ -3091,3 +3091,84 @@ SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.n_dau, wau.n_wau,
          AS stickiness
 FROM dau JOIN wau ON wau.day = dau.day
 """
+
+
+def hourly_entropy(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-type Shannon entropy of the hour-of-day distribution plus the
+    peak hour — round-the-clock uniform traffic scores ~log2(24),
+    single-spike bots score ~0 (the ``text_char_entropy`` discipline over
+    the time axis; 24 summands, rounded 6, and the ``+ 0.0`` fold kills
+    IEEE -0.0 before the driver hash). Peak ties break to the earliest
+    hour. Output: event_type, n_events, peak_hour, hour_entropy."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.to_datetime(batch["ts"]).dt.hour.astype("int64")
+        g = pd.DataFrame({"event_type": batch["event_type"], "h": h})\
+            .groupby(["event_type", "h"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_hour = bucketed_group_apply(
+        events.select_columns(["ts", "event_type"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["event_type", "h"],
+        lambda b: b.groupby(["event_type", "h"], sort=False)["n"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def per_type(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in bucket.groupby("event_type", sort=False):
+            n = g["n"].to_numpy(dtype="int64")
+            nt = n.sum()
+            p = n.astype("float64") / float(nt)
+            ent = 0.0 - float((p * np.log2(p)).sum()) + 0.0
+            peak = g.sort_values(["n", "h"], ascending=[False, True],
+                                 kind="mergesort").iloc[0]["h"]
+            rows.append((t, int(nt), int(peak), np.round(ent, 6) + 0.0))
+        if not rows:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n_events": pd.Series([], dtype="int64"),
+                "peak_hour": pd.Series([], dtype="int64"),
+                "hour_entropy": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n_events", "peak_hour", "hour_entropy"
+        ]).astype({"n_events": "int64", "peak_hour": "int64"})
+
+    return bucketed_group_apply(per_hour, ["event_type"], per_type,
+                                n_buckets=4)
+
+
+HOURLY_ENTROPY_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n) AS nt FROM c GROUP BY event_type),
+pk AS (
+  SELECT event_type, h AS peak_hour
+  FROM (SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, h) AS r
+        FROM c)
+  WHERE r = 1
+)
+SELECT c.event_type,
+       CAST(tot.nt AS BIGINT) AS n_events,
+       pk.peak_hour,
+       ROUND(0.0 - SUM((c.n / tot.nt) * log2(c.n / tot.nt)), 6) + 0.0
+         AS hour_entropy
+FROM c
+JOIN tot ON tot.event_type = c.event_type
+JOIN pk ON pk.event_type = c.event_type
+GROUP BY c.event_type, tot.nt, pk.peak_hour
+"""

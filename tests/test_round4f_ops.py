@@ -805,3 +805,51 @@ def test_source_median_len_planted(ray_session):
     # s1: lengths {3,5} -> median 4.0; s2: {2} (null drops)
     assert list(got["median_len"]) == [4.0, 2.0]
     assert list(got["n_docs"]) == [2, 1]
+
+
+def test_entity_trend_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import entity_trend
+
+    # entity E mentioned 1x on day0, 3x on day2 -> slope = 1.0 per day
+    me = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c2", "c2"],
+        "turn_idx": pd.array([0, 0, 1, 2], dtype="int32"),
+        "surface": ["e"] * 4,
+        "norm": ["e"] * 4,
+        "n_occurrences": pd.array([1] * 4, dtype="int64"),
+        "entity_id": ["E"] * 4,
+    })
+    ts = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c2", "c2"],
+        "turn_idx": pd.array([0, 0, 1, 2], dtype="int32"),
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-03 09:00",
+                              "2024-01-03 10:00", "2024-01-03 11:00"]),
+    })
+    got = entity_trend(
+        ray.data.from_pandas(me).repartition(2),
+        ray.data.from_pandas(ts).repartition(2),
+    ).to_pandas()
+    assert list(got["entity_id"]) == ["E"]
+    assert got["n_days"].iloc[0] == 2
+    assert got["slope"].iloc[0] == 1.0
+
+
+def test_hourly_entropy_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import hourly_entropy
+
+    # "bot": all at hour 3 -> entropy 0, peak 3
+    # "spread": 2 events at h1, 2 at h2 -> entropy 1.0, peak tie -> h1
+    ts = (["2024-01-01 03:00"] * 4
+          + ["2024-01-01 01:00", "2024-01-02 01:30",
+             "2024-01-01 02:00", "2024-01-02 02:30"])
+    df = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype="int64"),
+        "event_type": ["bot"] * 4 + ["spread"] * 4,
+        "ts": pd.to_datetime(ts),
+    })
+    got = hourly_entropy(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert list(got["event_type"]) == ["bot", "spread"]
+    assert list(got["hour_entropy"]) == [0.0, 1.0]
+    assert list(got["peak_hour"]) == [3, 1]
