@@ -653,6 +653,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_entropy": lambda sf: _wd.hourly_entropy(
             _events_ds(sf)
         ),
+        "events_value_by_type": lambda sf: _wd.value_by_type(_events_ds(sf)),
+        "kg_conv_mention_density": lambda sf: _an.conv_mention_density(
+            _mentions(sf), _transcripts(sf)
+        ),
+        "dedup_len_dup_corr": lambda sf: _dd.len_dup_corr(
+            _minhash_pairs(sf), _docs(sf)
+        ),
     })
 
 
@@ -1124,4 +1131,13 @@ def oracle_sql() -> dict[str, str]:
             min_days=2,
         ),
         "events_hourly_entropy": _wd.HOURLY_ENTROPY_SQL,
+        "events_value_by_type": _wd.VALUE_BY_TYPE_SQL,
+        "kg_conv_mention_density": (
+            _an.CONV_MENTION_DENSITY_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
+            )
+        ),
+        "dedup_len_dup_corr": _dd.LEN_DUP_CORR_SQL_TEMPLATE.format(
+            pairs=_dd.minhash_pairs_sql()
+        ),
     }

@@ -4311,3 +4311,88 @@ FROM s
 WHERE n >= {min_days} AND (n * sx2 - sx * sx) > 0
 """
 )
+
+
+def conv_mention_density(
+    mentions: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-conversation mention density: tokens, mention rows, and
+    mentions-per-100-tokens — how entity-rich each conversation is (the
+    prioritization signal for extraction budgets). Both sides reduce to
+    conv-level partials before ONE co-partitioned join on conv_id; the
+    density is one division of exact ints scaled by 100, rounded 6.
+    Output: conv_id, n_tokens, n_mentions, density."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ntok = batch["text"].str.count(r"[^ ]+").fillna(0).astype("int64")
+        g = pd.DataFrame({"conv_id": batch["conv_id"], "t": ntok})\
+            .groupby("conv_id", sort=False)["t"].sum()
+        return pd.DataFrame({"conv_id": g.index,
+                             "n_tokens": g.to_numpy().astype("int64")})
+
+    toks = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "text"]).map_batches(
+            tok_partial, batch_format="pandas", batch_size=8192
+        ),
+        ["conv_id"],
+        lambda b: b.groupby("conv_id", sort=False)["n_tokens"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def men_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("conv_id", sort=False).size()
+        return pd.DataFrame({"conv_id": s.index,
+                             "n_mentions": s.to_numpy().astype("int64")})
+
+    mens = bucketed_group_apply(
+        mentions.select_columns(["conv_id"]).map_batches(
+            men_partial, batch_format="pandas", batch_size=65536
+        ),
+        ["conv_id"],
+        lambda b: b.groupby("conv_id", sort=False)["n_mentions"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = batch["n_mentions"].fillna(0).astype("int64")
+        nt = batch["n_tokens"].astype("int64")
+        k = (nt > 0).to_numpy()
+        return pd.DataFrame({
+            "conv_id": batch["conv_id"][k],
+            "n_tokens": nt[k],
+            "n_mentions": nm[k],
+            "density": np.round(
+                100.0 * nm[k].to_numpy(dtype="float64")
+                / nt[k].to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return hash_join(toks, mens, on="conv_id", how="left",
+                     n_buckets=n_buckets)\
+        .map_batches(finish, batch_format="pandas", batch_size=65536)
+
+
+CONV_MENTION_DENSITY_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+m AS ({mentions}),
+tk AS (
+  SELECT conv_id,
+         CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
+           AS n_tokens
+  FROM t GROUP BY conv_id
+),
+mc AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
+       FROM m GROUP BY conv_id)
+SELECT tk.conv_id, tk.n_tokens,
+       CAST(COALESCE(mc.n_mentions, 0) AS BIGINT) AS n_mentions,
+       ROUND(100.0 * CAST(COALESCE(mc.n_mentions, 0) AS DOUBLE)
+             / CAST(tk.n_tokens AS DOUBLE), 6) AS density
+FROM tk LEFT JOIN mc ON mc.conv_id = tk.conv_id
+WHERE tk.n_tokens > 0
+"""

@@ -2869,3 +2869,104 @@ s AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM s GROUP BY cluster_size
 """
+
+
+def len_dup_corr(
+    pairs: ray.data.Dataset, docs: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Does document LENGTH predict near-duplication? One-row Pearson
+    correlation between each doc's token length and its near-dup pair
+    degree (0 for unpaired docs) over the whole corpus — the
+    exact-integer sufficient-statistics discipline of
+    ``events_corr_value_hour`` composed across the dedup and text
+    families. Per-doc degrees reduce keyed, attach to lengths through one
+    co-partitioned ``hash_join``, and only six integer scalars reach the
+    driver (HUGEINT-equal Python-int merge). Output: n_docs, corr."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    ends = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": pd.concat(
+                [b["a"].astype("int64"), b["b"].astype("int64")],
+                ignore_index=True,
+            )
+        }),
+        batch_format="pandas", batch_size=65536,
+    )
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("doc_id", sort=False).size()
+        return pd.DataFrame({"doc_id": s.index,
+                             "degree": s.to_numpy().astype("int64")})
+
+    deg = bucketed_group_apply(ends, ["doc_id"], per_doc,
+                               n_buckets=n_buckets)
+
+    lens = docs.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "ntok": b["text"].str.count(r"[^ ]+").fillna(0).astype("int64"),
+        })[b["text"].notna().to_numpy()],
+        batch_format="pandas", batch_size=8192,
+    )
+
+    j = hash_join(lens, deg, on="doc_id", how="left", n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["ntok"].astype("int64")
+        y = batch["degree"].fillna(0).astype("int64")
+        return pd.DataFrame({
+            "n": [np.int64(len(batch))],
+            "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxy": [int((x * y).sum())],
+            "sx2": [int((x * x).sum())], "sy2": [int((y * y).sum())],
+        })
+
+    stats = j.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()  # one row per batch: batch-count-bounded
+    n = int(stats["n"].sum())
+    sx, sy = int(stats["sx"].sum()), int(stats["sy"].sum())
+    sxy = int(stats["sxy"].sum())
+    sx2, sy2 = int(stats["sx2"].sum()), int(stats["sy2"].sum())
+    vx = n * sx2 - sx * sx       # Python ints: HUGEINT-equal
+    vy = n * sy2 - sy * sy
+    if n == 0 or vx <= 0 or vy <= 0:
+        return pd.DataFrame({
+            "n_docs": pd.Series([], dtype="int64"),
+            "corr": pd.Series([], dtype="float64"),
+        })
+    corr = float(n * sxy - sx * sy) / float(np.sqrt(float(vx) * float(vy)))
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_docs": pd.array([n], dtype="int64"),
+        "corr": [np.round(corr, 6)],
+    }))
+
+
+LEN_DUP_CORR_SQL_TEMPLATE = """
+WITH p AS ({pairs}),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p)
+  GROUP BY doc_id
+),
+x AS (
+  SELECT CAST(len(regexp_extract_all(d.text, '[^ ]+')) AS BIGINT) AS x,
+         CAST(COALESCE(g.degree, 0) AS BIGINT) AS y
+  FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM x
+)
+SELECT n AS n_docs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) AS corr
+FROM s
+WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+"""

@@ -3172,3 +3172,73 @@ JOIN tot ON tot.event_type = c.event_type
 JOIN pk ON pk.event_type = c.event_type
 GROUP BY c.event_type, tot.nt, pk.peak_hour
 """
+
+
+def value_by_type(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-type value totals and share of the corpus total — exact integer
+    cents throughout (functions/money.py), the share as one division of
+    the two exact cent sums, rounded 6. Per-batch partials bound the
+    exchange to type cardinality; the type-bounded frame computes the
+    share against its own total. Output: event_type, n_valued, value_sum,
+    share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64, money_from_cents
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["value"].notna()]
+        if not len(d):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+            })
+        g = pd.DataFrame({
+            "event_type": d["event_type"], "c": cents_i64(d["value"]),
+        }).groupby("event_type", sort=False)["c"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "event_type": g.index,
+            "n": g["size"].astype("int64").to_numpy(),
+            "c": g["sum"].astype("int64").to_numpy(),
+        })
+
+    parts = events.select_columns(["event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False).agg(
+            n_valued=("n", "sum"), c=("c", "sum")
+        ).reset_index()
+        tot = int(g["c"].sum())
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_valued": g["n_valued"].astype("int64"),
+            "value_sum": [money_from_cents(c) for c in g["c"]],
+            "share": np.round(
+                g["c"].to_numpy(dtype="float64") / float(tot), 6
+            ),
+        })
+
+    # ONE partition on purpose: the share needs the global total and the
+    # partial frame is type-bounded (one row per (batch, type))
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+VALUE_BY_TYPE_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(value) AS BIGINT) AS n_valued,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_valued,
+       CAST(c AS DOUBLE) / 100.0 AS value_sum,
+       ROUND(CAST(c AS DOUBLE) / CAST((SELECT SUM(c) FROM s) AS DOUBLE), 6)
+         AS share
+FROM s
+"""

@@ -853,3 +853,45 @@ def test_hourly_entropy_planted(ray_session):
     assert list(got["event_type"]) == ["bot", "spread"]
     assert list(got["hour_entropy"]) == [0.0, 1.0]
     assert list(got["peak_hour"]) == [3, 1]
+
+
+def test_value_by_type_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_by_type
+
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype="int64"),
+        "event_type": ["a", "a", "b", "b"],
+        "value": [1.25, 0.75, 6.00, None],
+    })
+    got = value_by_type(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert list(got["n_valued"]) == [2, 1]
+    assert list(got["value_sum"]) == [2.00, 6.00]
+    assert list(got["share"]) == [0.25, 0.75]
+
+
+def test_len_dup_corr_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import len_dup_corr
+
+    # degrees: docs 1-3 each sit in 2 pairs, doc4 in none; lengths 4,3,2,1
+    pairs = pd.DataFrame({
+        "a": pd.array([1, 1, 2], dtype="int64"),
+        "b": pd.array([2, 3, 3], dtype="int64"),
+    })
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": ["w w w w", "w w w", "w w", "w"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": pd.array([7, 5, 3, 1], dtype="int64"),
+    })
+    got = len_dup_corr(
+        ray.data.from_pandas(pairs).repartition(2),
+        ray.data.from_pandas(docs).repartition(2),
+    ).to_pandas()
+    x = np.array([4, 3, 2, 1], dtype=float)
+    y = np.array([2, 2, 2, 0], dtype=float)
+    want = np.corrcoef(x, y)[0, 1]
+    assert got["n_docs"].iloc[0] == 4
+    assert abs(got["corr"].iloc[0] - want) < 1e-6
