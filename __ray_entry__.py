@@ -660,6 +660,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_len_dup_corr": lambda sf: _dd.len_dup_corr(
             _minhash_pairs(sf), _docs(sf)
         ),
+        "kg_entity_roles": lambda sf: _an.entity_roles(
+            _mentions_with_entity(sf), _transcripts(sf)
+        ),
+        "kg_region_matrix": lambda sf: _an.region_edge_matrix(
+            _cooc(sf), _entities_linked(sf)
+        ),
     })
 
 
@@ -1139,5 +1145,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_len_dup_corr": _dd.LEN_DUP_CORR_SQL_TEMPLATE.format(
             pairs=_dd.minhash_pairs_sql()
+        ),
+        "kg_entity_roles": _an.ENTITY_ROLES_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_region_matrix": _an.region_matrix_sql(
+            _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+            _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(
+                entities=_cz.ENTITIES_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL
+                )
+            ),
         ),
     }

@@ -4396,3 +4396,176 @@ SELECT tk.conv_id, tk.n_tokens,
 FROM tk LEFT JOIN mc ON mc.conv_id = tk.conv_id
 WHERE tk.n_tokens > 0
 """
+
+
+def entity_roles(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Which ROLE talks about each entity: per-entity mention counts by
+    speaker role (user / assistant / tool) plus the dominant role (ties to
+    the lexicographically smaller role) — provenance profiling for KG
+    trust (tool-sourced entities are measurements; user-sourced ones are
+    asks). Roles attach through the co-partitioned (conv, turn) join;
+    counts reduce entity-bounded. Output: entity_id, n_user, n_assistant,
+    n_tool, dominant_role."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    j = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "role"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["entity_id", "role"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def per_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["entity_id", "role"], sort=False)["n"].sum()\
+            .reset_index()
+        p = g.pivot_table(index="entity_id", columns="role", values="n",
+                          aggfunc="sum", fill_value=0)
+        for c in ("user", "assistant", "tool"):
+            if c not in p.columns:
+                p[c] = 0
+        dom = g.sort_values(["n", "role"], ascending=[False, True],
+                            kind="mergesort").drop_duplicates("entity_id")\
+            .set_index("entity_id")["role"]
+        return pd.DataFrame({
+            "entity_id": p.index,
+            "n_user": p["user"].astype("int64").to_numpy(),
+            "n_assistant": p["assistant"].astype("int64").to_numpy(),
+            "n_tool": p["tool"].astype("int64").to_numpy(),
+            "dominant_role": dom.reindex(p.index).to_numpy(),
+        })
+
+    return bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["entity_id"],
+        per_entity,
+        n_buckets=8,
+    )
+
+
+ENTITY_ROLES_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+t AS ({transcripts}),
+me AS (
+  SELECT l.entity_id, t.role
+  FROM m mm
+  JOIN lab l ON mm.norm = l.norm
+  JOIN t ON t.conv_id = mm.conv_id AND t.turn_idx = mm.turn_idx
+),
+c AS (SELECT entity_id, role, CAST(COUNT(*) AS BIGINT) AS n
+      FROM me GROUP BY entity_id, role),
+dom AS (
+  SELECT entity_id, role AS dominant_role
+  FROM (SELECT entity_id, role,
+               ROW_NUMBER() OVER (PARTITION BY entity_id
+                                  ORDER BY n DESC, role) AS r
+        FROM c)
+  WHERE r = 1
+)
+SELECT p.entity_id,
+       CAST(COALESCE(SUM(n) FILTER (role = 'user'), 0) AS BIGINT)
+         AS n_user,
+       CAST(COALESCE(SUM(n) FILTER (role = 'assistant'), 0) AS BIGINT)
+         AS n_assistant,
+       CAST(COALESCE(SUM(n) FILTER (role = 'tool'), 0) AS BIGINT)
+         AS n_tool,
+       ANY_VALUE(dom.dominant_role) AS dominant_role
+FROM c p JOIN dom ON dom.entity_id = p.entity_id
+GROUP BY p.entity_id
+"""
+)
+
+
+def region_edge_matrix(
+    cooccurrence: ray.data.Dataset,
+    entities_linked,
+    n_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Inter-/intra-region co-occurrence matrix: every undirected entity
+    edge rolled up to its endpoints' KB regions (unlinked -> 'UNKNOWN',
+    unordered pair normalized) — does the graph talk across regions or
+    within them? The entity -> region map is the canonical broadcast small
+    side (entity-vocabulary-bounded, ray.put once); counts reduce in a
+    region-pair-bounded shuffle. Output: region_a, region_b, n_edges,
+    n_convs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    if isinstance(entities_linked, ray.data.Dataset):
+        entities_linked = entities_linked.to_pandas()
+    reg = {
+        e: (r if isinstance(r, str) else "UNKNOWN")
+        for e, r in zip(
+            entities_linked["entity_id"], entities_linked["kb_region"]
+        )
+    }
+    reg_ref = ray.put(reg)
+
+    class _Roll:
+        def __init__(self, ref):
+            self.reg = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ra = batch["src"].map(self.reg).fillna("UNKNOWN")
+            rb = batch["dst"].map(self.reg).fillna("UNKNOWN")
+            lo = np.minimum(ra.to_numpy(dtype=object),
+                            rb.to_numpy(dtype=object))
+            hi = np.maximum(ra.to_numpy(dtype=object),
+                            rb.to_numpy(dtype=object))
+            g = pd.DataFrame({
+                "region_a": lo, "region_b": hi,
+                "n_convs": batch["n_convs"].astype("int64"),
+            }).groupby(["region_a", "region_b"], sort=False)["n_convs"]\
+                .agg(["size", "sum"]).reset_index()
+            return pd.DataFrame({
+                "region_a": g["region_a"], "region_b": g["region_b"],
+                "n_edges": g["size"].astype("int64"),
+                "n_convs": g["sum"].astype("int64"),
+            })
+
+    parts = cooccurrence.map_batches(
+        _Roll, fn_constructor_args=(reg_ref,), batch_format="pandas",
+        batch_size=65536, concurrency=(1, 4),
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["region_a", "region_b"], sort=False).agg(
+            n_edges=("n_edges", "sum"), n_convs=("n_convs", "sum")
+        ).reset_index()
+        return g.astype({"n_edges": "int64", "n_convs": "int64"})
+
+    return bucketed_group_apply(
+        parts, ["region_a", "region_b"], merge, n_buckets=n_buckets
+    )
+
+
+def region_matrix_sql(cooccurrence_sql: str, linked_sql: str) -> str:
+    return f"""
+WITH cooc AS MATERIALIZED ({cooccurrence_sql}),
+lk AS MATERIALIZED ({linked_sql})
+SELECT LEAST(COALESCE(la.kb_region, 'UNKNOWN'),
+             COALESCE(lb.kb_region, 'UNKNOWN')) AS region_a,
+       GREATEST(COALESCE(la.kb_region, 'UNKNOWN'),
+                COALESCE(lb.kb_region, 'UNKNOWN')) AS region_b,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(cooc.n_convs) AS BIGINT) AS n_convs
+FROM cooc
+LEFT JOIN lk la ON la.entity_id = cooc.src
+LEFT JOIN lk lb ON lb.entity_id = cooc.dst
+GROUP BY 1, 2
+"""
