@@ -666,6 +666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_region_matrix": lambda sf: _an.region_edge_matrix(
             _cooc(sf), _entities_linked(sf)
         ),
+        "docs_quality_by_source": lambda sf: _tx.quality_by_source(
+            _docs(sf)
+        ),
     })
 
 
@@ -1149,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_roles": _an.ENTITY_ROLES_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL
         ),
+        "docs_quality_by_source": _tx.QUALITY_BY_SOURCE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--out", default="PARITY_full_sf001.json")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge results into an existing --out instead of "
+                         "overwriting it (use with --only)")
     args = ap.parse_args()
 
     import duckdb
@@ -68,6 +71,14 @@ def main() -> int:
         names = [n for n in names if n in keep]
 
     results: dict[str, dict] = {}
+    prior_total = 0.0
+    if args.merge:
+        import os
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prev = json.load(f)
+            results = prev.get("queries", {})
+            prior_total = float(prev.get("total_sec", 0.0))
     t_total = time.perf_counter()
     for name in names:
         rec: dict = {}
@@ -113,7 +124,7 @@ def main() -> int:
         "n_ok": n_ok,
         "n_rows_only": n_ro,
         "n_fail": n_bad,
-        "total_sec": round(time.perf_counter() - t_total, 1),
+        "total_sec": round(prior_total + time.perf_counter() - t_total, 1),
         "comparison": "sorted-by-all-columns exact value equality "
                       "(strictly stronger than the driver's value hash)",
         "queries": results,

@@ -3185,3 +3185,90 @@ SELECT source, MEDIAN(ntok) AS median_len,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM m GROUP BY source
 """
+
+
+def quality_by_source(
+    docs: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-source corpus hygiene profile: exact character-class totals
+    (punctuation, digits, uppercase) and their ratios of all characters,
+    plus docs and tokens — the domain-level quality dashboard over the
+    per-doc ``text_quality`` flags. Every ratio is one division of exact
+    int sums, rounded 6 (ratios of MEANS, not means of ratios — the
+    aggregate a mixer thresholds on). Combiner partials bound the
+    exchange to source cardinality. Output: source, n_docs, n_tokens,
+    n_chars, punct_ratio, digit_ratio, upper_ratio."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        if not len(b):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "punct": pd.Series([], dtype="int64"),
+                "digit": pd.Series([], dtype="int64"),
+                "upper": pd.Series([], dtype="int64"),
+            })
+        d = pd.DataFrame({
+            "source": b["source"],
+            "n_docs": np.int64(1),
+            "n_tokens": b["text"].str.count(r"[^ ]+").astype("int64"),
+            "n_chars": b["text"].str.len().astype("int64"),
+            "punct": b["text"].str.count(r"[.,;:!?]").astype("int64"),
+            "digit": b["text"].str.count(r"[0-9]").astype("int64"),
+            "upper": b["text"].str.count(r"[A-Z]").astype("int64"),
+        })
+        return d.groupby("source", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False).sum().reset_index()
+        ch = g["n_chars"].astype("int64").to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "source": g["source"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "n_chars": g["n_chars"].astype("int64"),
+            "punct_ratio": np.round(
+                g["punct"].to_numpy(dtype="float64") / ch, 6
+            ),
+            "digit_ratio": np.round(
+                g["digit"].to_numpy(dtype="float64") / ch, 6
+            ),
+            "upper_ratio": np.round(
+                g["upper"].to_numpy(dtype="float64") / ch, 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["source"], merge,
+                                n_buckets=n_buckets)
+
+
+QUALITY_BY_SOURCE_SQL = """
+WITH m AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok,
+         CAST(len(text) AS BIGINT) AS nch,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS pc,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg,
+         CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS up
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(nch) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(pc) AS DOUBLE) / CAST(SUM(nch) AS DOUBLE), 6)
+         AS punct_ratio,
+       ROUND(CAST(SUM(dg) AS DOUBLE) / CAST(SUM(nch) AS DOUBLE), 6)
+         AS digit_ratio,
+       ROUND(CAST(SUM(up) AS DOUBLE) / CAST(SUM(nch) AS DOUBLE), 6)
+         AS upper_ratio
+FROM m GROUP BY source
+"""

@@ -895,3 +895,25 @@ def test_len_dup_corr_planted(ray_session):
     want = np.corrcoef(x, y)[0, 1]
     assert got["n_docs"].iloc[0] == 4
     assert abs(got["corr"].iloc[0] - want) < 1e-6
+
+
+def test_quality_by_source_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import quality_by_source
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": ["Ab c.", "x 9!", None],   # s1: 2 docs; null drops
+        "lang": ["en"] * 3,
+        "source": ["s1", "s1", "s1"],
+        "n_chars": pd.array([5, 4, 0], dtype="int64"),
+    })
+    got = quality_by_source(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas()
+    r = got.iloc[0]
+    assert r["n_docs"] == 2 and r["n_tokens"] == 4
+    assert r["n_chars"] == 9
+    # punct: '.' and '!' = 2; digits: '9' = 1; upper: 'A' = 1
+    assert r["punct_ratio"] == np.round(2 / 9, 6)
+    assert r["digit_ratio"] == np.round(1 / 9, 6)
+    assert r["upper_ratio"] == np.round(1 / 9, 6)
