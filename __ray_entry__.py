@@ -264,20 +264,53 @@ _R01_DRIVER_VERIFIED = frozenset({
     "revenue_by_nation", "revenue_by_segment", "top_customers",
 })
 
+def _correctness_green() -> frozenset:
+    """Green rows parsed from every CORRECTNESS_r*.json present, so the
+    sweep order self-rotates each round without editing the frozensets
+    above (which remain as the documented floor / parse-failure fallback).
+    A row is green only when rows+schema+hash all matched — a FAIL or a
+    rows-only row stays in the front window for a fresh check."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    green: set = set()
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            doc = _json.load(open(path))
+        except Exception:
+            continue
+        rows = doc.get("queries", doc)
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            if (rec.get("rows_match") and rec.get("schema_match")
+                    and rec.get("hash_match", True) and not rec.get("err")):
+                green.add(name)
+            elif (rec.get("err") == "no_oracle"
+                    and (rec.get("spark_rows") or 0) > 0):
+                # declared rows-only query: its weaker check passed and no
+                # hash can ever be earned — don't burn a front slot on it
+                # every round
+                green.add(name)
+    return frozenset(green)
+
+
 _DRIVER_VERIFIED = (
     _R01_DRIVER_VERIFIED | _R02_DRIVER_VERIFIED | _R03_DRIVER_VERIFIED
+    | _correctness_green()
 )
 
 # Queries whose semantics changed after their last driver-green row and so
-# deserve a fresh front-window check when slots allow. Round 4's window
-# (positions 0-49) holds exactly the 50 entries that were never
-# driver-checked when the round started (42 carried over + the 8 new TPC-H
-# shapes); the 12 round-4 late additions were deliberately appended at
-# positions 50-61 so they do NOT displace that packed window — round 5
-# rotates them forward once this window goes green. The round-3
-# money-arithmetic re-checks (q1/q5/q6, revenue_by_*, top_customers — all
-# exact-green in PARITY_full_sf001.json under the new scaled-int sums) are
-# likewise deferred to round 5's window.
+# deserve a fresh front-window check when slots allow. Rotation is now
+# AUTOMATIC: _correctness_green() parses every CORRECTNESS_r*.json at
+# import, so as soon as a round's driver file lands, its green rows move to
+# the tail and the next 50 never-checked entries take the window — no
+# per-round frozenset edits needed (the frozensets above stay as the
+# documented floor / parse-failure fallback).
 _FORCE_FRONT = frozenset()
 
 
