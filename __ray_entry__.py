@@ -702,6 +702,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_by_source": lambda sf: _tx.quality_by_source(
             _docs(sf)
         ),
+        "ann_lsh_recall": lambda sf: _ann.ann_recall_eval(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K, index="lsh"
+        ),
+        "emb_dim_stats": lambda sf: _ann.embedding_dim_stats(
+            _embeddings_ds(sf)
+        ),
+        "emb_centroid_dists": lambda sf: _ann.centroid_distances(
+            _embeddings_ds(sf)
+        ),
     })
 
 
@@ -1186,6 +1195,11 @@ def oracle_sql() -> dict[str, str]:
             mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL
         ),
         "docs_quality_by_source": _tx.QUALITY_BY_SOURCE_SQL,
+        "ann_lsh_recall": _ann.ann_recall_sql(
+            _ANN_NQ, _ANN_K, dim=64, index="lsh"
+        ),
+        "emb_dim_stats": _ann.DIM_STATS_SQL,
+        "emb_centroid_dists": _ann.CENTROID_DISTS_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -1236,25 +1236,28 @@ def ann_recall_eval(
     n_queries: int = 8,
     k: int = 10,
     n_buckets: int = 16,
+    index: str = "ivf",
 ) -> ray.data.Dataset:
-    """Per-query recall@k of the IVF index against the exact brute-force
-    baseline — the index-quality harness every ANN deployment ships next to
-    the index itself (the ``dedup_lsh_eval`` discipline applied to
-    retrieval): recall = |IVF top-k ∩ exact top-k| / k.
+    """Per-query recall@k of an approximate index against the exact
+    brute-force baseline — the index-quality harness every ANN deployment
+    ships next to the index itself (the ``dedup_lsh_eval`` discipline
+    applied to retrieval): recall = |approx top-k ∩ exact top-k| / k.
+    ``index`` selects the approximate side: "ivf" or "lsh".
 
     Both rankings come from the production operators (``ann_ivf_topk`` /
-    ``ann_brute_topk``); the intersection is one co-partitioned
-    ``hash_join`` on (query_id, vec_id) with the EXACT list as the left
-    base (so zero-hit queries still emit), and the per-query reduce is
-    query-bounded. recall is one division by the constant k, rounded 6.
-    Output: query_id, n_hits, recall."""
+    ``ann_lsh_topk`` / ``ann_brute_topk``); the intersection is one
+    co-partitioned ``hash_join`` on (query_id, vec_id) with the EXACT list
+    as the left base (so zero-hit queries still emit), and the per-query
+    reduce is query-bounded. recall is one division by the constant k,
+    rounded 6. Output: query_id, n_hits, recall."""
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
     from tcx2graph_jl_ray.functions.join import hash_join
 
+    approx_fn = {"ivf": ann_ivf_topk, "lsh": ann_lsh_topk}[index]
     brute = ann_brute_topk(embeddings, sf_dir, n_queries, k).map_batches(
         lambda b: b[["query_id", "vec_id"]], batch_format="pandas",
     )
-    ivf = ann_ivf_topk(embeddings, sf_dir, n_queries, k).map_batches(
+    ivf = approx_fn(embeddings, sf_dir, n_queries, k).map_batches(
         lambda b: b[["query_id", "vec_id"]].assign(hit=np.int64(1)),
         batch_format="pandas",
     )
@@ -1279,11 +1282,13 @@ def ann_recall_eval(
     return bucketed_group_apply(j, ["query_id"], per_query, n_buckets=4)
 
 
-def ann_recall_sql(n_queries: int, k: int, dim: int = 64) -> str:
+def ann_recall_sql(n_queries: int, k: int, dim: int = 64,
+                   index: str = "ivf") -> str:
     """Oracle for ``ann_recall_eval``: the two production index oracles
     composed, LEFT-joined on (query_id, vec_id), counted per query."""
     brute = ANN_BRUTE_SQL_TEMPLATE.format(n_queries=n_queries, k=k)
-    ivf = ann_ivf_sql(n_queries, k, dim=dim)
+    ivf = (ann_ivf_sql(n_queries, k, dim=dim) if index == "ivf"
+           else ann_lsh_sql(n_queries, k, dim=dim))
     return f"""
 WITH brute AS MATERIALIZED ({brute}),
 ivf AS MATERIALIZED ({ivf}),
@@ -1296,4 +1301,123 @@ h AS (
 SELECT query_id, n_hits,
        ROUND(CAST(n_hits AS DOUBLE) / {float(k)}, 6) AS recall
 FROM h
+"""
+
+
+def embedding_dim_stats(
+    embeddings: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Per-dimension min / max / mean of the embedding column — the scalar
+    quantization calibration pass (the per-dim value range an int8 SQ index
+    clips to) and the drift monitor a feature store runs per snapshot.
+
+    Shape: a per-batch vectorized partial (column-wise min/max/sum over the
+    stacked float64 matrix — d rows per batch regardless of batch size)
+    -> bucketed reduce by dim. min/max are exact (no summation); mean is
+    the ``embedding_centroids`` float64-sum-round-6 discipline.
+
+    Output: dim (1-based), vmin, vmax, mean (rounded 6), n_vecs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["embedding"].notna()]
+        if not len(batch):
+            return pd.DataFrame(
+                {"dim": pd.Series([], dtype="int64"),
+                 "vmin": pd.Series([], dtype="float64"),
+                 "vmax": pd.Series([], dtype="float64"),
+                 "s": pd.Series([], dtype="float64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d = vecs.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "vmin": vecs.min(axis=0),
+                "vmax": vecs.max(axis=0),
+                "s": vecs.sum(axis=0),
+                "n": np.int64(len(vecs)),
+            }
+        )
+
+    def reduce_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("dim", sort=False).agg(
+            vmin=("vmin", "min"), vmax=("vmax", "max"),
+            s=("s", "sum"), n=("n", "sum"),
+        ).reset_index()
+        return pd.DataFrame(
+            {
+                "dim": g["dim"].astype("int64"),
+                "vmin": g["vmin"].astype("float64"),
+                "vmax": g["vmax"].astype("float64"),
+                "mean": np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6),
+                "n_vecs": g["n"].astype("int64"),
+            }
+        )
+
+    partials = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+    return bucketed_group_apply(
+        partials, ["dim"], reduce_bucket, n_buckets=n_buckets
+    )
+
+
+DIM_STATS_SQL = """
+WITH u AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT dim, MIN(e) AS vmin, MAX(e) AS vmax,
+       ROUND(SUM(e) / COUNT(*), 6) AS mean,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM u GROUP BY dim
+"""
+
+
+def centroid_distances(
+    embeddings: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Pairwise L2 distances between the per-label centroids — the
+    cluster-separation diagnostic (a merge-candidate matrix for semantic
+    balancing, and the IVF coarse-quantizer sanity check). Composes
+    ``embedding_centroids``; the pairwise step runs on the label-count ×
+    dim table, bounded by the LABEL CARDINALITY, never the corpus — the
+    declared small side, collected to the driver.
+
+    Exactness: centroids are already rounded to 6 decimals, so differences
+    are exact integers at 1e6 scale; the squared-distance sum is computed
+    in those integer units (|d| ~ 2e6 over 64 dims < 2^53) and a single
+    sqrt/scale/round lands identically to the SQL expression.
+
+    Output: label_a < label_b, dist (rounded 6)."""
+    cent = embedding_centroids(embeddings, n_buckets=n_buckets).to_pandas()
+    # label-count x dim rows — dimension-bounded driver pivot
+    piv = cent.pivot(index="label", columns="dim", values="centroid")
+    labels = piv.index.to_numpy().astype(np.int64)
+    m = np.rint(piv.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+    ia, ib = np.triu_indices(len(labels), k=1)
+    diffs = m[ia] - m[ib]
+    s = (diffs * diffs).sum(axis=1)  # exact int64
+    dist = np.round(np.sqrt(s.astype(np.float64)) / 1e6, 6)
+    out = pd.DataFrame(
+        {"label_a": labels[ia], "label_b": labels[ib], "dist": dist}
+    )
+    return ray.data.from_pandas(out)
+
+
+CENTROID_DISTS_SQL = f"""
+WITH c AS MATERIALIZED ({CENTROIDS_SQL}),
+i AS (
+  SELECT label, dim, CAST(ROUND(centroid * 1000000) AS BIGINT) AS ci
+  FROM c
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(SQRT(CAST(SUM((a.ci - b.ci) * (a.ci - b.ci)) AS DOUBLE))
+             / 1000000.0, 6) AS dist
+FROM i a JOIN i b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
 """
