@@ -711,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_dists": lambda sf: _ann.centroid_distances(
             _embeddings_ds(sf)
         ),
+        "clean_winsorize": lambda sf: _cl.clean_winsorize(_events_ds(sf)),
+        "events_user_gini": lambda sf: _wd.user_gini(_events_ds(sf)),
     })
 
 
@@ -1200,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_dim_stats": _ann.DIM_STATS_SQL,
         "emb_centroid_dists": _ann.CENTROID_DISTS_SQL,
+        "clean_winsorize": _cl.clean_winsorize_sql(),
+        "events_user_gini": _wd.USER_GINI_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

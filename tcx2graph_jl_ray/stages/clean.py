@@ -473,3 +473,95 @@ SELECT 'props', CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(*) - COUNT(props) AS BIGINT),
        CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
 """
+
+
+def clean_winsorize(
+    events: ray.data.Dataset, q_lo: float = 0.05, q_hi: float = 0.95
+) -> ray.data.Dataset:
+    """Winsorized mean of ``events.value`` — the outlier-robust location
+    estimate a curation pipeline reports next to the raw mean (values below
+    the q_lo quantile are clamped up to it, above q_hi clamped down).
+
+    Two passes, both bounded: thresholds from ``exact_global_quantiles``
+    (QUANTILE_CONT-identical, driver memory capped by collect_budget), then
+    one combiner pass — per-batch counts below/above plus the mid-range sum
+    in EXACT integer cents (functions/money.py), so the winsorized mean is
+    one fixed-order double expression both sides:
+    ((mid_cents/100 + n_lo*p_lo) + n_hi*p_hi) / n.
+
+    Output (one row): n, p_lo, p_hi (round 6), n_lo, n_hi,
+    mean_winsor (round 6)."""
+    from tcx2graph_jl_ray.functions.money import cents_i64
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    vals = events.select_columns(["value"]).filter(
+        lambda r: r["value"] is not None
+    )
+    _, quants = exact_global_quantiles(vals, "value", [q_lo, q_hi])
+    p_lo, p_hi = quants[q_lo], quants[q_hi]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy(dtype="float64")
+        lo = v < p_lo
+        hi = v > p_hi
+        mid = ~lo & ~hi
+        return pd.DataFrame({
+            "n": pd.array([len(v)], dtype="int64"),
+            "n_lo": pd.array([int(lo.sum())], dtype="int64"),
+            "n_hi": pd.array([int(hi.sum())], dtype="int64"),
+            "mid_c": pd.array([int(cents_i64(pd.Series(v[mid])).sum())],
+                              dtype="int64"),
+        })
+
+    parts = vals.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        n_lo = int(g["n_lo"].sum())
+        n_hi = int(g["n_hi"].sum())
+        mid_c = int(g["mid_c"].sum())
+        # fixed-order expression mirrored verbatim in the SQL oracle
+        mean_w = ((mid_c / 100.0 + n_lo * p_lo) + n_hi * p_hi) / n
+        return pd.DataFrame({
+            "n": pd.array([n], dtype="int64"),
+            "p_lo": [round(p_lo, 6)],
+            "p_hi": [round(p_hi, 6)],
+            "n_lo": pd.array([n_lo], dtype="int64"),
+            "n_hi": pd.array([n_hi], dtype="int64"),
+            "mean_winsor": [round(mean_w, 6)],
+        })
+
+    # one-row reduce: the partial frame is batch-count-bounded (4 ints per
+    # batch), the house one-row pattern (value_by_type)
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+def clean_winsorize_sql(q_lo: float = 0.05, q_hi: float = 0.95) -> str:
+    return f"""
+WITH q AS (
+  SELECT QUANTILE_CONT(value, {q_lo}) AS p_lo,
+         QUANTILE_CONT(value, {q_hi}) AS p_hi
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value < q.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lo,
+         CAST(SUM(CASE WHEN value > q.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi,
+         SUM(CASE WHEN value >= q.p_lo AND value <= q.p_hi
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+           AS mid_c
+  FROM events, q WHERE value IS NOT NULL
+)
+SELECT s.n, ROUND(q.p_lo, 6) AS p_lo, ROUND(q.p_hi, 6) AS p_hi,
+       s.n_lo, s.n_hi,
+       ROUND(((CAST(s.mid_c AS DOUBLE) / 100.0
+               + CAST(s.n_lo AS DOUBLE) * q.p_lo)
+              + CAST(s.n_hi AS DOUBLE) * q.p_hi)
+             / CAST(s.n AS DOUBLE), 6) AS mean_winsor
+FROM s, q
+"""

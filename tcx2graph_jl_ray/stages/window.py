@@ -3242,3 +3242,87 @@ SELECT event_type, n_valued,
          AS share
 FROM s
 """
+
+
+def user_gini(events: ray.data.Dataset, n_buckets: int = 16) -> ray.data.Dataset:
+    """Gini coefficient of per-user event-count inequality — the corpus
+    concentration scalar a curation pipeline watches (a whale-dominated
+    corpus over-trains on few contributors). Fully exact until the final
+    division: per-user counts reduce in user buckets (combiner), the tiny
+    count-of-counts reduces again (one row per distinct count value per
+    bucket — value-domain bounded), and the driver computes the rank sum
+    S = sum_i i*x_i over the SORTED multiset from (count, multiplicity)
+    runs in arbitrary-precision Python ints:
+    value c with multiplicity m starting at rank r contributes
+    c * (m*r + m*(m-1)/2). Gini = 2*S/(n*T) - (n+1)/n, one double
+    expression mirrored in the oracle, rounded 6.
+
+    Output (one row): n_users, total_events, gini."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("user_id", sort=False).size()
+        return pd.DataFrame({"user_id": s.index.astype("int64"),
+                             "c_part": s.to_numpy().astype("int64")})
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("user_id", sort=False)["c_part"].sum()
+        h = s.value_counts()
+        return pd.DataFrame({"c": h.index.astype("int64"),
+                             "m_part": h.to_numpy().astype("int64")})
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("c", sort=False)["m_part"].sum()
+        return pd.DataFrame({"c": s.index.astype("int64"),
+                             "m": s.astype("int64").to_numpy()})
+
+    per = bucketed_group_apply(
+        events.select_columns(["user_id"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["user_id"], per_user, n_buckets=n_buckets,
+    )
+    cc = bucketed_group_apply(per, ["c"], hist, n_buckets=4).to_pandas()
+    # driver side: one row per DISTINCT per-user count value (value-domain
+    # bounded, the order_size_distribution contract)
+    cc = cc.sort_values("c")
+    n = 0
+    t = 0
+    s_rank = 0
+    r = 1
+    for c, m in zip(cc["c"].tolist(), cc["m"].tolist()):
+        s_rank += c * (m * r + m * (m - 1) // 2)
+        r += m
+        n += m
+        t += c * m
+    gini = round(
+        2.0 * float(s_rank) / (float(n) * float(t))
+        - float(n + 1) / float(n), 6
+    ) if n else float("nan")
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_users": pd.array([n], dtype="int64"),
+        "total_events": pd.array([t], dtype="int64"),
+        "gini": [gini],
+    }))
+
+
+USER_GINI_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rn FROM u
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS t,
+         SUM(rn * c) AS s_rank
+  FROM r
+)
+SELECT n AS n_users, t AS total_events,
+       ROUND(2.0 * CAST(s_rank AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+FROM s
+"""

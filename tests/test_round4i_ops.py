@@ -81,3 +81,54 @@ def test_lsh_recall_semantics(ray_session, sf_dir):
         hits = len(b & a)
         assert got.loc[qid, "n_hits"] == hits
         assert got.loc[qid, "recall"] == np.round(hits / k, 6)
+
+
+def test_winsorize_planted(ray_session):
+    from tcx2graph_jl_ray.stages.clean import clean_winsorize
+
+    # values 1..20 in cents-friendly form; p05/p95 (QUANTILE_CONT over
+    # n=20: p05 rank = 0.05*19 = 0.95 -> 1 + 0.95*(2-1) = 1.95;
+    # p95 rank = 18.05 -> 19 + 0.05*(20-19) = 19.05)
+    vals = [float(i) for i in range(1, 21)]
+    df = pd.DataFrame({
+        "event_id": np.arange(20, dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-01"] * 20),
+        "user_id": pd.array([1] * 20, dtype="int64"),
+        "event_type": ["a"] * 20,
+        "value": vals,
+    })
+    got = clean_winsorize(
+        ray.data.from_pandas(df).repartition(4)
+    ).to_pandas().iloc[0]
+    assert got["n"] == 20
+    assert got["p_lo"] == 1.95 and got["p_hi"] == 19.05
+    assert got["n_lo"] == 1 and got["n_hi"] == 1  # 1.0 below, 20.0 above
+    mid_sum = sum(range(2, 20))  # 2..19 inclusive
+    want = ((mid_sum + 1.95) + 19.05) / 20
+    assert got["mean_winsor"] == round(want, 6)
+
+
+def test_user_gini_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_gini
+
+    # counts: u1 -> 1, u2 -> 1, u3 -> 6 (sorted 1,1,6; S=1*1+2*1+3*6=21,
+    # n=3, T=8 -> G = 42/24 - 4/3 = 0.416667)
+    rows = [1, 2] + [3] * 6
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "user_id": pd.array(rows, dtype="int64"),
+    })
+    got = user_gini(ray.data.from_pandas(df).repartition(3)).to_pandas().iloc[0]
+    assert got["n_users"] == 3 and got["total_events"] == 8
+    assert got["gini"] == round(2.0 * 21 / (3.0 * 8.0) - 4.0 / 3.0, 6)
+
+
+def test_user_gini_uniform_is_zero(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_gini
+
+    df = pd.DataFrame({
+        "event_id": np.arange(12, dtype="int64"),
+        "user_id": pd.array([1, 2, 3, 4] * 3, dtype="int64"),
+    })
+    got = user_gini(ray.data.from_pandas(df)).to_pandas().iloc[0]
+    assert got["gini"] == 0.0
