@@ -713,6 +713,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "clean_winsorize": lambda sf: _cl.clean_winsorize(_events_ds(sf)),
         "events_user_gini": lambda sf: _wd.user_gini(_events_ds(sf)),
+        "kg_mention_gaps": lambda sf: _an.mention_gaps(
+            _mentions_with_entity(sf)
+        ),
+        "rel_customer_rfm": lambda sf: _rel.customer_rfm(sf),
     })
 
 
@@ -1204,6 +1208,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_centroid_dists": _ann.CENTROID_DISTS_SQL,
         "clean_winsorize": _cl.clean_winsorize_sql(),
         "events_user_gini": _wd.USER_GINI_SQL,
+        "kg_mention_gaps": _an.MENTION_GAPS_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "rel_customer_rfm": _rel.CUSTOMER_RFM_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -4569,3 +4569,107 @@ LEFT JOIN lk la ON la.entity_id = cooc.src
 LEFT JOIN lk lb ON lb.entity_id = cooc.dst
 GROUP BY 1, 2
 """
+
+
+def mention_gaps(
+    mentions_with_entity: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-entity RE-MENTION gap statistics: for every consecutive pair of
+    mentions of the same entity within a conversation, the turn-index gap —
+    the temporal-locality profile of the KG (how quickly a conversation
+    returns to an entity; the reference's repeated-segment run spacing,
+    src/OverlappingSegmentsUtils.jl:146-206, applied to the mention axis).
+
+    Shape: one bucketed pass co-partitioned by (conv, entity) computes the
+    in-group sorted diffs and reduces them to per-entity PARTIALS
+    (n/min/max/sum — a combiner, one row per entity per bucket); a second
+    entity-keyed bucketed reduce merges partials. All gaps exact int64;
+    mean is one division, rounded 6. Entities never re-mentioned in any
+    conversation drop (stated contract, WHERE gap IS NOT NULL in the
+    oracle). Output: entity_id, n_gaps, min_gap, max_gap, mean_gap."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    me = mentions_with_entity.select_columns(
+        ["conv_id", "turn_idx", "entity_id"]
+    )
+
+    def gaps_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["conv_id", "entity_id", "turn_idx"],
+                               kind="mergesort")
+        same = (
+            (d["conv_id"] == d["conv_id"].shift())
+            & (d["entity_id"] == d["entity_id"].shift())
+        ).to_numpy()
+        gap = d["turn_idx"].astype("int64").diff().to_numpy()
+        keep = pd.DataFrame({
+            "entity_id": d["entity_id"].to_numpy()[same],
+            "gap": gap[same].astype("int64"),
+        })
+        if not len(keep):
+            return pd.DataFrame({
+                "entity_id": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "mn": pd.Series([], dtype="int64"),
+                "mx": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+            })
+        g = keep.groupby("entity_id", sort=False)["gap"].agg(
+            ["size", "min", "max", "sum"]
+        )
+        return pd.DataFrame({
+            "entity_id": g.index,
+            "n": g["size"].astype("int64").to_numpy(),
+            "mn": g["min"].astype("int64").to_numpy(),
+            "mx": g["max"].astype("int64").to_numpy(),
+            "s": g["sum"].astype("int64").to_numpy(),
+        })
+
+    partials = bucketed_group_apply(
+        me, ["conv_id", "entity_id"], gaps_in_bucket, n_buckets=n_buckets
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+            s=("s", "sum"),
+        ).reset_index()
+        return pd.DataFrame({
+            "entity_id": g["entity_id"],
+            "n_gaps": g["n"].astype("int64"),
+            "min_gap": g["mn"].astype("int64"),
+            "max_gap": g["mx"].astype("int64"),
+            "mean_gap": np.round(
+                g["s"].to_numpy(dtype="float64")
+                / g["n"].to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(partials, ["entity_id"], merge, n_buckets=8)
+
+
+MENTION_GAPS_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+me AS (
+  SELECT mm.conv_id, mm.turn_idx, l.entity_id
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+),
+g AS (
+  SELECT entity_id,
+         turn_idx - LAG(turn_idx) OVER (
+           PARTITION BY conv_id, entity_id ORDER BY turn_idx) AS gap
+  FROM me
+)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY entity_id
+"""
+)

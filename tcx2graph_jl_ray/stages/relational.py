@@ -3632,3 +3632,77 @@ SELECT month, o_orderpriority, n_orders,
          AS share
 FROM c
 """
+
+
+def customer_rfm(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Per-customer RFM profile — Recency (days from the customer's last
+    order to the corpus max order date), Frequency (order count), Monetary
+    (lifetime revenue in exact integer cents) — the segmentation base table
+    of every CRM / importance-sampling pipeline.
+
+    Shape: one custkey-keyed shuffle of order-free per-customer reductions
+    (max date, count, cent sum — all combiner partials); the global max
+    order date is a one-value aggregate pulled once and closed over (the
+    declared small side, the ``part_pareto`` discipline). Monetary stays a
+    display double derived from exact cents; no quantile cuts (ties under
+    NTILE are engine-order-dependent — deliberately out of contract).
+    Output: o_custkey, recency_days, frequency, monetary."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64, money_from_cents
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    max_date = orders.max("o_orderdate")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "o_custkey": batch["o_custkey"],
+            "last_dt": pd.to_datetime(batch["o_orderdate"]),
+            "n": np.int64(1),
+            "cents": cents_i64(batch["o_totalprice"]),
+        })
+        return d.groupby("o_custkey", sort=False).agg(
+            last_dt=("last_dt", "max"), n=("n", "sum"),
+            cents=("cents", "sum"),
+        ).reset_index()
+
+    def per_cust(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("o_custkey", sort=False).agg(
+            last_dt=("last_dt", "max"), n=("n", "sum"),
+            cents=("cents", "sum"),
+        ).reset_index()
+        rec = (
+            pd.Timestamp(max_date).floor("D") - g["last_dt"].dt.floor("D")
+        ).dt.days.astype("int64")
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "recency_days": rec,
+            "frequency": g["n"].astype("int64"),
+            "monetary": [money_from_cents(c) for c in g["cents"]],
+        })
+
+    return bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_custkey"],
+        per_cust,
+        n_buckets=n_buckets,
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH mx AS (SELECT MAX(o_orderdate) AS md FROM orders),
+c AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   CAST((SELECT md FROM mx) AS DATE)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(recency_days AS BIGINT) AS recency_days, frequency,
+       CAST(cents AS DOUBLE) / 100.0 AS monetary
+FROM c
+"""

@@ -132,3 +132,46 @@ def test_user_gini_uniform_is_zero(ray_session):
     })
     got = user_gini(ray.data.from_pandas(df)).to_pandas().iloc[0]
     assert got["gini"] == 0.0
+
+
+def test_mention_gaps_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import mention_gaps
+
+    # entity e1 mentioned at turns 1,3,8 in c1 (gaps 2,5) and 4,5 in c2
+    # (gap 1); e2 mentioned once per conv -> no gaps, drops.
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c1", "c2"],
+        "turn_idx": pd.array([1, 3, 8, 4, 5, 2, 9], dtype="int64"),
+        "entity_id": ["e1", "e1", "e1", "e1", "e1", "e2", "e2"],
+    })
+    got = (
+        mention_gaps(ray.data.from_pandas(df).repartition(4), n_buckets=4)
+        .to_pandas()
+        .set_index("entity_id")
+    )
+    assert list(got.index) == ["e1"]
+    r = got.loc["e1"]
+    assert r["n_gaps"] == 3 and r["min_gap"] == 1 and r["max_gap"] == 5
+    assert r["mean_gap"] == round(8 / 3, 6)
+
+
+def test_customer_rfm_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import customer_rfm
+
+    t = pa.table({
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(
+            ["1995-01-01", "1995-01-11", "1995-01-06"], type=pa.string()
+        ),
+        "o_totalprice": pa.array([10.01, 20.02, 5.55], type=pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = (
+        customer_rfm(str(tmp_path), n_buckets=4)
+        .to_pandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    assert got.loc[1, "recency_days"] == 0 and got.loc[2, "recency_days"] == 5
+    assert got.loc[1, "frequency"] == 2 and got.loc[2, "frequency"] == 1
+    assert got.loc[1, "monetary"] == 30.03 and got.loc[2, "monetary"] == 5.55
