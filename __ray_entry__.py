@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mentions_with_entity(sf)
         ),
         "rel_customer_rfm": lambda sf: _rel.customer_rfm(sf),
+        "docs_stopword_profile": lambda sf: _tx.stopword_profile(_docs(sf)),
     })
 
 
@@ -1212,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
             mentions=_MENTIONS_SQL
         ),
         "rel_customer_rfm": _rel.CUSTOMER_RFM_SQL,
+        "docs_stopword_profile": _tx.STOPWORD_PROFILE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -3272,3 +3272,81 @@ SELECT source,
          AS upper_ratio
 FROM m GROUP BY source
 """
+
+
+def stopword_profile(
+    docs: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-(source, stopword) usage profile: total occurrences, documents
+    containing the word, and the word's share of all stopword occurrences
+    in that source — which function words dominate each domain (the
+    style/register fingerprint next to ``quality_by_source``'s
+    character-class dashboard; reference's marker-frequency analysis,
+    src/TCXReader.jl:141-163, applied per corpus slice).
+
+    Shape: per-batch partials bounded by |sources| x |STOPWORDS| rows
+    (occurrence sums + per-doc presence counts — exact because each doc
+    row lives in exactly one batch); one source-bucketed merge computes
+    the per-source total and shares. All counts exact int64; share is one
+    division, rounded 6. Output: source, word, n_occ, n_docs, occ_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    stop = set(STOPWORDS)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        toks = b["text"].str.lower().str.split(" ")
+        tf = pd.DataFrame({
+            "row": np.repeat(np.arange(len(b)), toks.str.len()),
+            "word": [t for ws in toks for t in ws],
+        })
+        tf = tf[tf["word"].isin(stop)]
+        tf["source"] = b["source"].to_numpy()[tf["row"].to_numpy()]
+        occ = tf.groupby(["source", "word"], sort=False).agg(
+            n_occ=("row", "size"), n_docs=("row", "nunique")
+        ).reset_index()
+        occ["n_occ"] = occ["n_occ"].astype("int64")
+        occ["n_docs"] = occ["n_docs"].astype("int64")
+        return occ
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "word"], sort=False).agg(
+            n_occ=("n_occ", "sum"), n_docs=("n_docs", "sum")
+        ).reset_index()
+        tot = g.groupby("source", sort=False)["n_occ"].transform("sum")
+        return pd.DataFrame({
+            "source": g["source"],
+            "word": g["word"],
+            "n_occ": g["n_occ"].astype("int64"),
+            "n_docs": g["n_docs"].astype("int64"),
+            "occ_share": np.round(
+                g["n_occ"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["source"], merge, n_buckets=n_buckets)
+
+
+STOPWORD_PROFILE_SQL = f"""
+WITH e AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT source, word,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM e WHERE word IN {STOPWORDS}
+  GROUP BY source, word
+)
+SELECT source, word, n_occ, n_docs,
+       ROUND(CAST(n_occ AS DOUBLE)
+             / SUM(CAST(n_occ AS DOUBLE)) OVER (PARTITION BY source), 6)
+         AS occ_share
+FROM g
+"""

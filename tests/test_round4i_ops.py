@@ -175,3 +175,30 @@ def test_customer_rfm_planted(ray_session, tmp_path):
     assert got.loc[1, "recency_days"] == 0 and got.loc[2, "recency_days"] == 5
     assert got.loc[1, "frequency"] == 2 and got.loc[2, "frequency"] == 1
     assert got.loc[1, "monetary"] == 30.03 and got.loc[2, "monetary"] == 5.55
+
+
+def test_stopword_profile_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import stopword_profile
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array([
+            "the cat and the dog", "and then some", None
+        ]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        stopword_profile(docs.repartition(3), n_buckets=2)
+        .to_pandas()
+        .set_index(["source", "word"])
+        .sort_index()
+    )
+    # source a: the x2 (doc1), and x1+x1 (docs 1,2) -> tot 4
+    assert list(got.index) == [("a", "and"), ("a", "the")]
+    assert got.loc[("a", "the"), "n_occ"] == 2
+    assert got.loc[("a", "the"), "n_docs"] == 1
+    assert got.loc[("a", "and"), "n_occ"] == 2
+    assert got.loc[("a", "and"), "n_docs"] == 2
+    assert got.loc[("a", "the"), "occ_share"] == 0.5
