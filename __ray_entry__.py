@@ -718,6 +718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_customer_rfm": lambda sf: _rel.customer_rfm(sf),
         "docs_stopword_profile": lambda sf: _tx.stopword_profile(_docs(sf)),
+        "multimodal_shard_manifest": lambda sf: _mm.shard_manifest(
+            _docs(sf)
+        ),
     })
 
 
@@ -1214,6 +1217,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_customer_rfm": _rel.CUSTOMER_RFM_SQL,
         "docs_stopword_profile": _tx.STOPWORD_PROFILE_SQL,
+        "multimodal_shard_manifest": _mm.SHARD_MANIFEST_SQL_TEMPLATE.format(
+            n_shards=8
+        ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

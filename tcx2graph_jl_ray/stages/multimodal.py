@@ -492,3 +492,77 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM s
 GROUP BY doc_id, window_idx
 """
+
+
+MODALITIES = ("image", "audio", "video")
+
+
+def shard_manifest(
+    docs: ray.data.Dataset, n_shards: int = 8
+) -> ray.data.Dataset:
+    """Shard manifest for a multimodal payload corpus: per (modality,
+    shard) item counts, byte totals and the doc-id range — the planning
+    table a resumable bulk writer consumes (one output directory per
+    manifest row; a restarted run skips rows whose directory is complete,
+    the ``state/manifest.py`` discipline applied to binary payloads).
+
+    Shard assignment is a deterministic hash of the key (doc_id %
+    n_shards), never an enumeration order — resumability requires that a
+    re-run assign every payload to the same shard regardless of block
+    arrival order. Modality is the synthetic doc_id % 3 tag (stands in for
+    a real media-type column; the payload bytes are the fake codec's).
+    Per-batch partials are bounded by |modalities| x n_shards rows, then
+    one bucketed merge. Output: modality, shard, n_items, total_bytes,
+    min_doc_id, max_doc_id."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    payloads = attach_fake_payload(docs)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc = batch["doc_id"].astype("int64")
+        d = pd.DataFrame({
+            "modality": doc.mod(3).map(dict(enumerate(MODALITIES))),
+            "shard": doc.mod(n_shards).astype("int64"),
+            "doc_id": doc,
+            "nb": batch["payload"].map(len).astype("int64"),
+        })
+        return d.groupby(["modality", "shard"], sort=False).agg(
+            n_items=("doc_id", "size"), total_bytes=("nb", "sum"),
+            min_doc_id=("doc_id", "min"), max_doc_id=("doc_id", "max"),
+        ).reset_index()
+
+    parts = payloads.map_batches(
+        partial, batch_format="pandas", batch_size=2048
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["modality", "shard"], sort=False).agg(
+            n_items=("n_items", "sum"), total_bytes=("total_bytes", "sum"),
+            min_doc_id=("min_doc_id", "min"), max_doc_id=("max_doc_id", "max"),
+        ).reset_index()
+        for c in ("shard", "n_items", "total_bytes", "min_doc_id",
+                  "max_doc_id"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        parts, ["modality", "shard"], merge, n_buckets=4
+    )
+
+
+SHARD_MANIFEST_SQL_TEMPLATE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         doc_id % {n_shards} AS shard,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT modality, CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM p GROUP BY modality, shard
+"""

@@ -202,3 +202,27 @@ def test_stopword_profile_planted(ray_session, tmp_path):
     assert got.loc[("a", "and"), "n_occ"] == 2
     assert got.loc[("a", "and"), "n_docs"] == 2
     assert got.loc[("a", "the"), "occ_share"] == 0.5
+
+
+def test_shard_manifest_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.multimodal import shard_manifest
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 8], type=pa.int64()),
+        "text": pa.array(["aa", "bbb", "c", None, "dddd"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        shard_manifest(docs.repartition(3), n_shards=8)
+        .to_pandas()
+        .set_index(["modality", "shard"])
+        .sort_index()
+    )
+    # doc 0 -> image/0 (2B); doc 1 -> audio/1 (3B); doc 2 -> video/2 (1B);
+    # doc 3 null drops; doc 8 -> video(8%3=2)/0 (4B)
+    assert got.loc[("image", 0), "n_items"] == 1
+    assert got.loc[("image", 0), "total_bytes"] == 2
+    assert got.loc[("video", 0), "min_doc_id"] == 8
+    assert got.loc[("video", 2), "total_bytes"] == 1
+    assert len(got) == 4
