@@ -721,6 +721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_shard_manifest": lambda sf: _mm.shard_manifest(
             _docs(sf)
         ),
+        "ann_pq_recall": lambda sf: _ann.ann_recall_eval(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K, index="pq"
+        ),
     })
 
 
@@ -1219,6 +1222,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_stopword_profile": _tx.STOPWORD_PROFILE_SQL,
         "multimodal_shard_manifest": _mm.SHARD_MANIFEST_SQL_TEMPLATE.format(
             n_shards=8
+        ),
+        "ann_pq_recall": _ann.ann_recall_sql(
+            _ANN_NQ, _ANN_K, dim=64, index="pq"
         ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),

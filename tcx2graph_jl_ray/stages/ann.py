@@ -1253,7 +1253,9 @@ def ann_recall_eval(
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
     from tcx2graph_jl_ray.functions.join import hash_join
 
-    approx_fn = {"ivf": ann_ivf_topk, "lsh": ann_lsh_topk}[index]
+    approx_fn = {
+        "ivf": ann_ivf_topk, "lsh": ann_lsh_topk, "pq": ann_pq_topk,
+    }[index]
     brute = ann_brute_topk(embeddings, sf_dir, n_queries, k).map_batches(
         lambda b: b[["query_id", "vec_id"]], batch_format="pandas",
     )
@@ -1287,8 +1289,11 @@ def ann_recall_sql(n_queries: int, k: int, dim: int = 64,
     """Oracle for ``ann_recall_eval``: the two production index oracles
     composed, LEFT-joined on (query_id, vec_id), counted per query."""
     brute = ANN_BRUTE_SQL_TEMPLATE.format(n_queries=n_queries, k=k)
-    ivf = (ann_ivf_sql(n_queries, k, dim=dim) if index == "ivf"
-           else ann_lsh_sql(n_queries, k, dim=dim))
+    ivf = {
+        "ivf": lambda: ann_ivf_sql(n_queries, k, dim=dim),
+        "lsh": lambda: ann_lsh_sql(n_queries, k, dim=dim),
+        "pq": lambda: ann_pq_sql(n_queries, k, dim=dim),
+    }[index]()
     return f"""
 WITH brute AS MATERIALIZED ({brute}),
 ivf AS MATERIALIZED ({ivf}),

@@ -226,3 +226,30 @@ def test_shard_manifest_planted(ray_session, tmp_path):
     assert got.loc[("video", 0), "min_doc_id"] == 8
     assert got.loc[("video", 2), "total_bytes"] == 1
     assert len(got) == 4
+
+
+def test_pq_recall_semantics(ray_session, sf_dir):
+    """pq recall must equal |pq top-k ∩ brute top-k| / k per query."""
+    from tcx2graph_jl_ray.stages.ann import (
+        ann_brute_topk,
+        ann_pq_topk,
+        ann_recall_eval,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    nq, k = 4, 5
+    got = (
+        ann_recall_eval(emb, sf_dir, nq, k, index="pq")
+        .to_pandas()
+        .set_index("query_id")
+        .sort_index()
+    )
+    assert list(got.index) == list(range(nq))
+    brute = ann_brute_topk(emb, sf_dir, nq, k).to_pandas()
+    pqr = ann_pq_topk(emb, sf_dir, nq, k).to_pandas()
+    for qid in range(nq):
+        b = set(brute.loc[brute["query_id"] == qid, "vec_id"])
+        a = set(pqr.loc[pqr["query_id"] == qid, "vec_id"])
+        hits = len(b & a)
+        assert got.loc[qid, "n_hits"] == hits
+        assert got.loc[qid, "recall"] == np.round(hits / k, 6)
