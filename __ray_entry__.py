@@ -724,6 +724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_recall": lambda sf: _ann.ann_recall_eval(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K, index="pq"
         ),
+        "text_simpson_diversity": lambda sf: _tx.simpson_diversity(
+            _docs(sf)
+        ),
     })
 
 
@@ -1226,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_recall": _ann.ann_recall_sql(
             _ANN_NQ, _ANN_K, dim=64, index="pq"
         ),
+        "text_simpson_diversity": _tx.SIMPSON_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

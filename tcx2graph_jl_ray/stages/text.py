@@ -3350,3 +3350,103 @@ SELECT source, word, n_occ, n_docs,
          AS occ_share
 FROM g
 """
+
+
+def simpson_diversity(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-source Simpson concentration of the word distribution:
+    D = sum_w n_w(n_w-1) / (N(N-1)) — the probability two tokens drawn
+    without replacement are the same word (1/D is the "effective
+    vocabulary size"; a rising D flags boilerplate/templated text the way
+    a falling ``hapax_ratio`` does, from the other end of the frequency
+    spectrum).
+
+    Shape: the ``hapax_ratio`` pipeline with a different rollup — one
+    SALTED (source, word) exact reduce (stopword whales split), then
+    per-source sufficient statistics S2 = sum n(n-1), N = sum n in the
+    ``corr_value_hour`` exactness discipline: per-batch int64 partials
+    (safe while no single word exceeds ~3e9 occurrences in one source —
+    n(n-1) < 2^63; the documented bound), PYTHON-int final merge
+    (HUGEINT-equal), one double division rounded 6. Sources with N < 2
+    drop (oracle HAVING). Output: source, n_tokens, n_types, simpson."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+
+    def explode_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        words = batch["text"].str.lower().str.split(" ")
+        df = pd.DataFrame({"source": batch["source"], "w": words}).explode("w")
+        df = df[df["w"].notna() & (df["w"] != "")]
+        return df.groupby(["source", "w"], sort=False).size().reset_index(
+            name="n"
+        )
+
+    pairs = docs.select_columns(["source", "text"]).map_batches(
+        explode_partial, batch_format="pandas", batch_size=4096
+    )
+
+    def merge_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["source", "w"], sort=False)["n"].sum()\
+            .reset_index()
+
+    per_word = salted_group_apply(
+        pairs, ["source", "w"], partial_fn=merge_pairs, merge_fn=merge_pairs
+    )
+
+    def suff_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].astype("int64")
+        d = pd.DataFrame({
+            "source": batch["source"],
+            "s2": (n * (n - 1)).to_numpy(),
+            "nn": n.to_numpy(),
+            "v": np.ones(len(batch), dtype="int64"),
+        })
+        return d.groupby("source", sort=False).sum().reset_index()
+
+    def merge_suff(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src_key, g in bucket.groupby("source", sort=False):
+            s2 = sum(int(x) for x in g["s2"])
+            nn = sum(int(x) for x in g["nn"])
+            v = sum(int(x) for x in g["v"])
+            if nn < 2:
+                continue
+            out.append((
+                src_key,
+                np.int64(nn),
+                np.int64(v),
+                np.round(float(s2) / (float(nn) * float(nn - 1)), 6),
+            ))
+        return pd.DataFrame(
+            out, columns=["source", "n_tokens", "n_types", "simpson"]
+        ).astype({
+            "n_tokens": "int64", "n_types": "int64", "simpson": "float64",
+        })
+
+    return bucketed_group_apply(
+        per_word.map_batches(
+            suff_partial, batch_format="pandas", batch_size=65536
+        ),
+        ["source"],
+        merge_suff,
+        n_buckets=4,
+    )
+
+
+SIMPSON_SQL = """
+WITH e AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+f AS (SELECT * FROM e WHERE w <> ''),
+c AS (SELECT source, w, COUNT(*) AS n FROM f GROUP BY source, w),
+s AS (
+  SELECT source, SUM(n * (n - 1)) AS s2, SUM(n) AS nn, COUNT(*) AS v
+  FROM c GROUP BY source HAVING SUM(n) >= 2
+)
+SELECT source, CAST(nn AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+       ROUND(CAST(s2 AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)), 6) AS simpson
+FROM s
+"""

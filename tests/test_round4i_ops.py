@@ -253,3 +253,25 @@ def test_pq_recall_semantics(ray_session, sf_dir):
         hits = len(b & a)
         assert got.loc[qid, "n_hits"] == hits
         assert got.loc[qid, "recall"] == np.round(hits / k, 6)
+
+
+def test_simpson_diversity_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import simpson_diversity
+
+    # source a: tokens the,the,cat (n_the=2, n_cat=1) -> S2=2, N=3,
+    # D = 2/(3*2) = 0.333333; source b: one token -> drops (N<2)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array(["the the", "cat", "solo"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        simpson_diversity(docs.repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert list(got.index) == ["a"]
+    assert got.loc["a", "n_tokens"] == 3 and got.loc["a", "n_types"] == 2
+    assert got.loc["a", "simpson"] == np.round(2 / 6, 6)
