@@ -727,6 +727,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_simpson_diversity": lambda sf: _tx.simpson_diversity(
             _docs(sf)
         ),
+        "text_source_vocab_overlap": lambda sf: _tx.source_vocab_overlap(
+            _docs(sf)
+        ),
     })
 
 
@@ -1230,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
             _ANN_NQ, _ANN_K, dim=64, index="pq"
         ),
         "text_simpson_diversity": _tx.SIMPSON_SQL,
+        "text_source_vocab_overlap": _tx.VOCAB_OVERLAP_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

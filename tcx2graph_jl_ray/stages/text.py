@@ -3450,3 +3450,139 @@ SELECT source, CAST(nn AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
              / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)), 6) AS simpson
 FROM s
 """
+
+
+def source_vocab_overlap(
+    docs: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Pairwise source-vocabulary Jaccard matrix: for every pair of
+    sources, the shared distinct-word count and |A∩B| / |A∪B| — the
+    domain-similarity map a mixture designer reads before reweighting
+    corpus slices (two sources with near-identical vocabularies are one
+    domain; reference's cross-file property overlap,
+    src/OverlappingSegmentsUtils.jl:51-100, lifted to the lexical axis).
+
+    Shape: one SALTED (source, word) distinct reduce (stopword whales
+    split); the pair counting is word-bucketed with each bucket folding
+    its words into an S x S co-occurrence count matrix (np.add.at over
+    triu indices — never a pair-row exchange: the exchange carries at
+    most S^2 rows per bucket, not sum-over-words C(k,2) rows); one final
+    (a, b) reduce sums the matrices. Per-source vocabulary sizes are a
+    dimension-bounded collect (|sources| rows) closed over the final
+    merge. Jaccard is one division of exact ints, rounded 6. Pairs with
+    zero shared words don't emit (oracle inner-join semantics).
+    Output: source_a, source_b, n_common, n_a, n_b, jaccard."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+
+    def explode_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        words = batch["text"].str.lower().str.split(" ")
+        df = pd.DataFrame({"source": batch["source"], "w": words}).explode("w")
+        df = df[df["w"].notna() & (df["w"] != "")]
+        return df.drop_duplicates(["source", "w"])
+
+    pairs = docs.select_columns(["source", "text"]).map_batches(
+        explode_distinct, batch_format="pandas", batch_size=4096
+    )
+
+    def dedup_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(["source", "w"])
+
+    per_word = salted_group_apply(
+        pairs, ["source", "w"], partial_fn=dedup_pairs, merge_fn=dedup_pairs
+    ).materialize()  # consumed by the vocab-size and pair branches
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("source", sort=False).size().reset_index(
+            name="nv"
+        )
+
+    def vocab_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False)["nv"].sum().reset_index()
+        g["nv"] = g["nv"].astype("int64")
+        return g
+
+    # dimension-bounded small side: |sources| rows
+    nv = dict(
+        bucketed_group_apply(
+            per_word.map_batches(vocab_partial, batch_format="pandas"),
+            ["source"], vocab_merge, n_buckets=4,
+        ).to_pandas().itertuples(index=False, name=None)
+    )
+
+    def pair_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        # codes in LEXICOGRAPHIC source order so triu pairs are a < b,
+        # matching the oracle's a.source < b.source orientation
+        uniq = np.sort(bucket["source"].unique())
+        codes = np.searchsorted(uniq, bucket["source"].to_numpy())
+        s = len(uniq)
+        d = pd.DataFrame({"w": bucket["w"].to_numpy(), "c": codes})
+        acc = np.zeros((s, s), dtype="int64")
+        for _, g in d.groupby("w", sort=False):
+            cs = np.sort(g["c"].to_numpy())
+            if len(cs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(cs), k=1)
+            np.add.at(acc, (cs[ii], cs[jj]), 1)
+        ai, bj = np.nonzero(acc)
+        names = np.asarray(uniq, dtype=object)
+        return pd.DataFrame({
+            "source_a": names[ai],
+            "source_b": names[bj],
+            "inter": acc[ai, bj],
+        })
+
+    counts = bucketed_group_apply(
+        per_word, ["w"], pair_counts, n_buckets=n_buckets
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source_a", "source_b"], sort=False)["inter"]\
+            .sum().reset_index()
+        inter = g["inter"].astype("int64")
+        na = g["source_a"].map(nv).astype("int64")
+        nb = g["source_b"].map(nv).astype("int64")
+        union = na + nb - inter
+        return pd.DataFrame({
+            "source_a": g["source_a"],
+            "source_b": g["source_b"],
+            "n_common": inter,
+            "n_a": na,
+            "n_b": nb,
+            "jaccard": np.round(
+                inter.to_numpy(dtype="float64")
+                / union.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(
+        counts, ["source_a", "source_b"], final, n_buckets=4
+    )
+
+
+VOCAB_OVERLAP_SQL = """
+WITH e AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE w <> ''
+),
+v AS (SELECT source, COUNT(*) AS nv FROM e GROUP BY source),
+c AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+  FROM e a JOIN e b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       CAST(inter AS BIGINT) AS n_common,
+       CAST(va.nv AS BIGINT) AS n_a,
+       CAST(vb.nv AS BIGINT) AS n_b,
+       ROUND(CAST(inter AS DOUBLE)
+             / CAST(va.nv + vb.nv - inter AS DOUBLE), 6) AS jaccard
+FROM c
+JOIN v va ON va.source = c.source_a
+JOIN v vb ON vb.source = c.source_b
+"""

@@ -275,3 +275,23 @@ def test_simpson_diversity_planted(ray_session, tmp_path):
     assert list(got.index) == ["a"]
     assert got.loc["a", "n_tokens"] == 3 and got.loc["a", "n_types"] == 2
     assert got.loc["a", "simpson"] == np.round(2 / 6, 6)
+
+
+def test_source_vocab_overlap_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import source_vocab_overlap
+
+    # vocab a = {the, cat}, b = {the, dog}, c = {fish} ->
+    # (a,b): inter 1, union 3; c shares nothing -> no rows with c
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": pa.array(["b", "a", "c"]),
+        "text": pa.array(["the dog", "the cat the", "fish"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = source_vocab_overlap(docs.repartition(3), n_buckets=4).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    assert r["n_common"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["jaccard"] == np.round(1 / 3, 6)
