@@ -730,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_source_vocab_overlap": lambda sf: _tx.source_vocab_overlap(
             _docs(sf)
         ),
+        "events_burstiness": lambda sf: _wd.user_burstiness(_events_ds(sf)),
     })
 
 
@@ -1234,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_simpson_diversity": _tx.SIMPSON_SQL,
         "text_source_vocab_overlap": _tx.VOCAB_OVERLAP_SQL,
+        "events_burstiness": _wd.USER_BURSTINESS_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

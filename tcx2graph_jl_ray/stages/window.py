@@ -3326,3 +3326,96 @@ SELECT n AS n_users, t AS total_events,
              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
 FROM s
 """
+
+
+def user_burstiness(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-user burstiness of the event stream — Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over inter-arrival gaps (−1 = metronome, 0 = Poisson,
+    →1 = extreme bursts), the temporal-pattern classifier next to
+    ``interarrival_stats``'s per-type cadence.
+
+    Exactness discipline (``corr_value_hour``): gaps are exact integer
+    SECONDS (per-event epoch-second truncation, so σ's sufficient
+    statistic Σg² is int64-safe for any corpus spanning < ~96 years —
+    Σg² ≤ (Σg)² ≤ span²; microseconds would wrap); per-user (n, S1, S2)
+    fold inside the one user-keyed shuffle, composites n·S2−S1² in
+    PYTHON ints (HUGEINT-equal), and B = one shared double expression
+    (sqrt(D)−S1)/(sqrt(D)+S1) — n cancels — rounded 6. Users with < 2
+    gaps or an all-zero gap sum drop (stated contract, oracle HAVING).
+    Output: user_id, n_gaps, mean_gap_s, burstiness."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        es = (
+            pd.to_datetime(d["ts"]).astype("datetime64[us]").astype("int64")
+            // 1_000_000
+        )
+        gap = es - es.groupby(d["user_id"], sort=False).shift()
+        k = gap.notna()
+        g = pd.DataFrame({
+            "user_id": d["user_id"][k].astype("int64"),
+            "gap": gap[k].astype("int64"),
+        })
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            gaps = gg["gap"].to_numpy()
+            n = len(gaps)
+            s1 = int(gaps.sum())
+            s2 = int((gaps * gaps).sum())
+            if n < 2 or s1 <= 0:
+                continue
+            dd = n * s2 - s1 * s1  # Python int, HUGEINT-equal
+            sq = math.sqrt(float(dd))
+            rows.append((
+                uid,
+                np.int64(n),
+                np.round(s1 / n, 6),
+                np.round((sq - float(s1)) / (sq + float(s1)), 6),
+            ))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_gaps", "mean_gap_s", "burstiness"]
+        ).astype({
+            "user_id": "int64", "n_gaps": "int64",
+            "mean_gap_s": "float64", "burstiness": "float64",
+        })
+
+    return bucketed_group_apply(
+        events.select_columns(["user_id", "event_id", "ts"]),
+        ["user_id"],
+        per_bucket,
+        n_buckets=n_buckets,
+    )
+
+
+USER_BURSTINESS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         es - LAG(es) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap
+  FROM e
+),
+s AS (
+  SELECT user_id, COUNT(gap) AS n, SUM(gap) AS s1, SUM(gap * gap) AS s2
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(gap) >= 2 AND SUM(gap) > 0
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+       ROUND((SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))
+             / (SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE)),
+             6) AS burstiness
+FROM s
+"""

@@ -295,3 +295,33 @@ def test_source_vocab_overlap_planted(ray_session, tmp_path):
     assert (r["source_a"], r["source_b"]) == ("a", "b")
     assert r["n_common"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
     assert r["jaccard"] == np.round(1 / 3, 6)
+
+
+def test_user_burstiness_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_burstiness
+
+    # user 1: events at 0s, 10s, 20s -> gaps (10, 10): sigma=0, B=-1
+    # user 2: events at 0s, 1s, 31s -> gaps (1, 30): mu=15.5,
+    #   D = 2*901 - 31^2 = 841 -> sqrt=29, B = (29-31)/(29+31) = -2/60
+    # user 3: single event -> drops
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 00:00:20",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:31",
+        "2024-01-01 00:00:00",
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(7, dtype="int64"),
+        "user_id": pd.array([1, 1, 1, 2, 2, 2, 3], dtype="int64"),
+        "ts": ts,
+    })
+    got = (
+        user_burstiness(ray.data.from_pandas(df).repartition(3), n_buckets=4)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(got.index) == [1, 2]
+    assert got.loc[1, "burstiness"] == -1.0
+    assert got.loc[2, "n_gaps"] == 2
+    assert got.loc[2, "mean_gap_s"] == np.round(31 / 2, 6)
+    assert got.loc[2, "burstiness"] == np.round((29 - 31) / (29 + 31), 6)
