@@ -731,6 +731,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "events_burstiness": lambda sf: _wd.user_burstiness(_events_ds(sf)),
+        "kg_conv_sentiment": lambda sf: _an.conv_sentiment(
+            _transcripts(sf)
+        ),
     })
 
 
@@ -1236,6 +1239,11 @@ def oracle_sql() -> dict[str, str]:
         "text_simpson_diversity": _tx.SIMPSON_SQL,
         "text_source_vocab_overlap": _tx.VOCAB_OVERLAP_SQL,
         "events_burstiness": _wd.USER_BURSTINESS_SQL,
+        "kg_conv_sentiment": _an.CONV_SENTIMENT_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL,
+            pos="(" + ", ".join(f"'{w}'" for w in _an.POS_MARKERS) + ")",
+            neg="(" + ", ".join(f"'{w}'" for w in _an.NEG_MARKERS) + ")",
+        ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

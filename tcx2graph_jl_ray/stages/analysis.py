@@ -4673,3 +4673,90 @@ FROM g WHERE gap IS NOT NULL
 GROUP BY entity_id
 """
 )
+
+
+POS_MARKERS = ("purchase", "signup")
+NEG_MARKERS = ("error",)
+
+
+def conv_sentiment(
+    transcripts: ray.data.Dataset,
+    pos: tuple = POS_MARKERS,
+    neg: tuple = NEG_MARKERS,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Per-conversation outcome polarity from a marker lexicon:
+    P = (pos−neg)/(pos+neg) over exact token hits — the lang_id
+    marker-word machinery (src/TCXReader.jl:141-163 provenance) pointed
+    at outcome words instead of languages (the synthetic corpus's
+    positive markers are conversion events, its negative marker the
+    error event; a real deployment swaps in a sentiment lexicon — the
+    shape is the lexicon-scoring shape either way).
+
+    Tokenization is the house lower + ' '-split (exact token membership,
+    so 'lookup[error]' is NOT an 'error' hit — mirrored by the oracle's
+    list_filter). Per-batch (conv, pos, neg) int64 partials, one
+    conv-keyed bucketed reduce; conversations with zero marker hits drop
+    (stated contract, oracle HAVING). Polarity is one division of exact
+    ints, rounded 6. Output: conv_id, n_pos, n_neg, polarity."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    pos_set, neg_set = set(pos), set(neg)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["text"].notna()]
+        toks = b["text"].str.lower().str.split(" ")
+        tf = pd.DataFrame({
+            "row": np.repeat(np.arange(len(b)), toks.str.len()),
+            "tok": [t for ws in toks for t in ws],
+        })
+        conv = b["conv_id"].to_numpy()
+        d = pd.DataFrame({
+            "conv_id": conv[tf["row"].to_numpy()],
+            "p": tf["tok"].isin(pos_set).to_numpy().astype("int64"),
+            "n": tf["tok"].isin(neg_set).to_numpy().astype("int64"),
+        })
+        return d.groupby("conv_id", sort=False).sum().reset_index()
+
+    parts = transcripts.select_columns(["conv_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False).sum().reset_index()
+        p = g["p"].astype("int64")
+        n = g["n"].astype("int64")
+        k = (p + n) > 0
+        g, p, n = g[k], p[k], n[k]
+        return pd.DataFrame({
+            "conv_id": g["conv_id"],
+            "n_pos": p,
+            "n_neg": n,
+            "polarity": np.round(
+                (p - n).to_numpy(dtype="float64")
+                / (p + n).to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["conv_id"], merge,
+                                n_buckets=n_buckets)
+
+
+CONV_SENTIMENT_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+m AS (
+  SELECT conv_id,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN {pos})) AS p,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN {neg})) AS n
+  FROM t WHERE text IS NOT NULL
+),
+s AS (
+  SELECT conv_id, SUM(p) AS p, SUM(n) AS n FROM m GROUP BY conv_id
+  HAVING SUM(p) + SUM(n) > 0
+)
+SELECT conv_id, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       ROUND(CAST(p - n AS DOUBLE) / CAST(p + n AS DOUBLE), 6) AS polarity
+FROM s
+"""

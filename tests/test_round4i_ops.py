@@ -325,3 +325,25 @@ def test_user_burstiness_planted(ray_session):
     assert got.loc[2, "n_gaps"] == 2
     assert got.loc[2, "mean_gap_s"] == np.round(31 / 2, 6)
     assert got.loc[2, "burstiness"] == np.round((29 - 31) / (29 + 31), 6)
+
+
+def test_conv_sentiment_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import conv_sentiment
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c3"],
+        "text": [
+            "purchase went fine", "then error error",
+            "lookup[error] only",  # bracketed token is NOT a hit
+            None,
+        ],
+    })
+    got = (
+        conv_sentiment(ray.data.from_pandas(df).repartition(2), n_buckets=2)
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    # c1: pos=1 (purchase), neg=2 -> polarity (1-2)/3; c2/c3 drop
+    assert list(got.index) == ["c1"]
+    assert got.loc["c1", "n_pos"] == 1 and got.loc["c1", "n_neg"] == 2
+    assert got.loc["c1", "polarity"] == np.round(-1 / 3, 6)
