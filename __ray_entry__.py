@@ -734,6 +734,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_sentiment": lambda sf: _an.conv_sentiment(
             _transcripts(sf)
         ),
+        "multimodal_payload_dedup": lambda sf: _mm.payload_dedup_stats(
+            _docs(sf)
+        ),
     })
 
 
@@ -1244,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             pos="(" + ", ".join(f"'{w}'" for w in _an.POS_MARKERS) + ")",
             neg="(" + ", ".join(f"'{w}'" for w in _an.NEG_MARKERS) + ")",
         ),
+        "multimodal_payload_dedup": _mm.PAYLOAD_DEDUP_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -566,3 +566,92 @@ SELECT modality, CAST(shard AS BIGINT) AS shard,
        CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
 FROM p GROUP BY modality, shard
 """
+
+
+def payload_dedup_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Content-addressable-store planning summary for a payload corpus:
+    how many payloads are byte-identical copies and what a digest-keyed
+    store saves — n_payloads, n_unique, n_dup_copies, bytes_total,
+    bytes_unique, dedup_ratio (one row; the ``dedup_exact`` question asked
+    of the binary column, sized for the CAS/shard planner rather than the
+    curation funnel).
+
+    Digest = md5 of the payload bytes through the batched DuckDB kernel
+    (``functions/digest.md5_hex`` — for the fake codec payload ==
+    encode(text), so the oracle's md5(text) is the same digest by
+    construction). Shape: per-batch per-digest partials, one digest-keyed
+    reduce folding each bucket to ONE scalar-partial row, one final
+    single-bucket sum. n*nb products stay int64 (copies x payload bytes
+    < 2^63 — a million copies of a terabyte payload before wrap)."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    payloads = attach_fake_payload(docs)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nb = batch["payload"].map(len).astype("int64")
+        # fake-codec payload is encode(text): hash the decoded form through
+        # the batched kernel (bit-identical to hashing the bytes)
+        dg = md5_hex([bytes(p).decode() for p in batch["payload"]])
+        d = pd.DataFrame({"dg": dg, "n": np.int64(1), "nb": nb})
+        return d.groupby("dg", sort=False).agg(
+            n=("n", "sum"), nb=("nb", "min")
+        ).reset_index()
+
+    parts = payloads.map_batches(
+        partial, batch_format="pandas", batch_size=2048
+    )
+
+    def fold_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("dg", sort=False).agg(
+            n=("n", "sum"), nb=("nb", "min")
+        )
+        n = g["n"].astype("int64").to_numpy()
+        nb = g["nb"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "n_payloads": [np.int64(n.sum())],
+            "n_unique": [np.int64(len(g))],
+            "n_dup_copies": [np.int64((n - 1).sum())],
+            "bytes_total": [np.int64((n * nb).sum())],
+            "bytes_unique": [np.int64(nb.sum())],
+        })
+
+    scalar_parts = bucketed_group_apply(parts, ["dg"], fold_bucket,
+                                        n_buckets=16)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sum()
+        bt = int(s["bytes_total"])
+        bu = int(s["bytes_unique"])
+        return pd.DataFrame({
+            "n_payloads": [np.int64(s["n_payloads"])],
+            "n_unique": [np.int64(s["n_unique"])],
+            "n_dup_copies": [np.int64(s["n_dup_copies"])],
+            "bytes_total": [np.int64(bt)],
+            "bytes_unique": [np.int64(bu)],
+            "dedup_ratio": [np.round(float(bu) / float(bt), 6)],
+        })
+
+    keyed = scalar_parts.map_batches(
+        lambda b: b.assign(k=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["k"], lambda b: final(b.drop(columns=["k"])), n_buckets=1
+    )
+
+
+PAYLOAD_DEDUP_SQL = """
+WITH p AS (
+  SELECT md5(text) AS dg, octet_length(encode(text)) AS nb
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT dg, COUNT(*) AS n, MIN(nb) AS nb FROM p GROUP BY dg)
+SELECT CAST(SUM(n) AS BIGINT) AS n_payloads,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(n - 1) AS BIGINT) AS n_dup_copies,
+       CAST(SUM(n * nb) AS BIGINT) AS bytes_total,
+       CAST(SUM(nb) AS BIGINT) AS bytes_unique,
+       ROUND(CAST(SUM(nb) AS DOUBLE) / CAST(SUM(n * nb) AS DOUBLE), 6)
+         AS dedup_ratio
+FROM g
+"""

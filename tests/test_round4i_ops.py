@@ -347,3 +347,20 @@ def test_conv_sentiment_planted(ray_session):
     assert list(got.index) == ["c1"]
     assert got.loc["c1", "n_pos"] == 1 and got.loc["c1", "n_neg"] == 2
     assert got.loc["c1", "polarity"] == np.round(-1 / 3, 6)
+
+
+def test_payload_dedup_stats_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.multimodal import payload_dedup_stats
+
+    # "aa" x3 (2 bytes), "bbb" x1 (3 bytes): total 9, unique 5
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["aa", "aa", "aa", "bbb"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = payload_dedup_stats(docs.repartition(3)).to_pandas().iloc[0]
+    assert got["n_payloads"] == 4 and got["n_unique"] == 2
+    assert got["n_dup_copies"] == 2
+    assert got["bytes_total"] == 9 and got["bytes_unique"] == 5
+    assert got["dedup_ratio"] == np.round(5 / 9, 6)
