@@ -737,6 +737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_payload_dedup": lambda sf: _mm.payload_dedup_stats(
             _docs(sf)
         ),
+        "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1248,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
             neg="(" + ", ".join(f"'{w}'" for w in _an.NEG_MARKERS) + ")",
         ),
         "multimodal_payload_dedup": _mm.PAYLOAD_DEDUP_SQL,
+        "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -3419,3 +3419,81 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
              6) AS burstiness
 FROM s
 """
+
+
+def user_type_entropy(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-user Shannon entropy of the event-type mix plus the dominant
+    type — the specialization gauge (a one-trick bot scores 0, a uniform
+    all-types user ~log2(k)); the ``hourly_entropy`` discipline pivoted
+    from the time axis to the user axis. Dominant-type ties break to the
+    lexicographically smallest type on both sides. Entropy summands are
+    bounded by the type cardinality, rounded 6, ``+ 0.0`` -0.0 fold.
+    Output: user_id, n_events, n_types, top_type, type_entropy."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["user_id", "event_type"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = events.select_columns(["user_id", "event_type"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket.groupby(["user_id", "event_type"], sort=False)["n"].sum()\
+            .reset_index()
+        rows = []
+        for uid, g in c.groupby("user_id", sort=False):
+            n = g["n"].to_numpy(dtype="int64")
+            nt = n.sum()
+            p = n.astype("float64") / float(nt)
+            ent = 0.0 - float((p * np.log2(p)).sum()) + 0.0
+            top = g.sort_values(["n", "event_type"],
+                                ascending=[False, True],
+                                kind="mergesort").iloc[0]["event_type"]
+            rows.append((int(uid), int(nt), len(g), top,
+                         np.round(ent, 6) + 0.0))
+        if not rows:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_types": pd.Series([], dtype="int64"),
+                "top_type": pd.Series([], dtype="object"),
+                "type_entropy": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "n_types", "top_type", "type_entropy"
+        ]).astype({
+            "user_id": "int64", "n_events": "int64", "n_types": "int64",
+        })
+
+    return bucketed_group_apply(parts, ["user_id"], per_user,
+                                n_buckets=n_buckets)
+
+
+USER_TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, SUM(n) AS nt, COUNT(*) AS k FROM c GROUP BY 1),
+r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(ANY_VALUE(t.nt) AS BIGINT) AS n_events,
+       CAST(ANY_VALUE(t.k) AS BIGINT) AS n_types,
+       ANY_VALUE(r.event_type) AS top_type,
+       ROUND(0.0 - SUM((c.n / t.nt) * log2(c.n / t.nt)), 6) + 0.0
+         AS type_entropy
+FROM c
+JOIN t ON t.user_id = c.user_id
+JOIN r ON r.user_id = c.user_id AND r.rk = 1
+GROUP BY c.user_id
+"""

@@ -364,3 +364,26 @@ def test_payload_dedup_stats_planted(ray_session, tmp_path):
     assert got["n_dup_copies"] == 2
     assert got["bytes_total"] == 9 and got["bytes_unique"] == 5
     assert got["dedup_ratio"] == np.round(5 / 9, 6)
+
+
+def test_user_type_entropy_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_type_entropy
+
+    # user 1: a x2, b x2 -> entropy 1.0, top 'a' (tie -> lexicographic)
+    # user 2: a x4 -> entropy 0.0
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype="int64"),
+        "user_id": pd.array([1, 1, 1, 1, 2, 2, 2, 2], dtype="int64"),
+        "event_type": ["a", "b", "a", "b", "a", "a", "a", "a"],
+    })
+    got = (
+        user_type_entropy(ray.data.from_pandas(df).repartition(3),
+                          n_buckets=4)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.loc[1, "type_entropy"] == 1.0
+    assert got.loc[1, "top_type"] == "a" and got.loc[1, "n_types"] == 2
+    assert got.loc[2, "type_entropy"] == 0.0
+    assert got.loc[2, "n_events"] == 4
