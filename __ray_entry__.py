@@ -740,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
+        "rel_nation_hhi": lambda sf: _rel.nation_hhi(sf),
     })
 
 
@@ -1252,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_payload_dedup": _mm.PAYLOAD_DEDUP_SQL,
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
+        "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

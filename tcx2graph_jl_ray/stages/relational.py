@@ -3706,3 +3706,134 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(cents AS DOUBLE) / 100.0 AS monetary
 FROM c
 """
+
+
+def nation_hhi(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Per-nation revenue concentration: the Herfindahl–Hirschman index of
+    customer revenue shares (HHI = sum_i share_i^2; 1/k = perfectly even,
+    1.0 = one customer owns the market) — the antitrust-style
+    concentration gauge over the customer ⋈ orders axis, next to
+    ``customer_rfm``'s per-customer view.
+
+    Exactness: HHI = S2 / C^2 with S2 = sum cents_i^2 and C = sum cents_i
+    both EXACT integers. Per-customer cents fold in one custkey-keyed
+    shuffle (int64-safe, money.py headroom note); the per-nation second
+    moment is accumulated in CHUNKED int64 (chunks sized so
+    chunk * max(c^2) < 2^63) then carried as Python ints, shipped across
+    the exchange as (hi, lo) base-2^62 limbs and re-merged in Python ints
+    (HUGEINT-equal — a nation's S2 passes int64 at ~2.5k whale
+    customers). The index is one double division, rounded 6. Nation names
+    are the 25-row broadcast dim. Output: nation, n_customers, revenue,
+    hhi."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import cents_i64, money_from_cents
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation_names = dict(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas().itertuples(index=False, name=None)
+    )
+
+    def cust_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].astype("int64"),
+            "cents": cents_i64(batch["o_totalprice"]),
+        })
+        return d.groupby("o_custkey", sort=False)["cents"].sum()\
+            .reset_index()
+
+    per_cust = bucketed_group_apply(
+        orders.map_batches(cust_partial, batch_format="pandas",
+                           batch_size=65536),
+        ["o_custkey"],
+        lambda b: b.groupby("o_custkey", sort=False)["cents"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    joined = hash_join(
+        per_cust,
+        customer.map_batches(
+            lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas",
+        ),
+        on="o_custkey",
+        n_buckets=n_buckets,
+    )
+
+    _LIMB = 1 << 62
+
+    def nation_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, g in batch.groupby("c_nationkey", sort=False):
+            c = g["cents"].to_numpy(dtype="int64")
+            sq = c * c  # each fits int64 (cents < 3e9 per customer)
+            mx = int(sq.max()) if len(sq) else 0
+            step = max(1, (1 << 62) // max(mx, 1))
+            s2 = 0
+            for i in range(0, len(sq), step):
+                s2 += int(sq[i:i + step].sum())
+            rows.append((
+                int(nk), len(g), int(c.sum()),
+                np.int64(s2 // _LIMB), np.int64(s2 % _LIMB),
+            ))
+        return pd.DataFrame(
+            rows, columns=["nk", "k", "c", "s2_hi", "s2_lo"]
+        ).astype({
+            "nk": "int64", "k": "int64", "c": "int64",
+            "s2_hi": "int64", "s2_lo": "int64",
+        })
+
+    parts = joined.map_batches(
+        nation_partial, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for nk, g in bucket.groupby("nk", sort=False):
+            s2 = sum(
+                int(h) * _LIMB + int(lo)
+                for h, lo in zip(g["s2_hi"], g["s2_lo"])
+            )
+            ctot = sum(int(x) for x in g["c"])
+            k = int(g["k"].sum())
+            out.append((
+                nation_names[int(nk)],
+                np.int64(k),
+                money_from_cents(ctot),
+                np.round(float(s2) / float(ctot * ctot), 6),
+            ))
+        return pd.DataFrame(
+            out, columns=["nation", "n_customers", "revenue", "hhi"]
+        ).astype({"n_customers": "int64"})
+
+    return bucketed_group_apply(parts, ["nk"], final, n_buckets=4)
+
+
+NATION_HHI_SQL = """
+WITH c AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT cu.c_nationkey AS nk, c.cents
+  FROM c JOIN customer cu ON cu.c_custkey = c.o_custkey
+),
+s AS (
+  SELECT nk, COUNT(*) AS k, SUM(cents) AS ctot,
+         SUM(cents * cents) AS s2
+  FROM j GROUP BY nk
+)
+SELECT n.n_name AS nation, CAST(k AS BIGINT) AS n_customers,
+       CAST(ctot AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(s2 AS DOUBLE) / CAST(ctot * ctot AS DOUBLE), 6) AS hhi
+FROM s JOIN nation n ON n.n_nationkey = s.nk
+"""

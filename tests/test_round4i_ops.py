@@ -387,3 +387,32 @@ def test_user_type_entropy_planted(ray_session):
     assert got.loc[1, "top_type"] == "a" and got.loc[1, "n_types"] == 2
     assert got.loc[2, "type_entropy"] == 0.0
     assert got.loc[2, "n_events"] == 4
+
+
+def test_nation_hhi_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import nation_hhi
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([10.00, 20.00, 30.00, 40.00]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"]),
+    }), str(tmp_path / "nation.parquet"))
+    got = (
+        nation_hhi(str(tmp_path), n_buckets=4)
+        .to_pandas()
+        .set_index("nation")
+        .sort_index()
+    )
+    # ALPHA: customers 30, 30 -> HHI = (900+900)/3600 = 0.5
+    # BETA: single customer -> HHI = 1.0
+    assert got.loc["ALPHA", "n_customers"] == 2
+    assert got.loc["ALPHA", "revenue"] == 60.0
+    assert got.loc["ALPHA", "hhi"] == 0.5
+    assert got.loc["BETA", "hhi"] == 1.0
