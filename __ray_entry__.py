@@ -741,6 +741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf)
         ),
         "rel_nation_hhi": lambda sf: _rel.nation_hhi(sf),
+        "emb_sq8_error": lambda sf: _ann.sq8_quantization_error(
+            _embeddings_ds(sf)
+        ),
     })
 
 
@@ -1254,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_payload_dedup": _mm.PAYLOAD_DEDUP_SQL,
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
+        "emb_sq8_error": _ann.SQ8_ERROR_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -1426,3 +1426,102 @@ SELECT a.label AS label_a, b.label AS label_b,
 FROM i a JOIN i b ON a.dim = b.dim AND a.label < b.label
 GROUP BY a.label, b.label
 """
+
+
+def sq8_quantization_error(
+    embeddings: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Int8 scalar-quantization (SQ8) calibration profile: per dimension,
+    the affine-quantizer reconstruction error when each value is snapped
+    to one of 256 levels across the dim's [vmin, vmax] range — the
+    embedding-compression counterpart of the PQ codebook (SQ stores d
+    bytes/vector, PQ m bytes; this table says whether SQ's error budget
+    is acceptable per dimension before paying PQ's training cost).
+
+    Exactness: only order-free reductions leave the workers — per-dim
+    MAX abs error, exact-hit count, n — never a float error SUM (whose
+    summation order would break the driver's exact value hash). The
+    quantizer is the SAME IEEE expression on both sides
+    (q = FLOOR((e-vmin)*255/range + 0.5); e_hat = vmin + q*range/255),
+    so err values are bit-identical; max_abs_err is rounded 9 for
+    display. Pass 1 collects the 64-row per-dim range (dimension-bounded
+    broadcast); pass 2 streams. Constant dims quantize exactly (err 0).
+    Output: dim, vmin, vmax, max_abs_err, n_exact, n_vecs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    ranges = (
+        embedding_dim_stats(embeddings, n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("dim")
+    )
+    vmin = ranges["vmin"].to_numpy(dtype="float64")
+    vmax = ranges["vmax"].to_numpy(dtype="float64")
+    rng = vmax - vmin
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype="int64"),
+                "mx": pd.Series([], dtype="float64"),
+                "nx": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        e = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((e - vmin) * 255.0 / rng + 0.5)
+            ehat = vmin + q * rng / 255.0
+        err = np.abs(e - ehat)
+        err = np.where(rng > 0, err, 0.0)
+        return pd.DataFrame({
+            "dim": np.arange(1, e.shape[1] + 1, dtype="int64"),
+            "mx": err.max(axis=0),
+            "nx": (err == 0.0).sum(axis=0).astype("int64"),
+            "n": np.full(e.shape[1], len(e), dtype="int64"),
+        })
+
+    parts = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("dim", sort=False).agg(
+            mx=("mx", "max"), nx=("nx", "sum"), n=("n", "sum")
+        ).reset_index()
+        d = g["dim"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "dim": d,
+            "vmin": vmin[d - 1],
+            "vmax": vmax[d - 1],
+            "max_abs_err": np.round(g["mx"].to_numpy(dtype="float64"), 9),
+            "n_exact": g["nx"].astype("int64"),
+            "n_vecs": g["n"].astype("int64"),
+        })
+
+    return bucketed_group_apply(parts, ["dim"], merge, n_buckets=8)
+
+
+SQ8_ERROR_SQL = """
+WITH u AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+r AS (SELECT dim, MIN(e) AS vmin, MAX(e) AS vmax FROM u GROUP BY dim),
+q AS (
+  SELECT u.dim,
+         CASE WHEN r.vmax > r.vmin
+              THEN ABS(u.e - (r.vmin
+                   + FLOOR((u.e - r.vmin) * 255.0 / (r.vmax - r.vmin) + 0.5)
+                     * (r.vmax - r.vmin) / 255.0))
+              ELSE 0.0 END AS err
+  FROM u JOIN r ON r.dim = u.dim
+)
+SELECT q.dim, ANY_VALUE(r.vmin) AS vmin, ANY_VALUE(r.vmax) AS vmax,
+       ROUND(MAX(err), 9) AS max_abs_err,
+       CAST(SUM(CASE WHEN err = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM q JOIN r ON r.dim = q.dim
+GROUP BY q.dim
+"""

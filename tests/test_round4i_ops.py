@@ -416,3 +416,25 @@ def test_nation_hhi_planted(ray_session, tmp_path):
     assert got.loc["ALPHA", "revenue"] == 60.0
     assert got.loc["ALPHA", "hhi"] == 0.5
     assert got.loc["BETA", "hhi"] == 1.0
+
+
+def test_sq8_error_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.ann import sq8_quantization_error
+
+    # dim1 range [0, 255]: integers quantize exactly (levels are exactly
+    # the integers) -> err 0; dim2 constant -> err 0 by contract
+    emb = _write_emb(
+        tmp_path,
+        [[0.0, 7.0], [100.0, 7.0], [255.0, 7.0]],
+        [0, 0, 0],
+    )
+    got = (
+        sq8_quantization_error(emb.repartition(2))
+        .to_pandas()
+        .set_index("dim")
+        .sort_index()
+    )
+    assert got.loc[1, "max_abs_err"] == 0.0 and got.loc[1, "n_exact"] == 3
+    assert got.loc[2, "max_abs_err"] == 0.0
+    assert got.loc[1, "vmin"] == 0.0 and got.loc[1, "vmax"] == 255.0
+    assert (got["n_vecs"] == 3).all()
