@@ -744,6 +744,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_sq8_error": lambda sf: _ann.sq8_quantization_error(
             _embeddings_ds(sf)
         ),
+        "docs_lang_confusion": lambda sf: _tx.lang_confusion(_docs(sf)),
+        "text_word_len_hist": lambda sf: _tx.word_length_histogram(
+            _docs(sf)
+        ),
+        "events_transition_entropy": lambda sf: _wd.transition_entropy(
+            _events_ds(sf)
+        ),
+        "events_value_benford": lambda sf: _wd.value_benford(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1258,6 +1268,10 @@ def oracle_sql() -> dict[str, str]:
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,
+        "docs_lang_confusion": _tx.lang_confusion_sql(),
+        "text_word_len_hist": _tx.WORD_LEN_HIST_SQL,
+        "events_transition_entropy": _wd.TRANSITION_ENTROPY_SQL,
+        "events_value_benford": _wd.VALUE_BENFORD_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

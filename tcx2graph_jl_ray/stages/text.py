@@ -3586,3 +3586,132 @@ FROM c
 JOIN v va ON va.source = c.source_a
 JOIN v vb ON vb.source = c.source_b
 """
+
+
+def lang_confusion(docs: ray.data.Dataset, n_buckets: int = 4) -> ray.data.Dataset:
+    """Classifier-evaluation CONFUSION MATRIX for the marker-word language
+    guesser against the declared ``lang`` label: one row per
+    (lang, lang_pred) cell with count and the row-normalized share — the
+    aggregate view over ``lang_mismatch``'s per-doc disagreement list
+    (precision/recall read straight off this table).
+
+    Shape: per-batch (lang, pred) count partials (cell cardinality is
+    |langs|^2-bounded), one bucketed merge computing per-declared-lang
+    row shares. Counts exact int64; share one division rounded 6.
+    Output: lang, lang_pred, n_docs, row_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        pred = _lang_id_batch(batch)
+        d = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(),
+            "lang_pred": pred["lang_pred"].to_numpy(),
+        })
+        g = d.groupby(["lang", "lang_pred"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["lang", "lang_pred"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("lang", sort=False)["n"].transform("sum")
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "lang_pred": g["lang_pred"],
+            "n_docs": g["n"].astype("int64"),
+            "row_share": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["lang"], merge, n_buckets=n_buckets)
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({LANG_ID_SQL}),
+c AS (
+  SELECT d.lang, p.lang_pred, COUNT(*) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+  GROUP BY d.lang, p.lang_pred
+)
+SELECT lang, lang_pred, CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY lang), 6)
+         AS row_share
+FROM c
+"""
+
+
+def word_length_histogram(
+    docs: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Corpus word-length histogram per source: one row per
+    (source, word length) with occurrence count and the source's share —
+    the tokenizer-design profile (subword vocab sizing reads the tail of
+    exactly this table). Length is in characters of the lower-split
+    token; empty tokens drop. Counts exact; share one division, rounded
+    6. Output: source, wlen, n_words, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        toks = b["text"].str.lower().str.split(" ")
+        tf = pd.DataFrame({
+            "row": np.repeat(np.arange(len(b)), toks.str.len()),
+            "wlen": np.array(
+                [len(t) for ws in toks for t in ws], dtype="int64"
+            ),
+        })
+        tf = tf[tf["wlen"] > 0]
+        tf["source"] = b["source"].to_numpy()[tf["row"].to_numpy()]
+        g = tf.groupby(["source", "wlen"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "wlen"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("source", sort=False)["n"].transform("sum")
+        return pd.DataFrame({
+            "source": g["source"],
+            "wlen": g["wlen"].astype("int64"),
+            "n_words": g["n"].astype("int64"),
+            "share": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["source"], merge,
+                                n_buckets=n_buckets)
+
+
+WORD_LEN_HIST_SQL = """
+WITH e AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT source, CAST(length(w) AS BIGINT) AS wlen, COUNT(*) AS n
+  FROM e WHERE w <> '' GROUP BY source, length(w)
+)
+SELECT source, wlen, CAST(n AS BIGINT) AS n_words,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY source), 6)
+         AS share
+FROM c
+"""

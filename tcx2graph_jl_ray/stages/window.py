@@ -3497,3 +3497,165 @@ JOIN t ON t.user_id = c.user_id
 JOIN r ON r.user_id = c.user_id AND r.rk = 1
 GROUP BY c.user_id
 """
+
+
+def transition_entropy(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-from-type PREDICTABILITY of the next event: Shannon entropy of
+    the Markov next-type row (0 = the next event is fully determined,
+    ~log2(k) = anything can follow) plus the most likely successor — the
+    one-number summary a journey designer reads off ``event_markov``'s
+    full matrix. Consecutive pairs come from the same per-user ordered
+    stream as ``event_markov``; entropy summands are bounded by the type
+    cardinality, rounded 6, ``+ 0.0`` -0.0 fold; top-successor ties break
+    lexicographic. Output: from_type, n_pairs, top_next, next_entropy."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        nxt = d.groupby(d["user_id"], sort=False)["event_type"].shift(-1)
+        k = nxt.notna()
+        g = pd.DataFrame({
+            "from_type": d["event_type"][k],
+            "to_type": nxt[k],
+        }).groupby(["from_type", "to_type"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pair_counts = bucketed_group_apply(
+        events.select_columns(["user_id", "event_id", "ts", "event_type"]),
+        ["user_id"],
+        pairs_in_bucket,
+        n_buckets=n_buckets,
+    )
+
+    def per_from(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket.groupby(["from_type", "to_type"], sort=False)["n"].sum()\
+            .reset_index()
+        rows = []
+        for ft, g in c.groupby("from_type", sort=False):
+            n = g["n"].to_numpy(dtype="int64")
+            nt = n.sum()
+            p = n.astype("float64") / float(nt)
+            ent = 0.0 - float((p * np.log2(p)).sum()) + 0.0
+            top = g.sort_values(["n", "to_type"], ascending=[False, True],
+                                kind="mergesort").iloc[0]["to_type"]
+            rows.append((ft, int(nt), top, np.round(ent, 6) + 0.0))
+        if not rows:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype="object"),
+                "n_pairs": pd.Series([], dtype="int64"),
+                "top_next": pd.Series([], dtype="object"),
+                "next_entropy": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame(rows, columns=[
+            "from_type", "n_pairs", "top_next", "next_entropy"
+        ]).astype({"n_pairs": "int64"})
+
+    return bucketed_group_apply(pair_counts, ["from_type"], per_from,
+                                n_buckets=4)
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+t AS (SELECT from_type, SUM(n) AS nt FROM c GROUP BY from_type),
+r AS (
+  SELECT from_type, to_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY from_type ORDER BY n DESC, to_type) AS rk
+  FROM c
+)
+SELECT c.from_type,
+       CAST(ANY_VALUE(t.nt) AS BIGINT) AS n_pairs,
+       ANY_VALUE(r.to_type) AS top_next,
+       ROUND(0.0 - SUM((c.n / t.nt) * log2(c.n / t.nt)), 6) + 0.0
+         AS next_entropy
+FROM c
+JOIN t ON t.from_type = c.from_type
+JOIN r ON r.from_type = c.from_type AND r.rk = 1
+GROUP BY c.from_type
+"""
+
+
+def value_benford(events: ray.data.Dataset) -> ray.data.Dataset:
+    """First-digit Benford profile of the event value column — the
+    data-forensics screen (organic monetary values track
+    log10(1 + 1/d); flat or spiked leading digits flag synthetic or
+    capped data). Digit comes from the EXACT cents integer (never float
+    formatting); zero/negative/null values drop (stated contract). The
+    observed share is one division of exact ints and the expected share
+    one libm call, both rounded 6. One combiner pass + a 9-row reduce.
+    Output: digit, n_values, share, benford_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"]
+        k = v.notna()
+        cents = cents_i64(v[k])
+        cents = cents[cents > 0]
+        if not len(cents):
+            return pd.DataFrame({
+                "digit": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        first = pd.Series(cents).astype(str).str[0].astype("int64")
+        g = first.groupby(first, sort=False).size()
+        return pd.DataFrame({
+            "digit": g.index.astype("int64"),
+            "n": g.to_numpy().astype("int64"),
+        })
+
+    parts = events.select_columns(["value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("digit", sort=False)["n"].sum().reset_index()
+        tot = float(g["n"].sum())
+        d = g["digit"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "digit": d,
+            "n_values": g["n"].astype("int64"),
+            "share": np.round(g["n"].to_numpy(dtype="float64") / tot, 6),
+            "benford_share": np.round(np.log10(1.0 + 1.0 / d), 6),
+        })
+
+    # 9 possible digits -> single-bucket final reduce (needs the global
+    # total for the share)
+    keyed = parts.map_batches(
+        lambda b: b.assign(k=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["k"], lambda b: merge(b.drop(columns=["k"])), n_buckets=1
+    )
+
+
+VALUE_BENFORD_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND ROUND(value * 100) > 0
+),
+c AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n
+  FROM v GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n_values,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share
+FROM c
+"""

@@ -1,0 +1,111 @@
+"""Planted tests for the round-4j operator batch (lang confusion matrix,
+word-length histogram, transition entropy, Benford profile)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def test_lang_confusion_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import lang_confusion
+
+    # declared en x2 (one predicted en via marker 'the', one und),
+    # declared de x1 (predicted de via 'der'); null text drops
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "lang": pa.array(["en", "en", "de", "en"]),
+        "text": pa.array(["the cat", "zzz qqq", "der hund", None]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        lang_confusion(docs.repartition(3), n_buckets=2)
+        .to_pandas()
+        .set_index(["lang", "lang_pred"])
+        .sort_index()
+    )
+    assert got.loc[("en", "en"), "n_docs"] == 1
+    assert got.loc[("en", "und"), "n_docs"] == 1
+    assert got.loc[("en", "en"), "row_share"] == 0.5
+    assert got.loc[("de", "de"), "row_share"] == 1.0
+
+
+def test_word_length_histogram_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import word_length_histogram
+
+    # source a: "ab cd efg" -> lens 2,2,3; double space yields an empty
+    # token that must drop
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "source": pa.array(["a", "a"]),
+        "text": pa.array(["ab cd", "efg  x"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        word_length_histogram(docs.repartition(2), n_buckets=2)
+        .to_pandas()
+        .set_index("wlen")
+        .sort_index()
+    )
+    assert list(got.index) == [1, 2, 3]
+    assert got.loc[2, "n_words"] == 2 and got.loc[3, "n_words"] == 1
+    assert got.loc[2, "share"] == 0.5
+    assert got.loc[1, "n_words"] == 1  # the 'x'
+
+
+def test_transition_entropy_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import transition_entropy
+
+    # user 1: a->b, b->a, a->b  (from a: b x2; from b: a x1)
+    # user 2: a->c (from a: c x1)
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+        "2024-01-01 00:00:02", "2024-01-01 00:00:03",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype="int64"),
+        "user_id": pd.array([1, 1, 1, 1, 2, 2], dtype="int64"),
+        "ts": ts,
+        "event_type": ["a", "b", "a", "b", "a", "c"],
+    })
+    got = (
+        transition_entropy(ray.data.from_pandas(df).repartition(3),
+                           n_buckets=4)
+        .to_pandas()
+        .set_index("from_type")
+        .sort_index()
+    )
+    # from a: {b: 2, c: 1} -> H = -(2/3 log 2/3 + 1/3 log 1/3)
+    p = np.array([2 / 3, 1 / 3])
+    want = np.round(-(p * np.log2(p)).sum(), 6)
+    assert got.loc["a", "n_pairs"] == 3
+    assert got.loc["a", "top_next"] == "b"
+    assert got.loc["a", "next_entropy"] == want
+    assert got.loc["b", "next_entropy"] == 0.0
+
+
+def test_value_benford_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_benford
+
+    # cents: 100, 1950, 25, 999, 0 (drops), null (drops)
+    # leading digits: 1, 1, 2, 9
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype="int64"),
+        "value": [1.00, 19.50, 0.25, 9.99, 0.0, None],
+    })
+    got = (
+        value_benford(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("digit")
+        .sort_index()
+    )
+    assert list(got.index) == [1, 2, 9]
+    assert got.loc[1, "n_values"] == 2
+    assert got.loc[1, "share"] == 0.5
+    assert got.loc[1, "benford_share"] == np.round(np.log10(2.0), 6)
