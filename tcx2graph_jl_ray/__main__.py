@@ -8,6 +8,8 @@ Commands:
   kg      --sf DIR --out DIR [--parts N] [--mult M]   flagship KG build
   corpus  --sf DIR --out DIR [--parts N]              curation pipeline
   analytics --sf DIR --out DIR [--parts N]            events analytics mart
+  retrieval --sf DIR --out DIR [--parts N] [--cells C] hybrid index build
+  search  --index DIR [--terms t1,t2] [--k K]         BM25 over the index
   query   NAME --sf DIR [--out PARQUET_DIR]           any registry query
   list                                                registry query names
 """
@@ -53,6 +55,20 @@ def main(argv: list[str] | None = None) -> int:
     p_an.add_argument("--out", required=True)
     p_an.add_argument("--parts", type=int, default=16)
 
+    p_rt = sub.add_parser(
+        "retrieval", help="build the hybrid retrieval index"
+    )
+    p_rt.add_argument("--sf", required=True)
+    p_rt.add_argument("--out", required=True)
+    p_rt.add_argument("--parts", type=int, default=16)
+    p_rt.add_argument("--cells", type=int, default=16)
+
+    p_se = sub.add_parser("search", help="BM25 search over a built index")
+    p_se.add_argument("--index", required=True)
+    p_se.add_argument("--terms", required=True,
+                      help="comma-separated query terms")
+    p_se.add_argument("--k", type=int, default=10)
+
     p_q = sub.add_parser("query", help="run one registry query")
     p_q.add_argument("name")
     p_q.add_argument("--sf", required=True)
@@ -97,6 +113,22 @@ def main(argv: list[str] | None = None) -> int:
                 args.sf, args.out, n_parts=args.parts
             )
             print(json.dumps(summary, default=str))
+        elif args.cmd == "retrieval":
+            from tcx2graph_jl_ray.pipelines.retrieval import (
+                run_retrieval_pipeline,
+            )
+
+            summary = run_retrieval_pipeline(
+                args.sf, args.out, n_parts=args.parts, n_cells=args.cells
+            )
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "search":
+            from tcx2graph_jl_ray.pipelines.retrieval import bm25_search
+
+            res = bm25_search(
+                args.index, tuple(args.terms.split(",")), k=args.k
+            )
+            print(res.to_string(index=False))
         elif args.cmd == "query":
             import pandas as pd
 
