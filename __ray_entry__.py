@@ -754,6 +754,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_benford": lambda sf: _wd.value_benford(
             _events_ds(sf)
         ),
+        "rel_priority_latency": lambda sf: _rel.priority_latency(sf),
+        "kg_entity_persistence": lambda sf: _an.entity_persistence(
+            _mentions_with_entity(sf), _transcripts(sf)
+        ),
     })
 
 
@@ -1272,6 +1276,10 @@ def oracle_sql() -> dict[str, str]:
         "text_word_len_hist": _tx.WORD_LEN_HIST_SQL,
         "events_transition_entropy": _wd.TRANSITION_ENTROPY_SQL,
         "events_value_benford": _wd.VALUE_BENFORD_SQL,
+        "rel_priority_latency": _rel.PRIORITY_LATENCY_SQL,
+        "kg_entity_persistence": _an.ENTITY_PERSISTENCE_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL
+        ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -4760,3 +4760,100 @@ SELECT conv_id, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
        ROUND(CAST(p - n AS DOUBLE) / CAST(p + n AS DOUBLE), 6) AS polarity
 FROM s
 """
+
+
+def entity_persistence(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity temporal PERSISTENCE: first/last active day, calendar
+    span, distinct active days, and the fill ratio active/span — separates
+    evergreen entities (mentioned most days of their life) from one-burst
+    flashes, the lifespan view next to ``entity_trend``'s direction-of-
+    travel fit. Timestamps attach through the same co-partitioned
+    (conv, turn) join; (entity, day) dedups exactly in the bucketed
+    reduce; per-entity rollup is min/max/count — all order-free. Ratio is
+    one division of exact ints, rounded 6. Days emit as 'YYYY-MM-DD'
+    strings. Output: entity_id, first_day, last_day, span_days,
+    n_active_days, persistence."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    me = mentions_with_entity.select_columns(
+        ["conv_id", "turn_idx", "entity_id"]
+    )
+    ts = transcripts.select_columns(["conv_id", "turn_idx", "ts"])
+    j = hash_join(me, ts, on=["conv_id", "turn_idx"], n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            (pd.to_datetime(batch["ts"]).dt.floor("D")
+             - pd.Timestamp("2020-01-01")).dt.days
+        ).astype("int64")
+        d = pd.DataFrame({"entity_id": batch["entity_id"], "day": day})
+        return d.drop_duplicates(["entity_id", "day"])
+
+    days = bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["entity_id", "day"],
+        lambda b: b.drop_duplicates(["entity_id", "day"]),
+        n_buckets=n_buckets,
+    )
+
+    def per_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False)["day"].agg(
+            ["min", "max", "size"]
+        ).reset_index()
+        mn = g["min"].astype("int64")
+        mx = g["max"].astype("int64")
+        n = g["size"].astype("int64")
+        span = mx - mn + 1
+        base = pd.Timestamp("2020-01-01")
+        return pd.DataFrame({
+            "entity_id": g["entity_id"],
+            "first_day": (base + pd.to_timedelta(mn, unit="D"))
+            .dt.strftime("%Y-%m-%d"),
+            "last_day": (base + pd.to_timedelta(mx, unit="D"))
+            .dt.strftime("%Y-%m-%d"),
+            "span_days": span,
+            "n_active_days": n,
+            "persistence": np.round(
+                n.to_numpy(dtype="float64")
+                / span.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(days, ["entity_id"], per_entity,
+                                n_buckets=8)
+
+
+ENTITY_PERSISTENCE_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+t AS ({transcripts}),
+me AS (
+  SELECT DISTINCT l.entity_id, CAST(t.ts AS DATE) AS day
+  FROM m mm
+  JOIN lab l ON mm.norm = l.norm
+  JOIN t ON t.conv_id = mm.conv_id AND t.turn_idx = mm.turn_idx
+),
+s AS (
+  SELECT entity_id, MIN(day) AS mn, MAX(day) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM me GROUP BY entity_id
+)
+SELECT entity_id,
+       strftime(mn, '%Y-%m-%d') AS first_day,
+       strftime(mx, '%Y-%m-%d') AS last_day,
+       CAST(date_diff('day', mn, mx) + 1 AS BIGINT) AS span_days,
+       n AS n_active_days,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(date_diff('day', mn, mx) + 1 AS DOUBLE), 6)
+         AS persistence
+FROM s
+"""
+)

@@ -3837,3 +3837,89 @@ SELECT n.n_name AS nation, CAST(k AS BIGINT) AS n_customers,
        ROUND(CAST(s2 AS DOUBLE) / CAST(ctot * ctot AS DOUBLE), 6) AS hhi
 FROM s JOIN nation n ON n.n_nationkey = s.nk
 """
+
+
+def priority_latency(sf_dir: str, n_buckets: int = 8) -> ray.data.Dataset:
+    """Fulfillment latency BY ORDER PRIORITY: per o_orderpriority the
+    lineitem count and min/max/half-up-mean ship delay in whole days —
+    does the priority flag actually buy faster shipping (the SLA
+    compliance rollup over ``ship_delay_hist``'s global distribution).
+
+    Shape: the same orderkey-co-partitioned join as ``ship_delay_hist``,
+    then priority-keyed combiner partials (n, sum, min, max — all exact
+    int64 day counts; delay*rows is far under int64) and a tiny
+    priority-bounded reduce with the ``rel_cohort_ltv`` half-up integer
+    mean. Output: o_orderpriority, n_items, min_delay, max_delay,
+    avg_delay (all int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    j = hash_join(li, orders, on="l_orderkey", n_buckets=64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            pd.to_datetime(batch["l_shipdate"]).dt.floor("D")
+            - pd.to_datetime(batch["o_orderdate"]).dt.floor("D")
+        ).dt.days.astype("int64")
+        g = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"],
+            "d": d,
+        }).groupby("o_orderpriority", sort=False)["d"].agg(
+            ["size", "sum", "min", "max"]
+        )
+        return pd.DataFrame({
+            "o_orderpriority": g.index,
+            "n": g["size"].astype("int64").to_numpy(),
+            "s": g["sum"].astype("int64").to_numpy(),
+            "mn": g["min"].astype("int64").to_numpy(),
+            "mx": g["max"].astype("int64").to_numpy(),
+        })
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("o_orderpriority", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"),
+        ).reset_index()
+        n = g["n"].astype("int64")
+        s = g["s"].astype("int64")
+        return pd.DataFrame({
+            "o_orderpriority": g["o_orderpriority"],
+            "n_items": n,
+            "min_delay": g["mn"].astype("int64"),
+            "max_delay": g["mx"].astype("int64"),
+            "avg_delay": (2 * s + n) // (2 * n),
+        })
+
+    return bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"],
+        merge,
+        n_buckets=n_buckets,
+    )
+
+
+PRIORITY_LATENCY_SQL = """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS delay
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(MIN(delay) AS BIGINT) AS min_delay,
+       CAST(MAX(delay) AS BIGINT) AS max_delay,
+       CAST((2 * SUM(delay) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS avg_delay
+FROM d GROUP BY o_orderpriority
+"""

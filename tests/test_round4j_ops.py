@@ -109,3 +109,57 @@ def test_value_benford_planted(ray_session):
     assert got.loc[1, "n_values"] == 2
     assert got.loc[1, "share"] == 0.5
     assert got.loc[1, "benford_share"] == np.round(np.log10(2.0), 6)
+
+
+def test_priority_latency_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import priority_latency
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array(["1995-01-05", "1995-01-10", "1995-02-01"]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(["1995-01-01", "1995-01-31"]),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+    }), str(tmp_path / "orders.parquet"))
+    got = (
+        priority_latency(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("o_orderpriority")
+        .sort_index()
+    )
+    # urgent: delays 4, 9 -> avg half-up((13*2+2)/(4)) = (26+2)//4 = 7
+    assert got.loc["1-URGENT", "n_items"] == 2
+    assert got.loc["1-URGENT", "min_delay"] == 4
+    assert got.loc["1-URGENT", "max_delay"] == 9
+    assert got.loc["1-URGENT", "avg_delay"] == 7  # 6.5 rounds half-up
+    assert got.loc["2-HIGH", "avg_delay"] == 1
+
+
+def test_entity_persistence_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import entity_persistence
+
+    # e1 active on 2020-01-01, 2020-01-03 (two mentions same day dedup) ->
+    # span 3, active 2, persistence 2/3
+    me = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pd.array([0, 1, 0], dtype="int64"),
+        "entity_id": ["e1", "e1", "e1"],
+    })
+    tr = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pd.array([0, 1, 0], dtype="int64"),
+        "ts": pd.to_datetime([
+            "2020-01-01 10:00", "2020-01-03 09:00", "2020-01-03 23:00",
+        ]),
+    })
+    got = entity_persistence(
+        ray.data.from_pandas(me).repartition(2),
+        ray.data.from_pandas(tr).repartition(2),
+        n_buckets=4,
+    ).to_pandas().set_index("entity_id")
+    r = got.loc["e1"]
+    assert r["first_day"] == "2020-01-01" and r["last_day"] == "2020-01-03"
+    assert r["span_days"] == 3 and r["n_active_days"] == 2
+    assert r["persistence"] == np.round(2 / 3, 6)
