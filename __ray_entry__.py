@@ -758,6 +758,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_persistence": lambda sf: _an.entity_persistence(
             _mentions_with_entity(sf), _transcripts(sf)
         ),
+        "dedup_jaccard_hist": lambda sf: _dd.jaccard_similarity_hist(
+            _docs(sf), _NGRAM_TAU
+        ),
+        "events_conversion_lag": lambda sf: _wd.conversion_lag(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1280,6 +1286,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_persistence": _an.ENTITY_PERSISTENCE_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL
         ),
+        "dedup_jaccard_hist": _dd.jaccard_hist_sql(_NGRAM_TAU),
+        "events_conversion_lag": _wd.conversion_lag_sql(),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -2970,3 +2970,66 @@ SELECT n AS n_docs,
 FROM s
 WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
 """
+
+
+def jaccard_similarity_hist(
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    k: int = 2,
+    n_bins: int = 20,
+) -> ray.data.Dataset:
+    """Similarity-mass histogram over the verified n-gram Jaccard pairs:
+    how much near-duplication sits just above the threshold vs at
+    copy-level similarity — the curve a curator reads to PICK the
+    threshold (a fat just-above-tau bin means the cut is shaving a dense
+    region; reference's overlap-fraction distribution,
+    src/OverlappingSegmentsUtils.jl:173-274, summarized).
+
+    Composes the production ``ngram_jaccard_join``; bin = FLOOR(sim *
+    n_bins) is exact on both sides because sim is ONE division of exact
+    ints (identical double), capped into the last bin at sim = 1.0.
+    Output: bin, bin_lo, n_pairs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    pairs = ngram_jaccard_join(docs, threshold, k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(
+            batch["sim"].to_numpy(dtype="float64") * n_bins
+        ).astype("int64")
+        b = np.minimum(b, n_bins - 1)  # sim == 1.0 joins the top bin
+        s = pd.Series(b).groupby(b, sort=False).size()
+        return pd.DataFrame({
+            "bin": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = pairs.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum().reset_index()
+        b = g["bin"].astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "bin_lo": np.round(
+                b.to_numpy(dtype="float64") / float(n_bins), 6
+            ),
+            "n_pairs": g["n"].astype("int64"),
+        })
+
+    return bucketed_group_apply(parts, ["bin"], merge, n_buckets=4)
+
+
+def jaccard_hist_sql(threshold: float, k: int = 2, n_bins: int = 20) -> str:
+    inner = NGRAM_JACCARD_SQL_TEMPLATE.format(k=k, threshold=threshold)
+    return f"""
+WITH pairs AS MATERIALIZED ({inner}),
+b AS (
+  SELECT LEAST(CAST(FLOOR(sim * {n_bins}) AS BIGINT), {n_bins - 1}) AS bin
+  FROM pairs
+)
+SELECT bin, ROUND(CAST(bin AS DOUBLE) / {float(n_bins)}, 6) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM b GROUP BY bin
+"""

@@ -3659,3 +3659,120 @@ SELECT digit, CAST(n AS BIGINT) AS n_values,
        ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share
 FROM c
 """
+
+
+def conversion_lag(
+    events: ray.data.Dataset,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Signup-to-purchase CONVERSION LAG summary: across users whose first
+    ``first_type`` precedes (or ties) some ``then_type``, the
+    time-to-convert distribution — n_signup_users, n_converted,
+    conversion_rate, min/max/half-up-mean lag in exact whole SECONDS (the
+    ``user_burstiness`` epoch-second truncation; one row). Per-user first
+    timestamps are min-reductions inside one user-keyed shuffle; the
+    summary fold is a combiner (min/max/sum/count partials). Rate and
+    mean are the house one-division / half-up-integer rules.
+    Output: n_signup_users, n_converted, conversion_rate, min_lag_s,
+    max_lag_s, avg_lag_s."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        es = (
+            pd.to_datetime(bucket["ts"]).astype("datetime64[us]")
+            .astype("int64") // 1_000_000
+        )
+        d = pd.DataFrame({
+            "user_id": bucket["user_id"].astype("int64"),
+            "es": es,
+            "t": bucket["event_type"],
+        })
+        s = d[d["t"] == first_type].groupby("user_id", sort=False)["es"]\
+            .min()
+        if not len(s):
+            return pd.DataFrame({
+                "n_signup": pd.Series([], dtype="int64"),
+                "n_conv": pd.Series([], dtype="int64"),
+                "mn": pd.Series([], dtype="int64"),
+                "mx": pd.Series([], dtype="int64"),
+                "sm": pd.Series([], dtype="int64"),
+            })
+        p = d[d["t"] == then_type].merge(
+            s.rename("s0"), left_on="user_id", right_index=True
+        )
+        p = p[p["es"] >= p["s0"]]
+        lag = (p["es"] - p["s0"]).groupby(p["user_id"], sort=False).min()
+        if len(lag):
+            out = (len(s), len(lag), int(lag.min()), int(lag.max()),
+                   int(lag.sum()))
+        else:
+            # no converter in this bucket: poison min with int64 max so the
+            # final min-merge ignores it (n_conv 0 guards the read-out)
+            out = (len(s), 0, np.iinfo("int64").max, np.int64(-1), 0)
+        return pd.DataFrame([out],
+                            columns=["n_signup", "n_conv", "mn", "mx", "sm"])
+
+    parts = bucketed_group_apply(
+        events.select_columns(["user_id", "ts", "event_type"]),
+        ["user_id"],
+        per_user,
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        ns = int(bucket["n_signup"].sum())
+        nc = int(bucket["n_conv"].sum())
+        if nc:
+            mn = int(bucket["mn"].min())
+            mx = int(bucket["mx"].max())
+            sm = int(bucket["sm"].sum())
+            avg = (2 * sm + nc) // (2 * nc)
+        else:
+            mn = mx = avg = 0
+        return pd.DataFrame({
+            "n_signup_users": [np.int64(ns)],
+            "n_converted": [np.int64(nc)],
+            "conversion_rate": [np.round(nc / ns, 6) if ns else 0.0],
+            "min_lag_s": [np.int64(mn)],
+            "max_lag_s": [np.int64(mx)],
+            "avg_lag_s": [np.int64(avg)],
+        })
+
+    keyed = parts.map_batches(
+        lambda b: b.assign(kk=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["kk"], lambda b: final(b.drop(columns=["kk"])), n_buckets=1
+    )
+
+
+def conversion_lag_sql(first_type: str = "signup",
+                       then_type: str = "purchase") -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+s AS (
+  SELECT user_id, MIN(es) AS s0 FROM e
+  WHERE event_type = '{first_type}' GROUP BY user_id
+),
+lag AS (
+  SELECT s.user_id, MIN(e.es - s.s0) AS lag
+  FROM s JOIN e ON e.user_id = s.user_id
+  WHERE e.event_type = '{then_type}' AND e.es >= s.s0
+  GROUP BY s.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup_users,
+       CAST(COUNT(lag.user_id) AS BIGINT) AS n_converted,
+       ROUND(CAST(COUNT(lag.user_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s), 6) AS conversion_rate,
+       CAST(COALESCE(MIN(lag), 0) AS BIGINT) AS min_lag_s,
+       CAST(COALESCE(MAX(lag), 0) AS BIGINT) AS max_lag_s,
+       CAST(COALESCE((2 * SUM(lag) + COUNT(*)) // (2 * COUNT(*)), 0)
+            AS BIGINT) AS avg_lag_s
+FROM lag
+"""

@@ -163,3 +163,53 @@ def test_entity_persistence_planted(ray_session):
     assert r["first_day"] == "2020-01-01" and r["last_day"] == "2020-01-03"
     assert r["span_days"] == 3 and r["n_active_days"] == 2
     assert r["persistence"] == np.round(2 / 3, 6)
+
+
+def test_jaccard_hist_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.dedup import jaccard_similarity_hist
+
+    # docs 1,2 identical (sim 1.0 -> capped into top bin 19);
+    # docs 3,4 share 1 of 3 shingles... keep simple: identical pair only
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d", "a b c d", "zz yy xx ww"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = jaccard_similarity_hist(
+        docs.repartition(2), threshold=0.5
+    ).to_pandas().set_index("bin")
+    assert list(got.index) == [19]
+    assert got.loc[19, "n_pairs"] == 1
+    assert got.loc[19, "bin_lo"] == 0.95
+
+
+def test_conversion_lag_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import conversion_lag
+
+    # u1: signup at t0, purchase at t0+60s and t0+600s -> lag 60
+    # u2: signup, never purchases; u3: purchase BEFORE signup only -> not
+    # converted; u4: purchase only, no signup -> not a signup user
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:10:00",
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:05:00", "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00",
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(7, dtype="int64"),
+        "user_id": pd.array([1, 1, 1, 2, 3, 3, 4], dtype="int64"),
+        "ts": ts,
+        "event_type": ["signup", "purchase", "purchase",
+                       "signup",
+                       "signup", "purchase",
+                       "purchase"],
+    })
+    got = conversion_lag(
+        ray.data.from_pandas(df).repartition(3), n_buckets=4
+    ).to_pandas().iloc[0]
+    assert got["n_signup_users"] == 3
+    assert got["n_converted"] == 1
+    assert got["conversion_rate"] == np.round(1 / 3, 6)
+    assert got["min_lag_s"] == 60 and got["max_lag_s"] == 60
+    assert got["avg_lag_s"] == 60
