@@ -764,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_lag": lambda sf: _wd.conversion_lag(
             _events_ds(sf)
         ),
+        "docs_split_balance": lambda sf: _tx.split_balance(_docs(sf)),
+        "events_dow_profile": lambda sf: _wd.dow_profile(_events_ds(sf)),
     })
 
 
@@ -1288,6 +1290,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard_hist": _dd.jaccard_hist_sql(_NGRAM_TAU),
         "events_conversion_lag": _wd.conversion_lag_sql(),
+        "docs_split_balance": _tx.split_balance_sql(),
+        "events_dow_profile": _wd.DOW_PROFILE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -3715,3 +3715,89 @@ SELECT source, wlen, CAST(n AS BIGINT) AS n_words,
          AS share
 FROM c
 """
+
+
+def split_balance(
+    docs: ray.data.Dataset,
+    train_cut: int = 0xCB,
+    val_cut: int = 0xE5,
+    n_buckets: int = 4,
+) -> ray.data.Dataset:
+    """Split-stratification audit: per (split, source), doc and token
+    counts plus the source's WITHIN-SPLIT share — the check that the
+    deterministic hash split didn't skew any domain's representation
+    across train/val/test (a visibly unequal row here means the eval set
+    is not measuring the training distribution; the contamination
+    question's benign sibling). Composes the production ``split_assign``
+    hash inline (one pass — no join back to the docs). Counts exact
+    int64; share one division, rounded 6. Output: split, source, n_docs,
+    n_tokens, split_share."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    train_hex, val_hex = format(train_cut, "02x"), format(val_cut, "02x")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        ids = b["doc_id"].astype("int64")
+        p2 = np.asarray(
+            md5_hex(ids.astype(str).to_numpy()), dtype="U32"
+        ).astype("U2")
+        split = np.where(
+            p2 <= train_hex, "train", np.where(p2 <= val_hex, "val", "test")
+        )
+        d = pd.DataFrame({
+            "split": split,
+            "source": b["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_tokens": b["text"].str.count(r"[^ ]+").astype("int64")
+            .to_numpy(),
+        })
+        return d.groupby(["split", "source"], sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["split", "source"], sort=False).sum()\
+            .reset_index()
+        tot = g.groupby("split", sort=False)["n_docs"].transform("sum")
+        return pd.DataFrame({
+            "split": g["split"],
+            "source": g["source"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "split_share": np.round(
+                g["n_docs"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["split"], merge,
+                                n_buckets=n_buckets)
+
+
+def split_balance_sql(train_hex: str = "cb", val_hex: str = "e5") -> str:
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                <= '{train_hex}' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                <= '{val_hex}' THEN 'val'
+              ELSE 'test' END AS split,
+         source,
+         len(regexp_extract_all(text, '[^ ]+')) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT split, source, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+  FROM s GROUP BY split, source
+)
+SELECT split, source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(CAST(n_docs AS DOUBLE)) OVER (PARTITION BY split), 6)
+         AS split_share
+FROM c
+"""

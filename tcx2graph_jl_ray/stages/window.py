@@ -3776,3 +3776,59 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup_users,
             AS BIGINT) AS avg_lag_s
 FROM lag
 """
+
+
+def dow_profile(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-type day-of-week seasonality: counts and within-type share per
+    ISO weekday (1 = Monday .. 7 = Sunday) — the weekly cycle companion to
+    ``hourly_profile``'s daily cycle (batch jobs spike Mondays, organic
+    traffic sags weekends; a flat row is a bot). pandas ``dayofweek``
+    (Mon=0) + 1 equals DuckDB ``isodow`` exactly. Counts exact; share one
+    division, rounded 6. Output: event_type, dow, n_events, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dow = (
+            pd.to_datetime(batch["ts"]).dt.dayofweek + 1
+        ).astype("int64")
+        g = pd.DataFrame({"event_type": batch["event_type"], "dow": dow})\
+            .groupby(["event_type", "dow"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = events.select_columns(["ts", "event_type"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["event_type", "dow"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("event_type", sort=False)["n"].transform("sum")
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "dow": g["dow"].astype("int64"),
+            "n_events": g["n"].astype("int64"),
+            "share": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], merge,
+                                n_buckets=n_buckets)
+
+
+DOW_PROFILE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, COUNT(*) AS n
+  FROM events GROUP BY event_type, isodow(ts)
+)
+SELECT event_type, dow, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type), 6)
+         AS share
+FROM c
+"""

@@ -213,3 +213,46 @@ def test_conversion_lag_planted(ray_session):
     assert got["conversion_rate"] == np.round(1 / 3, 6)
     assert got["min_lag_s"] == 60 and got["max_lag_s"] == 60
     assert got["avg_lag_s"] == 60
+
+
+def test_split_balance_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import split_balance
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), type=pa.int64()),
+        "source": pa.array((["a"] * 20) + (["b"] * 20)),
+        "text": pa.array([f"w{i} x" for i in range(40)]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = split_balance(docs.repartition(3), n_buckets=2).to_pandas()
+    # invariants: per-split shares sum to 1, doc total conserved, tokens =
+    # 2 per doc
+    assert got["n_docs"].sum() == 40
+    assert (got["n_tokens"] == 2 * got["n_docs"]).all()
+    for _, g in got.groupby("split"):
+        assert abs(g["split_share"].sum() - 1.0) < 1e-9
+
+
+def test_dow_profile_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import dow_profile
+
+    # 2024-01-01 is a Monday (isodow 1); 2024-01-07 a Sunday (isodow 7)
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype="int64"),
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 11:00",
+            "2024-01-07 10:00", "2024-01-06 10:00",
+        ]),
+        "event_type": ["a", "a", "a", "b"],
+    })
+    got = (
+        dow_profile(ray.data.from_pandas(df).repartition(2), n_buckets=2)
+        .to_pandas()
+        .set_index(["event_type", "dow"])
+        .sort_index()
+    )
+    assert got.loc[("a", 1), "n_events"] == 2
+    assert got.loc[("a", 1), "share"] == np.round(2 / 3, 6)
+    assert got.loc[("a", 7), "n_events"] == 1
+    assert got.loc[("b", 6), "share"] == 1.0
