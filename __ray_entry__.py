@@ -766,6 +766,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_split_balance": lambda sf: _tx.split_balance(_docs(sf)),
         "events_dow_profile": lambda sf: _wd.dow_profile(_events_ds(sf)),
+        "emb_cell_purity": lambda sf: _ann.ivf_cell_purity(
+            _embeddings_ds(sf)
+        ),
+        "kg_kb_coverage": lambda sf: _lk.kb_coverage(_entities_linked(sf)),
+        "rel_clv_percentiles": lambda sf: _rel.clv_percentiles(sf),
     })
 
 
@@ -1292,6 +1297,15 @@ def oracle_sql() -> dict[str, str]:
         "events_conversion_lag": _wd.conversion_lag_sql(),
         "docs_split_balance": _tx.split_balance_sql(),
         "events_dow_profile": _wd.DOW_PROFILE_SQL,
+        "emb_cell_purity": _ann.ivf_cell_purity_sql(16, 64),
+        "kg_kb_coverage": _lk.KB_COVERAGE_SQL_TEMPLATE.format(
+            linked=_lk.LINKED_ENTITIES_SQL_TEMPLATE.format(
+                entities=_cz.ENTITIES_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL
+                )
+            )
+        ),
+        "rel_clv_percentiles": _rel.CLV_PERCENTILES_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -1525,3 +1525,111 @@ SELECT q.dim, ANY_VALUE(r.vmin) AS vmin, ANY_VALUE(r.vmax) AS vmax,
 FROM q JOIN r ON r.dim = q.dim
 GROUP BY q.dim
 """
+
+
+def ivf_cell_purity(
+    embeddings: ray.data.Dataset, n_cells: int = 16, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Label purity of the IVF coarse quantizer's cells: per cell, the
+    vector count, dominant label and its share — the supervised
+    cluster-quality gauge (a quantizer whose cells mix labels probes more
+    cells per recall point; reference's segment-cluster homogeneity check
+    applied to the vector index). Uses the SAME seeded-anchor assignment
+    as ``ann_ivf_topk`` (cosine argmax, ties to the lowest cell id), so
+    the oracle reuses that operator's literal-anchor CTE. Dominant-label
+    ties break to the lowest label. Counts exact; purity one division,
+    rounded 6. Output: cell, n_vecs, top_label, n_top, purity."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    dim_row = embeddings.select_columns(["embedding"]).take(1)
+    anchors = _ivf_anchors(len(dim_row[0]["embedding"]), n_cells)
+    ref = ray.put(anchors)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        a = ray.get(ref)
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        cells = _assign_cells(vecs, a)
+        g = pd.DataFrame({
+            "cell": cells.astype("int64"),
+            "label": batch["label"].astype("int64").to_numpy(),
+        }).groupby(["cell", "label"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = embeddings.select_columns(["embedding", "label"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+
+    def per_cell(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket.groupby(["cell", "label"], sort=False)["n"].sum()\
+            .reset_index()
+        rows = []
+        for cell, g in c.groupby("cell", sort=False):
+            nt = int(g["n"].sum())
+            top = g.sort_values(["n", "label"], ascending=[False, True],
+                                kind="mergesort").iloc[0]
+            rows.append((int(cell), nt, int(top["label"]), int(top["n"]),
+                         np.round(int(top["n"]) / nt, 6)))
+        if not rows:
+            return pd.DataFrame({
+                "cell": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+                "top_label": pd.Series([], dtype="int64"),
+                "n_top": pd.Series([], dtype="int64"),
+                "purity": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame(rows, columns=[
+            "cell", "n_vecs", "top_label", "n_top", "purity"
+        ]).astype({
+            "cell": "int64", "n_vecs": "int64", "top_label": "int64",
+            "n_top": "int64",
+        })
+
+    return bucketed_group_apply(parts, ["cell"], per_cell,
+                                n_buckets=n_buckets)
+
+
+def ivf_cell_purity_sql(n_cells: int = 16, dim: int = 64) -> str:
+    """Oracle for ``ivf_cell_purity``: the ``ann_ivf_sql`` literal-anchor
+    assignment CTE, rolled up per cell against the label column."""
+    anchors = _ivf_anchors(dim, n_cells)
+
+    def lit(i: int) -> str:
+        return "[" + ",".join(
+            repr(float(x)) for x in anchors[i]
+        ) + "]::DOUBLE[]"
+
+    values = ",\n  ".join(f"({i}, {lit(i)})" for i in range(n_cells))
+    return f"""
+WITH c(cid, ce) AS (VALUES
+  {values}
+),
+a AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rn
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+  CROSS JOIN c
+),
+assign AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+j AS (
+  SELECT s.cell, e.label FROM assign s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+),
+cnt AS (SELECT cell, label, COUNT(*) AS n FROM j GROUP BY cell, label),
+t AS (SELECT cell, SUM(n) AS nt FROM cnt GROUP BY cell),
+r AS (
+  SELECT cell, label, n,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+  FROM cnt
+)
+SELECT CAST(r.cell AS BIGINT) AS cell,
+       CAST(t.nt AS BIGINT) AS n_vecs,
+       CAST(r.label AS BIGINT) AS top_label,
+       CAST(r.n AS BIGINT) AS n_top,
+       ROUND(CAST(r.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS purity
+FROM r JOIN t ON t.cell = r.cell
+WHERE r.rk = 1
+"""

@@ -190,3 +190,64 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(len(event_type) AS BIGINT) AS type_code
 FROM events
 """
+
+
+def kb_coverage(entities_linked) -> "pd.DataFrame":
+    """Linkage-quality rollup over the KB-linked entity table: per KB
+    region (unlinked entities fold into the 'UNLINKED' row) the entity and
+    mention counts and the entity share — the one-screen answer to "how
+    much of the graph did the KB actually cover" (reference's
+    get_or_missing accounting, src/TCXParser.jl:117-119, aggregated).
+    Input may be the vocabulary-bounded pandas form or the Dataset form
+    of ``link_entities``; the rollup is region-bounded either way. Share
+    is one division of exact ints, rounded 6. Output: kb_region,
+    n_entities, n_mentions, entity_share."""
+    import numpy as np
+    import ray.data
+
+    if isinstance(entities_linked, ray.data.Dataset):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            d = pd.DataFrame({
+                "kb_region": b["kb_region"].fillna("UNLINKED"),
+                "n_entities": np.int64(1),
+                "n_mentions": b["n_mentions"].astype("int64"),
+            })
+            return d.groupby("kb_region", sort=False).sum().reset_index()
+
+        parts = entities_linked.map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ).to_pandas()  # region-bounded partials
+        g = parts.groupby("kb_region", sort=False).sum().reset_index()
+    else:
+        d = pd.DataFrame({
+            "kb_region": entities_linked["kb_region"].fillna("UNLINKED"),
+            "n_entities": 1,
+            "n_mentions": entities_linked["n_mentions"].astype("int64"),
+        })
+        g = d.groupby("kb_region", sort=False).sum().reset_index()
+    import numpy as np
+
+    tot = float(g["n_entities"].sum())
+    return pd.DataFrame({
+        "kb_region": g["kb_region"],
+        "n_entities": g["n_entities"].astype("int64"),
+        "n_mentions": g["n_mentions"].astype("int64"),
+        "entity_share": np.round(
+            g["n_entities"].to_numpy(dtype="float64") / tot, 6
+        ),
+    })
+
+
+KB_COVERAGE_SQL_TEMPLATE = r"""
+WITH linked AS ({linked}),
+c AS (
+  SELECT COALESCE(kb_region, 'UNLINKED') AS kb_region,
+         COUNT(*) AS ne, SUM(n_mentions) AS nm
+  FROM linked GROUP BY 1
+)
+SELECT kb_region, CAST(ne AS BIGINT) AS n_entities,
+       CAST(nm AS BIGINT) AS n_mentions,
+       ROUND(CAST(ne AS DOUBLE) / SUM(CAST(ne AS DOUBLE)) OVER (), 6)
+         AS entity_share
+FROM c
+"""

@@ -3923,3 +3923,64 @@ SELECT o_orderpriority,
          AS avg_delay
 FROM d GROUP BY o_orderpriority
 """
+
+
+def clv_percentiles(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Customer-lifetime-value distribution: exact p25/p50/p75/p95 of
+    per-customer total order value — the spend curve a pricing or
+    importance-sampling decision reads (one row; pairs with
+    ``customer_rfm``'s per-customer table). Per-customer cents fold in
+    one custkey-keyed shuffle; the percentiles come from
+    ``exact_global_quantiles`` over the INTEGER cents column
+    (QUANTILE_CONT-identical, driver memory bounded by collect_budget)
+    and convert to display dollars once, rounded 6. Output: n_customers,
+    p25, p50, p75, p95."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].astype("int64"),
+            "cents": cents_i64(batch["o_totalprice"]),
+        })
+        return d.groupby("o_custkey", sort=False)["cents"].sum()\
+            .reset_index()
+
+    per_cust = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["o_custkey"],
+        lambda b: b.groupby("o_custkey", sort=False)["cents"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+    n, qv = exact_global_quantiles(
+        per_cust, "cents", [0.25, 0.5, 0.75, 0.95]
+    )
+    return pd.DataFrame({
+        "n_customers": [np.int64(n)],
+        "p25": [np.round(qv[0.25] / 100.0, 6)],
+        "p50": [np.round(qv[0.5] / 100.0, 6)],
+        "p75": [np.round(qv[0.75] / 100.0, 6)],
+        "p95": [np.round(qv[0.95] / 100.0, 6)],
+    })
+
+
+CLV_PERCENTILES_SQL = """
+WITH c AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(QUANTILE_CONT(cents, 0.25) / 100.0, 6) AS p25,
+       ROUND(QUANTILE_CONT(cents, 0.50) / 100.0, 6) AS p50,
+       ROUND(QUANTILE_CONT(cents, 0.75) / 100.0, 6) AS p75,
+       ROUND(QUANTILE_CONT(cents, 0.95) / 100.0, 6) AS p95
+FROM c
+"""

@@ -256,3 +256,38 @@ def test_dow_profile_planted(ray_session):
     assert got.loc[("a", 1), "share"] == np.round(2 / 3, 6)
     assert got.loc[("a", 7), "n_events"] == 1
     assert got.loc[("b", 6), "share"] == 1.0
+
+
+def test_ivf_cell_purity_planted(ray_session, sf_dir):
+    """Purity invariants vs a direct recomputation through the same
+    assignment function."""
+    from tcx2graph_jl_ray.stages.ann import _assign_cells, _ivf_anchors
+    from tcx2graph_jl_ray.stages.ann import ivf_cell_purity
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = ivf_cell_purity(emb).to_pandas().set_index("cell").sort_index()
+    pdf = emb.to_pandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cells = _assign_cells(vecs, _ivf_anchors(vecs.shape[1], 16))
+    ref = pd.DataFrame({"cell": cells, "label": pdf["label"].astype("int64")})
+    for cell, g in ref.groupby("cell"):
+        top = g.groupby("label").size().reset_index(name="n").sort_values(
+            ["n", "label"], ascending=[False, True]).iloc[0]
+        assert got.loc[cell, "n_vecs"] == len(g)
+        assert got.loc[cell, "top_label"] == top["label"]
+        assert got.loc[cell, "purity"] == np.round(top["n"] / len(g), 6)
+
+
+def test_clv_percentiles_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import clv_percentiles
+
+    # customers with CLV 10, 20, 30, 40 dollars -> p50 = 25.0
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([4.00, 6.00, 20.00, 30.00, 40.00]),
+    }), str(tmp_path / "orders.parquet"))
+    got = clv_percentiles(str(tmp_path), n_buckets=2).iloc[0]
+    assert got["n_customers"] == 4
+    assert got["p50"] == 25.0
+    assert got["p25"] == np.round(17.5, 6)  # 10 + 0.75*(20-10)
+    assert got["p95"] == np.round(38.5, 6)  # 30 + 0.85*(40-30)
