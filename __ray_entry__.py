@@ -771,6 +771,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_kb_coverage": lambda sf: _lk.kb_coverage(_entities_linked(sf)),
         "rel_clv_percentiles": lambda sf: _rel.clv_percentiles(sf),
+        "dedup_hamming_hist": lambda sf: _dd.hamming_distance_hist(
+            _docs(sf)
+        ),
+        "events_zscore_days": lambda sf: _wd.zscore_days(_events_ds(sf)),
     })
 
 
@@ -1306,6 +1310,10 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "rel_clv_percentiles": _rel.CLV_PERCENTILES_SQL,
+        "dedup_hamming_hist": _dd.hamming_hist_sql(3),
+        "events_zscore_days": _wd.ZSCORE_DAYS_SQL_TEMPLATE.format(
+            z_cut=2.0
+        ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

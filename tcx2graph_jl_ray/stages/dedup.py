@@ -3033,3 +3033,49 @@ SELECT bin, ROUND(CAST(bin AS DOUBLE) / {float(n_bins)}, 6) AS bin_lo,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM b GROUP BY bin
 """
+
+
+def hamming_distance_hist(
+    docs: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Hamming-distance histogram over the verified SimHash near-dup pairs
+    — the SimHash threshold-tuning curve (the ``jaccard_similarity_hist``
+    question asked of the bitwise family: pair mass at distance 0 is
+    exact-duplicate pressure, mass hugging max_hamming says the radius is
+    clipping a dense shell). Composes the production
+    ``simhash_neardup_pairs``; distances are exact small ints, counts
+    exact int64. Output: hamming, n_pairs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    pairs = simhash_neardup_pairs(docs, max_hamming)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("hamming", sort=False).size()
+        return pd.DataFrame({
+            "hamming": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = pairs.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("hamming", sort=False)["n"].sum().reset_index()
+        return pd.DataFrame({
+            "hamming": g["hamming"].astype("int64"),
+            "n_pairs": g["n"].astype("int64"),
+        })
+
+    return bucketed_group_apply(parts, ["hamming"], merge, n_buckets=2)
+
+
+def hamming_hist_sql(max_hamming: int = 3) -> str:
+    inner = SIMHASH_PAIRS_SQL_TEMPLATE.format(
+        simhash=SIMHASH_SQL, max_hamming=max_hamming
+    )
+    return f"""
+WITH pairs AS MATERIALIZED ({inner})
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming
+"""

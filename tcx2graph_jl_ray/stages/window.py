@@ -3832,3 +3832,94 @@ SELECT event_type, dow, CAST(n AS BIGINT) AS n_events,
          AS share
 FROM c
 """
+
+
+def zscore_days(
+    events: ray.data.Dataset, z_cut: float = 2.0, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Global daily-volume anomaly days: days whose event count sits more
+    than ``z_cut`` population standard deviations from the all-days mean —
+    the corpus-level outage/spike detector next to the per-user
+    ``user_value_anomalies``. Day counts reduce exactly (combiner); the
+    mean/variance come from EXACT integer sufficient statistics over the
+    day-count table (n, Σc, Σc² — Python-int composites, HUGEINT-equal),
+    and the z comparison is ONE shared double expression both sides
+    ((n·c − Σc)² > z²·n·(n·Σc² − Σc²tot) in exact ints... kept as the
+    literal double form (c − μ)² · n² > z² · n · D to stay readable —
+    both sides compute it identically). Output: day ('YYYY-MM-DD'),
+    n_events, z (round 6)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m-%d")
+        s = day.groupby(day, sort=False).size()
+        return pd.DataFrame({
+            "day": s.index,
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    day_counts = bucketed_group_apply(
+        events.select_columns(["ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["day"],
+        lambda b: b.groupby("day", sort=False)["n"].sum().reset_index(),
+        n_buckets=n_buckets,
+    ).materialize()  # consumed by the stats fold AND the z filter
+
+    # day-bounded scalars: exact Python-int sufficient statistics
+    parts = day_counts.map_batches(
+        lambda b: pd.DataFrame({
+            "k": [np.int64(len(b))],
+            "s1": [np.int64(b["n"].sum())],
+            "s2": [np.int64((b["n"].astype("int64") ** 2).sum())],
+        }),
+        batch_format="pandas",
+    ).to_pandas()
+    k = int(parts["k"].sum())
+    s1 = sum(int(x) for x in parts["s1"])
+    s2 = sum(int(x) for x in parts["s2"])
+    if k < 2:
+        return ray.data.from_pandas(pd.DataFrame({
+            "day": pd.Series([], dtype="object"),
+            "n_events": pd.Series([], dtype="int64"),
+            "z": pd.Series([], dtype="float64"),
+        }))
+    d_comp = k * s2 - s1 * s1  # n·variance·n, exact
+
+    import math
+    mu = s1 / k
+    sd = math.sqrt(float(d_comp)) / k
+    zc = float(z_cut)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["n"].astype("int64").to_numpy()
+        z = (c - mu) / sd
+        keep = np.abs(z) > zc
+        return pd.DataFrame({
+            "day": batch["day"].to_numpy()[keep],
+            "n_events": c[keep],
+            "z": np.round(z[keep], 6),
+        })
+
+    return day_counts.map_batches(flag, batch_format="pandas",
+                                  batch_size=65536)
+
+
+ZSCORE_DAYS_SQL_TEMPLATE = """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT COUNT(*) AS k, SUM(n) AS s1, SUM(n * n) AS s2 FROM c
+)
+SELECT c.day, CAST(c.n AS BIGINT) AS n_events,
+       ROUND((c.n - CAST(s.s1 AS DOUBLE) / s.k)
+             / (SQRT(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE)) / s.k), 6)
+         AS z
+FROM c, s
+WHERE ABS((c.n - CAST(s.s1 AS DOUBLE) / s.k)
+          / (SQRT(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE)) / s.k))
+      > {z_cut}
+"""

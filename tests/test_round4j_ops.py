@@ -291,3 +291,54 @@ def test_clv_percentiles_planted(ray_session, tmp_path):
     assert got["p50"] == 25.0
     assert got["p25"] == np.round(17.5, 6)  # 10 + 0.75*(20-10)
     assert got["p95"] == np.round(38.5, 6)  # 30 + 0.85*(40-30)
+
+
+def test_hamming_hist_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.dedup import (
+        hamming_distance_hist,
+        simhash_neardup_pairs,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta", "alpha beta gamma delta",
+            "alpha beta gamma epsilon", "zz yy xx ww vv uu",
+        ]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    pairs = simhash_neardup_pairs(docs, 3).to_pandas()
+    got = hamming_distance_hist(docs.repartition(2)).to_pandas()
+    # histogram must recount exactly the pair table
+    want = pairs.groupby("hamming").size()
+    assert got.set_index("hamming")["n_pairs"].to_dict() == want.to_dict()
+    # identical docs 1,2 produce a hamming-0 pair
+    assert got.set_index("hamming").loc[0, "n_pairs"] >= 1
+
+
+def test_zscore_days_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import zscore_days
+
+    # 9 quiet days of 10 events + 1 spike day of 100:
+    # mu = 19, var = (9*81 + 81^2)/10 ... compute via the op's own math
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for d in range(9):
+        rows += [t0 + pd.Timedelta(days=d)] * 10
+    rows += [t0 + pd.Timedelta(days=9)] * 100
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "ts": pd.to_datetime(rows),
+    })
+    got = zscore_days(
+        ray.data.from_pandas(df).repartition(3), z_cut=2.0, n_buckets=4
+    ).to_pandas().set_index("day")
+    # only the spike day is > 2 sigma
+    assert list(got.index) == ["2024-01-10"]
+    assert got.loc["2024-01-10", "n_events"] == 100
+    import math
+    k, s1, s2 = 10, 190, 9 * 100 + 10000
+    mu = s1 / k
+    sd = math.sqrt(float(k * s2 - s1 * s1)) / k
+    assert got.loc["2024-01-10", "z"] == np.round((100 - mu) / sd, 6)
