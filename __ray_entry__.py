@@ -775,6 +775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "events_zscore_days": lambda sf: _wd.zscore_days(_events_ds(sf)),
+        "multimodal_resized_fp": lambda sf: _mm.resized_fingerprints(
+            _docs(sf)
+        ),
     })
 
 
@@ -1313,6 +1316,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_hamming_hist": _dd.hamming_hist_sql(3),
         "events_zscore_days": _wd.ZSCORE_DAYS_SQL_TEMPLATE.format(
             z_cut=2.0
+        ),
+        "multimodal_resized_fp": _mm.RESIZED_FP_SQL_TEMPLATE.format(
+            target=32 * 8
         ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),

@@ -655,3 +655,61 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_payloads,
          AS dedup_ratio
 FROM g
 """
+
+
+def resized_fingerprints(
+    docs: ray.data.Dataset, width: int = 32, height: int = 8
+) -> ray.data.Dataset:
+    """Oracle-checkable surface of the ``resize_payloads`` actor-pool
+    stage: per doc, the resized payload's byte count and the four 16-bit
+    lanes of its md5 lower half — the content fingerprint a CAS store
+    keys resized renditions by (the ``payload_feature_table`` contract
+    applied AFTER the geometry change, proving the resize transform, not
+    just the decode, end-to-end). Fake-codec resize cycles the payload
+    bytes to width*height; the digest runs through the batched DuckDB
+    kernel (``functions/digest.md5_low64``; ASCII corpus assumption — the
+    cycled slice of a multi-byte char would not round-trip decode()).
+    Output: doc_id, n_bytes, fp0..fp3 (int64)."""
+    resized = resize_payloads(
+        attach_fake_payload(docs), width, height
+    )
+
+    def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.digest import md5_low64
+
+        texts = [bytes(p).decode() for p in batch["payload"]]
+        lo = md5_low64(texts)
+        out = {
+            "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+            "n_bytes": batch["payload"].map(len).astype("int64").to_numpy(),
+        }
+        for j in range(4):
+            out[f"fp{j}"] = (
+                (lo >> np.uint64(16 * j)) & np.uint64(0xFFFF)
+            ).astype("int64")
+        return pd.DataFrame(out)
+
+    return resized.map_batches(
+        fingerprint, batch_format="pandas", batch_size=2048
+    )
+
+
+RESIZED_FP_SQL_TEMPLATE = """
+WITH p AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(({target} + n - 1) // n AS INTEGER)),
+                1, {target}) AS rp
+  FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(rp)) AS BIGINT) AS n_bytes,
+       CAST((md5_number_lower(rp) >> 0)  & 65535 AS BIGINT) AS fp0,
+       CAST((md5_number_lower(rp) >> 16) & 65535 AS BIGINT) AS fp1,
+       CAST((md5_number_lower(rp) >> 32) & 65535 AS BIGINT) AS fp2,
+       CAST((md5_number_lower(rp) >> 48) & 65535 AS BIGINT) AS fp3
+FROM r
+"""

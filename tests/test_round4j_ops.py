@@ -342,3 +342,22 @@ def test_zscore_days_planted(ray_session):
     mu = s1 / k
     sd = math.sqrt(float(k * s2 - s1 * s1)) / k
     assert got.loc["2024-01-10", "z"] == np.round((100 - mu) / sd, 6)
+
+
+def test_resized_fingerprints_planted(ray_session, tmp_path):
+    import hashlib
+
+    from tcx2graph_jl_ray.stages.multimodal import resized_fingerprints
+
+    t = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["abc"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = resized_fingerprints(docs, width=4, height=2).to_pandas().iloc[0]
+    # resized payload: "abc" cycled to 8 bytes -> "abcabcab"
+    assert got["n_bytes"] == 8
+    lo = int.from_bytes(hashlib.md5(b"abcabcab").digest()[8:16], "little")
+    for j in range(4):
+        assert got[f"fp{j}"] == (lo >> (16 * j)) & 0xFFFF
