@@ -778,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resized_fp": lambda sf: _mm.resized_fingerprints(
             _docs(sf)
         ),
+        "dedup_band_stats": lambda sf: _dd.lsh_band_stats(_docs(sf)),
     })
 
 
@@ -1320,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resized_fp": _mm.RESIZED_FP_SQL_TEMPLATE.format(
             target=32 * 8
         ),
+        "dedup_band_stats": _dd.band_stats_sql(),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

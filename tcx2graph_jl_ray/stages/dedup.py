@@ -3079,3 +3079,143 @@ SELECT CAST(hamming AS BIGINT) AS hamming,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY hamming
 """
+
+
+def lsh_band_stats(
+    docs: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """LSH blocking LOAD PROFILE: per band, the document count, distinct
+    bucket count, largest bucket, singleton buckets and the candidate-pair
+    mass sum C(size, 2) — the table that tells an operator whether a band
+    is about to go quadratic (the ``max_block_size`` hot-band guard's
+    monitoring view; a band whose max_bucket approaches the cap is
+    boilerplate pressure). Same signature stage as the production pairs
+    op; counts are exact ints. The engine's FNV band fingerprint vs the
+    oracle's full value tuple can differ only on a 64-bit collision
+    (the documented ``neardup_minhash_pairs`` caveat — here it would
+    merge two buckets; ~n^2/2^64). Output: band, n_docs, n_buckets,
+    max_bucket, singletons, cand_pairs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _Signatures,
+        fn_constructor_args=(
+            config.minhash_num_perm, config.minhash_bands, config.shingle_size
+        ),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [(k,) for keys in batch["bands"] for k in keys]
+        d = pd.DataFrame(rows, columns=["key"])
+        g = d.groupby("key", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    # bucket sizes: exact reduce keyed on the band key
+    sizes = bucketed_group_apply(
+        sigs.map_batches(explode, batch_format="pandas", batch_size=4096),
+        ["key"],
+        lambda b: b.groupby("key", sort=False)["n"].sum().reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def per_band_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        band = batch["key"].str.split(":").str[0].astype("int64")
+        n = batch["n"].astype("int64")
+        d = pd.DataFrame({
+            "band": band,
+            "n_docs": n,
+            "n_buckets": np.int64(1),
+            "max_bucket": n,
+            "singletons": (n == 1).astype("int64"),
+            "cand_pairs": n * (n - 1) // 2,
+        })
+        return d.groupby("band", sort=False).agg(
+            n_docs=("n_docs", "sum"), n_buckets=("n_buckets", "sum"),
+            max_bucket=("max_bucket", "max"),
+            singletons=("singletons", "sum"),
+            cand_pairs=("cand_pairs", "sum"),
+        ).reset_index()
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("band", sort=False).agg(
+            n_docs=("n_docs", "sum"), n_buckets=("n_buckets", "sum"),
+            max_bucket=("max_bucket", "max"),
+            singletons=("singletons", "sum"),
+            cand_pairs=("cand_pairs", "sum"),
+        ).reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        sizes.map_batches(per_band_partial, batch_format="pandas",
+                          batch_size=65536),
+        ["band"],
+        merge,
+        n_buckets=4,
+    )
+
+
+def band_stats_sql(config: PipelineConfig = DEFAULT_CONFIG) -> str:
+    """Oracle for ``lsh_band_stats`` — the ``minhash_pairs_sql`` signature
+    CTEs rolled up into per-band bucket-size statistics."""
+    from tcx2graph_jl_ray.functions.minhash import _perm_params
+
+    num_perm = config.minhash_num_perm
+    bands = config.minhash_bands
+    r = num_perm // bands
+    k = config.shingle_size
+    a, b = _perm_params(num_perm)
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+        for j in range(num_perm)
+    )
+    full = r * bands
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(l) >= {k} THEN array_to_string(l[i:i+{k}-1], ' ')
+              ELSE array_to_string(l, ' ') END AS shingle
+  FROM tk, unnest(CASE WHEN len(l) >= {k} THEN range(1, len(l) - {k} + 2)
+                       ELSE [1] END) AS t(i)
+  WHERE len(l) > 0
+),
+h AS (
+  SELECT doc_id, shingle, CAST(md5_number_lower(shingle) AS HUGEINT) AS h
+  FROM sh
+),
+perms(j, pa, pb) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT doc_id, j,
+         MIN((pa * h + pb) % 18446744073709551616::HUGEINT) AS v
+  FROM h CROSS JOIN perms
+  GROUP BY doc_id, j
+),
+bandkeys AS (
+  SELECT doc_id, j // {r} AS band, LIST(v ORDER BY j) AS key
+  FROM sig WHERE j < {full} GROUP BY doc_id, j // {r}
+),
+sizes AS (
+  SELECT band, key, COUNT(*) AS sz FROM bandkeys GROUP BY band, key
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS singletons,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+FROM sizes GROUP BY band
+"""

@@ -361,3 +361,26 @@ def test_resized_fingerprints_planted(ray_session, tmp_path):
     lo = int.from_bytes(hashlib.md5(b"abcabcab").digest()[8:16], "little")
     for j in range(4):
         assert got[f"fp{j}"] == (lo >> (16 * j)) & 0xFFFF
+
+
+def test_lsh_band_stats_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.dedup import DEFAULT_CONFIG, lsh_band_stats
+
+    # 2 identical docs + 1 distinct: every band has the identical pair in
+    # one bucket of size 2 (cand_pairs 1) and the loner in a singleton
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta", "alpha beta gamma delta",
+            "zz yy xx ww vv",
+        ]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = lsh_band_stats(docs.repartition(2)).to_pandas().set_index("band")
+    assert len(got) == DEFAULT_CONFIG.minhash_bands
+    assert (got["n_docs"] == 3).all()
+    assert (got["n_buckets"] == 2).all()
+    assert (got["max_bucket"] == 2).all()
+    assert (got["singletons"] == 1).all()
+    assert (got["cand_pairs"] == 1).all()
