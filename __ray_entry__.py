@@ -779,6 +779,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "dedup_band_stats": lambda sf: _dd.lsh_band_stats(_docs(sf)),
+        "kg_role_transitions": lambda sf: _an.role_transitions(
+            _transcripts(sf)
+        ),
+        "text_vocab_coverage": lambda sf: _tx.vocab_coverage_curve(
+            _docs(sf)
+        ),
     })
 
 
@@ -1322,6 +1328,10 @@ def oracle_sql() -> dict[str, str]:
             target=32 * 8
         ),
         "dedup_band_stats": _dd.band_stats_sql(),
+        "kg_role_transitions": _an.ROLE_TRANSITIONS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "text_vocab_coverage": _tx.vocab_coverage_sql(),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -4857,3 +4857,72 @@ SELECT entity_id,
 FROM s
 """
 )
+
+
+def role_transitions(
+    transcripts: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Conversation-structure transition matrix: counts and row shares of
+    consecutive ROLE pairs (user->assistant, assistant->tool, ...) over
+    the in-conversation turn order — the dialogue-protocol fingerprint
+    (a spike in assistant->assistant means multi-part replies;
+    tool->user means a human interrupted a chain). One conv-keyed bucket
+    co-locates each conversation; the in-group shift is vectorized; the
+    role-pair rollup is |roles|^2-bounded. Share one division, rounded 6.
+    Output: from_role, to_role, n_pairs, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt = d.groupby(d["conv_id"], sort=False)["role"].shift(-1)
+        k = nxt.notna()
+        g = pd.DataFrame({
+            "from_role": d["role"][k],
+            "to_role": nxt[k],
+        }).groupby(["from_role", "to_role"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "role"]),
+        ["conv_id"],
+        pairs_in_bucket,
+        n_buckets=n_buckets,
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["from_role", "to_role"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("from_role", sort=False)["n"].transform("sum")
+        return pd.DataFrame({
+            "from_role": g["from_role"],
+            "to_role": g["to_role"],
+            "n_pairs": g["n"].astype("int64"),
+            "share": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["from_role"], merge, n_buckets=4)
+
+
+ROLE_TRANSITIONS_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+s AS (
+  SELECT role AS from_role,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS to_role
+  FROM t
+),
+c AS (
+  SELECT from_role, to_role, COUNT(*) AS n
+  FROM s WHERE to_role IS NOT NULL GROUP BY from_role, to_role
+)
+SELECT from_role, to_role, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY from_role), 6)
+         AS share
+FROM c
+"""

@@ -3801,3 +3801,99 @@ SELECT split, source, CAST(n_docs AS BIGINT) AS n_docs,
          AS split_share
 FROM c
 """
+
+
+def vocab_coverage_curve(
+    docs: ray.data.Dataset, tops: tuple = (10, 100, 1000)
+) -> pd.DataFrame:
+    """Zipf coverage curve: for each N in ``tops``, the fraction of ALL
+    token occurrences covered by the N most frequent words — the
+    vocabulary-compression read (how big a subword/whitelist vocabulary
+    must be before the tail matters; the cumulative view over
+    ``text_zipf_slope``'s fit). Word counts come from the SALTED exact
+    (word) reduce; the top-N selection is deterministic (count desc, word
+    asc) over the N_max largest counts only (a bounded driver pull — the
+    per-bucket local head-N_max pattern, never the vocabulary). Coverage
+    is one division of exact ints, rounded 6. Output rows: n_top,
+    covered_tokens, total_tokens, coverage."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+
+    n_max = max(tops)
+
+    def explode_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        words = batch["text"].str.lower().str.split(" ")
+        df = pd.DataFrame({"w": words}).explode("w")
+        df = df[df["w"].notna() & (df["w"] != "")]
+        return df.groupby("w", sort=False).size().reset_index(name="n")
+
+    pairs = docs.select_columns(["text"]).map_batches(
+        explode_partial, batch_format="pandas", batch_size=4096
+    )
+
+    def merge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby("w", sort=False)["n"].sum().reset_index()
+
+    per_word = salted_group_apply(
+        pairs, ["w"], partial_fn=merge_counts, merge_fn=merge_counts
+    ).materialize()  # consumed by the total fold AND the head-N pull
+
+    # exact total tokens (combiner scalars)
+    tot_parts = per_word.map_batches(
+        lambda b: pd.DataFrame({"s": [np.int64(b["n"].sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    total = sum(int(x) for x in tot_parts["s"])
+
+    # bounded driver pull: per-batch local head-n_max, then one global head
+    def local_head(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "w"], ascending=[False, True],
+                                 kind="mergesort").head(n_max)
+
+    cand = per_word.map_batches(
+        local_head, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    top = cand.sort_values(["n", "w"], ascending=[False, True],
+                           kind="mergesort").head(n_max)
+    counts = top["n"].astype("int64").to_numpy()
+
+    rows = []
+    for n_top in tops:
+        cov = int(counts[:n_top].sum())
+        rows.append((
+            np.int64(n_top), np.int64(cov), np.int64(total),
+            np.round(cov / total, 6),
+        ))
+    return pd.DataFrame(rows, columns=[
+        "n_top", "covered_tokens", "total_tokens", "coverage"
+    ]).astype({
+        "n_top": "int64", "covered_tokens": "int64", "total_tokens": "int64",
+    })
+
+
+def vocab_coverage_sql(tops: tuple = (10, 100, 1000)) -> str:
+    tops_rows = ", ".join(f"({t})" for t in tops)
+    return f"""
+WITH e AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT w, COUNT(*) AS n FROM e WHERE w <> '' GROUP BY w),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk FROM c
+),
+t AS (SELECT SUM(n) AS total FROM c),
+tops(n_top) AS (VALUES {tops_rows})
+SELECT CAST(tops.n_top AS BIGINT) AS n_top,
+       CAST(COALESCE(SUM(r.n), 0) AS BIGINT) AS covered_tokens,
+       CAST(ANY_VALUE(t.total) AS BIGINT) AS total_tokens,
+       ROUND(CAST(COALESCE(SUM(r.n), 0) AS DOUBLE)
+             / CAST(ANY_VALUE(t.total) AS DOUBLE), 6) AS coverage
+FROM tops
+LEFT JOIN r ON r.rk <= tops.n_top
+CROSS JOIN t
+GROUP BY tops.n_top
+"""

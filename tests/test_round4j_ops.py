@@ -384,3 +384,46 @@ def test_lsh_band_stats_planted(ray_session, tmp_path):
     assert (got["max_bucket"] == 2).all()
     assert (got["singletons"] == 1).all()
     assert (got["cand_pairs"] == 1).all()
+
+
+def test_role_transitions_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import role_transitions
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"] * 2,
+        "turn_idx": pd.array([0, 1, 2, 3, 0, 1], dtype="int64"),
+        "role": ["user", "assistant", "user", "assistant",
+                 "user", "tool"],
+    })
+    got = (
+        role_transitions(ray.data.from_pandas(df).repartition(2),
+                         n_buckets=4)
+        .to_pandas()
+        .set_index(["from_role", "to_role"])
+        .sort_index()
+    )
+    # from user: assistant x2, tool x1
+    assert got.loc[("user", "assistant"), "n_pairs"] == 2
+    assert got.loc[("user", "assistant"), "share"] == np.round(2 / 3, 6)
+    assert got.loc[("user", "tool"), "n_pairs"] == 1
+    assert got.loc[("assistant", "user"), "share"] == 1.0
+
+
+def test_vocab_coverage_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import vocab_coverage_curve
+
+    # counts: the x4, cat x2, dog x1, emu x1 -> total 8
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["the the cat dog", "the the cat emu"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = vocab_coverage_curve(
+        docs.repartition(2), tops=(1, 2, 10)
+    ).set_index("n_top")
+    assert got.loc[1, "covered_tokens"] == 4
+    assert got.loc[1, "coverage"] == 0.5
+    assert got.loc[2, "covered_tokens"] == 6
+    assert got.loc[10, "coverage"] == 1.0
+    assert (got["total_tokens"] == 8).all()
