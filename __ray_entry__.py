@@ -785,6 +785,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_coverage": lambda sf: _tx.vocab_coverage_curve(
             _docs(sf)
         ),
+        "kg_mention_positions": lambda sf: _an.mention_position_profile(
+            _mentions(sf), _transcripts(sf)
+        ),
+        "dedup_minhash_calibration": lambda sf: _dd.minhash_calibration(
+            _docs(sf)
+        ),
     })
 
 
@@ -1332,6 +1338,11 @@ def oracle_sql() -> dict[str, str]:
             transcripts=TRANSCRIPTS_SQL
         ),
         "text_vocab_coverage": _tx.vocab_coverage_sql(),
+        "kg_mention_positions": _an.MENTION_POSITIONS_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL,
+            n_deciles=10,
+        ),
+        "dedup_minhash_calibration": _dd.minhash_calibration_sql(),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -4926,3 +4926,85 @@ SELECT from_role, to_role, CAST(n AS BIGINT) AS n_pairs,
          AS share
 FROM c
 """
+
+
+def mention_position_profile(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_deciles: int = 10,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """WHERE in a conversation entities get mentioned: the mention count
+    and share per normalized-position decile (0 = opening turns, 9 =
+    closing turns; decile = turn_idx * 10 // n_turns, pure integer
+    arithmetic) — the discourse-structure profile (entities front-loaded
+    in openings are topics; closing-heavy ones are resolutions/outcomes).
+    Conversation lengths attach through one conv-keyed co-partitioned
+    reduce+join; the decile rollup is 10-bounded. Share one division,
+    rounded 6. Output: decile, n_mentions, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    me = mentions_with_entity.select_columns(["conv_id", "turn_idx"])
+
+    def len_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("conv_id", sort=False)["turn_idx"].max()
+        return pd.DataFrame({
+            "conv_id": g.index,
+            "mx": g.to_numpy().astype("int64"),
+        })
+
+    conv_len = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx"]).map_batches(
+            len_partial, batch_format="pandas", batch_size=65536
+        ),
+        ["conv_id"],
+        lambda b: b.groupby("conv_id", sort=False)["mx"].max().reset_index()
+        .rename(columns={"mx": "n_turns_m1"}),
+        n_buckets=n_buckets,
+    )
+    j = hash_join(me, conv_len, on="conv_id", n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ti = batch["turn_idx"].astype("int64").to_numpy()
+        nt = batch["n_turns_m1"].astype("int64").to_numpy() + 1
+        dec = (ti * n_deciles) // nt
+        s = pd.Series(dec).groupby(dec, sort=False).size()
+        return pd.DataFrame({
+            "decile": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = j.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("decile", sort=False)["n"].sum().reset_index()
+        tot = float(g["n"].sum())
+        return pd.DataFrame({
+            "decile": g["decile"].astype("int64"),
+            "n_mentions": g["n"].astype("int64"),
+            "share": np.round(g["n"].to_numpy(dtype="float64") / tot, 6),
+        })
+
+    keyed = parts.map_batches(
+        lambda b: b.assign(kk=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["kk"], lambda b: merge(b.drop(columns=["kk"])), n_buckets=1
+    )
+
+
+MENTION_POSITIONS_SQL_TEMPLATE = """
+WITH m AS ({mentions}),
+t AS ({transcripts}),
+ln AS (SELECT conv_id, MAX(turn_idx) + 1 AS nt FROM t GROUP BY conv_id),
+d AS (
+  SELECT (m.turn_idx * {n_deciles}) // ln.nt AS decile
+  FROM m JOIN ln ON ln.conv_id = m.conv_id
+),
+c AS (SELECT decile, COUNT(*) AS n FROM d GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n_mentions,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM c
+"""

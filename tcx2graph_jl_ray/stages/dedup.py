@@ -3219,3 +3219,189 @@ SELECT CAST(band AS BIGINT) AS band,
        CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
 FROM sizes GROUP BY band
 """
+
+
+def minhash_calibration(
+    docs: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Sketch-calibration table for the MinHash estimator: per VERIFIED
+    near-dup pair, the signature-agreement estimate (matching permutations
+    / num_perm — the unbiased Jaccard estimator, exact integer ratio) next
+    to the true word-shingle Jaccard — the empirical answer to "how many
+    permutations does this corpus actually need" (read the |est - true|
+    spread; Broder's resemblance estimator audited on real pairs).
+
+    Shape: the production candidate+verify path (banded, Bloom-gated)
+    yields the pairs; signatures attach through two co-partitioned
+    ``hash_join``s (the signature table rides as list columns, bounded by
+    num_perm x 8 bytes per row); the agreement count is one vectorized
+    stacked compare per bucket. Both ratios are single divisions of exact
+    ints, rounded 6. Output: a, b, est_sim, true_sim."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    num_perm = config.minhash_num_perm
+    pairs = _verify_pairs_join(
+        _candidate_pairs(docs, config), docs,
+        config.jaccard_threshold, config.shingle_size, emit_sim=True,
+    )
+
+    sigs = docs.map_batches(
+        _Signatures2,
+        fn_constructor_args=(num_perm, config.shingle_size),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    wa = hash_join(
+        pairs,
+        sigs.map_batches(
+            lambda b: b.rename(columns={"doc_id": "a", "sig": "sig_a"}),
+            batch_format="pandas",
+        ),
+        on="a", n_buckets=n_buckets,
+    )
+    wb = hash_join(
+        wa,
+        sigs.map_batches(
+            lambda b: b.rename(columns={"doc_id": "b", "sig": "sig_b"}),
+            batch_format="pandas",
+        ),
+        on="b", n_buckets=n_buckets,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "est_sim": pd.Series([], dtype="float64"),
+                "true_sim": pd.Series([], dtype="float64"),
+            })
+        sa = np.stack([
+            np.frombuffer(x, dtype=np.uint64) for x in batch["sig_a"]
+        ])
+        sb = np.stack([
+            np.frombuffer(x, dtype=np.uint64) for x in batch["sig_b"]
+        ])
+        agree = (sa == sb).sum(axis=1).astype("int64")
+        return pd.DataFrame({
+            "a": batch["a"].astype("int64").to_numpy(),
+            "b": batch["b"].astype("int64").to_numpy(),
+            "est_sim": np.round(
+                agree.astype("float64") / float(num_perm), 6
+            ),
+            "true_sim": np.round(
+                batch["sim"].to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return wb.map_batches(finish, batch_format="pandas", batch_size=65536)
+
+
+class _Signatures2:
+    """Signature stage emitting the raw signature vector (no band keys) —
+    the calibration op needs the permutation mins themselves."""
+
+    def __init__(self, num_perm: int, shingle_k: int):
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.minhash import minhash_signatures
+
+        batch = _nonnull_text(batch)
+        sh = word_shingles(batch["text"], self.k)
+        sig = minhash_signatures(
+            batch["doc_id"].to_numpy(), sh, num_perm=self.num_perm
+        )
+        # ship as packed BYTES (num_perm x 8, little-endian) — a scalar
+        # binary column survives the co-partitioned joins, where a
+        # list/tensor column breaks pandas-block concat
+        sig["sig"] = [s.astype("<u8").tobytes() for s in sig["sig"]]
+        return sig[["doc_id", "sig"]]
+
+
+def minhash_calibration_sql(config: PipelineConfig = DEFAULT_CONFIG) -> str:
+    """Oracle for ``minhash_calibration``: the ``minhash_pairs_sql`` CTEs
+    plus a per-pair signature-agreement count."""
+    from tcx2graph_jl_ray.functions.minhash import _perm_params
+
+    num_perm = config.minhash_num_perm
+    bands = config.minhash_bands
+    r = num_perm // bands
+    k = config.shingle_size
+    tau = config.jaccard_threshold
+    a, b = _perm_params(num_perm)
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+        for j in range(num_perm)
+    )
+    full = r * bands
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(l) >= {k} THEN array_to_string(l[i:i+{k}-1], ' ')
+              ELSE array_to_string(l, ' ') END AS shingle
+  FROM tk, unnest(CASE WHEN len(l) >= {k} THEN range(1, len(l) - {k} + 2)
+                       ELSE [1] END) AS t(i)
+  WHERE len(l) > 0
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+h AS (
+  SELECT doc_id, shingle, CAST(md5_number_lower(shingle) AS HUGEINT) AS h
+  FROM sh
+),
+perms(j, pa, pb) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT doc_id, j,
+         MIN((pa * h + pb) % 18446744073709551616::HUGEINT) AS v
+  FROM h CROSS JOIN perms
+  GROUP BY doc_id, j
+),
+bandkeys AS (
+  SELECT doc_id, j // {r} AS band, LIST(v ORDER BY j) AS key
+  FROM sig WHERE j < {full} GROUP BY doc_id, j // {r}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+verified AS (
+  SELECT inter.a, inter.b,
+         CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) AS ts
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.a
+  JOIN cnt cb ON cb.doc_id = inter.b
+  WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= {tau}
+),
+agree AS (
+  SELECT v.a, v.b, COUNT(*) AS m
+  FROM verified v
+  JOIN sig x ON x.doc_id = v.a
+  JOIN sig y ON y.doc_id = v.b AND y.j = x.j AND y.v = x.v
+  GROUP BY v.a, v.b
+)
+SELECT CAST(v.a AS BIGINT) AS a, CAST(v.b AS BIGINT) AS b,
+       ROUND(CAST(COALESCE(ag.m, 0) AS DOUBLE) / {float(num_perm)}, 6)
+         AS est_sim,
+       ROUND(v.ts, 6) AS true_sim
+FROM verified v LEFT JOIN agree ag ON ag.a = v.a AND ag.b = v.b
+"""

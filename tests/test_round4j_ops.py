@@ -427,3 +427,45 @@ def test_vocab_coverage_planted(ray_session, tmp_path):
     assert got.loc[2, "covered_tokens"] == 6
     assert got.loc[10, "coverage"] == 1.0
     assert (got["total_tokens"] == 8).all()
+
+
+def test_mention_positions_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import mention_position_profile
+
+    # conv c1 has 4 turns (0..3); mentions at turns 0 and 3 ->
+    # deciles (0*10)//4 = 0 and (3*10)//4 = 7
+    me = pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": pd.array([0, 3], dtype="int64"),
+    })
+    tr = pd.DataFrame({
+        "conv_id": ["c1"] * 4,
+        "turn_idx": pd.array([0, 1, 2, 3], dtype="int64"),
+    })
+    got = mention_position_profile(
+        ray.data.from_pandas(me), ray.data.from_pandas(tr), n_buckets=2
+    ).to_pandas().set_index("decile").sort_index()
+    assert list(got.index) == [0, 7]
+    assert (got["n_mentions"] == 1).all()
+    assert (got["share"] == 0.5).all()
+
+
+def test_minhash_calibration_identical_docs(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.dedup import minhash_calibration
+
+    # identical docs: est_sim == 1.0 (all permutations agree) and
+    # true_sim == 1.0
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon",
+            "zz yy xx ww vv uu tt",
+        ]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = minhash_calibration(docs.repartition(2)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["est_sim"] == 1.0 and r["true_sim"] == 1.0
