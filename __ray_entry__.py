@@ -791,6 +791,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_calibration": lambda sf: _dd.minhash_calibration(
             _docs(sf)
         ),
+        "text_pii_audit": lambda sf: _tx.pii_audit_by_source(_docs(sf)),
+        "emb_knn_accuracy": lambda sf: _ann.knn_accuracy(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
     })
 
 
@@ -1343,6 +1347,8 @@ def oracle_sql() -> dict[str, str]:
             n_deciles=10,
         ),
         "dedup_minhash_calibration": _dd.minhash_calibration_sql(),
+        "text_pii_audit": _tx.pii_audit_sql(),
+        "emb_knn_accuracy": _ann.knn_accuracy_sql(_ANN_NQ, _ANN_K),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -1633,3 +1633,46 @@ SELECT CAST(r.cell AS BIGINT) AS cell,
 FROM r JOIN t ON t.cell = r.cell
 WHERE r.rk = 1
 """
+
+
+def knn_accuracy(
+    embeddings: ray.data.Dataset, sf_dir: str,
+    n_queries: int = 8, k: int = 10,
+) -> pd.DataFrame:
+    """Leave-one-out kNN evaluation summary: over the query set, how often
+    the majority-vote prediction matches the query vector's own label —
+    the one-row embedding-quality score a feature-store gate thresholds
+    on (labels separable under cosine -> the embedding carries the
+    signal). Composes the production ``knn_classify`` (same broadcast /
+    partial-top-k shape) against the query vectors' true labels (an
+    n_queries-bounded pull). Accuracy is one division of exact ints,
+    rounded 6. Output: n_queries, n_correct, accuracy."""
+    preds = knn_classify(embeddings, sf_dir, n_queries, k).to_pandas()
+
+    truth = (
+        embeddings.select_columns(["vec_id", "label"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+    )
+    j = preds.merge(truth, left_on="query_id", right_on="vec_id")
+    n = len(j)
+    correct = int((j["pred_label"].astype("int64")
+                   == j["label"].astype("int64")).sum())
+    return pd.DataFrame({
+        "n_queries": [np.int64(n)],
+        "n_correct": [np.int64(correct)],
+        "accuracy": [np.round(correct / n, 6) if n else 0.0],
+    })
+
+
+def knn_accuracy_sql(n_queries: int, k: int) -> str:
+    inner = KNN_CLASSIFY_SQL_TEMPLATE.format(n_queries=n_queries, k=k)
+    return f"""
+WITH pred AS MATERIALIZED ({inner})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred.pred_label = e.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred.pred_label = e.label THEN 1 ELSE 0
+                      END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pred JOIN embeddings e ON e.vec_id = pred.query_id
+"""

@@ -3897,3 +3897,77 @@ LEFT JOIN r ON r.rk <= tops.n_top
 CROSS JOIN t
 GROUP BY tops.n_top
 """
+
+
+def pii_audit_by_source(
+    docs: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """PII exposure audit per corpus source: totals of each detected PII
+    class, the count of affected documents and the affected-doc rate — the
+    compliance report a release review reads above ``pii_scrub``'s per-doc
+    redactions (a source with a high hit rate gets quarantined, not
+    patched row by row). Same fixed-order RE2 ∩ re patterns as the scrub
+    (email counted on raw text, ip/phone on the progressively redacted
+    text — the overlap discipline). Counts exact; rate one division,
+    rounded 6. Output: source, n_docs, n_emails, n_ips, n_phones,
+    docs_with_pii, pii_rate."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        text = b["text"]
+        counts = {}
+        for name, pat, tag in _PII_CLASSES:
+            counts[name] = text.str.count(pat).astype("int64")
+            text = text.str.replace(pat, tag, regex=True)
+        tot = counts["email"] + counts["ip"] + counts["phone"]
+        d = pd.DataFrame({
+            "source": b["source"],
+            "n_docs": np.int64(1),
+            "n_emails": counts["email"].to_numpy(),
+            "n_ips": counts["ip"].to_numpy(),
+            "n_phones": counts["phone"].to_numpy(),
+            "docs_with_pii": (tot > 0).astype("int64").to_numpy(),
+        })
+        return d.groupby("source", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False).sum().reset_index()
+        for c in g.columns:
+            if c != "source":
+                g[c] = g[c].astype("int64")
+        g["pii_rate"] = np.round(
+            g["docs_with_pii"].to_numpy(dtype="float64")
+            / g["n_docs"].to_numpy(dtype="float64"), 6
+        )
+        return g
+
+    return bucketed_group_apply(parts, ["source"], merge,
+                                n_buckets=n_buckets)
+
+
+def pii_audit_sql() -> str:
+    email, ip, phone = (c[1] for c in _PII_CLASSES)
+    return rf"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{email}')) AS ne,
+         len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'), '{ip}')) AS ni,
+         len(regexp_extract_all(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{phone}')) AS np
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(ni) AS BIGINT) AS n_ips,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(SUM(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       ROUND(CAST(SUM(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS pii_rate
+FROM per_doc GROUP BY source
+"""

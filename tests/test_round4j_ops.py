@@ -469,3 +469,45 @@ def test_minhash_calibration_identical_docs(ray_session, tmp_path):
     r = got.iloc[0]
     assert (r["a"], r["b"]) == (1, 2)
     assert r["est_sim"] == 1.0 and r["true_sim"] == 1.0
+
+
+def test_pii_audit_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.text import pii_audit_by_source
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array([
+            "mail me at bob@x.com or eve@y.org",
+            "clean document here",
+            "server 10.0.0.1 and +1-555-0100-99",
+        ]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    docs = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        pii_audit_by_source(docs.repartition(2), n_buckets=2)
+        .to_pandas()
+        .set_index("source")
+    )
+    assert got.loc["a", "n_emails"] == 2
+    assert got.loc["a", "docs_with_pii"] == 1
+    assert got.loc["a", "pii_rate"] == 0.5
+    assert got.loc["b", "n_ips"] == 1 and got.loc["b", "n_phones"] == 1
+    assert got.loc["b", "pii_rate"] == 1.0
+
+
+def test_knn_accuracy_planted(ray_session, sf_dir):
+    from tcx2graph_jl_ray.stages.ann import knn_accuracy, knn_classify
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = knn_accuracy(emb, sf_dir, 4, 5).iloc[0]
+    preds = knn_classify(emb, sf_dir, 4, 5).to_pandas()
+    truth = emb.to_pandas().set_index("vec_id")["label"]
+    correct = sum(
+        int(truth.loc[r["query_id"]]) == int(r["pred_label"])
+        for _, r in preds.iterrows()
+    )
+    assert got["n_queries"] == 4
+    assert got["n_correct"] == correct
+    assert got["accuracy"] == np.round(correct / 4, 6)
