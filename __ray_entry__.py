@@ -795,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_accuracy": lambda sf: _ann.knn_accuracy(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
+        "rel_monthly_growth": lambda sf: _rel.monthly_revenue_growth(sf),
+        "rel_status_mix": lambda sf: _rel.order_status_mix(sf),
     })
 
 
@@ -1349,6 +1351,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_calibration": _dd.minhash_calibration_sql(),
         "text_pii_audit": _tx.pii_audit_sql(),
         "emb_knn_accuracy": _ann.knn_accuracy_sql(_ANN_NQ, _ANN_K),
+        "rel_monthly_growth": _rel.MONTHLY_GROWTH_SQL,
+        "rel_status_mix": _rel.ORDER_STATUS_MIX_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

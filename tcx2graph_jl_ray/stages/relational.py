@@ -3984,3 +3984,130 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        ROUND(QUANTILE_CONT(cents, 0.95) / 100.0, 6) AS p95
 FROM c
 """
+
+
+def monthly_revenue_growth(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
+    """Month-over-month revenue growth: per month the exact-cents order
+    revenue, the previous month's, and the growth rate — the trend table
+    every finance dashboard opens with (the time-series DERIVATIVE of
+    ``revenue_rollup``'s levels). Monthly cents are one month-keyed
+    combiner reduce (month cardinality bounds everything after);
+    the LAG/growth step runs on the month-bounded driver frame. Growth is
+    one division of exact ints, rounded 6; the first month emits NULL
+    growth (oracle LAG semantics). Output: month, revenue, prev_revenue,
+    growth."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64, money_from_cents
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "month": pd.to_datetime(batch["o_orderdate"])
+            .dt.strftime("%Y-%m"),
+            "cents": cents_i64(batch["o_totalprice"]),
+        })
+        return d.groupby("month", sort=False)["cents"].sum().reset_index()
+
+    months = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["month"],
+        lambda b: b.groupby("month", sort=False)["cents"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    ).to_pandas()  # month-bounded
+
+    months = months.sort_values("month").reset_index(drop=True)
+    cents = [int(x) for x in months["cents"]]
+    prev = [None] + cents[:-1]
+    growth = [
+        None if p is None else np.round((c - p) / p, 6)
+        for c, p in zip(cents, prev)
+    ]
+    return pd.DataFrame({
+        "month": months["month"],
+        "revenue": [money_from_cents(c) for c in cents],
+        "prev_revenue": [
+            None if p is None else money_from_cents(p) for p in prev
+        ],
+        "growth": growth,
+    })
+
+
+MONTHLY_GROWTH_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT month, cents, LAG(cents) OVER (ORDER BY month) AS pc FROM m
+)
+SELECT month,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(pc AS DOUBLE) / 100.0 AS prev_revenue,
+       ROUND(CAST(cents - pc AS DOUBLE) / CAST(pc AS DOUBLE), 6) AS growth
+FROM l
+"""
+
+
+def order_status_mix(sf_dir: str, n_buckets: int = 4) -> ray.data.Dataset:
+    """Order-status composition per month: counts and within-month share
+    of each o_orderstatus — the fulfillment-backlog trend (a rising 'O'
+    share is unshipped work piling up; the reference's run-state
+    accounting, src/TCXReader.jl activity states, on the order axis).
+    Bounded (month x status) rollup, exact counts, share one division
+    rounded 6. Output: month, o_orderstatus, n_orders, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "month": pd.to_datetime(batch["o_orderdate"])
+            .dt.strftime("%Y-%m"),
+            "o_orderstatus": batch["o_orderstatus"],
+        })
+        g = d.groupby(["month", "o_orderstatus"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = orders.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["month", "o_orderstatus"], sort=False)["n"]\
+            .sum().reset_index()
+        tot = g.groupby("month", sort=False)["n"].transform("sum")
+        return pd.DataFrame({
+            "month": g["month"],
+            "o_orderstatus": g["o_orderstatus"],
+            "n_orders": g["n"].astype("int64"),
+            "share": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["month"], merge,
+                                n_buckets=n_buckets)
+
+
+ORDER_STATUS_MIX_SQL = """
+WITH c AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY month), 6)
+         AS share
+FROM c
+"""

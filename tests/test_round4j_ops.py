@@ -511,3 +511,42 @@ def test_knn_accuracy_planted(ray_session, sf_dir):
     assert got["n_queries"] == 4
     assert got["n_correct"] == correct
     assert got["accuracy"] == np.round(correct / 4, 6)
+
+
+def test_monthly_growth_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import monthly_revenue_growth
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime([
+            "1995-01-05", "1995-02-05", "1995-02-20",
+        ])),
+        "o_totalprice": pa.array([100.00, 150.00, 150.00]),
+    }), str(tmp_path / "orders.parquet"))
+    got = monthly_revenue_growth(str(tmp_path), n_buckets=2)\
+        .set_index("month")
+    assert got.loc["1995-01", "revenue"] == 100.0
+    assert pd.isna(got.loc["1995-01", "growth"])
+    assert got.loc["1995-02", "revenue"] == 300.0
+    assert got.loc["1995-02", "prev_revenue"] == 100.0
+    assert got.loc["1995-02", "growth"] == 2.0
+
+
+def test_order_status_mix_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import order_status_mix
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime([
+            "1995-01-05", "1995-01-06", "1995-02-01",
+        ])),
+        "o_orderstatus": pa.array(["O", "F", "O"]),
+    }), str(tmp_path / "orders.parquet"))
+    got = (
+        order_status_mix(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index(["month", "o_orderstatus"])
+        .sort_index()
+    )
+    assert got.loc[("1995-01", "O"), "share"] == 0.5
+    assert got.loc[("1995-02", "O"), "share"] == 1.0
