@@ -797,6 +797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_monthly_growth": lambda sf: _rel.monthly_revenue_growth(sf),
         "rel_status_mix": lambda sf: _rel.order_status_mix(sf),
+        "kg_degree_hist": lambda sf: _an.degree_histogram(_cooc(sf)),
+        "text_ttr_by_length": lambda sf: _tx.ttr_by_length(_docs(sf)),
     })
 
 
@@ -1353,6 +1355,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_accuracy": _ann.knn_accuracy_sql(_ANN_NQ, _ANN_K),
         "rel_monthly_growth": _rel.MONTHLY_GROWTH_SQL,
         "rel_status_mix": _rel.ORDER_STATUS_MIX_SQL,
+        "kg_degree_hist": _an.DEGREE_HIST_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            )
+        ),
+        "text_ttr_by_length": _tx.TTR_BY_LENGTH_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -5008,3 +5008,71 @@ SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n_mentions,
          AS share
 FROM c
 """
+
+
+def degree_histogram(
+    cooccurrence: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Log2-binned DEGREE DISTRIBUTION of the entity co-occurrence graph —
+    the one-screen scale-free check (a straight line in log-log says hubs
+    dominate; the tail bin count sizes every hub guard in the path/triangle
+    operators). Degrees are the exact per-node edge-endpoint reduce
+    (``_oriented_triangles``'s combiner shape); bin = bit_length(deg) - 1,
+    pure integers. Output: bin, min_degree, n_entities."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    edges = cooccurrence.select_columns(["src", "dst"])
+
+    def partial_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([batch["src"], batch["dst"]], ignore_index=True)
+        s = both.groupby(both, sort=False).size()
+        return pd.DataFrame({
+            "node": s.index,
+            "d": s.to_numpy().astype("int64"),
+        })
+
+    deg = bucketed_group_apply(
+        edges.map_batches(partial_deg, batch_format="pandas",
+                          batch_size=65536),
+        ["node"],
+        lambda b: b.groupby("node", sort=False)["d"].sum().reset_index(),
+        n_buckets=32,
+    )
+
+    def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bins = np.array(
+            [int(x).bit_length() - 1 for x in batch["d"]], dtype="int64"
+        )
+        s = pd.Series(bins).groupby(bins, sort=False).size()
+        return pd.DataFrame({
+            "bin": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = deg.map_batches(bin_partial, batch_format="pandas",
+                            batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum().reset_index()
+        b = g["bin"].astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "min_degree": (np.int64(1) << b.to_numpy()).astype("int64"),
+            "n_entities": g["n"].astype("int64"),
+        })
+
+    return bucketed_group_apply(parts, ["bin"], merge, n_buckets=4)
+
+
+DEGREE_HIST_SQL_TEMPLATE = """
+WITH cooc AS ({cooccurrence}),
+d AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT src AS node FROM cooc UNION ALL SELECT dst AS node FROM cooc
+  ) GROUP BY node
+),
+b AS (SELECT CAST(floor(log2(deg)) AS BIGINT) AS bin FROM d)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM b GROUP BY bin
+"""

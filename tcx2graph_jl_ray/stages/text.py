@@ -3971,3 +3971,70 @@ SELECT source,
                   AS DOUBLE) / COUNT(*), 6) AS pii_rate
 FROM per_doc GROUP BY source
 """
+
+
+def ttr_by_length(docs: ray.data.Dataset, n_buckets: int = 4) -> ray.data.Dataset:
+    """Type-token ratio BY LENGTH BIN: per log2 doc-length bucket, the
+    aggregate distinct-type share — the curve that controls the classic
+    TTR/length confound (raw TTR falls with length for any text; a bin
+    whose TTR breaks the corpus curve is template or gibberish pressure).
+    Bin = bit_length(n_tokens) - 1, pure integer arithmetic (the
+    ``length_histogram`` trick); TTR = sum types / sum tokens per bin,
+    exact ints, one division rounded 6 (ratio of sums — the aggregate a
+    threshold reads — not mean of ratios). Output: bin, n_docs, n_tokens,
+    n_types, ttr."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        tf = _token_frame(b)
+        types = tf.groupby("row")["tok"].nunique()
+        n_types = (
+            pd.Series(0, index=range(len(b))).add(types, fill_value=0)
+            .astype("int64")
+        )
+        n_tok = (b["text"].str.count(" ") + 1).astype("int64")
+        bins = np.array(
+            [int(n).bit_length() - 1 for n in n_tok], dtype="int64"
+        )
+        d = pd.DataFrame({
+            "bin": bins,
+            "n_docs": np.int64(1),
+            "n_tokens": n_tok.to_numpy(),
+            "n_types": n_types.to_numpy(),
+        })
+        return d.groupby("bin", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False).sum().reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        g["ttr"] = np.round(
+            g["n_types"].to_numpy(dtype="float64")
+            / g["n_tokens"].to_numpy(dtype="float64"), 6
+        )
+        return g
+
+    return bucketed_group_apply(parts, ["bin"], merge, n_buckets=n_buckets)
+
+
+TTR_BY_LENGTH_SQL = """
+WITH m AS (
+  SELECT len(string_split(lower(text), ' ')) AS ntok,
+         len(list_distinct(string_split(lower(text), ' '))) AS ntyp
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT CAST(floor(log2(ntok)) AS BIGINT) AS bin, ntok, ntyp FROM m
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(ntyp) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(ntyp) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE), 6)
+         AS ttr
+FROM b GROUP BY bin
+"""

@@ -550,3 +550,53 @@ def test_order_status_mix_planted(ray_session, tmp_path):
     )
     assert got.loc[("1995-01", "O"), "share"] == 0.5
     assert got.loc[("1995-02", "O"), "share"] == 1.0
+
+
+def test_degree_histogram_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import degree_histogram
+
+    # star: hub-x{1..5} (hub deg 5 -> bin 2; leaves deg 1 -> bin 0),
+    # plus a-b-c path (a,c deg 1 -> bin 0; b deg 2 -> bin 1)
+    edges = [("hub", f"x{i}") for i in range(1, 6)] + [
+        ("a", "b"), ("b", "c")
+    ]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    df["n_convs"] = 1
+    got = (
+        degree_histogram(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_entities"] == 7  # x1..x5, a, c
+    assert got.loc[0, "min_degree"] == 1
+    assert got.loc[1, "n_entities"] == 1  # b (deg 2)
+    assert got.loc[1, "min_degree"] == 2
+    assert got.loc[2, "n_entities"] == 1  # hub (deg 5)
+    assert got.loc[2, "min_degree"] == 4
+
+
+def test_ttr_by_length_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import ttr_by_length
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b",              # 2 tok, 2 types -> bin 1
+            "x x",              # 2 tok, 1 type  -> bin 1
+            "p q r s p q r s",  # 8 tok, 4 types -> bin 3
+            None,               # dropped
+        ],
+    })
+    got = (
+        ttr_by_length(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[1, "n_docs"] == 2
+    assert got.loc[1, "n_tokens"] == 4
+    assert got.loc[1, "n_types"] == 3
+    assert got.loc[1, "ttr"] == 0.75
+    assert got.loc[3, "n_docs"] == 1
+    assert got.loc[3, "ttr"] == 0.5
