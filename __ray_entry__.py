@@ -799,6 +799,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_status_mix": lambda sf: _rel.order_status_mix(sf),
         "kg_degree_hist": lambda sf: _an.degree_histogram(_cooc(sf)),
         "text_ttr_by_length": lambda sf: _tx.ttr_by_length(_docs(sf)),
+        "kg_clustering_by_degree": lambda sf: _an.clustering_by_degree(
+            _cooc(sf)
+        ),
+        "events_dow_hour": lambda sf: _wd.dow_hour_matrix(_events_ds(sf)),
+        "rel_discount_effect": lambda sf: _rel.discount_effect(sf),
+        "rel_returns_by_nation": lambda sf: _rel.returns_by_nation(sf),
+        "kg_component_sizes": lambda sf: _an.component_size_hist(_cooc(sf)),
+        "kg_cooc_weight_hist": lambda sf: _an.cooc_weight_hist(_cooc(sf)),
+        "events_cusum_days": lambda sf: _wd.cusum_days(_events_ds(sf)),
+        "text_vocab_growth": lambda sf: _tx.vocab_growth(_docs(sf)),
+        "docs_charclass_profile": lambda sf: _tx.charclass_profile(
+            _docs(sf)
+        ),
+        "multimodal_orientation": lambda sf: _mm.orientation_profile(
+            _mm.attach_fake_payload(_docs(sf))
+        ),
+        "events_value_by_dow": lambda sf: _wd.value_by_dow(_events_ds(sf)),
+        "rel_qty_price_corr": lambda sf: _rel.qty_price_corr(sf),
+        "dedup_gram_df_hist": lambda sf: _dd.gram_df_hist(
+            _docs(sf), k=_SUBSTR_K
+        ),
+        "docs_lang_profile": lambda sf: _tx.lang_profile(_docs(sf)),
+        "events_round_value_bias": lambda sf: _wd.round_value_bias(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1361,6 +1386,41 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "text_ttr_by_length": _tx.TTR_BY_LENGTH_SQL,
+        "kg_clustering_by_degree":
+            _an.CLUSTERING_BY_DEGREE_SQL_TEMPLATE.format(
+                cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL
+                )
+            ),
+        "events_dow_hour": _wd.DOW_HOUR_MATRIX_SQL,
+        "rel_discount_effect": _rel.DISCOUNT_EFFECT_SQL,
+        "rel_returns_by_nation": _rel.RETURNS_BY_NATION_SQL,
+        "kg_component_sizes": _an.COMPONENT_SIZE_HIST_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            )
+        ),
+        "kg_cooc_weight_hist": _an.COOC_WEIGHT_HIST_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            )
+        ),
+        "events_cusum_days": _wd.CUSUM_DAYS_SQL_TEMPLATE.format(
+            lam_num=1, lam_den=20
+        ),
+        "text_vocab_growth": _tx.VOCAB_GROWTH_SQL,
+        "docs_charclass_profile": _tx.CHARCLASS_PROFILE_SQL,
+        "multimodal_orientation":
+            _mm.ORIENTATION_PROFILE_SQL_TEMPLATE.format(
+                fmt=_mm.FAKE_FORMAT
+            ),
+        "events_value_by_dow": _wd.VALUE_BY_DOW_SQL,
+        "rel_qty_price_corr": _rel.QTY_PRICE_CORR_SQL,
+        "dedup_gram_df_hist": _dd.GRAM_DF_HIST_SQL_TEMPLATE.format(
+            k=_SUBSTR_K
+        ),
+        "docs_lang_profile": _tx.LANG_PROFILE_SQL,
+        "events_round_value_bias": _wd.ROUND_VALUE_BIAS_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -5076,3 +5076,228 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_degree,
        CAST(COUNT(*) AS BIGINT) AS n_entities
 FROM b GROUP BY bin
 """
+
+
+def clustering_by_degree(
+    cooccurrence: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """C(k) — mean clustering BY DEGREE BIN: per log2-degree bucket, the
+    ratio-of-sums clustering coefficient sum(triangles)/sum(wedges) — the
+    curve whose downward slope diagnoses hierarchical structure (Ravasz &
+    Barabási 2003 — public) and tells the hub guards how fast closure decays
+    with degree; the aggregate view of ``triangle_stats``'s per-entity rows.
+    Triangles come from the shared degree-oriented enumerator
+    (``_oriented_triangles``, O(m^1.5) wedge work); wedges are the exact
+    integers d(d-1)/2. Ratio of sums — exact ints, ONE division rounded 6 —
+    not mean of per-node ratios (which a float sum order could scramble).
+    Output: bin, min_degree, n_entities, n_triangles, n_wedges, cc."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    edges = cooccurrence.select_columns(["src", "dst"]).materialize()
+    triangles, deg = _oriented_triangles(edges, n_buckets)
+
+    def tri_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [batch["apex"], batch["src"], batch["dst"]], ignore_index=True
+        )
+        s = both.groupby(both, sort=False).size()
+        return pd.DataFrame({"node": s.index, "t_part": s.to_numpy()})
+
+    def sum_tri(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("node", sort=False)["t_part"].sum()
+        return pd.DataFrame(
+            {"node": s.index, "n_tri": s.astype("int64").to_numpy()}
+        )
+
+    tri_counts = bucketed_group_apply(
+        triangles.map_batches(tri_nodes, batch_format="pandas",
+                              batch_size=65536),
+        ["node"],
+        sum_tri,
+        n_buckets=n_buckets,
+    )
+
+    joined = hash_join(deg, tri_counts, on="node", how="left",
+                       n_buckets=n_buckets)
+
+    def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["degree"].to_numpy(dtype="int64")
+        t = batch["n_tri"].fillna(0).to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in d], dtype="int64")
+        g = pd.DataFrame({
+            "bin": bins,
+            "n_entities": np.int64(1),
+            "n_triangles": t,
+            "n_wedges": d * (d - 1) // 2,
+        }).groupby("bin", sort=False).sum().reset_index()
+        return g
+
+    parts = joined.map_batches(bin_partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False).sum().reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        b = g["bin"].to_numpy()
+        w = g["n_wedges"].to_numpy(dtype="float64")
+        t = g["n_triangles"].to_numpy(dtype="float64")
+        g["min_degree"] = (np.int64(1) << b).astype("int64")
+        g["cc"] = np.round(np.where(w > 0, t / np.where(w > 0, w, 1.0), 0.0), 6)
+        return g[["bin", "min_degree", "n_entities", "n_triangles",
+                  "n_wedges", "cc"]]
+
+    return bucketed_group_apply(parts, ["bin"], merge, n_buckets=4)
+
+
+CLUSTERING_BY_DEGREE_SQL_TEMPLATE = """
+WITH e AS MATERIALIZED ({cooccurrence}),
+d AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY node
+),
+t AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tc AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t)
+  GROUP BY node
+),
+pern AS (
+  SELECT CAST(floor(log2(d.degree)) AS BIGINT) AS bin, d.degree,
+         COALESCE(tc.n_tri, 0) AS n_tri
+  FROM d LEFT JOIN tc ON tc.node = d.node
+)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(n_tri) AS BIGINT) AS n_triangles,
+       CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+       ROUND(CASE WHEN SUM(degree * (degree - 1) // 2) > 0
+                  THEN CAST(SUM(n_tri) AS DOUBLE)
+                       / CAST(SUM(degree * (degree - 1) // 2) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS cc
+FROM pern GROUP BY bin
+"""
+
+
+def component_size_hist(
+    cooccurrence: ray.data.Dataset, config=None, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """GIANT-COMPONENT read-out: log2-binned histogram of connected-component
+    sizes — n_components and member count per size bin, the one-screen answer
+    to "is this graph one blob or dust?" that sizes every component-local
+    algorithm downstream (a driver union-find is safe iff the tail bin is
+    small). Reuses ``entity_components`` (dual-path CC), then reduces its
+    (component_id, component_size) pairs — deduped per bucket, sizes already
+    exact — into <= ~60 bins. Output: bin, min_size, n_components,
+    n_entities."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    comp = entity_components(cooccurrence, config=config,
+                             n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["component_id", "component_size"]].drop_duplicates()
+
+    parts = comp.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()  # one row per component in this bucket
+        s = d["component_size"].to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in s], dtype="int64")
+        g = pd.DataFrame({
+            "bin": bins,
+            "n_components": np.int64(1),
+            "n_entities": s,
+        }).groupby("bin", sort=False).sum().reset_index()
+        return g
+
+    binned = bucketed_group_apply(parts, ["component_id"], per_bucket,
+                                  n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False).sum().reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        g["min_size"] = (np.int64(1) << g["bin"].to_numpy()).astype("int64")
+        return g[["bin", "min_size", "n_components", "n_entities"]]
+
+    return bucketed_group_apply(binned, ["bin"], merge, n_buckets=4)
+
+
+COMPONENT_SIZE_HIST_SQL_TEMPLATE = """
+WITH RECURSIVE e AS MATERIALIZED ({cooccurrence}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ed AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+r(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, ed.v FROM r JOIN ed ON ed.u = r.reach
+),
+comp AS (SELECT node, MIN(reach) AS component_id FROM r GROUP BY node),
+sz AS (SELECT component_id, COUNT(*) AS s FROM comp GROUP BY component_id),
+b AS (SELECT CAST(floor(log2(s)) AS BIGINT) AS bin, s FROM sz)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(s) AS BIGINT) AS n_entities
+FROM b GROUP BY bin
+"""
+
+
+def cooc_weight_hist(
+    cooccurrence: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Log2-binned EDGE-WEIGHT distribution of the co-occurrence graph
+    (weight = n_convs sharing the pair) — the tie-strength spectrum that
+    picks the weight cutoff for every thresholded downstream view (a PMI or
+    transition edge below weight 2 is usually noise). Pure-integer combiner
+    rollup, share one division rounded 6. Output: bin, min_weight, n_edges,
+    share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["n_convs"].to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in w], dtype="int64")
+        s = pd.Series(bins).groupby(bins, sort=False).size()
+        return pd.DataFrame({
+            "bin": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = cooccurrence.select_columns(["n_convs"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum().reset_index()
+        tot = float(g["n"].sum())
+        b = g["bin"].astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "min_weight": (np.int64(1) << b.to_numpy()).astype("int64"),
+            "n_edges": g["n"].astype("int64"),
+            "share": np.round(g["n"].to_numpy(dtype="float64") / tot, 6),
+        })
+
+    # single merge bucket: the share denominator is global and the bin
+    # space is tiny; partials are already bin-level combiners
+    return bucketed_group_apply(parts, ["bin"], merge, n_buckets=1)
+
+
+COOC_WEIGHT_HIST_SQL_TEMPLATE = """
+WITH cooc AS ({cooccurrence}),
+b AS (SELECT CAST(floor(log2(n_convs)) AS BIGINT) AS bin FROM cooc)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (), 6) AS share
+FROM b GROUP BY bin
+"""

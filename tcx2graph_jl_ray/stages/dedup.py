@@ -3405,3 +3405,61 @@ SELECT CAST(v.a AS BIGINT) AS a, CAST(v.b AS BIGINT) AS b,
        ROUND(v.ts, 6) AS true_sim
 FROM verified v LEFT JOIN agree ag ON ag.a = v.a AND ag.b = v.b
 """
+
+
+def gram_df_hist(
+    docs: ray.data.Dataset, k: int = 32, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Document-frequency HISTOGRAM of k-char grams: how many distinct
+    grams appear in exactly-one doc, 2-3 docs, 4-7, ... (log2 bins) — the
+    duplication SPECTRUM that tunes every gram-based dedup knob upstream
+    (min_docs sits where the unique mass ends; a fat tail bin means
+    boilerplate that ``duplicated_grams`` will surface). Reuses the
+    vectorized per-doc distinct gram extraction and the salted per-gram
+    doc-count reduce (``_gram_pairs`` / ``_gram_doc_counts``); the
+    count-of-counts fold is a pure-int combiner. Share is one division
+    rounded 6. Output: bin, min_docs, n_grams, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    counts = _gram_doc_counts(_gram_pairs(docs, k))
+
+    def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["n_docs"].to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in d], dtype="int64")
+        s = pd.Series(bins).groupby(bins, sort=False).size()
+        return pd.DataFrame({
+            "bin": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = counts.map_batches(bin_partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum().reset_index()
+        tot = float(g["n"].sum())
+        b = g["bin"].astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "min_docs": (np.int64(1) << b.to_numpy()).astype("int64"),
+            "n_grams": g["n"].astype("int64"),
+            "share": np.round(g["n"].to_numpy(dtype="float64") / tot, 6),
+        })
+
+    # single merge bucket: global share denominator, log-bounded bin space
+    return bucketed_group_apply(parts, ["bin"], merge, n_buckets=1)
+
+
+GRAM_DF_HIST_SQL_TEMPLATE = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS gram
+  FROM documents, unnest(range(1, len(text) - {k} + 2)) AS t(i)
+  WHERE text IS NOT NULL AND len(text) >= {k}
+),
+dfc AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram),
+b AS (SELECT CAST(floor(log2(n_docs)) AS BIGINT) AS bin FROM dfc)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+FROM b GROUP BY bin
+"""

@@ -713,3 +713,82 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((md5_number_lower(rp) >> 48) & 65535 AS BIGINT) AS fp3
 FROM r
 """
+
+
+def orientation_profile(
+    payloads: ray.data.Dataset, n_buckets: int = 1
+) -> ray.data.Dataset:
+    """Metadata-only ORIENTATION / RESOLUTION profile of a payload table:
+    per (format, orientation) — landscape, portrait, square, or degenerate
+    (a zero dimension) — the payload count, share, and total pixel area.
+    This is the batch-planning read-out a resize/decode fleet sizes its
+    actor pools and batch sizes from (portrait vs landscape picks the
+    resize kernel path; degenerate rows route to quarantine), and it needs
+    NO decode — width/height ride the typed metadata columns, so the scan
+    is column-pruned away from the binary payload entirely (the 100 TB
+    point: never touch bytes you don't decode). Counts/areas exact ints;
+    share one division rounded 6.
+    Output: format, orientation, n_payloads, share, sum_pixels."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["width"].to_numpy(dtype="int64")
+        h = batch["height"].to_numpy(dtype="int64")
+        orient = np.where(
+            (w == 0) | (h == 0), "degenerate",
+            np.where(w > h, "landscape",
+                     np.where(w < h, "portrait", "square")),
+        )
+        d = pd.DataFrame({
+            "format": batch["format"],
+            "orientation": orient,
+            "n": np.int64(1),
+            "pixels": w * h,
+        })
+        return d.groupby(["format", "orientation"], sort=False).sum()\
+            .reset_index()
+
+    parts = payloads.select_columns(["format", "width", "height"])\
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["format", "orientation"], sort=False).sum()\
+            .reset_index()
+        tot = float(g["n"].sum())
+        return pd.DataFrame({
+            "format": g["format"],
+            "orientation": g["orientation"],
+            "n_payloads": g["n"].astype("int64"),
+            "share": np.round(g["n"].to_numpy(dtype="float64") / tot, 6),
+            "sum_pixels": g["pixels"].astype("int64"),
+        })
+
+    # single merge bucket: the share denominator is global; the cell space
+    # (formats x 4 orientations) is tiny and partials are combiners
+    return bucketed_group_apply(parts, ["format"], merge,
+                                n_buckets=n_buckets)
+
+
+# oracle over the documents-derived fake payload (attach_fake_payload:
+# width = len(text) % 640, height = len(text) % 480, one FAKE_FORMAT)
+ORIENTATION_PROFILE_SQL_TEMPLATE = """
+WITH meta AS (
+  SELECT CAST(length(text) % 640 AS BIGINT) AS w,
+         CAST(length(text) % 480 AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT '{fmt}' AS format,
+         CASE WHEN w = 0 OR h = 0 THEN 'degenerate'
+              WHEN w > h THEN 'landscape'
+              WHEN w < h THEN 'portrait'
+              ELSE 'square' END AS orientation,
+         COUNT(*) AS n, SUM(w * h) AS pixels
+  FROM meta GROUP BY 1, 2
+)
+SELECT format, orientation, CAST(n AS BIGINT) AS n_payloads,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share,
+       CAST(pixels AS BIGINT) AS sum_pixels
+FROM c
+"""

@@ -4111,3 +4111,262 @@ SELECT month, o_orderstatus, CAST(n AS BIGINT) AS n_orders,
          AS share
 FROM c
 """
+
+
+def discount_effect(sf_dir: str, n_buckets: int = 1) -> ray.data.Dataset:
+    """Per-DISCOUNT-LEVEL demand profile: line count, total/average quantity
+    and exact-cent net revenue per distinct l_discount — the elasticity
+    read-out (does a deeper discount actually move more units per line?)
+    that generalizes Q6's single-band forecast to the whole discount grid.
+    11 levels — a bounded rollup; quantities are integral doubles (summed
+    as int64), revenue in 1e-4-scaled ints (``rev_scaled4``), avg one
+    division rounded 6. The discount key stays the raw 2-dp double both
+    sides read from parquet (bit-identical grouping).
+    Output: l_discount, n_lines, sum_qty, avg_qty, revenue."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import (
+        money_from_scaled4_series,
+        rev_scaled4,
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_discount": batch["l_discount"],
+            "n": np.int64(1),
+            "qty": np.rint(batch["l_quantity"].to_numpy(dtype="float64"))
+            .astype("int64"),
+            "rev_s": rev_scaled4(batch["l_extendedprice"],
+                                 batch["l_discount"]),
+        }).groupby("l_discount", sort=False).sum().reset_index()
+        return g
+
+    parts = li.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("l_discount", sort=False).sum().reset_index()
+        return pd.DataFrame({
+            "l_discount": g["l_discount"],
+            "n_lines": g["n"].astype("int64"),
+            "sum_qty": g["qty"].astype("int64"),
+            "avg_qty": np.round(
+                g["qty"].to_numpy(dtype="float64")
+                / g["n"].to_numpy(dtype="float64"), 6
+            ),
+            "revenue": money_from_scaled4_series(g["rev_s"]),
+        })
+
+    return bucketed_group_apply(parts, ["l_discount"], merge,
+                                n_buckets=n_buckets)
+
+
+DISCOUNT_EFFECT_SQL = """
+SELECT l_discount,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty,
+       CAST((SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)
+                 * (100 - CAST(ROUND((l_discount) * 100) AS BIGINT)))
+             + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+FROM lineitem GROUP BY l_discount
+"""
+
+
+def returns_by_nation(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-NATION return rate: of each customer nation's lineitems, the
+    share carrying l_returnflag = 'R' and the exact-cent net revenue those
+    returns gave back — the quality-of-trade companion to Q5/Q10 (Q10 ranks
+    customers by returned revenue; this rolls the same flag up the
+    geography axis). Shape: lineitem pre-aggregates PER ORDER inside the
+    map (3 ints + a scaled-int), the order⋈customer chain runs through two
+    co-partitioned ``hash_join``s (customer is 150k×SF — never broadcast),
+    only the 25-row nation name map ships via ``ray.put``. Rate is one
+    division rounded 6; revenue half-up from 1e-4-scaled ints.
+    Output: n_name, n_lines, n_returned, return_rate, returned_revenue."""
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import (
+        money_from_scaled4_series,
+        rev_scaled4,
+    )
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def per_order(batch: pd.DataFrame) -> pd.DataFrame:
+        ret = (batch["l_returnflag"] == "R").to_numpy()
+        rev_s = rev_scaled4(batch["l_extendedprice"], batch["l_discount"])
+        g = pd.DataFrame({
+            "o_orderkey": batch["l_orderkey"],
+            "n": np.int64(1),
+            "n_ret": ret.astype("int64"),
+            "ret_rev_s": np.where(ret, rev_s, np.int64(0)),
+        }).groupby("o_orderkey", sort=False).sum().reset_index()
+        return g
+
+    li_per_order = li.map_batches(per_order, batch_format="pandas",
+                                  batch_size=65536)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lo = hash_join(li_per_order, orders, on="o_orderkey",
+                   n_buckets=n_buckets)
+
+    def per_cust(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", sort=False)[
+            ["n", "n_ret", "ret_rev_s"]
+        ].sum().reset_index().rename(columns={"o_custkey": "c_custkey"})
+
+    lo_per_cust = lo.map_batches(per_cust, batch_format="pandas",
+                                 batch_size=65536)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    lc = hash_join(lo_per_cust, cust, on="c_custkey", n_buckets=n_buckets)
+
+    def per_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("c_nationkey", sort=False)[
+            ["n", "n_ret", "ret_rev_s"]
+        ].sum().reset_index()
+
+    parts = lc.map_batches(per_nation, batch_format="pandas",
+                           batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        nat_name = ray.get(nat_ref)  # 25 entries, 4 tasks — cheap
+        g = bucket.groupby("c_nationkey", sort=False)[
+            ["n", "n_ret", "ret_rev_s"]
+        ].sum().reset_index()
+        return pd.DataFrame({
+            "n_name": g["c_nationkey"].map(nat_name),
+            "n_lines": g["n"].astype("int64"),
+            "n_returned": g["n_ret"].astype("int64"),
+            "return_rate": np.round(
+                g["n_ret"].to_numpy(dtype="float64")
+                / g["n"].to_numpy(dtype="float64"), 6
+            ),
+            "returned_revenue": money_from_scaled4_series(g["ret_rev_s"]),
+        })
+
+    return bucketed_group_apply(parts, ["c_nationkey"], final, n_buckets=4)
+
+
+RETURNS_BY_NATION_SQL = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (l.l_returnflag = 'R') AS BIGINT)
+         AS n_returned,
+       ROUND(CAST(COUNT(*) FILTER (l.l_returnflag = 'R') AS DOUBLE)
+             / COUNT(*), 6) AS return_rate,
+       CAST((COALESCE(SUM(CASE WHEN l.l_returnflag = 'R'
+                 THEN CAST(ROUND((l.l_extendedprice) * 100) AS BIGINT)
+                      * (100 - CAST(ROUND((l.l_discount) * 100) AS BIGINT))
+                 ELSE 0 END), 0)
+             + 50) // 100 AS DOUBLE) / 100.0 AS returned_revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+def qty_price_corr(sf_dir: str) -> ray.data.Dataset:
+    """Global Pearson correlation between line quantity and extended price
+    — the pricing-model sanity scalar (TPC-H prices are qty × part price,
+    so the corr is strongly positive; a drift toward 0 in a real feed means
+    unit prices started absorbing volume). The ``corr_value_hour`` mold on
+    the lineitem axis: per-batch EXACT integer sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²; x = qty, y = price cents), Python-int merge
+    (== the oracle's HUGEINT sums), ONE shared double expression for the
+    corr, rounded 6. batch_size 8192 bounds the per-batch Σy² partial:
+    price cents < 1.1e7 → y² < 1.3e14 → 8192 rows < 1.1e18 (int64-safe).
+    Output: n, corr_qty_price."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy(dtype="float64"))\
+            .astype("int64")
+        y = cents_i64(b["l_extendedprice"])
+        return pd.DataFrame({
+            "k": ["all"],
+            "n": [np.int64(len(b))],
+            "sx": [x.sum()],
+            "sy": [y.sum()],
+            "sxy": [(x * y).sum()],
+            "sx2": [(x * x).sum()],
+            "sy2": [(y * y).sum()],
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = sum(int(v) for v in bucket["n"])
+        sx = sum(int(v) for v in bucket["sx"])
+        sy = sum(int(v) for v in bucket["sy"])
+        sxy = sum(int(v) for v in bucket["sxy"])
+        sx2 = sum(int(v) for v in bucket["sx2"])
+        sy2 = sum(int(v) for v in bucket["sy2"])
+        dx, dy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if n == 0 or dx <= 0 or dy <= 0:
+            return pd.DataFrame({
+                "n": pd.array([], dtype="int64"),
+                "corr_qty_price": pd.array([], dtype="float64"),
+            })
+        corr = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+        return pd.DataFrame({
+            "n": pd.Series([n], dtype="int64"),
+            "corr_qty_price": [float(np.round(corr, 6))],
+        })
+
+    return bucketed_group_apply(
+        li.map_batches(partial, batch_format="pandas", batch_size=8192),
+        ["k"],
+        final,
+        n_buckets=1,
+    )
+
+
+QTY_PRICE_CORR_SQL = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+           AS sx2,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy2
+  FROM lineitem
+)
+SELECT n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+         AS corr_qty_price
+FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+"""

@@ -4038,3 +4038,208 @@ SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS ttr
 FROM b GROUP BY bin
 """
+
+
+def vocab_growth(docs: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """Heaps'-law VOCABULARY GROWTH curve: distinct words whose FIRST
+    occurrence (minimum doc_id — doc_ids are the corpus's stable dense
+    ordering) lands in each log2 doc-prefix bin, plus the cumulative
+    vocabulary — the sub-linear curve whose flattening says "more data stops
+    buying new words" (Heaps 1978 — public) and sizes every vocab-keyed
+    structure downstream. Per-word min is an order-free bucketed reduce;
+    bins and counts are exact ints; the cumulative sum runs in the single
+    tiny merge bucket (<= ~40 bins). Tokenization: lowercase ' '-split,
+    empty tokens preserved (house convention == DuckDB string_split).
+    Output: bin, n_new_words, vocab_cum."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        toks = b["text"].str.lower().str.split(" ")
+        doc = np.repeat(b["doc_id"].to_numpy(dtype="int64"),
+                        toks.str.len().to_numpy())
+        tf = pd.DataFrame({"tok": [t for ws in toks for t in ws],
+                           "doc": doc})
+        g = tf.groupby("tok", sort=False)["doc"].min().reset_index()
+        return g.rename(columns={"doc": "md"})
+
+    parts = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def min_per_word(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("tok", sort=False)["md"].min().reset_index()
+        md = g["md"].to_numpy(dtype="int64")
+        bins = np.array(
+            [int(x + 1).bit_length() - 1 for x in md], dtype="int64"
+        )
+        s = pd.Series(bins).groupby(bins, sort=False).size()
+        return pd.DataFrame({
+            "bin": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    binned = bucketed_group_apply(parts, ["tok"], min_per_word,
+                                  n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum().reset_index()
+        g = g.sort_values("bin").reset_index(drop=True)
+        return pd.DataFrame({
+            "bin": g["bin"].astype("int64"),
+            "n_new_words": g["n"].astype("int64"),
+            "vocab_cum": g["n"].cumsum().astype("int64"),
+        })
+
+    # single merge bucket: the cumulative sum needs every bin in order and
+    # the bin space is log-bounded; partials arrive as bin-level combiners
+    return bucketed_group_apply(binned, ["bin"], merge, n_buckets=1)
+
+
+VOCAB_GROWTH_SQL = """
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (SELECT tok, MIN(doc_id) AS md FROM tf GROUP BY tok),
+c AS (
+  SELECT CAST(floor(log2(md + 1)) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM w GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n_new_words,
+       CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS vocab_cum
+FROM c
+"""
+
+
+def charclass_profile(
+    docs: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-source CHARACTER-CLASS composition: total chars and the share of
+    letters / digits / spaces / other — the one-row-per-source signal that
+    separates prose (high alpha, ~15% space) from tables, code and
+    log spam (digit- and symbol-heavy), read before any tokenizer trusts a
+    source. Class counts are vectorized ``str.count`` with compiled char
+    classes, reduced as exact ints; shares are per-source divisions rounded
+    6. Output: source, n_chars, alpha_share, digit_share, space_share,
+    other_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        t = b["text"]
+        d = pd.DataFrame({
+            "source": b["source"],
+            "n_chars": t.str.len().to_numpy().astype("int64"),
+            "alpha": t.str.count(r"[A-Za-z]").to_numpy().astype("int64"),
+            "digit": t.str.count(r"[0-9]").to_numpy().astype("int64"),
+            "space": t.str.count(r" ").to_numpy().astype("int64"),
+        })
+        return d.groupby("source", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False).sum().reset_index()
+        n = g["n_chars"].to_numpy(dtype="float64")
+        out = pd.DataFrame({
+            "source": g["source"],
+            "n_chars": g["n_chars"].astype("int64"),
+            "alpha_share": np.round(
+                g["alpha"].to_numpy(dtype="float64") / n, 6),
+            "digit_share": np.round(
+                g["digit"].to_numpy(dtype="float64") / n, 6),
+            "space_share": np.round(
+                g["space"].to_numpy(dtype="float64") / n, 6),
+        })
+        out["other_share"] = np.round(
+            (g["n_chars"] - g["alpha"] - g["digit"] - g["space"])
+            .to_numpy(dtype="float64") / n, 6)
+        return out
+
+    return bucketed_group_apply(parts, ["source"], merge,
+                                n_buckets=n_buckets)
+
+
+CHARCLASS_PROFILE_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS alpha,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS digit,
+         CAST(length(text) - length(replace(text, ' ', ''))
+              AS BIGINT) AS space
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(alpha) AS DOUBLE) / SUM(n_chars), 6) AS alpha_share,
+       ROUND(CAST(SUM(digit) AS DOUBLE) / SUM(n_chars), 6) AS digit_share,
+       ROUND(CAST(SUM(space) AS DOUBLE) / SUM(n_chars), 6) AS space_share,
+       ROUND(CAST(SUM(n_chars - alpha - digit - space) AS DOUBLE)
+             / SUM(n_chars), 6) AS other_share
+FROM per GROUP BY source
+"""
+
+
+def lang_profile(docs: ray.data.Dataset, n_buckets: int = 4) -> ray.data.Dataset:
+    """Per-DECLARED-LANGUAGE corpus composition: doc count, corpus share,
+    total tokens and mean tokens per doc — the first table a multilingual
+    curation plan reads (quota sampling and per-lang quality thresholds key
+    off exactly these four numbers; ``lang_confusion`` then checks whether
+    the declared label is even true). Counts/token sums exact ints
+    (ntok == ' '-split count, house convention); share and mean one
+    division each, rounded 6. Output: lang, n_docs, share, n_tokens,
+    avg_tokens."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        d = pd.DataFrame({
+            "lang": b["lang"],
+            "n": np.int64(1),
+            "ntok": (b["text"].str.count(" ") + 1).to_numpy()
+            .astype("int64"),
+        })
+        return d.groupby("lang", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["lang", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("lang", sort=False).sum().reset_index()
+        tot = float(g["n"].sum())
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "n_docs": g["n"].astype("int64"),
+            "share": np.round(g["n"].to_numpy(dtype="float64") / tot, 6),
+            "n_tokens": g["ntok"].astype("int64"),
+            "avg_tokens": np.round(
+                g["ntok"].to_numpy(dtype="float64")
+                / g["n"].to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    # single merge bucket: global share denominator; lang space is tiny
+    return bucketed_group_apply(parts, ["lang"], merge, n_buckets=1)
+
+
+LANG_PROFILE_SQL = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(len(text) - len(replace(text, ' ', '')) + 1) AS ntok
+  FROM documents WHERE text IS NOT NULL GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share,
+       CAST(ntok AS BIGINT) AS n_tokens,
+       ROUND(CAST(ntok AS DOUBLE) / n, 6) AS avg_tokens
+FROM c
+"""

@@ -3923,3 +3923,272 @@ WHERE ABS((c.n - CAST(s.s1 AS DOUBLE) / s.k)
           / (SQRT(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE)) / s.k))
       > {z_cut}
 """
+
+
+def dow_hour_matrix(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Weekday × hour traffic CALENDAR HEATMAP: event count and exact-cent
+    value total per (isodow, hour) cell — the cross product of
+    ``dow_profile``'s weekly cycle and ``hourly_profile``'s daily cycle
+    (capacity planners read the peak cell; the weekend-night cell is the
+    bot-traffic tell). 168 cells max — a bounded rollup; counts and cents
+    reduce exactly (``cents_i64`` — value is 2-dp by corpus contract), the
+    cell share is one division rounded 6. pandas ``dayofweek`` (Mon=0) + 1
+    == DuckDB ``isodow``. Output: dow, hour, n_events, value_sum, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import (
+        cents_i64,
+        money_from_cents,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(batch["ts"])
+        g = pd.DataFrame({
+            "dow": (ts.dt.dayofweek + 1).astype("int64"),
+            "hour": ts.dt.hour.astype("int64"),
+            "n": np.int64(1),
+            "cents": cents_i64(batch["value"]),
+        }).groupby(["dow", "hour"], sort=False).sum().reset_index()
+        return g
+
+    parts = events.select_columns(["ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["dow", "hour"], sort=False).sum().reset_index()
+        n_tot = int(g["n"].sum())
+        return pd.DataFrame({
+            "dow": g["dow"].astype("int64"),
+            "hour": g["hour"].astype("int64"),
+            "n_events": g["n"].astype("int64"),
+            "value_sum": [money_from_cents(c) for c in g["cents"]],
+            "share": np.round(
+                g["n"].to_numpy(dtype="float64") / float(n_tot), 6
+            ),
+        })
+
+    # ONE bucket: the share denominator is the global count and the cell
+    # space is <= 168 rows — partials are already cell-level combiners, so
+    # the single merge task sees at most (tasks × 168) tiny rows.
+    return bucketed_group_apply(parts, ["dow"], merge, n_buckets=1)
+
+
+DOW_HOUR_MATRIX_SQL = """
+WITH c AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
+       CAST(cents AS DOUBLE) / 100.0 AS value_sum,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6) AS share
+FROM c
+"""
+
+
+def cusum_days(
+    events: ray.data.Dataset,
+    lam_num: int = 1,
+    lam_den: int = 20,
+    n_buckets: int = 8,
+) -> ray.data.Dataset:
+    """One-sided CUSUM drift detector over the daily event-count series —
+    the change-point companion to ``zscore_days`` (z flags single spikes;
+    CUSUM accumulates small sustained upward drift that no single day
+    trips). Exact integers throughout: with n_tot = Σc and n_days = #days,
+    the statistic is scaled by n_days so the mean needs no division —
+    S_i = max(0, S_{i-1} + (c_i·n_days − n_tot)) — and the alarm fires when
+    S_i exceeds λ·n_tot·n_days (λ = lam_num/lam_den, cross-multiplied:
+    lam_den·S_i > lam_num·n_tot·n_days). Day counts reduce through the
+    bucketed combiner; ONLY the per-day frame — bounded by the calendar
+    span, the documented ``zscore_days``/Pareto driver bound — collects for
+    the inherently sequential scan (a recursive order-dependent recurrence;
+    Page 1954 — public). S stays under n_tot·n_days ≈ 4e12 at 1e9 rows ×
+    10 years — int64-safe; the driver scan runs in Python ints regardless.
+    Output: day, n_events, cusum_scaled, alarm (0/1)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m-%d")
+        s = day.groupby(day, sort=False).size()
+        return pd.DataFrame({
+            "day": s.index,
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("day", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    per_day = bucketed_group_apply(
+        events.select_columns(["ts"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["day"],
+        merge,
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded by calendar span (documented driver bound)
+
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    counts = [int(x) for x in per_day["n"]]
+    n_tot, n_days = sum(counts), len(counts)
+    thresh = lam_num * n_tot * n_days
+    s, cus, alarm = 0, [], []
+    for c in counts:
+        s = max(0, s + c * n_days - n_tot)
+        cus.append(s)
+        alarm.append(1 if lam_den * s > thresh else 0)
+    out = pd.DataFrame({
+        "day": per_day["day"],
+        "n_events": per_day["n"].astype("int64"),
+        "cusum_scaled": pd.Series(cus, dtype="int64"),
+        "alarm": pd.Series(alarm, dtype="int64"),
+    })
+    return ray.data.from_pandas(out)
+
+
+CUSUM_DAYS_SQL_TEMPLATE = """
+WITH RECURSIVE dc AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS nt, COUNT(*) AS nd FROM dc),
+o AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS i FROM dc),
+s(i, day, c, t) AS (
+  SELECT o.i, o.day, o.c,
+         GREATEST(CAST(0 AS HUGEINT), o.c * tot.nd - tot.nt)
+  FROM o, tot WHERE o.i = 1
+  UNION ALL
+  SELECT o.i, o.day, o.c,
+         GREATEST(CAST(0 AS HUGEINT), s.t + o.c * tot.nd - tot.nt)
+  FROM s JOIN o ON o.i = s.i + 1, tot
+)
+SELECT s.day, CAST(s.c AS BIGINT) AS n_events,
+       CAST(s.t AS BIGINT) AS cusum_scaled,
+       CAST(CASE WHEN {lam_den} * s.t > {lam_num} * tot.nt * tot.nd
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM s, tot
+"""
+
+
+def value_by_dow(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Event VALUE by ISO weekday: count, exact-cent total and HALF-UP cent
+    mean per dow — the revenue-weighted companion to ``dow_profile``'s
+    count-only cycle (weekend rows can be few but fat; a mean that moves
+    against count is a mix shift, not a volume shift). Cents reduce exactly
+    (``cents_i64``); the mean is the house half-up integer division
+    (2s + n) // (2n) in cents — never a float divide that could land on a
+    representability boundary. Output: dow, n_events, value_sum,
+    value_avg."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "dow": (pd.to_datetime(batch["ts"]).dt.dayofweek + 1)
+            .astype("int64"),
+            "n": np.int64(1),
+            "cents": cents_i64(batch["value"]),
+        })
+        return d.groupby("dow", sort=False).sum().reset_index()
+
+    parts = events.select_columns(["ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("dow", sort=False).sum().reset_index()
+        rows = []
+        for _, r in g.iterrows():
+            n, s = int(r["n"]), int(r["cents"])  # Python ints: exact
+            avg_c = (2 * s + n) // (2 * n)       # half-up cents
+            rows.append((int(r["dow"]), n, s / 100.0, avg_c / 100.0))
+        return pd.DataFrame(
+            rows, columns=["dow", "n_events", "value_sum", "value_avg"]
+        ).astype({"dow": "int64", "n_events": "int64"})
+
+    return bucketed_group_apply(parts, ["dow"], merge, n_buckets=n_buckets)
+
+
+VALUE_BY_DOW_SQL = """
+WITH s AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+)
+SELECT dow, CAST(n AS BIGINT) AS n_events,
+       CAST(cents AS DOUBLE) / 100.0 AS value_sum,
+       CAST((2 * cents + n) // (2 * n) AS DOUBLE) / 100.0 AS value_avg
+FROM s
+"""
+
+
+def round_value_bias(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """ROUND-NUMBER bias per event type: the share of values landing on
+    whole dollars (cents % 100 == 0) and on whole ten-cent marks — human
+    hands type round numbers, organic measurements don't, so a type whose
+    round-dollar share dwarfs the ~1% base rate is manual entry or fraud
+    pressure (the digit-psychology companion to ``value_benford``'s
+    leading-digit test). cents are exact (2-dp contract); counts pure-int
+    combiners; shares one division each, rounded 6. Output: event_type,
+    n_events, n_round_dollar, dollar_share, n_round_dime, dime_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents_i64(batch["value"])
+        d = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "n": np.int64(1),
+            "nd": (c % 100 == 0).astype("int64"),
+            "nt": (c % 10 == 0).astype("int64"),
+        })
+        return d.groupby("event_type", sort=False).sum().reset_index()
+
+    parts = events.select_columns(["event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False).sum().reset_index()
+        n = g["n"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_events": g["n"].astype("int64"),
+            "n_round_dollar": g["nd"].astype("int64"),
+            "dollar_share": np.round(
+                g["nd"].to_numpy(dtype="float64") / n, 6),
+            "n_round_dime": g["nt"].astype("int64"),
+            "dime_share": np.round(
+                g["nt"].to_numpy(dtype="float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], merge,
+                                n_buckets=n_buckets)
+
+
+ROUND_VALUE_BIAS_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (cents % 100 = 0) AS BIGINT)
+         AS n_round_dollar,
+       ROUND(CAST(COUNT(*) FILTER (cents % 100 = 0) AS DOUBLE)
+             / COUNT(*), 6) AS dollar_share,
+       CAST(COUNT(*) FILTER (cents % 10 = 0) AS BIGINT) AS n_round_dime,
+       ROUND(CAST(COUNT(*) FILTER (cents % 10 = 0) AS DOUBLE)
+             / COUNT(*), 6) AS dime_share
+FROM c GROUP BY event_type
+"""

@@ -1,0 +1,352 @@
+"""Planted tests for the round-4n operator batch (clustering-by-degree
+curve, weekday x hour calendar matrix, discount-level demand profile,
+per-nation return rates)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def test_clustering_by_degree_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import clustering_by_degree
+
+    # triangle a-b-c plus pendant d on a:
+    #   degrees a=3 b=2 c=2 d=1; per-node triangles a=b=c=1, d=0
+    #   bin 1 (deg 2..3): nodes a,b,c -> tri 3, wedges 3+1+1=5, cc 0.6
+    #   bin 0 (deg 1):    node d      -> tri 0, wedges 0,      cc 0.0
+    df = pd.DataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")],
+        columns=["src", "dst"],
+    )
+    df["n_convs"] = 1
+    got = (
+        clustering_by_degree(ray.data.from_pandas(df), n_buckets=4)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_entities"] == 1
+    assert got.loc[0, "n_wedges"] == 0
+    assert got.loc[0, "cc"] == 0.0
+    assert got.loc[1, "n_entities"] == 3
+    assert got.loc[1, "n_triangles"] == 3
+    assert got.loc[1, "n_wedges"] == 5
+    assert got.loc[1, "cc"] == 0.6
+    assert got.loc[1, "min_degree"] == 2
+
+
+def test_dow_hour_matrix_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import dow_hour_matrix
+
+    # 2024-01-01 is a Monday (isodow 1); 2024-01-07 a Sunday (isodow 7)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 05:10:00", "2024-01-01 05:50:00",
+            "2024-01-07 23:00:00",
+        ]),
+        "value": [1.25, 2.25, 0.02],
+    })
+    got = (
+        dow_hour_matrix(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index(["dow", "hour"])
+        .sort_index()
+    )
+    assert len(got) == 2
+    assert got.loc[(1, 5), "n_events"] == 2
+    assert got.loc[(1, 5), "value_sum"] == 3.5
+    assert got.loc[(1, 5), "share"] == 0.666667
+    assert got.loc[(7, 23), "n_events"] == 1
+    assert got.loc[(7, 23), "value_sum"] == 0.02
+
+
+def test_discount_effect_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import discount_effect
+
+    pq.write_table(pa.table({
+        "l_discount": pa.array([0.05, 0.05, 0.0]),
+        "l_quantity": pa.array([10.0, 20.0, 7.0]),
+        "l_extendedprice": pa.array([100.00, 200.00, 50.00]),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (
+        discount_effect(str(tmp_path))
+        .to_pandas()
+        .set_index("l_discount")
+        .sort_index()
+    )
+    assert got.loc[0.05, "n_lines"] == 2
+    assert got.loc[0.05, "sum_qty"] == 30
+    assert got.loc[0.05, "avg_qty"] == 15.0
+    # (100 + 200) * 0.95 exactly in scaled ints
+    assert got.loc[0.05, "revenue"] == 285.0
+    assert got.loc[0.0, "revenue"] == 50.0
+
+
+def test_returns_by_nation_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import returns_by_nation
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R"]),
+        "l_extendedprice": pa.array([100.00, 40.00, 30.00]),
+        "l_discount": pa.array([0.10, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([11, 22], type=pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([11, 22], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"]),
+    }), str(tmp_path / "nation.parquet"))
+
+    got = (
+        returns_by_nation(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("n_name")
+        .sort_index()
+    )
+    assert got.loc["ALPHA", "n_lines"] == 2
+    assert got.loc["ALPHA", "n_returned"] == 1
+    assert got.loc["ALPHA", "return_rate"] == 0.5
+    assert got.loc["ALPHA", "returned_revenue"] == 90.0
+    assert got.loc["BETA", "n_returned"] == 1
+    assert got.loc["BETA", "return_rate"] == 1.0
+    assert got.loc["BETA", "returned_revenue"] == 30.0
+
+
+def test_component_size_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import component_size_hist
+
+    # component {a,b,c} (size 3 -> bin 1), component {x,y} (size 2 ->
+    # bin 1), singleton pair {p,q} ... p-q is size 2 too; use a 5-chain
+    # f-g-h-i-j (size 5 -> bin 2)
+    edges = [("a", "b"), ("b", "c"), ("x", "y"),
+             ("f", "g"), ("g", "h"), ("h", "i"), ("i", "j")]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    df["n_convs"] = 1
+    got = (
+        component_size_hist(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[1, "n_components"] == 2      # sizes 3 and 2
+    assert got.loc[1, "n_entities"] == 5
+    assert got.loc[2, "n_components"] == 1      # size 5
+    assert got.loc[2, "n_entities"] == 5
+    assert got.loc[2, "min_size"] == 4
+
+
+def test_cooc_weight_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import cooc_weight_hist
+
+    df = pd.DataFrame({
+        "src": ["a", "a", "b", "c"],
+        "dst": ["b", "c", "c", "d"],
+        "n_convs": [1, 1, 2, 5],
+    })
+    got = (
+        cooc_weight_hist(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_edges"] == 2           # weights 1, 1
+    assert got.loc[1, "n_edges"] == 1           # weight 2
+    assert got.loc[2, "n_edges"] == 1           # weight 5 (bin [4,8))
+    assert got.loc[0, "share"] == 0.5
+    assert got.loc[2, "min_weight"] == 4
+
+
+def test_cusum_days_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import cusum_days
+
+    # days: 1,1,1,5 events -> n_tot=8, n_days=4
+    # S: max(0, 1*4-8)=0, 0, 0, max(0, 0+5*4-8)=12
+    # alarm (lam=1/2): 2*S > 8*4=32 ? 24 > 32 no -> with lam 1/4: 4*12=48>32 yes
+    ts = (["2024-01-01 00:00:00"] + ["2024-01-02 01:00:00"]
+          + ["2024-01-03 02:00:00"] + ["2024-01-04 03:00:00"] * 5)
+    df = pd.DataFrame({"ts": pd.to_datetime(ts)})
+    got = (
+        cusum_days(ray.data.from_pandas(df), lam_num=1, lam_den=4)
+        .to_pandas()
+        .set_index("day")
+        .sort_index()
+    )
+    assert list(got["cusum_scaled"]) == [0, 0, 0, 12]
+    assert list(got["alarm"]) == [0, 0, 0, 1]
+    assert got.loc["2024-01-04", "n_events"] == 5
+
+
+def test_vocab_growth_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import vocab_growth
+
+    # doc 0: "a b"   -> a,b first at md=0  -> bin of (0+1)=1 -> bin 0
+    # doc 1: "a c"   -> c first at md=1    -> bin of 2       -> bin 1
+    # doc 3: "d b"   -> d first at md=3    -> bin of 4       -> bin 2
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 3],
+        "text": ["a b", "a c", "d b"],
+    })
+    got = (
+        vocab_growth(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_new_words"] == 2
+    assert got.loc[1, "n_new_words"] == 1
+    assert got.loc[2, "n_new_words"] == 1
+    assert list(got["vocab_cum"]) == [2, 3, 4]
+
+
+def test_charclass_profile_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import charclass_profile
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s1", "s1", "s2"],
+        "text": ["ab 12", "x!", None],  # s1: 7 chars, 3 alpha, 2 digit,
+    })                                  #     1 space, 1 other
+    got = (
+        charclass_profile(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert len(got) == 1  # null-text s2 drops entirely
+    assert got.loc["s1", "n_chars"] == 7
+    assert got.loc["s1", "alpha_share"] == np.round(3 / 7, 6)
+    assert got.loc["s1", "digit_share"] == np.round(2 / 7, 6)
+    assert got.loc["s1", "space_share"] == np.round(1 / 7, 6)
+    assert got.loc["s1", "other_share"] == np.round(1 / 7, 6)
+
+
+def test_orientation_profile_planted(ray_session):
+    from tcx2graph_jl_ray.stages.multimodal import orientation_profile
+
+    df = pd.DataFrame({
+        "format": ["f", "f", "f", "f"],
+        "width": pd.array([100, 50, 80, 0], dtype="int32"),
+        "height": pd.array([50, 100, 80, 99], dtype="int32"),
+    })
+    got = (
+        orientation_profile(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("orientation")
+    )
+    assert got.loc["landscape", "n_payloads"] == 1
+    assert got.loc["landscape", "sum_pixels"] == 5000
+    assert got.loc["portrait", "n_payloads"] == 1
+    assert got.loc["square", "n_payloads"] == 1
+    assert got.loc["degenerate", "n_payloads"] == 1
+    assert got.loc["degenerate", "sum_pixels"] == 0
+    assert got.loc["square", "share"] == 0.25
+
+
+def test_value_by_dow_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_by_dow
+
+    # Monday: 0.01 + 0.02 -> avg cents (2*3+2)//4 = 2 -> 0.02 (half-up)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 01:00", "2024-01-01 02:00", "2024-01-07 03:00",
+        ]),
+        "value": [0.01, 0.02, 5.00],
+    })
+    got = (
+        value_by_dow(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("dow")
+        .sort_index()
+    )
+    assert got.loc[1, "n_events"] == 2
+    assert got.loc[1, "value_sum"] == 0.03
+    assert got.loc[1, "value_avg"] == 0.02
+    assert got.loc[7, "value_avg"] == 5.0
+
+
+def test_qty_price_corr_planted(ray_session, tmp_path):
+    import math
+
+    from tcx2graph_jl_ray.stages.relational import qty_price_corr
+
+    # perfectly linear: price = qty * 10.00 -> corr exactly 1
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = qty_price_corr(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "n"] == 4
+    assert got.loc[0, "corr_qty_price"] == 1.0
+
+
+def test_gram_df_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import gram_df_hist
+
+    # k=3 grams: "abc" in docs 1,2,3 (df 3 -> bin 1); "bcd" in docs 1,2
+    # (df 2 -> bin 1); "xyz" only doc 3 (df 1 -> bin 0); doc 4 too short
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["abcd", "abcd", "abcxyz", "ab"],
+    })
+    got = (
+        gram_df_hist(ray.data.from_pandas(docs), k=3)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    # grams: abc(df3), bcd(df2), bcx(1), cxy(1), xyz(1)
+    assert got.loc[0, "n_grams"] == 3
+    assert got.loc[1, "n_grams"] == 2
+    assert got.loc[1, "min_docs"] == 2
+    assert got.loc[0, "share"] == 0.6
+
+
+def test_lang_profile_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import lang_profile
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en", "en", "de", "en"],
+        "text": ["a b c", "d e", "f", None],  # null drops
+    })
+    got = (
+        lang_profile(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert got.loc["en", "n_docs"] == 2
+    assert got.loc["en", "n_tokens"] == 5
+    assert got.loc["en", "avg_tokens"] == 2.5
+    assert got.loc["en", "share"] == np.round(2 / 3, 6)
+    assert got.loc["de", "n_tokens"] == 1
+
+
+def test_round_value_bias_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import round_value_bias
+
+    df = pd.DataFrame({
+        "event_type": ["a"] * 4,
+        "value": [5.00, 2.50, 0.30, 0.07],
+    })
+    got = (
+        round_value_bias(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert got.loc["a", "n_events"] == 4
+    assert got.loc["a", "n_round_dollar"] == 1
+    assert got.loc["a", "dollar_share"] == 0.25
+    assert got.loc["a", "n_round_dime"] == 3   # 500, 250, 30 cents
+    assert got.loc["a", "dime_share"] == 0.75
