@@ -57,6 +57,7 @@ _NBR_JACCARD_TAU = 0.5
 _BURST_Z = 2.0
 _COPURCHASE_MIN = 2
 _SUBSTR_K, _SUBSTR_TOP = 32, 100
+_KWIC_TERM, _KWIC_W = "customer", 2
 _ZIPF_TOP_N = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
@@ -824,6 +825,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_round_value_bias": lambda sf: _wd.round_value_bias(
             _events_ds(sf)
         ),
+        "text_word_freq_hist": lambda sf: _tx.word_freq_hist(_docs(sf)),
+        "text_kwic": lambda sf: _tx.kwic(_docs(sf), _KWIC_TERM, _KWIC_W),
+        "rel_segment_aov": lambda sf: _rel.segment_aov(sf),
+        "kg_size_diversity_corr": lambda sf: _an.size_diversity_corr(
+            _transcripts(sf), _mentions_with_entity(sf)
+        ),
     })
 
 
@@ -1421,6 +1428,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_lang_profile": _tx.LANG_PROFILE_SQL,
         "events_round_value_bias": _wd.ROUND_VALUE_BIAS_SQL,
+        "text_word_freq_hist": _tx.WORD_FREQ_HIST_SQL,
+        "text_kwic": _tx.KWIC_SQL_TEMPLATE.format(
+            term=_KWIC_TERM, window=_KWIC_W
+        ),
+        "rel_segment_aov": _rel.SEGMENT_AOV_SQL,
+        "kg_size_diversity_corr":
+            _an.SIZE_DIVERSITY_CORR_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
+            ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -5301,3 +5301,131 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_weight,
              / SUM(COUNT(*)) OVER (), 6) AS share
 FROM b GROUP BY bin
 """
+
+
+def size_diversity_corr(
+    transcripts: ray.data.Dataset,
+    mentions_with_entity: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Pearson correlation between conversation LENGTH (turns) and entity
+    DIVERSITY (distinct entities mentioned) — the scaling law of the KG
+    itself: sub-linear diversity growth (corr high, slope of the cloud
+    falling) says long conversations revisit entities rather than adding
+    them, which calibrates how entity counts extrapolate to the full
+    corpus. The ``corr_value_hour`` exactness mold: both per-conv counts
+    are exact ints (turn counts via combiner, distinct entities via
+    two-level (conv, entity) dedup), convs with no mentions join in as
+    diversity 0 (``hash_join`` how='left'), the six sufficient statistics
+    merge as Python ints, and the corr is ONE shared double expression
+    rounded 6. Output: n_convs, corr_turns_entities."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def tc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["conv_id"].groupby(batch["conv_id"], sort=False).size()
+        return pd.DataFrame({
+            "conv_id": s.index,
+            "nt": s.to_numpy().astype("int64"),
+        })
+
+    turns = bucketed_group_apply(
+        transcripts.select_columns(["conv_id"]).map_batches(
+            tc_partial, batch_format="pandas", batch_size=65536
+        ),
+        ["conv_id"],
+        lambda b: b.groupby("conv_id", sort=False)["nt"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def ec_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["conv_id", "entity_id"]].drop_duplicates()
+
+    def ec_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.drop_duplicates().groupby("conv_id", sort=False).size()
+        return pd.DataFrame({
+            "conv_id": g.index,
+            "ne": g.to_numpy().astype("int64"),
+        })
+
+    ents = bucketed_group_apply(
+        mentions_with_entity.select_columns(
+            ["conv_id", "entity_id"]
+        ).map_batches(ec_partial, batch_format="pandas", batch_size=65536),
+        ["conv_id"],
+        ec_merge,
+        n_buckets=n_buckets,
+    )
+
+    joined = hash_join(turns, ents, on="conv_id", how="left",
+                       n_buckets=n_buckets)
+
+    def suff(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["nt"].to_numpy(dtype="int64")
+        y = batch["ne"].fillna(0).to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "n": [np.int64(len(batch))],
+            "sx": [x.sum()], "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "sx2": [(x * x).sum()], "sy2": [(y * y).sum()],
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = sum(int(v) for v in bucket["n"])
+        sx = sum(int(v) for v in bucket["sx"])
+        sy = sum(int(v) for v in bucket["sy"])
+        sxy = sum(int(v) for v in bucket["sxy"])
+        sx2 = sum(int(v) for v in bucket["sx2"])
+        sy2 = sum(int(v) for v in bucket["sy2"])
+        dx, dy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if n == 0 or dx <= 0 or dy <= 0:
+            return pd.DataFrame({
+                "n_convs": pd.array([], dtype="int64"),
+                "corr_turns_entities": pd.array([], dtype="float64"),
+            })
+        corr = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+        return pd.DataFrame({
+            "n_convs": pd.Series([n], dtype="int64"),
+            "corr_turns_entities": [float(np.round(corr, 6))],
+        })
+
+    return bucketed_group_apply(
+        joined.map_batches(suff, batch_format="pandas", batch_size=65536),
+        ["k"],
+        final,
+        n_buckets=1,
+    )
+
+
+SIZE_DIVERSITY_CORR_SQL_TEMPLATE = (
+    r"""
+WITH tr AS ({transcripts}),
+m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+tc AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS nt
+       FROM tr GROUP BY conv_id),
+ec AS (SELECT mm.conv_id,
+              CAST(COUNT(DISTINCT l.entity_id) AS BIGINT) AS ne
+       FROM m mm JOIN lab l ON mm.norm = l.norm
+       GROUP BY mm.conv_id),
+j AS (SELECT tc.nt, COALESCE(ec.ne, 0) AS ne
+      FROM tc LEFT JOIN ec USING (conv_id)),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(nt) AS sx, SUM(ne) AS sy, SUM(nt * ne) AS sxy,
+         SUM(nt * nt) AS sx2, SUM(ne * ne) AS sy2
+  FROM j
+)
+SELECT n AS n_convs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+         AS corr_turns_entities
+FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+"""
+)

@@ -4370,3 +4370,69 @@ SELECT n,
          AS corr_qty_price
 FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
 """
+
+
+def segment_aov(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Average order value per MARKET SEGMENT: order count, exact-cent
+    revenue total and HALF-UP cent mean per c_mktsegment — the segment
+    P&L one-liner (Q3 filters one segment's urgency; this compares all
+    of them). orders ⋈ customer is the co-partitioned ``hash_join``
+    (both fact-sized — never broadcast); o_totalprice reduces in exact
+    cents; the mean is the house half-up integer division. Output:
+    c_mktsegment, n_orders, total_value, avg_order_value."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["o_custkey"],
+            "cents": cents_i64(b["o_totalprice"]),
+        }),
+        batch_format="pandas", batch_size=65536,
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    oc = hash_join(orders, cust, on="c_custkey", n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"],
+            "n": np.int64(1),
+            "cents": batch["cents"].astype("int64"),
+        })
+        return d.groupby("c_mktsegment", sort=False).sum().reset_index()
+
+    parts = oc.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("c_mktsegment", sort=False).sum().reset_index()
+        rows = []
+        for _, r in g.iterrows():  # <= #segments rows
+            n, s = int(r["n"]), int(r["cents"])  # Python ints: exact
+            rows.append((r["c_mktsegment"], n, s / 100.0,
+                         ((2 * s + n) // (2 * n)) / 100.0))
+        return pd.DataFrame(rows, columns=[
+            "c_mktsegment", "n_orders", "total_value", "avg_order_value"
+        ]).astype({"n_orders": "int64"})
+
+    return bucketed_group_apply(parts, ["c_mktsegment"], merge, n_buckets=4)
+
+
+SEGMENT_AOV_SQL = """
+WITH s AS (
+  SELECT c.c_mktsegment, COUNT(*) AS n,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n_orders,
+       CAST(cents AS DOUBLE) / 100.0 AS total_value,
+       CAST((2 * cents + n) // (2 * n) AS DOUBLE) / 100.0
+         AS avg_order_value
+FROM s
+"""

@@ -4243,3 +4243,120 @@ SELECT lang, CAST(n AS BIGINT) AS n_docs,
        ROUND(CAST(ntok AS DOUBLE) / n, 6) AS avg_tokens
 FROM c
 """
+
+
+def word_freq_hist(docs: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """Word-frequency COUNT-OF-COUNTS: how many distinct words occur once,
+    2-3 times, 4-7, ... (log2 bins of total corpus frequency) — the Zipf
+    mass histogram behind ``zipf_slope``'s fitted line and the Good-Turing
+    smoothing table's input (Gale & Sampson 1995 — public); the singleton
+    bin IS the hapax count, read here in one screen against the whole
+    spectrum. Per-word totals reduce through the word-bucketed combiner
+    (whale-safe: partials are per-batch counts); the count-of-counts fold
+    and cumulative token mass are exact ints. Output: bin, min_freq,
+    n_words, token_mass."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _token_frame(_nonnull_text(batch))
+        s = tf.groupby("tok", sort=False).size()
+        return pd.DataFrame({
+            "tok": s.index,
+            "c": s.to_numpy().astype("int64"),
+        })
+
+    parts = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def per_word(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("tok", sort=False)["c"].sum()
+        c = g.to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in c], dtype="int64")
+        d = pd.DataFrame({
+            "bin": bins,
+            "n_words": np.int64(1),
+            "token_mass": c,
+        })
+        return d.groupby("bin", sort=False).sum().reset_index()
+
+    binned = bucketed_group_apply(parts, ["tok"], per_word,
+                                  n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False).sum().reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        g["min_freq"] = (np.int64(1) << g["bin"].to_numpy()).astype("int64")
+        return g[["bin", "min_freq", "n_words", "token_mass"]]
+
+    return bucketed_group_apply(binned, ["bin"], merge, n_buckets=4)
+
+
+WORD_FREQ_HIST_SQL = """
+WITH tf AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+b AS (SELECT CAST(floor(log2(c)) AS BIGINT) AS bin, c FROM w)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_freq,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(c) AS BIGINT) AS token_mass
+FROM b GROUP BY bin
+"""
+
+
+def kwic(
+    docs: ray.data.Dataset, term: str, window: int = 2
+) -> ray.data.Dataset:
+    """Keyword-in-context (KWIC) concordance: every occurrence of ``term``
+    with ±``window`` tokens of context — the corpus-inspection primitive
+    behind every "show me how this word is actually used" audit (quality
+    raters read concordances, not frequency tables; Luhn 1960 — public).
+    Shape: a distributed grep — tokens explode vectorized, hits filter to
+    the (sparse) matching positions, and ONLY hit rows pay the per-hit
+    context slice (a loop over HITS, never over rows — bounded by term
+    frequency, the inspection regime this op exists for). Output: doc_id,
+    pos (0-based token index), context."""
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        toks = b["text"].str.lower().str.split(" ").tolist()
+        doc_ids = b["doc_id"].to_numpy(dtype="int64")
+        out_doc, out_pos, out_ctx = [], [], []
+        for did, ws in zip(doc_ids, toks):
+            arr = np.asarray(ws, dtype=object)
+            hits = np.flatnonzero(arr == term)
+            for p in hits:  # loop over HITS (sparse), not rows
+                lo = max(0, int(p) - window)
+                out_doc.append(did)
+                out_pos.append(int(p))
+                out_ctx.append(" ".join(ws[lo:int(p) + window + 1]))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "pos": pd.Series(out_pos, dtype="int64"),
+            "context": pd.Series(out_ctx, dtype="object"),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        per_batch, batch_format="pandas", batch_size=8192
+    )
+
+
+KWIC_SQL_TEMPLATE = """
+WITH tf AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+hits AS (
+  SELECT doc_id, toks, CAST(i AS BIGINT) AS i
+  FROM tf, unnest(range(1, len(toks) + 1)) AS t(i)
+  WHERE toks[CAST(i AS INT)] = '{term}'
+)
+SELECT doc_id, i - 1 AS pos,
+       array_to_string(
+         list_slice(toks, CAST(GREATEST(1, i - {window}) AS INT),
+                    CAST(i + {window} AS INT)), ' ') AS context
+FROM hits
+"""

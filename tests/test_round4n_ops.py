@@ -350,3 +350,93 @@ def test_round_value_bias_planted(ray_session):
     assert got.loc["a", "dollar_share"] == 0.25
     assert got.loc["a", "n_round_dime"] == 3   # 500, 250, 30 cents
     assert got.loc["a", "dime_share"] == 0.75
+
+
+def test_word_freq_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import word_freq_hist
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a a a a b", "a c b"],   # a:5 (bin 2), b:2 (bin 1),
+    })                                    # c:1 (bin 0)
+    got = (
+        word_freq_hist(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_words"] == 1
+    assert got.loc[0, "token_mass"] == 1
+    assert got.loc[1, "n_words"] == 1
+    assert got.loc[1, "token_mass"] == 2
+    assert got.loc[2, "n_words"] == 1
+    assert got.loc[2, "token_mass"] == 5
+    assert got.loc[2, "min_freq"] == 4
+
+
+def test_kwic_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import kwic
+
+    docs = pd.DataFrame({
+        "doc_id": [7, 8],
+        "text": ["x y term z w", "term a term b"],
+    })
+    got = (
+        kwic(ray.data.from_pandas(docs), "term", window=1)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    assert got.loc[0, "doc_id"] == 7 and got.loc[0, "pos"] == 2
+    assert got.loc[0, "context"] == "y term z"
+    assert got.loc[1, "pos"] == 0        # doc 8, left-clamped window
+    assert got.loc[1, "context"] == "term a"
+    assert got.loc[2, "pos"] == 2
+    assert got.loc[2, "context"] == "a term b"
+
+
+def test_segment_aov_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import segment_aov
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([11, 22, 11], type=pa.int64()),
+        "o_totalprice": pa.array([10.01, 5.00, 10.02]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([11, 22], type=pa.int64()),
+        "c_mktsegment": pa.array(["SEG_A", "SEG_B"]),
+    }), str(tmp_path / "customer.parquet"))
+    got = (
+        segment_aov(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("c_mktsegment")
+        .sort_index()
+    )
+    assert got.loc["SEG_A", "n_orders"] == 2
+    assert got.loc["SEG_A", "total_value"] == 20.03
+    # mean cents (2*2003 + 2) // 4 = 1002 -> 10.02 (half-up)
+    assert got.loc["SEG_A", "avg_order_value"] == 10.02
+    assert got.loc["SEG_B", "avg_order_value"] == 5.0
+
+
+def test_size_diversity_corr_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import size_diversity_corr
+
+    # convs: c1 has 1 turn / 1 entity, c2 has 2 turns / 2 entities,
+    # c3 has 3 turns / 3 entities -> perfectly linear, corr = 1
+    tr = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c2", "c3", "c3", "c3"],
+        "turn_idx": [0, 0, 1, 0, 1, 2],
+    })
+    me = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c2", "c3", "c3", "c3", "c3"],
+        "entity_id": ["e1", "e1", "e2", "e1", "e2", "e3", "e3"],
+    })
+    got = size_diversity_corr(
+        ray.data.from_pandas(tr), ray.data.from_pandas(me)
+    ).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_convs"] == 3
+    assert got.loc[0, "corr_turns_entities"] == 1.0
