@@ -831,6 +831,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_size_diversity_corr": lambda sf: _an.size_diversity_corr(
             _transcripts(sf), _mentions_with_entity(sf)
         ),
+        "kg_edge_growth": lambda sf: _an.edge_growth(
+            _mentions_with_entity(sf), _transcripts(sf)
+        ),
+        "events_gap_hist": lambda sf: _wd.gap_hist(_events_ds(sf)),
+        "rel_open_order_aging": lambda sf: _rel.open_order_aging(sf),
     })
 
 
@@ -1437,6 +1442,13 @@ def oracle_sql() -> dict[str, str]:
             _an.SIZE_DIVERSITY_CORR_SQL_TEMPLATE.format(
                 transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
             ),
+        "kg_edge_growth": _an.EDGE_GROWTH_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
+        ),
+        "events_gap_hist": _wd.GAP_HIST_SQL,
+        "rel_open_order_aging": _rel.OPEN_ORDER_AGING_SQL_TEMPLATE.format(
+            bucket_days=30
+        ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -5429,3 +5429,125 @@ SELECT n AS n_convs,
 FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
 """
 )
+
+
+def edge_growth(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """KG EDGE-GROWTH curve: per month, how many co-occurrence edges appear
+    for the FIRST time, plus the cumulative edge count — the
+    graph-construction burn-down (a flattening curve says the entity graph
+    is saturating; a linear one says every month still discovers structure),
+    the edge-side Heaps analogue of ``vocab_growth``. A conversation's
+    month is the month of its FIRST turn; an edge's birth month is the MIN
+    month over the conversations containing it ('YYYY-MM' strings order
+    lexicographically == chronologically, so MIN is an order-free string
+    reduce). Shape: conv→month via a per-conv min-ts combiner, attached to
+    distinct (conv, entity) rows through the co-partitioned ``hash_join``;
+    pairs generate vectorized (triu) inside conv buckets exactly like the
+    co-occurrence builder; per-pair min-month reduces pair-bucketed; the
+    month rollup + cumulative sum run in one tiny final bucket (months are
+    calendar-bounded). Output: month, n_new_edges, edges_cum."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def conv_month_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.to_datetime(batch["ts"]).groupby(
+            batch["conv_id"], sort=False
+        ).min()
+        return pd.DataFrame({"conv_id": g.index, "mts": g.to_numpy()})
+
+    conv_month = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "ts"]).map_batches(
+            conv_month_partial, batch_format="pandas", batch_size=65536
+        ),
+        ["conv_id"],
+        lambda b: b.groupby("conv_id", sort=False)["mts"].min()
+        .dt.strftime("%Y-%m").reset_index().rename(
+            columns={"mts": "month"}
+        ),
+        n_buckets=n_buckets,
+    )
+
+    me = bucketed_group_apply(
+        mentions_with_entity.select_columns(
+            ["conv_id", "entity_id"]
+        ).map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas",
+            batch_size=65536,
+        ),
+        ["conv_id"],
+        lambda b: b.drop_duplicates(),
+        n_buckets=n_buckets,
+    )
+
+    withm = hash_join(me, conv_month, on="conv_id", n_buckets=n_buckets)
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pair generation (the co-occurrence builder idiom):
+        # one self-merge per bucket, a < b orients each pair once; month
+        # rides the left side (it is conv-functional, identical on both)
+        d = bucket.drop_duplicates(["conv_id", "entity_id"])
+        m = d.merge(
+            d[["conv_id", "entity_id"]], on="conv_id",
+            suffixes=("", "_b"),
+        )
+        m = m[m["entity_id"] < m["entity_id_b"]]
+        return pd.DataFrame({
+            "src": m["entity_id"].to_numpy(),
+            "dst": m["entity_id_b"].to_numpy(),
+            "month": m["month"].to_numpy(),
+        })
+
+    pairs = bucketed_group_apply(withm, ["conv_id"], pairs_in_bucket,
+                                 n_buckets=n_buckets)
+
+    def first_month(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["src", "dst"], sort=False)["month"].min()
+        s = g.groupby(g, sort=False).size()
+        return pd.DataFrame({
+            "month": s.index,
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    per_month = bucketed_group_apply(pairs, ["src", "dst"], first_month,
+                                     n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)["n"].sum().reset_index()
+        g = g.sort_values("month").reset_index(drop=True)
+        return pd.DataFrame({
+            "month": g["month"],
+            "n_new_edges": g["n"].astype("int64"),
+            "edges_cum": g["n"].cumsum().astype("int64"),
+        })
+
+    return bucketed_group_apply(per_month, ["month"], merge, n_buckets=1)
+
+
+EDGE_GROWTH_SQL_TEMPLATE = (
+    r"""
+WITH tr AS ({transcripts}),
+m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+cm AS (SELECT conv_id, strftime(MIN(ts), '%Y-%m') AS month
+       FROM tr GROUP BY conv_id),
+me AS (SELECT DISTINCT mm.conv_id, l.entity_id
+       FROM m mm JOIN lab l ON mm.norm = l.norm),
+p AS (
+  SELECT a.entity_id AS src, b.entity_id AS dst, MIN(cm.month) AS month
+  FROM me a JOIN me b
+    ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+  JOIN cm ON cm.conv_id = a.conv_id
+  GROUP BY a.entity_id, b.entity_id
+),
+c AS (SELECT month, COUNT(*) AS n FROM p GROUP BY month)
+SELECT month, CAST(n AS BIGINT) AS n_new_edges,
+       CAST(SUM(n) OVER (ORDER BY month) AS BIGINT) AS edges_cum
+FROM c
+"""
+)

@@ -4436,3 +4436,67 @@ SELECT c_mktsegment, CAST(n AS BIGINT) AS n_orders,
          AS avg_order_value
 FROM s
 """
+
+
+def open_order_aging(sf_dir: str, bucket_days: int = 30) -> ray.data.Dataset:
+    """BACKLOG AGING of open orders: orders still in status 'O', bucketed
+    by age in ``bucket_days``-day steps against the corpus's latest order
+    date — the fulfillment queue's survival table (``rel_status_mix`` says
+    the backlog GROWS; this says how STALE it is). The anchor date is one
+    global max (an order-free combiner scalar); ages are exact integer
+    day differences (dates are midnight-aligned, so day diff == calendar
+    days); buckets integer-divide. Exact counts; cent-exact value at risk.
+    Output: bucket, age_min_days, n_orders, open_value."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderstatus", "o_totalprice"],
+    ).materialize()  # two consumers: max-date scan + aging scan
+
+    maxd = orders.map_batches(
+        lambda b: pd.DataFrame({"m": [pd.to_datetime(b["o_orderdate"]).max()]}),
+        batch_format="pandas", batch_size=65536,
+    ).to_pandas()["m"].max()  # tiny: one row per batch
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderstatus"] == "O"]
+        age = (maxd - pd.to_datetime(b["o_orderdate"])).dt.days\
+            .to_numpy().astype("int64")
+        d = pd.DataFrame({
+            "bucket": age // bucket_days,
+            "n": np.int64(1),
+            "cents": cents_i64(b["o_totalprice"]),
+        })
+        return d.groupby("bucket", sort=False).sum().reset_index()
+
+    parts = orders.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bucket", sort=False).sum().reset_index()
+        return pd.DataFrame({
+            "bucket": g["bucket"].astype("int64"),
+            "age_min_days": (g["bucket"] * bucket_days).astype("int64"),
+            "n_orders": g["n"].astype("int64"),
+            "open_value": g["cents"].to_numpy(dtype="int64") / 100.0,
+        })
+
+    return bucketed_group_apply(parts, ["bucket"], merge, n_buckets=4)
+
+
+OPEN_ORDER_AGING_SQL_TEMPLATE = """
+WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+a AS (
+  SELECT date_diff('day', o_orderdate, mx.maxd) // {bucket_days}
+           AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, mx WHERE o_orderstatus = 'O'
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * {bucket_days} AS BIGINT) AS age_min_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS open_value
+FROM a GROUP BY bucket
+"""

@@ -4192,3 +4192,91 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              / COUNT(*), 6) AS dime_share
 FROM c GROUP BY event_type
 """
+
+
+def gap_hist(events: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """Per-type INTER-ARRIVAL HISTOGRAM: log2-binned distribution of the
+    gap (whole seconds) between consecutive same-type events of the SAME
+    user — the full cadence spectrum behind ``interarrival_stats``' four
+    summary numbers (bimodality here is the bot tell: machine retries pile
+    in the second-scale bins while humans sit at minutes+). Gaps come from
+    the same (user, type)-keyed in-group shift, floored to exact integer
+    seconds (µs // 1_000_000); zero-second gaps land in their own bin -1.
+    Pure-int combiner rollup; share one division rounded 6. Output:
+    event_type, bin, min_gap_s, n_gaps, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = d["ts"].astype("datetime64[us]").astype("int64")
+        same = (
+            (d["user_id"] == d["user_id"].shift())
+            & (d["event_type"] == d["event_type"].shift())
+        ).to_numpy()
+        gap_s = (us.to_numpy() - np.roll(us.to_numpy(), 1)) // 1_000_000
+        g = pd.DataFrame({
+            "event_type": d["event_type"].to_numpy()[same],
+            "gs": gap_s[same],
+        })
+        g["bin"] = [
+            int(x).bit_length() - 1 if x > 0 else -1 for x in g["gs"]
+        ]
+        out = g.groupby(["event_type", "bin"], sort=False).size()\
+            .reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        out["bin"] = out["bin"].astype("int64")
+        return out
+
+    parts = bucketed_group_apply(
+        events.select_columns(["user_id", "event_type", "ts", "event_id"]),
+        ["user_id"],
+        per_user,
+        n_buckets=n_buckets,
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["event_type", "bin"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("event_type", sort=False)["n"].transform("sum")
+        b = g["bin"].to_numpy()
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "bin": g["bin"].astype("int64"),
+            "min_gap_s": np.where(b < 0, np.int64(0),
+                                  np.int64(1) << np.maximum(b, 0))
+            .astype("int64"),
+            "n_gaps": g["n"].astype("int64"),
+            "share": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], merge, n_buckets=4)
+
+
+GAP_HIST_SQL = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) // 1000000 AS gs
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN gs > 0 THEN CAST(floor(log2(gs)) AS BIGINT)
+              ELSE -1 END AS bin
+  FROM g WHERE gs IS NOT NULL
+),
+c AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2)
+SELECT event_type, bin,
+       CAST(CASE WHEN bin < 0 THEN 0
+                 ELSE POWER(2, bin) END AS BIGINT) AS min_gap_s,
+       CAST(n AS BIGINT) AS n_gaps,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type), 6)
+         AS share
+FROM c
+"""

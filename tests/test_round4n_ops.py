@@ -440,3 +440,83 @@ def test_size_diversity_corr_planted(ray_session):
     assert len(got) == 1
     assert got.loc[0, "n_convs"] == 3
     assert got.loc[0, "corr_turns_entities"] == 1.0
+
+
+def test_edge_growth_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import edge_growth
+
+    # conv A (Jan): entities e1,e2 -> edge (e1,e2) born 2024-01
+    # conv B (Feb): e1,e2,e3 -> (e1,e2) already seen; (e1,e3),(e2,e3) new
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "B"],
+        "turn_idx": [0, 1, 0],
+        "ts": pd.to_datetime([
+            "2024-01-05 10:00", "2024-01-05 11:00", "2024-02-01 09:00",
+        ]),
+    })
+    me = pd.DataFrame({
+        "conv_id": ["A", "A", "B", "B", "B"],
+        "entity_id": ["e1", "e2", "e1", "e2", "e3"],
+    })
+    got = (
+        edge_growth(ray.data.from_pandas(me), ray.data.from_pandas(tr))
+        .to_pandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert got.loc["2024-01", "n_new_edges"] == 1
+    assert got.loc["2024-02", "n_new_edges"] == 2
+    assert list(got["edges_cum"]) == [1, 3]
+
+
+def test_gap_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import gap_hist
+
+    # user 1, type a at t0, t0+1s, t0+1s, t0+5s: gaps 1 (bin 0),
+    # 0 (bin -1), 4 (bin 2); user 2 single event -> no gap
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 1, 1, 2],
+        "event_type": ["a"] * 4 + ["a"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:01",
+            "2024-01-01 00:00:01", "2024-01-01 00:00:05",
+            "2024-01-01 00:00:00",
+        ]),
+    })
+    got = (
+        gap_hist(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[-1, "n_gaps"] == 1
+    assert got.loc[-1, "min_gap_s"] == 0
+    assert got.loc[0, "n_gaps"] == 1
+    assert got.loc[2, "n_gaps"] == 1
+    assert got.loc[2, "min_gap_s"] == 4
+    assert got.loc[0, "share"] == np.round(1 / 3, 6)
+
+
+def test_open_order_aging_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import open_order_aging
+
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(pd.to_datetime([
+            "2024-03-01",   # max date anchor (status F, excluded)
+            "2024-02-25",   # O, age 5d  -> bucket 0
+            "2024-01-01",   # O, age 60d -> bucket 2
+        ])),
+        "o_orderstatus": pa.array(["F", "O", "O"]),
+        "o_totalprice": pa.array([1.00, 10.50, 20.25]),
+    }), str(tmp_path / "orders.parquet"))
+    got = (
+        open_order_aging(str(tmp_path))
+        .to_pandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    assert got.loc[0, "n_orders"] == 1
+    assert got.loc[0, "open_value"] == 10.5
+    assert got.loc[2, "age_min_days"] == 60
+    assert got.loc[2, "open_value"] == 20.25
