@@ -58,6 +58,7 @@ _BURST_Z = 2.0
 _COPURCHASE_MIN = 2
 _SUBSTR_K, _SUBSTR_TOP = 32, 100
 _KWIC_TERM, _KWIC_W = "customer", 2
+_STAB_K, _TPL_PREFIX = 50, 64
 _ZIPF_TOP_N = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
@@ -836,6 +837,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_gap_hist": lambda sf: _wd.gap_hist(_events_ds(sf)),
         "rel_open_order_aging": lambda sf: _rel.open_order_aging(sf),
+        "kg_hot_stability": lambda sf: _an.hot_stability(
+            _mentions_with_entity(sf), _transcripts(sf), k=_STAB_K
+        ),
+        "docs_template_rate": lambda sf: _tx.template_rate(
+            _docs(sf), prefix_len=_TPL_PREFIX
+        ),
     })
 
 
@@ -1448,6 +1455,12 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_hist": _wd.GAP_HIST_SQL,
         "rel_open_order_aging": _rel.OPEN_ORDER_AGING_SQL_TEMPLATE.format(
             bucket_days=30
+        ),
+        "kg_hot_stability": _an.HOT_STABILITY_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL, k=_STAB_K
+        ),
+        "docs_template_rate": _tx.TEMPLATE_RATE_SQL_TEMPLATE.format(
+            prefix_len=_TPL_PREFIX
         ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),

@@ -5551,3 +5551,120 @@ SELECT month, CAST(n AS BIGINT) AS n_new_edges,
 FROM c
 """
 )
+
+
+def hot_stability(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    k: int = 50,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TOP-K STABILITY of the hot-entity set across corpus halves: split
+    every mention at the EXACT median mention timestamp (the bounded-memory
+    ``exact_global_quantiles`` primitive — QUANTILE_CONT-identical, never a
+    driver collect of the column), rank entities per half by mention count
+    (count desc, entity asc — fully deterministic), and report how much of
+    the top-k survives from the first half to the second — the drift scalar
+    that says whether yesterday's hot-entity cache/index is still right
+    today. Mentions pick up timestamps through the co-partitioned
+    (conv, turn) ``hash_join``; per-half counts reduce entity-bucketed;
+    each bucket emits at most k rows per half, so the driver merge sees
+    <= 2·k·n_buckets tiny rows. Output: k, n_top_h1, n_top_h2, n_overlap,
+    stability (= overlap / min(n1, n2), rounded 6)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    mt = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "ts"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "entity_id": b["entity_id"],
+            "ts_us": pd.to_datetime(b["ts"]).astype("datetime64[us]")
+            .astype("int64"),
+        }),
+        batch_format="pandas", batch_size=65536,
+    ).materialize()  # consumed twice: quantile scan + count pass
+
+    _, qv = exact_global_quantiles(mt, "ts_us", [0.5])
+    med = qv[0.5]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (batch["ts_us"].to_numpy(dtype="int64") <= med)
+        d = pd.DataFrame({
+            "entity_id": batch["entity_id"],
+            "half": np.where(h, np.int64(1), np.int64(2)),
+            "n": np.int64(1),
+        })
+        return d.groupby(["half", "entity_id"], sort=False).sum()\
+            .reset_index()
+
+    def head_k(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["half", "entity_id"], sort=False)["n"].sum()\
+            .reset_index()
+        return (
+            g.sort_values(["half", "n", "entity_id"],
+                          ascending=[True, False, True])
+            .groupby("half", sort=False).head(k)
+        )
+
+    cand = bucketed_group_apply(
+        mt.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["entity_id"],
+        head_k,
+        n_buckets=n_buckets,
+    ).to_pandas()  # <= 2 * k * n_buckets rows (bounded by construction)
+
+    tops = {}
+    for half in (1, 2):
+        g = cand[cand["half"] == half]
+        g = g.sort_values(["n", "entity_id"], ascending=[False, True])\
+            .head(k)
+        tops[half] = set(g["entity_id"])
+    n1, n2 = len(tops[1]), len(tops[2])
+    n_ov = len(tops[1] & tops[2])
+    stab = float(np.round(n_ov / min(n1, n2), 6)) if min(n1, n2) else 0.0
+    return ray.data.from_pandas(pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "n_top_h1": pd.Series([n1], dtype="int64"),
+        "n_top_h2": pd.Series([n2], dtype="int64"),
+        "n_overlap": pd.Series([n_ov], dtype="int64"),
+        "stability": pd.Series([stab], dtype="float64"),
+    }))
+
+
+HOT_STABILITY_SQL_TEMPLATE = (
+    r"""
+WITH tr AS ({transcripts}),
+m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+mt AS (
+  SELECT l.entity_id, epoch_us(tr.ts) AS ts_us
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+  JOIN tr ON tr.conv_id = mm.conv_id AND tr.turn_idx = mm.turn_idx
+),
+med AS (SELECT quantile_cont(ts_us, 0.5) AS md FROM mt),
+h1 AS (SELECT entity_id, COUNT(*) AS c FROM mt, med
+       WHERE ts_us <= md GROUP BY entity_id),
+h2 AS (SELECT entity_id, COUNT(*) AS c FROM mt, med
+       WHERE ts_us > md GROUP BY entity_id),
+t1 AS (SELECT entity_id FROM h1 ORDER BY c DESC, entity_id LIMIT {k}),
+t2 AS (SELECT entity_id FROM h2 ORDER BY c DESC, entity_id LIMIT {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_top_h1,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_top_h2,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM t1 JOIN t2 USING (entity_id)) AS n_overlap,
+       ROUND(CAST((SELECT COUNT(*) FROM t1 JOIN t2 USING (entity_id))
+                  AS DOUBLE)
+             / LEAST((SELECT COUNT(*) FROM t1),
+                     (SELECT COUNT(*) FROM t2)), 6) AS stability
+"""
+)

@@ -4360,3 +4360,74 @@ SELECT doc_id, i - 1 AS pos,
                     CAST(i + {window} AS INT)), ' ') AS context
 FROM hits
 """
+
+
+def template_rate(
+    docs: ray.data.Dataset, prefix_len: int = 64, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """TEMPLATE pressure per source: the share of documents whose first
+    ``prefix_len`` characters are shared with at least one other document —
+    the boilerplate detector that catches mail-merge/scraper output long
+    before a full near-dup pass (same prefix, different fill-ins), the
+    per-SOURCE rollup next to ``dedup_prefix_pairs``' pair-level view.
+    Shape: (source, prefix) partial counts; prefix buckets see each
+    prefix's complete count, so "templated" resolves inside one bucket
+    with no doc-level exchange; the per-source fold is a tiny second
+    reduce. Exact counts; rate one division rounded 6. Output: source,
+    n_docs, n_templated, template_rate."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        d = pd.DataFrame({
+            "source": b["source"],
+            "p": b["text"].str[:prefix_len],
+            "n": np.int64(1),
+        })
+        return d.groupby(["source", "p"], sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def per_prefix(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source", "p"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("p", sort=False)["n"].transform("sum")
+        g["n_templated"] = np.where(tot >= 2, g["n"], np.int64(0))
+        out = g.groupby("source", sort=False)[["n", "n_templated"]].sum()\
+            .reset_index()
+        return out.rename(columns={"n": "n_docs"})
+
+    mid = bucketed_group_apply(parts, ["p"], per_prefix,
+                               n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False)[
+            ["n_docs", "n_templated"]
+        ].sum().reset_index()
+        return pd.DataFrame({
+            "source": g["source"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "n_templated": g["n_templated"].astype("int64"),
+            "template_rate": np.round(
+                g["n_templated"].to_numpy(dtype="float64")
+                / g["n_docs"].to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(mid, ["source"], merge, n_buckets=4)
+
+
+TEMPLATE_RATE_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT source, substr(text, 1, {prefix_len}) AS p
+  FROM documents WHERE text IS NOT NULL
+),
+pc AS (SELECT p, COUNT(*) AS tot FROM d GROUP BY p)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (pc.tot >= 2) AS BIGINT) AS n_templated,
+       ROUND(CAST(COUNT(*) FILTER (pc.tot >= 2) AS DOUBLE)
+             / COUNT(*), 6) AS template_rate
+FROM d JOIN pc USING (p) GROUP BY d.source
+"""

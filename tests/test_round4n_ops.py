@@ -520,3 +520,51 @@ def test_open_order_aging_planted(ray_session, tmp_path):
     assert got.loc[0, "open_value"] == 10.5
     assert got.loc[2, "age_min_days"] == 60
     assert got.loc[2, "open_value"] == 20.25
+
+
+def test_hot_stability_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import hot_stability
+
+    # 4 mentions: h1 (two earliest) mentions e1, e2; h2 mentions e1, e3
+    # k=2 -> top sets {e1,e2} vs {e1,e3} -> overlap 1, stability 0.5
+    tr = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": [0, 1, 0, 1],
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-01-02", "2024-01-09", "2024-01-10",
+        ]),
+    })
+    me = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": [0, 1, 0, 1],
+        "entity_id": ["e1", "e2", "e1", "e3"],
+    })
+    got = hot_stability(
+        ray.data.from_pandas(me), ray.data.from_pandas(tr), k=2
+    ).to_pandas()
+    assert got.loc[0, "n_top_h1"] == 2
+    assert got.loc[0, "n_top_h2"] == 2
+    assert got.loc[0, "n_overlap"] == 1
+    assert got.loc[0, "stability"] == 0.5
+
+
+def test_template_rate_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import template_rate
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["s1", "s1", "s2", "s1"],
+        # prefix_len=4: docs 1,3 share "dear"; doc 2 and 4 unique
+        "text": ["dear alice", "hi bob", "dear carol", "yo"],
+    })
+    got = (
+        template_rate(ray.data.from_pandas(docs), prefix_len=4)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["s1", "n_docs"] == 3
+    assert got.loc["s1", "n_templated"] == 1     # only "dear alice"
+    assert got.loc["s1", "template_rate"] == np.round(1 / 3, 6)
+    assert got.loc["s2", "n_templated"] == 1     # "dear carol"
+    assert got.loc["s2", "template_rate"] == 1.0
