@@ -843,6 +843,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_template_rate": lambda sf: _tx.template_rate(
             _docs(sf), prefix_len=_TPL_PREFIX
         ),
+        "dedup_method_agreement": lambda sf: _dd.method_agreement(
+            _minhash_pairs(sf), _dd.simhash_neardup_pairs(_docs(sf))
+        ),
+        "dedup_cross_source_clusters": lambda sf: _dd.cross_source_clusters(
+            _minhash_clusters(sf), _docs(sf)
+        ),
+        "emb_exact_dups": lambda sf: _ann.exact_dup_vectors(
+            _embeddings_ds(sf)
+        ),
     })
 
 
@@ -1462,6 +1471,17 @@ def oracle_sql() -> dict[str, str]:
         "docs_template_rate": _tx.TEMPLATE_RATE_SQL_TEMPLATE.format(
             prefix_len=_TPL_PREFIX
         ),
+        "dedup_method_agreement": _dd.METHOD_AGREEMENT_SQL_TEMPLATE.format(
+            minhash_pairs=_dd.minhash_pairs_sql(),
+            simhash_pairs=_dd.SIMHASH_PAIRS_SQL_TEMPLATE.format(
+                simhash=_dd.SIMHASH_SQL, max_hamming=3
+            ),
+        ),
+        "dedup_cross_source_clusters":
+            _dd.CROSS_SOURCE_CLUSTERS_SQL_TEMPLATE.format(
+                clusters=_dd.minhash_clusters_sql()
+            ),
+        "emb_exact_dups": _ann.EXACT_DUP_VECTORS_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

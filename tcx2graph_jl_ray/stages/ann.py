@@ -1676,3 +1676,68 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                       END) AS DOUBLE) / COUNT(*), 6) AS accuracy
 FROM pred JOIN embeddings e ON e.vec_id = pred.query_id
 """
+
+
+def exact_dup_vectors(
+    embeddings: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """EXACT-DUPLICATE vector audit: how many embedding rows are
+    bit-identical copies of another row — the integrity check that runs
+    before any ANN index build (duplicate vectors skew IVF cell balance
+    and make recall@k look better than it is; a nonzero count usually
+    means an upstream join fanned out). The full float payload IS the
+    shuffle key (bounded: one vector per row, the dedup-exact discipline
+    — byte equality, no hash that could collide); per-key multiplicities
+    reduce bucketed, the four summary scalars fold in one tiny merge.
+    Output: n_vectors, n_distinct, n_dup_vectors, max_multiplicity."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # lossless hex of the float32 payload: string-typed for the bucket
+        # hash, still full byte equality (never a collidable digest)
+        keys = [np.asarray(v, dtype="float32").tobytes().hex()
+                for v in batch["embedding"]]
+        s = pd.Series(np.ones(len(keys), dtype="int64"))
+        g = s.groupby(pd.Series(keys), sort=False).sum()
+        return pd.DataFrame({"k": g.index, "n": g.to_numpy()})
+
+    parts = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+
+    def per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("k", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "n_vectors": [int(n.sum())],
+            "n_distinct": [len(n)],
+            "n_dup_vectors": [int((n >= 2).sum())],
+            "max_multiplicity": [int(n.max()) if len(n) else 0],
+        })
+
+    mid = bucketed_group_apply(parts, ["k"], per_key, n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_vectors": pd.Series([int(bucket["n_vectors"].sum())],
+                                   dtype="int64"),
+            "n_distinct": pd.Series([int(bucket["n_distinct"].sum())],
+                                    dtype="int64"),
+            "n_dup_vectors": pd.Series(
+                [int(bucket["n_dup_vectors"].sum())], dtype="int64"),
+            "max_multiplicity": pd.Series(
+                [int(bucket["max_multiplicity"].max())], dtype="int64"),
+        })
+
+    return bucketed_group_apply(mid, ["n_vectors"], merge, n_buckets=1)
+
+
+EXACT_DUP_VECTORS_SQL = """
+WITH c AS (SELECT embedding, COUNT(*) AS n FROM embeddings
+           GROUP BY embedding)
+SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) FILTER (n >= 2) AS BIGINT) AS n_dup_vectors,
+       CAST(MAX(n) AS BIGINT) AS max_multiplicity
+FROM c
+"""

@@ -3463,3 +3463,114 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_docs,
        ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
 FROM b GROUP BY bin
 """
+
+
+def method_agreement(
+    minhash_pairs: ray.data.Dataset,
+    simhash_pairs: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """AGREEMENT between two near-dup detectors: the Jaccard overlap of the
+    verified MinHash pair set and the SimHash pair set — the methodology
+    cross-check every dedup rollout wants before trusting either alone
+    (high agreement = safe to run the cheaper one; low = the corpus has a
+    dup mode one family misses, e.g. SimHash catching token-reordered
+    copies MinHash's shingles keep). Pair sets intersect through the
+    co-partitioned (a, b) ``hash_join`` — no pair list ever collects;
+    the three counts are distributed aggregates and the Jaccard is one
+    division rounded 6. Output: n_minhash, n_simhash, n_both,
+    agreement."""
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    mh = minhash_pairs.select_columns(["a", "b"])
+    sh = simhash_pairs.select_columns(["a", "b"])
+    n_mh = mh.count()
+    n_sh = sh.count()
+    n_both = hash_join(mh, sh, on=["a", "b"], n_buckets=n_buckets).count()
+    union = n_mh + n_sh - n_both
+    agree = float(np.round(n_both / union, 6)) if union else 0.0
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_minhash": pd.Series([n_mh], dtype="int64"),
+        "n_simhash": pd.Series([n_sh], dtype="int64"),
+        "n_both": pd.Series([n_both], dtype="int64"),
+        "agreement": pd.Series([agree], dtype="float64"),
+    }))
+
+
+METHOD_AGREEMENT_SQL_TEMPLATE = """
+WITH mh AS ({minhash_pairs}),
+shp AS ({simhash_pairs}),
+bc AS (SELECT COUNT(*) AS n FROM mh JOIN shp USING (a, b)),
+mc AS (SELECT COUNT(*) AS n FROM mh),
+sc AS (SELECT COUNT(*) AS n FROM shp)
+SELECT CAST(mc.n AS BIGINT) AS n_minhash,
+       CAST(sc.n AS BIGINT) AS n_simhash,
+       CAST(bc.n AS BIGINT) AS n_both,
+       CASE WHEN mc.n + sc.n - bc.n > 0
+            THEN ROUND(CAST(bc.n AS DOUBLE) / (mc.n + sc.n - bc.n), 6)
+            ELSE 0.0 END AS agreement
+FROM mc, sc, bc
+"""
+
+
+def cross_source_clusters(
+    clusters: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Near-dup cluster SOURCE-SPAN histogram: for each MinHash cluster,
+    how many distinct sources its members come from — rolled up to
+    (n_sources → n_clusters, n_docs). Single-source clusters are
+    within-feed boilerplate (dedup locally, cheap); multi-source clusters
+    are syndication/scraper copies — the rows that make cross-feed dedup
+    worth its global shuffle, measured here before paying for it. Cluster
+    rows pick up their source through the co-partitioned doc_id
+    ``hash_join``; span counts reduce cluster-bucketed; the histogram fold
+    is a tiny single-bucket merge. Output: n_sources, n_clusters,
+    n_docs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    j = hash_join(
+        clusters.select_columns(["doc_id", "cluster_id"]),
+        docs.select_columns(["doc_id", "source"]),
+        on="doc_id",
+        n_buckets=n_buckets,
+    )
+
+    def per_cluster(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("cluster_id", sort=False).agg(
+            nd=("doc_id", "size"), ns=("source", "nunique")
+        ).reset_index()
+        out = g.groupby("ns", sort=False).agg(
+            n_clusters=("cluster_id", "size"), n_docs=("nd", "sum")
+        ).reset_index()
+        return out.rename(columns={"ns": "n_sources"})
+
+    mid = bucketed_group_apply(j, ["cluster_id"], per_cluster,
+                               n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_sources", sort=False).sum().reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g[["n_sources", "n_clusters", "n_docs"]]
+
+    return bucketed_group_apply(mid, ["n_sources"], merge, n_buckets=1)
+
+
+CROSS_SOURCE_CLUSTERS_SQL_TEMPLATE = """
+WITH cl AS ({clusters}),
+j AS (
+  SELECT cl.doc_id, cl.cluster_id, d.source
+  FROM cl JOIN documents d USING (doc_id)
+),
+pc AS (
+  SELECT cluster_id, COUNT(*) AS nd, COUNT(DISTINCT source) AS ns
+  FROM j GROUP BY cluster_id
+)
+SELECT CAST(ns AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(nd) AS BIGINT) AS n_docs
+FROM pc GROUP BY ns
+"""

@@ -568,3 +568,59 @@ def test_template_rate_planted(ray_session):
     assert got.loc["s1", "template_rate"] == np.round(1 / 3, 6)
     assert got.loc["s2", "n_templated"] == 1     # "dear carol"
     assert got.loc["s2", "template_rate"] == 1.0
+
+
+def test_method_agreement_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import method_agreement
+
+    mh = pd.DataFrame({"a": [1, 1, 2], "b": [2, 3, 3]})
+    sh = pd.DataFrame({"a": [1, 4], "b": [2, 5],
+                       "hamming": [1, 0]})
+    got = method_agreement(
+        ray.data.from_pandas(mh), ray.data.from_pandas(sh)
+    ).to_pandas()
+    assert got.loc[0, "n_minhash"] == 3
+    assert got.loc[0, "n_simhash"] == 2
+    assert got.loc[0, "n_both"] == 1          # only (1,2)
+    assert got.loc[0, "agreement"] == 0.25    # 1 / (3+2-1)
+
+
+def test_cross_source_clusters_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import cross_source_clusters
+
+    cl = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "cluster_id": [1, 1, 3, 3, 5],
+    })
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["s1", "s2", "s1", "s1", "s9"],
+        "text": ["x"] * 5,
+    })
+    got = (
+        cross_source_clusters(
+            ray.data.from_pandas(cl), ray.data.from_pandas(docs)
+        )
+        .to_pandas()
+        .set_index("n_sources")
+        .sort_index()
+    )
+    assert got.loc[1, "n_clusters"] == 2      # {3,4} same-source + {5}
+    assert got.loc[1, "n_docs"] == 3
+    assert got.loc[2, "n_clusters"] == 1      # {1,2} spans s1+s2
+    assert got.loc[2, "n_docs"] == 2
+
+
+def test_exact_dup_vectors_planted(ray_session):
+    from tcx2graph_jl_ray.stages.ann import exact_dup_vectors
+
+    v1, v2 = [1.0, 2.0, 3.0], [9.0, 8.0, 7.0]
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [v1, v1, v1, v2],
+    })
+    got = exact_dup_vectors(ray.data.from_pandas(df)).to_pandas()
+    assert got.loc[0, "n_vectors"] == 4
+    assert got.loc[0, "n_distinct"] == 2
+    assert got.loc[0, "n_dup_vectors"] == 1
+    assert got.loc[0, "max_multiplicity"] == 3
