@@ -852,6 +852,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_exact_dups": lambda sf: _ann.exact_dup_vectors(
             _embeddings_ds(sf)
         ),
+        "kg_mentions_per_turn": lambda sf: _an.mentions_per_turn_hist(
+            _mentions(sf)
+        ),
+        "kg_edge_type_overlap": lambda sf: _an.edge_type_overlap(
+            _cooc(sf), _transitions(sf)
+        ),
+        "rel_supplier_acctbal": lambda sf: _rel.supplier_acctbal_profile(
+            sf
+        ),
     })
 
 
@@ -1482,6 +1491,18 @@ def oracle_sql() -> dict[str, str]:
                 clusters=_dd.minhash_clusters_sql()
             ),
         "emb_exact_dups": _ann.EXACT_DUP_VECTORS_SQL,
+        "kg_mentions_per_turn": _an.MENTIONS_PER_TURN_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "kg_edge_type_overlap": _an.EDGE_TYPE_OVERLAP_SQL_TEMPLATE.format(
+            cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL
+            ),
+            transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+            ),
+        ),
+        "rel_supplier_acctbal": _rel.SUPPLIER_ACCTBAL_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

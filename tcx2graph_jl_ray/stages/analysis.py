@@ -5668,3 +5668,133 @@ SELECT CAST({k} AS BIGINT) AS k,
                      (SELECT COUNT(*) FROM t2)), 6) AS stability
 """
 )
+
+
+def mentions_per_turn_hist(
+    mentions: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """MENTION DENSITY at turn grain: of the turns that mention anything,
+    how many carry exactly 1, 2, 3 ... mentions — the per-turn extraction
+    load profile (the extractor's batch cost is linear in this; a fat tail
+    means list-style turns that deserve their own parsing path). Counts per
+    (conv, turn) reduce conv-bucketed; the count-of-counts fold is exact
+    ints in one tiny merge (the per-turn mention count is parse-bounded).
+    Output: n_mentions, n_turns, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["conv_id", "turn_idx"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = mentions.select_columns(["conv_id", "turn_idx"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_turn(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["conv_id", "turn_idx"], sort=False)["n"].sum()
+        s = g.groupby(g, sort=False).size()
+        return pd.DataFrame({
+            "n_mentions": s.index.astype("int64"),
+            "n_turns": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["conv_id"], per_turn,
+                               n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_mentions", sort=False)["n_turns"].sum()\
+            .reset_index()
+        tot = float(g["n_turns"].sum())
+        return pd.DataFrame({
+            "n_mentions": g["n_mentions"].astype("int64"),
+            "n_turns": g["n_turns"].astype("int64"),
+            "share": np.round(
+                g["n_turns"].to_numpy(dtype="float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["n_mentions"], merge, n_buckets=1)
+
+
+MENTIONS_PER_TURN_SQL_TEMPLATE = """
+WITH m AS ({mentions}),
+c AS (SELECT conv_id, turn_idx, COUNT(*) AS n FROM m
+      GROUP BY conv_id, turn_idx),
+h AS (SELECT n, COUNT(*) AS n_turns FROM c GROUP BY n)
+SELECT CAST(n AS BIGINT) AS n_mentions,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       ROUND(CAST(n_turns AS DOUBLE)
+             / SUM(CAST(n_turns AS DOUBLE)) OVER (), 6) AS share
+FROM h
+"""
+
+
+def edge_type_overlap(
+    cooccurrence: ray.data.Dataset,
+    transitions: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Structural AGREEMENT of the two KG edge families: co-occurrence
+    (same conversation, unordered) vs transition (consecutive mention,
+    directed) — folded to undirected pairs and intersected, the
+    ``dedup_method_agreement`` question asked of the graph builders
+    themselves (a transition implies co-occurrence whenever both mentions
+    share the conversation, so cooc ⊇ transitions is the health invariant
+    and the Jaccard reads as "what share of co-occurrences are actually
+    adjacent"). Transition pairs normalize (min, max) and dedup inside
+    pair buckets; the intersection is the co-partitioned ``hash_join``;
+    counts are distributed aggregates, Jaccard one division rounded 6.
+    Output: n_cooc, n_transition_pairs, n_both, jaccard."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    cc = cooccurrence.select_columns(["src", "dst"])
+
+    def norm_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["from_entity"] != batch["to_entity"]]
+        lo = np.minimum(b["from_entity"], b["to_entity"])
+        hi = np.maximum(b["from_entity"], b["to_entity"])
+        return pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates()
+
+    tp = bucketed_group_apply(
+        transitions.select_columns(["from_entity", "to_entity"])
+        .map_batches(norm_pairs, batch_format="pandas", batch_size=65536),
+        ["src", "dst"],
+        lambda b: b.drop_duplicates(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    n_cc = cc.count()
+    n_tp = tp.count()
+    n_both = hash_join(cc, tp, on=["src", "dst"],
+                       n_buckets=n_buckets).count()
+    union = n_cc + n_tp - n_both
+    jac = float(np.round(n_both / union, 6)) if union else 0.0
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_cooc": pd.Series([n_cc], dtype="int64"),
+        "n_transition_pairs": pd.Series([n_tp], dtype="int64"),
+        "n_both": pd.Series([n_both], dtype="int64"),
+        "jaccard": pd.Series([jac], dtype="float64"),
+    }))
+
+
+EDGE_TYPE_OVERLAP_SQL_TEMPLATE = """
+WITH cooc AS ({cooccurrence}),
+trn AS ({transitions}),
+tp AS (
+  SELECT DISTINCT LEAST(from_entity, to_entity) AS src,
+         GREATEST(from_entity, to_entity) AS dst
+  FROM trn WHERE from_entity != to_entity
+),
+bc AS (SELECT COUNT(*) AS n FROM cooc JOIN tp USING (src, dst)),
+cc AS (SELECT COUNT(*) AS n FROM cooc),
+tc AS (SELECT COUNT(*) AS n FROM tp)
+SELECT CAST(cc.n AS BIGINT) AS n_cooc,
+       CAST(tc.n AS BIGINT) AS n_transition_pairs,
+       CAST(bc.n AS BIGINT) AS n_both,
+       CASE WHEN cc.n + tc.n - bc.n > 0
+            THEN ROUND(CAST(bc.n AS DOUBLE) / (cc.n + tc.n - bc.n), 6)
+            ELSE 0.0 END AS jaccard
+FROM cc, tc, bc
+"""

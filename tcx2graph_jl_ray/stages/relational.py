@@ -4500,3 +4500,86 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(SUM(cents) AS DOUBLE) / 100.0 AS open_value
 FROM a GROUP BY bucket
 """
+
+
+def supplier_acctbal_profile(sf_dir: str) -> ray.data.Dataset:
+    """Supplier ACCOUNT-BALANCE health per nation: count, exact-cent
+    min / max / total and the signed HALF-AWAY cent mean of s_acctbal —
+    the credit-exposure table (a nation whose mean balance goes negative
+    is a payables risk before any order does). Balances are 2-dp SIGNED
+    money: cents reduce exactly; the mean uses half-away-from-zero integer
+    division (floor division would drag negative means toward -inf — the
+    ``money_from_scaled4_signed`` discipline at cent scale). Broadcast:
+    only the 25-row nation map. Output: n_name, n_suppliers, min_bal,
+    max_bal, total_bal, avg_bal."""
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents_i64(batch["s_acctbal"])
+        d = pd.DataFrame({
+            "s_nationkey": batch["s_nationkey"].astype("int64"),
+            "n": np.int64(1),
+            "s": c, "mn": c, "mx": c,
+        })
+        return d.groupby("s_nationkey", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"),
+        ).reset_index()
+
+    parts = sup.map_batches(partial, batch_format="pandas",
+                            batch_size=65536)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        nat_name = ray.get(nat_ref)
+        g = bucket.groupby("s_nationkey", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"),
+        ).reset_index()
+        rows = []
+        for _, r in g.iterrows():  # <= 25 nations
+            n, s = int(r["n"]), int(r["s"])
+            avg_c = (2 * s + n) // (2 * n) if s >= 0 \
+                else -((2 * (-s) + n) // (2 * n))
+            rows.append((
+                nat_name[int(r["s_nationkey"])], n,
+                int(r["mn"]) / 100.0, int(r["mx"]) / 100.0,
+                s / 100.0, avg_c / 100.0,
+            ))
+        return pd.DataFrame(rows, columns=[
+            "n_name", "n_suppliers", "min_bal", "max_bal", "total_bal",
+            "avg_bal",
+        ]).astype({"n_suppliers": "int64"})
+
+    return bucketed_group_apply(parts, ["s_nationkey"], merge, n_buckets=4)
+
+
+SUPPLIER_ACCTBAL_SQL = """
+WITH s AS (
+  SELECT n.n_name, COUNT(*) AS n,
+         SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS cents,
+         MIN(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS mn,
+         MAX(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS mx
+  FROM supplier JOIN nation n ON n.n_nationkey = s_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_suppliers,
+       CAST(mn AS DOUBLE) / 100.0 AS min_bal,
+       CAST(mx AS DOUBLE) / 100.0 AS max_bal,
+       CAST(cents AS DOUBLE) / 100.0 AS total_bal,
+       CAST(CASE WHEN cents >= 0 THEN (2 * cents + n) // (2 * n)
+                 ELSE -((2 * (-cents) + n) // (2 * n)) END AS DOUBLE)
+         / 100.0 AS avg_bal
+FROM s
+"""

@@ -624,3 +624,74 @@ def test_exact_dup_vectors_planted(ray_session):
     assert got.loc[0, "n_distinct"] == 2
     assert got.loc[0, "n_dup_vectors"] == 1
     assert got.loc[0, "max_multiplicity"] == 3
+
+
+def test_mentions_per_turn_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import mentions_per_turn_hist
+
+    m = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c2"],
+        "turn_idx": [0, 0, 1, 0, 0, 0],
+        "norm": ["a", "b", "a", "a", "b", "c"],
+    })
+    got = (
+        mentions_per_turn_hist(ray.data.from_pandas(m))
+        .to_pandas()
+        .set_index("n_mentions")
+        .sort_index()
+    )
+    assert got.loc[1, "n_turns"] == 1     # c1 turn 1
+    assert got.loc[2, "n_turns"] == 1     # c1 turn 0
+    assert got.loc[3, "n_turns"] == 1     # c2 turn 0
+    assert got.loc[2, "share"] == np.round(1 / 3, 6)
+
+
+def test_edge_type_overlap_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import edge_type_overlap
+
+    cooc = pd.DataFrame({
+        "src": ["a", "a", "b"],
+        "dst": ["b", "c", "c"],
+        "n_convs": [1, 1, 1],
+    })
+    # transitions: b->a (normalizes to (a,b), in cooc), c->d (not in cooc),
+    # a->a self-loop dropped
+    trn = pd.DataFrame({
+        "from_entity": ["b", "c", "a"],
+        "to_entity": ["a", "d", "a"],
+        "n": [1, 1, 1],
+    })
+    got = edge_type_overlap(
+        ray.data.from_pandas(cooc), ray.data.from_pandas(trn)
+    ).to_pandas()
+    assert got.loc[0, "n_cooc"] == 3
+    assert got.loc[0, "n_transition_pairs"] == 2
+    assert got.loc[0, "n_both"] == 1
+    assert got.loc[0, "jaccard"] == 0.25
+
+
+def test_supplier_acctbal_profile_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import supplier_acctbal_profile
+
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+        "s_nationkey": pa.array([0, 0, 1], type=pa.int32()),
+        "s_acctbal": pa.array([10.01, -20.02, 5.00]),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"]),
+    }), str(tmp_path / "nation.parquet"))
+    got = (
+        supplier_acctbal_profile(str(tmp_path))
+        .to_pandas()
+        .set_index("n_name")
+        .sort_index()
+    )
+    assert got.loc["ALPHA", "n_suppliers"] == 2
+    assert got.loc["ALPHA", "total_bal"] == -10.01
+    # mean cents: -1001/2 -> half-away -> -501 -> -5.01
+    assert got.loc["ALPHA", "avg_bal"] == -5.01
+    assert got.loc["ALPHA", "min_bal"] == -20.02
+    assert got.loc["ALPHA", "max_bal"] == 10.01
+    assert got.loc["BETA", "avg_bal"] == 5.0
