@@ -861,6 +861,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_supplier_acctbal": lambda sf: _rel.supplier_acctbal_profile(
             sf
         ),
+        "kg_role_mix_monthly": lambda sf: _an.role_mix_monthly(
+            _transcripts(sf)
+        ),
+        "dedup_dup_rate_by_length": lambda sf: _dd.dup_rate_by_length(
+            _docs(sf)
+        ),
+        "docs_sources_per_word": lambda sf: _tx.sources_per_word_hist(
+            _docs(sf)
+        ),
     })
 
 
@@ -1503,6 +1512,11 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "rel_supplier_acctbal": _rel.SUPPLIER_ACCTBAL_SQL,
+        "kg_role_mix_monthly": _an.ROLE_MIX_MONTHLY_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "dedup_dup_rate_by_length": _dd.DUP_RATE_BY_LENGTH_SQL,
+        "docs_sources_per_word": _tx.SOURCES_PER_WORD_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -5798,3 +5798,59 @@ SELECT CAST(cc.n AS BIGINT) AS n_cooc,
             ELSE 0.0 END AS jaccard
 FROM cc, tc, bc
 """
+
+
+def role_mix_monthly(
+    transcripts: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Monthly ROLE composition of the transcript stream: per month, the
+    turn count and within-month share of user / assistant / tool turns —
+    the conversation-shape drift trend (a rising tool share is agentic
+    traffic arriving; the reference's per-activity state mix,
+    src/TCXReader.jl, put on the calendar axis). Bounded (month × role)
+    rollup; counts exact; share one division rounded 6. Output: month,
+    role, n_turns, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "month": pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m"),
+            "role": batch["role"],
+            "n": np.int64(1),
+        })
+        return d.groupby(["month", "role"], sort=False).sum().reset_index()
+
+    parts = transcripts.select_columns(["ts", "role"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["month", "role"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("month", sort=False)["n"].transform("sum")
+        return pd.DataFrame({
+            "month": g["month"],
+            "role": g["role"],
+            "n_turns": g["n"].astype("int64"),
+            "share": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(parts, ["month"], merge,
+                                n_buckets=n_buckets)
+
+
+ROLE_MIX_MONTHLY_SQL_TEMPLATE = """
+WITH tr AS ({transcripts}),
+c AS (
+  SELECT strftime(ts, '%Y-%m') AS month, role, COUNT(*) AS n
+  FROM tr GROUP BY 1, 2
+)
+SELECT month, role, CAST(n AS BIGINT) AS n_turns,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY month), 6)
+         AS share
+FROM c
+"""

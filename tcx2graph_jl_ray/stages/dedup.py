@@ -3574,3 +3574,82 @@ SELECT CAST(ns AS BIGINT) AS n_sources,
        CAST(SUM(nd) AS BIGINT) AS n_docs
 FROM pc GROUP BY ns
 """
+
+
+def dup_rate_by_length(
+    docs: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """EXACT-DUPLICATE rate BY LENGTH BIN: of the docs in each log2
+    token-length bucket, how many are byte-identical copies of another doc
+    — the length-axis slice of ``dedup_exact`` that answers "is my dup
+    mass short boilerplate or full mirrored articles?" (the answer picks
+    prefix-dedup vs full-content dedup as the cheap first pass). The text
+    itself is the shuffle key (complete per bucket, byte equality — the
+    dedup-exact discipline); each text group contributes its copy count to
+    its (single, text-functional) length bin; the histogram fold is exact
+    ints, rate one division rounded 6. Output: bin, min_tokens, n_docs,
+    n_dup_docs, dup_rate."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        d = pd.DataFrame({"text": b["text"], "n": np.int64(1)})
+        return d.groupby("text", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def per_text(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("text", sort=False)["n"].sum().reset_index()
+        ntok = (g["text"].str.count(" ") + 1).to_numpy().astype("int64")
+        bins = np.array(
+            [int(x).bit_length() - 1 for x in ntok], dtype="int64"
+        )
+        n = g["n"].to_numpy(dtype="int64")
+        d = pd.DataFrame({
+            "bin": bins,
+            "n_docs": n,
+            "n_dup": np.where(n >= 2, n, np.int64(0)),
+        })
+        return d.groupby("bin", sort=False).sum().reset_index()
+
+    mid = bucketed_group_apply(parts, ["text"], per_text,
+                               n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False).sum().reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pd.DataFrame({
+            "bin": g["bin"],
+            "min_tokens": (np.int64(1) << g["bin"].to_numpy())
+            .astype("int64"),
+            "n_docs": g["n_docs"],
+            "n_dup_docs": g["n_dup"],
+            "dup_rate": np.round(
+                g["n_dup"].to_numpy(dtype="float64")
+                / g["n_docs"].to_numpy(dtype="float64"), 6
+            ),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], merge, n_buckets=1)
+
+
+DUP_RATE_BY_LENGTH_SQL = """
+WITH c AS (
+  SELECT text, COUNT(*) AS n,
+         len(text) - len(replace(text, ' ', '')) + 1 AS ntok
+  FROM documents WHERE text IS NOT NULL GROUP BY text
+),
+b AS (
+  SELECT CAST(floor(log2(ntok)) AS BIGINT) AS bin, n,
+         CASE WHEN n >= 2 THEN n ELSE 0 END AS ndup
+  FROM c
+)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_tokens,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(ndup) AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(SUM(ndup) AS DOUBLE) / SUM(n), 6) AS dup_rate
+FROM b GROUP BY bin
+"""

@@ -4431,3 +4431,70 @@ SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              / COUNT(*), 6) AS template_rate
 FROM d JOIN pc USING (p) GROUP BY d.source
 """
+
+
+def sources_per_word_hist(
+    docs: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """UNIVERSALITY spectrum of the vocabulary: for each word, how many
+    distinct SOURCES use it — rolled up to (n_sources → n_words) — the
+    niche-vs-universal split that separates shared language (high span:
+    function words, domain staples) from source-private vocabulary (span
+    1: usernames, boilerplate tokens, site furniture) before any
+    cross-source model shares a tokenizer. Per-batch distinct
+    (source, word) pairs shrink the exchange; word buckets see each word's
+    complete source set (distinct + nunique vectorized); the
+    count-of-counts fold is exact ints, share one division rounded 6.
+    Output: n_sources, n_words, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        tf = _token_frame(b)
+        tf["source"] = b["source"].to_numpy()[tf["row"].to_numpy()]
+        return tf[["tok", "source"]].drop_duplicates()
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def per_word(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.drop_duplicates().groupby("tok", sort=False)["source"]\
+            .size()
+        s = g.groupby(g, sort=False).size()
+        return pd.DataFrame({
+            "n_sources": s.index.astype("int64"),
+            "n_words": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["tok"], per_word,
+                               n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_sources", sort=False)["n_words"].sum()\
+            .reset_index()
+        tot = float(g["n_words"].sum())
+        return pd.DataFrame({
+            "n_sources": g["n_sources"].astype("int64"),
+            "n_words": g["n_words"].astype("int64"),
+            "share": np.round(
+                g["n_words"].to_numpy(dtype="float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["n_sources"], merge, n_buckets=1)
+
+
+SOURCES_PER_WORD_SQL = """
+WITH raw AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT DISTINCT source, tok FROM raw),
+w AS (SELECT tok, COUNT(DISTINCT source) AS ns FROM tf GROUP BY tok),
+h AS (SELECT ns, COUNT(*) AS n_words FROM w GROUP BY ns)
+SELECT CAST(ns AS BIGINT) AS n_sources,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(n_words AS DOUBLE)
+             / SUM(CAST(n_words AS DOUBLE)) OVER (), 6) AS share
+FROM h
+"""

@@ -695,3 +695,67 @@ def test_supplier_acctbal_profile_planted(ray_session, tmp_path):
     assert got.loc["ALPHA", "min_bal"] == -20.02
     assert got.loc["ALPHA", "max_bal"] == 10.01
     assert got.loc["BETA", "avg_bal"] == 5.0
+
+
+def test_role_mix_monthly_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import role_mix_monthly
+
+    tr = pd.DataFrame({
+        "conv_id": ["c"] * 4,
+        "turn_idx": [0, 1, 2, 3],
+        "role": ["user", "assistant", "user", "tool"],
+        "ts": pd.to_datetime([
+            "2024-01-02", "2024-01-03", "2024-02-01", "2024-02-02",
+        ]),
+    })
+    got = (
+        role_mix_monthly(ray.data.from_pandas(tr))
+        .to_pandas()
+        .set_index(["month", "role"])
+        .sort_index()
+    )
+    assert got.loc[("2024-01", "user"), "n_turns"] == 1
+    assert got.loc[("2024-01", "user"), "share"] == 0.5
+    assert got.loc[("2024-02", "tool"), "share"] == 0.5
+
+
+def test_dup_rate_by_length_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import dup_rate_by_length
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        # "a b": 2 tok -> bin 1, duplicated x2; "x y z w": 4 tok -> bin 2
+        "text": ["a b", "a b", "x y z w", None],
+    })
+    got = (
+        dup_rate_by_length(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[1, "n_docs"] == 2
+    assert got.loc[1, "n_dup_docs"] == 2
+    assert got.loc[1, "dup_rate"] == 1.0
+    assert got.loc[2, "n_dup_docs"] == 0
+    assert got.loc[2, "dup_rate"] == 0.0
+
+
+def test_sources_per_word_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import sources_per_word_hist
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s1", "s2", "s1"],
+        # "the": s1+s2 (2 sources); "cat": s1 only; "dog": s2 only;
+        # "sat": s1 only (two docs, still 1 source)
+        "text": ["the cat sat", "the dog", "sat sat"],
+    })
+    got = (
+        sources_per_word_hist(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("n_sources")
+        .sort_index()
+    )
+    assert got.loc[1, "n_words"] == 3     # cat, dog, sat
+    assert got.loc[2, "n_words"] == 1     # the
+    assert got.loc[2, "share"] == 0.25
