@@ -870,6 +870,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sources_per_word": lambda sf: _tx.sources_per_word_hist(
             _docs(sf)
         ),
+        "docs_source_copy_matrix": lambda sf: _dd.source_copy_matrix(
+            _docs(sf), prefix_len=_TPL_PREFIX
+        ),
+        "rel_tax_effect": lambda sf: _rel.tax_effect(sf),
+        "emb_label_profile": lambda sf: _ann.label_profile(
+            _embeddings_ds(sf)
+        ),
+        "events_user_activity_hist": lambda sf: _wd.user_activity_hist(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1517,6 +1527,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_dup_rate_by_length": _dd.DUP_RATE_BY_LENGTH_SQL,
         "docs_sources_per_word": _tx.SOURCES_PER_WORD_SQL,
+        "docs_source_copy_matrix":
+            _dd.SOURCE_COPY_MATRIX_SQL_TEMPLATE.format(
+                prefix_len=_TPL_PREFIX
+            ),
+        "rel_tax_effect": _rel.TAX_EFFECT_SQL,
+        "emb_label_profile": _ann.LABEL_PROFILE_SQL,
+        "events_user_activity_hist": _wd.USER_ACTIVITY_HIST_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -1741,3 +1741,46 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
        CAST(MAX(n) AS BIGINT) AS max_multiplicity
 FROM c
 """
+
+
+def label_profile(
+    embeddings: ray.data.Dataset, n_buckets: int = 1
+) -> ray.data.Dataset:
+    """Embedding LABEL composition: count and share per class label — the
+    class-balance read every classifier-adjacent consumer (kNN accuracy,
+    cell purity, stratified eval splits) normalizes against; a skewed row
+    here is why purity looked "high". Pure-int combiner rollup, share one
+    division rounded 6. Output: label, n_vectors, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["label"].groupby(batch["label"], sort=False).size()
+        return pd.DataFrame({
+            "label": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = embeddings.select_columns(["label"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("label", sort=False)["n"].sum().reset_index()
+        tot = float(g["n"].sum())
+        return pd.DataFrame({
+            "label": g["label"].astype("int64"),
+            "n_vectors": g["n"].astype("int64"),
+            "share": np.round(g["n"].to_numpy(dtype="float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(parts, ["label"], merge,
+                                n_buckets=n_buckets)
+
+
+LABEL_PROFILE_SQL = """
+WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vectors,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM c
+"""

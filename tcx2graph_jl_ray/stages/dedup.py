@@ -3653,3 +3653,63 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_tokens,
        ROUND(CAST(SUM(ndup) AS DOUBLE) / SUM(n), 6) AS dup_rate
 FROM b GROUP BY bin
 """
+
+
+def source_copy_matrix(
+    docs: ray.data.Dataset, prefix_len: int = 64, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Shared-TEMPLATE matrix across sources: for each source pair (a < b),
+    how many distinct ``prefix_len``-char document prefixes appear in BOTH
+    — the syndication/mail-merge map (``dedup_source_matrix``'s near-dup
+    picture at template strength; a hot pair here is one scraper feeding
+    two feeds, the cross-feed case ``template_rate`` cannot attribute;
+    full-text equality is deliberately NOT the key — byte-exact
+    cross-source copies are measured zero in this corpus, templates are
+    not). Prefix buckets see each prefix's complete source set, so the
+    (small, <= S^2) pair expansion happens inside the bucket on the
+    deduped source list; the matrix fold is exact ints. Output: source_a,
+    source_b, n_shared_prefixes."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        return pd.DataFrame({
+            "source": b["source"],
+            "p": b["text"].str[:prefix_len],
+        }).drop_duplicates()
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def per_prefix(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        m = d.merge(d, on="p", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        g = m.groupby(["source_a", "source_b"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    mid = bucketed_group_apply(parts, ["p"], per_prefix,
+                               n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["source_a", "source_b"], sort=False)["n"]\
+            .sum().reset_index()
+        g["n_shared_prefixes"] = g.pop("n").astype("int64")
+        return g
+
+    return bucketed_group_apply(mid, ["source_a"], merge, n_buckets=4)
+
+
+SOURCE_COPY_MATRIX_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT DISTINCT source, substr(text, 1, {prefix_len}) AS p
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_prefixes
+FROM d a JOIN d b ON a.p = b.p AND a.source < b.source
+GROUP BY a.source, b.source
+"""

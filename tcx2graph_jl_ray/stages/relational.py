@@ -4583,3 +4583,77 @@ SELECT n_name, CAST(n AS BIGINT) AS n_suppliers,
          / 100.0 AS avg_bal
 FROM s
 """
+
+
+def tax_effect(sf_dir: str, n_buckets: int = 1) -> ray.data.Dataset:
+    """Per-TAX-LEVEL charge profile: line count, net revenue and the full
+    Q1-style CHARGE price·(1−disc)·(1+tax) per distinct l_tax — the tax
+    incidence table (what each tax band actually collects on top of net).
+    The triple product is EXACT in 1e-6-scaled int64
+    (cents × (100−disc_c) × (100+tax_c); < 1.2e11 per row, batch-bounded
+    partials), summed as integers and converted once with the half-up rule
+    — the ``functions/money`` discipline extended one factor deeper.
+    Output: l_tax, n_lines, revenue, charge."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import (
+        cents_i64,
+        money_from_scaled4_series,
+        rev_scaled4,
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_tax", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev4 = rev_scaled4(batch["l_extendedprice"], batch["l_discount"])
+        chg6 = rev4 * (100 + cents_i64(batch["l_tax"]))
+        g = pd.DataFrame({
+            "l_tax": batch["l_tax"],
+            "n": np.int64(1),
+            "rev4": rev4,
+            "chg6": chg6,
+        }).groupby("l_tax", sort=False).sum().reset_index()
+        return g
+
+    # batch 8192 bounds the chg6 partial: < 1.2e11 per row -> < 1e15
+    parts = li.map_batches(partial, batch_format="pandas", batch_size=8192)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        # Python-int sums: the 1e-6-scaled charge partials are ~100x the
+        # rev4 scale, so the corpus total must not ride pandas int64
+        # (the oracle's SUM(BIGINT) is HUGEINT for the same reason)
+        rows = []
+        for tax, grp in bucket.groupby("l_tax", sort=False):
+            n = sum(int(v) for v in grp["n"])
+            r4 = sum(int(v) for v in grp["rev4"])
+            c6 = sum(int(v) for v in grp["chg6"])
+            rows.append((
+                tax, n,
+                ((r4 + 50) // 100) / 100.0,
+                ((c6 + 5000) // 10000) / 100.0,
+            ))
+        return pd.DataFrame(
+            rows, columns=["l_tax", "n_lines", "revenue", "charge"]
+        ).astype({"n_lines": "int64"})
+
+    return bucketed_group_apply(parts, ["l_tax"], merge,
+                                n_buckets=n_buckets)
+
+
+TAX_EFFECT_SQL = """
+WITH s AS (
+  SELECT l_tax, COUNT(*) AS n,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev4,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS chg6
+  FROM lineitem GROUP BY l_tax
+)
+SELECT l_tax, CAST(n AS BIGINT) AS n_lines,
+       CAST((rev4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       CAST((chg6 + 5000) // 10000 AS DOUBLE) / 100.0 AS charge
+FROM s
+"""

@@ -4280,3 +4280,69 @@ SELECT event_type, bin,
          AS share
 FROM c
 """
+
+
+def user_activity_hist(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """USER ACTIVITY spectrum: log2 histogram of events-per-user — the
+    one-screen answer to "is traffic a long tail of lurkers or a few
+    whales?" that sizes every per-user shuffle downstream (the tail bin IS
+    the whale-key exposure ``salted_group_apply`` exists for). Per-user
+    counts reduce user-bucketed; the count-of-counts fold and event-mass
+    column are exact ints; share one division rounded 6. Output: bin,
+    min_events, n_users, n_events, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["user_id"].groupby(batch["user_id"], sort=False).size()
+        return pd.DataFrame({
+            "user_id": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = events.select_columns(["user_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)["n"].sum()
+        c = g.to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in c], dtype="int64")
+        d = pd.DataFrame({
+            "bin": bins,
+            "n_users": np.int64(1),
+            "n_events": c,
+        })
+        return d.groupby("bin", sort=False).sum().reset_index()
+
+    mid = bucketed_group_apply(parts, ["user_id"], per_user,
+                               n_buckets=n_buckets)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False).sum().reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        tot = float(g["n_users"].sum())
+        return pd.DataFrame({
+            "bin": g["bin"],
+            "min_events": (np.int64(1) << g["bin"].to_numpy())
+            .astype("int64"),
+            "n_users": g["n_users"],
+            "n_events": g["n_events"],
+            "share": np.round(
+                g["n_users"].to_numpy(dtype="float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], merge, n_buckets=1)
+
+
+USER_ACTIVITY_HIST_SQL = """
+WITH u AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+b AS (SELECT CAST(floor(log2(c)) AS BIGINT) AS bin, c FROM u)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+FROM b GROUP BY bin
+"""

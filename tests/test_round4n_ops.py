@@ -759,3 +759,83 @@ def test_sources_per_word_hist_planted(ray_session):
     assert got.loc[1, "n_words"] == 3     # cat, dog, sat
     assert got.loc[2, "n_words"] == 1     # the
     assert got.loc[2, "share"] == 0.25
+
+
+def test_source_copy_matrix_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import source_copy_matrix
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["s1", "s2", "s3", "s1"],
+        # prefix_len=4: "dear" shared by s1,s2,s3; "holm" only s1
+        "text": ["dear a", "dear b", "dear c", "holmes"],
+    })
+    got = (
+        source_copy_matrix(ray.data.from_pandas(docs), prefix_len=4)
+        .to_pandas()
+        .set_index(["source_a", "source_b"])
+        .sort_index()
+    )
+    assert len(got) == 3                       # (s1,s2) (s1,s3) (s2,s3)
+    assert got.loc[("s1", "s2"), "n_shared_prefixes"] == 1
+    assert got.loc[("s2", "s3"), "n_shared_prefixes"] == 1
+
+
+def test_tax_effect_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import tax_effect
+
+    pq.write_table(pa.table({
+        "l_tax": pa.array([0.05, 0.05, 0.0]),
+        "l_extendedprice": pa.array([100.00, 200.00, 50.00]),
+        "l_discount": pa.array([0.10, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (
+        tax_effect(str(tmp_path))
+        .to_pandas()
+        .set_index("l_tax")
+        .sort_index()
+    )
+    # tax 0.05: revenue 90 + 200 = 290; charge 290 * 1.05 = 304.50
+    assert got.loc[0.05, "n_lines"] == 2
+    assert got.loc[0.05, "revenue"] == 290.0
+    assert got.loc[0.05, "charge"] == 304.5
+    assert got.loc[0.0, "charge"] == 50.0
+
+
+def test_label_profile_planted(ray_session):
+    from tcx2graph_jl_ray.stages.ann import label_profile
+
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "label": [0, 0, 0, 7],
+    })
+    got = (
+        label_profile(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("label")
+        .sort_index()
+    )
+    assert got.loc[0, "n_vectors"] == 3
+    assert got.loc[0, "share"] == 0.75
+    assert got.loc[7, "share"] == 0.25
+
+
+def test_user_activity_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import user_activity_hist
+
+    df = pd.DataFrame({
+        "user_id": [1, 2, 2, 3, 3, 3, 3, 3],   # counts 1, 2, 5
+        "event_id": range(8),
+    })
+    got = (
+        user_activity_hist(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_users"] == 1
+    assert got.loc[1, "n_users"] == 1
+    assert got.loc[2, "n_users"] == 1          # 5 events -> bin 2
+    assert got.loc[2, "n_events"] == 5
+    assert got.loc[2, "min_events"] == 4
+    assert got.loc[0, "share"] == np.round(1 / 3, 6)
