@@ -880,6 +880,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_activity_hist": lambda sf: _wd.user_activity_hist(
             _events_ds(sf)
         ),
+        "kg_entity_growth": lambda sf: _an.entity_growth(
+            _mentions_with_entity(sf), _transcripts(sf)
+        ),
+        "rel_lines_value_corr": lambda sf: _rel.lines_value_corr(sf),
+        "rel_region_revenue": lambda sf: _rel.region_revenue(sf),
     })
 
 
@@ -1534,6 +1539,11 @@ def oracle_sql() -> dict[str, str]:
         "rel_tax_effect": _rel.TAX_EFFECT_SQL,
         "emb_label_profile": _ann.LABEL_PROFILE_SQL,
         "events_user_activity_hist": _wd.USER_ACTIVITY_HIST_SQL,
+        "kg_entity_growth": _an.ENTITY_GROWTH_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
+        ),
+        "rel_lines_value_corr": _rel.LINES_VALUE_CORR_SQL,
+        "rel_region_revenue": _rel.REGION_REVENUE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -5854,3 +5854,83 @@ SELECT month, role, CAST(n AS BIGINT) AS n_turns,
          AS share
 FROM c
 """
+
+
+def entity_growth(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """KG NODE-GROWTH curve: per month, how many entities are mentioned for
+    the FIRST time, plus the cumulative entity count — ``edge_growth``'s
+    node-side companion (nodes saturating while edges still grow means the
+    graph is densifying, not expanding — the Leskovec densification
+    signature, KDD'05 — public). An entity's birth month is the MIN month
+    over its mentions' turn timestamps; mention rows pick up timestamps
+    through the co-partitioned (conv, turn) ``hash_join``, the per-entity
+    min reduces entity-bucketed ('YYYY-MM' min == chronological min), and
+    the month rollup + cumulative sum run in one tiny final bucket.
+    Output: month, n_new_entities, entities_cum."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    mt = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "ts"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m")
+        g = m.groupby(batch["entity_id"], sort=False).min()
+        return pd.DataFrame({"entity_id": g.index, "month": g.to_numpy()})
+
+    def first_month(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False)["month"].min()
+        s = g.groupby(g, sort=False).size()
+        return pd.DataFrame({
+            "month": s.index,
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    per_month = bucketed_group_apply(
+        mt.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["entity_id"],
+        first_month,
+        n_buckets=n_buckets,
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)["n"].sum().reset_index()
+        g = g.sort_values("month").reset_index(drop=True)
+        return pd.DataFrame({
+            "month": g["month"],
+            "n_new_entities": g["n"].astype("int64"),
+            "entities_cum": g["n"].cumsum().astype("int64"),
+        })
+
+    return bucketed_group_apply(per_month, ["month"], merge, n_buckets=1)
+
+
+ENTITY_GROWTH_SQL_TEMPLATE = (
+    r"""
+WITH tr AS ({transcripts}),
+m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+mt AS (
+  SELECT l.entity_id, strftime(tr.ts, '%Y-%m') AS month
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+  JOIN tr ON tr.conv_id = mm.conv_id AND tr.turn_idx = mm.turn_idx
+),
+fm AS (SELECT entity_id, MIN(month) AS month FROM mt GROUP BY entity_id),
+c AS (SELECT month, COUNT(*) AS n FROM fm GROUP BY month)
+SELECT month, CAST(n AS BIGINT) AS n_new_entities,
+       CAST(SUM(n) OVER (ORDER BY month) AS BIGINT) AS entities_cum
+FROM c
+"""
+)

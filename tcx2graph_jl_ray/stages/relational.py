@@ -4657,3 +4657,219 @@ SELECT l_tax, CAST(n AS BIGINT) AS n_lines,
        CAST((chg6 + 5000) // 10000 AS DOUBLE) / 100.0 AS charge
 FROM s
 """
+
+
+def lines_value_corr(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Pearson correlation between an order's LINE COUNT and its header
+    TOTAL VALUE — the fan-out sanity scalar for the orders⋈lineitem pair
+    (near-1 says totalprice is line-driven as TPC-H intends; a drop in a
+    real feed means header-only adjustments arrived). Per-order line
+    counts reduce through the order-bucketed combiner and meet the header
+    through the co-partitioned ``hash_join``; then the ``corr_value_hour``
+    exactness mold — integer sufficient statistics (x = lines, y = cents),
+    Python-int merge, one shared double expression rounded 6. batch_size
+    8192 bounds the Σy² partial (o_totalprice < 6e5 → y² < 3.6e15... cents
+    < 6e7 → y² < 3.6e15 → 8192 rows < 3e19? No: totalprice tops ~5.6e5
+    dollars = 5.6e7 cents, y² ≈ 3.2e15, so 256 rows per partial keep it
+    < 8.2e17 — int64-safe). Output: n_orders, corr_lines_value."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["l_orderkey"].groupby(batch["l_orderkey"],
+                                        sort=False).size()
+        return pd.DataFrame({
+            "o_orderkey": s.index.astype("int64"),
+            "nl": s.to_numpy().astype("int64"),
+        })
+
+    per_order = bucketed_group_apply(
+        li.map_batches(count_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["o_orderkey"],
+        lambda b: b.groupby("o_orderkey", sort=False)["nl"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    j = hash_join(per_order, orders, on="o_orderkey", n_buckets=n_buckets)
+
+    def suff(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["nl"].to_numpy(dtype="int64")
+        y = cents_i64(batch["o_totalprice"])
+        return pd.DataFrame({
+            "k": ["all"],
+            "n": [np.int64(len(batch))],
+            "sx": [x.sum()], "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "sx2": [(x * x).sum()], "sy2": [(y * y).sum()],
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = sum(int(v) for v in bucket["n"])
+        sx = sum(int(v) for v in bucket["sx"])
+        sy = sum(int(v) for v in bucket["sy"])
+        sxy = sum(int(v) for v in bucket["sxy"])
+        sx2 = sum(int(v) for v in bucket["sx2"])
+        sy2 = sum(int(v) for v in bucket["sy2"])
+        dx, dy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if n == 0 or dx <= 0 or dy <= 0:
+            return pd.DataFrame({
+                "n_orders": pd.array([], dtype="int64"),
+                "corr_lines_value": pd.array([], dtype="float64"),
+            })
+        corr = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+        return pd.DataFrame({
+            "n_orders": pd.Series([n], dtype="int64"),
+            "corr_lines_value": [float(np.round(corr, 6))],
+        })
+
+    return bucketed_group_apply(
+        j.map_batches(suff, batch_format="pandas", batch_size=256),
+        ["k"],
+        final,
+        n_buckets=1,
+    )
+
+
+LINES_VALUE_CORR_SQL = """
+WITH po AS (
+  SELECT l_orderkey AS o_orderkey, COUNT(*) AS nl
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT po.nl AS x,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM po JOIN orders o USING (o_orderkey)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM j
+)
+SELECT n AS n_orders,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+         AS corr_lines_value
+FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+"""
+
+
+def region_revenue(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Net revenue by CUSTOMER REGION: the full lineitem→orders→customer
+    geography rollup without Q5's one-region filter or same-nation
+    constraint — the five-row world map of where the money comes from.
+    Lineitems pre-aggregate PER ORDER in the map (one scaled-int + count),
+    the two big joins are co-partitioned ``hash_join``s, and only the
+    25-row nation→region map ships via ``ray.put``. Exact 1e-4-scaled
+    ints; share one division rounded 6. Output: r_name, n_lines, revenue,
+    share."""
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import rev_scaled4
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["r_name"])))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def per_order(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": batch["l_orderkey"],
+            "n": np.int64(1),
+            "rev4": rev_scaled4(batch["l_extendedprice"],
+                                batch["l_discount"]),
+        }).groupby("o_orderkey", sort=False).sum().reset_index()
+        return g
+
+    lo = hash_join(
+        li.map_batches(per_order, batch_format="pandas", batch_size=65536),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        on="o_orderkey",
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.groupby("o_custkey", sort=False)[["n", "rev4"]].sum()
+        .astype("int64").reset_index()
+        .rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas", batch_size=65536,
+    )
+    lc = hash_join(
+        lo,
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        on="c_custkey",
+        n_buckets=n_buckets,
+    )
+
+    def per_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        # the join side can arrive as nullable Int64 -> pandas sums to
+        # Float64; force plain int64 so cents stay exact at any scale
+        return batch.groupby("c_nationkey", sort=False)[["n", "rev4"]]\
+            .sum().astype("int64").reset_index()
+
+    parts = lc.map_batches(per_nation, batch_format="pandas",
+                           batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        region = bucket["c_nationkey"].map(ray.get(nat_ref))
+        g = bucket.groupby(region, sort=False)[["n", "rev4"]].sum()
+        rows = []
+        for rname, r in g.iterrows():  # <= 5 regions per bucket
+            rows.append((rname, int(r["n"]),
+                         ((int(r["rev4"]) + 50) // 100) / 100.0,
+                         int(r["rev4"])))
+        out = pd.DataFrame(rows, columns=["r_name", "n_lines", "revenue",
+                                          "_rev4"])
+        tot = float(out["_rev4"].sum())
+        out["share"] = np.round(out["_rev4"].to_numpy(dtype="float64")
+                                / tot, 6)
+        return out.drop(columns=["_rev4"]).astype({"n_lines": "int64"})
+
+    # ONE bucket: the share denominator is global and regions are 5 rows
+    return bucketed_group_apply(parts, ["c_nationkey"], final, n_buckets=1)
+
+
+REGION_REVENUE_SQL = """
+WITH s AS (
+  SELECT r.r_name, COUNT(*) AS n,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rev4
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nt.n_regionkey
+  GROUP BY r.r_name
+)
+SELECT r_name, CAST(n AS BIGINT) AS n_lines,
+       CAST((rev4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(rev4 AS DOUBLE) / SUM(CAST(rev4 AS DOUBLE)) OVER (), 6)
+         AS share
+FROM s
+"""

@@ -839,3 +839,82 @@ def test_user_activity_hist_planted(ray_session):
     assert got.loc[2, "n_events"] == 5
     assert got.loc[2, "min_events"] == 4
     assert got.loc[0, "share"] == np.round(1 / 3, 6)
+
+
+def test_entity_growth_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import entity_growth
+
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "B"],
+        "turn_idx": [0, 1, 0],
+        "ts": pd.to_datetime([
+            "2024-01-05", "2024-02-20", "2024-02-01",
+        ]),
+    })
+    # e1 first at A/0 (Jan); e2 first at A/1 (Feb); e1 again at B/0 (Feb)
+    me = pd.DataFrame({
+        "conv_id": ["A", "A", "B"],
+        "turn_idx": [0, 1, 0],
+        "entity_id": ["e1", "e2", "e1"],
+    })
+    got = (
+        entity_growth(ray.data.from_pandas(me), ray.data.from_pandas(tr))
+        .to_pandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert got.loc["2024-01", "n_new_entities"] == 1
+    assert got.loc["2024-02", "n_new_entities"] == 1
+    assert list(got["entities_cum"]) == [1, 2]
+
+
+def test_lines_value_corr_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import lines_value_corr
+
+    # orders with 1, 2, 3 lines and values 10, 20, 30 -> corr 1
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2, 3, 3, 3], type=pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0]),
+    }), str(tmp_path / "orders.parquet"))
+    got = lines_value_corr(str(tmp_path)).to_pandas()
+    assert got.loc[0, "n_orders"] == 3
+    assert got.loc[0, "corr_lines_value"] == 1.0
+
+
+def test_region_revenue_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import region_revenue
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0]),
+        "l_discount": pa.array([0.0, 0.5]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([11, 22], type=pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([11, 22], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_regionkey": pa.array([0, 1], type=pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], type=pa.int64()),
+        "r_name": pa.array(["EAST", "WEST"]),
+    }), str(tmp_path / "region.parquet"))
+    got = (
+        region_revenue(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("r_name")
+        .sort_index()
+    )
+    assert got.loc["EAST", "revenue"] == 100.0
+    assert got.loc["WEST", "revenue"] == 100.0   # 200 * 0.5
+    assert got.loc["EAST", "share"] == 0.5
+    assert got.loc["EAST", "n_lines"] == 1
