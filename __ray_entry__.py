@@ -885,6 +885,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_lines_value_corr": lambda sf: _rel.lines_value_corr(sf),
         "rel_region_revenue": lambda sf: _rel.region_revenue(sf),
+        "events_value_median_by_type": lambda sf: _wd.value_median_by_type(
+            _events_ds(sf)
+        ),
+        "rel_brand_revenue": lambda sf: _rel.brand_revenue(sf),
+        "rel_customer_nation_mix": lambda sf: _rel.customer_nation_mix(sf),
     })
 
 
@@ -1544,6 +1549,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_lines_value_corr": _rel.LINES_VALUE_CORR_SQL,
         "rel_region_revenue": _rel.REGION_REVENUE_SQL,
+        "events_value_median_by_type": _wd.VALUE_MEDIAN_BY_TYPE_SQL,
+        "rel_brand_revenue": _rel.BRAND_REVENUE_SQL,
+        "rel_customer_nation_mix": _rel.CUSTOMER_NATION_MIX_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -4873,3 +4873,148 @@ SELECT r_name, CAST(n AS BIGINT) AS n_lines,
          AS share
 FROM s
 """
+
+
+def brand_revenue(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Net revenue by PART BRAND — ``region_revenue``'s product-side twin
+    (which brands carry the catalogue). Unlike the 25-row nation map, the
+    part table is fact-sized at scale, so the brand attribute arrives
+    through the co-partitioned ``hash_join`` on partkey, never a
+    broadcast; lineitems pre-aggregate per part in the map first (one
+    scaled-int + count per partkey per batch). Exact 1e-4-scaled ints;
+    share is one division rounded 6. Output: p_brand, n_lines, revenue,
+    share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import rev_scaled4
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def per_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": batch["l_partkey"],
+            "n": np.int64(1),
+            "rev4": rev_scaled4(batch["l_extendedprice"],
+                                batch["l_discount"]),
+        }).groupby("p_partkey", sort=False).sum().astype("int64")\
+            .reset_index()
+
+    lp = hash_join(
+        li.map_batches(per_part, batch_format="pandas", batch_size=65536),
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ),
+        on="p_partkey",
+        n_buckets=n_buckets,
+    )
+
+    def per_brand(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("p_brand", sort=False)[["n", "rev4"]]\
+            .sum().astype("int64").reset_index()
+
+    parts = lp.map_batches(per_brand, batch_format="pandas",
+                           batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("p_brand", sort=False)[["n", "rev4"]].sum()
+        rows = []
+        for brand, r in g.iterrows():  # brand set is enum-bounded (~25)
+            rows.append((brand, int(r["n"]),
+                         ((int(r["rev4"]) + 50) // 100) / 100.0,
+                         int(r["rev4"])))
+        out = pd.DataFrame(rows, columns=["p_brand", "n_lines", "revenue",
+                                          "_rev4"])
+        tot = float(out["_rev4"].sum())
+        out["share"] = np.round(out["_rev4"].to_numpy(dtype="float64")
+                                / tot, 6)
+        return out.drop(columns=["_rev4"]).astype({"n_lines": "int64"})
+
+    # ONE bucket: the share denominator is global, brands are ~25 rows
+    return bucketed_group_apply(parts, ["p_brand"], final, n_buckets=1)
+
+
+BRAND_REVENUE_SQL = """
+WITH s AS (
+  SELECT p.p_brand, COUNT(*) AS n,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rev4
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+       CAST((rev4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(rev4 AS DOUBLE) / SUM(CAST(rev4 AS DOUBLE)) OVER (), 6)
+         AS share
+FROM s
+"""
+
+
+def customer_nation_mix(sf_dir: str, n_buckets: int = 8) -> ray.data.Dataset:
+    """Customer headcount and mean account balance by NATION — the
+    demographic base rate behind ``returns_by_nation``/``nation_hhi``
+    (is a nation's revenue share just its customer share?). Per-batch
+    partials bound the exchange to nation cardinality; the 25-row
+    nation-name map ships via ``ray.put``. Balances sum in exact int
+    cents (acctbal can be negative — plain int sum, no half-up needed);
+    the mean and share are each one deterministic double division
+    rounded 6. Output: n_name, n_customers, avg_acctbal, share."""
+    import pyarrow.parquet as pq
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_nationkey": batch["c_nationkey"].astype("int64"),
+            "n": np.int64(1),
+            "cents": cents_i64(batch["c_acctbal"]),
+        }).groupby("c_nationkey", sort=False).sum().astype("int64")\
+            .reset_index()
+
+    parts = cust.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("c_nationkey", sort=False)[["n", "cents"]]\
+            .sum()
+        name = pd.Series(g.index, index=g.index).map(ray.get(nat_ref))
+        n = g["n"].to_numpy(dtype="int64")
+        cents = g["cents"].to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "n_name": name.to_numpy(),
+            "n_customers": n,
+            "avg_acctbal": np.round(
+                cents.astype("float64") / (100.0 * n), 6),
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    # ONE bucket: the share denominator is global, nations are 25 rows
+    return bucketed_group_apply(parts, ["c_nationkey"], final, n_buckets=1)
+
+
+CUSTOMER_NATION_MIX_SQL = """
+WITH s AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name, CAST(s.n AS BIGINT) AS n_customers,
+       ROUND(CAST(s.cents AS DOUBLE) / (100.0 * s.n), 6) AS avg_acctbal,
+       ROUND(CAST(s.n AS DOUBLE) / SUM(CAST(s.n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM s JOIN nation n ON n.n_nationkey = s.c_nationkey
+"""

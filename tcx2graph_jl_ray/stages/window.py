@@ -4346,3 +4346,70 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_events,
        ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
 FROM b GROUP BY bin
 """
+
+
+def value_median_by_type(
+    events: ray.data.Dataset,
+    qs: tuple = (0.5, 0.9),
+    collect_budget: int = 65536,
+) -> ray.data.Dataset:
+    """Per-TYPE exact value quantiles — ``value_quantiles``' grouped form
+    (which type's spend distribution is heavy-tailed, not just the global
+    mix). The event-type set is enum-bounded, so the op collects the
+    distinct types (tiny driver frame) and runs one histogram-refinement
+    descent (functions/quantile.py — bounded driver memory at any corpus
+    size) per type over the filtered stream: |types| × O(log) scans of one
+    pre-filtered, materialized two-column projection. If the type set ever
+    grew unbounded, the documented fusion is a grouped descent sharing one
+    _hist_counts pass per refinement round. Interpolation is
+    QUANTILE_CONT-identical; np.round 6. Output: event_type, n_valued,
+    p50, p90."""
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["value"].notna()]
+        return pd.DataFrame({
+            "event_type": d["event_type"], "value": d["value"],
+        })
+
+    # materialize: consumed once for the type list then |types| times by
+    # the descents — without it the upstream read re-executes per consumer
+    base = events.map_batches(
+        keep, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    types = sorted(
+        base.map_batches(
+            lambda b: pd.DataFrame({"t": b["event_type"].unique()}),
+            batch_format="pandas",
+        ).to_pandas()["t"].unique()
+    )
+
+    rows = []
+    for t in types:
+        sub = base.map_batches(
+            lambda b, t=t: pd.DataFrame(
+                {"value": b.loc[b["event_type"] == t, "value"]}
+            ),
+            batch_format="pandas", batch_size=65536,
+        )
+        n, qv = exact_global_quantiles(
+            sub, "value", list(qs), collect_budget
+        )
+        rows.append(
+            (t, n) + tuple(float(np.round(qv[q], 6)) for q in qs)
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_valued"]
+        + [f"p{int(q * 100)}" for q in qs]
+    )
+    out["n_valued"] = out["n_valued"].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+VALUE_MEDIAN_BY_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_valued,
+       ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+       ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+"""

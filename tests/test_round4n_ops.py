@@ -918,3 +918,74 @@ def test_region_revenue_planted(ray_session, tmp_path):
     assert got.loc["WEST", "revenue"] == 100.0   # 200 * 0.5
     assert got.loc["EAST", "share"] == 0.5
     assert got.loc["EAST", "n_lines"] == 1
+
+
+def test_value_median_by_type_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_median_by_type
+
+    ev = pd.DataFrame({
+        "event_type": ["a"] * 4 + ["b"] * 3,
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0, None, 20.0],
+    })
+    got = (
+        value_median_by_type(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    # a: [1,2,3,4] -> p50 = 2.5 (interp), p90 = 1 + 0.9*3... rank 2.7:
+    # 3 + 0.7*(4-3) = 3.7 ; b: [10,20] -> p50 = 15, p90 = 19
+    assert got.loc["a", "n_valued"] == 4
+    assert got.loc["a", "p50"] == 2.5
+    assert got.loc["a", "p90"] == np.round(3 + 0.7000000000000002 * 1, 6)
+    assert got.loc["b", "n_valued"] == 2
+    assert got.loc["b", "p50"] == 15.0
+    assert got.loc["b", "p90"] == 19.0
+
+
+def test_brand_revenue_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import brand_revenue
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0, 300.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.5]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["B1", "B2"]),
+    }), str(tmp_path / "part.parquet"))
+    got = (
+        brand_revenue(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("p_brand")
+        .sort_index()
+    )
+    assert got.loc["B1", "revenue"] == 200.0
+    assert got.loc["B2", "revenue"] == 150.0   # 300 * 0.5
+    assert got.loc["B1", "n_lines"] == 2
+    assert got.loc["B1", "share"] == np.round(200 / 350, 6)
+
+
+def test_customer_nation_mix_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import customer_nation_mix
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1], type=pa.int64()),
+        "c_acctbal": pa.array([10.50, -0.50, 7.25]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["ALGERIA", "BRAZIL"]),
+    }), str(tmp_path / "nation.parquet"))
+    got = (
+        customer_nation_mix(str(tmp_path))
+        .to_pandas()
+        .set_index("n_name")
+        .sort_index()
+    )
+    assert got.loc["ALGERIA", "n_customers"] == 2
+    assert got.loc["ALGERIA", "avg_acctbal"] == 5.0   # (1050-50)/200
+    assert got.loc["BRAZIL", "avg_acctbal"] == 7.25
+    assert got.loc["ALGERIA", "share"] == np.round(2 / 3, 6)
