@@ -59,6 +59,7 @@ _COPURCHASE_MIN = 2
 _SUBSTR_K, _SUBSTR_TOP = 32, 100
 _KWIC_TERM, _KWIC_W = "customer", 2
 _STAB_K, _TPL_PREFIX = 50, 64
+_TURNPOS_CAP = 20
 _ZIPF_TOP_N = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
@@ -890,6 +891,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_brand_revenue": lambda sf: _rel.brand_revenue(sf),
         "rel_customer_nation_mix": lambda sf: _rel.customer_nation_mix(sf),
+        "kg_turn_len_by_position": lambda sf: _an.turn_len_by_position(
+            _transcripts(sf), cap=_TURNPOS_CAP
+        ),
+        "kg_neighbor_degree_curve": lambda sf: _an.neighbor_degree_curve(
+            _transitions(sf)
+        ),
+        "rel_order_value_deciles": lambda sf: _rel.order_value_deciles(sf),
     })
 
 
@@ -1552,6 +1560,15 @@ def oracle_sql() -> dict[str, str]:
         "events_value_median_by_type": _wd.VALUE_MEDIAN_BY_TYPE_SQL,
         "rel_brand_revenue": _rel.BRAND_REVENUE_SQL,
         "rel_customer_nation_mix": _rel.CUSTOMER_NATION_MIX_SQL,
+        "kg_turn_len_by_position": _an.TURN_LEN_BY_POSITION_SQL_TEMPLATE
+        .format(transcripts=TRANSCRIPTS_SQL, cap=_TURNPOS_CAP),
+        "kg_neighbor_degree_curve":
+            _an.NEIGHBOR_DEGREE_CURVE_SQL_TEMPLATE.format(
+                transitions=_an.TRANSITIONS_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
+                )
+            ),
+        "rel_order_value_deciles": _rel.ORDER_VALUE_DECILES_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -5934,3 +5934,150 @@ SELECT month, CAST(n AS BIGINT) AS n_new_entities,
 FROM c
 """
 )
+
+
+def turn_len_by_position(
+    transcripts: ray.data.Dataset, cap: int = 20, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Turn LENGTH as a function of POSITION in the conversation — the
+    fatigue curve (do turns shrink as conversations run long?), the
+    positional companion to ``role_stats``' by-role composition. Positions
+    cap at ``cap`` (the tail pools into one bucket) so the output is
+    position-bounded at any corpus size; token counts use the house
+    ``str.count('[^ ]+')`` whitespace rule and the mean is the half-up
+    integer division (never a float sum). Output: turn_pos, n_turns,
+    n_tokens, avg_tokens (all int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ntok = batch["text"].str.count(r"[^ ]+").fillna(0).astype("int64")
+        pos = batch["turn_idx"].astype("int64").clip(upper=cap)
+        g = ntok.groupby(pos, sort=False).agg(["size", "sum"]).reset_index()
+        g.columns = ["turn_pos", "n_turns", "n_tokens"]
+        return g
+
+    parts = transcripts.select_columns(
+        ["turn_idx", "text"]
+    ).map_batches(partial, batch_format="pandas", batch_size=8192)
+
+    def finish(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("turn_pos", sort=False).sum().reset_index()
+        nt = g["n_turns"].astype("int64")
+        tk = g["n_tokens"].astype("int64")
+        return pd.DataFrame({
+            "turn_pos": g["turn_pos"].astype("int64"),
+            "n_turns": nt,
+            "n_tokens": tk,
+            "avg_tokens": (2 * tk + nt) // (2 * nt),
+        })
+
+    return bucketed_group_apply(parts, ["turn_pos"], finish,
+                                n_buckets=n_buckets)
+
+
+TURN_LEN_BY_POSITION_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+m AS (
+  SELECT LEAST(turn_idx, {cap}) AS turn_pos,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM t
+)
+SELECT CAST(turn_pos AS BIGINT) AS turn_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST((2 * SUM(ntok) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS avg_tokens
+FROM m GROUP BY turn_pos
+"""
+
+
+def neighbor_degree_curve(
+    transitions: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Average neighbour in-degree as a function of source out-degree —
+    the knn(k) mixing CURVE behind ``degree_assortativity``'s single
+    coefficient (a falling curve = hubs point at leaves, disassortative).
+    Degrees are exact distinct-neighbour counts reduced inside one
+    bucketed apply per side (each key's rows co-locate once); both degree
+    tables re-attach to the edge stream through co-partitioned
+    ``hash_join``s (degree tables are vocabulary-scale — never
+    broadcast); every joined batch folds to degree-class partials so the
+    final exchange is bounded by the number of distinct out-degree values.
+    Mean is one double division of exact ints, rounded 6.
+    Output: out_deg, n_edges, avg_nbr_in_deg."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    tr = transitions.select_columns(
+        ["from_entity", "to_entity"]
+    ).materialize()  # consumed by two degree reductions + the join chain
+
+    def od_reduce(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("from_entity", sort=False)["to_entity"]\
+            .nunique()
+        return pd.DataFrame({
+            "from_entity": g.index,
+            "od": g.to_numpy().astype("int64"),
+        })
+
+    def id_reduce(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("to_entity", sort=False)["from_entity"]\
+            .nunique()
+        return pd.DataFrame({
+            "to_entity": g.index,
+            "idg": g.to_numpy().astype("int64"),
+        })
+
+    od = bucketed_group_apply(tr, ["from_entity"], od_reduce,
+                              n_buckets=n_buckets)
+    idg = bucketed_group_apply(tr, ["to_entity"], id_reduce,
+                               n_buckets=n_buckets)
+
+    j = hash_join(
+        hash_join(tr, od, on="from_entity", n_buckets=n_buckets),
+        idg, on="to_entity", n_buckets=n_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("od", sort=False)["idg"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "od": g.index.to_numpy().astype("int64"),
+            "n": g["size"].to_numpy().astype("int64"),
+            "s": g["sum"].to_numpy().astype("int64"),
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("od", sort=False)[["n", "s"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        s = g["s"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "out_deg": g.index.to_numpy().astype("int64"),
+            "n_edges": n,
+            "avg_nbr_in_deg": np.round(s.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["od"], final, n_buckets=4,
+    )
+
+
+NEIGHBOR_DEGREE_CURVE_SQL_TEMPLATE = """
+WITH t AS ({transitions}),
+od AS (
+  SELECT from_entity, COUNT(DISTINCT to_entity) AS od
+  FROM t GROUP BY from_entity
+),
+idg AS (
+  SELECT to_entity, COUNT(DISTINCT from_entity) AS idg
+  FROM t GROUP BY to_entity
+),
+e AS (
+  SELECT od.od, idg.idg
+  FROM t JOIN od USING (from_entity) JOIN idg USING (to_entity)
+)
+SELECT CAST(od AS BIGINT) AS out_deg,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(CAST(SUM(idg) AS DOUBLE) / COUNT(*), 6) AS avg_nbr_in_deg
+FROM e GROUP BY od
+"""

@@ -5018,3 +5018,43 @@ SELECT n.n_name, CAST(s.n AS BIGINT) AS n_customers,
          AS share
 FROM s JOIN nation n ON n.n_nationkey = s.c_nationkey
 """
+
+
+def order_value_deciles(
+    sf_dir: str, collect_budget: int = 65536
+) -> ray.data.Dataset:
+    """Exact DECILES of the order header value — the distributional view
+    behind ``segment_aov``'s means (where the mass of order sizes actually
+    sits). One histogram-refinement descent (functions/quantile.py —
+    driver memory bounded by ``collect_budget`` at any order count) over
+    the single pruned column; all nine ranks share the descent's scans.
+    QUANTILE_CONT-identical interpolation, np.round 6.
+    Output: one row — n_orders, p10..p90."""
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    n, qv = exact_global_quantiles(
+        orders, "o_totalprice", qs, collect_budget
+    )
+    out = {"n_orders": pd.array([n], dtype="int64")}
+    for q in qs:
+        out[f"p{int(q * 100)}"] = [float(np.round(qv[q], 6))]
+    return ray.data.from_pandas(pd.DataFrame(out))
+
+
+ORDER_VALUE_DECILES_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.1), 6) AS p10,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.2), 6) AS p20,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.3), 6) AS p30,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.4), 6) AS p40,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS p50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.6), 6) AS p60,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.7), 6) AS p70,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.8), 6) AS p80,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90
+FROM orders
+"""

@@ -989,3 +989,56 @@ def test_customer_nation_mix_planted(ray_session, tmp_path):
     assert got.loc["ALGERIA", "avg_acctbal"] == 5.0   # (1050-50)/200
     assert got.loc["BRAZIL", "avg_acctbal"] == 7.25
     assert got.loc["ALGERIA", "share"] == np.round(2 / 3, 6)
+
+
+def test_turn_len_by_position_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import turn_len_by_position
+
+    tr = pd.DataFrame({
+        "turn_idx": [0, 0, 1, 5],
+        "text": ["a b", "c", "d e f", "x y"],
+    })
+    got = (
+        turn_len_by_position(ray.data.from_pandas(tr), cap=3)
+        .to_pandas()
+        .set_index("turn_pos")
+        .sort_index()
+    )
+    assert got.loc[0, "n_turns"] == 2
+    assert got.loc[0, "n_tokens"] == 3
+    assert got.loc[0, "avg_tokens"] == 2     # (2*3+2)//4 = 2 half-up
+    assert got.loc[1, "avg_tokens"] == 3
+    assert got.loc[3, "n_turns"] == 1        # capped from turn 5
+
+
+def test_neighbor_degree_curve_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import neighbor_degree_curve
+
+    # hub h -> a, b, c (out_deg 3); a -> b (out_deg 1)
+    # in-degs: a 1, b 2, c 1
+    tr = pd.DataFrame({
+        "from_entity": ["h", "h", "h", "a"],
+        "to_entity": ["a", "b", "c", "b"],
+        "n": [1, 1, 1, 1],
+    })
+    got = (
+        neighbor_degree_curve(ray.data.from_pandas(tr), n_buckets=4)
+        .to_pandas()
+        .set_index("out_deg")
+        .sort_index()
+    )
+    assert got.loc[3, "n_edges"] == 3
+    assert got.loc[3, "avg_nbr_in_deg"] == np.round(4 / 3, 6)
+    assert got.loc[1, "avg_nbr_in_deg"] == 2.0
+
+
+def test_order_value_deciles_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import order_value_deciles
+
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array([float(i) for i in range(1, 12)]),
+    }), str(tmp_path / "orders.parquet"))
+    got = order_value_deciles(str(tmp_path)).to_pandas()
+    assert got.loc[0, "n_orders"] == 11
+    assert got.loc[0, "p50"] == 6.0          # median of 1..11
+    assert got.loc[0, "p10"] == 2.0          # rank 0.1*10 = 1 -> value 2
