@@ -898,6 +898,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _transitions(sf)
         ),
         "rel_order_value_deciles": lambda sf: _rel.order_value_deciles(sf),
+        "kg_alternation_hist": lambda sf: _an.alternation_hist(
+            _transcripts(sf)
+        ),
+        "kg_mention_novelty": lambda sf: _an.mention_novelty(
+            _mentions_with_entity(sf), _transcripts(sf)
+        ),
+        "events_active_days_hist": lambda sf: _wd.active_days_hist(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1569,6 +1578,13 @@ def oracle_sql() -> dict[str, str]:
                 )
             ),
         "rel_order_value_deciles": _rel.ORDER_VALUE_DECILES_SQL,
+        "kg_alternation_hist": _an.ALTERNATION_HIST_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "kg_mention_novelty": _an.MENTION_NOVELTY_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
+        ),
+        "events_active_days_hist": _wd.ACTIVE_DAYS_HIST_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

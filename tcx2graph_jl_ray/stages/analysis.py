@@ -6081,3 +6081,212 @@ SELECT CAST(od AS BIGINT) AS out_deg,
        ROUND(CAST(SUM(idg) AS DOUBLE) / COUNT(*), 6) AS avg_nbr_in_deg
 FROM e GROUP BY od
 """
+
+
+def alternation_hist(
+    transcripts: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Role ALTERNATION histogram: per conversation, the fraction of
+    adjacent turn pairs whose roles differ (1.0 = strict user/assistant
+    ping-pong, low = monologues or tool bursts), rolled into ten corpus
+    bins — the dialogue-structure health check next to
+    ``role_mix_monthly``'s volume view. Adjacent pairs form through one
+    co-partitioned self-``hash_join`` on (conv, turn+1) — no per-conv
+    ordering task, no whale-conv exposure; per-conv pair/alternation
+    counts are order-free sums; the bin is the PURE-INTEGER
+    ``min(10*alt // pairs, 9)`` (never a float ratio × 10 — boundary
+    ratios like 1/2 must bin identically to SQL). Single-turn
+    conversations carry no pair and drop on both sides.
+    Output: bin, lo, n_convs, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    base = transcripts.select_columns(["conv_id", "turn_idx", "role"])
+
+    def shift(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"].astype("int64") + 1,
+            "role_prev": batch["role"],
+        })
+
+    pairs = hash_join(
+        base,
+        base.map_batches(shift, batch_format="pandas", batch_size=65536),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        alt = (batch["role"] != batch["role_prev"]).astype("int64")
+        g = alt.groupby(batch["conv_id"], sort=False).agg(["size", "sum"])
+        return pd.DataFrame({
+            "conv_id": g.index,
+            "n_pairs": g["size"].to_numpy().astype("int64"),
+            "n_alt": g["sum"].to_numpy().astype("int64"),
+        })
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False)[["n_pairs", "n_alt"]]\
+            .sum()
+        b = np.minimum(
+            10 * g["n_alt"].to_numpy(dtype="int64")
+            // g["n_pairs"].to_numpy(dtype="int64"),
+            9,
+        )
+        s = pd.Series(b).groupby(b).size()
+        return pd.DataFrame({
+            "bin": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(
+        pairs.map_batches(partial, batch_format="pandas",
+                          batch_size=65536),
+        ["conv_id"], per_conv, n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "bin": g.index.to_numpy().astype("int64"),
+            "lo": np.round(g.index.to_numpy().astype("float64") / 10.0, 1),
+            "n_convs": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+ALTERNATION_HIST_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+p AS (
+  SELECT a.conv_id,
+         CASE WHEN a.role <> b.role THEN 1 ELSE 0 END AS alt
+  FROM t a JOIN t b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx - 1
+),
+c AS (
+  SELECT conv_id, COUNT(*) AS n_pairs, SUM(alt) AS n_alt
+  FROM p GROUP BY conv_id
+),
+h AS (
+  SELECT LEAST(10 * n_alt // n_pairs, 9) AS bin, COUNT(*) AS n
+  FROM c GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, ROUND(bin / 10.0, 1) AS lo,
+       CAST(n AS BIGINT) AS n_convs,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""
+
+
+def mention_novelty(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Repeat-mention share by MONTH: of a month's mentions, what
+    fraction reference an entity BORN (first mentioned) in an earlier
+    month — ``entity_growth``'s flow-side complement (a rising repeat
+    share is the corpus converging on a stable vocabulary; a falling one
+    is topic churn). Mentions take timestamps through the co-partitioned
+    (conv, turn) ``hash_join``; entity birth months reduce entity-bucketed;
+    births re-attach to the mention stream through a second
+    ``hash_join`` on entity (both sides vocabulary/fact-scale — never a
+    broadcast); monthly partials bound the final exchange to the month
+    count. Share is one double division rounded 6.
+    Output: month, n_mentions, n_repeat, share_repeat."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    mt = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "ts"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def month_of(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity_id": batch["entity_id"],
+            "month": pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m"),
+        })
+
+    mm = mt.map_batches(
+        month_of, batch_format="pandas", batch_size=65536
+    ).materialize()  # consumed by the birth reduce AND the repeat join
+
+    def birth_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("entity_id", sort=False)["month"].min()
+        return pd.DataFrame({
+            "entity_id": g.index, "birth": g.to_numpy(),
+        })
+
+    births = bucketed_group_apply(
+        mm.map_batches(birth_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["entity_id"],
+        lambda b: b.groupby("entity_id", sort=False)["birth"].min()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    j = hash_join(mm, births, on="entity_id", n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rep = (batch["month"] > batch["birth"]).astype("int64")
+        g = rep.groupby(batch["month"], sort=False).agg(["size", "sum"])
+        return pd.DataFrame({
+            "month": g.index,
+            "n": g["size"].to_numpy().astype("int64"),
+            "r": g["sum"].to_numpy().astype("int64"),
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)[["n", "r"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        r = g["r"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "month": g.index,
+            "n_mentions": n,
+            "n_repeat": r,
+            "share_repeat": np.round(r.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["month"], final, n_buckets=4,
+    )
+
+
+MENTION_NOVELTY_SQL_TEMPLATE = (
+    r"""
+WITH tr AS ({transcripts}),
+m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+mt AS (
+  SELECT l.entity_id, strftime(tr.ts, '%Y-%m') AS month
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+  JOIN tr ON tr.conv_id = mm.conv_id AND tr.turn_idx = mm.turn_idx
+),
+b AS (SELECT entity_id, MIN(month) AS birth FROM mt GROUP BY entity_id),
+s AS (
+  SELECT mt.month,
+         COUNT(*) AS n,
+         SUM(CASE WHEN mt.month > b.birth THEN 1 ELSE 0 END) AS r
+  FROM mt JOIN b USING (entity_id) GROUP BY mt.month
+)
+SELECT month, CAST(n AS BIGINT) AS n_mentions,
+       CAST(r AS BIGINT) AS n_repeat,
+       ROUND(CAST(r AS DOUBLE) / n, 6) AS share_repeat
+FROM s
+"""
+)

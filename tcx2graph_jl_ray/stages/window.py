@@ -4413,3 +4413,63 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_valued,
        ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90
 FROM events WHERE value IS NOT NULL GROUP BY event_type
 """
+
+
+def active_days_hist(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Distinct ACTIVE DAYS per user, rolled into a corpus histogram —
+    the calendar-habit companion to ``user_activity_hist``'s raw event
+    counts (100 events in one day and 100 days of one event are different
+    users). (user, day) dedups exactly per batch then once more in the
+    user-bucketed reduce; the day count per user is order-free; the final
+    count-of-counts exchange is bounded by the distinct day-count values.
+    Output: n_days, n_users, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "day": pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m-%d"),
+        })
+        return d.drop_duplicates()
+
+    parts = events.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)["day"].nunique()
+        s = g.groupby(g, sort=False).size()
+        return pd.DataFrame({
+            "n_days": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["user_id"], per_user,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_days", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "n_days": g.index.to_numpy().astype("int64"),
+            "n_users": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["n_days"], final, n_buckets=1)
+
+
+ACTIVE_DAYS_HIST_SQL = """
+WITH u AS (
+  SELECT user_id, COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+  FROM events GROUP BY user_id
+),
+h AS (SELECT n_days, COUNT(*) AS n FROM u GROUP BY n_days)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

@@ -1042,3 +1042,75 @@ def test_order_value_deciles_planted(ray_session, tmp_path):
     assert got.loc[0, "n_orders"] == 11
     assert got.loc[0, "p50"] == 6.0          # median of 1..11
     assert got.loc[0, "p10"] == 2.0          # rank 0.1*10 = 1 -> value 2
+
+
+def test_alternation_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import alternation_hist
+
+    # conv A: u,a,u -> 2 pairs, 2 alt -> ratio 1.0 -> bin 9 (clipped)
+    # conv B: u,u,a -> 2 pairs, 1 alt -> 10*1//2 = 5
+    # conv C: single turn -> dropped
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "A", "B", "B", "B", "C"],
+        "turn_idx": [0, 1, 2, 0, 1, 2, 0],
+        "role": ["user", "assistant", "user",
+                 "user", "user", "assistant", "user"],
+    })
+    got = (
+        alternation_hist(ray.data.from_pandas(tr), n_buckets=4)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert list(got.index) == [5, 9]
+    assert got.loc[9, "n_convs"] == 1
+    assert got.loc[5, "share"] == 0.5
+    assert got.loc[5, "lo"] == 0.5
+
+
+def test_mention_novelty_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import mention_novelty
+
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "B"],
+        "turn_idx": [0, 1, 0],
+        "ts": pd.to_datetime(["2024-01-05", "2024-02-20", "2024-02-01"]),
+    })
+    # e1 born Jan; Feb has 2 mentions: e1 (repeat) + e2 (new)
+    me = pd.DataFrame({
+        "conv_id": ["A", "A", "B"],
+        "turn_idx": [0, 1, 0],
+        "entity_id": ["e1", "e2", "e1"],
+    })
+    got = (
+        mention_novelty(ray.data.from_pandas(me), ray.data.from_pandas(tr))
+        .to_pandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert got.loc["2024-01", "n_repeat"] == 0
+    assert got.loc["2024-02", "n_mentions"] == 2
+    assert got.loc["2024-02", "n_repeat"] == 1
+    assert got.loc["2024-02", "share_repeat"] == 0.5
+
+
+def test_active_days_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import active_days_hist
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-01 01:00", "2024-01-01 02:00", "2024-01-02 00:00",
+            "2024-01-01 00:00", "2024-01-05 00:00",
+            "2024-03-01 00:00",
+        ]),
+    })
+    got = (
+        active_days_hist(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("n_days")
+        .sort_index()
+    )
+    assert got.loc[1, "n_users"] == 1
+    assert got.loc[2, "n_users"] == 2
+    assert got.loc[2, "share"] == np.round(2 / 3, 6)
