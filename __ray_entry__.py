@@ -907,6 +907,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_active_days_hist": lambda sf: _wd.active_days_hist(
             _events_ds(sf)
         ),
+        "docs_quality_band_tokens": lambda sf: _tx.quality_band_tokens(
+            _docs(sf)
+        ),
+        "kg_entity_cooc_entropy": lambda sf: _an.entity_cooc_entropy(
+            _cooc(sf)
+        ),
+        "dedup_savings": lambda sf: _dd.dedup_savings(
+            _minhash_clusters(sf), _docs(sf)
+        ),
     })
 
 
@@ -1585,6 +1594,16 @@ def oracle_sql() -> dict[str, str]:
             transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
         ),
         "events_active_days_hist": _wd.ACTIVE_DAYS_HIST_SQL,
+        "docs_quality_band_tokens": _tx.QUALITY_BAND_TOKENS_SQL,
+        "kg_entity_cooc_entropy":
+            _an.ENTITY_COOC_ENTROPY_SQL_TEMPLATE.format(
+                cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL
+                )
+            ),
+        "dedup_savings": _dd.DEDUP_SAVINGS_SQL_TEMPLATE.format(
+            clusters=_dd.minhash_clusters_sql()
+        ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -6290,3 +6290,71 @@ SELECT month, CAST(n AS BIGINT) AS n_mentions,
 FROM s
 """
 )
+
+
+def entity_cooc_entropy(
+    cooc: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-entity PARTNER ENTROPY over the co-occurrence graph: how
+    evenly an entity's shared-conversation weight spreads across its
+    partners (hub-with-one-friend scores ~0, uniform mixer scores
+    ~log2(deg)) — the node-local diversity measure next to
+    ``conv_diversity``'s per-conversation view. Edges symmetrize via one
+    tagged union (no join); each entity's partner rows co-locate once in
+    the bucketed reduce; entropy follows the ``hourly_entropy``
+    discipline (np.log2, round 6, ``+ 0.0`` -0.0 fold).
+    Output: entity_id, n_partners, w_total, partner_entropy."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["n_convs"].astype("int64")
+        return pd.DataFrame({
+            "entity_id": pd.concat([batch["src"], batch["dst"]],
+                                   ignore_index=True),
+            "w": pd.concat([w, w], ignore_index=True),
+        })
+
+    sym = cooc.select_columns(["src", "dst", "n_convs"]).map_batches(
+        tag, batch_format="pandas", batch_size=65536
+    )
+
+    def per_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ent, g in bucket.groupby("entity_id", sort=False):
+            w = g["w"].to_numpy(dtype="int64")
+            wt = int(w.sum())
+            p = w.astype("float64") / float(wt)
+            ent_h = 0.0 - float((p * np.log2(p)).sum()) + 0.0
+            rows.append((ent, len(w), wt, np.round(ent_h, 6) + 0.0))
+        if not rows:
+            return pd.DataFrame({
+                "entity_id": pd.Series([], dtype="object"),
+                "n_partners": pd.Series([], dtype="int64"),
+                "w_total": pd.Series([], dtype="int64"),
+                "partner_entropy": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame(rows, columns=[
+            "entity_id", "n_partners", "w_total", "partner_entropy"
+        ]).astype({"n_partners": "int64", "w_total": "int64"})
+
+    return bucketed_group_apply(sym, ["entity_id"], per_entity,
+                                n_buckets=n_buckets)
+
+
+ENTITY_COOC_ENTROPY_SQL_TEMPLATE = """
+WITH c AS ({cooccurrence}),
+e AS (
+  SELECT src AS entity_id, CAST(n_convs AS DOUBLE) AS w FROM c
+  UNION ALL
+  SELECT dst, CAST(n_convs AS DOUBLE) FROM c
+),
+t AS (SELECT entity_id, SUM(w) AS wt, COUNT(*) AS np FROM e
+      GROUP BY entity_id)
+SELECT e.entity_id,
+       CAST(t.np AS BIGINT) AS n_partners,
+       CAST(t.wt AS BIGINT) AS w_total,
+       ROUND(0.0 - SUM((e.w / t.wt) * log2(e.w / t.wt)), 6) + 0.0
+         AS partner_entropy
+FROM e JOIN t USING (entity_id)
+GROUP BY e.entity_id, t.np, t.wt
+"""

@@ -3713,3 +3713,101 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM d a JOIN d b ON a.p = b.p AND a.source < b.source
 GROUP BY a.source, b.source
 """
+
+
+def dedup_savings(
+    clusters: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """One-row DEDUP SAVINGS ledger: if every near-dup cluster keeps only
+    its representative (the min-doc_id member, ``neardup_minhash``'s
+    cluster label), how many documents and TOKENS leave the corpus — the
+    number a pretraining budget actually cares about. The corpus totals
+    fold per batch; the removed side joins cluster members to their token
+    counts through the co-partitioned ``hash_join`` (both sides
+    corpus-scale) and folds the ``doc_id != cluster_id`` rows; the two
+    one-row-per-batch partial streams union into one final bucket. Token
+    rule: ``str.count('[^ ]+')`` over non-null text, the house doc-token
+    count. Output: n_docs, n_removed, tokens_total, tokens_removed,
+    savings_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def tok_map(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "ntok": d["text"].str.count(r"[^ ]+").astype("int64"),
+        })
+
+    tok = docs.select_columns(["doc_id", "text"]).map_batches(
+        tok_map, batch_format="pandas", batch_size=8192
+    ).materialize()  # consumed by the totals fold AND the removed join
+
+    def tot_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": ["all"],
+            "n_docs": [np.int64(len(batch))],
+            "tokens_total": [np.int64(batch["ntok"].sum())],
+            "n_removed": [np.int64(0)],
+            "tokens_removed": [np.int64(0)],
+        })
+
+    removed = hash_join(
+        clusters.select_columns(["doc_id", "cluster_id"]),
+        tok, on="doc_id", n_buckets=n_buckets,
+    )
+
+    def rem_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["doc_id"] != batch["cluster_id"]]
+        return pd.DataFrame({
+            "k": ["all"],
+            "n_docs": [np.int64(0)],
+            "tokens_total": [np.int64(0)],
+            "n_removed": [np.int64(len(d))],
+            "tokens_removed": [np.int64(d["ntok"].sum())],
+        })
+
+    parts = tok.map_batches(
+        tot_partial, batch_format="pandas", batch_size=65536
+    ).union(removed.map_batches(
+        rem_partial, batch_format="pandas", batch_size=65536
+    ))
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n_docs = int(bucket["n_docs"].sum())
+        toks = int(bucket["tokens_total"].sum())
+        nr = int(bucket["n_removed"].sum())
+        tr = int(bucket["tokens_removed"].sum())
+        return pd.DataFrame({
+            "n_docs": pd.array([n_docs], dtype="int64"),
+            "n_removed": pd.array([nr], dtype="int64"),
+            "tokens_total": pd.array([toks], dtype="int64"),
+            "tokens_removed": pd.array([tr], dtype="int64"),
+            "savings_share": [np.round(float(tr) / toks, 6)],
+        })
+
+    return bucketed_group_apply(parts, ["k"], final, n_buckets=1)
+
+
+DEDUP_SAVINGS_SQL_TEMPLATE = """
+WITH c AS ({clusters}),
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT COUNT(*) AS n_docs, SUM(ntok) AS toks FROM tok),
+rem AS (
+  SELECT COUNT(*) AS nr, COALESCE(SUM(t.ntok), 0) AS tr
+  FROM c JOIN tok t USING (doc_id)
+  WHERE c.doc_id <> c.cluster_id
+)
+SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+       CAST(rem.nr AS BIGINT) AS n_removed,
+       CAST(tot.toks AS BIGINT) AS tokens_total,
+       CAST(rem.tr AS BIGINT) AS tokens_removed,
+       ROUND(CAST(rem.tr AS DOUBLE) / tot.toks, 6) AS savings_share
+FROM tot, rem
+"""

@@ -4498,3 +4498,77 @@ SELECT CAST(ns AS BIGINT) AS n_sources,
              / SUM(CAST(n_words AS DOUBLE)) OVER (), 6) AS share
 FROM h
 """
+
+
+def quality_band_tokens(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Token BUDGET by quality band — the curation curve behind every
+    keep-the-top-X%-of-docs decision: band docs by stopword density (the
+    house natural-language prior, cf. ``rrf_fusion``'s ranking side) and
+    report each band's document and token mass plus the cumulative token
+    share walking from the most stopword-dense band down. The band is the
+    PURE-INTEGER ``min(10*n_stop // n_tokens, 9)`` over the lowercase
+    ' '-split tokens (QUALITY_SQL's token rule) — never a float ratio, so
+    boundary docs bin identically to SQL; the rollup exchange is bounded
+    by ten bands. Output: band, n_docs, n_tokens, tok_share,
+    cum_tok_share (cumulative from band 9 down)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = _nonnull_text(batch)
+        ntok = (d["text"].str.count(" ") + 1).astype("int64")
+        tf = _token_frame(d)
+        stops = tf[tf["tok"].isin(STOPWORDS)].groupby("row").size()
+        n_stop = (
+            pd.Series(0, index=range(len(d)))
+            .add(stops, fill_value=0)
+            .astype("int64")
+        )
+        band = np.minimum(10 * n_stop.to_numpy() // ntok.to_numpy(), 9)
+        g = pd.DataFrame({"band": band, "n": np.int64(1), "ntok": ntok})\
+            .groupby("band", sort=False).sum().reset_index()
+        return g.astype({"band": "int64", "n": "int64", "ntok": "int64"})
+
+    parts = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("band", sort=False)[["n", "ntok"]].sum()
+        g = g.sort_index(ascending=False)  # walk from band 9 down
+        n = g["n"].to_numpy(dtype="int64")
+        tk = g["ntok"].to_numpy(dtype="int64")
+        tot = float(tk.sum())
+        return pd.DataFrame({
+            "band": g.index.to_numpy().astype("int64"),
+            "n_docs": n,
+            "n_tokens": tk,
+            "tok_share": np.round(tk.astype("float64") / tot, 6),
+            "cum_tok_share": np.round(
+                np.cumsum(tk).astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(parts, ["band"], final, n_buckets=1)
+
+
+QUALITY_BAND_TOKENS_SQL = f"""
+WITH d AS (
+  SELECT string_split(lower(text), ' ') AS t,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT LEAST(10 * len(list_filter(t, x -> x IN {STOPWORDS})) // ntok, 9)
+           AS band,
+         ntok
+  FROM d
+),
+g AS (SELECT band, COUNT(*) AS n, SUM(ntok) AS tk FROM b GROUP BY band)
+SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n_docs,
+       CAST(tk AS BIGINT) AS n_tokens,
+       ROUND(CAST(tk AS DOUBLE) / SUM(CAST(tk AS DOUBLE)) OVER (), 6)
+         AS tok_share,
+       ROUND(CAST(SUM(tk) OVER (ORDER BY band DESC) AS DOUBLE)
+             / SUM(CAST(tk AS DOUBLE)) OVER (), 6) AS cum_tok_share
+FROM g
+"""

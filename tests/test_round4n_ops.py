@@ -1114,3 +1114,67 @@ def test_active_days_hist_planted(ray_session):
     assert got.loc[1, "n_users"] == 1
     assert got.loc[2, "n_users"] == 2
     assert got.loc[2, "share"] == np.round(2 / 3, 6)
+
+
+def test_quality_band_tokens_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import quality_band_tokens
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        # doc1: "the and" -> 2 stop / 2 tok -> band 9 (10*2//2=10 clip)
+        # doc2: "the cat" -> 1/2 -> band 5 ; doc3: "x y z" -> 0 -> band 0
+        "text": ["the and", "the cat", "x y z"],
+    })
+    got = (
+        quality_band_tokens(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("band")
+        .sort_index()
+    )
+    assert list(got.index) == [0, 5, 9]
+    assert got.loc[9, "n_tokens"] == 2
+    assert got.loc[9, "cum_tok_share"] == np.round(2 / 7, 6)
+    assert got.loc[0, "cum_tok_share"] == 1.0
+    assert got.loc[5, "tok_share"] == np.round(2 / 7, 6)
+
+
+def test_entity_cooc_entropy_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import entity_cooc_entropy
+
+    cooc = pd.DataFrame({
+        "src": ["a", "a"],
+        "dst": ["b", "c"],
+        "n_convs": [1, 1],
+    })
+    got = (
+        entity_cooc_entropy(ray.data.from_pandas(cooc), n_buckets=4)
+        .to_pandas()
+        .set_index("entity_id")
+        .sort_index()
+    )
+    assert got.loc["a", "n_partners"] == 2
+    assert got.loc["a", "partner_entropy"] == 1.0   # two equal partners
+    assert got.loc["b", "partner_entropy"] == 0.0
+    assert got.loc["b", "w_total"] == 1
+
+
+def test_dedup_savings_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import dedup_savings
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": ["a b c", "a b c", "x y", None],
+    })
+    clusters = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "cluster_id": pd.array([1, 1], dtype="int64"),
+    })
+    got = dedup_savings(
+        ray.data.from_pandas(clusters), ray.data.from_pandas(docs),
+        n_buckets=2,
+    ).to_pandas()
+    assert got.loc[0, "n_docs"] == 3           # null-text doc excluded
+    assert got.loc[0, "n_removed"] == 1        # doc 2 folds into doc 1
+    assert got.loc[0, "tokens_total"] == 8
+    assert got.loc[0, "tokens_removed"] == 3
+    assert got.loc[0, "savings_share"] == np.round(3 / 8, 6)
