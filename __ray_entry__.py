@@ -916,6 +916,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_savings": lambda sf: _dd.dedup_savings(
             _minhash_clusters(sf), _docs(sf)
         ),
+        "kg_conv_duration_hist": lambda sf: _an.conv_duration_hist(
+            _transcripts(sf)
+        ),
+        "rel_urgent_share_monthly": lambda sf: _rel.urgent_share_monthly(
+            sf
+        ),
+        "emb_norm_profile": lambda sf: _ann.norm_profile(
+            _embeddings_ds(sf)
+        ),
     })
 
 
@@ -1604,6 +1613,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_savings": _dd.DEDUP_SAVINGS_SQL_TEMPLATE.format(
             clusters=_dd.minhash_clusters_sql()
         ),
+        "kg_conv_duration_hist":
+            _an.CONV_DURATION_HIST_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL
+            ),
+        "rel_urgent_share_monthly": _rel.URGENT_SHARE_MONTHLY_SQL,
+        "emb_norm_profile": _ann.NORM_PROFILE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

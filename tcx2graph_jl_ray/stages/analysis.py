@@ -6358,3 +6358,86 @@ SELECT e.entity_id,
 FROM e JOIN t USING (entity_id)
 GROUP BY e.entity_id, t.np, t.wt
 """
+
+
+def conv_duration_hist(
+    transcripts: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Conversation DURATION spectrum: log2 histogram of wall-clock
+    conversation length in seconds — ``user_activity_hist``'s time-axis
+    sibling for conversations (one-shot Q&A vs day-long sessions sizes
+    the per-conv state every windowed stage holds). Per-conv first/last
+    timestamps are order-free min/max partials; the bin is the
+    PURE-INTEGER ``(dur_s + 1).bit_length() - 1`` == floor(log2(dur_s+1))
+    (zero-duration single-turn convs land in bin 0); the count-of-counts
+    fold bounds the final exchange to ~40 bins. Output: bin, lo_seconds,
+    n_convs, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(batch["ts"])
+        g = ts.groupby(batch["conv_id"], sort=False).agg(["min", "max"])
+        return pd.DataFrame({
+            "conv_id": g.index,
+            "t0": g["min"].to_numpy(),
+            "t1": g["max"].to_numpy(),
+        })
+
+    parts = transcripts.select_columns(["conv_id", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False).agg(
+            t0=("t0", "min"), t1=("t1", "max")
+        )
+        dur_s = (
+            (g["t1"].to_numpy() - g["t0"].to_numpy())
+            .astype("timedelta64[us]").astype("int64") // 1_000_000
+        )
+        bins = np.array(
+            [int(d + 1).bit_length() - 1 for d in dur_s], dtype="int64"
+        )
+        s = pd.Series(bins).groupby(bins).size()
+        return pd.DataFrame({
+            "bin": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["conv_id"], per_conv,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        b = g.index.to_numpy().astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "lo_seconds": ((np.int64(1) << b) - 1).astype("int64"),
+            "n_convs": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+CONV_DURATION_HIST_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+c AS (
+  -- floor of the microsecond span, NOT date_diff('second', ...) which
+  -- counts boundary crossings and diverges on sub-second fractions
+  SELECT conv_id,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+  FROM t GROUP BY conv_id
+),
+h AS (
+  SELECT CAST(floor(log2(dur_s + 1)) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM c GROUP BY 1
+)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) - 1 AS lo_seconds,
+       CAST(n AS BIGINT) AS n_convs,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

@@ -1784,3 +1784,72 @@ SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vectors,
          AS share
 FROM c
 """
+
+
+def norm_profile(
+    embeddings: ray.data.Dataset, collect_budget: int = 65536
+) -> ray.data.Dataset:
+    """L2-NORM profile of the embedding column — the first sanity gate on
+    any vector feed (un-normalized vectors break cosine shortcuts; a
+    drifting norm mean is an encoder version change). Per-vector norms
+    round to 6 FIRST (the ``embedding_dim_stats`` float discipline — the
+    rounded value is the op's defined statistic, so engine and oracle
+    order-dependence is absorbed before any comparison), then: exact
+    count, min, max; mean of the rounded norms (float64 sum, rounded 6);
+    p50/p90 via one histogram-refinement descent (bounded driver memory).
+    Output: one row — n_vecs, norm_min, norm_max, norm_mean, p50, p90."""
+    from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
+
+    def norms(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["embedding"].notna()]
+        if not len(d):
+            return pd.DataFrame({"norm": pd.Series([], dtype="float64")})
+        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "norm": np.round(np.sqrt((vecs * vecs).sum(axis=1)), 6),
+        })
+
+    ns = embeddings.select_columns(["embedding"]).map_batches(
+        norms, batch_format="pandas", batch_size=4096
+    ).materialize()  # consumed by the scalar fold AND the descent
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["norm"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "k": ["all"], "n": [np.int64(len(v))],
+            "vmin": [v.min()], "vmax": [v.max()], "s": [v.sum()],
+        })
+
+    folded = ns.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()  # one row per batch — bounded
+
+    n = int(folded["n"].sum())
+    _, qv = exact_global_quantiles(
+        ns, "norm", [0.5, 0.9], collect_budget
+    )
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_vecs": pd.array([n], dtype="int64"),
+        "norm_min": [float(folded["vmin"].min())],
+        "norm_max": [float(folded["vmax"].max())],
+        "norm_mean": [float(np.round(folded["s"].sum() / n, 6))],
+        "p50": [float(np.round(qv[0.5], 6))],
+        "p90": [float(np.round(qv[0.9], 6))],
+    }))
+
+
+NORM_PROFILE_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+nrm AS (
+  SELECT ROUND(SQRT(SUM(e * e)), 6) AS norm FROM u GROUP BY vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(norm) AS norm_min, MAX(norm) AS norm_max,
+       ROUND(SUM(norm) / COUNT(*), 6) AS norm_mean,
+       ROUND(QUANTILE_CONT(norm, 0.5), 6) AS p50,
+       ROUND(QUANTILE_CONT(norm, 0.9), 6) AS p90
+FROM nrm
+"""

@@ -5058,3 +5058,56 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90
 FROM orders
 """
+
+
+def urgent_share_monthly(sf_dir: str, n_buckets: int = 8) -> ray.data.Dataset:
+    """URGENT-priority order share by MONTH — ``priority_mix``'s static
+    composition put on the time axis (a drifting urgent share is an
+    upstream feed change every SLA dashboard needs first). Monthly
+    partials bound the exchange to the month count; the share is one
+    double division of exact counts, rounded 6.
+    Output: month, n_orders, n_urgent, urgent_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        month = pd.to_datetime(batch["o_orderdate"]).dt.strftime("%Y-%m")
+        urgent = batch["o_orderpriority"].str.startswith("1-")\
+            .astype("int64")
+        g = urgent.groupby(month, sort=False).agg(["size", "sum"])
+        return pd.DataFrame({
+            "month": g.index,
+            "n": g["size"].to_numpy().astype("int64"),
+            "u": g["sum"].to_numpy().astype("int64"),
+        })
+
+    parts = orders.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)[["n", "u"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        u = g["u"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "month": g.index,
+            "n_orders": n,
+            "n_urgent": u,
+            "urgent_share": np.round(u.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["month"], final, n_buckets=4)
+
+
+URGENT_SHARE_MONTHLY_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       ROUND(CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0
+                      END) AS DOUBLE) / COUNT(*), 6) AS urgent_share
+FROM orders GROUP BY 1
+"""

@@ -1178,3 +1178,63 @@ def test_dedup_savings_planted(ray_session):
     assert got.loc[0, "tokens_total"] == 8
     assert got.loc[0, "tokens_removed"] == 3
     assert got.loc[0, "savings_share"] == np.round(3 / 8, 6)
+
+
+def test_conv_duration_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import conv_duration_hist
+
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "B", "C", "C"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:07",   # 7 s -> bin 3
+            "2024-01-01 00:00:00",                          # 0 s -> bin 0
+            "2024-01-01 00:00:00", "2024-01-01 00:00:01",   # 1 s -> bin 1
+        ]),
+    })
+    got = (
+        conv_duration_hist(ray.data.from_pandas(tr), n_buckets=4)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert list(got.index) == [0, 1, 3]
+    assert got.loc[3, "lo_seconds"] == 7
+    assert got.loc[0, "n_convs"] == 1
+    assert got.loc[1, "share"] == np.round(1 / 3, 6)
+
+
+def test_urgent_share_monthly_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import urgent_share_monthly
+    import datetime
+
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            datetime.date(2024, 1, 1), datetime.date(2024, 1, 2),
+            datetime.date(2024, 2, 1),
+        ]),
+        "o_orderpriority": pa.array(["1-URGENT", "3-MEDIUM", "1-URGENT"]),
+    }), str(tmp_path / "orders.parquet"))
+    got = (
+        urgent_share_monthly(str(tmp_path))
+        .to_pandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert got.loc["2024-01", "n_orders"] == 2
+    assert got.loc["2024-01", "urgent_share"] == 0.5
+    assert got.loc["2024-02", "urgent_share"] == 1.0
+
+
+def test_norm_profile_planted(ray_session):
+    from tcx2graph_jl_ray.stages.ann import norm_profile
+
+    emb = pd.DataFrame({
+        "vec_id": pd.array([1, 2, 3], dtype="int64"),
+        "embedding": [[3.0, 4.0], [0.0, 1.0], [6.0, 8.0]],
+    })
+    got = norm_profile(ray.data.from_pandas(emb)).to_pandas()
+    assert got.loc[0, "n_vecs"] == 3
+    assert got.loc[0, "norm_min"] == 1.0
+    assert got.loc[0, "norm_max"] == 10.0
+    assert got.loc[0, "p50"] == 5.0
+    assert got.loc[0, "norm_mean"] == np.round(16 / 3, 6)
