@@ -925,6 +925,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norm_profile": lambda sf: _ann.norm_profile(
             _embeddings_ds(sf)
         ),
+        "dedup_simhash_bit_balance": lambda sf: _dd.simhash_bit_balance(
+            _docs(sf)
+        ),
+        "kg_hot_turnover_daily": lambda sf: _an.hot_turnover_daily(
+            _mentions_with_entity(sf), _transcripts(sf), k=_STAB_K
+        ),
+        "rel_part_size_profile": lambda sf: _rel.part_size_profile(sf),
     })
 
 
@@ -1619,6 +1626,16 @@ def oracle_sql() -> dict[str, str]:
             ),
         "rel_urgent_share_monthly": _rel.URGENT_SHARE_MONTHLY_SQL,
         "emb_norm_profile": _ann.NORM_PROFILE_SQL,
+        "dedup_simhash_bit_balance":
+            _dd.SIMHASH_BIT_BALANCE_SQL_TEMPLATE.format(
+                simhash=_dd.SIMHASH_SQL
+            ),
+        "kg_hot_turnover_daily":
+            _an.HOT_TURNOVER_DAILY_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL,
+                k=_STAB_K,
+            ),
+        "rel_part_size_profile": _rel.PART_SIZE_PROFILE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -6441,3 +6441,134 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) - 1 AS lo_seconds,
          AS share
 FROM h
 """
+
+
+def hot_turnover_daily(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    k: int = 20,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset | pd.DataFrame":
+    """Day-over-day TURNOVER of the hot-entity leaderboard: Jaccard
+    overlap between consecutive days' top-``k`` mentioned entities —
+    ``hot_stability``'s static halves check put on the calendar (a
+    crashing overlap is topic churn; 1.0 is a frozen vocabulary).
+    Mentions pick up timestamps through the co-partitioned (conv, turn)
+    ``hash_join``; (day, entity) counts reduce bucketed; each day's
+    top-k (ties break to the lexically smaller entity) is cut inside a
+    day-bucketed apply; the surviving days x k rows are calendar-bounded,
+    so the consecutive-day set algebra runs on the driver (the
+    ``docs_rrf_fusion`` rank-bounded pattern) with a typed-empty return
+    when fewer than two days exist. Adjacency is DATA adjacency (the
+    distinct days present). Output: day, next_day, n_common, jaccard."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    mt = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "ts"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m-%d")
+        g = pd.DataFrame({
+            "day": d, "entity_id": batch["entity_id"],
+        }).groupby(["day", "entity_id"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = bucketed_group_apply(
+        mt.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["day", "entity_id"],
+        lambda b: b.groupby(["day", "entity_id"], sort=False)["n"]
+        .sum().reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for m, g in bucket.groupby("day", sort=False):
+            g = g.sort_values(["n", "entity_id"],
+                              ascending=[False, True], kind="mergesort")
+            rows.append(g.head(k)[["day", "entity_id"]])
+        return (
+            pd.concat(rows, ignore_index=True)
+            if rows else bucket[["day", "entity_id"]]
+        )
+
+    # days x k rows — calendar-bounded, safe to collect
+    tops = bucketed_group_apply(counts, ["day"], topk,
+                                n_buckets=4).to_pandas()
+
+    # typed empty PANDAS frame on the degenerate (<2 days) path: Ray
+    # drops empty blocks at to_pandas()/schema(), so a Dataset return
+    # would lose the columns (the heavy_hitter_words contract)
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="object"),
+        "next_day": pd.Series([], dtype="object"),
+        "n_common": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64"),
+    })
+    if not len(tops) or "day" not in tops.columns:
+        return empty
+    days = sorted(tops["day"].unique())
+    sets = {m: set(tops.loc[tops["day"] == m, "entity_id"])
+            for m in days}
+    rows = []
+    for a, b in zip(days, days[1:]):
+        common = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - common
+        rows.append((a, b, common, float(np.round(common / union, 6))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=[
+        "day", "next_day", "n_common", "jaccard"
+    ]).astype({"n_common": "int64"})
+    return ray.data.from_pandas(out)
+
+
+HOT_TURNOVER_DAILY_SQL_TEMPLATE = (
+    r"""
+WITH tr AS ({transcripts}),
+m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+mt AS (
+  SELECT l.entity_id, strftime(tr.ts, '%Y-%m-%d') AS day
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+  JOIN tr ON tr.conv_id = mm.conv_id AND tr.turn_idx = mm.turn_idx
+),
+c AS (SELECT day, entity_id, COUNT(*) AS n FROM mt GROUP BY 1, 2),
+t AS (
+  SELECT day, entity_id
+  FROM (SELECT day, entity_id,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY n DESC, entity_id) AS r
+        FROM c)
+  WHERE r <= {k}
+),
+dd AS (
+  SELECT day, LEAD(day) OVER (ORDER BY day) AS next_day
+  FROM (SELECT DISTINCT day FROM t)
+),
+j AS (
+  SELECT p.day, p.next_day,
+         (SELECT COUNT(*) FROM t a JOIN t b
+            ON a.entity_id = b.entity_id
+           AND a.day = p.day AND b.day = p.next_day) AS n_common,
+         (SELECT COUNT(*) FROM t WHERE day = p.day) AS na,
+         (SELECT COUNT(*) FROM t WHERE day = p.next_day) AS nb
+  FROM dd p WHERE p.next_day IS NOT NULL
+)
+SELECT day, next_day, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6)
+         AS jaccard
+FROM j
+"""
+)

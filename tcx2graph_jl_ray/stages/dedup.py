@@ -3811,3 +3811,61 @@ SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
        ROUND(CAST(rem.tr AS DOUBLE) / tot.toks, 6) AS savings_share
 FROM tot, rem
 """
+
+
+def simhash_bit_balance(
+    docs: ray.data.Dataset, n_buckets: int = 1
+) -> ray.data.Dataset:
+    """Per-BIT balance of the 64-bit SimHash — the degenerate-hash
+    detector (a healthy corpus keeps every bit near 0.5 set; a bit pinned
+    to 0/1 halves the effective band entropy and floods
+    ``simhash_neardup_pairs`` with false candidates). Every batch folds
+    to 64 rows of exact set-counts (vectorized shift-and-mask over the
+    int64 column — numpy's arithmetic >> matches SQL's on every bit,
+    sign bit included); the final exchange is 64 rows per batch.
+    Output: bit, n_set, n_docs, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy(dtype="int64")
+        bits = np.arange(64, dtype="int64")
+        n_set = ((h[:, None] >> bits[None, :]) & 1).sum(axis=0)
+        return pd.DataFrame({
+            "bit": bits,
+            "n_set": n_set.astype("int64"),
+            "n": np.int64(len(h)),
+        })
+
+    sh = simhash_table(docs)
+    parts = sh.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bit", sort=False)[["n_set", "n"]].sum()
+        n_set = g["n_set"].to_numpy(dtype="int64")
+        n = g["n"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "bit": g.index.to_numpy().astype("int64"),
+            "n_set": n_set,
+            "n_docs": n,
+            "share": np.round(n_set.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["bit"], final, n_buckets=1)
+
+
+SIMHASH_BIT_BALANCE_SQL_TEMPLATE = """
+WITH s AS ({simhash}),
+b AS (SELECT unnest(generate_series(0, 63)) AS bit),
+c AS (
+  SELECT b.bit,
+         SUM(CASE WHEN (s.simhash >> b.bit) & 1 = 1 THEN 1 ELSE 0 END)
+           AS n_set,
+         COUNT(*) AS n
+  FROM s CROSS JOIN b GROUP BY b.bit
+)
+SELECT CAST(bit AS BIGINT) AS bit, CAST(n_set AS BIGINT) AS n_set,
+       CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(n_set AS DOUBLE) / n, 6) AS share
+FROM c
+"""

@@ -5111,3 +5111,54 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
                       END) AS DOUBLE) / COUNT(*), 6) AS urgent_share
 FROM orders GROUP BY 1
 """
+
+
+def part_size_profile(sf_dir: str, n_buckets: int = 8) -> ray.data.Dataset:
+    """Catalogue profile by PART SIZE: part count and mean retail price
+    per size class — the assortment view next to ``brand_revenue``'s
+    sales view. Size classes are enum-bounded so partials bound the
+    exchange; retail prices sum in exact int cents and the mean is one
+    deterministic double division rounded 6.
+    Output: p_size, n_parts, avg_retail."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_size": batch["p_size"].astype("int64"),
+            "n": np.int64(1),
+            "cents": cents_i64(batch["p_retailprice"]),
+        }).groupby("p_size", sort=False).sum().astype("int64")\
+            .reset_index()
+
+    parts = part.map_batches(partial, batch_format="pandas",
+                             batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("p_size", sort=False)[["n", "cents"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        cents = g["cents"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "p_size": g.index.to_numpy().astype("int64"),
+            "n_parts": n,
+            "avg_retail": np.round(
+                cents.astype("float64") / (100.0 * n), 6),
+        })
+
+    return bucketed_group_apply(parts, ["p_size"], final, n_buckets=1)
+
+
+PART_SIZE_PROFILE_SQL = """
+WITH s AS (
+  SELECT p_size, COUNT(*) AS n,
+         SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS cents
+  FROM part GROUP BY p_size
+)
+SELECT CAST(p_size AS BIGINT) AS p_size, CAST(n AS BIGINT) AS n_parts,
+       ROUND(CAST(cents AS DOUBLE) / (100.0 * n), 6) AS avg_retail
+FROM s
+"""

@@ -1238,3 +1238,85 @@ def test_norm_profile_planted(ray_session):
     assert got.loc[0, "norm_max"] == 10.0
     assert got.loc[0, "p50"] == 5.0
     assert got.loc[0, "norm_mean"] == np.round(16 / 3, 6)
+
+
+def test_simhash_bit_balance_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import simhash_bit_balance
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": ["alpha beta", "alpha beta", "gamma delta"],
+    })
+    got = simhash_bit_balance(ray.data.from_pandas(docs)).to_pandas()
+    assert len(got) == 64
+    assert (got["n_docs"] == 3).all()
+    assert got["n_set"].between(0, 3).all()
+    # identical docs hash identically -> every bit count is 0, 1, 2 or 3
+    # and the two dup docs always move together (n_set != 1 impossible
+    # only if doc3 sets it; check parity-of-dups instead):
+    s = got.set_index("bit")["n_set"]
+    assert ((s % 2 == 0) | (s == 1) | (s == 3)).all()
+
+
+def test_hot_turnover_daily_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import hot_turnover_daily
+
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "B", "B"],
+        "turn_idx": [0, 1, 0, 1],
+        "ts": pd.to_datetime([
+            "2024-01-05", "2024-01-05", "2024-01-06", "2024-01-06",
+        ]),
+    })
+    # day1 top-2: e1, e2 ; day2 top-2: e2, e3 -> common 1, union 3
+    me = pd.DataFrame({
+        "conv_id": ["A", "A", "B", "B"],
+        "turn_idx": [0, 1, 0, 1],
+        "entity_id": ["e1", "e2", "e2", "e3"],
+    })
+    got = hot_turnover_daily(
+        ray.data.from_pandas(me), ray.data.from_pandas(tr), k=2
+    ).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "day"] == "2024-01-05"
+    assert got.loc[0, "next_day"] == "2024-01-06"
+    assert got.loc[0, "n_common"] == 1
+    assert got.loc[0, "jaccard"] == np.round(1 / 3, 6)
+
+
+def test_hot_turnover_daily_single_day_empty(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import hot_turnover_daily
+
+    tr = pd.DataFrame({
+        "conv_id": ["A"], "turn_idx": [0],
+        "ts": pd.to_datetime(["2024-01-05"]),
+    })
+    me = pd.DataFrame({
+        "conv_id": ["A"], "turn_idx": [0], "entity_id": ["e1"],
+    })
+    got = hot_turnover_daily(
+        ray.data.from_pandas(me), ray.data.from_pandas(tr), k=2
+    )
+    # typed-empty contract: a PANDAS frame (Ray drops empty blocks) with
+    # zero rows and all four columns intact
+    assert isinstance(got, pd.DataFrame)
+    assert list(got.columns) == ["day", "next_day", "n_common", "jaccard"]
+    assert len(got) == 0
+
+
+def test_part_size_profile_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import part_size_profile
+
+    pq.write_table(pa.table({
+        "p_size": pa.array([1, 1, 5], type=pa.int64()),
+        "p_retailprice": pa.array([10.00, 20.01, 7.50]),
+    }), str(tmp_path / "part.parquet"))
+    got = (
+        part_size_profile(str(tmp_path))
+        .to_pandas()
+        .set_index("p_size")
+        .sort_index()
+    )
+    assert got.loc[1, "n_parts"] == 2
+    assert got.loc[1, "avg_retail"] == np.round(3001 / 200, 6)
+    assert got.loc[5, "avg_retail"] == 7.5
