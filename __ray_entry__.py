@@ -932,6 +932,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mentions_with_entity(sf), _transcripts(sf), k=_STAB_K
         ),
         "rel_part_size_profile": lambda sf: _rel.part_size_profile(sf),
+        "docs_len_token_corr": lambda sf: _tx.len_token_corr(_docs(sf)),
+        "rel_returned_rate_monthly": lambda sf: _rel.returned_rate_monthly(
+            sf
+        ),
+        "kg_tool_adoption_monthly": lambda sf: _an.tool_adoption_monthly(
+            _transcripts(sf)
+        ),
     })
 
 
@@ -1636,6 +1643,12 @@ def oracle_sql() -> dict[str, str]:
                 k=_STAB_K,
             ),
         "rel_part_size_profile": _rel.PART_SIZE_PROFILE_SQL,
+        "docs_len_token_corr": _tx.LEN_TOKEN_CORR_SQL,
+        "rel_returned_rate_monthly": _rel.RETURNED_RATE_MONTHLY_SQL,
+        "kg_tool_adoption_monthly":
+            _an.TOOL_ADOPTION_MONTHLY_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL
+            ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -6572,3 +6572,74 @@ SELECT day, next_day, CAST(n_common AS BIGINT) AS n_common,
 FROM j
 """
 )
+
+
+def tool_adoption_monthly(
+    transcripts: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """TOOL-use adoption curve: per month (of a conversation's FIRST
+    turn), how many conversations ran and what share contained at least
+    one tool turn — ``tool_stats``' per-tool table reduced to the one
+    adoption trend a capability dashboard plots. Per-conv first-ts and
+    has-tool are order-free min/max partials reduced conv-bucketed; the
+    monthly rollup is month-bounded; the share is one double division
+    rounded 6. Output: month, n_convs, n_tool_convs, tool_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(batch["ts"])
+        tool = (batch["role"] == "tool").astype("int64")
+        g = pd.DataFrame({
+            "conv_id": batch["conv_id"], "t0": ts, "tool": tool,
+        }).groupby("conv_id", sort=False).agg(
+            t0=("t0", "min"), tool=("tool", "max")
+        ).reset_index()
+        return g
+
+    parts = transcripts.select_columns(
+        ["conv_id", "role", "ts"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False).agg(
+            t0=("t0", "min"), tool=("tool", "max")
+        )
+        month = pd.to_datetime(g["t0"]).dt.strftime("%Y-%m")
+        h = g["tool"].groupby(month, sort=False).agg(["size", "sum"])
+        return pd.DataFrame({
+            "month": h.index,
+            "n": h["size"].to_numpy().astype("int64"),
+            "t": h["sum"].to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["conv_id"], per_conv,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)[["n", "t"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        t = g["t"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "month": g.index,
+            "n_convs": n,
+            "n_tool_convs": t,
+            "tool_share": np.round(t.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(mid, ["month"], final, n_buckets=1)
+
+
+TOOL_ADOPTION_MONTHLY_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+c AS (
+  SELECT conv_id, strftime(MIN(ts), '%Y-%m') AS month,
+         MAX(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS has_tool
+  FROM t GROUP BY conv_id
+),
+s AS (SELECT month, COUNT(*) AS n, SUM(has_tool) AS tl
+      FROM c GROUP BY month)
+SELECT month, CAST(n AS BIGINT) AS n_convs,
+       CAST(tl AS BIGINT) AS n_tool_convs,
+       ROUND(CAST(tl AS DOUBLE) / n, 6) AS tool_share
+FROM s
+"""

@@ -5162,3 +5162,82 @@ SELECT CAST(p_size AS BIGINT) AS p_size, CAST(n AS BIGINT) AS n_parts,
        ROUND(CAST(cents AS DOUBLE) / (100.0 * n), 6) AS avg_retail
 FROM s
 """
+
+
+def returned_rate_monthly(
+    sf_dir: str, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """RETURN RATE by ship month: the share of lineitems flagged 'R',
+    with the returned revenue share alongside — ``returns_by_nation``'s
+    geography view put on the calendar (a climbing return rate is a
+    quality regression; the revenue-weighted version says whether it is
+    the big tickets coming back). Monthly partials bound the exchange;
+    counts and scaled-int revenue are exact; each share is one double
+    division rounded 6. Output: month, n_lines, n_returned, return_rate,
+    returned_rev_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import rev_scaled4
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        month = pd.to_datetime(batch["l_shipdate"]).dt.strftime("%Y-%m")
+        ret = (batch["l_returnflag"] == "R").to_numpy()
+        rev4 = rev_scaled4(batch["l_extendedprice"], batch["l_discount"])
+        g = pd.DataFrame({
+            "month": month,
+            "n": np.int64(1),
+            "r": ret.astype("int64"),
+            "rev4": rev4,
+            "rrev4": np.where(ret, rev4, np.int64(0)),
+        }).groupby("month", sort=False).sum().reset_index()
+        for c in ("n", "r", "rev4", "rrev4"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = li.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)[
+            ["n", "r", "rev4", "rrev4"]
+        ].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        r = g["r"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "month": g.index,
+            "n_lines": n,
+            "n_returned": r,
+            "return_rate": np.round(r.astype("float64") / n, 6),
+            "returned_rev_share": np.round(
+                g["rrev4"].to_numpy(dtype="float64")
+                / g["rev4"].to_numpy(dtype="float64"), 6),
+        })
+
+    return bucketed_group_apply(parts, ["month"], final, n_buckets=4)
+
+
+RETURNED_RATE_MONTHLY_SQL = """
+WITH s AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev4,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS rrev4
+  FROM lineitem GROUP BY 1
+)
+SELECT month, CAST(n AS BIGINT) AS n_lines,
+       CAST(r AS BIGINT) AS n_returned,
+       ROUND(CAST(r AS DOUBLE) / n, 6) AS return_rate,
+       ROUND(CAST(rrev4 AS DOUBLE) / CAST(rev4 AS DOUBLE), 6)
+         AS returned_rev_share
+FROM s
+"""

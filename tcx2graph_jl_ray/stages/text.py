@@ -4572,3 +4572,75 @@ SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n_docs,
              / SUM(CAST(tk AS DOUBLE)) OVER (), 6) AS cum_tok_share
 FROM g
 """
+
+
+def len_token_corr(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Pearson correlation between a document's CHARACTER length and its
+    whitespace TOKEN count — the tokenizer sanity scalar (near-1 for
+    natural prose; a drop means long unsegmented blobs arrived, the kind
+    that blow up BPE later). The ``corr_value_hour`` exactness mold:
+    integer sufficient statistics per batch (chars < ~1e5, tokens < ~2e4
+    per doc keep Σx² int64-safe at batch_size 4096), Python-int merge,
+    one shared double expression rounded 6. Null-text docs drop on both
+    sides. Output: n_docs, corr_len_tokens."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def suff(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        x = d["text"].str.len().to_numpy(dtype="int64")
+        y = d["text"].str.count(r"[^ ]+").to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "n": [np.int64(len(d))],
+            "sx": [x.sum()], "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "sx2": [(x * x).sum()], "sy2": [(y * y).sum()],
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = sum(int(v) for v in bucket["n"])
+        sx = sum(int(v) for v in bucket["sx"])
+        sy = sum(int(v) for v in bucket["sy"])
+        sxy = sum(int(v) for v in bucket["sxy"])
+        sx2 = sum(int(v) for v in bucket["sx2"])
+        sy2 = sum(int(v) for v in bucket["sy2"])
+        dx, dy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if n == 0 or dx <= 0 or dy <= 0:
+            return pd.DataFrame({
+                "n_docs": pd.array([], dtype="int64"),
+                "corr_len_tokens": pd.array([], dtype="float64"),
+            })
+        corr = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+        return pd.DataFrame({
+            "n_docs": pd.array([n], dtype="int64"),
+            "corr_len_tokens": [float(np.round(corr, 6))],
+        })
+
+    return bucketed_group_apply(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            suff, batch_format="pandas", batch_size=4096
+        ),
+        ["k"], final, n_buckets=1,
+    )
+
+
+LEN_TOKEN_CORR_SQL = """
+WITH d AS (
+  SELECT CAST(length(text) AS BIGINT) AS x,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM d
+)
+SELECT n AS n_docs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+         AS corr_len_tokens
+FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+"""

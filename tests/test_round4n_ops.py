@@ -1320,3 +1320,63 @@ def test_part_size_profile_planted(ray_session, tmp_path):
     assert got.loc[1, "n_parts"] == 2
     assert got.loc[1, "avg_retail"] == np.round(3001 / 200, 6)
     assert got.loc[5, "avg_retail"] == 7.5
+
+
+def test_len_token_corr_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import len_token_corr
+
+    # lengths 3, 5, 7 chars with 1, 2, 3 tokens -> corr 1
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": ["abc", "ab cd", "a bb cc", None],
+    })
+    got = len_token_corr(ray.data.from_pandas(docs)).to_pandas()
+    assert got.loc[0, "n_docs"] == 3
+    assert got.loc[0, "corr_len_tokens"] == 1.0
+
+
+def test_returned_rate_monthly_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import returned_rate_monthly
+    import datetime
+
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([
+            datetime.date(2024, 1, 1), datetime.date(2024, 1, 2),
+            datetime.date(2024, 2, 1),
+        ]),
+        "l_returnflag": pa.array(["R", "N", "N"]),
+        "l_extendedprice": pa.array([100.0, 300.0, 50.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (
+        returned_rate_monthly(str(tmp_path))
+        .to_pandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert got.loc["2024-01", "return_rate"] == 0.5
+    assert got.loc["2024-01", "returned_rev_share"] == 0.25
+    assert got.loc["2024-02", "n_returned"] == 0
+
+
+def test_tool_adoption_monthly_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import tool_adoption_monthly
+
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "B", "C"],
+        "role": ["user", "tool", "user", "user"],
+        "ts": pd.to_datetime([
+            "2024-01-30 23:00", "2024-02-01 00:00",   # conv A starts Jan
+            "2024-01-10 00:00", "2024-02-05 00:00",
+        ]),
+    })
+    got = (
+        tool_adoption_monthly(ray.data.from_pandas(tr), n_buckets=4)
+        .to_pandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert got.loc["2024-01", "n_convs"] == 2        # A (first turn) + B
+    assert got.loc["2024-01", "n_tool_convs"] == 1   # A has a tool turn
+    assert got.loc["2024-01", "tool_share"] == 0.5
+    assert got.loc["2024-02", "tool_share"] == 0.0
