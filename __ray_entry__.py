@@ -939,6 +939,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_adoption_monthly": lambda sf: _an.tool_adoption_monthly(
             _transcripts(sf)
         ),
+        "kg_response_time_hist": lambda sf: _an.response_time_hist(
+            _transcripts(sf)
+        ),
+        "rel_supplier_breadth_hist": lambda sf: _rel.supplier_breadth_hist(
+            sf
+        ),
+        "events_night_share_hist": lambda sf: _wd.night_share_hist(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1649,6 +1658,12 @@ def oracle_sql() -> dict[str, str]:
             _an.TOOL_ADOPTION_MONTHLY_SQL_TEMPLATE.format(
                 transcripts=TRANSCRIPTS_SQL
             ),
+        "kg_response_time_hist":
+            _an.RESPONSE_TIME_HIST_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL
+            ),
+        "rel_supplier_breadth_hist": _rel.SUPPLIER_BREADTH_HIST_SQL,
+        "events_night_share_hist": _wd.NIGHT_SHARE_HIST_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -6643,3 +6643,81 @@ SELECT month, CAST(n AS BIGINT) AS n_convs,
        ROUND(CAST(tl AS DOUBLE) / n, 6) AS tool_share
 FROM s
 """
+
+
+def response_time_hist(
+    transcripts: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Corpus-wide DISTRIBUTION of assistant response latency: every
+    user turn's time-to-first-following-assistant-turn, binned log2 by
+    seconds — ``response_latency``'s per-conversation means say who is
+    slow, this histogram says whether the corpus tail is seconds or
+    hours. The same conv-bucketed vectorized backfill produces the
+    per-response latencies; the bin is the PURE-INTEGER
+    ``(lat_s + 1).bit_length() - 1`` over the floored second gap; the
+    count-of-counts fold bounds the final exchange to ~40 bins.
+    Output: bin, lo_seconds, n_responses, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        us = pd.to_datetime(d["ts"]).astype("datetime64[us]")\
+            .astype("int64")
+        a_ts = us.where((d["role"] == "assistant").to_numpy())
+        next_a = a_ts.groupby(d["conv_id"], sort=False).bfill()
+        k = ((d["role"] == "user") & next_a.notna()).to_numpy()
+        lat_s = ((next_a[k].astype("int64") - us[k]) // 1_000_000)\
+            .to_numpy()
+        bins = np.array(
+            [int(v + 1).bit_length() - 1 for v in lat_s], dtype="int64"
+        )
+        s = pd.Series(bins).groupby(bins).size()
+        return pd.DataFrame({
+            "bin": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "ts"]),
+        ["conv_id"], per_conv, n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        b = g.index.to_numpy().astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "lo_seconds": ((np.int64(1) << b) - 1).astype("int64"),
+            "n_responses": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+RESPONSE_TIME_HIST_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+nx AS (
+  SELECT conv_id, turn_idx, role, ts,
+         MIN(CASE WHEN role = 'assistant' THEN ts END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS next_a
+  FROM t
+),
+lat AS (
+  SELECT (epoch_us(next_a) - epoch_us(ts)) // 1000000 AS lat_s
+  FROM nx WHERE role = 'user' AND next_a IS NOT NULL
+),
+h AS (
+  SELECT CAST(floor(log2(lat_s + 1)) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM lat GROUP BY 1
+)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) - 1 AS lo_seconds,
+       CAST(n AS BIGINT) AS n_responses,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

@@ -5241,3 +5241,73 @@ SELECT month, CAST(n AS BIGINT) AS n_lines,
          AS returned_rev_share
 FROM s
 """
+
+
+def supplier_breadth_hist(
+    sf_dir: str, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Catalogue BREADTH per supplier: how many DISTINCT parts each
+    supplier actually shipped, rolled into a log2 histogram — the
+    supply-chain concentration view next to ``supplier_acctbal``'s
+    finance view (a corpus of single-part suppliers joins very
+    differently from one of broad-line distributors). (supp, part)
+    dedups per batch then exactly in the supplier-bucketed reduce; the
+    bin is the PURE-INTEGER ``bit_length`` rule; the count-of-counts
+    fold bounds the final exchange. Output: bin, min_parts, n_suppliers,
+    share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["l_suppkey", "l_partkey"]].drop_duplicates()
+
+    parts = li.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+
+    def per_supp(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("l_suppkey", sort=False)["l_partkey"].nunique()
+        c = g.to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in c],
+                        dtype="int64")
+        s = pd.Series(bins).groupby(bins).size()
+        return pd.DataFrame({
+            "bin": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["l_suppkey"], per_supp,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        b = g.index.to_numpy().astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "min_parts": (np.int64(1) << b).astype("int64"),
+            "n_suppliers": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+SUPPLIER_BREADTH_HIST_SQL = """
+WITH s AS (
+  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS np
+  FROM lineitem GROUP BY l_suppkey
+),
+h AS (
+  SELECT CAST(floor(log2(np)) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM s GROUP BY 1
+)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_parts,
+       CAST(n AS BIGINT) AS n_suppliers,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

@@ -4473,3 +4473,81 @@ SELECT CAST(n_days AS BIGINT) AS n_days, CAST(n AS BIGINT) AS n_users,
          AS share
 FROM h
 """
+
+
+def night_share_hist(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """NIGHT-OWL segmentation: per user, the share of events landing in
+    the night hours (before 06:00 or from 22:00), binned into ten
+    pure-integer deciles and rolled into a user histogram — the
+    behavioural-mix companion to ``dow_profile``'s corpus clock (a bot
+    farm shows up as a spike at decile 9). Per-user (night, total)
+    counts are order-free sums; the bin is ``min(10*night // total, 9)``
+    (never a float ratio); the count-of-counts fold bounds the final
+    exchange to ten rows. Output: bin, lo, n_users, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.to_datetime(batch["ts"]).dt.hour
+        night = ((h < 6) | (h >= 22)).astype("int64")
+        g = night.groupby(batch["user_id"], sort=False)\
+            .agg(["size", "sum"])
+        return pd.DataFrame({
+            "user_id": g.index.astype("int64"),
+            "n": g["size"].to_numpy().astype("int64"),
+            "night": g["sum"].to_numpy().astype("int64"),
+        })
+
+    parts = events.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)[["n", "night"]].sum()
+        b = np.minimum(
+            10 * g["night"].to_numpy(dtype="int64")
+            // g["n"].to_numpy(dtype="int64"),
+            9,
+        )
+        s = pd.Series(b).groupby(b).size()
+        return pd.DataFrame({
+            "bin": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["user_id"], per_user,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "bin": g.index.to_numpy().astype("int64"),
+            "lo": np.round(g.index.to_numpy().astype("float64") / 10.0, 1),
+            "n_users": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+NIGHT_SHARE_HIST_SQL = """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CASE WHEN date_part('hour', ts) < 6
+                    OR date_part('hour', ts) >= 22
+                  THEN 1 ELSE 0 END) AS night
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT LEAST(10 * night // n, 9) AS bin, COUNT(*) AS nu
+  FROM u GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, ROUND(bin / 10.0, 1) AS lo,
+       CAST(nu AS BIGINT) AS n_users,
+       ROUND(CAST(nu AS DOUBLE) / SUM(CAST(nu AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

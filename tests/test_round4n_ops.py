@@ -1380,3 +1380,73 @@ def test_tool_adoption_monthly_planted(ray_session):
     assert got.loc["2024-01", "n_tool_convs"] == 1   # A has a tool turn
     assert got.loc["2024-01", "tool_share"] == 0.5
     assert got.loc["2024-02", "tool_share"] == 0.0
+
+
+def test_response_time_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import response_time_hist
+
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "A", "A", "B"],
+        "turn_idx": [0, 1, 2, 3, 0],
+        "role": ["user", "assistant", "user", "assistant", "user"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00.0", "2024-01-01 00:00:03.0",  # 3 s -> bin 2
+            "2024-01-01 00:01:00.0", "2024-01-01 00:01:00.5",  # 0 s -> bin 0
+            "2024-01-01 00:00:00.0",                           # no assistant
+        ]),
+    })
+    got = (
+        response_time_hist(ray.data.from_pandas(tr), n_buckets=4)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert list(got.index) == [0, 2]
+    assert got.loc[2, "lo_seconds"] == 3
+    assert got.loc[0, "n_responses"] == 1
+    assert got.loc[0, "share"] == 0.5
+
+
+def test_supplier_breadth_hist_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import supplier_breadth_hist
+
+    pq.write_table(pa.table({
+        # supplier 1 ships 3 distinct parts (dup row collapses),
+        # supplier 2 ships 1 part
+        "l_suppkey": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "l_partkey": pa.array([10, 11, 12, 12, 99], type=pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (
+        supplier_breadth_hist(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_suppliers"] == 1     # breadth 1
+    assert got.loc[1, "n_suppliers"] == 1     # breadth 3 -> bin 1
+    assert got.loc[1, "min_parts"] == 2
+    assert got.loc[0, "share"] == 0.5
+
+
+def test_night_share_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import night_share_hist
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-01 23:00", "2024-01-01 23:30",     # user1 2/2 night
+            "2024-01-01 12:00", "2024-01-01 13:00",
+            "2024-01-01 05:00",                         # user2 1/3 night
+            "2024-01-01 10:00",                         # user3 0/1
+        ]),
+    })
+    got = (
+        night_share_hist(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[9, "n_users"] == 1          # user1 clipped 10 -> 9
+    assert got.loc[3, "n_users"] == 1          # 10*1//3 = 3
+    assert got.loc[0, "n_users"] == 1
+    assert got.loc[9, "share"] == np.round(1 / 3, 6)
