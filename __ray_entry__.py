@@ -948,6 +948,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_night_share_hist": lambda sf: _wd.night_share_hist(
             _events_ds(sf)
         ),
+        "rel_pk_audit": lambda sf: _rel.pk_audit(sf),
+        "kg_conv_repeat_hist": lambda sf: _an.conv_repeat_hist(
+            _mentions_with_entity(sf)
+        ),
+        "text_numeric_share_by_source":
+            lambda sf: _tx.numeric_share_by_source(_docs(sf)),
     })
 
 
@@ -1664,6 +1670,11 @@ def oracle_sql() -> dict[str, str]:
             ),
         "rel_supplier_breadth_hist": _rel.SUPPLIER_BREADTH_HIST_SQL,
         "events_night_share_hist": _wd.NIGHT_SHARE_HIST_SQL,
+        "rel_pk_audit": _rel.PK_AUDIT_SQL,
+        "kg_conv_repeat_hist": _an.CONV_REPEAT_HIST_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "text_numeric_share_by_source": _tx.NUMERIC_SHARE_BY_SOURCE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -6721,3 +6721,84 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) - 1 AS lo_seconds,
          AS share
 FROM h
 """
+
+
+def conv_repeat_hist(
+    mentions_with_entity: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Within-conversation mention REDUNDANCY: per conversation the share
+    of mentions that re-reference an entity already mentioned in that
+    conversation (1 - distinct/total — order-free, so no turn ordering is
+    needed), rolled into ten pure-integer decile bins — the
+    dialogue-level repetition gauge next to ``text_repetition``'s
+    document view. Per-batch (conv, entity) count partials reduce
+    conv-bucketed; the bin is ``min(10*(n-d) // n, 9)``; the
+    count-of-counts fold bounds the final exchange.
+    Output: bin, lo, n_convs, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["conv_id", "entity_id"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = mentions_with_entity.select_columns(
+        ["conv_id", "entity_id"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        ce = bucket.groupby(["conv_id", "entity_id"], sort=False)["n"]\
+            .sum().reset_index()
+        g = ce.groupby("conv_id", sort=False)["n"].agg(["size", "sum"])
+        d = g["size"].to_numpy(dtype="int64")       # distinct entities
+        n = g["sum"].to_numpy(dtype="int64")        # total mentions
+        b = np.minimum(10 * (n - d) // n, 9)
+        s = pd.Series(b).groupby(b).size()
+        return pd.DataFrame({
+            "bin": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["conv_id"], per_conv,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "bin": g.index.to_numpy().astype("int64"),
+            "lo": np.round(g.index.to_numpy().astype("float64") / 10.0, 1),
+            "n_convs": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+CONV_REPEAT_HIST_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+me AS (
+  SELECT mm.conv_id, l.entity_id
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+),
+c AS (
+  SELECT conv_id, COUNT(*) AS n, COUNT(DISTINCT entity_id) AS d
+  FROM me GROUP BY conv_id
+),
+h AS (
+  SELECT LEAST(10 * (n - d) // n, 9) AS bin, COUNT(*) AS nc
+  FROM c GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, ROUND(bin / 10.0, 1) AS lo,
+       CAST(nc AS BIGINT) AS n_convs,
+       ROUND(CAST(nc AS DOUBLE) / SUM(CAST(nc AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""
+)

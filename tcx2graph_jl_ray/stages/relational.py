@@ -5311,3 +5311,93 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_parts,
          AS share
 FROM h
 """
+
+
+_PK_SPECS = (
+    ("orders", ("o_orderkey",)),
+    ("customer", ("c_custkey",)),
+    ("part", ("p_partkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+)
+
+
+def pk_audit(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """PRIMARY-KEY uniqueness audit across the relational tables: row
+    count, distinct declared-key count, and duplicate-key rows per table
+    — the ingest gate every warehouse load runs first (a single
+    double-loaded partition silently doubles revenue downstream). Each
+    table streams only its key columns; per-batch (key) dedup partials
+    reduce exactly in the key-bucketed apply (count + duplicate count are
+    order-free); per-table results are 5 rows total.
+    Output: table_name, n_rows, n_keys, dup_rows."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    frames = []
+    for tname, keys in _PK_SPECS:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{tname}.parquet", columns=list(keys)
+        )
+
+        def partial(batch: pd.DataFrame, keys=keys) -> pd.DataFrame:
+            g = batch.groupby(list(keys), sort=False).size()
+            out = g.reset_index(name="n")
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        def per_key(bucket: pd.DataFrame, keys=keys) -> pd.DataFrame:
+            g = bucket.groupby(list(keys), sort=False)["n"].sum()
+            c = g.to_numpy(dtype="int64")
+            return pd.DataFrame({
+                "n_rows": pd.array([int(c.sum())], dtype="int64"),
+                "n_keys": pd.array([len(c)], dtype="int64"),
+                "dup_rows": pd.array(
+                    [int((c[c > 1]).sum())], dtype="int64"),
+            })
+
+        red = bucketed_group_apply(
+            ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+            list(keys), per_key, n_buckets=n_buckets,
+        ).to_pandas()  # <= n_buckets rows per table — bounded
+        frames.append(pd.DataFrame({
+            "table_name": [tname],
+            "n_rows": pd.array([int(red["n_rows"].sum())], dtype="int64"),
+            "n_keys": pd.array([int(red["n_keys"].sum())], dtype="int64"),
+            "dup_rows": pd.array(
+                [int(red["dup_rows"].sum())], dtype="int64"),
+        }))
+    return ray.data.from_pandas(pd.concat(frames, ignore_index=True))
+
+
+PK_AUDIT_SQL = """
+SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) - (SELECT COUNT(*) FROM (
+         SELECT 1 FROM orders GROUP BY o_orderkey HAVING COUNT(*) = 1
+       )) AS BIGINT) AS dup_rows
+FROM orders
+UNION ALL
+SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+       COUNT(*) - (SELECT COUNT(*) FROM (
+         SELECT 1 FROM customer GROUP BY c_custkey HAVING COUNT(*) = 1))
+FROM customer
+UNION ALL
+SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+       COUNT(*) - (SELECT COUNT(*) FROM (
+         SELECT 1 FROM part GROUP BY p_partkey HAVING COUNT(*) = 1))
+FROM part
+UNION ALL
+SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
+       COUNT(*) - (SELECT COUNT(*) FROM (
+         SELECT 1 FROM supplier GROUP BY s_suppkey HAVING COUNT(*) = 1))
+FROM supplier
+UNION ALL
+SELECT 'lineitem', COUNT(*),
+       (SELECT COUNT(*) FROM (
+          SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+       COUNT(*) - (SELECT COUNT(*) FROM (
+         SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
+         HAVING COUNT(*) = 1))
+FROM lineitem
+"""

@@ -4644,3 +4644,62 @@ SELECT n AS n_docs,
          AS corr_len_tokens
 FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
 """
+
+
+def numeric_share_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """NUMERIC-token density by source: the share of whitespace tokens
+    that are pure digit runs, per source — the tables-and-logs leakage
+    detector for a text corpus (a source whose numeric share spikes is
+    shipping CSV dumps, not prose). Exact integer token counts per batch
+    (regex count of ' '-delimited digit runs, anchors included); the
+    rollup exchange is source-bounded; the share is one double division
+    rounded 6. Output: source, n_tokens, n_numeric, numeric_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        ntok = (d["text"].str.count(" ") + 1).astype("int64")
+        # a token is numeric iff it is a non-empty all-digit run between
+        # space boundaries (or string anchors)
+        num = d["text"].str.count(r"(?:(?<= )|^)[0-9]+(?=(?: |$))")\
+            .astype("int64")
+        g = pd.DataFrame({
+            "source": d["source"], "n": ntok, "num": num,
+        }).groupby("source", sort=False).sum().reset_index()
+        return g
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False)[["n", "num"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        num = g["num"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "source": g.index,
+            "n_tokens": n,
+            "n_numeric": num,
+            "numeric_share": np.round(num.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["source"], final, n_buckets=1)
+
+
+NUMERIC_SHARE_BY_SOURCE_SQL = """
+WITH d AS (
+  SELECT source, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT source, CAST(len(t) AS BIGINT) AS n,
+         CAST(len(list_filter(t, x -> regexp_full_match(x, '[0-9]+')))
+              AS BIGINT) AS num
+  FROM d
+),
+g AS (SELECT source, SUM(n) AS n, SUM(num) AS num FROM s GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(num AS BIGINT) AS n_numeric,
+       ROUND(CAST(num AS DOUBLE) / n, 6) AS numeric_share
+FROM g
+"""

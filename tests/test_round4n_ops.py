@@ -1450,3 +1450,74 @@ def test_night_share_hist_planted(ray_session):
     assert got.loc[3, "n_users"] == 1          # 10*1//3 = 3
     assert got.loc[0, "n_users"] == 1
     assert got.loc[9, "share"] == np.round(1 / 3, 6)
+
+
+def test_pk_audit_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import pk_audit
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], type=pa.int64()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], type=pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1], type=pa.int64()),
+        "l_linenumber": pa.array([1, 2, 2], type=pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (
+        pk_audit(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("table_name")
+    )
+    assert got.loc["orders", "n_rows"] == 3
+    assert got.loc["orders", "n_keys"] == 2
+    assert got.loc["orders", "dup_rows"] == 2      # key 1 has 2 rows
+    assert got.loc["customer", "dup_rows"] == 0
+    assert got.loc["lineitem", "n_keys"] == 2      # (1,1), (1,2)
+    assert got.loc["lineitem", "dup_rows"] == 2    # (1,2) twice
+
+
+def test_conv_repeat_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import conv_repeat_hist
+
+    # conv A: e1,e1,e1,e2 -> 4 mentions, 2 distinct -> 10*2//4 = 5
+    # conv B: e1,e2      -> repeat share 0 -> bin 0
+    me = pd.DataFrame({
+        "conv_id": ["A", "A", "A", "A", "B", "B"],
+        "entity_id": ["e1", "e1", "e1", "e2", "e1", "e2"],
+    })
+    got = (
+        conv_repeat_hist(ray.data.from_pandas(me), n_buckets=4)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert list(got.index) == [0, 5]
+    assert got.loc[5, "n_convs"] == 1
+    assert got.loc[0, "share"] == 0.5
+
+
+def test_numeric_share_by_source_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import numeric_share_by_source
+
+    docs = pd.DataFrame({
+        "source": ["w", "w", "x"],
+        "text": ["12 cats 34", "no digits here", "7 8a a9 10"],
+    })
+    got = (
+        numeric_share_by_source(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["w", "n_tokens"] == 6
+    assert got.loc["w", "n_numeric"] == 2          # 12, 34
+    assert got.loc["x", "n_numeric"] == 2          # 7, 10 (not 8a / a9)
+    assert got.loc["x", "numeric_share"] == 0.5
