@@ -954,6 +954,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_numeric_share_by_source":
             lambda sf: _tx.numeric_share_by_source(_docs(sf)),
+        "rel_fk_audit": lambda sf: _rel.fk_audit(sf),
+        "kg_alias_count_hist": lambda sf: _an.alias_count_hist(
+            _mentions_with_entity(sf)
+        ),
+        "events_null_share_by_type": lambda sf: _wd.null_share_by_type(
+            _events_ds(sf)
+        ),
     })
 
 
@@ -1675,6 +1682,11 @@ def oracle_sql() -> dict[str, str]:
             mentions=_MENTIONS_SQL
         ),
         "text_numeric_share_by_source": _tx.NUMERIC_SHARE_BY_SOURCE_SQL,
+        "rel_fk_audit": _rel.FK_AUDIT_SQL,
+        "kg_alias_count_hist": _an.ALIAS_COUNT_HIST_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "events_null_share_by_type": _wd.NULL_SHARE_BY_TYPE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

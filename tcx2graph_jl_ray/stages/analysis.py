@@ -6802,3 +6802,66 @@ SELECT CAST(bin AS BIGINT) AS bin, ROUND(bin / 10.0, 1) AS lo,
 FROM h
 """
 )
+
+
+def alias_count_hist(
+    mentions_with_entity: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """ALIAS spectrum of the canonicalization: how many distinct surface
+    forms map to each canonical entity, as a count histogram — the one
+    chart that says whether entity resolution is folding variants (fat
+    right tail) or pass-through (everything at 1). (entity, norm) dedups
+    per batch then exactly in the entity-bucketed reduce; the alias count
+    per entity is order-free; the count-of-counts fold bounds the final
+    exchange. Output: n_aliases, n_entities, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["entity_id", "norm"]].drop_duplicates()
+
+    parts = mentions_with_entity.select_columns(
+        ["entity_id", "norm"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False)["norm"].nunique()
+        s = g.groupby(g, sort=False).size()
+        return pd.DataFrame({
+            "n_aliases": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["entity_id"], per_entity,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("n_aliases", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "n_aliases": g.index.to_numpy().astype("int64"),
+            "n_entities": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["n_aliases"], final, n_buckets=1)
+
+
+ALIAS_COUNT_HIST_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+a AS (
+  SELECT entity_id, COUNT(DISTINCT norm) AS n_aliases
+  FROM lab GROUP BY entity_id
+),
+h AS (SELECT n_aliases, COUNT(*) AS n FROM a GROUP BY n_aliases)
+SELECT CAST(n_aliases AS BIGINT) AS n_aliases,
+       CAST(n AS BIGINT) AS n_entities,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""
+)

@@ -5401,3 +5401,112 @@ SELECT 'lineitem', COUNT(*),
          HAVING COUNT(*) = 1))
 FROM lineitem
 """
+
+
+_FK_SPECS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+)
+
+
+def fk_audit(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """FOREIGN-KEY audit across the star schema: per declared
+    relationship, the child row count and how many child rows reference
+    a parent key that does not exist — ``pk_audit``'s referential twin
+    (orphans silently vanish from every inner join downstream). Each
+    side streams only its key column; child-side per-key count partials
+    and the parent key set co-locate in one key-bucketed tagged union
+    (an anti-join with no driver set and no broadcast); 4 rows out.
+    Output: relationship, n_child_rows, n_orphans, orphan_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    frames = []
+    for rel, child_t, child_k, parent_t, parent_k in _FK_SPECS:
+        child = ray.data.read_parquet(
+            f"{sf_dir}/{child_t}.parquet", columns=[child_k]
+        )
+        parent = ray.data.read_parquet(
+            f"{sf_dir}/{parent_t}.parquet", columns=[parent_k]
+        )
+
+        def c_part(batch: pd.DataFrame, k=child_k) -> pd.DataFrame:
+            s = batch[k].groupby(batch[k], sort=False).size()
+            return pd.DataFrame({
+                "key": s.index.to_numpy().astype("int64"),
+                "n": s.to_numpy().astype("int64"),
+                "is_parent": np.int64(0),
+            })
+
+        def p_part(batch: pd.DataFrame, k=parent_k) -> pd.DataFrame:
+            u = batch[k].drop_duplicates()
+            return pd.DataFrame({
+                "key": u.to_numpy().astype("int64"),
+                "n": np.int64(0),
+                "is_parent": np.int64(1),
+            })
+
+        both = child.map_batches(
+            c_part, batch_format="pandas", batch_size=65536
+        ).union(parent.map_batches(
+            p_part, batch_format="pandas", batch_size=65536
+        ))
+
+        def per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+            g = bucket.groupby("key", sort=False).agg(
+                n=("n", "sum"), p=("is_parent", "max")
+            )
+            n = g["n"].to_numpy(dtype="int64")
+            orphan = n[(g["p"].to_numpy() == 0)]
+            return pd.DataFrame({
+                "n_child": pd.array([int(n.sum())], dtype="int64"),
+                "n_orphans": pd.array(
+                    [int(orphan.sum())], dtype="int64"),
+            })
+
+        red = bucketed_group_apply(
+            both, ["key"], per_key, n_buckets=n_buckets
+        ).to_pandas()  # <= n_buckets rows — bounded
+        nc = int(red["n_child"].sum())
+        no = int(red["n_orphans"].sum())
+        frames.append(pd.DataFrame({
+            "relationship": [rel],
+            "n_child_rows": pd.array([nc], dtype="int64"),
+            "n_orphans": pd.array([no], dtype="int64"),
+            "orphan_share": [float(np.round(no / nc, 6))],
+        }))
+    return ray.data.from_pandas(pd.concat(frames, ignore_index=True))
+
+
+FK_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans,
+       ROUND(CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS orphan_share
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer', COUNT(*),
+       SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END),
+       ROUND(CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part', COUNT(*),
+       SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END),
+       ROUND(CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6)
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END),
+       ROUND(CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6)
+FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""

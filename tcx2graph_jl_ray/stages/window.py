@@ -4551,3 +4551,54 @@ SELECT CAST(bin AS BIGINT) AS bin, ROUND(bin / 10.0, 1) AS lo,
          AS share
 FROM h
 """
+
+
+def null_share_by_type(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """VALUE-missingness by event type — ``clean_missing_stats``' global
+    column percentages sliced along the one axis that explains them (a
+    type whose value is 100% null is a schema contract, not dirt; a type
+    drifting from 0% to 30% is an upstream bug). Per-batch (type,
+    nulls, rows) partials bound the exchange to type cardinality; the
+    share is one double division rounded 6.
+    Output: event_type, n_events, n_null_value, null_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        isnull = batch["value"].isna().astype("int64")
+        g = isnull.groupby(batch["event_type"], sort=False)\
+            .agg(["size", "sum"])
+        return pd.DataFrame({
+            "event_type": g.index,
+            "n": g["size"].to_numpy().astype("int64"),
+            "z": g["sum"].to_numpy().astype("int64"),
+        })
+
+    parts = events.select_columns(["event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False)[["n", "z"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        z = g["z"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "event_type": g.index,
+            "n_events": n,
+            "n_null_value": z,
+            "null_share": np.round(z.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], final,
+                                n_buckets=1)
+
+
+NULL_SHARE_BY_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS null_share
+FROM events GROUP BY event_type
+"""

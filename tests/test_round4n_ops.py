@@ -1521,3 +1521,74 @@ def test_numeric_share_by_source_planted(ray_session):
     assert got.loc["w", "n_numeric"] == 2          # 12, 34
     assert got.loc["x", "n_numeric"] == 2          # 7, 10 (not 8a / a9)
     assert got.loc["x", "numeric_share"] == 0.5
+
+
+def test_fk_audit_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import fk_audit
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 99], type=pa.int64()),
+        "l_partkey": pa.array([10, 10, 10], type=pa.int64()),
+        "l_suppkey": pa.array([5, 5, 5], type=pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([100, 200], type=pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([100], type=pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10], type=pa.int64()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5], type=pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    got = (
+        fk_audit(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("relationship")
+    )
+    assert got.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+    assert got.loc["lineitem.l_orderkey->orders", "orphan_share"] == \
+        np.round(1 / 3, 6)
+    assert got.loc["orders.o_custkey->customer", "n_orphans"] == 1
+    assert got.loc["lineitem.l_partkey->part", "n_orphans"] == 0
+    assert got.loc["lineitem.l_suppkey->supplier", "orphan_share"] == 0.0
+
+
+def test_alias_count_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import alias_count_hist
+
+    # entity E1 has aliases n1, n2 (2 aliases); E2 only n3
+    me = pd.DataFrame({
+        "entity_id": ["E1", "E1", "E1", "E2"],
+        "norm": ["n1", "n2", "n1", "n3"],
+    })
+    got = (
+        alias_count_hist(ray.data.from_pandas(me), n_buckets=4)
+        .to_pandas()
+        .set_index("n_aliases")
+        .sort_index()
+    )
+    assert got.loc[1, "n_entities"] == 1
+    assert got.loc[2, "n_entities"] == 1
+    assert got.loc[2, "share"] == 0.5
+
+
+def test_null_share_by_type_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import null_share_by_type
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "a", "b"],
+        "value": [1.0, None, None, 2.0],
+    })
+    got = (
+        null_share_by_type(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got.loc["a", "n_null_value"] == 2
+    assert got.loc["a", "null_share"] == np.round(2 / 3, 6)
+    assert got.loc["b", "null_share"] == 0.0
