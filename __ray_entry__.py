@@ -961,6 +961,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_null_share_by_type": lambda sf: _wd.null_share_by_type(
             _events_ds(sf)
         ),
+        "text_lang_entropy_by_source":
+            lambda sf: _tx.lang_entropy_by_source(_docs(sf)),
+        "emb_centroid_drift": lambda sf: _ann.centroid_drift(
+            _embeddings_ds(sf)
+        ),
+        "kg_mention_strength_corr":
+            lambda sf: _an.mention_strength_corr(
+                _mentions_with_entity(sf), _cooc(sf)
+            ),
     })
 
 
@@ -1687,6 +1696,15 @@ def oracle_sql() -> dict[str, str]:
             mentions=_MENTIONS_SQL
         ),
         "events_null_share_by_type": _wd.NULL_SHARE_BY_TYPE_SQL,
+        "text_lang_entropy_by_source": _tx.LANG_ENTROPY_BY_SOURCE_SQL,
+        "emb_centroid_drift": _ann.CENTROID_DRIFT_SQL,
+        "kg_mention_strength_corr":
+            _an.MENTION_STRENGTH_CORR_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL,
+                cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL
+                ),
+            ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -6865,3 +6865,126 @@ SELECT CAST(n_aliases AS BIGINT) AS n_aliases,
 FROM h
 """
 )
+
+
+def mention_strength_corr(
+    mentions_with_entity: ray.data.Dataset,
+    cooc: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Pearson correlation between an entity's MENTION count and its
+    co-occurrence STRENGTH (total shared-conversation weight) — near-1
+    means graph weight is just frequency restated; a low value means
+    some entities are talked about a lot but always alone (the weighted-
+    network frequency/embeddedness contrast, Barrat et al. 2004,
+    public). The two per-entity measures arrive as one TAGGED UNION into
+    the entity-bucketed apply (no join shuffle): mention partials carry
+    (x, 0), symmetrized edge partials carry (0, w); entities missing
+    from the co-occurrence graph keep strength 0. Each bucket folds its
+    entities to ONE row of six integer sufficient statistics; the driver
+    merges Python ints (exact at any scale) and the coefficient is one
+    shared double expression rounded 6.
+    Output: n_entities, corr_mention_strength."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def m_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["entity_id"].groupby(batch["entity_id"],
+                                       sort=False).size()
+        return pd.DataFrame({
+            "entity_id": s.index,
+            "x": s.to_numpy().astype("int64"),
+            "w": np.int64(0),
+        })
+
+    def e_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["n_convs"].astype("int64")
+        return pd.DataFrame({
+            "entity_id": pd.concat([batch["src"], batch["dst"]],
+                                   ignore_index=True),
+            "x": np.int64(0),
+            "w": pd.concat([w, w], ignore_index=True),
+        })
+
+    both = mentions_with_entity.select_columns(["entity_id"]).map_batches(
+        m_tag, batch_format="pandas", batch_size=65536
+    ).union(cooc.select_columns(["src", "dst", "n_convs"]).map_batches(
+        e_tag, batch_format="pandas", batch_size=65536
+    ))
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("entity_id", sort=False)[["x", "w"]].sum()
+        # an entity only counts if it was MENTIONED (x > 0); pure-edge
+        # rows cannot occur (cooc derives from mentions) but guard anyway
+        g = g[g["x"] > 0]
+        x = g["x"].to_numpy(dtype="int64")
+        y = g["w"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "n": [np.int64(len(g))],
+            "sx": [x.sum()], "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "sx2": [(x * x).sum()], "sy2": [(y * y).sum()],
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = sum(int(v) for v in bucket["n"])
+        sx = sum(int(v) for v in bucket["sx"])
+        sy = sum(int(v) for v in bucket["sy"])
+        sxy = sum(int(v) for v in bucket["sxy"])
+        sx2 = sum(int(v) for v in bucket["sx2"])
+        sy2 = sum(int(v) for v in bucket["sy2"])
+        dx, dy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if n == 0 or dx <= 0 or dy <= 0:
+            return pd.DataFrame({
+                "n_entities": pd.array([], dtype="int64"),
+                "corr_mention_strength": pd.array([], dtype="float64"),
+            })
+        corr = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+        return pd.DataFrame({
+            "n_entities": pd.array([n], dtype="int64"),
+            "corr_mention_strength": [float(np.round(corr, 6))],
+        })
+
+    mid = bucketed_group_apply(both, ["entity_id"], per_bucket,
+                               n_buckets=n_buckets)
+    return bucketed_group_apply(mid, ["k"], final, n_buckets=1)
+
+
+MENTION_STRENGTH_CORR_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+mc AS (
+  SELECT l.entity_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+  GROUP BY l.entity_id
+),
+c AS ({cooccurrence}),
+e AS (
+  SELECT src AS entity_id, n_convs FROM c
+  UNION ALL
+  SELECT dst, n_convs FROM c
+),
+st AS (SELECT entity_id, CAST(SUM(n_convs) AS BIGINT) AS y
+       FROM e GROUP BY entity_id),
+d AS (
+  SELECT mc.x, COALESCE(st.y, 0) AS y
+  FROM mc LEFT JOIN st USING (entity_id)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sx2, SUM(y * y) AS sy2
+  FROM d
+)
+SELECT n AS n_entities,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+         AS corr_mention_strength
+FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+"""
+)

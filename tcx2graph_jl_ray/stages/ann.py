@@ -1853,3 +1853,104 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        ROUND(QUANTILE_CONT(norm, 0.9), 6) AS p90
 FROM nrm
 """
+
+
+def centroid_drift(
+    embeddings: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Encoder DRIFT check: distance between the centroids of the
+    even-``vec_id`` and odd-``vec_id`` halves of the corpus — on an
+    id-assignment that tracks ingest time, a non-trivial distance means
+    the embedding distribution moved mid-corpus (an encoder swap or a
+    data mix shift) and every trained IVF/PQ codebook is stale. Per-dim
+    sums are the ``embedding_dim_stats`` float64 partials split by
+    parity; each centroid mean rounds to 6 FIRST (the defined statistic,
+    absorbing engine/oracle summation-order noise) and the L2 distance
+    over the 64 rounded diffs rounds to 6 again.
+    Output: one row — n_even, n_odd, centroid_dist."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["embedding"].notna()]
+        if not len(d):
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype="int64"),
+                "par": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+        par = (d["vec_id"].to_numpy(dtype="int64") % 2)
+        ndim = vecs.shape[1]
+        frames = []
+        for p in (0, 1):
+            m = vecs[par == p]
+            if not len(m):
+                continue
+            frames.append(pd.DataFrame({
+                "dim": np.arange(1, ndim + 1, dtype="int64"),
+                "par": np.int64(p),
+                "s": m.sum(axis=0),
+                "n": np.int64(len(m)),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = embeddings.select_columns(
+        ["vec_id", "embedding"]
+    ).map_batches(partial, batch_format="pandas", batch_size=4096)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["dim", "par"], sort=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        ).reset_index()
+        g["mean"] = np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6)
+        w = g.pivot(index="dim", columns="par", values="mean")
+        n_even = int(g.loc[g["par"] == 0, "n"].iloc[0]) if (
+            (g["par"] == 0).any()) else 0
+        n_odd = int(g.loc[g["par"] == 1, "n"].iloc[0]) if (
+            (g["par"] == 1).any()) else 0
+        if 0 not in w.columns or 1 not in w.columns:
+            dist = float("nan")
+        else:
+            diff = w[0].to_numpy() - w[1].to_numpy()
+            dist = float(np.round(np.sqrt((diff * diff).sum()), 6))
+        return pd.DataFrame({
+            "n_even": pd.array([n_even], dtype="int64"),
+            "n_odd": pd.array([n_odd], dtype="int64"),
+            "centroid_dist": [dist],
+        })
+
+    # ONE bucket: 64 dims x 2 parities is constant-size
+    return bucketed_group_apply(parts, ["dim"], final, n_buckets=1)
+
+
+CENTROID_DRIFT_SQL = """
+WITH u AS (
+  SELECT vec_id % 2 AS par,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+m AS (
+  SELECT dim, par, ROUND(SUM(e) / COUNT(*), 6) AS mean,
+         COUNT(*) AS nd
+  FROM u GROUP BY dim, par
+),
+w AS (
+  SELECT dim,
+         MAX(CASE WHEN par = 0 THEN mean END) AS m0,
+         MAX(CASE WHEN par = 1 THEN mean END) AS m1
+  FROM m GROUP BY dim
+),
+cnt AS (
+  SELECT
+    (SELECT COUNT(*) FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id % 2 = 0) AS n_even,
+    (SELECT COUNT(*) FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id % 2 = 1) AS n_odd
+)
+SELECT CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
+       (SELECT ROUND(SQRT(SUM((m0 - m1) * (m0 - m1))), 6) FROM w)
+         AS centroid_dist
+FROM cnt
+"""

@@ -4703,3 +4703,63 @@ SELECT source, CAST(n AS BIGINT) AS n_tokens,
        ROUND(CAST(num AS DOUBLE) / n, 6) AS numeric_share
 FROM g
 """
+
+
+def lang_entropy_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Language DIVERSITY per source: Shannon entropy of the declared
+    ``lang`` mix inside each source — the routing signal for
+    language-specific pipeline stages (a source at entropy 0 can skip
+    per-doc language dispatch entirely). (source, lang) counts are exact
+    partials; entropy follows the ``hourly_entropy`` discipline
+    (np.log2, round 6, ``+ 0.0`` -0.0 fold); the exchange is bounded by
+    sources × languages. Output: source, n_docs, n_langs, lang_entropy."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["source", "lang"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = docs.select_columns(["source", "lang"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_source(bucket: pd.DataFrame) -> pd.DataFrame:
+        sl = bucket.groupby(["source", "lang"], sort=False)["n"].sum()\
+            .reset_index()
+        rows = []
+        for s, g in sl.groupby("source", sort=False):
+            n = g["n"].to_numpy(dtype="int64")
+            nt = int(n.sum())
+            p = n.astype("float64") / float(nt)
+            ent = 0.0 - float((p * np.log2(p)).sum()) + 0.0
+            rows.append((s, nt, len(n), np.round(ent, 6) + 0.0))
+        if not rows:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_langs": pd.Series([], dtype="int64"),
+                "lang_entropy": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs", "n_langs", "lang_entropy"
+        ]).astype({"n_docs": "int64", "n_langs": "int64"})
+
+    return bucketed_group_apply(parts, ["source"], per_source,
+                                n_buckets=4)
+
+
+LANG_ENTROPY_BY_SOURCE_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, SUM(n) AS nt, COUNT(*) AS nl FROM c GROUP BY source)
+SELECT c.source, CAST(t.nt AS BIGINT) AS n_docs,
+       CAST(t.nl AS BIGINT) AS n_langs,
+       ROUND(0.0 - SUM((c.n / t.nt) * log2(c.n / t.nt)), 6) + 0.0
+         AS lang_entropy
+FROM c JOIN t USING (source)
+GROUP BY c.source, t.nt, t.nl
+"""

@@ -1592,3 +1592,59 @@ def test_null_share_by_type_planted(ray_session):
     assert got.loc["a", "n_null_value"] == 2
     assert got.loc["a", "null_share"] == np.round(2 / 3, 6)
     assert got.loc["b", "null_share"] == 0.0
+
+
+def test_lang_entropy_by_source_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import lang_entropy_by_source
+
+    docs = pd.DataFrame({
+        "source": ["w", "w", "w", "w", "x"],
+        "lang": ["en", "en", "de", "de", "en"],
+    })
+    got = (
+        lang_entropy_by_source(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["w", "n_langs"] == 2
+    assert got.loc["w", "lang_entropy"] == 1.0   # 50/50 mix
+    assert got.loc["x", "lang_entropy"] == 0.0
+    assert got.loc["x", "n_docs"] == 1
+
+
+def test_centroid_drift_planted(ray_session):
+    from tcx2graph_jl_ray.stages.ann import centroid_drift
+
+    emb = pd.DataFrame({
+        "vec_id": pd.array([0, 2, 1, 3], dtype="int64"),
+        # even centroid (1, 0); odd centroid (0, 1) -> dist sqrt(2)
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]],
+    })
+    got = centroid_drift(ray.data.from_pandas(emb)).to_pandas()
+    assert got.loc[0, "n_even"] == 2
+    assert got.loc[0, "n_odd"] == 2
+    assert got.loc[0, "centroid_dist"] == np.round(np.sqrt(2.0), 6)
+
+
+def test_mention_strength_corr_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import mention_strength_corr
+
+    # mentions: a x3, b x1, c x2 ; edges a-b(2), a-c(4)
+    # strengths: a 6, b 2, c 4
+    me = pd.DataFrame({
+        "entity_id": ["a", "a", "a", "b", "c", "c"],
+        "norm": ["a", "a", "a", "b", "c", "c"],
+    })
+    cooc = pd.DataFrame({
+        "src": ["a", "a"], "dst": ["b", "c"], "n_convs": [2, 4],
+    })
+    got = mention_strength_corr(
+        ray.data.from_pandas(me), ray.data.from_pandas(cooc), n_buckets=4
+    ).to_pandas()
+    assert got.loc[0, "n_entities"] == 3
+    x = np.array([3, 1, 2]); y = np.array([6, 2, 4]); n = 3
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = np.sqrt(float(n * (x * x).sum() - x.sum() ** 2)
+                  * float(n * (y * y).sum() - y.sum() ** 2))
+    assert got.loc[0, "corr_mention_strength"] == np.round(num / den, 6)
