@@ -970,6 +970,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _an.mention_strength_corr(
                 _mentions_with_entity(sf), _cooc(sf)
             ),
+        "kg_conv_size_hist": lambda sf: _an.conv_size_hist(
+            _transcripts(sf)
+        ),
+        "rel_orders_dow_profile": lambda sf: _rel.orders_dow_profile(sf),
+        "docs_size_by_lang": lambda sf: _tx.size_by_lang(_docs(sf)),
     })
 
 
@@ -1705,6 +1710,11 @@ def oracle_sql() -> dict[str, str]:
                     mentions=_MENTIONS_SQL
                 ),
             ),
+        "kg_conv_size_hist": _an.CONV_SIZE_HIST_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL
+        ),
+        "rel_orders_dow_profile": _rel.ORDERS_DOW_PROFILE_SQL,
+        "docs_size_by_lang": _tx.SIZE_BY_LANG_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -6988,3 +6988,73 @@ SELECT n AS n_entities,
 FROM s WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
 """
 )
+
+
+def conv_size_hist(
+    transcripts: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """Conversation SIZE spectrum: log2 histogram of turns per
+    conversation — the third corpus-shape histogram next to
+    ``conv_duration_hist`` (wall-clock) and ``user_activity_hist``
+    (events), and the direct sizing input for every conv-bucketed stage
+    (the tail bin is the whale-conversation exposure). Per-conv counts
+    are order-free sums; the bin is the PURE-INTEGER ``bit_length`` rule;
+    the count-of-counts fold bounds the final exchange.
+    Output: bin, min_turns, n_convs, n_turns, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["conv_id"].groupby(batch["conv_id"], sort=False).size()
+        return pd.DataFrame({
+            "conv_id": s.index,
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    parts = transcripts.select_columns(["conv_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_conv(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("conv_id", sort=False)["n"].sum()
+        c = g.to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in c],
+                        dtype="int64")
+        d = pd.DataFrame({"bin": bins, "n_convs": np.int64(1),
+                          "n_turns": c})
+        return d.groupby("bin", sort=False).sum().reset_index()\
+            .astype("int64")
+
+    mid = bucketed_group_apply(parts, ["conv_id"], per_conv,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)[["n_convs", "n_turns"]]\
+            .sum()
+        n = g["n_convs"].to_numpy(dtype="int64")
+        tot = float(n.sum())
+        b = g.index.to_numpy().astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "min_turns": (np.int64(1) << b).astype("int64"),
+            "n_convs": n,
+            "n_turns": g["n_turns"].to_numpy(dtype="int64"),
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+CONV_SIZE_HIST_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+c AS (SELECT conv_id, COUNT(*) AS n FROM t GROUP BY conv_id),
+h AS (
+  SELECT CAST(floor(log2(n)) AS BIGINT) AS bin,
+         COUNT(*) AS nc, SUM(n) AS nt
+  FROM c GROUP BY 1
+)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_turns,
+       CAST(nc AS BIGINT) AS n_convs, CAST(nt AS BIGINT) AS n_turns,
+       ROUND(CAST(nc AS DOUBLE) / SUM(CAST(nc AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

@@ -5510,3 +5510,62 @@ SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
                   AS DOUBLE) / COUNT(*), 6)
 FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
 """
+
+
+def orders_dow_profile(sf_dir: str, n_buckets: int = 8) -> ray.data.Dataset:
+    """Order flow by ISO WEEKDAY: order count and exact header value per
+    day-of-week — the relational calendar clock next to the events-side
+    ``dow_profile`` (a B2B feed goes quiet on weekends; a consumer feed
+    peaks there). Counts and cents are exact partials bounded to seven
+    rows per batch; the value mean is one deterministic double division
+    rounded 6. Output: dow, n_orders, value_sum, avg_value, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dow = pd.to_datetime(batch["o_orderdate"]).dt.dayofweek\
+            .astype("int64") + 1  # ISO: Monday = 1
+        return pd.DataFrame({
+            "dow": dow,
+            "n": np.int64(1),
+            "cents": cents_i64(batch["o_totalprice"]),
+        }).groupby("dow", sort=False).sum().astype("int64").reset_index()
+
+    parts = orders.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("dow", sort=False)[["n", "cents"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        cents = g["cents"].to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "dow": g.index.to_numpy().astype("int64"),
+            "n_orders": n,
+            # exact int cents -> one deterministic double division
+            "value_sum": cents.astype("float64") / 100.0,
+            "avg_value": np.round(
+                cents.astype("float64") / (100.0 * n), 6),
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(parts, ["dow"], final, n_buckets=1)
+
+
+ORDERS_DOW_PROFILE_SQL = """
+WITH s AS (
+  SELECT isodow(o_orderdate) AS dow, COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n_orders,
+       CAST(cents AS DOUBLE) / 100.0 AS value_sum,
+       ROUND(CAST(cents AS DOUBLE) / (100.0 * n), 6) AS avg_value,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM s
+"""

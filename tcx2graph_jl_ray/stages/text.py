@@ -4763,3 +4763,55 @@ SELECT c.source, CAST(t.nt AS BIGINT) AS n_docs,
 FROM c JOIN t USING (source)
 GROUP BY c.source, t.nt, t.nl
 """
+
+
+def size_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus MASS by declared language: document count, exact token
+    total, and half-up mean document length per lang — the table a
+    multilingual sampling quota starts from (``corpus_composition``'s
+    by-source view along the language axis). Exact integer partials,
+    lang-bounded exchange; the doc share is one double division rounded
+    6. Output: lang, n_docs, n_tokens, avg_tokens, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        ntok = d["text"].str.count(r"[^ ]+").astype("int64")
+        g = pd.DataFrame({
+            "lang": d["lang"], "n": np.int64(1), "ntok": ntok,
+        }).groupby("lang", sort=False).sum().reset_index()
+        return g.astype({"n": "int64", "ntok": "int64"})
+
+    parts = docs.select_columns(["lang", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("lang", sort=False)[["n", "ntok"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        tk = g["ntok"].to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "lang": g.index,
+            "n_docs": n,
+            "n_tokens": tk,
+            "avg_tokens": (2 * tk + n) // (2 * n),
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(parts, ["lang"], final, n_buckets=1)
+
+
+SIZE_BY_LANG_SQL = """
+WITH d AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (SELECT lang, COUNT(*) AS n, SUM(ntok) AS tk FROM d GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(tk AS BIGINT) AS n_tokens,
+       CAST((2 * tk + n) // (2 * n) AS BIGINT) AS avg_tokens,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM s
+"""

@@ -1648,3 +1648,67 @@ def test_mention_strength_corr_planted(ray_session):
     den = np.sqrt(float(n * (x * x).sum() - x.sum() ** 2)
                   * float(n * (y * y).sum() - y.sum() ** 2))
     assert got.loc[0, "corr_mention_strength"] == np.round(num / den, 6)
+
+
+def test_conv_size_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import conv_size_hist
+
+    tr = pd.DataFrame({
+        "conv_id": ["A"] * 3 + ["B"] * 1 + ["C"] * 4,
+    })
+    got = (
+        conv_size_hist(ray.data.from_pandas(tr), n_buckets=4)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert got.loc[0, "n_convs"] == 1          # size 1
+    assert got.loc[1, "n_convs"] == 1          # size 3 -> bin 1
+    assert got.loc[2, "n_convs"] == 1          # size 4 -> bin 2
+    assert got.loc[1, "n_turns"] == 3
+    assert got.loc[2, "min_turns"] == 4
+
+
+def test_orders_dow_profile_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import orders_dow_profile
+    import datetime
+
+    pq.write_table(pa.table({
+        # 2024-01-01 Monday, 2024-01-06 Saturday
+        "o_orderdate": pa.array([
+            datetime.date(2024, 1, 1), datetime.date(2024, 1, 1),
+            datetime.date(2024, 1, 6),
+        ]),
+        "o_totalprice": pa.array([10.00, 30.00, 5.50]),
+    }), str(tmp_path / "orders.parquet"))
+    got = (
+        orders_dow_profile(str(tmp_path))
+        .to_pandas()
+        .set_index("dow")
+        .sort_index()
+    )
+    assert got.loc[1, "n_orders"] == 2
+    assert got.loc[1, "value_sum"] == 40.0
+    assert got.loc[1, "avg_value"] == 20.0
+    assert got.loc[6, "value_sum"] == 5.5
+    assert got.loc[1, "share"] == np.round(2 / 3, 6)
+
+
+def test_size_by_lang_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import size_by_lang
+
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "de", "de"],
+        "text": ["a b c", "d e", None, "x"],
+    })
+    got = (
+        size_by_lang(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert got.loc["en", "n_docs"] == 2
+    assert got.loc["en", "n_tokens"] == 5
+    assert got.loc["en", "avg_tokens"] == 3    # (2*5+2)//4 half-up
+    assert got.loc["de", "n_docs"] == 1        # null text excluded
+    assert got.loc["de", "share"] == np.round(1 / 3, 6)
