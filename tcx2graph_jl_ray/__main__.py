@@ -8,6 +8,7 @@ Commands:
   kg      --sf DIR --out DIR [--parts N] [--mult M]   flagship KG build
   corpus  --sf DIR --out DIR [--parts N]              curation pipeline
   analytics --sf DIR --out DIR [--parts N]            events analytics mart
+  audit   --sf DIR --out DIR [--max-dup-share X]      data-quality audit
   retrieval --sf DIR --out DIR [--parts N] [--cells C] hybrid index build
   search  --index DIR [--terms t1,t2] [--k K]         BM25 over the index
   query   NAME --sf DIR [--out PARQUET_DIR]           any registry query
@@ -54,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
     p_an.add_argument("--sf", required=True)
     p_an.add_argument("--out", required=True)
     p_an.add_argument("--parts", type=int, default=16)
+
+    p_au = sub.add_parser(
+        "audit", help="run the data-quality audit pipeline"
+    )
+    p_au.add_argument("--sf", required=True)
+    p_au.add_argument("--out", required=True)
+    p_au.add_argument("--max-dup-share", type=float, default=0.5)
 
     p_rt = sub.add_parser(
         "retrieval", help="build the hybrid retrieval index"
@@ -111,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
 
             summary = run_analytics_pipeline(
                 args.sf, args.out, n_parts=args.parts
+            )
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "audit":
+            from tcx2graph_jl_ray.pipelines.audit import run_audit_pipeline
+
+            summary = run_audit_pipeline(
+                args.sf, args.out, max_dup_share=args.max_dup_share
             )
             print(json.dumps(summary, default=str))
         elif args.cmd == "retrieval":

@@ -1712,3 +1712,58 @@ def test_size_by_lang_planted(ray_session):
     assert got.loc["en", "avg_tokens"] == 3    # (2*5+2)//4 half-up
     assert got.loc["de", "n_docs"] == 1        # null text excluded
     assert got.loc["de", "share"] == np.round(1 / 3, 6)
+
+
+def test_audit_pipeline_end_to_end(ray_session, tmp_path):
+    from tcx2graph_jl_ray.pipelines.audit import run_audit_pipeline
+    import datetime
+    import json as _json
+    import os
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([100, 999], type=pa.int64()),  # 999 orphan
+    }), str(sf / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([100], type=pa.int64()),
+    }), str(sf / "customer.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10], type=pa.int64()),
+    }), str(sf / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5], type=pa.int64()),
+    }), str(sf / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1], type=pa.int64()),
+        "l_linenumber": pa.array([1, 1], type=pa.int64()),  # dup PK
+        "l_partkey": pa.array([10, 10], type=pa.int64()),
+        "l_suppkey": pa.array([5, 5], type=pa.int64()),
+    }), str(sf / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1)] * 2),
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "event_type": pa.array(["a", "a"]),
+        "value": pa.array([1.0, None]),
+        "props": pa.array(["{}", None]),
+    }), str(sf / "events.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["same", "same", "other"]),
+    }), str(sf / "documents.parquet"))
+
+    out = str(tmp_path / "mart")
+    summary = run_audit_pipeline(str(sf), out, max_dup_share=0.2)
+
+    assert summary["gates"]["pk_ok"] is False      # lineitem dup key
+    assert summary["gates"]["fk_ok"] is False      # custkey 999 orphan
+    assert summary["gates"]["dup_ok"] is False     # 1/3 dup > 0.2
+    assert summary["doc_dup"]["n_dup_docs"] == 1
+    for f in ("pk_audit.parquet", "fk_audit.parquet",
+              "null_by_type.parquet", "missing_stats.parquet",
+              "audit_summary.json"):
+        assert os.path.exists(os.path.join(out, f))
+    on_disk = _json.load(open(os.path.join(out, "audit_summary.json")))
+    assert on_disk["doc_dup"]["dup_share"] == np.round(1 / 3, 6)
