@@ -975,6 +975,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_orders_dow_profile": lambda sf: _rel.orders_dow_profile(sf),
         "docs_size_by_lang": lambda sf: _tx.size_by_lang(_docs(sf)),
+        "events_type_dow_matrix": lambda sf: _wd.type_dow_matrix(
+            _events_ds(sf)
+        ),
+        "rel_deadstock_by_brand": lambda sf: _rel.deadstock_by_brand(sf),
+        "kg_mention_coverage_by_role":
+            lambda sf: _an.mention_coverage_by_role(
+                _transcripts(sf), _mentions(sf)
+            ),
     })
 
 
@@ -1715,6 +1723,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_orders_dow_profile": _rel.ORDERS_DOW_PROFILE_SQL,
         "docs_size_by_lang": _tx.SIZE_BY_LANG_SQL,
+        "events_type_dow_matrix": _wd.TYPE_DOW_MATRIX_SQL,
+        "rel_deadstock_by_brand": _rel.DEADSTOCK_BY_BRAND_SQL,
+        "kg_mention_coverage_by_role":
+            _an.MENTION_COVERAGE_BY_ROLE_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
+            ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -7058,3 +7058,90 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_turns,
          AS share
 FROM h
 """
+
+
+def mention_coverage_by_role(
+    transcripts: ray.data.Dataset,
+    mentions: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """MENTION coverage by ROLE: what share of each role's turns contain
+    at least one extracted mention — the extractor recall dashboard (a
+    drop in assistant-turn coverage is an extraction regression, not a
+    corpus change). Turn rows and distinct mention (conv, turn) keys
+    meet in one (conv, turn)-bucketed tagged union (anti-join shape, no
+    row-scale join output); role partials bound the final exchange.
+    Output: role, n_turns, n_with_mention, coverage."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def t_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"].astype("int64"),
+            "role": batch["role"],
+            "has_m": np.int64(0),
+        })
+
+    def m_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[["conv_id", "turn_idx"]].drop_duplicates()
+        return pd.DataFrame({
+            "conv_id": d["conv_id"],
+            "turn_idx": d["turn_idx"].astype("int64"),
+            # "" = missing sentinel: max("", role) keeps the real role
+            "role": "",
+            "has_m": np.int64(1),
+        })
+
+    both = transcripts.select_columns(
+        ["conv_id", "turn_idx", "role"]
+    ).map_batches(t_tag, batch_format="pandas", batch_size=65536).union(
+        mentions.select_columns(["conv_id", "turn_idx"]).map_batches(
+            m_tag, batch_format="pandas", batch_size=65536
+        )
+    )
+
+    def per_turn(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["conv_id", "turn_idx"], sort=False).agg(
+            role=("role", "max"), has_m=("has_m", "max")
+        )
+        g = g[g["role"] != ""]  # mention rows without a turn: impossible
+        out = pd.DataFrame({
+            "role": g["role"],
+            "n": np.int64(1),
+            "m": g["has_m"].to_numpy().astype("int64"),
+        }).groupby("role", sort=False).sum().reset_index()
+        return out.astype({"n": "int64", "m": "int64"})
+
+    mid = bucketed_group_apply(both, ["conv_id", "turn_idx"], per_turn,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("role", sort=False)[["n", "m"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        m = g["m"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "role": g.index,
+            "n_turns": n,
+            "n_with_mention": m,
+            "coverage": np.round(m.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(mid, ["role"], final, n_buckets=1)
+
+
+MENTION_COVERAGE_BY_ROLE_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+m AS ({mentions}),
+mk AS (SELECT DISTINCT conv_id, turn_idx FROM m),
+j AS (
+  SELECT t.role,
+         CASE WHEN mk.conv_id IS NULL THEN 0 ELSE 1 END AS has_m
+  FROM t LEFT JOIN mk
+    ON mk.conv_id = t.conv_id AND mk.turn_idx = t.turn_idx
+),
+s AS (SELECT role, COUNT(*) AS n, SUM(has_m) AS m FROM j GROUP BY role)
+SELECT role, CAST(n AS BIGINT) AS n_turns,
+       CAST(m AS BIGINT) AS n_with_mention,
+       ROUND(CAST(m AS DOUBLE) / n, 6) AS coverage
+FROM s
+"""

@@ -5569,3 +5569,87 @@ SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n_orders,
          AS share
 FROM s
 """
+
+
+def deadstock_by_brand(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """DEAD STOCK by brand: how many catalogue parts never appear on a
+    lineitem, per brand — the inventory-health anti-join (a brand whose
+    catalogue is half dead is a ranging mistake). The shipped-part key
+    set and the part table meet in one partkey-bucketed tagged union
+    (the ``fk_audit`` anti-join shape — no driver set, no broadcast);
+    brand partials then bound the final exchange to the brand enum.
+    Output: p_brand, n_parts, n_dead, dead_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    )
+
+    def p_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["p_partkey"].astype("int64"),
+            "brand": batch["p_brand"],
+            "shipped": np.int64(0),
+        })
+
+    def l_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["l_partkey"].drop_duplicates()
+        return pd.DataFrame({
+            "key": u.to_numpy().astype("int64"),
+            # "" = missing sentinel: max("", brand) keeps the real brand
+            # (object max chokes on str-vs-NaN)
+            "brand": "",
+            "shipped": np.int64(1),
+        })
+
+    both = part.map_batches(
+        p_tag, batch_format="pandas", batch_size=65536
+    ).union(li.map_batches(
+        l_tag, batch_format="pandas", batch_size=65536
+    ))
+
+    def per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("key", sort=False).agg(
+            shipped=("shipped", "max"), brand=("brand", "max")
+        )
+        g = g[g["brand"] != ""]  # keys with no part row are FK noise
+        out = pd.DataFrame({
+            "p_brand": g["brand"],
+            "n": np.int64(1),
+            "dead": (g["shipped"].to_numpy() == 0).astype("int64"),
+        }).groupby("p_brand", sort=False).sum().reset_index()
+        return out.astype({"n": "int64", "dead": "int64"})
+
+    mid = bucketed_group_apply(both, ["key"], per_key,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("p_brand", sort=False)[["n", "dead"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        d = g["dead"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "p_brand": g.index,
+            "n_parts": n,
+            "n_dead": d,
+            "dead_share": np.round(d.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(mid, ["p_brand"], final, n_buckets=1)
+
+
+DEADSTOCK_BY_BRAND_SQL = """
+WITH shipped AS (SELECT DISTINCT l_partkey FROM lineitem),
+s AS (
+  SELECT p.p_brand, COUNT(*) AS n,
+         SUM(CASE WHEN sh.l_partkey IS NULL THEN 1 ELSE 0 END) AS dead
+  FROM part p LEFT JOIN shipped sh ON sh.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+       CAST(dead AS BIGINT) AS n_dead,
+       ROUND(CAST(dead AS DOUBLE) / n, 6) AS dead_share
+FROM s
+"""

@@ -4602,3 +4602,58 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
                   AS DOUBLE) / COUNT(*), 6) AS null_share
 FROM events GROUP BY event_type
 """
+
+
+def type_dow_matrix(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Event-type × ISO-WEEKDAY calendar matrix: counts plus each cell's
+    share WITHIN its type — ``dow_profile``'s clock split by type (a type
+    that only fires on weekdays is a business process; one flat across
+    the week is organic traffic). Per-batch (type, dow) partials bound
+    the exchange to |types| × 7; the within-type share divides two exact
+    ints, rounded 6. Output: event_type, dow, n_events, share_in_type."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dow = pd.to_datetime(batch["ts"]).dt.dayofweek.astype("int64") + 1
+        g = pd.DataFrame({
+            "event_type": batch["event_type"], "dow": dow,
+        }).groupby(["event_type", "dow"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = events.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["event_type", "dow"], sort=False)["n"].sum()\
+            .reset_index()
+        tot = g.groupby("event_type", sort=False)["n"].transform("sum")
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "dow": g["dow"].astype("int64"),
+            "n_events": g["n"].astype("int64"),
+            "share_in_type": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6),
+        })
+
+    # ONE bucket: the within-type denominator needs every dow of a type;
+    # |types| x 7 rows is constant-size
+    return bucketed_group_apply(parts, ["event_type"], final, n_buckets=1)
+
+
+TYPE_DOW_MATRIX_SQL = """
+WITH c AS (
+  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type), 6)
+         AS share_in_type
+FROM c
+"""

@@ -1767,3 +1767,74 @@ def test_audit_pipeline_end_to_end(ray_session, tmp_path):
         assert os.path.exists(os.path.join(out, f))
     on_disk = _json.load(open(os.path.join(out, "audit_summary.json")))
     assert on_disk["doc_dup"]["dup_share"] == np.round(1 / 3, 6)
+
+
+def test_type_dow_matrix_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import type_dow_matrix
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 11:00",   # Monday x2
+            "2024-01-06 10:00",                        # Saturday
+            "2024-01-06 10:00",
+        ]),
+    })
+    got = (
+        type_dow_matrix(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index(["event_type", "dow"])
+        .sort_index()
+    )
+    assert got.loc[("a", 1), "n_events"] == 2
+    assert got.loc[("a", 1), "share_in_type"] == np.round(2 / 3, 6)
+    assert got.loc[("b", 6), "share_in_type"] == 1.0
+
+
+def test_deadstock_by_brand_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import deadstock_by_brand
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_brand": pa.array(["B1", "B1", "B2"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 99], type=pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = (
+        deadstock_by_brand(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("p_brand")
+        .sort_index()
+    )
+    assert got.loc["B1", "n_parts"] == 2
+    assert got.loc["B1", "n_dead"] == 1          # part 2 never shipped
+    assert got.loc["B1", "dead_share"] == 0.5
+    assert got.loc["B2", "dead_share"] == 1.0    # part 3 dead
+
+
+def test_mention_coverage_by_role_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import mention_coverage_by_role
+
+    tr = pd.DataFrame({
+        "conv_id": ["A", "A", "A"],
+        "turn_idx": [0, 1, 2],
+        "role": ["user", "assistant", "user"],
+    })
+    me = pd.DataFrame({
+        "conv_id": ["A", "A"],
+        "turn_idx": [0, 0],        # two mentions, same turn
+    })
+    got = (
+        mention_coverage_by_role(
+            ray.data.from_pandas(tr), ray.data.from_pandas(me),
+            n_buckets=2,
+        )
+        .to_pandas()
+        .set_index("role")
+        .sort_index()
+    )
+    assert got.loc["user", "n_turns"] == 2
+    assert got.loc["user", "n_with_mention"] == 1
+    assert got.loc["user", "coverage"] == 0.5
+    assert got.loc["assistant", "coverage"] == 0.0
