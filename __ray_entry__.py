@@ -983,6 +983,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _an.mention_coverage_by_role(
                 _transcripts(sf), _mentions(sf)
             ),
+        "emb_label_cohesion": lambda sf: _ann.label_cohesion(
+            _embeddings_ds(sf)
+        ),
+        "docs_token_quantiles_by_source":
+            lambda sf: _tx.token_quantiles_by_source(_docs(sf)),
     })
 
 
@@ -1729,6 +1734,9 @@ def oracle_sql() -> dict[str, str]:
             _an.MENTION_COVERAGE_BY_ROLE_SQL_TEMPLATE.format(
                 transcripts=TRANSCRIPTS_SQL, mentions=_MENTIONS_SQL
             ),
+        "emb_label_cohesion": _ann.LABEL_COHESION_SQL,
+        "docs_token_quantiles_by_source":
+            _tx.TOKEN_QUANTILES_BY_SOURCE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -1954,3 +1954,121 @@ SELECT CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
          AS centroid_dist
 FROM cnt
 """
+
+
+def label_cohesion(
+    embeddings: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Per-LABEL cohesion: mean squared distance from each labelled
+    vector to its own label centroid — the within-class scatter table
+    (one number per class) that says which labels are tight clusters and
+    which are grab-bags, next to ``centroid_drift``'s corpus-level
+    check. Two passes, both dimension-bounded: (1) per-label per-dim
+    sums -> centroids ROUNDED 6 (the defined statistic, absorbing
+    summation-order noise); (2) per-vector squared distance to the
+    rounded centroid, rounded 6 per vector, then summed exactly...
+    the per-vector ROUNDED dist² is the op's unit, so the final mean is
+    a sum of identical doubles on both sides, divided once and rounded
+    6. Output: label, n_vecs, mean_dist2."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    base = embeddings.select_columns(["label", "embedding"]).map_batches(
+        lambda b: b[b["embedding"].notna() & b["label"].notna()],
+        batch_format="pandas", batch_size=4096,
+    ).materialize()  # consumed by the centroid pass AND the distance pass
+
+    def cent_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for lab, g in batch.groupby("label", sort=False):
+            vecs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            frames.append(pd.DataFrame({
+                "label": lab,
+                "dim": np.arange(vecs.shape[1], dtype="int64"),
+                "s": vecs.sum(axis=0),
+                "n": np.int64(len(vecs)),
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="object"),
+                "dim": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    def cent_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["label", "dim"], sort=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        ).reset_index()
+        g["c"] = np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6)
+        return g[["label", "dim", "c"]]
+
+    cents = bucketed_group_apply(
+        base.map_batches(cent_partial, batch_format="pandas",
+                         batch_size=4096),
+        ["label"], cent_merge, n_buckets=4,
+    ).to_pandas()  # labels x dims — dimension-bounded
+    cmap = {
+        lab: g.sort_values("dim")["c"].to_numpy()
+        for lab, g in cents.groupby("label", sort=False)
+    }
+    cref = ray.put(cmap)
+
+    def dist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cref)
+        frames = []
+        for lab, g in batch.groupby("label", sort=False):
+            vecs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            diff = vecs - cm[lab][None, :]
+            d2 = np.round((diff * diff).sum(axis=1), 6)
+            frames.append(pd.DataFrame({
+                "label": [lab],
+                "n": [np.int64(len(vecs))],
+                "s": [float(d2.sum())],
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    parts = base.map_batches(dist_partial, batch_format="pandas",
+                             batch_size=4096)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("label", sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        return pd.DataFrame({
+            "label": g.index,
+            "n_vecs": g["n"].to_numpy().astype("int64"),
+            "mean_dist2": np.round(
+                g["s"].to_numpy() / g["n"].to_numpy(), 6),
+        })
+
+    return bucketed_group_apply(parts, ["label"], final, n_buckets=1)
+
+
+LABEL_COHESION_SQL = """
+WITH u AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+c AS (
+  SELECT label, dim, ROUND(SUM(e) / COUNT(*), 6) AS cv
+  FROM u GROUP BY label, dim
+),
+d2 AS (
+  SELECT u.vec_id, u.label,
+         ROUND(SUM((u.e - c.cv) * (u.e - c.cv)), 6) AS d2
+  FROM u JOIN c ON c.label = u.label AND c.dim = u.dim
+  GROUP BY u.vec_id, u.label
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(d2) / COUNT(*), 6) AS mean_dist2
+FROM d2 GROUP BY label
+"""

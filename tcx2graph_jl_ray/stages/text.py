@@ -4815,3 +4815,82 @@ SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(tk AS BIGINT) AS n_tokens,
          AS share
 FROM s
 """
+
+
+def token_quantiles_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-SOURCE exact token-count quantiles (p50/p90) — the batch-size
+    planning table (a source whose p90 is 10x its p50 needs smaller
+    map batches than a uniform one). Token counts are INTEGERS, so the
+    grouped quantile needs no histogram descent: per-(source, ntok)
+    counts reduce source-bucketed (distinct counts per source are
+    bounded by the max document length), and each source's order
+    statistics come from one cumulative-sum rank selection with the
+    QUANTILE_CONT-identical interpolation of ``functions/quantile.py``
+    (p = q·(n-1), linear between bracketing values), rounded 6.
+    Output: source, n_docs, p50_tokens, p90_tokens."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        ntok = d["text"].str.count(r"[^ ]+").astype("int64")
+        g = ntok.groupby([d["source"], ntok]).size()
+        out = g.reset_index(name="n")
+        out.columns = ["source", "ntok", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def per_source(bucket: pd.DataFrame) -> pd.DataFrame:
+        h = bucket.groupby(["source", "ntok"], sort=False)["n"].sum()\
+            .reset_index()
+        rows = []
+        for s, g in h.groupby("source", sort=False):
+            g = g.sort_values("ntok")
+            v = g["ntok"].to_numpy(dtype="int64")
+            c = g["n"].to_numpy(dtype="int64")
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+
+            def at_rank(k: int) -> float:
+                return float(v[np.searchsorted(cum, k + 1)])
+
+            qs = []
+            for q in (0.5, 0.9):
+                p = q * (n - 1)
+                k = int(math.floor(p))
+                k2 = min(k + 1, n - 1)
+                frac = p - k
+                qs.append(np.round(
+                    at_rank(k) + frac * (at_rank(k2) - at_rank(k)), 6))
+            rows.append((s, n, qs[0], qs[1]))
+        if not rows:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "p50_tokens": pd.Series([], dtype="float64"),
+                "p90_tokens": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs", "p50_tokens", "p90_tokens"
+        ]).astype({"n_docs": "int64"})
+
+    return bucketed_group_apply(parts, ["source"], per_source,
+                                n_buckets=4)
+
+
+TOKEN_QUANTILES_BY_SOURCE_SQL = """
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(QUANTILE_CONT(ntok, 0.5), 6) AS p50_tokens,
+       ROUND(QUANTILE_CONT(ntok, 0.9), 6) AS p90_tokens
+FROM d GROUP BY source
+"""

@@ -1838,3 +1838,44 @@ def test_mention_coverage_by_role_planted(ray_session):
     assert got.loc["user", "n_with_mention"] == 1
     assert got.loc["user", "coverage"] == 0.5
     assert got.loc["assistant", "coverage"] == 0.0
+
+
+def test_label_cohesion_planted(ray_session):
+    from tcx2graph_jl_ray.stages.ann import label_cohesion
+
+    emb = pd.DataFrame({
+        "vec_id": pd.array([1, 2, 3], dtype="int64"),
+        "label": ["a", "a", "b"],
+        # label a: centroid (1, 0); dists^2 = 1 each (vectors (0,0),(2,0))
+        "embedding": [[0.0, 0.0], [2.0, 0.0], [5.0, 5.0]],
+    })
+    got = (
+        label_cohesion(ray.data.from_pandas(emb))
+        .to_pandas()
+        .set_index("label")
+        .sort_index()
+    )
+    assert got.loc["a", "n_vecs"] == 2
+    assert got.loc["a", "mean_dist2"] == 1.0
+    assert got.loc["b", "mean_dist2"] == 0.0
+
+
+def test_token_quantiles_by_source_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import token_quantiles_by_source
+
+    docs = pd.DataFrame({
+        "source": ["w"] * 4 + ["x"],
+        # token counts 1, 2, 3, 4 -> p50 = 2.5; p90 = 3.7
+        "text": ["a", "a b", "a b c", "a b c d", "z z"],
+    })
+    got = (
+        token_quantiles_by_source(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["w", "n_docs"] == 4
+    assert got.loc["w", "p50_tokens"] == 2.5
+    assert got.loc["w", "p90_tokens"] == np.round(
+        3 + (0.9 * 3 - 2) * 1, 6)
+    assert got.loc["x", "p50_tokens"] == 2.0
