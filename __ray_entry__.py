@@ -60,6 +60,7 @@ _SUBSTR_K, _SUBSTR_TOP = 32, 100
 _KWIC_TERM, _KWIC_W = "customer", 2
 _STAB_K, _TPL_PREFIX = 50, 64
 _TURNPOS_CAP = 20
+_CRK = 10
 _ZIPF_TOP_N = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
@@ -988,6 +989,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_token_quantiles_by_source":
             lambda sf: _tx.token_quantiles_by_source(_docs(sf)),
+        "kg_entity_gini": lambda sf: _an.entity_gini(
+            _mentions_with_entity(sf)
+        ),
+        "rel_customer_concentration":
+            lambda sf: _rel.customer_concentration(sf, k=_CRK),
     })
 
 
@@ -1737,6 +1743,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_cohesion": _ann.LABEL_COHESION_SQL,
         "docs_token_quantiles_by_source":
             _tx.TOKEN_QUANTILES_BY_SOURCE_SQL,
+        "kg_entity_gini": _an.ENTITY_GINI_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
+        ),
+        "rel_customer_concentration":
+            _rel.customer_concentration_sql(_CRK),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -7145,3 +7145,93 @@ SELECT role, CAST(n AS BIGINT) AS n_turns,
        ROUND(CAST(m AS DOUBLE) / n, 6) AS coverage
 FROM s
 """
+
+
+def entity_gini(
+    mentions_with_entity: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Gini coefficient of per-entity MENTION inequality — the KG-side
+    concentration scalar next to ``events_user_gini`` (a knowledge graph
+    where three entities absorb all mentions answers questions about
+    three things). Fully exact until the final division — the
+    ``user_gini`` rank-sum mold: entity-bucketed counts, count-of-counts
+    fold, arbitrary-precision rank sum over (count, multiplicity) runs,
+    one double expression mirrored by the oracle, np.round 6.
+    Output: one row — n_entities, total_mentions, gini."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("entity_id", sort=False).size()
+        return pd.DataFrame({
+            "entity_id": s.index,
+            "c_part": s.to_numpy().astype("int64"),
+        })
+
+    def per_entity(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("entity_id", sort=False)["c_part"].sum()
+        h = s.value_counts()
+        return pd.DataFrame({
+            "c": h.index.astype("int64"),
+            "m_part": h.to_numpy().astype("int64"),
+        })
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("c", sort=False)["m_part"].sum()
+        return pd.DataFrame({
+            "c": s.index.astype("int64"),
+            "m": s.astype("int64").to_numpy(),
+        })
+
+    per = bucketed_group_apply(
+        mentions_with_entity.select_columns(["entity_id"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["entity_id"], per_entity, n_buckets=n_buckets,
+    )
+    cc = bucketed_group_apply(per, ["c"], hist, n_buckets=4).to_pandas()
+    cc = cc.sort_values("c")
+    n = t = s_rank = 0
+    r = 1
+    for c, m in zip(cc["c"].tolist(), cc["m"].tolist()):
+        s_rank += c * (m * r + m * (m - 1) // 2)
+        r += m
+        n += m
+        t += c * m
+    gini = float(np.round(
+        2.0 * float(s_rank) / (float(n) * float(t))
+        - float(n + 1) / float(n), 6
+    )) if n else float("nan")
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_entities": pd.array([n], dtype="int64"),
+        "total_mentions": pd.array([t], dtype="int64"),
+        "gini": [gini],
+    }))
+
+
+ENTITY_GINI_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+u AS (
+  SELECT l.entity_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM m mm JOIN lab l ON mm.norm = l.norm
+  GROUP BY l.entity_id
+),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, entity_id) AS rn FROM u
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS t,
+         SUM(rn * c) AS s_rank
+  FROM r
+)
+SELECT n AS n_entities, t AS total_mentions,
+       ROUND(2.0 * CAST(s_rank AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+FROM s
+"""
+)

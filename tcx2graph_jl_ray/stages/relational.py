@@ -5653,3 +5653,88 @@ SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
        ROUND(CAST(dead AS DOUBLE) / n, 6) AS dead_share
 FROM s
 """
+
+
+def customer_concentration(
+    sf_dir: str, k: int = 10, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Revenue CONCENTRATION scalar CR-k: the share of total order value
+    held by the top-``k`` customers — ``top_customers``' leaderboard
+    reduced to the one number an account-risk dashboard tracks. Exact
+    cents throughout: per-customer sums reduce customer-bucketed, each
+    bucket emits its own top-k candidates plus its full-bucket total
+    (lossless: the global top-k is inside the union of per-bucket
+    top-ks), and the driver merges k x n_buckets candidate rows (ties
+    break to the smaller custkey). The share is one double division
+    rounded 6. Output: one row — n_top, top_value, total_value, cr."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": batch["o_custkey"].astype("int64"),
+            "cents": cents_i64(batch["o_totalprice"]),
+        }).groupby("o_custkey", sort=False).sum().astype("int64")\
+            .reset_index()
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("o_custkey", sort=False)["cents"].sum()\
+            .reset_index()
+        g = g.sort_values(["cents", "o_custkey"],
+                          ascending=[False, True], kind="mergesort")
+        top = g.head(k).copy()
+        top["bucket_total"] = np.int64(0)
+        tot = pd.DataFrame({
+            "o_custkey": pd.array([-1], dtype="int64"),
+            "cents": pd.array([0], dtype="int64"),
+            "bucket_total": pd.array(
+                [int(g["cents"].sum())], dtype="int64"),
+        })
+        return pd.concat([top, tot], ignore_index=True)
+
+    cand = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["o_custkey"], per_bucket, n_buckets=n_buckets,
+    ).to_pandas()  # <= (k+1) x n_buckets rows — bounded
+
+    total = int(cand["bucket_total"].sum())
+    tops = cand[cand["o_custkey"] >= 0].sort_values(
+        ["cents", "o_custkey"], ascending=[False, True],
+        kind="mergesort").head(k)
+    top_cents = int(tops["cents"].sum())
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_top": pd.array([len(tops)], dtype="int64"),
+        "top_value": [float(top_cents) / 100.0],
+        "total_value": [float(total) / 100.0],
+        # float() each side BEFORE dividing: the oracle casts both to
+        # DOUBLE, and past 2^53 cents Python's exact big-int quotient
+        # would differ from the double/double one
+        "cr": [float(np.round(float(top_cents) / float(total), 6))],
+    }))
+
+
+def customer_concentration_sql(k: int = 10) -> str:
+    return f"""
+WITH u AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT SUM(cents) AS total FROM u),
+tp AS (
+  SELECT cents FROM u
+  ORDER BY cents DESC, o_custkey LIMIT {k}
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+             SUM(cents) AS top_cents FROM tp)
+SELECT n_top,
+       CAST(top_cents AS DOUBLE) / 100.0 AS top_value,
+       CAST(t.total AS DOUBLE) / 100.0 AS total_value,
+       ROUND(CAST(top_cents AS DOUBLE) / t.total, 6) AS cr
+FROM s, t
+"""

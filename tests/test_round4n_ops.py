@@ -1879,3 +1879,33 @@ def test_token_quantiles_by_source_planted(ray_session):
     assert got.loc["w", "p90_tokens"] == np.round(
         3 + (0.9 * 3 - 2) * 1, 6)
     assert got.loc["x", "p50_tokens"] == 2.0
+
+
+def test_entity_gini_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import entity_gini
+
+    # counts: e1 x4, e2 x1, e3 x1 -> sorted (1,1,4), n=3, T=6
+    # S = 1*1 + 2*1 + 3*4 = 15 ; gini = 2*15/(3*6) - 4/3 = 1/3
+    me = pd.DataFrame({
+        "entity_id": ["e1"] * 4 + ["e2", "e3"],
+    })
+    got = entity_gini(ray.data.from_pandas(me)).to_pandas()
+    assert got.loc[0, "n_entities"] == 3
+    assert got.loc[0, "total_mentions"] == 6
+    assert got.loc[0, "gini"] == np.round(1 / 3, 6)
+
+
+def test_customer_concentration_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import customer_concentration
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([50.0, 50.0, 30.0, 15.0, 5.0]),
+    }), str(tmp_path / "orders.parquet"))
+    got = customer_concentration(str(tmp_path), k=2, n_buckets=3)\
+        .to_pandas()
+    # top-2 customers: cust1 (100) + cust2 (30) = 130 of 150
+    assert got.loc[0, "n_top"] == 2
+    assert got.loc[0, "top_value"] == 130.0
+    assert got.loc[0, "total_value"] == 150.0
+    assert got.loc[0, "cr"] == np.round(130 / 150, 6)
