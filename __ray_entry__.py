@@ -61,6 +61,7 @@ _KWIC_TERM, _KWIC_W = "customer", 2
 _STAB_K, _TPL_PREFIX = 50, 64
 _TURNPOS_CAP = 20
 _CRK = 10
+_CRK_PAIRS = 25
 _ZIPF_TOP_N = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
@@ -994,6 +995,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_customer_concentration":
             lambda sf: _rel.customer_concentration(sf, k=_CRK),
+        "events_value_by_activity_band":
+            lambda sf: _wd.value_by_activity_band(_events_ds(sf)),
+        "kg_top_cooc_pairs": lambda sf: _an.top_cooc_pairs(
+            _cooc(sf), k=_CRK_PAIRS
+        ),
+        "text_caps_share_by_source":
+            lambda sf: _tx.caps_share_by_source(_docs(sf)),
     })
 
 
@@ -1748,6 +1756,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rel_customer_concentration":
             _rel.customer_concentration_sql(_CRK),
+        "events_value_by_activity_band": _wd.VALUE_BY_ACTIVITY_BAND_SQL,
+        "kg_top_cooc_pairs": _an.top_cooc_pairs_sql(
+            _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+            k=_CRK_PAIRS,
+        ),
+        "text_caps_share_by_source": _tx.CAPS_SHARE_BY_SOURCE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

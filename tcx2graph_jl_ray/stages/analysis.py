@@ -7235,3 +7235,48 @@ SELECT n AS n_entities, t AS total_mentions,
 FROM s
 """
 )
+
+
+def top_cooc_pairs(
+    cooc: ray.data.Dataset, k: int = 25, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Top-``k`` co-occurring entity PAIRS by shared-conversation weight
+    — the leaderboard view of the co-occurrence graph
+    (``cooc_weight_hist`` says how heavy edges get; this says WHICH).
+    Per-bucket head-k candidates (lossless: the global top-k lives in
+    the union), then one k × n_buckets merge with deterministic ties
+    (weight desc, then src, then dst). Rank emits so the driver hash
+    pins the order. Output: rank, src, dst, n_convs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            ["n_convs", "src", "dst"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        return g.head(k)[["src", "dst", "n_convs"]]
+
+    cand = bucketed_group_apply(
+        cooc.select_columns(["src", "dst", "n_convs"]),
+        ["src", "dst"], per_bucket, n_buckets=n_buckets,
+    ).to_pandas()  # <= k x n_buckets rows — bounded
+
+    top = cand.sort_values(
+        ["n_convs", "src", "dst"], ascending=[False, True, True],
+        kind="mergesort",
+    ).head(k).reset_index(drop=True)
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype="int64"))
+    top["n_convs"] = top["n_convs"].astype("int64")
+    return ray.data.from_pandas(top)
+
+
+def top_cooc_pairs_sql(cooccurrence: str, k: int = 25) -> str:
+    return f"""
+WITH c AS ({cooccurrence})
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY n_convs DESC, src, dst) AS BIGINT) AS rank,
+       src, dst, n_convs
+FROM c
+ORDER BY n_convs DESC, src, dst
+LIMIT {k}
+"""

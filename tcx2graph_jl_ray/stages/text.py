@@ -4894,3 +4894,61 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(QUANTILE_CONT(ntok, 0.9), 6) AS p90_tokens
 FROM d GROUP BY source
 """
+
+
+def caps_share_by_source(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """SHOUTING density by source: the share of multi-letter tokens
+    written in ALL CAPS, per source — the forum/log-noise prior a
+    quality filter combines with ``numeric_share_by_source`` (prose has
+    few all-caps tokens; scraped headers and stack traces have many).
+    A token counts as caps iff it is 2+ uppercase A-Z letters between
+    space boundaries; both counts are exact ints and the share is one
+    double division rounded 6. Output: source, n_tokens, n_caps,
+    caps_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        ntok = (d["text"].str.count(" ") + 1).astype("int64")
+        caps = d["text"].str.count(r"(?:(?<= )|^)[A-Z]{2,}(?=(?: |$))")\
+            .astype("int64")
+        return pd.DataFrame({
+            "source": d["source"], "n": ntok, "caps": caps,
+        }).groupby("source", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False)[["n", "caps"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        c = g["caps"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "source": g.index,
+            "n_tokens": n,
+            "n_caps": c,
+            "caps_share": np.round(c.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["source"], final, n_buckets=1)
+
+
+CAPS_SHARE_BY_SOURCE_SQL = """
+WITH d AS (
+  SELECT source, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT source, CAST(len(t) AS BIGINT) AS n,
+         CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Z]{2,}')))
+              AS BIGINT) AS caps
+  FROM d
+),
+g AS (SELECT source, SUM(n) AS n, SUM(caps) AS caps
+      FROM s GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(caps AS BIGINT) AS n_caps,
+       ROUND(CAST(caps AS DOUBLE) / n, 6) AS caps_share
+FROM g
+"""

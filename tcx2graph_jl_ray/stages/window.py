@@ -4657,3 +4657,92 @@ SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n_events,
          AS share_in_type
 FROM c
 """
+
+
+def value_by_activity_band(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """VALUE share by user-activity band: bucket users into the
+    ``user_activity_hist`` log2 event-count bands and report each band's
+    share of users AND of total event value — the two-axis inequality
+    view (power users being 1% of accounts but 40% of value is the
+    number that decides every sampling and rate-limit policy). Per-user
+    (count, cents) pairs reduce user-bucketed; band partials bound the
+    final exchange; the shares divide exact ints, rounded 6.
+    Output: bin, min_events, n_users, value_sum, user_share,
+    value_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.where(batch["value"].notna(),
+                         cents_i64(batch["value"].fillna(0.0)),
+                         np.int64(0))
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64"),
+            "n": np.int64(1),
+            "cents": cents,
+        }).groupby("user_id", sort=False).sum().astype("int64")\
+            .reset_index()
+        return g
+
+    parts = events.select_columns(["user_id", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)[["n", "cents"]].sum()
+        c = g["n"].to_numpy(dtype="int64")
+        bins = np.array([int(x).bit_length() - 1 for x in c],
+                        dtype="int64")
+        d = pd.DataFrame({
+            "bin": bins, "n_users": np.int64(1),
+            "cents": g["cents"].to_numpy(dtype="int64"),
+        })
+        return d.groupby("bin", sort=False).sum().reset_index()\
+            .astype("int64")
+
+    mid = bucketed_group_apply(parts, ["user_id"], per_user,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)[["n_users", "cents"]].sum()
+        nu = g["n_users"].to_numpy(dtype="int64")
+        cents = g["cents"].to_numpy(dtype="int64")
+        tu = float(nu.sum())
+        tc = float(cents.sum())
+        b = g.index.to_numpy().astype("int64")
+        return pd.DataFrame({
+            "bin": b,
+            "min_events": (np.int64(1) << b).astype("int64"),
+            "n_users": nu,
+            "value_sum": cents.astype("float64") / 100.0,
+            "user_share": np.round(nu.astype("float64") / tu, 6),
+            "value_share": np.round(cents.astype("float64") / tc, 6),
+        })
+
+    return bucketed_group_apply(mid, ["bin"], final, n_buckets=1)
+
+
+VALUE_BY_ACTIVITY_BAND_SQL = """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CASE WHEN value IS NOT NULL
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS cents
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT CAST(floor(log2(n)) AS BIGINT) AS bin,
+         COUNT(*) AS nu, SUM(cents) AS cents
+  FROM u GROUP BY 1
+)
+SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_events,
+       CAST(nu AS BIGINT) AS n_users,
+       CAST(cents AS DOUBLE) / 100.0 AS value_sum,
+       ROUND(CAST(nu AS DOUBLE) / SUM(CAST(nu AS DOUBLE)) OVER (), 6)
+         AS user_share,
+       ROUND(CAST(cents AS DOUBLE)
+             / SUM(CAST(cents AS DOUBLE)) OVER (), 6) AS value_share
+FROM b
+"""

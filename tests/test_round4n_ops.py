@@ -1909,3 +1909,59 @@ def test_customer_concentration_planted(ray_session, tmp_path):
     assert got.loc[0, "top_value"] == 130.0
     assert got.loc[0, "total_value"] == 150.0
     assert got.loc[0, "cr"] == np.round(130 / 150, 6)
+
+
+def test_value_by_activity_band_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_by_activity_band
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "value": [10.0, 10.0, None, 5.0],
+    })
+    got = (
+        value_by_activity_band(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    # user1: 3 events -> bin 1, 20.00 ; user2: 1 event -> bin 0, 5.00
+    assert got.loc[1, "value_sum"] == 20.0
+    assert got.loc[0, "value_sum"] == 5.0
+    assert got.loc[1, "value_share"] == 0.8
+    assert got.loc[1, "user_share"] == 0.5
+
+
+def test_top_cooc_pairs_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import top_cooc_pairs
+
+    cooc = pd.DataFrame({
+        "src": ["a", "a", "b", "a"],
+        "dst": ["b", "c", "c", "d"],
+        "n_convs": [5, 3, 5, 1],
+    })
+    got = top_cooc_pairs(
+        ray.data.from_pandas(cooc), k=3, n_buckets=2
+    ).to_pandas()
+    # ties at 5: (a,b) before (b,c) lexically
+    assert list(got["rank"]) == [1, 2, 3]
+    assert (got.loc[0, "src"], got.loc[0, "dst"]) == ("a", "b")
+    assert (got.loc[1, "src"], got.loc[1, "dst"]) == ("b", "c")
+    assert got.loc[2, "n_convs"] == 3
+
+
+def test_caps_share_by_source_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import caps_share_by_source
+
+    docs = pd.DataFrame({
+        "source": ["w", "w"],
+        "text": ["NASA sent A probe", "the END"],
+    })
+    got = (
+        caps_share_by_source(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("source")
+    )
+    # tokens: NASA(caps) sent A(1 letter, no) probe | the END(caps)
+    assert got.loc["w", "n_tokens"] == 6
+    assert got.loc["w", "n_caps"] == 2
+    assert got.loc["w", "caps_share"] == np.round(2 / 6, 6)
