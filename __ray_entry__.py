@@ -1002,6 +1002,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_caps_share_by_source":
             lambda sf: _tx.caps_share_by_source(_docs(sf)),
+        "dedup_rate_by_source": lambda sf: _dd.dup_rate_by_source(
+            _minhash_clusters(sf), _docs(sf)
+        ),
+        "events_session_sensitivity":
+            lambda sf: _wd.session_count_sensitivity(_events_ds(sf)),
+        "text_top_word_coverage": lambda sf: _tx.top_word_coverage(
+            _docs(sf)
+        ),
     })
 
 
@@ -1762,6 +1770,12 @@ def oracle_sql() -> dict[str, str]:
             k=_CRK_PAIRS,
         ),
         "text_caps_share_by_source": _tx.CAPS_SHARE_BY_SOURCE_SQL,
+        "dedup_rate_by_source": _dd.DUP_RATE_BY_SOURCE_SQL_TEMPLATE.format(
+            clusters=_dd.minhash_clusters_sql()
+        ),
+        "events_session_sensitivity":
+            _wd.session_count_sensitivity_sql(),
+        "text_top_word_coverage": _tx.top_word_coverage_sql(),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

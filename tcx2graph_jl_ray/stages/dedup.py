@@ -3869,3 +3869,81 @@ SELECT CAST(bit AS BIGINT) AS bit, CAST(n_set AS BIGINT) AS n_set,
        ROUND(CAST(n_set AS DOUBLE) / n, 6) AS share
 FROM c
 """
+
+
+def dup_rate_by_source(
+    clusters: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """NEAR-DUP rate by source: per source, how many documents sit in a
+    MinHash cluster at all and how many are non-representative members
+    (what dedup would actually delete) — ``dup_rate_by_length``'s
+    companion along the provenance axis, and the table that says WHICH
+    feed pays for the dedup pass. Cluster members and doc sources meet
+    in the co-partitioned ``hash_join`` on doc_id; source partials bound
+    the final exchange. Output: source, n_docs, n_clustered, n_removable,
+    dup_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    src = docs.select_columns(["doc_id", "source"]).map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"],
+        }),
+        batch_format="pandas", batch_size=65536,
+    )
+    j = hash_join(
+        clusters.select_columns(["doc_id", "cluster_id"]), src,
+        on="doc_id", n_buckets=n_buckets, how="right",
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        inc = batch["cluster_id"].notna()
+        rem = inc & (batch["doc_id"] != batch["cluster_id"])
+        g = pd.DataFrame({
+            "source": batch["source"],
+            "n": np.int64(1),
+            "c": inc.astype("int64"),
+            "r": rem.astype("int64"),
+        }).groupby("source", sort=False).sum().reset_index()
+        return g.astype({"n": "int64", "c": "int64", "r": "int64"})
+
+    parts = j.map_batches(partial, batch_format="pandas",
+                          batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False)[["n", "c", "r"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "source": g.index,
+            "n_docs": n,
+            "n_clustered": g["c"].to_numpy(dtype="int64"),
+            "n_removable": g["r"].to_numpy(dtype="int64"),
+            "dup_share": np.round(
+                g["r"].to_numpy(dtype="float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["source"], final, n_buckets=1)
+
+
+DUP_RATE_BY_SOURCE_SQL_TEMPLATE = """
+WITH c AS ({clusters}),
+j AS (
+  SELECT d.source, c.cluster_id, d.doc_id
+  FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+),
+s AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS cl,
+         SUM(CASE WHEN cluster_id IS NOT NULL AND doc_id <> cluster_id
+                  THEN 1 ELSE 0 END) AS r
+  FROM j GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(cl AS BIGINT) AS n_clustered,
+       CAST(r AS BIGINT) AS n_removable,
+       ROUND(CAST(r AS DOUBLE) / n, 6) AS dup_share
+FROM s
+"""

@@ -4952,3 +4952,88 @@ SELECT source, CAST(n AS BIGINT) AS n_tokens,
        ROUND(CAST(caps AS DOUBLE) / n, 6) AS caps_share
 FROM g
 """
+
+
+def top_word_coverage(
+    docs: ray.data.Dataset,
+    ks: tuple = (10, 100, 1000),
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Token-mass COVERAGE of the top-k vocabulary: what share of all
+    tokens the k most frequent words account for, at several k — the
+    one-table answer to "how big a vocab do I actually need"
+    (``word_freq_hist``'s spectrum reduced to the cumulative numbers a
+    tokenizer budget uses). Word counts reduce word-bucketed (lowercase
+    ' '-split, the house rule); each bucket emits its own top-max(k)
+    candidates plus its token-mass total (lossless head-k union); the
+    driver merges max(k) × n_buckets rows with deterministic ties
+    (count desc, then word). Output: k, n_tokens_top, n_tokens_total,
+    coverage."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    kmax = max(ks)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        tf = _token_frame(d)
+        s = tf.groupby("tok", sort=False).size()
+        return pd.DataFrame({
+            "tok": s.index,
+            "c": s.to_numpy().astype("int64"),
+        })
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("tok", sort=False)["c"].sum().reset_index()
+        g = g.sort_values(["c", "tok"], ascending=[False, True],
+                          kind="mergesort")
+        top = g.head(kmax).copy()
+        top["mass"] = np.int64(0)
+        tot = pd.DataFrame({
+            "tok": [""], "c": pd.array([0], dtype="int64"),
+            "mass": pd.array([int(g["c"].sum())], dtype="int64"),
+        })
+        return pd.concat([top, tot], ignore_index=True)
+
+    cand = bucketed_group_apply(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas", batch_size=8192
+        ),
+        ["tok"], per_bucket, n_buckets=n_buckets,
+    ).to_pandas()  # <= (kmax+1) x n_buckets rows — bounded
+
+    total = int(cand["mass"].sum())
+    words = cand[cand["c"] > 0].sort_values(
+        ["c", "tok"], ascending=[False, True], kind="mergesort")
+    rows = []
+    for k in ks:
+        topc = int(words.head(k)["c"].sum())
+        rows.append((int(k), topc, total,
+                     float(np.round(float(topc) / float(total), 6))))
+    return ray.data.from_pandas(pd.DataFrame(rows, columns=[
+        "k", "n_tokens_top", "n_tokens_total", "coverage"
+    ]).astype({"k": "int64", "n_tokens_top": "int64",
+               "n_tokens_total": "int64"}))
+
+
+def top_word_coverage_sql(ks: tuple = (10, 100, 1000)) -> str:
+    legs = []
+    for k in ks:
+        legs.append(f"""
+SELECT {k} AS k,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM (
+          SELECT c FROM w ORDER BY c DESC, tok LIMIT {k}))
+         AS n_tokens_top,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM w) AS n_tokens_total,
+       ROUND(
+         CAST((SELECT SUM(c) FROM (
+            SELECT c FROM w ORDER BY c DESC, tok LIMIT {k})) AS DOUBLE)
+         / (SELECT CAST(SUM(c) AS DOUBLE) FROM w), 6) AS coverage""")
+    return (
+        """
+WITH tf AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok)"""
+        + "\nUNION ALL".join(legs)
+    )

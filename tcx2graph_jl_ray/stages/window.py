@@ -4746,3 +4746,75 @@ SELECT bin, CAST(POWER(2, bin) AS BIGINT) AS min_events,
              / SUM(CAST(cents AS DOUBLE)) OVER (), 6) AS value_share
 FROM b
 """
+
+
+def session_count_sensitivity(
+    events: ray.data.Dataset,
+    gaps_s: tuple = (900, 1800, 3600),
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Session-count SENSITIVITY to the gap threshold: total session
+    count at several inactivity cutoffs — the calibration table behind
+    ``sessionize``'s single ``gap_s`` (if the count swings wildly
+    between 15 and 60 minutes the threshold is load-bearing and needs a
+    product decision, not a default). User streams co-locate whole in
+    user buckets (the sessionize shuffle, run ONCE for all thresholds);
+    per bucket each threshold counts boundaries vectorized over the same
+    sorted frame; three-row exchange. n_sessions(g) = n_users +
+    #(within-user gaps > g). Output: gap_s, n_users, n_sessions."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        same_user = (g["user_id"] == g["user_id"].shift()).to_numpy()
+        nu = int(g["user_id"].nunique())
+        rows = []
+        for gs in gaps_s:
+            nb = int((same_user & (gaps.to_numpy() > gs)).sum())
+            rows.append((int(gs), nu, nu + nb))
+        return pd.DataFrame(rows, columns=[
+            "gap_s", "n_users", "n_sessions"
+        ]).astype("int64")
+
+    mid = bucketed_group_apply(
+        events.select_columns(["user_id", "ts", "event_id"]),
+        ["user_id"], per_bucket, n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("gap_s", sort=False)[
+            ["n_users", "n_sessions"]
+        ].sum()
+        return pd.DataFrame({
+            "gap_s": g.index.to_numpy().astype("int64"),
+            "n_users": g["n_users"].to_numpy(dtype="int64"),
+            "n_sessions": g["n_sessions"].to_numpy(dtype="int64"),
+        })
+
+    return bucketed_group_apply(mid, ["gap_s"], final, n_buckets=1)
+
+
+def session_count_sensitivity_sql(gaps_s: tuple = (900, 1800, 3600)) -> str:
+    legs = []
+    for gs in gaps_s:
+        legs.append(f"""
+SELECT {gs} AS gap_s,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT user_id)
+            + SUM(CASE WHEN prev_ts IS NOT NULL
+                        AND date_diff('microsecond', prev_ts, ts)
+                            > CAST({gs} AS BIGINT) * 1000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM g""")
+    return (
+        """
+WITH g AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)"""
+        + "\nUNION ALL".join(legs)
+    )

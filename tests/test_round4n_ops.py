@@ -1965,3 +1965,81 @@ def test_caps_share_by_source_planted(ray_session):
     assert got.loc["w", "n_tokens"] == 6
     assert got.loc["w", "n_caps"] == 2
     assert got.loc["w", "caps_share"] == np.round(2 / 6, 6)
+
+
+def test_dup_rate_by_source_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import dup_rate_by_source
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "source": ["w", "w", "w", "x"],
+    })
+    clusters = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "cluster_id": pd.array([1, 1], dtype="int64"),
+    })
+    got = (
+        dup_rate_by_source(
+            ray.data.from_pandas(clusters), ray.data.from_pandas(docs),
+            n_buckets=2,
+        )
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["w", "n_docs"] == 3
+    assert got.loc["w", "n_clustered"] == 2
+    assert got.loc["w", "n_removable"] == 1
+    assert got.loc["w", "dup_share"] == np.round(1 / 3, 6)
+    assert got.loc["x", "n_clustered"] == 0
+
+
+def test_session_count_sensitivity_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import session_count_sensitivity
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:20:00",  # 1200 s gap
+            "2024-01-01 01:20:00",                          # 3600 s gap
+            "2024-01-01 00:00:00",
+        ]),
+    })
+    got = (
+        session_count_sensitivity(
+            ray.data.from_pandas(ev), gaps_s=(900, 1800, 3600)
+        )
+        .to_pandas()
+        .set_index("gap_s")
+        .sort_index()
+    )
+    # gap 900: both gaps split -> 2 + 2 = 4 sessions
+    # gap 1800: only the 3600 s gap splits -> 3
+    # gap 3600: 3600 > 3600 false -> 2
+    assert got.loc[900, "n_sessions"] == 4
+    assert got.loc[1800, "n_sessions"] == 3
+    assert got.loc[3600, "n_sessions"] == 2
+    assert (got["n_users"] == 2).all()
+
+
+def test_top_word_coverage_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import top_word_coverage
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "text": ["a a a b b c", "a d"],
+    })
+    got = (
+        top_word_coverage(
+            ray.data.from_pandas(docs), ks=(1, 2), n_buckets=2
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # counts: a 4, b 2, c 1, d 1 ; total 8
+    assert got.loc[1, "n_tokens_top"] == 4
+    assert got.loc[1, "coverage"] == 0.5
+    assert got.loc[2, "n_tokens_top"] == 6
+    assert got.loc[2, "coverage"] == 0.75
