@@ -1010,6 +1010,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_word_coverage": lambda sf: _tx.top_word_coverage(
             _docs(sf)
         ),
+        "events_last_seen_hist": lambda sf: _wd.last_seen_hist(
+            _events_ds(sf)
+        ),
+        "kg_question_share_by_role":
+            lambda sf: _an.question_share_by_role(_transcripts(sf)),
+        "docs_nonascii_by_lang": lambda sf: _tx.nonascii_by_lang(
+            _docs(sf)
+        ),
     })
 
 
@@ -1776,6 +1784,12 @@ def oracle_sql() -> dict[str, str]:
         "events_session_sensitivity":
             _wd.session_count_sensitivity_sql(),
         "text_top_word_coverage": _tx.top_word_coverage_sql(),
+        "events_last_seen_hist": _wd.LAST_SEEN_HIST_SQL,
+        "kg_question_share_by_role":
+            _an.QUESTION_SHARE_BY_ROLE_SQL_TEMPLATE.format(
+                transcripts=TRANSCRIPTS_SQL
+            ),
+        "docs_nonascii_by_lang": _tx.NONASCII_BY_LANG_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -7280,3 +7280,55 @@ FROM c
 ORDER BY n_convs DESC, src, dst
 LIMIT {k}
 """
+
+
+def question_share_by_role(
+    transcripts: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """QUESTION rate by role: the share of each role's turns whose text
+    ends with '?' — the cheapest dialogue-act signal there is (users ask,
+    assistants answer; an assistant question rate creeping up is a
+    clarification-loop regression). Exact integer partials bounded to
+    role cardinality; the share is one double division rounded 6.
+    Output: role, n_turns, n_questions, question_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = batch["text"].fillna("").str.endswith("?").astype("int64")
+        g = q.groupby(batch["role"], sort=False).agg(["size", "sum"])
+        return pd.DataFrame({
+            "role": g.index,
+            "n": g["size"].to_numpy().astype("int64"),
+            "q": g["sum"].to_numpy().astype("int64"),
+        })
+
+    parts = transcripts.select_columns(["role", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("role", sort=False)[["n", "q"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        q = g["q"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "role": g.index,
+            "n_turns": n,
+            "n_questions": q,
+            "question_share": np.round(q.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["role"], final, n_buckets=1)
+
+
+QUESTION_SHARE_BY_ROLE_SQL_TEMPLATE = """
+WITH t AS ({transcripts}),
+s AS (
+  SELECT role, COUNT(*) AS n,
+         SUM(CASE WHEN text LIKE '%?' THEN 1 ELSE 0 END) AS q
+  FROM t GROUP BY role
+)
+SELECT role, CAST(n AS BIGINT) AS n_turns,
+       CAST(q AS BIGINT) AS n_questions,
+       ROUND(CAST(q AS DOUBLE) / n, 6) AS question_share
+FROM s
+"""

@@ -5037,3 +5037,53 @@ WITH tf AS (
 w AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok)"""
         + "\nUNION ALL".join(legs)
     )
+
+
+def nonascii_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """NON-ASCII character density per declared language — the script
+    sanity check (a 'zh' feed near zero non-ASCII is mislabeled or
+    transliterated; an 'en' feed spiking is mojibake). Exact integer
+    char counts per batch; lang-bounded exchange; the share is one
+    double division rounded 6. Output: lang, n_chars, n_nonascii,
+    nonascii_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        nch = d["text"].str.len().astype("int64")
+        na = d["text"].str.count(r"[^\x00-\x7F]").astype("int64")
+        return pd.DataFrame({
+            "lang": d["lang"], "n": nch, "na": na,
+        }).groupby("lang", sort=False).sum().reset_index()
+
+    parts = docs.select_columns(["lang", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("lang", sort=False)[["n", "na"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        na = g["na"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "lang": g.index,
+            "n_chars": n,
+            "n_nonascii": na,
+            "nonascii_share": np.round(na.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["lang"], final, n_buckets=1)
+
+
+NONASCII_BY_LANG_SQL = """
+WITH d AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS n,
+         CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+              AS BIGINT) AS na
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (SELECT lang, SUM(n) AS n, SUM(na) AS na FROM d GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_chars,
+       CAST(na AS BIGINT) AS n_nonascii,
+       ROUND(CAST(na AS DOUBLE) / n, 6) AS nonascii_share
+FROM s
+"""

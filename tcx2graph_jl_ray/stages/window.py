@@ -4818,3 +4818,65 @@ WITH g AS (
 )"""
         + "\nUNION ALL".join(legs)
     )
+
+
+def last_seen_hist(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """CHURN cohorts: users by the month they were LAST seen —
+    ``user_growth``'s mirror image (first-seen says acquisition,
+    last-seen says attrition; the rightmost bar is the active base,
+    every earlier bar is churn). Per-user max-month partials reduce
+    user-bucketed (order-free max over 'YYYY-MM' strings ==
+    chronological); the monthly rollup is month-bounded; the share is
+    one double division rounded 6. Output: month, n_users_last_seen,
+    share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m")
+        g = m.groupby(batch["user_id"], sort=False).max()
+        return pd.DataFrame({
+            "user_id": g.index.astype("int64"),
+            "month": g.to_numpy(),
+        })
+
+    parts = events.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("user_id", sort=False)["month"].max()
+        s = g.groupby(g, sort=False).size()
+        return pd.DataFrame({
+            "month": s.index,
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    mid = bucketed_group_apply(parts, ["user_id"], per_user,
+                               n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("month", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "month": g.index,
+            "n_users_last_seen": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(mid, ["month"], final, n_buckets=1)
+
+
+LAST_SEEN_HIST_SQL = """
+WITH u AS (
+  SELECT user_id, MAX(strftime(ts, '%Y-%m')) AS month
+  FROM events GROUP BY user_id
+),
+h AS (SELECT month, COUNT(*) AS n FROM u GROUP BY month)
+SELECT month, CAST(n AS BIGINT) AS n_users_last_seen,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

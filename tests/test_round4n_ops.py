@@ -2043,3 +2043,62 @@ def test_top_word_coverage_planted(ray_session):
     assert got.loc[1, "coverage"] == 0.5
     assert got.loc[2, "n_tokens_top"] == 6
     assert got.loc[2, "coverage"] == 0.75
+
+
+def test_last_seen_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import last_seen_hist
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-05 00:00", "2024-03-01 00:00",   # user1 last Mar
+            "2024-01-20 00:00",                        # user2 last Jan
+            "2024-03-09 00:00",                        # user3 last Mar
+        ]),
+    })
+    got = (
+        last_seen_hist(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("month")
+        .sort_index()
+    )
+    assert got.loc["2024-01", "n_users_last_seen"] == 1
+    assert got.loc["2024-03", "n_users_last_seen"] == 2
+    assert got.loc["2024-03", "share"] == np.round(2 / 3, 6)
+
+
+def test_question_share_by_role_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import question_share_by_role
+
+    tr = pd.DataFrame({
+        "role": ["user", "user", "assistant"],
+        "text": ["really?", "do it", "done."],
+    })
+    got = (
+        question_share_by_role(ray.data.from_pandas(tr))
+        .to_pandas()
+        .set_index("role")
+        .sort_index()
+    )
+    assert got.loc["user", "n_questions"] == 1
+    assert got.loc["user", "question_share"] == 0.5
+    assert got.loc["assistant", "question_share"] == 0.0
+
+
+def test_nonascii_by_lang_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import nonascii_by_lang
+
+    docs = pd.DataFrame({
+        "lang": ["zh", "en"],
+        "text": ["的是ab", "plain"],
+    })
+    got = (
+        nonascii_by_lang(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert got.loc["zh", "n_chars"] == 4
+    assert got.loc["zh", "n_nonascii"] == 2
+    assert got.loc["zh", "nonascii_share"] == 0.5
+    assert got.loc["en", "nonascii_share"] == 0.0
