@@ -1018,6 +1018,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nonascii_by_lang": lambda sf: _tx.nonascii_by_lang(
             _docs(sf)
         ),
+        "text_word_entropy": lambda sf: _tx.word_entropy(_docs(sf)),
+        "rel_status_priority_matrix":
+            lambda sf: _rel.status_priority_matrix(sf),
     })
 
 
@@ -1790,6 +1793,8 @@ def oracle_sql() -> dict[str, str]:
                 transcripts=TRANSCRIPTS_SQL
             ),
         "docs_nonascii_by_lang": _tx.NONASCII_BY_LANG_SQL,
+        "text_word_entropy": _tx.WORD_ENTROPY_SQL,
+        "rel_status_priority_matrix": _rel.STATUS_PRIORITY_MATRIX_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

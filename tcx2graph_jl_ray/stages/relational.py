@@ -5738,3 +5738,64 @@ SELECT n_top,
        ROUND(CAST(top_cents AS DOUBLE) / t.total, 6) AS cr
 FROM s, t
 """
+
+
+def status_priority_matrix(
+    sf_dir: str, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Order STATUS × PRIORITY contingency table with within-priority
+    shares — the fulfilment-health cross-tab behind ``status_mix`` and
+    ``priority_mix`` (urgent orders stuck in 'O' is the row an ops
+    review looks for). Per-batch (status, priority) partials bound the
+    exchange to the tiny enum product; the share divides two exact ints,
+    rounded 6. Output: o_orderstatus, o_orderpriority, n_orders,
+    share_in_priority."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["o_orderstatus", "o_orderpriority"],
+                          sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = orders.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["o_orderstatus", "o_orderpriority"],
+                           sort=False)["n"].sum().reset_index()
+        tot = g.groupby("o_orderpriority", sort=False)["n"]\
+            .transform("sum")
+        return pd.DataFrame({
+            "o_orderstatus": g["o_orderstatus"],
+            "o_orderpriority": g["o_orderpriority"],
+            "n_orders": g["n"].astype("int64"),
+            "share_in_priority": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6),
+        })
+
+    # ONE bucket: the within-priority denominator needs every status of a
+    # priority; the enum product is constant-size
+    return bucketed_group_apply(parts, ["o_orderpriority"], final,
+                                n_buckets=1)
+
+
+STATUS_PRIORITY_MATRIX_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE))
+               OVER (PARTITION BY o_orderpriority), 6)
+         AS share_in_priority
+FROM c
+"""

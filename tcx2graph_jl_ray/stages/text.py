@@ -5087,3 +5087,82 @@ SELECT lang, CAST(n AS BIGINT) AS n_chars,
        ROUND(CAST(na AS DOUBLE) / n, 6) AS nonascii_share
 FROM s
 """
+
+
+def word_entropy(docs: ray.data.Dataset, n_buckets: int = 16
+                 ) -> ray.data.Dataset:
+    """Corpus UNIGRAM ENTROPY: Shannon entropy of the word distribution
+    (bits/token) — the single number that moves when a corpus degenerates
+    toward templates (entropy falls) or noise (entropy approaches
+    log2(vocab)); the word-level sibling of ``text_char_entropy``.
+    Identity H = log2(T) - (Σ c·log2 c)/T makes it one pass of exact
+    integer word counts: word-bucketed reduction emits per-bucket
+    Σ c·log2 c (float) and Σ c / vocab (ints); the final fold is one
+    double expression rounded 6 (order noise absorbed, the
+    ``hourly_entropy`` discipline). Output: n_tokens, vocab_size,
+    word_entropy."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        tf = _token_frame(d)
+        s = tf.groupby("tok", sort=False).size()
+        return pd.DataFrame({
+            "tok": s.index,
+            "c": s.to_numpy().astype("int64"),
+        })
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("tok", sort=False)["c"].sum()
+        c = g.to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "t": [np.int64(c.sum())],
+            "v": [np.int64(len(c))],
+            "clogc": [float((c.astype("float64")
+                             * np.log2(c.astype("float64"))).sum())],
+        })
+
+    mid = bucketed_group_apply(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas", batch_size=8192
+        ),
+        ["tok"], per_bucket, n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        t = int(bucket["t"].sum())
+        v = int(bucket["v"].sum())
+        clogc = float(bucket["clogc"].sum())
+        if not t:
+            return pd.DataFrame({
+                "n_tokens": pd.array([], dtype="int64"),
+                "vocab_size": pd.array([], dtype="int64"),
+                "word_entropy": pd.array([], dtype="float64"),
+            })
+        h = np.log2(float(t)) - clogc / float(t)
+        return pd.DataFrame({
+            "n_tokens": pd.array([t], dtype="int64"),
+            "vocab_size": pd.array([v], dtype="int64"),
+            "word_entropy": [float(np.round(h, 6)) + 0.0],
+        })
+
+    return bucketed_group_apply(mid, ["k"], final, n_buckets=1)
+
+
+WORD_ENTROPY_SQL = """
+WITH tf AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tf GROUP BY tok),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v,
+         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+  FROM w
+)
+SELECT t AS n_tokens, v AS vocab_size,
+       ROUND(log2(CAST(t AS DOUBLE)) - clogc / CAST(t AS DOUBLE), 6)
+         + 0.0 AS word_entropy
+FROM s
+"""

@@ -2102,3 +2102,34 @@ def test_nonascii_by_lang_planted(ray_session):
     assert got.loc["zh", "n_nonascii"] == 2
     assert got.loc["zh", "nonascii_share"] == 0.5
     assert got.loc["en", "nonascii_share"] == 0.0
+
+
+def test_word_entropy_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import word_entropy
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "text": ["a b", "a b"],   # uniform over 2 words -> H = 1 bit
+    })
+    got = word_entropy(ray.data.from_pandas(docs)).to_pandas()
+    assert got.loc[0, "n_tokens"] == 4
+    assert got.loc[0, "vocab_size"] == 2
+    assert got.loc[0, "word_entropy"] == 1.0
+
+
+def test_status_priority_matrix_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import status_priority_matrix
+
+    pq.write_table(pa.table({
+        "o_orderstatus": pa.array(["O", "F", "O"]),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "3-MEDIUM"]),
+    }), str(tmp_path / "orders.parquet"))
+    got = (
+        status_priority_matrix(str(tmp_path))
+        .to_pandas()
+        .set_index(["o_orderpriority", "o_orderstatus"])
+        .sort_index()
+    )
+    assert got.loc[("1-URGENT", "O"), "share_in_priority"] == 0.5
+    assert got.loc[("1-URGENT", "F"), "n_orders"] == 1
+    assert got.loc[("3-MEDIUM", "O"), "share_in_priority"] == 1.0
