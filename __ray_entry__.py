@@ -62,6 +62,7 @@ _STAB_K, _TPL_PREFIX = 50, 64
 _TURNPOS_CAP = 20
 _CRK = 10
 _CRK_PAIRS = 25
+_SHORT_MIN_TOK = 5
 _ZIPF_TOP_N = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
@@ -1021,6 +1022,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_word_entropy": lambda sf: _tx.word_entropy(_docs(sf)),
         "rel_status_priority_matrix":
             lambda sf: _rel.status_priority_matrix(sf),
+        "events_value_sign_audit": lambda sf: _wd.value_sign_audit(
+            _events_ds(sf)
+        ),
+        "docs_short_doc_share": lambda sf: _tx.short_doc_share(
+            _docs(sf), min_tokens=_SHORT_MIN_TOK
+        ),
+        "emb_dim_variance": lambda sf: _ann.dim_variance(
+            _embeddings_ds(sf)
+        ),
     })
 
 
@@ -1795,6 +1805,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_nonascii_by_lang": _tx.NONASCII_BY_LANG_SQL,
         "text_word_entropy": _tx.WORD_ENTROPY_SQL,
         "rel_status_priority_matrix": _rel.STATUS_PRIORITY_MATRIX_SQL,
+        "events_value_sign_audit": _wd.VALUE_SIGN_AUDIT_SQL,
+        "docs_short_doc_share": _tx.SHORT_DOC_SHARE_SQL_TEMPLATE.format(
+            min_tokens=_SHORT_MIN_TOK
+        ),
+        "emb_dim_variance": _ann.DIM_VARIANCE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

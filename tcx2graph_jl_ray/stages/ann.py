@@ -2072,3 +2072,68 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        ROUND(SUM(d2) / COUNT(*), 6) AS mean_dist2
 FROM d2 GROUP BY label
 """
+
+
+def dim_variance(
+    embeddings: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Per-dimension VARIANCE of the embedding column — the dead-axis
+    detector that ``embedding_dim_stats``' min/max can't give (a
+    dimension whose variance collapsed carries no information and is
+    free compression budget for PQ/SQ). Per-batch per-dim (Σx, Σx²
+    float64 partials, exact n) reduce dim-bucketed; the population
+    variance is one double expression rounded 6 per dim.
+    Output: dim (1-based), n_vecs, variance."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["embedding"].notna()]
+        if not len(d):
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+                "s2": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+        nd = vecs.shape[1]
+        return pd.DataFrame({
+            "dim": np.arange(1, nd + 1, dtype="int64"),
+            "s": vecs.sum(axis=0),
+            "s2": (vecs * vecs).sum(axis=0),
+            "n": np.int64(len(vecs)),
+        })
+
+    parts = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("dim", sort=False).agg(
+            s=("s", "sum"), s2=("s2", "sum"), n=("n", "sum")
+        ).reset_index()
+        n = g["n"].to_numpy(dtype="float64")
+        s = g["s"].to_numpy()
+        s2 = g["s2"].to_numpy()
+        return pd.DataFrame({
+            "dim": g["dim"].astype("int64"),
+            "n_vecs": g["n"].astype("int64"),
+            "variance": np.round(s2 / n - (s / n) * (s / n), 6),
+        })
+
+    return bucketed_group_apply(parts, ["dim"], final,
+                                n_buckets=n_buckets)
+
+
+DIM_VARIANCE_SQL = """
+WITH u AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(e * e) / COUNT(*)
+             - (SUM(e) / COUNT(*)) * (SUM(e) / COUNT(*)), 6)
+         AS variance
+FROM u GROUP BY dim
+"""

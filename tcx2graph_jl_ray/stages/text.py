@@ -5166,3 +5166,59 @@ SELECT t AS n_tokens, v AS vocab_size,
          + 0.0 AS word_entropy
 FROM s
 """
+
+
+def short_doc_share(
+    docs: ray.data.Dataset, min_tokens: int = 5
+) -> ray.data.Dataset:
+    """SHORT-document share by source: the fraction of documents under
+    ``min_tokens`` whitespace tokens — the first knob every curation
+    funnel turns (fragments dominate some feeds, and dropping them
+    changes the source mix downstream quotas depend on). Exact integer
+    counts; source-bounded exchange; share rounds 6.
+    Output: source, n_docs, n_short, short_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        ntok = d["text"].str.count(r"[^ ]+").astype("int64")
+        g = pd.DataFrame({
+            "source": d["source"],
+            "n": np.int64(1),
+            "s": (ntok < min_tokens).astype("int64"),
+        }).groupby("source", sort=False).sum().reset_index()
+        return g.astype({"n": "int64", "s": "int64"})
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("source", sort=False)[["n", "s"]].sum()
+        n = g["n"].to_numpy(dtype="int64")
+        s = g["s"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "source": g.index,
+            "n_docs": n,
+            "n_short": s,
+            "short_share": np.round(s.astype("float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["source"], final, n_buckets=1)
+
+
+SHORT_DOC_SHARE_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN ntok < {min_tokens} THEN 1 ELSE 0 END) AS sh
+  FROM d GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(sh AS BIGINT) AS n_short,
+       ROUND(CAST(sh AS DOUBLE) / n, 6) AS short_share
+FROM s
+"""

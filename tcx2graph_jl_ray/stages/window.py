@@ -4880,3 +4880,65 @@ SELECT month, CAST(n AS BIGINT) AS n_users_last_seen,
          AS share
 FROM h
 """
+
+
+def value_sign_audit(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """VALUE-sign audit by type: zero, negative and positive counts of
+    the value column — the unit-mixup detector next to
+    ``round_value_bias`` (refund types legitimately go negative;
+    a page-view type doing so is a sign error upstream). Exact integer
+    cents classification per batch; type-bounded exchange; shares round
+    6. Output: event_type, n_valued, n_zero, n_negative, neg_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["value"].notna()]
+        cents = cents_i64(d["value"])
+        g = pd.DataFrame({
+            "event_type": d["event_type"],
+            "n": np.int64(1),
+            "z": (cents == 0).astype("int64"),
+            "neg": (cents < 0).astype("int64"),
+        }).groupby("event_type", sort=False).sum().reset_index()
+        return g.astype({"n": "int64", "z": "int64", "neg": "int64"})
+
+    parts = events.select_columns(["event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False)[["n", "z", "neg"]]\
+            .sum()
+        n = g["n"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "event_type": g.index,
+            "n_valued": n,
+            "n_zero": g["z"].to_numpy(dtype="int64"),
+            "n_negative": g["neg"].to_numpy(dtype="int64"),
+            "neg_share": np.round(
+                g["neg"].to_numpy(dtype="float64") / n, 6),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], final,
+                                n_buckets=1)
+
+
+VALUE_SIGN_AUDIT_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS z,
+         SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS neg
+  FROM d GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_valued,
+       CAST(z AS BIGINT) AS n_zero, CAST(neg AS BIGINT) AS n_negative,
+       ROUND(CAST(neg AS DOUBLE) / n, 6) AS neg_share
+FROM s
+"""

@@ -2133,3 +2133,59 @@ def test_status_priority_matrix_planted(ray_session, tmp_path):
     assert got.loc[("1-URGENT", "O"), "share_in_priority"] == 0.5
     assert got.loc[("1-URGENT", "F"), "n_orders"] == 1
     assert got.loc[("3-MEDIUM", "O"), "share_in_priority"] == 1.0
+
+
+def test_value_sign_audit_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_sign_audit
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "a", "a", "b"],
+        "value": [1.0, 0.0, -2.5, None, 3.0],
+    })
+    got = (
+        value_sign_audit(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got.loc["a", "n_valued"] == 3
+    assert got.loc["a", "n_zero"] == 1
+    assert got.loc["a", "n_negative"] == 1
+    assert got.loc["a", "neg_share"] == np.round(1 / 3, 6)
+    assert got.loc["b", "neg_share"] == 0.0
+
+
+def test_short_doc_share_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import short_doc_share
+
+    docs = pd.DataFrame({
+        "source": ["w", "w", "x"],
+        "text": ["a b", "one two three four five six", "tiny"],
+    })
+    got = (
+        short_doc_share(ray.data.from_pandas(docs), min_tokens=5)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["w", "n_short"] == 1
+    assert got.loc["w", "short_share"] == 0.5
+    assert got.loc["x", "short_share"] == 1.0
+
+
+def test_dim_variance_planted(ray_session):
+    from tcx2graph_jl_ray.stages.ann import dim_variance
+
+    emb = pd.DataFrame({
+        "embedding": [[0.0, 5.0], [2.0, 5.0], [4.0, 5.0]],
+    })
+    got = (
+        dim_variance(ray.data.from_pandas(emb), n_buckets=2)
+        .to_pandas()
+        .set_index("dim")
+        .sort_index()
+    )
+    # dim1: values 0,2,4 -> pop var 8/3 ; dim2: constant -> 0
+    assert got.loc[1, "variance"] == np.round(8 / 3, 6)
+    assert got.loc[2, "variance"] == 0.0
+    assert (got["n_vecs"] == 3).all()
