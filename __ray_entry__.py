@@ -1031,6 +1031,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_variance": lambda sf: _ann.dim_variance(
             _embeddings_ds(sf)
         ),
+        "dedup_pair_len_ratio": lambda sf: _dd.pair_len_ratio_hist(
+            _minhash_pairs(sf), _docs(sf)
+        ),
     })
 
 
@@ -1810,6 +1813,8 @@ def oracle_sql() -> dict[str, str]:
             min_tokens=_SHORT_MIN_TOK
         ),
         "emb_dim_variance": _ann.DIM_VARIANCE_SQL,
+        "dedup_pair_len_ratio": _dd.PAIR_LEN_RATIO_HIST_SQL_TEMPLATE
+        .format(pairs=_dd.minhash_pairs_sql()),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -3947,3 +3947,103 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
        ROUND(CAST(r AS DOUBLE) / n, 6) AS dup_share
 FROM s
 """
+
+
+def pair_len_ratio_hist(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """LENGTH-RATIO spectrum of verified near-dup pairs: for each
+    MinHash pair, the shorter/longer token-count ratio binned into ten
+    pure-integer deciles — the containment diagnostic
+    (``jaccard_hist`` says how similar pairs are; this says whether
+    they are same-size rewrites near 1.0 or snippet-inside-article
+    containment in the low bins). Both endpoints pick up token counts
+    through two co-partitioned ``hash_join``s; the bin is
+    ``min(10*lmin // lmax, 9)``; the count-of-counts fold bounds the
+    final exchange. Output: bin, lo, n_pairs, share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    def tok_map(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "ntok": d["text"].str.count(r"[^ ]+").astype("int64"),
+        })
+
+    tok = docs.select_columns(["doc_id", "text"]).map_batches(
+        tok_map, batch_format="pandas", batch_size=8192
+    ).materialize()  # joined twice (once per pair endpoint)
+
+    ja = hash_join(
+        pairs.select_columns(["a", "b"]).map_batches(
+            lambda x: pd.DataFrame({
+                "doc_id": x["a"].astype("int64"),
+                "b": x["b"].astype("int64"),
+            }),
+            batch_format="pandas", batch_size=65536,
+        ),
+        tok, on="doc_id", n_buckets=n_buckets,
+    ).map_batches(
+        lambda x: pd.DataFrame({
+            "doc_id": x["b"], "na": x["ntok"].astype("int64"),
+        }),
+        batch_format="pandas", batch_size=65536,
+    )
+    jb = hash_join(ja, tok, on="doc_id", n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        na = batch["na"].to_numpy(dtype="int64")
+        nb = batch["ntok"].to_numpy(dtype="int64")
+        lmin = np.minimum(na, nb)
+        lmax = np.maximum(na, nb)
+        b = np.minimum(10 * lmin // np.maximum(lmax, 1), 9)
+        s = pd.Series(b).groupby(b).size()
+        return pd.DataFrame({
+            "bin": s.index.to_numpy().astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum()
+        n = g.to_numpy(dtype="int64")
+        tot = float(n.sum())
+        return pd.DataFrame({
+            "bin": g.index.to_numpy().astype("int64"),
+            "lo": np.round(g.index.to_numpy().astype("float64") / 10.0, 1),
+            "n_pairs": n,
+            "share": np.round(n.astype("float64") / tot, 6),
+        })
+
+    return bucketed_group_apply(
+        jb.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["bin"], final, n_buckets=1,
+    )
+
+
+PAIR_LEN_RATIO_HIST_SQL_TEMPLATE = """
+WITH p AS ({pairs}),
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT LEAST(ta.ntok, tb.ntok) AS lmin,
+         GREATEST(ta.ntok, tb.ntok) AS lmax
+  FROM p
+  JOIN tok ta ON ta.doc_id = p.a
+  JOIN tok tb ON tb.doc_id = p.b
+),
+h AS (
+  SELECT LEAST(10 * lmin // GREATEST(lmax, 1), 9) AS bin, COUNT(*) AS n
+  FROM r GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, ROUND(bin / 10.0, 1) AS lo,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER (), 6)
+         AS share
+FROM h
+"""

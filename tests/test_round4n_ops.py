@@ -2189,3 +2189,30 @@ def test_dim_variance_planted(ray_session):
     assert got.loc[1, "variance"] == np.round(8 / 3, 6)
     assert got.loc[2, "variance"] == 0.0
     assert (got["n_vecs"] == 3).all()
+
+
+def test_pair_len_ratio_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.dedup import pair_len_ratio_hist
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": ["a b c d", "a b", "a b c d"],   # 4, 2, 4 tokens
+    })
+    pairs = pd.DataFrame({
+        "a": pd.array([1, 1], dtype="int64"),
+        "b": pd.array([2, 3], dtype="int64"),
+    })
+    got = (
+        pair_len_ratio_hist(
+            ray.data.from_pandas(pairs), ray.data.from_pandas(docs),
+            n_buckets=2,
+        )
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    # pair (1,2): 2/4 -> bin 5 ; pair (1,3): 4/4 -> clip bin 9
+    assert list(got.index) == [5, 9]
+    assert got.loc[5, "n_pairs"] == 1
+    assert got.loc[9, "share"] == 0.5
+    assert got.loc[5, "lo"] == 0.5
