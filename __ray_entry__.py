@@ -1034,6 +1034,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pair_len_ratio": lambda sf: _dd.pair_len_ratio_hist(
             _minhash_pairs(sf), _docs(sf)
         ),
+        "text_bigram_cond_entropy": lambda sf: _tx.bigram_cond_entropy(
+            _docs(sf)
+        ),
+        "rel_ship_before_order": lambda sf: _rel.ship_before_order(sf),
     })
 
 
@@ -1815,6 +1819,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_dim_variance": _ann.DIM_VARIANCE_SQL,
         "dedup_pair_len_ratio": _dd.PAIR_LEN_RATIO_HIST_SQL_TEMPLATE
         .format(pairs=_dd.minhash_pairs_sql()),
+        "text_bigram_cond_entropy": _tx.BIGRAM_COND_ENTROPY_SQL,
+        "rel_ship_before_order": _rel.SHIP_BEFORE_ORDER_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

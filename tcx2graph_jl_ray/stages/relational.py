@@ -5799,3 +5799,68 @@ SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n_orders,
          AS share_in_priority
 FROM c
 """
+
+
+def ship_before_order(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """TEMPORAL integrity check: lineitems whose ship date precedes
+    their order's order date — the impossible-timeline detector that
+    belongs next to ``pk_audit``/``fk_audit`` in any ingest gate (clock
+    skew or a partial reload shows up here first). The two fact tables
+    meet in the co-partitioned ``hash_join`` on orderkey; per-batch
+    partials fold to three exact ints; one-row output.
+    Output: n_lines, n_bad, bad_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    j = hash_join(
+        li.map_batches(
+            lambda b: pd.DataFrame({
+                "o_orderkey": b["l_orderkey"].astype("int64"),
+                "l_shipdate": b["l_shipdate"],
+            }),
+            batch_format="pandas", batch_size=65536,
+        ),
+        orders, on="o_orderkey", n_buckets=n_buckets,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bad = (
+            pd.to_datetime(batch["l_shipdate"])
+            < pd.to_datetime(batch["o_orderdate"])
+        )
+        return pd.DataFrame({
+            "k": ["all"],
+            "n": [np.int64(len(batch))],
+            "bad": [np.int64(int(bad.sum()))],
+        })
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = int(bucket["n"].sum())
+        bad = int(bucket["bad"].sum())
+        return pd.DataFrame({
+            "n_lines": pd.array([n], dtype="int64"),
+            "n_bad": pd.array([bad], dtype="int64"),
+            "bad_share": [float(np.round(float(bad) / float(n), 6))],
+        })
+
+    return bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["k"], final, n_buckets=1,
+    )
+
+
+SHIP_BEFORE_ORDER_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad,
+       ROUND(CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bad_share
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""

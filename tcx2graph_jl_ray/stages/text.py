@@ -5222,3 +5222,112 @@ SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(sh AS BIGINT) AS n_short,
        ROUND(CAST(sh AS DOUBLE) / n, 6) AS short_share
 FROM s
 """
+
+
+def bigram_cond_entropy(
+    docs: ray.data.Dataset, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """Conditional WORD entropy H(w2 | w1) = H(bigram) - H(unigram-prefix)
+    — the one-scalar language-model difficulty proxy (predictable
+    template corpora score near 0; natural prose sits a few bits up;
+    ``text_word_entropy``'s sequential sibling). Within-document adjacent
+    pairs only (the ``collocations`` pair rule); both distributions
+    reduce as exact integer counts in ONE bigram-bucketed shuffle (the
+    prefix marginal folds from the same bigram counts); the entropies
+    use the c·log2 c identity, rounded 6 at the end.
+    Output: n_bigrams, bigram_entropy, cond_entropy."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["text"].notna()]
+        toks = d["text"].str.lower().str.split(" ")
+        w1, w2 = [], []
+        for ws in toks:
+            w1.extend(ws[:-1])
+            w2.extend(ws[1:])
+        if not w1:
+            return pd.DataFrame({
+                "w1": pd.Series([], dtype="object"),
+                "w2": pd.Series([], dtype="object"),
+                "c": pd.Series([], dtype="int64"),
+            })
+        g = pd.DataFrame({"w1": w1, "w2": w2}).groupby(
+            ["w1", "w2"], sort=False
+        ).size()
+        out = g.reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    # two shuffles, same partial stream: (w1,w2)-bucketed for the bigram
+    # side and w1-bucketed for the exact prefix marginal
+    parts = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    ).materialize()
+
+    def bi_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["w1", "w2"], sort=False)["c"].sum()
+        c = g.to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "t": [np.int64(int(c.sum()))],
+            "clogc": [float((c * np.log2(c)).sum())],
+        })
+
+    def w1_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("w1", sort=False)["c"].sum()
+        c = g.to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "clogc": [float((c * np.log2(c)).sum())],
+        })
+
+    bi = bucketed_group_apply(parts, ["w1", "w2"], bi_fold,
+                              n_buckets=n_buckets).to_pandas()
+    w1m = bucketed_group_apply(parts, ["w1"], w1_fold,
+                               n_buckets=n_buckets).to_pandas()
+
+    t = int(bi["t"].sum())
+    if not t:
+        return pd.DataFrame({
+            "n_bigrams": pd.array([], dtype="int64"),
+            "bigram_entropy": pd.array([], dtype="float64"),
+            "cond_entropy": pd.array([], dtype="float64"),
+        })
+    h_bi = np.log2(float(t)) - float(bi["clogc"].sum()) / float(t)
+    h_w1 = np.log2(float(t)) - float(w1m["clogc"].sum()) / float(t)
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_bigrams": pd.array([t], dtype="int64"),
+        "bigram_entropy": [float(np.round(h_bi, 6)) + 0.0],
+        "cond_entropy": [float(np.round(h_bi - h_w1, 6)) + 0.0],
+    }))
+
+
+BIGRAM_COND_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+       FROM bg GROUP BY w1, w2),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t,
+         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc_bi
+  FROM bc
+),
+m AS (
+  SELECT SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc_w1
+  FROM (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM bc GROUP BY w1)
+)
+SELECT s.t AS n_bigrams,
+       ROUND(log2(CAST(s.t AS DOUBLE)) - s.clogc_bi / CAST(s.t AS DOUBLE),
+             6) + 0.0 AS bigram_entropy,
+       ROUND((log2(CAST(s.t AS DOUBLE)) - s.clogc_bi / CAST(s.t AS DOUBLE))
+             - (log2(CAST(s.t AS DOUBLE))
+                - m.clogc_w1 / CAST(s.t AS DOUBLE)), 6) + 0.0
+         AS cond_entropy
+FROM s, m
+"""

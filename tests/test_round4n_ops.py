@@ -2216,3 +2216,50 @@ def test_pair_len_ratio_hist_planted(ray_session):
     assert got.loc[5, "n_pairs"] == 1
     assert got.loc[9, "share"] == 0.5
     assert got.loc[5, "lo"] == 0.5
+
+
+def test_bigram_cond_entropy_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import bigram_cond_entropy
+
+    # bigrams: (a,b) x2, (a,c) x2 -> H(bigram)=1; prefix always 'a' ->
+    # H(w1)=0 -> cond = 1
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "text": ["a b", "a c a b a c"],
+    })
+    got = bigram_cond_entropy(ray.data.from_pandas(docs)).to_pandas()
+    # doc2 bigrams: (a,c),(c,a),(a,b),(b,a),(a,c); doc1: (a,b)
+    # counts: (a,b)2 (a,c)2 (c,a)1 (b,a)1, t=6
+    import math
+    c = np.array([2.0, 2.0, 1.0, 1.0])
+    t = 6.0
+    h_bi = math.log2(t) - float((c * np.log2(c)).sum()) / t
+    w1 = np.array([4.0, 1.0, 1.0])   # a:4, c:1, b:1
+    h_w1 = math.log2(t) - float((w1 * np.log2(w1)).sum()) / t
+    assert got.loc[0, "n_bigrams"] == 6
+    assert got.loc[0, "bigram_entropy"] == np.round(h_bi, 6)
+    assert got.loc[0, "cond_entropy"] == np.round(h_bi - h_w1, 6)
+
+
+def test_ship_before_order_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import ship_before_order
+    import datetime
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array([
+            datetime.date(2024, 1, 5),
+            datetime.date(2023, 12, 31),   # before order date -> bad
+            datetime.date(2024, 2, 1),
+        ]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([
+            datetime.date(2024, 1, 1), datetime.date(2024, 2, 1),
+        ]),
+    }), str(tmp_path / "orders.parquet"))
+    got = ship_before_order(str(tmp_path), n_buckets=2).to_pandas()
+    assert got.loc[0, "n_lines"] == 3
+    assert got.loc[0, "n_bad"] == 1
+    assert got.loc[0, "bad_share"] == np.round(1 / 3, 6)
