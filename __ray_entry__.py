@@ -1038,6 +1038,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "rel_ship_before_order": lambda sf: _rel.ship_before_order(sf),
+        "multimodal_size_hist": lambda sf: _mm.payload_size_hist(
+            _docs(sf)
+        ),
     })
 
 
@@ -1821,6 +1824,7 @@ def oracle_sql() -> dict[str, str]:
         .format(pairs=_dd.minhash_pairs_sql()),
         "text_bigram_cond_entropy": _tx.BIGRAM_COND_ENTROPY_SQL,
         "rel_ship_before_order": _rel.SHIP_BEFORE_ORDER_SQL,
+        "multimodal_size_hist": _mm.PAYLOAD_SIZE_HIST_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -792,3 +792,79 @@ SELECT format, orientation, CAST(n AS BIGINT) AS n_payloads,
        CAST(pixels AS BIGINT) AS sum_pixels
 FROM c
 """
+
+
+def payload_size_hist(
+    docs: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Payload SIZE spectrum by modality: log2 histogram of payload byte
+    lengths — the batch-size planning table for binary columns (the
+    whole reason multimodal stages run small batches; the tail bin says
+    how small). Byte lengths are exact ints off the payload column (the
+    fake codec's UTF-8 bytes — real media swaps in transparently); the
+    bin is the PURE-INTEGER ``bit_length`` rule; modality × ~30 bins
+    bound every exchange. Output: modality, bin, min_bytes, n_payloads,
+    total_bytes, share_in_modality."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    payloads = attach_fake_payload(docs)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc = batch["doc_id"].astype("int64")
+        nbytes = pd.Series(
+            [len(p) for p in batch["payload"]], index=batch.index
+        ).astype("int64")
+        bins = np.array([int(b + 1).bit_length() - 1 for b in nbytes],
+                        dtype="int64")
+        d = pd.DataFrame({
+            "modality": doc.mod(3).map(dict(enumerate(MODALITIES))),
+            "bin": bins,
+            "n": np.int64(1),
+            "tb": nbytes,
+        })
+        return d.groupby(["modality", "bin"], sort=False).sum()\
+            .reset_index()
+
+    parts = payloads.map_batches(partial, batch_format="pandas",
+                                 batch_size=2048)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["modality", "bin"], sort=False)[["n", "tb"]]\
+            .sum().reset_index()
+        tot = g.groupby("modality", sort=False)["n"].transform("sum")
+        b = g["bin"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "modality": g["modality"],
+            "bin": g["bin"].astype("int64"),
+            "min_bytes": ((np.int64(1) << b) - 1).astype("int64"),
+            "n_payloads": g["n"].astype("int64"),
+            "total_bytes": g["tb"].astype("int64"),
+            "share_in_modality": np.round(
+                g["n"].to_numpy(dtype="float64")
+                / tot.to_numpy(dtype="float64"), 6),
+        })
+
+    # ONE bucket: the within-modality denominator; 3 x ~30 rows
+    return bucketed_group_apply(parts, ["modality"], final, n_buckets=1)
+
+
+PAYLOAD_SIZE_HIST_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT modality, CAST(floor(log2(nbytes + 1)) AS BIGINT) AS bin,
+         COUNT(*) AS n, SUM(nbytes) AS tb
+  FROM p GROUP BY 1, 2
+)
+SELECT modality, bin, CAST(POWER(2, bin) AS BIGINT) - 1 AS min_bytes,
+       CAST(n AS BIGINT) AS n_payloads, CAST(tb AS BIGINT) AS total_bytes,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY modality), 6)
+         AS share_in_modality
+FROM h
+"""

@@ -2263,3 +2263,25 @@ def test_ship_before_order_planted(ray_session, tmp_path):
     assert got.loc[0, "n_lines"] == 3
     assert got.loc[0, "n_bad"] == 1
     assert got.loc[0, "bad_share"] == np.round(1 / 3, 6)
+
+
+def test_payload_size_hist_planted(ray_session):
+    from tcx2graph_jl_ray.stages.multimodal import payload_size_hist
+
+    docs = pd.DataFrame({
+        # doc 0 -> image, 3 -> image, 1 -> audio
+        "doc_id": pd.array([0, 3, 1], dtype="int64"),
+        "text": ["abc", "abcdefg", "xy"],   # 3, 7, 2 bytes
+    })
+    got = (
+        payload_size_hist(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index(["modality", "bin"])
+        .sort_index()
+    )
+    # image: 3 bytes -> bin 2 ; 7 bytes -> bin 3 ; audio: 2 -> bin 1
+    assert got.loc[("image", 2), "n_payloads"] == 1
+    assert got.loc[("image", 3), "total_bytes"] == 7
+    assert got.loc[("image", 2), "share_in_modality"] == 0.5
+    assert got.loc[("audio", 1), "share_in_modality"] == 1.0
+    assert got.loc[("image", 3), "min_bytes"] == 7
