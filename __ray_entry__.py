@@ -1041,6 +1041,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_size_hist": lambda sf: _mm.payload_size_hist(
             _docs(sf)
         ),
+        "events_type_first_seen": lambda sf: _wd.type_first_seen(
+            _events_ds(sf)
+        ),
+        "rel_customer_repeat_rate":
+            lambda sf: _rel.customer_repeat_rate(sf),
     })
 
 
@@ -1825,6 +1830,8 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_cond_entropy": _tx.BIGRAM_COND_ENTROPY_SQL,
         "rel_ship_before_order": _rel.SHIP_BEFORE_ORDER_SQL,
         "multimodal_size_hist": _mm.PAYLOAD_SIZE_HIST_SQL,
+        "events_type_first_seen": _wd.TYPE_FIRST_SEEN_SQL,
+        "rel_customer_repeat_rate": _rel.CUSTOMER_REPEAT_RATE_SQL,
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

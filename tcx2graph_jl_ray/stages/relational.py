@@ -5864,3 +5864,66 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
              / COUNT(*), 6) AS bad_share
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 """
+
+
+def customer_repeat_rate(
+    sf_dir: str, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """REPEAT-customer rate: the share of ordering customers with two or
+    more orders — the single retention scalar behind
+    ``q13_order_counts``' full distribution (every commerce dashboard's
+    first number). Per-customer counts reduce customer-bucketed; each
+    bucket folds to three exact ints; the share is one double division
+    rounded 6. Output: n_customers, n_repeat, repeat_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["o_custkey"].groupby(batch["o_custkey"],
+                                       sort=False).size()
+        return pd.DataFrame({
+            "o_custkey": s.index.astype("int64"),
+            "n": s.to_numpy().astype("int64"),
+        })
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("o_custkey", sort=False)["n"].sum()
+        c = g.to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "nc": [np.int64(len(c))],
+            "nr": [np.int64(int((c >= 2).sum()))],
+        })
+
+    mid = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=65536),
+        ["o_custkey"], per_bucket, n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        nc = int(bucket["nc"].sum())
+        nr = int(bucket["nr"].sum())
+        return pd.DataFrame({
+            "n_customers": pd.array([nc], dtype="int64"),
+            "n_repeat": pd.array([nr], dtype="int64"),
+            "repeat_share": [float(np.round(float(nr) / float(nc), 6))],
+        })
+
+    return bucketed_group_apply(mid, ["k"], final, n_buckets=1)
+
+
+CUSTOMER_REPEAT_RATE_SQL = """
+WITH u AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       ROUND(CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS repeat_share
+FROM u
+"""

@@ -4942,3 +4942,56 @@ SELECT event_type, CAST(n AS BIGINT) AS n_valued,
        ROUND(CAST(neg AS DOUBLE) / n, 6) AS neg_share
 FROM s
 """
+
+
+def type_first_seen(
+    events: ray.data.Dataset, n_buckets: int = 4
+) -> ray.data.Dataset:
+    """Schema-evolution ledger: each event type's FIRST and LAST active
+    month plus its lifetime event count — the one table that says which
+    types are legacy (last seen long ago), which are new (first seen
+    recently), and which never stopped. Per-batch (type, min, max,
+    count) partials bound the exchange to type cardinality; month
+    strings min/max order-free == chronological.
+    Output: event_type, first_month, last_month, n_events."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(batch["ts"]).dt.strftime("%Y-%m")
+        g = m.groupby(batch["event_type"], sort=False)\
+            .agg(["min", "max", "size"])
+        return pd.DataFrame({
+            "event_type": g.index,
+            "first_month": g["min"].to_numpy(),
+            "last_month": g["max"].to_numpy(),
+            "n": g["size"].to_numpy().astype("int64"),
+        })
+
+    parts = events.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False).agg(
+            first_month=("first_month", "min"),
+            last_month=("last_month", "max"),
+            n=("n", "sum"),
+        )
+        return pd.DataFrame({
+            "event_type": g.index.to_numpy(),
+            "first_month": g["first_month"].to_numpy(),
+            "last_month": g["last_month"].to_numpy(),
+            "n_events": g["n"].to_numpy().astype("int64"),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], final,
+                                n_buckets=1)
+
+
+TYPE_FIRST_SEEN_SQL = """
+SELECT event_type,
+       MIN(strftime(ts, '%Y-%m')) AS first_month,
+       MAX(strftime(ts, '%Y-%m')) AS last_month,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""

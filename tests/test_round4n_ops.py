@@ -2285,3 +2285,35 @@ def test_payload_size_hist_planted(ray_session):
     assert got.loc[("image", 2), "share_in_modality"] == 0.5
     assert got.loc[("audio", 1), "share_in_modality"] == 1.0
     assert got.loc[("image", 3), "min_bytes"] == 7
+
+
+def test_type_first_seen_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import type_first_seen
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "b"],
+        "ts": pd.to_datetime([
+            "2024-01-05 00:00", "2024-03-01 00:00", "2024-02-10 00:00",
+        ]),
+    })
+    got = (
+        type_first_seen(ray.data.from_pandas(ev))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got.loc["a", "first_month"] == "2024-01"
+    assert got.loc["a", "last_month"] == "2024-03"
+    assert got.loc["b", "n_events"] == 1
+
+
+def test_customer_repeat_rate_planted(ray_session, tmp_path):
+    from tcx2graph_jl_ray.stages.relational import customer_repeat_rate
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 3, 3], type=pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    got = customer_repeat_rate(str(tmp_path), n_buckets=2).to_pandas()
+    assert got.loc[0, "n_customers"] == 3
+    assert got.loc[0, "n_repeat"] == 2
+    assert got.loc[0, "repeat_share"] == np.round(2 / 3, 6)
