@@ -1046,6 +1046,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_customer_repeat_rate":
             lambda sf: _rel.customer_repeat_rate(sf),
+        "kg_connectivity_ratio": lambda sf: _an.connectivity_ratio(
+            _cooc(sf)
+        ),
     })
 
 
@@ -1832,6 +1835,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_size_hist": _mm.PAYLOAD_SIZE_HIST_SQL,
         "events_type_first_seen": _wd.TYPE_FIRST_SEEN_SQL,
         "rel_customer_repeat_rate": _rel.CUSTOMER_REPEAT_RATE_SQL,
+        "kg_connectivity_ratio":
+            _an.CONNECTIVITY_RATIO_SQL_TEMPLATE.format(
+                cooccurrence=_an.COOCCURRENCE_SQL_TEMPLATE.format(
+                    mentions=_MENTIONS_SQL
+                )
+            ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

@@ -7332,3 +7332,78 @@ SELECT role, CAST(n AS BIGINT) AS n_turns,
        ROUND(CAST(q AS DOUBLE) / n, 6) AS question_share
 FROM s
 """
+
+
+def connectivity_ratio(
+    cooccurrence: ray.data.Dataset, config=None, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Graph CONNECTIVITY scalar: the probability that two random
+    (distinct, edge-touched) entities are REACHABLE from each other —
+    Σ sᵢ(sᵢ−1) / (n(n−1)) over connected-component sizes, the one number
+    behind ``component_size_hist``'s spectrum (1.0 = one blob, →0 =
+    dust). Reuses ``entity_components`` (dual-path CC); (component,
+    size) pairs dedupe component-bucketed; the arbitrary-precision
+    integer partials merge on the driver and the ratio divides two
+    exact ints cast to double, rounded 6.
+    Output: n_entities, n_components, reachable_pair_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    comp = entity_components(cooccurrence, config=config,
+                             n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["component_id", "component_size"]].drop_duplicates()
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        s = d["component_size"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": ["all"],
+            "n": [np.int64(s.sum())],
+            "nc": [np.int64(len(s))],
+            "pairs": [np.int64((s * (s - 1)).sum())],
+        })
+
+    mid = bucketed_group_apply(
+        comp.map_batches(partial, batch_format="pandas",
+                         batch_size=65536),
+        ["component_id"], per_bucket, n_buckets=n_buckets,
+    ).to_pandas()  # <= n_buckets rows — bounded
+
+    n = int(mid["n"].sum())
+    nc = int(mid["nc"].sum())
+    pairs = int(mid["pairs"].sum())
+    share = (
+        float(np.round(float(pairs) / float(n * (n - 1)), 6))
+        if n > 1 else float("nan")
+    )
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_entities": pd.array([n], dtype="int64"),
+        "n_components": pd.array([nc], dtype="int64"),
+        "reachable_pair_share": [share],
+    }))
+
+
+CONNECTIVITY_RATIO_SQL_TEMPLATE = """
+WITH RECURSIVE e AS MATERIALIZED ({cooccurrence}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ed AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+r(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, ed.v FROM r JOIN ed ON ed.u = r.reach
+),
+comp AS (SELECT node, MIN(reach) AS component_id FROM r GROUP BY node),
+sz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS s
+       FROM comp GROUP BY component_id),
+agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS nc,
+         CAST(SUM(s * (s - 1)) AS BIGINT) AS pairs
+  FROM sz
+)
+SELECT n AS n_entities, nc AS n_components,
+       ROUND(CAST(pairs AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+         AS reachable_pair_share
+FROM agg WHERE n > 1
+"""

@@ -2317,3 +2317,19 @@ def test_customer_repeat_rate_planted(ray_session, tmp_path):
     assert got.loc[0, "n_customers"] == 3
     assert got.loc[0, "n_repeat"] == 2
     assert got.loc[0, "repeat_share"] == np.round(2 / 3, 6)
+
+
+def test_connectivity_ratio_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import connectivity_ratio
+
+    # components: {a,b,c} and {x,y} -> n=5, pairs = 3*2 + 2*1 = 8
+    # share = 8 / (5*4) = 0.4
+    edges = pd.DataFrame({
+        "src": ["a", "b", "x"],
+        "dst": ["b", "c", "y"],
+        "n_convs": [1, 1, 1],
+    })
+    got = connectivity_ratio(ray.data.from_pandas(edges)).to_pandas()
+    assert got.loc[0, "n_entities"] == 5
+    assert got.loc[0, "n_components"] == 2
+    assert got.loc[0, "reachable_pair_share"] == 0.4
