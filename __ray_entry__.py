@@ -1049,6 +1049,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_connectivity_ratio": lambda sf: _an.connectivity_ratio(
             _cooc(sf)
         ),
+        "docs_missing_stats": lambda sf: _cl.missing_stats(
+            _docs(sf), ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
     })
 
 
@@ -1841,6 +1844,9 @@ def oracle_sql() -> dict[str, str]:
                     mentions=_MENTIONS_SQL
                 )
             ),
+        "docs_missing_stats": _cl.missing_sql_for(
+            "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
             _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

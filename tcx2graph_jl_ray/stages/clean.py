@@ -565,3 +565,20 @@ SELECT s.n, ROUND(q.p_lo, 6) AS p_lo, ROUND(q.p_hi, 6) AS p_hi,
              / CAST(s.n AS DOUBLE), 6) AS mean_winsor
 FROM s, q
 """
+
+
+def missing_sql_for(table: str, columns: list[str]) -> str:
+    """DuckDB oracle for ``missing_stats`` over any registered table —
+    one UNION ALL leg per column (column name, null count, row count,
+    exact double fraction)."""
+    legs = []
+    for c in columns:
+        legs.append(f"""
+SELECT '{c}' AS column,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS null_frac
+FROM {table}""")
+    return "\nUNION ALL".join(legs)

@@ -2333,3 +2333,30 @@ def test_connectivity_ratio_planted(ray_session):
     assert got.loc[0, "n_entities"] == 5
     assert got.loc[0, "n_components"] == 2
     assert got.loc[0, "reachable_pair_share"] == 0.4
+
+
+def test_docs_missing_sql_matches(ray_session, tmp_path):
+    import duckdb
+    from tcx2graph_jl_ray.stages.clean import missing_sql_for, missing_stats
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": ["a", None, "c"],
+        "lang": ["en", "en", None],
+    })
+    got = (
+        missing_stats(ray.data.from_pandas(docs),
+                      ["doc_id", "text", "lang"])
+        .to_pandas()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(
+        missing_sql_for("documents", ["doc_id", "text", "lang"])
+    ).df().sort_values("column").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)],
+        check_exact=True, check_dtype=False,
+    )
