@@ -1052,6 +1052,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_missing_stats": lambda sf: _cl.missing_stats(
             _docs(sf), ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "events_missing_stats": lambda sf: _cl.missing_stats(
+            _events_ds(sf),
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        "emb_missing_stats": lambda sf: _cl.missing_stats(
+            _embeddings_ds(sf), ["vec_id", "embedding", "label"]
+        ),
     })
 
 
@@ -1846,6 +1853,13 @@ def oracle_sql() -> dict[str, str]:
             ),
         "docs_missing_stats": _cl.missing_sql_for(
             "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "events_missing_stats": _cl.missing_sql_for(
+            "events",
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        "emb_missing_stats": _cl.missing_sql_for(
+            "embeddings", ["vec_id", "embedding", "label"]
         ),
         "kg_region_matrix": _an.region_matrix_sql(
             _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
