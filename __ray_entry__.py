@@ -64,6 +64,8 @@ _CRK = 10
 _CRK_PAIRS = 25
 _SHORT_MIN_TOK = 5
 _ZIPF_TOP_N = 50
+_CHUNK_CHARS = 64
+_BOTTOMK_K = 50
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Exactly one: the HyperLogLog approximate vocabulary —
@@ -742,6 +744,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "multimodal_payload_dedup": lambda sf: _mm.payload_dedup_stats(
             _docs(sf)
+        ),
+        "multimodal_chunk_dedup": lambda sf: _mm.chunk_dedup_stats(
+            _docs(sf), chunk_chars=_CHUNK_CHARS
+        ),
+        "kg_triple_intervals": lambda sf: _an.triple_intervals(
+            _ex.extract_triples(_transcripts(sf)), _transcripts(sf)
+        ),
+        "docs_bottomk_sample": lambda sf: _tx.bottomk_sample(
+            _docs(sf), k=_BOTTOMK_K
         ),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
@@ -1570,6 +1581,15 @@ def oracle_sql() -> dict[str, str]:
             neg="(" + ", ".join(f"'{w}'" for w in _an.NEG_MARKERS) + ")",
         ),
         "multimodal_payload_dedup": _mm.PAYLOAD_DEDUP_SQL,
+        "multimodal_chunk_dedup": _mm.CHUNK_DEDUP_SQL_TEMPLATE.format(
+            chunk_chars=_CHUNK_CHARS
+        ),
+        "kg_triple_intervals": _an.TRIPLE_INTERVALS_SQL_TEMPLATE.format(
+            transcripts=TRANSCRIPTS_SQL, triples=_TRIPLES_SQL
+        ),
+        "docs_bottomk_sample": _tx.BOTTOMK_SAMPLE_SQL_TEMPLATE.format(
+            k=_BOTTOMK_K
+        ),
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,

@@ -7407,3 +7407,83 @@ SELECT n AS n_entities, nc AS n_components,
          AS reachable_pair_share
 FROM agg WHERE n > 1
 """
+
+
+def triple_intervals(
+    triples: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Temporal-KG validity intervals: per (subj, pred, obj) fact, the
+    first/last time it was asserted, its observed validity span, and its
+    evidence mass (mention + distinct-conversation counts). The temporal
+    axis of the reference's property graph (trackpoint ``time`` attached to
+    every vertex, src/TCXParser.jl:62; transitions windowed by start_time,
+    src/DataPreprocessing.jl:345-347) applied to the KG's fact table.
+
+    Timestamps attach from transcripts through the co-partitioned
+    (conv_id, turn_idx) hash join the monthly transitions / entity trend
+    already use; all outputs are exact int64 (epoch microseconds), so the
+    driver hash is bit-stable. Shape: per-batch (s,p,o,conv) partials
+    (min/max ts + count), one triple-keyed bucketed reduce that first
+    re-folds the (s,p,o,conv) level (partials for one conv may arrive from
+    many batches) then aggregates to the fact level — per-task rows are
+    bounded by the distinct convs of the bucket's facts, the same exposure
+    class as kg_transitions. Output: subj, pred, obj, first_us, last_us,
+    span_us, n_mentions, n_convs."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    tr = triples.select_columns(["conv_id", "turn_idx", "subj", "pred", "obj"])
+    ts = transcripts.select_columns(["conv_id", "turn_idx", "ts"])
+    j = hash_join(tr, ts, on=["conv_id", "turn_idx"], n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # normalize the unit before the int view: parquet timestamps arrive
+        # as datetime64[us] (pandas>=2 keeps the unit, so astype(int64)
+        # would already be µs and a //1000 would halve the scale)
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]")\
+            .astype("int64")
+        d = pd.DataFrame({
+            "subj": batch["subj"], "pred": batch["pred"],
+            "obj": batch["obj"], "conv_id": batch["conv_id"], "us": us,
+        })
+        g = d.groupby(["subj", "pred", "obj", "conv_id"], sort=False).agg(
+            n=("us", "size"), tmin=("us", "min"), tmax=("us", "max")
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = j.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_fact(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket.groupby(
+            ["subj", "pred", "obj", "conv_id"], sort=False
+        ).agg(n=("n", "sum"), tmin=("tmin", "min"), tmax=("tmax", "max"))\
+            .reset_index()
+        g = c.groupby(["subj", "pred", "obj"], sort=False).agg(
+            first_us=("tmin", "min"), last_us=("tmax", "max"),
+            n_mentions=("n", "sum"), n_convs=("conv_id", "size"),
+        ).reset_index()
+        g["span_us"] = (g["last_us"] - g["first_us"]).astype("int64")
+        for col in ("first_us", "last_us", "n_mentions", "n_convs"):
+            g[col] = g[col].astype("int64")
+        return g[["subj", "pred", "obj", "first_us", "last_us",
+                  "span_us", "n_mentions", "n_convs"]]
+
+    return bucketed_group_apply(
+        parts, ["subj", "pred", "obj"], per_fact, n_buckets=n_buckets
+    )
+
+
+TRIPLE_INTERVALS_SQL_TEMPLATE = """
+WITH t AS ({transcripts}), tr AS ({triples})
+SELECT tr.subj, tr.pred, tr.obj,
+       MIN(epoch_us(t.ts)) AS first_us,
+       MAX(epoch_us(t.ts)) AS last_us,
+       MAX(epoch_us(t.ts)) - MIN(epoch_us(t.ts)) AS span_us,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT tr.conv_id) AS BIGINT) AS n_convs
+FROM tr JOIN t ON t.conv_id = tr.conv_id AND t.turn_idx = tr.turn_idx
+GROUP BY 1, 2, 3
+"""

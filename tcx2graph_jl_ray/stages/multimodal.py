@@ -868,3 +868,138 @@ SELECT modality, bin, CAST(POWER(2, bin) AS BIGINT) - 1 AS min_bytes,
          AS share_in_modality
 FROM h
 """
+
+
+def chunk_dedup_stats(
+    docs: ray.data.Dataset, chunk_chars: int = 64
+) -> ray.data.Dataset:
+    """CHUNK-level content-addressable-store planning summary: split every
+    payload into fixed-size chunks, digest each, and report how much a
+    chunk-keyed store saves vs whole-payload storage — the fixed-window
+    variant of content-defined chunking, the layer BELOW
+    ``payload_dedup_stats`` (two payloads that are not byte-identical can
+    still share most chunks, e.g. a re-encoded prefix + identical body).
+
+    Fake-codec payloads are encode(text), so the chunk boundary is defined
+    on the decoded form (``chunk_chars`` characters — what DuckDB's
+    character-based substring reproduces exactly; a byte boundary could
+    split a multi-byte char and have no SQL mirror); chunk byte size is the
+    UTF-8 length of the chunk. Shape: per-batch chunk explode + per-digest
+    partials, one digest-keyed bucketed fold to scalar partials, one final
+    single-bucket sum — nothing corpus-sized leaves the workers. Output one
+    row: n_payloads, n_chunks, n_unique_chunks, n_dup_chunks, bytes_total,
+    bytes_unique, dedup_ratio."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    payloads = attach_fake_payload(docs)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [bytes(p).decode() for p in batch["payload"]]
+        chunks: list[str] = []
+        for t in texts:
+            chunks.extend(
+                t[i: i + chunk_chars] for i in range(0, len(t), chunk_chars)
+            )
+        if chunks:
+            dg = md5_hex(np.asarray(chunks, dtype=object))
+            nb = np.fromiter(
+                (len(c.encode()) for c in chunks), dtype="int64",
+                count=len(chunks),
+            )
+            d = pd.DataFrame({"dg": dg, "n": np.int64(1), "nb": nb})
+            g = d.groupby("dg", sort=False).agg(
+                n=("n", "sum"), nb=("nb", "min")
+            ).reset_index()
+        else:
+            g = pd.DataFrame({
+                "dg": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "nb": pd.Series([], dtype="int64"),
+            })
+        g["np_"] = np.zeros(len(g), dtype="int64")
+        # carry the payload count on a dedicated sentinel row (dg="" is never
+        # a real 32-hex digest; n=0 rows are excluded from chunk stats in the
+        # fold), so batches of chunkless (empty-text) payloads still count
+        carrier = pd.DataFrame({
+            "dg": [""], "n": [np.int64(0)], "nb": [np.int64(0)],
+            "np_": [np.int64(len(texts))],
+        })
+        return pd.concat([g, carrier], ignore_index=True)
+
+    parts = payloads.map_batches(
+        partial, batch_format="pandas", batch_size=2048
+    )
+
+    def fold_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        real = bucket[bucket["n"] > 0]
+        g = real.groupby("dg", sort=False).agg(
+            n=("n", "sum"), nb=("nb", "min")
+        )
+        n = g["n"].astype("int64").to_numpy()
+        nb = g["nb"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "n_payloads": [np.int64(bucket["np_"].sum())],
+            "n_chunks": [np.int64(n.sum())],
+            "n_unique_chunks": [np.int64(len(g))],
+            "bytes_total": [np.int64((n * nb).sum())],
+            "bytes_unique": [np.int64(nb.sum())],
+        })
+
+    scalar_parts = bucketed_group_apply(parts, ["dg"], fold_bucket,
+                                        n_buckets=16)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sum()
+        bt = int(s["bytes_total"])
+        bu = int(s["bytes_unique"])
+        nc = int(s["n_chunks"])
+        nu = int(s["n_unique_chunks"])
+        return pd.DataFrame({
+            "n_payloads": [np.int64(s["n_payloads"])],
+            "n_chunks": [np.int64(nc)],
+            "n_unique_chunks": [np.int64(nu)],
+            "n_dup_chunks": [np.int64(nc - nu)],
+            "bytes_total": [np.int64(bt)],
+            "bytes_unique": [np.int64(bu)],
+            "dedup_ratio": [np.round(float(bu) / float(bt), 6)],
+        })
+
+    keyed = scalar_parts.map_batches(
+        lambda b: b.assign(k=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["k"], lambda b: final(b.drop(columns=["k"])), n_buckets=1
+    )
+
+
+CHUNK_DEDUP_SQL_TEMPLATE = """
+WITH d AS (SELECT text FROM documents WHERE text IS NOT NULL),
+e AS (
+  SELECT text,
+         unnest(range(
+           1, CAST(ceil(length(text) / {chunk_chars}.0) AS BIGINT) + 1
+         )) AS g
+  FROM d
+),
+c AS (
+  SELECT substring(
+           text, CAST((g - 1) * {chunk_chars} + 1 AS BIGINT), {chunk_chars}
+         ) AS chunk
+  FROM e
+),
+g AS (
+  SELECT md5(chunk) AS dg, COUNT(*) AS n,
+         MIN(octet_length(encode(chunk))) AS nb
+  FROM c GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_payloads,
+       CAST(SUM(n) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(n - 1) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(n * nb) AS BIGINT) AS bytes_total,
+       CAST(SUM(nb) AS BIGINT) AS bytes_unique,
+       ROUND(CAST(SUM(nb) AS DOUBLE) / CAST(SUM(n * nb) AS DOUBLE), 6)
+         AS dedup_ratio
+FROM g
+"""

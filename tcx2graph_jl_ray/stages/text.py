@@ -5331,3 +5331,56 @@ SELECT s.t AS n_bigrams,
          AS cond_entropy
 FROM s, m
 """
+
+
+def bottomk_sample(docs: ray.data.Dataset, k: int = 50) -> ray.data.Dataset:
+    """Deterministic EXACT-k global sample: the ``k`` docs with the smallest
+    md5(doc_id) digest corpus-wide, with their global sample rank — the
+    distributed bottom-k sketch (the fixed-size uniform "reservoir" made
+    reproducible: hash order is a random permutation of doc ids, so the
+    bottom k of it is a uniform k-subset that is STABLE across runs, block
+    orders and cluster sizes — the property a seeded reservoir loses).
+    Complements ``quota_sample_by_source`` (per-group quota) with the
+    global-quota form of the O5 sampling analogue (src/Visualizer.jl:192-197).
+
+    Shape: per-batch LOCAL bottom-k combiner (at most k rows per input block
+    survive), one k-row-per-block exchange, final bottom-k + rank on the
+    driver-side k rows (dimension-bounded: k, never corpus-sized). Output:
+    sample_rank, doc_id, source."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        ids = batch["doc_id"].astype("int64")
+        df = pd.DataFrame({
+            "doc_id": ids.to_numpy(),
+            "source": batch["source"].to_numpy(),
+            "hx": md5_hex(ids.astype(str).to_numpy()),
+        })
+        return df.sort_values(["hx", "doc_id"], kind="mergesort").head(k)
+
+    cand = docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    ).to_pandas()  # <= k rows per input block: dimension-bounded
+    top = cand.sort_values(["hx", "doc_id"], kind="mergesort").head(k)
+    out = pd.DataFrame({
+        "sample_rank": np.arange(1, len(top) + 1, dtype="int64"),
+        "doc_id": top["doc_id"].to_numpy(),
+        "source": top["source"].to_numpy(),
+    })
+    return ray.data.from_pandas(out)
+
+
+BOTTOMK_SAMPLE_SQL_TEMPLATE = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY hx, doc_id) AS BIGINT)
+         AS sample_rank,
+       doc_id, source
+FROM h
+ORDER BY hx, doc_id
+LIMIT {k}
+"""
