@@ -66,6 +66,7 @@ _SHORT_MIN_TOK = 5
 _ZIPF_TOP_N = 50
 _CHUNK_CHARS = 64
 _BOTTOMK_K = 50
+_KANON_KS = (2, 5, 10)
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Exactly one: the HyperLogLog approximate vocabulary —
@@ -754,6 +755,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bottomk_sample": lambda sf: _tx.bottomk_sample(
             _docs(sf), k=_BOTTOMK_K
         ),
+        "events_late_arrivals": lambda sf: _wd.late_arrivals(_events_ds(sf)),
+        "events_k_anonymity": lambda sf: _wd.k_anonymity_audit(
+            _events_ds(sf), ks=_KANON_KS
+        ),
+        "docs_mixture_weights": lambda sf: _tx.mixture_weights(_docs(sf)),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1590,6 +1596,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_bottomk_sample": _tx.BOTTOMK_SAMPLE_SQL_TEMPLATE.format(
             k=_BOTTOMK_K
         ),
+        "events_late_arrivals": _wd.LATE_ARRIVALS_SQL,
+        "events_k_anonymity": _wd.K_ANONYMITY_SQL_TEMPLATE.format(
+            ks=", ".join(str(k) for k in _KANON_KS)
+        ),
+        "docs_mixture_weights": _tx.MIXTURE_WEIGHTS_SQL,
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,

@@ -5384,3 +5384,83 @@ FROM h
 ORDER BY hx, doc_id
 LIMIT {k}
 """
+
+
+def mixture_weights(docs: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dataset:
+    """Per-source DATA-MIXING weights for temperature-based sampling
+    (T = 1/2): the raw token share and the sqrt-damped weight that
+    up-samples small sources / down-samples dominant ones — the knob a
+    pretraining data loader turns to set corpus composition. Token count
+    is the whitespace tokenization the token-counting suite uses.
+
+    Float discipline: sqrt is IEEE-exact (correctly rounded, unlike pow/
+    log), and BOTH emitted doubles divide by a function of the EXACT
+    integer corpus total only — no cross-source float summation, so no
+    summation-order hazard (the rel_part_pareto lesson).
+    ``temp_weight = sqrt(c_s) / sqrt(c_total)`` renormalizes to the true
+    T=1/2 distribution by a source-independent constant (Σ_s temp_weight),
+    which the consumer applies after the (tiny) table is collected.
+    Output: source, n_docs, n_tokens, raw_share, temp_weight."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        ntok = batch["text"].str.split(" ").map(len).astype("int64")
+        g = pd.DataFrame({
+            "source": batch["source"].to_numpy(),
+            "n_docs": np.int64(1),
+            "n_tokens": ntok.to_numpy(),
+        }).groupby("source", sort=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+        ).reset_index()
+        for c in ("n_docs", "n_tokens"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = docs.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    per_source = bucketed_group_apply(
+        parts, ["source"],
+        lambda b: b.groupby("source", sort=False)[["n_docs", "n_tokens"]]
+        .sum().astype("int64").reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket["n_tokens"].astype("int64").to_numpy()
+        total = float(np.int64(c.sum()))
+        return pd.DataFrame({
+            "source": bucket["source"].to_numpy(),
+            "n_docs": bucket["n_docs"].astype("int64").to_numpy(),
+            "n_tokens": c,
+            "raw_share": np.round(c.astype("float64") / total, 6),
+            "temp_weight": np.round(
+                np.sqrt(c.astype("float64")) / np.sqrt(total), 6
+            ),
+        })
+
+    keyed = per_source.map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["g"], lambda b: final(b.drop(columns=["g"])), n_buckets=1
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       ROUND(CAST(s.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         AS raw_share,
+       ROUND(sqrt(CAST(s.n_tokens AS DOUBLE))
+             / sqrt(CAST(t.total AS DOUBLE)), 6) AS temp_weight
+FROM s, t
+"""

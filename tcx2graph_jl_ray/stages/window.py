@@ -4995,3 +4995,197 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
 """
+
+
+def late_arrivals(events: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """Per-type LATE-EVENT accounting — the watermarking question a
+    streaming ingest asks of a batch corpus: how many events arrive AFTER a
+    later-timestamped event of the same user has already been seen, and by
+    how much. Arrival order is the md5 digest order of event_id — the
+    deterministic stand-in for object-store listing order of an unsorted
+    ingest (the testdata is fully time-sorted by event_id, so replay order
+    itself would make every lateness 0; digest order models the shuffled
+    discovery a real backfill sees). The reference is purely batch (SURVEY
+    §2.8: no windows/watermarks); this is the out-of-order profile that
+    sizes the allowed-lateness window a streaming re-run would need.
+
+    Shape: one user-keyed shuffle; in-group sort by arrival digest,
+    SEGMENTED per-user running-max of ts, late = ts strictly below the
+    PRIOR running max; per-(bucket, type) int partials, one tiny per-type
+    final sum. Lateness is exact int64 epoch-µs (prev_running_max − ts).
+    Output: event_type, n_events, n_late, late_share, max_lateness_us."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.assign(
+            hx=np.asarray(
+                md5_hex(bucket["event_id"].astype("int64").astype(str)
+                        .to_numpy()),
+                dtype="U32",
+            )
+        ).sort_values(["user_id", "hx"], kind="mergesort")
+        us = pd.to_datetime(d["ts"]).astype("datetime64[us]")\
+            .astype("int64")
+        # per-user running max (cummax is segmented by the groupby — a flat
+        # np.maximum.accumulate would carry one user's max into the next)
+        run = us.groupby(d["user_id"].to_numpy(), sort=False).cummax()\
+            .to_numpy()
+        us = us.to_numpy()
+        uid = d["user_id"].to_numpy()
+        prev = np.empty_like(run)
+        prev[1:] = run[:-1]
+        prev[0] = np.iinfo("int64").min
+        starts = np.empty(len(d), dtype=bool)
+        starts[0] = True
+        starts[1:] = uid[1:] != uid[:-1]
+        prev[starts] = np.iinfo("int64").min
+        late = us < prev
+        lateness = np.where(late, prev - us, 0)
+        g = pd.DataFrame({
+            "event_type": d["event_type"].to_numpy(),
+            "n": np.int64(1),
+            "n_late": late.astype("int64"),
+            "lat": lateness.astype("int64"),
+        }).groupby("event_type", sort=False).agg(
+            n=("n", "sum"), n_late=("n_late", "sum"), lat=("lat", "max")
+        ).reset_index()
+        for c in ("n", "n_late", "lat"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = bucketed_group_apply(
+        events.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        ["user_id"], per_user, n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False).agg(
+            n=("n", "sum"), n_late=("n_late", "sum"), lat=("lat", "max")
+        )
+        n = g["n"].astype("int64").to_numpy()
+        nl = g["n_late"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "event_type": g.index.to_numpy(),
+            "n_events": n,
+            "n_late": nl,
+            "late_share": np.round(
+                nl.astype("float64") / n.astype("float64"), 6
+            ),
+            "max_lateness_us": g["lat"].astype("int64").to_numpy(),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], final, n_buckets=1)
+
+
+LATE_ARRIVALS_SQL = """
+WITH w AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (
+           PARTITION BY user_id
+           ORDER BY md5(CAST(event_id AS VARCHAR))
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       ROUND(
+         CAST(SUM(CASE WHEN ts < prev_max THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE), 6
+       ) AS late_share,
+       CAST(COALESCE(MAX(CASE WHEN ts < prev_max
+                    THEN epoch_us(prev_max) - epoch_us(ts) END), 0)
+            AS BIGINT) AS max_lateness_us
+FROM w GROUP BY event_type
+"""
+
+
+def k_anonymity_audit(
+    events: ray.data.Dataset,
+    ks: tuple[int, ...] = (2, 5, 10),
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """k-ANONYMITY audit over the quasi-identifier (event_type, weekday,
+    hour-of-day): for each k, how many QI equivalence classes have fewer
+    than k rows and how many rows sit in them — the re-identification
+    exposure the PII scrub (`text_pii_scrub`) does not measure (a scrubbed
+    row can still be singled out by its attribute combination).
+
+    Shape: per-batch (QI -> count) partials, one QI-keyed exact count
+    reduce, then class sizes cross k thresholds in one tiny final pass
+    (class count is bounded by |types| x 7 x 24). Output per k: k,
+    n_classes, n_classes_below, n_rows_below, rows_below_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(batch["ts"])
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "dow": t.dt.isocalendar().day.astype("int64").to_numpy(),
+            "hour": t.dt.hour.astype("int64").to_numpy(),
+        }).groupby(["event_type", "dow", "hour"], sort=False).size()\
+            .reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = events.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    sizes = bucketed_group_apply(
+        parts, ["event_type", "dow", "hour"],
+        lambda b: b.groupby(["event_type", "dow", "hour"], sort=False)["n"]
+        .sum().reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = bucket["n"].astype("int64").to_numpy()
+        total = np.int64(n.sum())
+        rows = []
+        for k in ks:
+            below = n < k
+            rows.append({
+                "k": np.int64(k),
+                "n_classes": np.int64(len(n)),
+                "n_classes_below": np.int64(below.sum()),
+                "n_rows_below": np.int64(n[below].sum()),
+                "rows_below_share": np.round(
+                    float(n[below].sum()) / float(total), 6
+                ),
+            })
+        return pd.DataFrame(rows)
+
+    keyed = sizes.map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["g"], lambda b: final(b.drop(columns=["g"])), n_buckets=1
+    )
+
+
+K_ANONYMITY_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT event_type, isodow(ts) AS dow, hour(ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_classes FROM q),
+ks AS (SELECT CAST(unnest([{ks}]) AS BIGINT) AS k)
+SELECT ks.k,
+       t.n_classes,
+       CAST(SUM(CASE WHEN q.n < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(SUM(CASE WHEN q.n < ks.k THEN q.n ELSE 0 END) AS BIGINT)
+         AS n_rows_below,
+       ROUND(
+         CAST(SUM(CASE WHEN q.n < ks.k THEN q.n ELSE 0 END) AS DOUBLE)
+         / CAST(t.total AS DOUBLE), 6
+       ) AS rows_below_share
+FROM ks, q, t
+GROUP BY ks.k, t.n_classes, t.total
+"""

@@ -106,3 +106,106 @@ def test_chunk_dedup_planted(ray_session):
     assert r["bytes_total"] == 14  # 4+4 + 4+2
     assert r["bytes_unique"] == 10  # AAAA + BBBB + CC
     assert r["dedup_ratio"] == np.round(10 / 14, 6)
+
+
+def test_late_arrivals_planted(ray_session):
+    import hashlib
+
+    from tcx2graph_jl_ray.stages.window import late_arrivals
+
+    # two users; user 9 gets a far-future event that MUST NOT leak into
+    # user 1's watermark (segmented running max regression)
+    rows = [
+        (0, 1, "2024-01-01 00:00:10", "a"),
+        (1, 1, "2024-01-01 00:00:20", "a"),
+        (2, 1, "2024-01-01 00:00:30", "b"),
+        (3, 1, "2024-01-01 00:00:40", "b"),
+        (4, 9, "2030-01-01 00:00:00", "a"),
+        (5, 9, "2030-01-01 00:00:01", "a"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+
+    # pure-python reference: per user, arrive in md5(event_id) order
+    want: dict[str, dict[str, int]] = {}
+    for _, u in df.groupby("user_id"):
+        u = u.assign(
+            hx=[hashlib.md5(str(i).encode()).hexdigest()
+                for i in u["event_id"]]
+        ).sort_values("hx")
+        hi = None
+        for _, r in u.iterrows():
+            t = r["ts"].value // 1000  # ns -> us
+            w = want.setdefault(r["event_type"], {"n": 0, "late": 0,
+                                                  "lat": 0})
+            w["n"] += 1
+            if hi is not None and t < hi:
+                w["late"] += 1
+                w["lat"] = max(w["lat"], hi - t)
+            hi = t if hi is None else max(hi, t)
+
+    got = (
+        late_arrivals(ray.data.from_pandas(df), n_buckets=4)
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    for et, w in want.items():
+        assert got.loc[et, "n_events"] == w["n"]
+        assert got.loc[et, "n_late"] == w["late"]
+        assert got.loc[et, "max_lateness_us"] == w["lat"]
+        assert got.loc[et, "late_share"] == np.round(w["late"] / w["n"], 6)
+
+
+def test_k_anonymity_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import k_anonymity_audit
+
+    # QI = (type, isodow, hour). 2024-01-01 = Monday (dow 1).
+    # class (x,1,5): 3 rows; class (x,1,6): 1 row; class (y,1,5): 2 rows
+    df = pd.DataFrame({
+        "event_type": ["x", "x", "x", "x", "y", "y"],
+        "ts": pd.to_datetime([
+            "2024-01-01 05:00", "2024-01-01 05:10", "2024-01-01 05:20",
+            "2024-01-01 06:00", "2024-01-01 05:30", "2024-01-01 05:40",
+        ]),
+    })
+    got = (
+        k_anonymity_audit(ray.data.from_pandas(df), ks=(2, 3), n_buckets=4)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert (got["n_classes"] == 3).all()
+    # k=2: only the singleton class (1 row) is below
+    assert got.loc[2, "n_classes_below"] == 1
+    assert got.loc[2, "n_rows_below"] == 1
+    # k=3: singleton + the 2-row class
+    assert got.loc[3, "n_classes_below"] == 2
+    assert got.loc[3, "n_rows_below"] == 3
+    assert got.loc[3, "rows_below_share"] == 0.5
+
+
+def test_mixture_weights_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import mixture_weights
+
+    # source a: 9 tokens over 2 docs; source b: 16 tokens over 1 doc
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2], dtype="int64"),
+        "source": ["a", "a", "b"],
+        "text": ["w x y z q", "a b c d", " ".join(["t"] * 16)],
+    })
+    got = (
+        mixture_weights(ray.data.from_pandas(df), n_buckets=2)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["a", "n_docs"] == 2
+    assert got.loc["a", "n_tokens"] == 9
+    assert got.loc["b", "n_tokens"] == 16
+    assert got.loc["a", "raw_share"] == np.round(9 / 25, 6)
+    assert got.loc["a", "temp_weight"] == np.round(np.sqrt(9.0)
+                                                   / np.sqrt(25.0), 6)
+    assert got.loc["b", "temp_weight"] == np.round(np.sqrt(16.0)
+                                                   / np.sqrt(25.0), 6)
