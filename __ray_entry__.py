@@ -760,6 +760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf), ks=_KANON_KS
         ),
         "docs_mixture_weights": lambda sf: _tx.mixture_weights(_docs(sf)),
+        "events_latest_state": lambda sf: _wd.latest_state(_events_ds(sf)),
+        "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
+            _events_ds(sf)
+        ),
+        "docs_snapshot_diff": lambda sf: _tx.snapshot_diff(_docs(sf)),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1601,6 +1606,9 @@ def oracle_sql() -> dict[str, str]:
             ks=", ".join(str(k) for k in _KANON_KS)
         ),
         "docs_mixture_weights": _tx.MIXTURE_WEIGHTS_SQL,
+        "events_latest_state": _wd.LATEST_STATE_SQL,
+        "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
+        "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,

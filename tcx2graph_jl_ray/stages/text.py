@@ -5464,3 +5464,109 @@ SELECT s.source, s.n_docs, s.n_tokens,
              / sqrt(CAST(t.total AS DOUBLE)), 6) AS temp_weight
 FROM s, t
 """
+
+
+def snapshot_diff(docs: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """SNAPSHOT DIFF between two crawls of the same corpus — the
+    incremental-processing primitive that decides how much of yesterday's
+    pipeline output is reusable today. Snapshot identity is modeled
+    deterministically on the one corpus the testdata provides: logical key
+    = doc_id // 2, OLD snapshot = even doc_ids, NEW = odd, so a key can be
+    present in one, the other, or both; "changed" compares md5(text).
+    Output one row: n_added (new only), n_removed (old only), n_changed
+    (both, digest differs), n_unchanged (both, digest equal), plus the
+    reuse_share a delta run skips = unchanged / new-snapshot size.
+
+    Shape: per-batch (key, side, digest) projection, one key-bucketed
+    pairing reduce folded to int scalar partials, one final sum — the
+    digest exchange is one row per doc, never the text."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.hygiene import nonnull_text
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = nonnull_text(batch)
+        ids = batch["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "key": ids // 2,
+            "is_new": (ids % 2 == 1),
+            "dg": md5_hex(batch["text"].to_numpy()),
+        })
+
+    parts = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    )
+
+    def fold_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        old = bucket[~bucket["is_new"]].set_index("key")["dg"]
+        new = bucket[bucket["is_new"]].set_index("key")["dg"]
+        j = old.to_frame("dg_old").join(new.to_frame("dg_new"), how="outer")
+        added = j["dg_old"].isna()
+        removed = j["dg_new"].isna()
+        both = ~added & ~removed
+        changed = both & (j["dg_old"] != j["dg_new"])
+        return pd.DataFrame({
+            "n_added": [np.int64(added.sum())],
+            "n_removed": [np.int64(removed.sum())],
+            "n_changed": [np.int64(changed.sum())],
+            "n_unchanged": [np.int64((both & ~changed).sum())],
+        })
+
+    scalar_parts = bucketed_group_apply(parts, ["key"], fold_bucket,
+                                        n_buckets=n_buckets)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sum()
+        n_added = int(s["n_added"])
+        n_changed = int(s["n_changed"])
+        n_unchanged = int(s["n_unchanged"])
+        new_total = n_added + n_changed + n_unchanged
+        return pd.DataFrame({
+            "n_added": [np.int64(n_added)],
+            "n_removed": [np.int64(s["n_removed"])],
+            "n_changed": [np.int64(n_changed)],
+            "n_unchanged": [np.int64(n_unchanged)],
+            "reuse_share": [np.round(float(n_unchanged) / float(new_total),
+                                     6)],
+        })
+
+    keyed = scalar_parts.map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["g"], lambda b: final(b.drop(columns=["g"])), n_buckets=1
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) // 2 AS key,
+         CAST(doc_id AS BIGINT) % 2 = 1 AS is_new,
+         md5(text) AS dg
+  FROM documents WHERE text IS NOT NULL
+),
+j AS (
+  SELECT o.dg AS dg_old, n.dg AS dg_new
+  FROM (SELECT key, dg FROM d WHERE NOT is_new) o
+  FULL OUTER JOIN (SELECT key, dg FROM d WHERE is_new) n USING (key)
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN dg_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_added,
+    CAST(SUM(CASE WHEN dg_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_removed,
+    CAST(SUM(CASE WHEN dg_old IS NOT NULL AND dg_new IS NOT NULL
+                   AND dg_old <> dg_new THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_changed,
+    CAST(SUM(CASE WHEN dg_old IS NOT NULL AND dg_new IS NOT NULL
+                   AND dg_old = dg_new THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_unchanged
+  FROM j
+)
+SELECT n_added, n_removed, n_changed, n_unchanged,
+       ROUND(CAST(n_unchanged AS DOUBLE)
+             / CAST(n_added + n_changed + n_unchanged AS DOUBLE), 6)
+         AS reuse_share
+FROM agg
+"""

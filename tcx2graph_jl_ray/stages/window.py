@@ -5189,3 +5189,143 @@ SELECT ks.k,
 FROM ks, q, t
 GROUP BY ks.k, t.n_classes, t.total
 """
+
+
+def latest_state(events: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """CDC UPSERT COMPACTION: per (user_id, event_type) key, the latest
+    event's payload under (ts, event_id) ordering — the materialized
+    "current state" view a lakehouse table produces when an append-only
+    change log is compacted by primary key (the reference's only state
+    evolution is file-level replay; this is its keyed-upsert analogue).
+
+    Pure argmax carry-through — no arithmetic touches ``value``, so floats
+    pass through bit-exact. Shape: per-batch per-key argmax combiner (at
+    most one row per (batch, key) enters the shuffle), one key-bucketed
+    final argmax. Output: user_id, event_type, last_event_id, last_ts_us,
+    last_value."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def reduce_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch.sort_values(["user_id", "event_type", "us", "event_id"],
+                              kind="mergesort")
+        return d.groupby(["user_id", "event_type"], sort=False).tail(1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "event_type": batch["event_type"].to_numpy(),
+            "event_id": batch["event_id"].astype("int64").to_numpy(),
+            "us": pd.to_datetime(batch["ts"]).astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "value": batch["value"].to_numpy(),
+        })
+        return reduce_keys(d)
+
+    parts = events.select_columns(
+        ["user_id", "event_type", "event_id", "ts", "value"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = reduce_keys(bucket)
+        return pd.DataFrame({
+            "user_id": d["user_id"].astype("int64").to_numpy(),
+            "event_type": d["event_type"].to_numpy(),
+            "last_event_id": d["event_id"].astype("int64").to_numpy(),
+            "last_ts_us": d["us"].astype("int64").to_numpy(),
+            "last_value": d["value"].to_numpy(),
+        })
+
+    return bucketed_group_apply(
+        parts, ["user_id", "event_type"], final, n_buckets=n_buckets
+    )
+
+
+LATEST_STATE_SQL = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       epoch_us(ts) AS last_ts_us, value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def ingest_idempotency(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """INGEST IDEMPOTENCY audit over the natural key (user_id, event_type,
+    ts): how many natural keys exist, how many collide, how many rows an
+    exactly-once re-delivery dedup would drop, and the worst multiplicity
+    — the pre-flight question for an at-least-once pipeline whose surrogate
+    ``event_id`` is assigned AT ingest (so surrogate uniqueness proves
+    nothing about redelivery; `rel_pk_audit` covers the surrogate side).
+
+    Shape: per-batch natural-key count partials, one key-bucketed exact
+    reduce folded to int scalar partials, one final sum. Output one row:
+    n_rows, n_keys, n_dup_keys, n_dup_rows, max_multiplicity."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "event_type": batch["event_type"].to_numpy(),
+            "us": pd.to_datetime(batch["ts"]).astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+        })
+        g = d.groupby(["user_id", "event_type", "us"], sort=False).size()\
+            .reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = events.select_columns(["user_id", "event_type", "ts"])\
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def fold_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        n = bucket.groupby(["user_id", "event_type", "us"], sort=False)["n"]\
+            .sum().astype("int64").to_numpy()
+        return pd.DataFrame({
+            "n_rows": [np.int64(n.sum())],
+            "n_keys": [np.int64(len(n))],
+            "n_dup_keys": [np.int64((n > 1).sum())],
+            "n_dup_rows": [np.int64((n[n > 1] - 1).sum())],
+            "max_multiplicity": [np.int64(n.max() if len(n) else 0)],
+        })
+
+    scalar_parts = bucketed_group_apply(
+        parts, ["user_id", "event_type", "us"], fold_bucket,
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sum()
+        return pd.DataFrame({
+            "n_rows": [np.int64(s["n_rows"])],
+            "n_keys": [np.int64(s["n_keys"])],
+            "n_dup_keys": [np.int64(s["n_dup_keys"])],
+            "n_dup_rows": [np.int64(s["n_dup_rows"])],
+            "max_multiplicity": [np.int64(bucket["max_multiplicity"].max())],
+        })
+
+    keyed = scalar_parts.map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["g"], lambda b: final(b.drop(columns=["g"])), n_buckets=1
+    )
+
+
+INGEST_IDEMPOTENCY_SQL = """
+WITH k AS (
+  SELECT user_id, event_type, ts, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_rows,
+       CAST(MAX(n) AS BIGINT) AS max_multiplicity
+FROM k
+"""

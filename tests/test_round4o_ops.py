@@ -209,3 +209,76 @@ def test_mixture_weights_planted(ray_session):
                                                    / np.sqrt(25.0), 6)
     assert got.loc["b", "temp_weight"] == np.round(np.sqrt(16.0)
                                                    / np.sqrt(25.0), 6)
+
+
+def test_latest_state_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import latest_state
+
+    # user 1 / type a: ties on ts broken by event_id (id 3 wins over id 2)
+    df = pd.DataFrame({
+        "event_id": pd.array([0, 2, 3, 5], dtype="int64"),
+        "user_id": pd.array([1, 1, 1, 2], dtype="int64"),
+        "event_type": ["a", "a", "a", "a"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-02 00:00", "2024-01-02 00:00",
+            "2024-01-01 00:00",
+        ]),
+        "value": [1.5, 2.5, 3.5, 9.0],
+    })
+    got = (
+        latest_state(ray.data.from_pandas(df), n_buckets=4)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert len(got) == 2
+    assert got.loc[1, "last_event_id"] == 3
+    assert got.loc[1, "last_value"] == 3.5
+    assert got.loc[2, "last_event_id"] == 5
+    # argmax carry-through across block layouts too
+    got2 = (
+        latest_state(ray.data.from_pandas(df).repartition(4), n_buckets=4)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_ingest_idempotency_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import ingest_idempotency
+
+    # natural key (user, type, ts): one triple delivered 3x, one 2x, two 1x
+    df = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1, 1, 1, 2, 2], dtype="int64"),
+        "event_type": ["a", "a", "a", "b", "b", "a", "b"],
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-01-01", "2024-01-01",
+            "2024-01-02", "2024-01-02", "2024-01-01", "2024-01-01",
+        ]),
+    })
+    got = ingest_idempotency(
+        ray.data.from_pandas(df), n_buckets=4
+    ).to_pandas().iloc[0]
+    assert got["n_rows"] == 7
+    assert got["n_keys"] == 4
+    assert got["n_dup_keys"] == 2
+    assert got["n_dup_rows"] == 3
+    assert got["max_multiplicity"] == 3
+
+
+def test_snapshot_diff_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import snapshot_diff
+
+    # keys: 0 unchanged (ids 0/1 same text), 1 changed (2/3 differ),
+    # 2 removed (only even id 4), 3 added (only odd id 7)
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3, 4, 7], dtype="int64"),
+        "text": ["same", "same", "old", "new", "gone", "fresh"],
+    })
+    got = snapshot_diff(
+        ray.data.from_pandas(df), n_buckets=4
+    ).to_pandas().iloc[0]
+    assert got["n_unchanged"] == 1
+    assert got["n_changed"] == 1
+    assert got["n_removed"] == 1
+    assert got["n_added"] == 1
+    assert got["reuse_share"] == np.round(1 / 3, 6)
