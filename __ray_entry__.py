@@ -765,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf)
         ),
         "docs_snapshot_diff": lambda sf: _tx.snapshot_diff(_docs(sf)),
+        "docs_curriculum_order": lambda sf: _tx.curriculum_order(_docs(sf)),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1609,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_state": _wd.LATEST_STATE_SQL,
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
+        "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,

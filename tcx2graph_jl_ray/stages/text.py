@@ -5570,3 +5570,103 @@ SELECT n_added, n_removed, n_changed, n_unchanged,
          AS reuse_share
 FROM agg
 """
+
+
+def curriculum_order(docs: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """Global CURRICULUM ORDER for training: every doc's position in the
+    deterministic schedule that walks quality bands from the most
+    natural-language-dense down (band = the pure-integer stopword banding
+    of ``quality_band_tokens``) and shuffles WITHIN a band by md5(doc_id)
+    — the "easy-to-hard, shuffled within difficulty" data ordering a
+    curriculum loader consumes, reproducible across runs and cluster
+    sizes.
+
+    A global ROW_NUMBER without a global sort: the sort-key prefix
+    (band, first hex byte of the shuffle digest) linearizes into ≤2560
+    chunks; order-free per-chunk counts make one tiny driver-side
+    exclusive prefix (broadcast once via ray.put), then each chunk ranks
+    locally — the ``pack_sequences`` two-phase discipline applied to an
+    arbitrary sort key. Output: doc_id, band, curriculum_rank (int64,
+    1-based)."""
+    import ray as _ray
+
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        d = _nonnull_text(batch)
+        ntok = (d["text"].str.count(" ") + 1).astype("int64")
+        tf = _token_frame(d)
+        stops = tf[tf["tok"].isin(STOPWORDS)].groupby("row").size()
+        n_stop = (
+            pd.Series(0, index=range(len(d)))
+            .add(stops, fill_value=0)
+            .astype("int64")
+        )
+        band = np.minimum(10 * n_stop.to_numpy() // ntok.to_numpy(), 9)
+        ids = d["doc_id"].astype("int64").to_numpy()
+        hx = np.asarray(md5_hex(ids.astype(str)), dtype="U32")
+        byte0 = np.array([int(h[:2], 16) for h in hx], dtype="int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "band": band.astype("int64"),
+            "hx": hx,
+            # (band DESC, hx ASC) linearized: lower chunk = earlier
+            "chunk": (9 - band) * 256 + byte0,
+        })
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        keyed, batch_format="pandas", batch_size=8192
+    )
+
+    counts = (
+        rows.map_batches(
+            lambda b: b.groupby("chunk", sort=False).size()
+            .reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= 2560 chunk rows per input block
+        .groupby("chunk", sort=True)["n"].sum()
+    )
+    offsets = (counts.cumsum() - counts).astype("int64")
+    off_ref = _ray.put(offsets.to_dict())
+
+    class _Rank:
+        def __init__(self, ref):
+            self.off = _ray.get(ref)
+
+        def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
+            g = bucket.sort_values(["hx", "doc_id"], kind="mergesort")
+            local = g.groupby("chunk", sort=False).cumcount()
+            base = g["chunk"].map(self.off).to_numpy(dtype="int64")
+            return pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(),
+                "band": g["band"].to_numpy(),
+                "curriculum_rank": base + local.to_numpy() + 1,
+            })
+
+    return bucketed_group_apply(
+        rows, ["chunk"], _Rank(off_ref), n_buckets=n_buckets
+    )
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(lower(text), ' ') AS t,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id,
+         LEAST(10 * len(list_filter(t, x -> x IN {STOPWORDS})) // ntok, 9)
+           AS band,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM d
+)
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band DESC, hx, doc_id) AS BIGINT)
+         AS curriculum_rank
+FROM b
+"""

@@ -282,3 +282,43 @@ def test_snapshot_diff_planted(ray_session):
     assert got["n_removed"] == 1
     assert got["n_added"] == 1
     assert got["reuse_share"] == np.round(1 / 3, 6)
+
+
+def test_curriculum_order_planted(ray_session):
+    import hashlib
+
+    from tcx2graph_jl_ray.stages.text import STOPWORDS, curriculum_order
+
+    # band 9-ish docs (all stopwords) must rank before band-0 docs; within
+    # a band, order is md5(doc_id)
+    texts = {
+        0: "the and of the",          # all stopwords -> band 9
+        1: "the of a in is",          # band 9
+        2: "quark gluon plasma",      # band 0
+        3: "tensor core kernel",      # band 0
+        4: None,                      # dropped (null text)
+    }
+    df = pd.DataFrame({
+        "doc_id": pd.array(list(texts), dtype="int64"),
+        "text": list(texts.values()),
+    })
+
+    def band(t):
+        ws = t.lower().split(" ")
+        return min(10 * sum(w in STOPWORDS for w in ws) // len(ws), 9)
+
+    want = sorted(
+        (
+            (-band(t), hashlib.md5(str(i).encode()).hexdigest(), i)
+            for i, t in texts.items() if t is not None
+        )
+    )
+    got = (
+        curriculum_order(ray.data.from_pandas(df).repartition(3),
+                         n_buckets=4)
+        .to_pandas()
+        .sort_values("curriculum_rank")
+    )
+    assert list(got["curriculum_rank"]) == [1, 2, 3, 4]
+    assert list(got["doc_id"]) == [i for _, _, i in want]
+    assert list(got["band"]) == [-b for b, _, _ in want]
