@@ -67,6 +67,9 @@ _ZIPF_TOP_N = 50
 _CHUNK_CHARS = 64
 _BOTTOMK_K = 50
 _KANON_KS = (2, 5, 10)
+_LDIV_LS = (2, 3, 5)
+_DELETE_HEX = "0f"
+_TRUNC_DIMS = 32
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
 # check for these. Exactly one: the HyperLogLog approximate vocabulary —
@@ -766,6 +769,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_snapshot_diff": lambda sf: _tx.snapshot_diff(_docs(sf)),
         "docs_curriculum_order": lambda sf: _tx.curriculum_order(_docs(sf)),
+        "events_l_diversity": lambda sf: _wd.l_diversity_audit(
+            _events_ds(sf), ls=_LDIV_LS
+        ),
+        "events_deletion_impact": lambda sf: _wd.deletion_impact(
+            _events_ds(sf), hex_max=_DELETE_HEX
+        ),
+        "emb_truncation_profile": lambda sf: _ann.truncation_profile(
+            _embeddings_ds(sf), keep_dims=_TRUNC_DIMS
+        ),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1611,6 +1623,14 @@ def oracle_sql() -> dict[str, str]:
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,
+        "events_l_diversity": _wd.L_DIVERSITY_SQL_TEMPLATE.format(
+            ls=", ".join(str(x) for x in _LDIV_LS)
+        ),
+        "events_deletion_impact": _wd.DELETION_IMPACT_SQL_TEMPLATE.format(
+            hex_max=_DELETE_HEX
+        ),
+        "emb_truncation_profile": _ann.TRUNCATION_PROFILE_SQL_TEMPLATE
+        .format(keep_dims=_TRUNC_DIMS),
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,

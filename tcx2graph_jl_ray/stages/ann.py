@@ -2137,3 +2137,81 @@ SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
          AS variance
 FROM u GROUP BY dim
 """
+
+
+def truncation_profile(
+    embeddings: ray.data.Dataset, keep_dims: int = 32
+) -> ray.data.Dataset:
+    """MATRYOSHKA TRUNCATION profile: how much of each vector's energy the
+    first ``keep_dims`` dimensions retain — the feasibility gate for
+    serving truncated embeddings (half the index bytes) from a full-width
+    encoder. Per vector r = ||v[:k]||² / ||v||², ROUNDED 6 FIRST (the
+    ``norm_profile`` float discipline: the rounded value is the defined
+    statistic, absorbing engine/oracle summation-order differences), then
+    histogrammed into tenth-wide bins — only integer bin counts leave the
+    workers. Output per occupied bin: bin, bin_lo, n_vecs, share."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["embedding"].notna()]
+        if not len(d):
+            return pd.DataFrame({
+                "bin": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+        full = (vecs * vecs).sum(axis=1)
+        head = (vecs[:, :keep_dims] * vecs[:, :keep_dims]).sum(axis=1)
+        r = np.round(head / full, 6)
+        b = np.minimum(np.floor(r * 10.0), 9.0).astype("int64")
+        g = pd.DataFrame({"bin": b, "n": np.int64(1)})\
+            .groupby("bin", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("bin", sort=False)["n"].sum().astype("int64")
+        n = g.to_numpy()
+        total = float(n.sum())
+        return pd.DataFrame({
+            "bin": g.index.to_numpy().astype("int64"),
+            "bin_lo": np.round(g.index.to_numpy().astype("float64") / 10.0,
+                               6),
+            "n_vecs": n,
+            "share": np.round(n.astype("float64") / total, 6),
+        })
+
+    keyed = parts.map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["g"], lambda b: final(b.drop(columns=["g"])), n_buckets=1
+    )
+
+
+TRUNCATION_PROFILE_SQL_TEMPLATE = """
+WITH r AS (
+  SELECT ROUND(
+           list_sum(list_transform(
+             embedding[1:{keep_dims}],
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           / list_sum(list_transform(
+             embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS r
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+b AS (
+  SELECT CAST(LEAST(FLOOR(r * 10.0), 9.0) AS BIGINT) AS bin FROM r
+),
+g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin)
+SELECT bin, ROUND(CAST(bin AS DOUBLE) / 10.0, 6) AS bin_lo,
+       n AS n_vecs,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+         AS share
+FROM g
+"""

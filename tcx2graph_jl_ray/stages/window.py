@@ -5329,3 +5329,194 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
        CAST(MAX(n) AS BIGINT) AS max_multiplicity
 FROM k
 """
+
+
+def l_diversity_audit(
+    events: ray.data.Dataset,
+    ls: tuple[int, ...] = (2, 3, 5),
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """l-DIVERSITY audit — the companion to ``k_anonymity_audit``: a QI
+    class can be large (k-anonymous) yet still leak if every row in it
+    belongs to the SAME sensitive subject. Sensitive attribute = user_id;
+    QI = (event_type, weekday, hour-of-day). For each l, how many classes
+    have fewer than l distinct users and how many rows sit in them.
+
+    Shape: per-batch distinct (QI, user) partials with row counts, one
+    QI+user-keyed exact reduce, per-class diversity in a second bounded
+    reduce (classes ≤ |types| x 7 x 24), thresholds in one tiny final
+    pass. Output per l: l, n_classes, n_classes_below, n_rows_below,
+    rows_below_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(batch["ts"])
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "dow": t.dt.isocalendar().day.astype("int64").to_numpy(),
+            "hour": t.dt.hour.astype("int64").to_numpy(),
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+        }).groupby(["event_type", "dow", "hour", "user_id"], sort=False)\
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = events.select_columns(["event_type", "ts", "user_id"])\
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    per_pair = bucketed_group_apply(
+        parts, ["event_type", "dow", "hour", "user_id"],
+        lambda b: b.groupby(["event_type", "dow", "hour", "user_id"],
+                            sort=False)["n"].sum().reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def per_class(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["event_type", "dow", "hour"], sort=False).agg(
+            div=("user_id", "size"), n=("n", "sum")
+        ).reset_index()
+        g["div"] = g["div"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g[["div", "n"]]
+
+    classes = bucketed_group_apply(
+        per_pair, ["event_type", "dow", "hour"], per_class,
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        div = bucket["div"].astype("int64").to_numpy()
+        n = bucket["n"].astype("int64").to_numpy()
+        total = np.int64(n.sum())
+        rows = []
+        for lv in ls:
+            below = div < lv
+            rows.append({
+                "l": np.int64(lv),
+                "n_classes": np.int64(len(div)),
+                "n_classes_below": np.int64(below.sum()),
+                "n_rows_below": np.int64(n[below].sum()),
+                "rows_below_share": np.round(
+                    float(n[below].sum()) / float(total), 6
+                ),
+            })
+        return pd.DataFrame(rows)
+
+    keyed = classes.map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["g"], lambda b: final(b.drop(columns=["g"])), n_buckets=1
+    )
+
+
+L_DIVERSITY_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT event_type, isodow(ts) AS dow, hour(ts) AS hour,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS div,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_classes FROM q),
+ls AS (SELECT CAST(unnest([{ls}]) AS BIGINT) AS l)
+SELECT ls.l,
+       t.n_classes,
+       CAST(SUM(CASE WHEN q.div < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(SUM(CASE WHEN q.div < ls.l THEN q.n ELSE 0 END) AS BIGINT)
+         AS n_rows_below,
+       ROUND(
+         CAST(SUM(CASE WHEN q.div < ls.l THEN q.n ELSE 0 END) AS DOUBLE)
+         / CAST(t.total AS DOUBLE), 6
+       ) AS rows_below_share
+FROM ls, q, t
+GROUP BY ls.l, t.n_classes, t.total
+"""
+
+
+def deletion_impact(
+    events: ray.data.Dataset, hex_max: str = "0f", n_buckets: int = 32
+) -> ray.data.Dataset:
+    """RIGHT-TO-BE-FORGOTTEN sweep planner: if the deterministic cohort of
+    users whose md5(user_id) starts at or below ``hex_max`` (≈ (cut+1)/256
+    of users) requested deletion, what does each event_type lose — the
+    per-partition impact estimate a compliance compaction job is sized
+    from (the privacy family's third leg after the k-anonymity /
+    l-diversity audits). Output per type: n_rows, n_flagged_rows,
+    flagged_share, n_flagged_users."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    cut_val = int(hex_max, 16)
+    if not 0 <= cut_val <= 0xFF:
+        raise ValueError(f"hex_max must be one byte (00..ff), got {hex_max!r}")
+    hex_cut = format(cut_val, "02x")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["user_id"].astype("int64")
+        p2 = np.asarray(md5_hex(uid.astype(str).to_numpy()),
+                        dtype="U32").astype("U2")
+        flag = p2 <= hex_cut
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "user_id": np.where(flag, uid.to_numpy(), np.int64(-1)),
+            "n": np.int64(1),
+            "n_flag": flag.astype("int64"),
+        }).groupby(["event_type", "user_id"], sort=False).agg(
+            n=("n", "sum"), n_flag=("n_flag", "sum")
+        ).reset_index()
+        for c in ("n", "n_flag"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = events.select_columns(["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    # one (type, user)-keyed exact reduce: each key's partials land whole,
+    # so downstream row-counting per type equals distinct-user counting
+    folded = bucketed_group_apply(
+        parts, ["event_type", "user_id"],
+        lambda b: b.groupby(["event_type", "user_id"], sort=False)
+        .agg(n=("n", "sum"), n_flag=("n_flag", "sum")).reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False).agg(
+            n=("n", "sum"), n_flag=("n_flag", "sum"),
+            users=("user_id", lambda u: np.int64((u.to_numpy() >= 0).sum())),
+        )
+        n = g["n"].astype("int64").to_numpy()
+        nf = g["n_flag"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "event_type": g.index.to_numpy(),
+            "n_rows": n,
+            "n_flagged_rows": nf,
+            "flagged_share": np.round(
+                nf.astype("float64") / n.astype("float64"), 6
+            ),
+            "n_flagged_users": g["users"].astype("int64").to_numpy(),
+        })
+
+    return bucketed_group_apply(folded, ["event_type"], final, n_buckets=1)
+
+
+DELETION_IMPACT_SQL_TEMPLATE = """
+WITH f AS (
+  SELECT event_type, user_id,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, 2) <= '{hex_max}'
+           AS flag
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_rows,
+       ROUND(CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS flagged_share,
+       CAST(COUNT(DISTINCT CASE WHEN flag THEN user_id END) AS BIGINT)
+         AS n_flagged_users
+FROM f GROUP BY event_type
+"""

@@ -322,3 +322,82 @@ def test_curriculum_order_planted(ray_session):
     assert list(got["curriculum_rank"]) == [1, 2, 3, 4]
     assert list(got["doc_id"]) == [i for _, _, i in want]
     assert list(got["band"]) == [-b for b, _, _ in want]
+
+
+def test_l_diversity_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import l_diversity_audit
+
+    # class (x,1,5): users {1,2,3} (div 3, 4 rows);
+    # class (y,1,5): user {1} only (div 1, 2 rows)
+    df = pd.DataFrame({
+        "event_type": ["x", "x", "x", "x", "y", "y"],
+        "user_id": pd.array([1, 1, 2, 3, 1, 1], dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-01 05:00"] * 6),
+    })
+    got = (
+        l_diversity_audit(ray.data.from_pandas(df), ls=(2, 4), n_buckets=4)
+        .to_pandas().set_index("l").sort_index()
+    )
+    assert (got["n_classes"] == 2).all()
+    assert got.loc[2, "n_classes_below"] == 1  # only the single-user class
+    assert got.loc[2, "n_rows_below"] == 2
+    assert got.loc[4, "n_classes_below"] == 2  # both below 4 distinct users
+    assert got.loc[4, "n_rows_below"] == 6
+    assert got.loc[2, "rows_below_share"] == np.round(2 / 6, 6)
+
+
+def test_deletion_impact_planted(ray_session):
+    import hashlib
+
+    from tcx2graph_jl_ray.stages.window import deletion_impact
+
+    users = list(range(200))
+    flagged = {u for u in users
+               if hashlib.md5(str(u).encode()).hexdigest()[:2] <= "0f"}
+    assert flagged  # the planted cohort must be non-empty
+    df = pd.DataFrame({
+        "event_id": pd.array(range(400), dtype="int64"),
+        "user_id": pd.array([users[i % 200] for i in range(400)],
+                            dtype="int64"),
+        "event_type": ["a" if i % 2 == 0 else "b" for i in range(400)],
+        "ts": pd.to_datetime(["2024-01-01"] * 400),
+        "value": [0.0] * 400,
+    })
+    got = (
+        deletion_impact(ray.data.from_pandas(df), hex_max="0f", n_buckets=4)
+        .to_pandas().set_index("event_type").sort_index()
+    )
+    for et in ("a", "b"):
+        sub = df[df["event_type"] == et]
+        n_flag_rows = int(sub["user_id"].isin(flagged).sum())
+        n_flag_users = sub[sub["user_id"].isin(flagged)]["user_id"].nunique()
+        assert got.loc[et, "n_rows"] == len(sub)
+        assert got.loc[et, "n_flagged_rows"] == n_flag_rows
+        assert got.loc[et, "n_flagged_users"] == n_flag_users
+        assert got.loc[et, "flagged_share"] == np.round(
+            n_flag_rows / len(sub), 6)
+
+
+def test_truncation_profile_planted(ray_session):
+    from tcx2graph_jl_ray.stages.ann import truncation_profile
+
+    # vec A: all energy in the head (r=1.0 -> bin 9 capped);
+    # vec B: half head / half tail (r=0.5 -> bin 5);
+    # vec C: all energy in the tail (r=0.0 -> bin 0)
+    vecs = [
+        [1.0, 1.0, 0.0, 0.0],
+        [1.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ]
+    df = pd.DataFrame({
+        "vec_id": pd.array([0, 1, 2], dtype="int64"),
+        "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+    })
+    got = (
+        truncation_profile(ray.data.from_pandas(df), keep_dims=2)
+        .to_pandas().set_index("bin").sort_index()
+    )
+    assert list(got.index) == [0, 5, 9]
+    assert (got["n_vecs"] == 1).all()
+    assert got.loc[5, "bin_lo"] == 0.5
+    assert (got["share"] == np.round(1 / 3, 6)).all()
