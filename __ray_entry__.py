@@ -778,6 +778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_truncation_profile": lambda sf: _ann.truncation_profile(
             _embeddings_ds(sf), keep_dims=_TRUNC_DIMS
         ),
+        "rel_transit_backlog": lambda sf: _rel.transit_backlog(sf),
+        "events_value_cusum": lambda sf: _wd.value_cusum(_events_ds(sf)),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1631,6 +1633,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_truncation_profile": _ann.TRUNCATION_PROFILE_SQL_TEMPLATE
         .format(keep_dims=_TRUNC_DIMS),
+        "rel_transit_backlog": _rel.TRANSIT_BACKLOG_SQL,
+        "events_value_cusum": _wd.VALUE_CUSUM_SQL,
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,

@@ -5927,3 +5927,122 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
              / COUNT(*), 6) AS repeat_share
 FROM u
 """
+
+
+def transit_backlog(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """OPEN-ORDER BACKLOG curve — the sweep-line interval-count primitive:
+    for every distinct order date d, how many orders are open (placed on
+    or before d, last line not yet shipped: orderdate <= d < max shipdate).
+    Orders whose last ship precedes their order date (3093 at sf0.01 —
+    the `rel_ship_integrity` finding) are excluded as non-physical
+    intervals in BOTH engine and oracle.
+
+    Shape: per-order last-ship (orderkey-bucketed max) co-partition-joined
+    to orders, per-batch +1/-1 day-delta partials, one day-keyed exact
+    reduce, then a DAY-BOUNDED driver cumsum (the calendar is thousands of
+    rows at any corpus size — the `events_user_growth` fallback pattern).
+    Output: day, n_open."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "orderkey": batch["l_orderkey"].astype("int64").to_numpy(),
+            "ship_day": (
+                pd.to_datetime(batch["l_shipdate"]).dt.floor("D")
+                - pd.Timestamp("1970-01-01")
+            ).dt.days.astype("int64").to_numpy(),
+        })
+        return d.groupby("orderkey", sort=False)["ship_day"].max()\
+            .reset_index()
+
+    lastship = bucketed_group_apply(
+        lineitem.map_batches(
+            li_partial, batch_format="pandas", batch_size=65536
+        ),
+        ["orderkey"],
+        lambda b: b.groupby("orderkey", sort=False)["ship_day"].max()
+        .reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def o_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "orderkey": batch["o_orderkey"].astype("int64").to_numpy(),
+            "start_day": (
+                pd.to_datetime(batch["o_orderdate"]).dt.floor("D")
+                - pd.Timestamp("1970-01-01")
+            ).dt.days.astype("int64").to_numpy(),
+        })
+
+    o = orders.map_batches(o_prep, batch_format="pandas", batch_size=65536)
+    j = hash_join(o, lastship, on="orderkey", n_buckets=n_buckets)
+
+    def deltas(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["ship_day"] >= batch["start_day"]]
+        start = b["start_day"].to_numpy(dtype="int64")
+        end = b["ship_day"].to_numpy(dtype="int64")
+        d = pd.DataFrame({
+            "day": np.concatenate([start, end]),
+            "delta": np.concatenate([
+                np.ones(len(b), dtype="int64"),
+                -np.ones(len(b), dtype="int64"),
+            ]),
+            # order-date days define the output grid
+            "is_start": np.concatenate([
+                np.ones(len(b), dtype="int64"),
+                np.zeros(len(b), dtype="int64"),
+            ]),
+        })
+        return d.groupby("day", sort=False).agg(
+            delta=("delta", "sum"), is_start=("is_start", "sum")
+        ).reset_index()
+
+    per_day = bucketed_group_apply(
+        j.map_batches(deltas, batch_format="pandas", batch_size=65536),
+        ["day"],
+        lambda b: b.groupby("day", sort=False)
+        .agg(delta=("delta", "sum"), is_start=("is_start", "sum"))
+        .reset_index(),
+        n_buckets=8,
+    ).to_pandas()  # day-bounded: one row per calendar day with activity
+
+    per_day = per_day.sort_values("day", kind="mergesort")
+    # inclusive cumsum: at day d, +1 for starts <= d, -1 for ends <= d
+    # == count(start <= d AND d < end)
+    open_at = per_day["delta"].cumsum().astype("int64")
+    keep = per_day["is_start"] > 0
+    out = pd.DataFrame({
+        "day": (
+            pd.Timestamp("1970-01-01")
+            + pd.to_timedelta(per_day.loc[keep, "day"], unit="D")
+        ).dt.strftime("%Y-%m-%d"),
+        "n_open": open_at[keep].to_numpy(),
+    })
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+TRANSIT_BACKLOG_SQL = """
+WITH ls AS (
+  SELECT l_orderkey AS orderkey, MAX(CAST(l_shipdate AS DATE)) AS lastship
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT CAST(o_orderdate AS DATE) AS start_d, ls.lastship
+  FROM orders JOIN ls ON o_orderkey = ls.orderkey
+  WHERE ls.lastship >= CAST(o_orderdate AS DATE)
+),
+days AS (SELECT DISTINCT start_d AS d FROM o)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN o.start_d <= days.d AND days.d < o.lastship
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+FROM days, o
+GROUP BY days.d
+"""

@@ -5520,3 +5520,115 @@ SELECT event_type,
          AS n_flagged_users
 FROM f GROUP BY event_type
 """
+
+
+def value_cusum(events: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dataset:
+    """CUSUM drift detector over the daily value stream, per event type —
+    the page-one monitoring primitive: S_d = max(0, S_{d-1} + (x_d − μ))
+    flags sustained upward drift long before a single-day threshold
+    would. ALL-INTEGER: x_d is the exact daily cents total, μ the
+    floor-divided per-type mean (totals are positive on this corpus, so
+    Python floor // and SQL's truncating // agree), so every S_d is a
+    bit-exact int64 on engine and oracle alike. Days are the OBSERVED
+    per-type days in ascending order (gap days contribute no term —
+    stated contract).
+
+    Shape: per-batch (type, day) cents partials, one keyed exact reduce,
+    then a DAY-BOUNDED driver recurrence (the sequential dependency is
+    irreducible, but its domain is the calendar, not the corpus).
+    Output per type: event_type, n_days, mean_cents, peak_cusum_cents,
+    peak_day, n_pos_days."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(batch["ts"])
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "day": t.dt.strftime("%Y-%m-%d").to_numpy(),
+            "c": cents_i64(batch["value"].to_numpy()),
+        }).groupby(["event_type", "day"], sort=False)["c"].sum()\
+            .reset_index()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    per_day = bucketed_group_apply(
+        events.select_columns(["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["event_type", "day"],
+        lambda b: b.groupby(["event_type", "day"], sort=False)["c"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    ).to_pandas()  # day-bounded: |types| x calendar days
+
+    rows = []
+    for et, g in per_day.groupby("event_type", sort=True):
+        g = g.sort_values("day", kind="mergesort")
+        xs = [int(v) for v in g["c"]]
+        days = list(g["day"])
+        mean_c = sum(xs) // len(xs)
+        s = 0
+        peak, peak_day, n_pos = 0, days[0], 0
+        for d, x in zip(days, xs):
+            s = max(0, s + (x - mean_c))
+            if s > 0:
+                n_pos += 1
+            if s > peak:
+                peak, peak_day = s, d
+        rows.append({
+            "event_type": et,
+            "n_days": np.int64(len(xs)),
+            "mean_cents": np.int64(mean_c),
+            "peak_cusum_cents": np.int64(peak),
+            "peak_day": peak_day,
+            "n_pos_days": np.int64(n_pos),
+        })
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+VALUE_CUSUM_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d
+),
+m AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           AS mean_c,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM d GROUP BY 1
+),
+c(event_type, rn, day, s) AS (
+  SELECT r.event_type, r.rn, r.day,
+         GREATEST(CAST(0 AS BIGINT), r.x - m.mean_c)
+  FROM r JOIN m USING (event_type) WHERE r.rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn, r.day,
+         GREATEST(CAST(0 AS BIGINT), c.s + r.x - m.mean_c)
+  FROM c
+  JOIN r ON r.event_type = c.event_type AND r.rn = c.rn + 1
+  JOIN m ON m.event_type = c.event_type
+),
+agg AS (
+  SELECT event_type, MAX(s) AS peak,
+         CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos_days
+  FROM c GROUP BY 1
+)
+SELECT m.event_type, m.nd AS n_days, m.mean_c AS mean_cents,
+       CAST(agg.peak AS BIGINT) AS peak_cusum_cents,
+       COALESCE(
+         (SELECT MIN(c.day) FROM c
+          WHERE c.event_type = m.event_type AND c.s = agg.peak
+            AND agg.peak > 0),
+         (SELECT MIN(day) FROM d WHERE d.event_type = m.event_type)
+       ) AS peak_day,
+       agg.n_pos_days
+FROM m JOIN agg ON agg.event_type = m.event_type
+"""

@@ -401,3 +401,56 @@ def test_truncation_profile_planted(ray_session):
     assert (got["n_vecs"] == 1).all()
     assert got.loc[5, "bin_lo"] == 0.5
     assert (got["share"] == np.round(1 / 3, 6)).all()
+
+
+def test_transit_backlog_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from tcx2graph_jl_ray.stages.relational import transit_backlog
+
+    # orders: A placed d1 ships d3 (open d1,d2); B placed d2 ships d2
+    # (zero-length: never open); C placed d2 ships d4 (open d2,d3);
+    # D non-physical (ships before placed) -> excluded entirely
+    orders = pd.DataFrame({
+        "o_orderkey": pd.array([1, 2, 3, 4], dtype="int64"),
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-02", "2024-01-05"]
+        ),
+    })
+    lineitem = pd.DataFrame({
+        "l_orderkey": pd.array([1, 1, 2, 3, 4], dtype="int64"),
+        "l_shipdate": pd.to_datetime(
+            ["2024-01-02", "2024-01-03", "2024-01-02", "2024-01-04",
+             "2024-01-04"]
+        ),
+    })
+    pq_.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+    pq_.write_table(pa.Table.from_pandas(lineitem),
+                    str(tmp_path / "lineitem.parquet"))
+    got = (
+        transit_backlog(str(tmp_path), n_buckets=4)
+        .to_pandas().set_index("day").sort_index()
+    )
+    # grid = distinct order dates of physical orders: d1, d2
+    assert list(got.index) == ["2024-01-01", "2024-01-02"]
+    assert got.loc["2024-01-01", "n_open"] == 1          # A only
+    assert got.loc["2024-01-02", "n_open"] == 2          # A and C (not B)
+
+
+def test_value_cusum_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_cusum
+
+    # type x daily cents: [100, 100, 700] -> mean 300;
+    # cusum: max(0,-200)=0, 0, max(0,0+400)=400 -> peak 400 on day 3
+    df = pd.DataFrame({
+        "event_type": ["x"] * 3,
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+        "value": [1.0, 1.0, 7.0],
+    })
+    got = value_cusum(ray.data.from_pandas(df)).to_pandas().iloc[0]
+    assert got["n_days"] == 3
+    assert got["mean_cents"] == 300
+    assert got["peak_cusum_cents"] == 400
+    assert got["peak_day"] == "2024-01-03"
+    assert got["n_pos_days"] == 1
