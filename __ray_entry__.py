@@ -780,6 +780,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rel_transit_backlog": lambda sf: _rel.transit_backlog(sf),
         "events_value_cusum": lambda sf: _wd.value_cusum(_events_ds(sf)),
+        "events_value_changepoint": lambda sf: _wd.value_changepoint(
+            _events_ds(sf)
+        ),
+        "dedup_crosslang_pairs": lambda sf: _tx.crosslang_winnow_pairs(
+            _docs(sf)
+        ),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1635,6 +1641,13 @@ def oracle_sql() -> dict[str, str]:
         .format(keep_dims=_TRUNC_DIMS),
         "rel_transit_backlog": _rel.TRANSIT_BACKLOG_SQL,
         "events_value_cusum": _wd.VALUE_CUSUM_SQL,
+        "events_value_changepoint": _wd.VALUE_CHANGEPOINT_SQL,
+        "dedup_crosslang_pairs": _tx.CROSSLANG_PAIRS_SQL_TEMPLATE.format(
+            winnow_pairs=_tx.WINNOW_PAIRS_SQL_TEMPLATE.format(
+                winnow=_tx.WINNOW_SQL_TEMPLATE.format(k=3, window=4),
+                min_shared=2,
+            )
+        ),
         "events_user_type_entropy": _wd.USER_TYPE_ENTROPY_SQL,
         "rel_nation_hhi": _rel.NATION_HHI_SQL,
         "emb_sq8_error": _ann.SQ8_ERROR_SQL,

@@ -5670,3 +5670,77 @@ SELECT doc_id, CAST(band AS BIGINT) AS band,
          AS curriculum_rank
 FROM b
 """
+
+
+def crosslang_winnow_pairs(
+    docs: ray.data.Dataset,
+    min_shared: int = 2,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """CROSS-LANGUAGE near-dup pairs: winnowing-fingerprint matches whose
+    endpoints carry DIFFERENT language tags — the translation-leak /
+    mislabeled-language detector a multilingual corpus runs after
+    per-language dedup (same-language pairs are the ordinary
+    ``dedup_winnow_pairs`` finding; a cross-language fingerprint match
+    means either a copied passage survived translation or a lang tag is
+    wrong). Composition: the winnow pair graph joined twice against the
+    doc→lang dimension through the co-partitioned hash join. Output:
+    a, b, lang_a, lang_b, n_shared (a < b)."""
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    pairs = winnow_neardup_pairs(docs, min_shared=min_shared)
+    if pairs.schema() is None:
+        # typed empty PANDAS frame (house rule: Ray drops empty blocks at
+        # schema(), so an empty Dataset would come back schemaless)
+        return pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "lang_a": pd.Series([], dtype="object"),
+            "lang_b": pd.Series([], dtype="object"),
+            "n_shared": pd.Series([], dtype="int64"),
+        })
+
+    def langs(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _nonnull_text(batch)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "lang": b["lang"].to_numpy(),
+        })
+
+    dim = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
+        langs, batch_format="pandas", batch_size=8192
+    )
+
+    pa_ = pairs.map_batches(
+        lambda b: b.rename(columns={"a": "doc_id"}),
+        batch_format="pandas",
+    )
+    ja = hash_join(pa_, dim, on="doc_id", n_buckets=n_buckets).map_batches(
+        lambda b: b.rename(columns={"doc_id": "a", "lang": "lang_a",
+                                    "b": "doc_id"}),
+        batch_format="pandas",
+    )
+    jb = hash_join(
+        ja,
+        dim.map_batches(lambda b: b.rename(columns={"lang": "lang_b"}),
+                        batch_format="pandas"),
+        on="doc_id", n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.rename(columns={"doc_id": "b"}), batch_format="pandas"
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch["lang_a"] != batch["lang_b"]]
+        return out[["a", "b", "lang_a", "lang_b", "n_shared"]]
+
+    return jb.map_batches(keep, batch_format="pandas")
+
+
+CROSSLANG_PAIRS_SQL_TEMPLATE = """
+WITH p AS ({winnow_pairs})
+SELECT p.a, p.b, da.lang AS lang_a, db.lang AS lang_b, p.n_shared
+FROM p
+JOIN documents da ON da.doc_id = p.a
+JOIN documents db ON db.doc_id = p.b
+WHERE da.lang <> db.lang
+"""

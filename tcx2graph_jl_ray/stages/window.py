@@ -5632,3 +5632,99 @@ SELECT m.event_type, m.nd AS n_days, m.mean_c AS mean_cents,
        agg.n_pos_days
 FROM m JOIN agg ON agg.event_type = m.event_type
 """
+
+
+def value_changepoint(events: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dataset:
+    """Single CHANGEPOINT detector per event type — binary segmentation's
+    first split over the daily value series: the day boundary that best
+    separates the stream into two level regimes. ALL-INTEGER scoring: for
+    a split after day k (of n), score = |S_k·(n−k) − (S_n−S_k)·k| — the
+    cross-multiplied mean difference, exact in Python ints (and HUGEINT
+    in the oracle's window cumsum), no float mean ever formed. Ties break
+    to the earliest day. Types with fewer than 2 observed days emit
+    nothing (no split exists).
+
+    Shape: the ``value_cusum`` per-(type, day) exact cents reduce, then a
+    DAY-BOUNDED driver scan (prefix sums over the calendar, not the
+    corpus). Output per type: event_type, n_days, split_day (last day of
+    the left regime), score."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(batch["ts"])
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "day": t.dt.strftime("%Y-%m-%d").to_numpy(),
+            "c": cents_i64(batch["value"].to_numpy()),
+        }).groupby(["event_type", "day"], sort=False)["c"].sum()\
+            .reset_index()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    per_day = bucketed_group_apply(
+        events.select_columns(["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pandas", batch_size=65536
+        ),
+        ["event_type", "day"],
+        lambda b: b.groupby(["event_type", "day"], sort=False)["c"].sum()
+        .reset_index(),
+        n_buckets=n_buckets,
+    ).to_pandas()  # day-bounded
+
+    rows = []
+    for et, g in per_day.groupby("event_type", sort=True):
+        g = g.sort_values("day", kind="mergesort")
+        xs = [int(v) for v in g["c"]]
+        days = list(g["day"])
+        n = len(xs)
+        if n < 2:
+            continue
+        total = sum(xs)
+        best_score, best_day = -1, None
+        s = 0
+        for k in range(1, n):  # split AFTER position k (1-based)
+            s += xs[k - 1]
+            score = abs(s * (n - k) - (total - s) * k)
+            if score > best_score:
+                best_score, best_day = score, days[k - 1]
+        rows.append({
+            "event_type": et,
+            "n_days": np.int64(n),
+            "split_day": best_day,
+            "score": np.int64(best_score),
+        })
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+VALUE_CHANGEPOINT_SQL = """
+WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS sl,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+  FROM d
+),
+t AS (
+  SELECT event_type, SUM(x) AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY 1
+),
+s AS (
+  SELECT c.event_type, c.day, t.n,
+         ABS(c.sl * (t.n - c.k) - (t.st - c.sl) * c.k) AS score
+  FROM c JOIN t USING (event_type)
+  WHERE c.k < t.n
+)
+SELECT event_type, n AS n_days, day AS split_day,
+       CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY score DESC, day ASC
+  ) AS rn
+  FROM s
+) WHERE rn = 1
+"""

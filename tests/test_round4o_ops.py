@@ -454,3 +454,48 @@ def test_value_cusum_planted(ray_session):
     assert got["peak_cusum_cents"] == 400
     assert got["peak_day"] == "2024-01-03"
     assert got["n_pos_days"] == 1
+
+
+def test_value_changepoint_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import value_changepoint
+
+    # type x: days [100, 100, 900, 900] cents -> best split after day 2
+    # (score |200*2 - 1800*2| = 3200); type y single day -> no split row
+    df = pd.DataFrame({
+        "event_type": ["x"] * 4 + ["y"],
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+            "2024-01-01",
+        ]),
+        "value": [1.0, 1.0, 9.0, 9.0, 5.0],
+    })
+    got = value_changepoint(ray.data.from_pandas(df)).to_pandas()
+    assert list(got["event_type"]) == ["x"]
+    r = got.iloc[0]
+    assert r["n_days"] == 4
+    assert r["split_day"] == "2024-01-02"
+    assert r["score"] == abs(200 * 2 - 1800 * 2)
+
+
+def test_crosslang_pairs_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import crosslang_winnow_pairs
+
+    # docs 0/1 share their full text but differ in lang -> cross-lang pair;
+    # docs 2/3 share text with the SAME lang -> filtered out. Texts are
+    # long enough that winnowing selects >= 2 fingerprints per doc.
+    shared = " ".join("tok%d" % i for i in range(40))
+    same_lang = " ".join("word%d" % i for i in range(40))
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+        "text": [shared, shared, same_lang, same_lang],
+        "lang": ["en", "de", "fr", "fr"],
+        "source": ["s"] * 4,
+    })
+    got = crosslang_winnow_pairs(
+        ray.data.from_pandas(df), min_shared=2
+    ).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["a"], r["b"]) == (0, 1)
+    assert {r["lang_a"], r["lang_b"]} == {"en", "de"}
+    assert r["n_shared"] >= 2
