@@ -786,6 +786,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_crosslang_pairs": lambda sf: _tx.crosslang_winnow_pairs(
             _docs(sf)
         ),
+        "kg_fact_conflicts": lambda sf: _an.fact_conflicts(
+            _ex.extract_triples(_transcripts(sf))
+        ),
+        "events_benford": lambda sf: _wd.benford_audit(_events_ds(sf)),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1642,6 +1646,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_transit_backlog": _rel.TRANSIT_BACKLOG_SQL,
         "events_value_cusum": _wd.VALUE_CUSUM_SQL,
         "events_value_changepoint": _wd.VALUE_CHANGEPOINT_SQL,
+        "kg_fact_conflicts": _an.FACT_CONFLICTS_SQL_TEMPLATE.format(
+            triples=_TRIPLES_SQL
+        ),
+        "events_benford": _wd.BENFORD_SQL,
         "dedup_crosslang_pairs": _tx.CROSSLANG_PAIRS_SQL_TEMPLATE.format(
             winnow_pairs=_tx.WINNOW_PAIRS_SQL_TEMPLATE.format(
                 winnow=_tx.WINNOW_SQL_TEMPLATE.format(k=3, window=4),

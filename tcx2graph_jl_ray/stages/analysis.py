@@ -7487,3 +7487,82 @@ SELECT tr.subj, tr.pred, tr.obj,
 FROM tr JOIN t ON t.conv_id = tr.conv_id AND t.turn_idx = tr.turn_idx
 GROUP BY 1, 2, 3
 """
+
+
+def fact_conflicts(triples: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """KG CONSISTENCY audit — functional-dependency conflicts over the
+    fact table: (subj, pred) keys asserted with MORE THAN ONE distinct
+    object are the contradictions an ingest must adjudicate before the
+    graph materializes (the reference's dedup-by-overlap admits one
+    canonical segment per window for the same reason,
+    src/OverlappingSegmentsUtils.jl:229-240). For each conflicted key:
+    how many distinct objects, total assertions, the DOMINANT object
+    (most assertions, lexicographic min tie-break) and its support share.
+
+    Shape: per-batch (s,p,o) count partials, one (s,p)-keyed bucketed
+    reduce (objects of one key land whole; per-task rows bounded by the
+    bucket's distinct objects). Output: subj, pred, n_objects,
+    n_assertions, top_obj, top_share."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["subj", "pred", "obj"], sort=False).size()\
+            .reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = triples.select_columns(["subj", "pred", "obj"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket.groupby(["subj", "pred", "obj"], sort=False)["n"].sum()\
+            .reset_index()
+        # dominant object: max count, then lexicographic min object
+        c = c.sort_values(["subj", "pred", "n", "obj"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        g = c.groupby(["subj", "pred"], sort=False).agg(
+            n_objects=("obj", "size"), n_assertions=("n", "sum"),
+            top_obj=("obj", "first"), top_n=("n", "first"),
+        ).reset_index()
+        g = g[g["n_objects"] > 1]
+        for col in ("n_objects", "n_assertions", "top_n"):
+            g[col] = g[col].astype("int64")
+        g["top_share"] = np.round(
+            g["top_n"].to_numpy(dtype="float64")
+            / g["n_assertions"].to_numpy(dtype="float64"), 6
+        )
+        return g[["subj", "pred", "n_objects", "n_assertions",
+                  "top_obj", "top_share"]]
+
+    return bucketed_group_apply(parts, ["subj", "pred"], per_key,
+                                n_buckets=n_buckets)
+
+
+FACT_CONFLICTS_SQL_TEMPLATE = """
+WITH tr AS ({triples}),
+c AS (
+  SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tr GROUP BY 1, 2, 3
+),
+k AS (
+  SELECT subj, pred,
+         CAST(COUNT(*) AS BIGINT) AS n_objects,
+         CAST(SUM(n) AS BIGINT) AS n_assertions
+  FROM c GROUP BY 1, 2
+  HAVING COUNT(*) > 1
+),
+top AS (
+  SELECT subj, pred, obj AS top_obj, n AS top_n
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY subj, pred ORDER BY n DESC, obj ASC
+    ) AS rn FROM c
+  ) WHERE rn = 1
+)
+SELECT k.subj, k.pred, k.n_objects, k.n_assertions, top.top_obj,
+       ROUND(CAST(top.top_n AS DOUBLE) / CAST(k.n_assertions AS DOUBLE), 6)
+         AS top_share
+FROM k JOIN top ON top.subj = k.subj AND top.pred = k.pred
+"""

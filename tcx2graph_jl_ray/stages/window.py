@@ -5728,3 +5728,71 @@ FROM (
   FROM s
 ) WHERE rn = 1
 """
+
+
+def benford_audit(events: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dataset:
+    """BENFORD first-digit forensic audit of the value stream — the
+    fabricated-data smell test: naturally-grown monetary values follow
+    P(d) = log10(1 + 1/d); synthetic, capped or hand-entered feeds do
+    not. Digit = first character of the exact integer cents (values are
+    positive on this corpus; zero-cent rows would have no leading digit
+    and are excluded on both sides). Output per digit 1..9: digit, n,
+    share, benford_p, excess (share − benford_p) — each float one shared
+    double expression rounded 6."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents_i64(batch["value"].to_numpy())
+        c = c[c > 0]
+        d = np.array([int(str(v)[0]) for v in c], dtype="int64")
+        g = pd.DataFrame({"digit": d, "n": np.int64(1)})\
+            .groupby("digit", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = events.select_columns(["value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("digit", sort=False)["n"].sum().astype("int64")
+        n = g.to_numpy()
+        dig = g.index.to_numpy().astype("int64")
+        total = float(n.sum())
+        share = np.round(n.astype("float64") / total, 6)
+        bp = np.round(np.log10(1.0 + 1.0 / dig.astype("float64")), 6)
+        return pd.DataFrame({
+            "digit": dig,
+            "n": n,
+            "share": share,
+            "benford_p": bp,
+            "excess": np.round(share - bp, 6),
+        })
+
+    keyed = parts.map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_apply(
+        keyed, ["g"], lambda b: final(b.drop(columns=["g"])), n_buckets=1
+    )
+
+
+BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+d AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+         AS share,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+       ROUND(ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+             - ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 6)
+         AS excess
+FROM g
+"""

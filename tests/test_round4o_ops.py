@@ -499,3 +499,46 @@ def test_crosslang_pairs_planted(ray_session):
     assert (r["a"], r["b"]) == (0, 1)
     assert {r["lang_a"], r["lang_b"]} == {"en", "de"}
     assert r["n_shared"] >= 2
+
+
+def test_fact_conflicts_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import fact_conflicts
+
+    # (s1,p): o1 x2, o2 x1 -> conflicted, top o1 share 2/3;
+    # (s2,p): o1 only -> consistent, must not emit;
+    # (s3,p): o1 x1, o2 x1 -> tie broken to lexicographic min (o1)
+    df = pd.DataFrame({
+        "subj": ["s1", "s1", "s1", "s2", "s3", "s3"],
+        "pred": ["p"] * 6,
+        "obj": ["o1", "o1", "o2", "o1", "o2", "o1"],
+    })
+    got = (
+        fact_conflicts(ray.data.from_pandas(df), n_buckets=4)
+        .to_pandas().set_index("subj").sort_index()
+    )
+    assert list(got.index) == ["s1", "s3"]
+    assert got.loc["s1", "n_objects"] == 2
+    assert got.loc["s1", "n_assertions"] == 3
+    assert got.loc["s1", "top_obj"] == "o1"
+    assert got.loc["s1", "top_share"] == np.round(2 / 3, 6)
+    assert got.loc["s3", "top_obj"] == "o1"  # tie -> lexicographic min
+    assert got.loc["s3", "top_share"] == 0.5
+
+
+def test_benford_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import benford_audit
+
+    # cents: 150 (digit 1), 150 (1), 999 (9), 25 (2); zero excluded
+    df = pd.DataFrame({
+        "value": [1.50, 1.50, 9.99, 0.25, 0.0],
+    })
+    got = (
+        benford_audit(ray.data.from_pandas(df))
+        .to_pandas().set_index("digit").sort_index()
+    )
+    assert list(got.index) == [1, 2, 9]
+    assert got.loc[1, "n"] == 2
+    assert got.loc[1, "share"] == 0.5
+    assert got.loc[1, "benford_p"] == np.round(np.log10(2.0), 6)
+    assert got.loc[9, "excess"] == np.round(
+        0.25 - np.round(np.log10(1 + 1 / 9), 6), 6)
