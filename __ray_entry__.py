@@ -790,6 +790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ex.extract_triples(_transcripts(sf))
         ),
         "events_benford": lambda sf: _wd.benford_audit(_events_ds(sf)),
+        "events_ab_readout": lambda sf: _wd.ab_readout(_events_ds(sf)),
+        "multimodal_phash_dups": lambda sf: _mm.phash_dup_groups(_docs(sf)),
         "events_user_type_entropy": lambda sf: _wd.user_type_entropy(
             _events_ds(sf)
         ),
@@ -1650,6 +1652,10 @@ def oracle_sql() -> dict[str, str]:
             triples=_TRIPLES_SQL
         ),
         "events_benford": _wd.BENFORD_SQL,
+        "events_ab_readout": _wd.AB_READOUT_SQL,
+        "multimodal_phash_dups": _mm.PHASH_DUPS_SQL_TEMPLATE.format(
+            n_cells=64
+        ),
         "dedup_crosslang_pairs": _tx.CROSSLANG_PAIRS_SQL_TEMPLATE.format(
             winnow_pairs=_tx.WINNOW_PAIRS_SQL_TEMPLATE.format(
                 winnow=_tx.WINNOW_SQL_TEMPLATE.format(k=3, window=4),

@@ -1003,3 +1003,99 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_payloads,
          AS dedup_ratio
 FROM g
 """
+
+
+def phash_dup_groups(
+    docs: ray.data.Dataset, n_cells: int = 64, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """PERCEPTUAL-HASH duplicate groups over the payload column — aHash
+    (average hash), the cheapest image near-dup detector: sample a fixed
+    grid of cells from the decoded payload, set bit i when cell i is
+    above the payload mean, group payloads by the 64-bit fingerprint.
+    Fake-codec "decode" reads the first ``n_cells`` character codes of
+    the payload text (SQL mirror: ascii(substring)); the threshold is the
+    ALL-INTEGER cross-multiplication code_i * n >= sum(codes) — no float
+    mean is ever formed, so the fingerprint is bit-exact everywhere.
+    Payloads shorter than the grid are skipped (no stable fingerprint).
+    Output per fingerprint with >1 member: fp (int64), n_payloads,
+    min_doc_id (the canonical representative)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    payloads = attach_fake_payload(docs)
+
+    def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        weights = np.int64(1) << np.arange(n_cells, dtype="uint64")
+        for i, p in zip(batch["doc_id"].astype("int64"), batch["payload"]):
+            t = bytes(p).decode()
+            if len(t) < n_cells:
+                continue
+            codes = np.array([ord(ch) for ch in t[:n_cells]], dtype="int64")
+            bits = (codes * n_cells) >= codes.sum()
+            # pack into one int64 (bit 63 may set the sign — harmless, the
+            # value is an opaque key on both sides)
+            fp = np.int64(
+                np.bitwise_or.reduce(
+                    (weights[bits]).astype("uint64"), initial=np.uint64(0)
+                ).astype("int64")
+            ) if bits.any() else np.int64(0)
+            ids.append(int(i))
+            fps.append(int(fp))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "fp": pd.Series(fps, dtype="int64"),
+            "n": pd.Series([1] * len(ids), dtype="int64"),
+        })
+
+    parts = payloads.map_batches(
+        fingerprint, batch_format="pandas", batch_size=2048
+    )
+
+    def per_fp(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("fp", sort=False).agg(
+            n_payloads=("n", "sum"), min_doc_id=("doc_id", "min")
+        ).reset_index()
+        g = g[g["n_payloads"] > 1]
+        for c in ("fp", "n_payloads", "min_doc_id"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return bucketed_group_apply(parts, ["fp"], per_fp, n_buckets=n_buckets)
+
+
+PHASH_DUPS_SQL_TEMPLATE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {n_cells}
+),
+cells AS (
+  SELECT doc_id,
+         unnest(range(1, {n_cells} + 1)) AS i,
+         text
+  FROM d
+),
+codes AS (
+  SELECT doc_id, i,
+         ascii(substring(text, CAST(i AS BIGINT), 1)) AS code
+  FROM cells
+),
+tot AS (SELECT doc_id, SUM(code) AS s FROM codes GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id,
+         SUM(CASE WHEN c.code * {n_cells} >= t.s
+                  THEN CAST(1 AS HUGEINT) << (c.i - 1)
+                  ELSE CAST(0 AS HUGEINT) END) AS fp_h
+  FROM codes c JOIN tot t ON t.doc_id = c.doc_id
+  GROUP BY c.doc_id
+),
+fps AS (
+  SELECT doc_id,
+         CAST(fp_h - CASE WHEN fp_h >= (CAST(1 AS HUGEINT) << 63)
+                          THEN (CAST(1 AS HUGEINT) << 64)
+                          ELSE 0 END AS BIGINT) AS fp
+  FROM bits
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM fps GROUP BY fp HAVING COUNT(*) > 1
+"""

@@ -5796,3 +5796,101 @@ SELECT digit, n,
          AS excess
 FROM g
 """
+
+
+def ab_readout(events: ray.data.Dataset, n_buckets: int = 16) -> ray.data.Dataset:
+    """A/B EXPERIMENT readout with deterministic hash assignment — the
+    experimentation primitive: users split 50/50 by the first hex char of
+    md5(user_id) (0-7 -> A, 8-f -> B; the assignment every service
+    computes identically with no coordination), then per event type the
+    per-arm event counts, distinct users, exact cents totals and the
+    per-event mean difference. Integer sums throughout; the mean diff is
+    one shared double expression (two exact-int divisions, subtract,
+    round 6). Output per type: n_a, n_b, users_a, users_b, cents_a,
+    cents_b, mean_diff_cents."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["user_id"].astype("int64")
+        h1 = np.asarray(md5_hex(uid.astype(str).to_numpy()),
+                        dtype="U32").astype("U1")
+        arm_a = h1 <= "7"
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "user_id": uid.to_numpy(),
+            "arm_a": arm_a.astype("int64"),
+            "n": np.int64(1),
+            "c": cents_i64(batch["value"].to_numpy()),
+        }).groupby(["event_type", "user_id", "arm_a"], sort=False).agg(
+            n=("n", "sum"), c=("c", "sum")
+        ).reset_index()
+        for col in ("n", "c", "arm_a"):
+            g[col] = g[col].astype("int64")
+        return g
+
+    parts = events.select_columns(
+        ["event_type", "user_id", "value"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    folded = bucketed_group_apply(
+        parts, ["event_type", "user_id"],
+        lambda b: b.groupby(["event_type", "user_id", "arm_a"], sort=False)
+        .agg(n=("n", "sum"), c=("c", "sum")).reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        a = bucket[bucket["arm_a"] == 1]
+        b = bucket[bucket["arm_a"] == 0]
+        ga = a.groupby("event_type", sort=False).agg(
+            n_a=("n", "sum"), users_a=("user_id", "size"),
+            cents_a=("c", "sum"))
+        gb = b.groupby("event_type", sort=False).agg(
+            n_b=("n", "sum"), users_b=("user_id", "size"),
+            cents_b=("c", "sum"))
+        g = ga.join(gb, how="outer").fillna(0)
+        for col in g.columns:
+            g[col] = g[col].astype("int64")
+        na = g["n_a"].to_numpy(dtype="float64")
+        nb = g["n_b"].to_numpy(dtype="float64")
+        ca = g["cents_a"].to_numpy(dtype="float64")
+        cb = g["cents_b"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "event_type": g.index.to_numpy(),
+            "n_a": g["n_a"].to_numpy(), "n_b": g["n_b"].to_numpy(),
+            "users_a": g["users_a"].to_numpy(),
+            "users_b": g["users_b"].to_numpy(),
+            "cents_a": g["cents_a"].to_numpy(),
+            "cents_b": g["cents_b"].to_numpy(),
+            "mean_diff_cents": np.round(ca / na - cb / nb, 6),
+        })
+
+    return bucketed_group_apply(folded, ["event_type"], final, n_buckets=1)
+
+
+AB_READOUT_SQL = """
+WITH f AS (
+  SELECT event_type, user_id,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS arm_a,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+       CAST(COUNT(DISTINCT CASE WHEN arm_a THEN user_id END) AS BIGINT)
+         AS users_a,
+       CAST(COUNT(DISTINCT CASE WHEN NOT arm_a THEN user_id END) AS BIGINT)
+         AS users_b,
+       CAST(SUM(CASE WHEN arm_a THEN c ELSE 0 END) AS BIGINT) AS cents_a,
+       CAST(SUM(CASE WHEN arm_a THEN 0 ELSE c END) AS BIGINT) AS cents_b,
+       ROUND(
+         CAST(SUM(CASE WHEN arm_a THEN c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS DOUBLE)
+         - CAST(SUM(CASE WHEN arm_a THEN 0 ELSE c END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS DOUBLE), 6
+       ) AS mean_diff_cents
+FROM f GROUP BY event_type
+"""

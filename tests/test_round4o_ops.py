@@ -542,3 +542,47 @@ def test_benford_planted(ray_session):
     assert got.loc[1, "benford_p"] == np.round(np.log10(2.0), 6)
     assert got.loc[9, "excess"] == np.round(
         0.25 - np.round(np.log10(1 + 1 / 9), 6), 6)
+
+
+def test_ab_readout_planted(ray_session):
+    import hashlib
+
+    from tcx2graph_jl_ray.stages.window import ab_readout
+
+    users = list(range(60))
+    arm_a = {u for u in users
+             if hashlib.md5(str(u).encode()).hexdigest()[0] <= "7"}
+    assert arm_a and set(users) - arm_a  # both arms populated
+    df = pd.DataFrame({
+        "event_type": ["x"] * 60,
+        "user_id": pd.array(users, dtype="int64"),
+        "value": [1.0 if u in arm_a else 3.0 for u in users],
+    })
+    got = ab_readout(ray.data.from_pandas(df), n_buckets=4).to_pandas()
+    r = got.iloc[0]
+    na, nb = len(arm_a), 60 - len(arm_a)
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["users_a"] == na and r["users_b"] == nb
+    assert r["cents_a"] == 100 * na and r["cents_b"] == 300 * nb
+    assert r["mean_diff_cents"] == np.round(100.0 - 300.0, 6)
+
+
+def test_phash_dups_planted(ray_session):
+    from tcx2graph_jl_ray.stages.multimodal import phash_dup_groups
+
+    base = "".join(chr(65 + (i % 26)) for i in range(64))
+    other = "".join(chr(90 - (i % 26)) for i in range(64))
+    df = pd.DataFrame({
+        "doc_id": pd.array([3, 7, 9, 11], dtype="int64"),
+        # docs 3 and 7 share the same 64-char prefix (same fingerprint);
+        # doc 9 differs; doc 11 is too short for a stable fingerprint
+        "text": [base + " tail one", base + " other tail", other, "short"],
+        "source": ["s"] * 4,
+    })
+    got = phash_dup_groups(
+        ray.data.from_pandas(df), n_cells=64, n_buckets=4
+    ).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["n_payloads"] == 2
+    assert r["min_doc_id"] == 3
