@@ -67,6 +67,7 @@ _ZIPF_TOP_N = 50
 _CHUNK_CHARS = 64
 _BOTTOMK_K = 50
 _KANON_KS = (2, 5, 10)
+_THROTTLE_US = 86_400_000_000  # 24h at-most-one-per-window suppression
 _LDIV_LS = (2, 3, 5)
 _DELETE_HEX = "0f"
 _TRUNC_DIMS = 32
@@ -764,6 +765,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "docs_mixture_weights": lambda sf: _tx.mixture_weights(_docs(sf)),
         "events_latest_state": lambda sf: _wd.latest_state(_events_ds(sf)),
+        "events_scd2_history": lambda sf: _wd.scd2_history(_events_ds(sf)),
+        "events_throttle_dedup": lambda sf: _wd.throttle_dedup(
+            _events_ds(sf), window_us=_THROTTLE_US
+        ),
+        "events_forward_fill": lambda sf: _wd.forward_fill_daily(
+            _events_ds(sf)
+        ),
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)
         ),
@@ -1634,6 +1642,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_mixture_weights": _tx.MIXTURE_WEIGHTS_SQL,
         "events_latest_state": _wd.LATEST_STATE_SQL,
+        "events_scd2_history": _wd.SCD2_HISTORY_SQL,
+        "events_throttle_dedup": _wd.throttle_dedup_sql(_THROTTLE_US),
+        "events_forward_fill": _wd.FORWARD_FILL_DAILY_SQL,
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

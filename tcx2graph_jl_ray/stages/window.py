@@ -5894,3 +5894,349 @@ SELECT event_type,
        ) AS mean_diff_cents
 FROM f GROUP BY event_type
 """
+
+
+def scd2_history(events: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """SCD TYPE-2 dimension history: per user, the run-length-compressed
+    history of the ``event_type`` "state" under (ts, event_id) ordering —
+    each row one validity interval [valid_from_us, valid_to_us) with the
+    open (current) run marked. This is the dimension-table build a warehouse
+    runs over a change log, and the type-2 companion of ``latest_state``
+    (which is the type-1 "current row only" compaction). The reference's
+    per-file ordered-trackpoint invariant (src/TCXReader.jl ordered parse) is
+    the same per-key total order this relies on.
+
+    All-integer output except none — timestamps are exact epoch-µs int64;
+    no float arithmetic anywhere. ``valid_to_us`` is -1 on the open run (the
+    driver hash is NULL-free). Shape: one hash-bucketed shuffle on user_id;
+    inside a bucket the run compression is fully vectorized (shift-compare
+    boundaries + cumsum run ids) across all users at once. Per-user history
+    lands in one task — the standard per-key window discipline used by
+    ``sessionize``/``latest_state``; a whale user bounds the task at its own
+    history length, not the corpus.
+
+    Output: user_id, run_idx (1-based int64), state, valid_from_us,
+    valid_to_us (int64, -1 = current), n_events, is_current (int64 0/1)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "state": batch["event_type"].to_numpy(),
+            "us": pd.to_datetime(batch["ts"]).astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "event_id": batch["event_id"].astype("int64").to_numpy(),
+        })
+
+    parts = events.select_columns(
+        ["user_id", "event_type", "ts", "event_id"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        st = g["state"].to_numpy()
+        us = g["us"].to_numpy()
+        # run boundary = new user OR state change (vectorized shift-compare)
+        new_run = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_run[1:] = (uid[1:] != uid[:-1]) | (st[1:] != st[:-1])
+        starts = np.flatnonzero(new_run)
+        n_events = np.diff(np.append(starts, len(g))).astype("int64")
+        r_uid = uid[starts]
+        r_state = st[starts]
+        r_from = us[starts].astype("int64")
+        # run_idx: 1-based position of the run within its user
+        user_run_start = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            user_run_start[1:] = r_uid[1:] != r_uid[:-1]
+        base = np.maximum.accumulate(
+            np.where(user_run_start, np.arange(len(starts)), 0)
+        )
+        run_idx = (np.arange(len(starts)) - base + 1).astype("int64")
+        # valid_to = next run's valid_from within the same user, else -1
+        r_to = np.full(len(starts), -1, dtype="int64")
+        if len(starts) > 1:
+            same_user = r_uid[:-1] == r_uid[1:]
+            r_to[:-1] = np.where(same_user, r_from[1:], -1)
+        is_current = (r_to == -1).astype("int64")
+        return pd.DataFrame({
+            "user_id": r_uid.astype("int64"),
+            "run_idx": run_idx,
+            "state": r_state,
+            "valid_from_us": r_from,
+            "valid_to_us": r_to,
+            "n_events": n_events,
+            "is_current": is_current,
+        })
+
+    return bucketed_group_apply(parts, ["user_id"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+SCD2_HISTORY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_s
+  FROM events
+),
+runs AS (
+  SELECT user_id, state, MIN(us) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events, MIN(rn) AS first_rn
+  FROM (SELECT *, rn - rn_s AS island FROM ev)
+  GROUP BY user_id, state, island
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_rn)
+            AS BIGINT) AS run_idx,
+       state,
+       valid_from_us,
+       COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY first_rn), -1)
+         AS valid_to_us,
+       n_events,
+       CAST(CASE WHEN LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                                ORDER BY first_rn) IS NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM runs
+"""
+
+
+def throttle_dedup(
+    events: ray.data.Dataset,
+    window_us: int = 86_400_000_000,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """RATE-LIMIT (throttle) dedup accounting: per (user_id, event_type)
+    stream in (ts, event_id) order, an event is KEPT iff it is the first of
+    its key or its timestamp is >= the last KEPT timestamp + ``window_us``
+    — the at-most-one-per-window suppression an alerting/notification
+    pipeline applies. This is genuinely sequential per key (kept-set depends
+    on the kept-set so far — NOT expressible as a plain window function,
+    unlike gap sessionization), i.e. the keyed-state-machine semantics a
+    streaming engine runs; here keys are hash-bucketed so every key's state
+    machine runs once, buckets in parallel.
+
+    Per-key scan is a searchsorted JUMP loop: each iteration binary-searches
+    the next event at >= last_kept + W, so iterations = kept events (<< rows
+    when the throttle is actually suppressing), not a per-row Python loop.
+
+    Output per event_type: n_events, n_kept, n_dropped (all int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "event_type": batch["event_type"].to_numpy(),
+            "us": pd.to_datetime(batch["ts"]).astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "event_id": batch["event_id"].astype("int64").to_numpy(),
+        })
+
+    parts = events.select_columns(
+        ["user_id", "event_type", "ts", "event_id"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            ["user_id", "event_type", "us", "event_id"], kind="mergesort"
+        )
+        us = g["us"].to_numpy()
+        key_change = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            uid = g["user_id"].to_numpy()
+            et = g["event_type"].to_numpy()
+            key_change[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        bounds = np.append(np.flatnonzero(key_change), len(g))
+        kept_per_group = np.zeros(len(bounds) - 1, dtype="int64")
+        n_per_group = np.diff(bounds).astype("int64")
+        for gi in range(len(bounds) - 1):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            seg = us[lo:hi]
+            i, kept = 0, 0
+            while i < len(seg):
+                kept += 1
+                # jump to the first event past the suppression window
+                i = int(np.searchsorted(seg, seg[i] + window_us, side="left"))
+            kept_per_group[gi] = kept
+        # fold to per-type partials inside the bucket (one row per type)
+        types = g["event_type"].to_numpy()[bounds[:-1]]
+        out = pd.DataFrame({
+            "event_type": types,
+            "n_events": n_per_group,
+            "n_kept": kept_per_group,
+        })
+        f = out.groupby("event_type", sort=False).sum().reset_index()
+        f["n_events"] = f["n_events"].astype("int64")
+        f["n_kept"] = f["n_kept"].astype("int64")
+        return f
+
+    per_type_parts = bucketed_group_apply(
+        parts, ["user_id", "event_type"], per_bucket, n_buckets=n_buckets
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        f = bucket.groupby("event_type", sort=False)[
+            ["n_events", "n_kept"]
+        ].sum().reset_index()
+        return pd.DataFrame({
+            "event_type": f["event_type"].to_numpy(),
+            "n_events": f["n_events"].astype("int64").to_numpy(),
+            "n_kept": f["n_kept"].astype("int64").to_numpy(),
+            "n_dropped": (f["n_events"] - f["n_kept"])
+            .astype("int64").to_numpy(),
+        })
+
+    return bucketed_group_apply(
+        per_type_parts, ["event_type"], final, n_buckets=8
+    )
+
+
+def throttle_dedup_sql(window_us: int = 86_400_000_000) -> str:
+    # linear recursion: one state-machine step per (user, type, rn) row,
+    # advancing all keys in lockstep; iterations = max per-key row count
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+scan AS (
+  SELECT user_id, event_type, rn, us AS last_kept_us, TRUE AS kept
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.rn,
+         CASE WHEN e.us >= s.last_kept_us + {window_us}
+              THEN e.us ELSE s.last_kept_us END,
+         e.us >= s.last_kept_us + {window_us}
+  FROM scan s
+  JOIN ev e ON e.user_id = s.user_id AND e.event_type = s.event_type
+           AND e.rn = s.rn + 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM scan GROUP BY event_type
+"""
+
+
+def forward_fill_daily(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """LOCF CALENDARIZATION: per user, the dense daily grid from the user's
+    first to last active day, each day carrying the value of the user's
+    last event on-or-before that day (last-observation-carried-forward) and
+    an observed flag — the gap-free daily feature table a training pipeline
+    materializes from a sparse event log. ``value`` floats are CARRIED, never
+    summed, so they pass through bit-exact.
+
+    Shape: one hash-bucketed shuffle on user_id; inside a bucket the grid is
+    built vectorized across all users (ragged-arange via repeat + cumsum
+    offsets) and the fill is one np.maximum.accumulate over last-observed
+    indices (each user's first grid day is observed by construction, so the
+    accumulate cannot bleed across users). Grid rows are bounded by
+    users x calendar-span, not by event count.
+
+    Output: user_id, day ('%Y-%m-%d'), value (float64), observed (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "day_i": us // US_PER_DAY,
+            "us": us,
+            "event_id": batch["event_id"].astype("int64").to_numpy(),
+            "value": batch["value"].to_numpy(),
+        })
+        # per-batch combiner: last event per (user, day) by (us, event_id)
+        d = d.sort_values(["user_id", "day_i", "us", "event_id"],
+                          kind="mergesort")
+        return d.groupby(["user_id", "day_i"], sort=False).tail(1)
+
+    parts = events.select_columns(
+        ["user_id", "ts", "event_id", "value"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.sort_values(["user_id", "day_i", "us", "event_id"],
+                               kind="mergesort")
+        d = d.groupby(["user_id", "day_i"], sort=False).tail(1)
+        uid = d["user_id"].to_numpy()
+        day = d["day_i"].to_numpy()
+        val = d["value"].to_numpy()
+        # per-user span (d is sorted by user, day)
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(d)) - 1
+        u_users = uid[starts]
+        d0 = day[starts]
+        d1 = day[ends]
+        spans = (d1 - d0 + 1).astype("int64")
+        n = int(spans.sum())
+        # ragged arange: grid day index for every (user, day) cell
+        grid_user = np.repeat(u_users, spans)
+        offs = np.arange(n, dtype="int64") - np.repeat(
+            np.cumsum(spans) - spans, spans
+        )
+        grid_day = np.repeat(d0, spans) + offs
+        # scatter observed daily values into the grid
+        grid_pos = np.repeat(np.cumsum(spans) - spans, np.diff(
+            np.append(starts, len(d))
+        )) + (day - np.repeat(d0, np.diff(np.append(starts, len(d)))))
+        obs_idx = np.full(n, -1, dtype="int64")
+        obs_idx[grid_pos] = np.arange(len(d))
+        observed = (obs_idx >= 0).astype("int64")
+        # LOCF: first cell of every user is observed by construction
+        fill_src = np.maximum.accumulate(obs_idx)
+        filled = val[fill_src]
+        days = pd.to_datetime(grid_day * US_PER_DAY, unit="us")
+        return pd.DataFrame({
+            "user_id": grid_user.astype("int64"),
+            "day": days.strftime("%Y-%m-%d"),
+            "value": filled.astype("float64"),
+            "observed": observed,
+        })
+
+    return bucketed_group_apply(parts, ["user_id"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+FORWARD_FILL_DAILY_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+daily AS (SELECT user_id, day, value FROM ev WHERE rn = 1),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT g.user_id,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       LAST_VALUE(d.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       CAST(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS observed
+FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+"""
