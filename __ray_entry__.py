@@ -68,6 +68,7 @@ _CHUNK_CHARS = 64
 _BOTTOMK_K = 50
 _KANON_KS = (2, 5, 10)
 _THROTTLE_US = 86_400_000_000  # 24h at-most-one-per-window suppression
+_UDJ_TAU = 0.85  # active-day Jaccard threshold (median pair sits at 0.80)
 _LDIV_LS = (2, 3, 5)
 _DELETE_HEX = "0f"
 _TRUNC_DIMS = 32
@@ -771,6 +772,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_forward_fill": lambda sf: _wd.forward_fill_daily(
             _events_ds(sf)
+        ),
+        "events_dp_release": lambda sf: _wd.dp_released_counts(
+            _events_ds(sf)
+        ),
+        "events_rolling_median": lambda sf: _wd.rolling_median_daily(
+            _events_ds(sf)
+        ),
+        "events_user_day_jaccard": lambda sf: _wd.user_day_jaccard(
+            _events_ds(sf), tau=_UDJ_TAU
         ),
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)
@@ -1645,6 +1655,9 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2_history": _wd.SCD2_HISTORY_SQL,
         "events_throttle_dedup": _wd.throttle_dedup_sql(_THROTTLE_US),
         "events_forward_fill": _wd.FORWARD_FILL_DAILY_SQL,
+        "events_dp_release": _wd.DP_RELEASED_COUNTS_SQL,
+        "events_rolling_median": _wd.ROLLING_MEDIAN_DAILY_SQL,
+        "events_user_day_jaccard": _wd.user_day_jaccard_sql(_UDJ_TAU),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

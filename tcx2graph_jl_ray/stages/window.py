@@ -6240,3 +6240,341 @@ SELECT g.user_id,
          AS observed
 FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
 """
+
+
+def dp_released_counts(events: ray.data.Dataset) -> ray.data.Dataset:
+    """DIFFERENTIAL-PRIVACY release of per-type event counts under the
+    GEOMETRIC MECHANISM (the discrete Laplace; Ghosh-Roughgarden-Sundararajan
+    2009, "Universally utility-maximizing privacy mechanisms") with
+    alpha = 1/2 (epsilon = ln 2): P(Z = z) proportional to 2^-|z|. With
+    alpha = 1/2 every inverse-CDF boundary is a DYADIC RATIONAL over 3
+    (P(Z=0) = 1/3, tails 2^-n/3), so the noise draw is EXACT INTEGER
+    arithmetic on a 64-bit md5-derived uniform — no float log anywhere, and
+    the deterministic draw is reproducible bit-for-bit by the SQL oracle
+    (the production swap-in is one line: a real RNG for the md5 uniform).
+
+    Inverse CDF on V = 3*U64, U64 uniform on [0, 2^64):
+      Z = 0      iff 2^64 <= V < 2^65                      (mass 1/3)
+      Z = -n     iff 2^(64-n) <= V < 2^(65-n), n >= 1      (mass 2^-n/6... )
+      Z = +n     iff 2^(64-n) <= W < 2^(65-n), W = 3*2^64 - 1 - V
+    clamped to |Z| <= 64 (the U64 resolution floor).
+
+    Counts are distributed exact partial sums; the mechanism itself runs on
+    the driver over the RELEASED CELLS only (one per event_type — O(cells),
+    never O(rows)). Output: event_type, n_true, noise, n_noisy (int64;
+    n_noisy may be negative — a DP release does not clamp, clamping burns
+    budget)."""
+    import hashlib
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_type", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = events.select_columns(["event_type"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        f = bucket.groupby("event_type", sort=False)["n"].sum().reset_index()
+        f["n"] = f["n"].astype("int64")
+        return f
+
+    counts = bucketed_group_apply(parts, ["event_type"], fold, n_buckets=8)
+
+    def geometric_noise(key: str) -> int:
+        u64 = int(hashlib.md5(f"dp:{key}".encode()).hexdigest()[:16], 16)
+        v = 3 * u64
+        if (1 << 64) <= v < (1 << 65):
+            return 0
+        if v < (1 << 64):
+            return -(65 - v.bit_length()) if v else -64
+        w = 3 * (1 << 64) - 1 - v
+        return (65 - w.bit_length()) if w else 64
+
+    # released cells are the per-type counts — dimension-bounded (n_types),
+    # so the mechanism is a driver-side map over the tiny collected table
+    df = counts.to_pandas()
+    noise = np.array(
+        [geometric_noise(t) for t in df["event_type"]], dtype="int64"
+    )
+    out = pd.DataFrame({
+        "event_type": df["event_type"].to_numpy(),
+        "n_true": df["n"].astype("int64").to_numpy(),
+        "noise": noise,
+        "n_noisy": df["n"].astype("int64").to_numpy() + noise,
+    })
+    return ray.data.from_pandas(out)
+
+
+DP_RELEASED_COUNTS_SQL = """
+WITH RECURSIVE pw16(i, p) AS (
+  SELECT 1, 1::HUGEINT UNION ALL SELECT i + 1, p * 16 FROM pw16 WHERE i < 16
+),
+pw2(n, p) AS (
+  SELECT 0, 1::HUGEINT UNION ALL SELECT n + 1, p * 2 FROM pw2 WHERE n < 66
+),
+cnt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+),
+u AS (
+  SELECT event_type, n_true,
+         (SELECT SUM(
+            (strpos('0123456789abcdef',
+                    substring(md5('dp:' || event_type),
+                              CAST(17 - i AS INT), 1)) - 1)::HUGEINT * p)
+          FROM pw16) AS u64
+  FROM cnt
+),
+v AS (
+  SELECT event_type, n_true, 3::HUGEINT * u64 AS vv,
+         (SELECT p FROM pw2 WHERE n = 64) AS p64,
+         (SELECT p FROM pw2 WHERE n = 65) AS p65
+  FROM u
+),
+z AS (
+  SELECT event_type, n_true,
+         CASE
+           WHEN vv >= p64 AND vv < p65 THEN 0
+           WHEN vv < p64 THEN
+             -COALESCE((SELECT 64 - n FROM pw2
+                        WHERE p <= vv AND 2 * p > vv), 64)
+           ELSE
+             COALESCE((SELECT 64 - n FROM pw2
+                       WHERE p <= (3 * p64 - 1 - vv)
+                         AND 2 * p > (3 * p64 - 1 - vv)), 64)
+         END AS noise
+  FROM v
+)
+SELECT event_type, n_true, CAST(noise AS BIGINT) AS noise,
+       CAST(n_true + noise AS BIGINT) AS n_noisy
+FROM z
+"""
+
+
+def rolling_median_daily(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """7-DAY ROLLING MEDIAN of per-user daily spend — the windowed-percentile
+    smoother a monitoring pipeline runs where a rolling MEAN would be yanked
+    by one whale purchase. Calendar RANGE semantics (days with no events are
+    absent, the window is [day-6, day] by date, not by row).
+
+    Exactness: daily totals are exact integer cents; the median of <= 7
+    exact-cent doubles is (a+b)/2 over integers < 2^53 — every intermediate
+    is exactly representable, so numpy's nanmedian and the oracle's
+    interpolated quantile produce the identical double, and the final /100.0
+    is the same single operation on both sides.
+
+    Shape: per-batch (user, day) cent partials, one user-bucketed shuffle;
+    inside a bucket the calendar window is materialized VECTORIZED as 7
+    self-merges on (user, day - k) — no per-row loop — and reduced by one
+    np.nanmedian over the padded (rows, 7) matrix.
+
+    Output: user_id, day ('%Y-%m-%d'), med7_value (float64),
+    n_in_window (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "day_i": us // US_PER_DAY,
+            "c": cents_i64(batch["value"].to_numpy()),
+        })
+        g = d.groupby(["user_id", "day_i"], sort=False)["c"].sum()
+        return g.astype("int64").reset_index()
+
+    parts = events.select_columns(["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.groupby(["user_id", "day_i"], sort=False)["c"].sum() \
+            .astype("int64").reset_index() \
+            .sort_values(["user_id", "day_i"], kind="mergesort") \
+            .reset_index(drop=True)
+        cols = [d["c"].to_numpy(dtype="float64")]
+        for k in range(1, 7):
+            shifted = d[["user_id", "day_i", "c"]].copy()
+            shifted["day_i"] = shifted["day_i"] + k
+            m = d[["user_id", "day_i"]].merge(
+                shifted, on=["user_id", "day_i"], how="left"
+            )
+            cols.append(m["c"].to_numpy(dtype="float64"))
+        mat = np.column_stack(cols)
+        med_c = np.nanmedian(mat, axis=1)
+        n_win = (~np.isnan(mat)).sum(axis=1).astype("int64")
+        days = pd.to_datetime(d["day_i"].to_numpy() * US_PER_DAY, unit="us")
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(),
+            "day": days.strftime("%Y-%m-%d"),
+            "med7_value": med_c / 100.0,
+            "n_in_window": n_win,
+        })
+
+    return bucketed_group_apply(parts, ["user_id"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+ROLLING_MEDIAN_DAILY_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       median(CAST(c AS DOUBLE)) OVER w / 100.0 AS med7_value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+def user_day_jaccard(
+    events: ray.data.Dataset, tau: float = 0.85, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """BEHAVIORAL-COHORT set-similarity join: pairs of users whose ACTIVE-DAY
+    sets have Jaccard >= tau — the same exact inverted-index + verify shape
+    as the text n-gram join (``dedup.ngram_jaccard_join``) transplanted to a
+    non-text domain (co-activity discovery). Exact, not MinHashed: the
+    posting list key is the day, so a globally hot day is the declared skew
+    limit (the banded-LSH suite is the approximate fallback regime at
+    web scale — same trade documented on the text side).
+
+    All counts are exact integers; the only float is the final
+    co / (|A| + |B| - co) division, computed by the identical expression on
+    both sides and rounded to 6 before the >= tau filter (so the filter
+    boundary cannot diverge).
+
+    Output: user_a, user_b (int64, a < b), co_days, days_a, days_b (int64),
+    jaccard (float64, round 6)."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "day_i": us // US_PER_DAY,
+        })
+        return d.drop_duplicates()
+
+    parts = events.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def distinct_ud(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates()
+
+    days = bucketed_group_apply(
+        parts, ["user_id", "day_i"], distinct_ud, n_buckets=n_buckets
+    ).materialize()
+
+    # per-user set sizes (order-free count: salted, whale-safe)
+    sizes = salted_group_apply(
+        days, ["user_id"],
+        partial_fn=lambda b: b.groupby("user_id", sort=False).size()
+        .astype("int64").reset_index(name="n"),
+        merge_fn=lambda b: b.groupby("user_id", sort=False)["n"].sum()
+        .astype("int64").reset_index(),
+    )
+
+    # inverted index: day -> co-active user pairs (a < b), vectorized triu
+    # per day group inside the bucket
+    def day_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in bucket.groupby("day_i", sort=False):
+            u = np.sort(grp["user_id"].to_numpy())
+            if len(u) < 2:
+                continue
+            ia, ib = np.triu_indices(len(u), k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        if not out_a:
+            return pd.DataFrame({
+                "user_a": pd.Series(dtype="int64"),
+                "user_b": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame({
+            "user_a": np.concatenate(out_a),
+            "user_b": np.concatenate(out_b),
+        })
+
+    pairs = bucketed_group_apply(days, ["day_i"], day_pairs,
+                                 n_buckets=n_buckets)
+
+    co = salted_group_apply(
+        pairs, ["user_a", "user_b"],
+        partial_fn=lambda b: b.groupby(["user_a", "user_b"], sort=False)
+        .size().astype("int64").reset_index(name="co_days"),
+        merge_fn=lambda b: b.groupby(["user_a", "user_b"], sort=False)
+        ["co_days"].sum().astype("int64").reset_index(),
+    )
+
+    sz_a = sizes.map_batches(
+        lambda b: b.rename(columns={"user_id": "user_a", "n": "days_a"}),
+        batch_format="pandas",
+    )
+    sz_b = sizes.map_batches(
+        lambda b: b.rename(columns={"user_id": "user_b", "n": "days_b"}),
+        batch_format="pandas",
+    )
+    j = hash_join(co, sz_a, on="user_a", n_buckets=n_buckets)
+    j = hash_join(j, sz_b, on="user_b", n_buckets=n_buckets)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        co_n = batch["co_days"].to_numpy(dtype="int64")
+        na = batch["days_a"].to_numpy(dtype="int64")
+        nb = batch["days_b"].to_numpy(dtype="int64")
+        jac = np.round(
+            co_n.astype("float64") / (na + nb - co_n).astype("float64"), 6
+        )
+        out = pd.DataFrame({
+            "user_a": batch["user_a"].astype("int64").to_numpy(),
+            "user_b": batch["user_b"].astype("int64").to_numpy(),
+            "co_days": co_n,
+            "days_a": na,
+            "days_b": nb,
+            "jaccard": jac,
+        })
+        return out[jac >= tau]
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def user_day_jaccard_sql(tau: float = 0.85) -> str:
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+sz AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY user_id),
+co AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS co
+  FROM ds a JOIN ds b ON a.day = b.day AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT ua AS user_a, ub AS user_b, co AS co_days,
+       sa.n AS days_a, sb.n AS days_b,
+       ROUND(CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE), 6)
+         AS jaccard
+FROM co
+JOIN sz sa ON sa.user_id = ua
+JOIN sz sb ON sb.user_id = ub
+WHERE ROUND(CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE), 6)
+      >= {tau}
+"""
