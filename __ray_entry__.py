@@ -69,6 +69,7 @@ _BOTTOMK_K = 50
 _KANON_KS = (2, 5, 10)
 _THROTTLE_US = 86_400_000_000  # 24h at-most-one-per-window suppression
 _UDJ_TAU = 0.85  # active-day Jaccard threshold (median pair sits at 0.80)
+_KMV_K = 32  # k-minimum-values sketch size
 _LDIV_LS = (2, 3, 5)
 _DELETE_HEX = "0f"
 _TRUNC_DIMS = 32
@@ -781,6 +782,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_user_day_jaccard": lambda sf: _wd.user_day_jaccard(
             _events_ds(sf), tau=_UDJ_TAU
+        ),
+        "events_theil_sen": lambda sf: _wd.theil_sen_daily(_events_ds(sf)),
+        "events_fd_profile": lambda sf: _wd.fd_profile(_events_ds(sf)),
+        "events_kmv_users": lambda sf: _wd.kmv_distinct_users(
+            _events_ds(sf), k=_KMV_K
         ),
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)
@@ -1658,6 +1664,9 @@ def oracle_sql() -> dict[str, str]:
         "events_dp_release": _wd.DP_RELEASED_COUNTS_SQL,
         "events_rolling_median": _wd.ROLLING_MEDIAN_DAILY_SQL,
         "events_user_day_jaccard": _wd.user_day_jaccard_sql(_UDJ_TAU),
+        "events_theil_sen": _wd.THEIL_SEN_DAILY_SQL,
+        "events_fd_profile": _wd.fd_profile_sql(),
+        "events_kmv_users": _wd.kmv_distinct_users_sql(_KMV_K),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

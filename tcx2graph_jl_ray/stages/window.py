@@ -6578,3 +6578,309 @@ JOIN sz sb ON sb.user_id = ub
 WHERE ROUND(CAST(co AS DOUBLE) / CAST(sa.n + sb.n - co AS DOUBLE), 6)
       >= {tau}
 """
+
+
+def theil_sen_daily(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """THEIL-SEN robust trend of per-type daily spend: the LOWER MEDIAN of
+    all pairwise slopes (c_j - c_i)/(d_j - d_i) over the type's daily
+    exact-cent totals — the estimator that shrugs off the outlier days that
+    yank an OLS slope (``events_type_trend``'s least-squares line is the
+    fragile counterpart). Lower median = the rank ceil(n/2) ELEMENT, a pure
+    selection: no interpolation arithmetic, so the chosen double is one
+    exact division identical on both sides.
+
+    Shape: distributed exact-cent daily partials, one type-bucketed apply;
+    the pairwise slope set is vectorized triu over the type's daily series
+    and is CALENDAR-BOUNDED (D days -> D(D-1)/2 pairs, independent of row
+    count — the corpus can grow 1000x and D stays the date span).
+
+    Output: event_type, n_days, n_pairs (int64),
+    slope_cents_per_day (float64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        d = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "day_i": us // US_PER_DAY,
+            "c": cents_i64(batch["value"].to_numpy()),
+        })
+        g = d.groupby(["event_type", "day_i"], sort=False)["c"].sum()
+        return g.astype("int64").reset_index()
+
+    parts = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.groupby(["event_type", "day_i"], sort=False)["c"].sum() \
+            .astype("int64").reset_index()
+        rows = []
+        for et, grp in d.groupby("event_type", sort=False):
+            g = grp.sort_values("day_i", kind="mergesort")
+            day = g["day_i"].to_numpy(dtype="int64")
+            c = g["c"].to_numpy(dtype="int64")
+            if len(day) < 2:
+                continue
+            ia, ib = np.triu_indices(len(day), k=1)
+            slopes = (c[ib] - c[ia]).astype("float64") \
+                / (day[ib] - day[ia]).astype("float64")
+            n = len(slopes)
+            # lower median: 0-based rank (n-1)//2 of the sorted slopes
+            k = (n - 1) // 2
+            med = np.partition(slopes, k)[k]
+            rows.append((et, np.int64(len(day)), np.int64(n), float(med)))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n_days", "n_pairs",
+                     "slope_cents_per_day"],
+        ).astype({"n_days": "int64", "n_pairs": "int64",
+                  "slope_cents_per_day": "float64"})
+
+    return bucketed_group_apply(parts, ["event_type"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+THEIL_SEN_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+p AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE)
+           / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope
+  FROM daily a
+  JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+),
+r AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM p
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+)
+SELECT r.event_type, nd.n_days, CAST(r.n AS BIGINT) AS n_pairs,
+       r.slope AS slope_cents_per_day
+FROM r JOIN nd ON nd.event_type = r.event_type
+WHERE r.rn = (r.n + 1) // 2
+"""
+
+
+# candidate functional dependencies profiled by fd_profile / FD_PROFILE_SQL;
+# both sides derive the SAME columns: day '%Y-%m-%d', month '%Y-%m',
+# dow = isodow (Mon=1), hour 0-23, event_type, user = user_id as text
+FD_CANDIDATES = (
+    ("day", "month"),     # holds: a date fixes its month
+    ("day", "dow"),       # holds: a date fixes its weekday
+    ("month", "day"),     # fails: months contain many days
+    ("dow", "day"),       # fails
+    ("hour", "dow"),      # fails
+    ("user", "event_type"),  # fails unless every user is single-typed
+    ("event_type", "dow"),   # fails
+)
+
+
+def fd_profile(events: ray.data.Dataset, n_buckets: int = 32) -> ray.data.Dataset:
+    """FUNCTIONAL-DEPENDENCY data profiling: for each candidate lhs -> rhs
+    in ``FD_CANDIDATES``, does every lhs value map to exactly one rhs value?
+    Emits the violation profile a schema-discovery / data-quality tool
+    reports (``kg_fact_conflicts`` is the KG-specific instance of the same
+    question for (subj, pred) -> obj; this is the generic relational form).
+
+    One pass: the candidate set is MELTED into (fd, lhs_val, rhs_val) rows
+    (a constant x7 row multiplication), distinct-reduced, then the rhs
+    cardinality per (fd, lhs) folds to per-fd scalars — one shuffle chain
+    for all candidates instead of one pipeline each. All integer.
+
+    Output per candidate: fd, n_lhs, n_lhs_violating, max_rhs_per_lhs
+    (int64), holds (int64 0/1)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(batch["ts"])
+        cols = {
+            "day": ts.dt.strftime("%Y-%m-%d").to_numpy(),
+            "month": ts.dt.strftime("%Y-%m").to_numpy(),
+            "dow": (ts.dt.dayofweek + 1).astype(str).to_numpy(),
+            "hour": ts.dt.hour.astype(str).to_numpy(),
+            "user": batch["user_id"].astype("int64").astype(str).to_numpy(),
+            "event_type": batch["event_type"].astype(str).to_numpy(),
+        }
+        frames = []
+        for lhs, rhs in FD_CANDIDATES:
+            frames.append(pd.DataFrame({
+                "fd": f"{lhs}->{rhs}",
+                "lhs_val": cols[lhs],
+                "rhs_val": cols[rhs],
+            }).drop_duplicates())
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = events.select_columns(["ts", "user_id", "event_type"]) \
+        .map_batches(melt, batch_format="pandas", batch_size=65536)
+
+    def distinct_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates()
+        g = d.groupby(["fd", "lhs_val"], sort=False)["rhs_val"].nunique()
+        g = g.astype("int64").reset_index(name="n_rhs")
+        return g
+
+    per_lhs = bucketed_group_apply(
+        pairs, ["fd", "lhs_val"], distinct_fold, n_buckets=n_buckets
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fd, g in bucket.groupby("fd", sort=False):
+            n = g["n_rhs"].to_numpy(dtype="int64")
+            viol = int((n > 1).sum())
+            rows.append((fd, np.int64(len(n)), np.int64(viol),
+                         np.int64(n.max()), np.int64(1 if viol == 0 else 0)))
+        return pd.DataFrame(
+            rows,
+            columns=["fd", "n_lhs", "n_lhs_violating", "max_rhs_per_lhs",
+                     "holds"],
+        )
+
+    return bucketed_group_apply(per_lhs, ["fd"], final, n_buckets=4)
+
+
+def _fd_sql_col(name: str) -> str:
+    return {
+        "day": "strftime(CAST(ts AS DATE), '%Y-%m-%d')",
+        "month": "strftime(CAST(ts AS DATE), '%Y-%m')",
+        "dow": "CAST(isodow(ts) AS VARCHAR)",
+        "hour": "CAST(hour(ts) AS VARCHAR)",
+        "user": "CAST(user_id AS VARCHAR)",
+        "event_type": "CAST(event_type AS VARCHAR)",
+    }[name]
+
+
+def fd_profile_sql() -> str:
+    selects = [
+        f"SELECT '{lhs}->{rhs}' AS fd, {_fd_sql_col(lhs)} AS lhs_val, "
+        f"{_fd_sql_col(rhs)} AS rhs_val FROM events"
+        for lhs, rhs in FD_CANDIDATES
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH pairs AS (
+{union}
+),
+d AS (SELECT DISTINCT fd, lhs_val, rhs_val FROM pairs),
+per_lhs AS (
+  SELECT fd, lhs_val, CAST(COUNT(*) AS BIGINT) AS n_rhs
+  FROM d GROUP BY fd, lhs_val
+)
+SELECT fd,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lhs_violating,
+       CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+       CAST(CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM per_lhs GROUP BY fd
+"""
+
+
+def kmv_distinct_users(
+    events: ray.data.Dataset, k: int = 32, n_buckets: int = 16
+) -> ray.data.Dataset:
+    """K-MINIMUM-VALUES distinct-count sketch (Bar-Yossef et al. 2002) over
+    user_id, WITH an exact-equality oracle: the estimate (k-1) * 2^64 / v_k
+    (v_k = k-th smallest 64-bit md5 hash over the distinct keys) is fully
+    DETERMINISTIC given the hash, so unlike the HLL consumer
+    (``text_vocab_approx``, rows-only) this sketch query is value-hash
+    verified end to end. The exact distinct count rides along as the audit
+    column (disjoint per-bucket partials, added exactly).
+
+    Shape: per-batch local user dedup, one user-bucketed exact dedup that
+    emits each bucket's LOCAL bottom-k (tagged with the bucket's distinct
+    partial), then a driver-side merge over <= n_buckets * k rows — a k-row
+    exchange, never a corpus materialization. 64-bit hash order is kept
+    exact by carrying (hi, lo) int64 halves (no uint64/double rounding).
+
+    Output one row: k, n_exact (int64), est (float64),
+    rel_err (float64, round 6)."""
+    import hashlib
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": pd.unique(batch["user_id"].astype("int64")),
+        })
+
+    parts = events.select_columns(["user_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def bucket_bottom_k(bucket: pd.DataFrame) -> pd.DataFrame:
+        uids = pd.unique(bucket["user_id"].astype("int64"))
+        hv = sorted(
+            int(hashlib.md5(f"u:{int(u)}".encode()).hexdigest()[:16], 16)
+            for u in uids
+        )[: max(int(k), 1)]
+        # tag rows with the bucket's own distinct partial and an id unique
+        # to the bucket (its smallest user) so the driver sums each bucket
+        # exactly once
+        return pd.DataFrame({
+            "bucket_id": np.int64(int(uids.min())),
+            "hi": np.array([v >> 32 for v in hv], dtype="int64"),
+            "lo": np.array([v & 0xFFFFFFFF for v in hv], dtype="int64"),
+            "n_part": np.int64(len(uids)),
+        })
+
+    bottoms = bucketed_group_apply(
+        parts, ["user_id"], bucket_bottom_k, n_buckets=n_buckets
+    ).to_pandas()  # <= n_buckets * k rows
+
+    n_exact = int(
+        bottoms.groupby("bucket_id", sort=False)["n_part"].first().sum()
+    )
+    top = bottoms.sort_values(["hi", "lo"], kind="mergesort").head(int(k))
+    vk = (int(top["hi"].iloc[-1]) << 32) | int(top["lo"].iloc[-1])
+    est = (int(k) - 1) * 2.0 ** 64 / float(vk)
+    return ray.data.from_pandas(pd.DataFrame({
+        "k": [np.int64(k)],
+        "n_exact": [np.int64(n_exact)],
+        "est": [float(est)],
+        "rel_err": [float(np.round(abs(est - n_exact) / n_exact, 6))],
+    }))
+
+
+def kmv_distinct_users_sql(k: int = 32) -> str:
+    return f"""
+WITH RECURSIVE pw16(i, p) AS (
+  SELECT 1, 1::HUGEINT UNION ALL SELECT i + 1, p * 16 FROM pw16 WHERE i < 16
+),
+du AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT (SELECT SUM(
+            (strpos('0123456789abcdef',
+                    substring(md5('u:' || CAST(user_id AS VARCHAR)),
+                              CAST(17 - i AS INT), 1)) - 1)::HUGEINT * p)
+          FROM pw16) AS u64
+  FROM du
+),
+bot AS (SELECT u64 FROM h ORDER BY u64 LIMIT {k}),
+vk AS (SELECT MAX(u64) AS v FROM bot),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM du)
+SELECT CAST({k} AS BIGINT) AS k,
+       n.c AS n_exact,
+       ({k} - 1) * power(2.0, 64) / CAST(vk.v AS DOUBLE) AS est,
+       ROUND(ABS(({k} - 1) * power(2.0, 64) / CAST(vk.v AS DOUBLE)
+                 - CAST(n.c AS DOUBLE)) / CAST(n.c AS DOUBLE), 6)
+         AS rel_err
+FROM vk, n
+"""
