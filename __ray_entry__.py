@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_bursts": lambda sf: _an.entity_bursts(
             _mentions_with_entity(sf), _transcripts(sf), _BURST_Z
         ),
+        "kg_hot_decayed": lambda sf: _an.decayed_hotness(
+            _mentions_with_entity(sf), _transcripts(sf)
+        ),
         "kg_transitions": _transitions,
         "kg_transitions_monthly": lambda sf: _an.entity_transitions_monthly(
             _mentions_with_entity(sf), _transcripts(sf), _MAX_TURN_GAP
@@ -788,6 +791,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_users": lambda sf: _wd.kmv_distinct_users(
             _events_ds(sf), k=_KMV_K
         ),
+        "events_forecast_backtest": lambda sf: _wd.forecast_backtest(
+            _events_ds(sf)
+        ),
+        "docs_split_ks": lambda sf: _tx.split_ks(_docs(sf)),
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)
         ),
@@ -1182,6 +1189,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_entity_bursts": _an.BURSTS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL, z=_BURST_Z
+        ),
+        "kg_hot_decayed": _an.DECAYED_HOTNESS_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL
         ),
         "kg_transitions": _an.TRANSITIONS_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL, max_turn_gap=_MAX_TURN_GAP
@@ -1667,6 +1677,8 @@ def oracle_sql() -> dict[str, str]:
         "events_theil_sen": _wd.THEIL_SEN_DAILY_SQL,
         "events_fd_profile": _wd.fd_profile_sql(),
         "events_kmv_users": _wd.kmv_distinct_users_sql(_KMV_K),
+        "events_forecast_backtest": _wd.FORECAST_BACKTEST_SQL,
+        "docs_split_ks": _tx.split_ks_sql(),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

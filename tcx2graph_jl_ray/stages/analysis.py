@@ -7566,3 +7566,117 @@ SELECT k.subj, k.pred, k.n_objects, k.n_assertions, top.top_obj,
          AS top_share
 FROM k JOIN top ON top.subj = k.subj AND top.pred = k.pred
 """
+
+
+def decayed_hotness(
+    mentions_with_entity: ray.data.Dataset,
+    transcripts: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXPONENTIALLY-DECAYED entity hotness with a one-week half-life,
+    computed in EXACT DYADIC arithmetic: weight = 2^-w for age w whole
+    weeks (w > 16 -> 0), scaled by 2^16 so the weighted sum is pure int64
+    (the bit-shift decay a production counter service actually implements —
+    no float pow, no summation-order drift). The freshness-weighted
+    counterpart of ``hot_entities``' all-time count: an entity hot a month
+    ago and silent since ranks below one trending today.
+
+    Shape: mention rows pick up timestamps through the co-partitioned
+    (conv_id, turn_idx) hash_join (as ``entity_bursts``); exact daily
+    partials; the corpus max-day anchor is one tiny distributed max; the
+    decay fold is one entity-bucketed reduce. Output: entity_id,
+    n_mentions (int64), decayed_s16 (int64), decayed (float64 =
+    decayed_s16 / 2^16, exact)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    US_PER_DAY = 86_400_000_000
+
+    joined = hash_join(
+        mentions_with_entity.select_columns(
+            ["conv_id", "turn_idx", "entity_id", "n_occurrences"]
+        ),
+        transcripts.select_columns(["conv_id", "turn_idx", "ts"]),
+        on=["conv_id", "turn_idx"],
+        n_buckets=n_buckets,
+    )
+
+    def partial_day(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        g = pd.DataFrame({
+            "entity_id": batch["entity_id"].to_numpy(),
+            "day_i": us // US_PER_DAY,
+            "n": batch["n_occurrences"].astype("int64").to_numpy(),
+        }).groupby(["entity_id", "day_i"], sort=False)["n"].sum()
+        return g.astype("int64").reset_index()
+
+    daily = bucketed_group_apply(
+        joined.map_batches(partial_day, batch_format="pandas",
+                           batch_size=65536),
+        ["entity_id", "day_i"],
+        lambda b: b.groupby(["entity_id", "day_i"], sort=False)["n"].sum()
+        .astype("int64").reset_index(),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    md = int(
+        daily.map_batches(
+            lambda b: pd.DataFrame({"m": [b["day_i"].max()]}),
+            batch_format="pandas",
+        ).to_pandas()["m"].max()
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        wk = (md - bucket["day_i"].to_numpy(dtype="int64")) // 7
+        n = bucket["n"].to_numpy(dtype="int64")
+        w16 = np.where(wk <= 16, n * np.left_shift(1, np.maximum(16 - wk, 0)),
+                       0).astype("int64")
+        d = pd.DataFrame({
+            "entity_id": bucket["entity_id"].to_numpy(),
+            "n": n,
+            "w16": w16,
+        }).groupby("entity_id", sort=False).sum().reset_index()
+        return pd.DataFrame({
+            "entity_id": d["entity_id"].to_numpy(),
+            "n_mentions": d["n"].astype("int64").to_numpy(),
+            "decayed_s16": d["w16"].astype("int64").to_numpy(),
+            "decayed": d["w16"].astype("int64").to_numpy() / 65536.0,
+        })
+
+    return bucketed_group_apply(daily, ["entity_id"], fold,
+                                n_buckets=n_buckets)
+
+
+DECAYED_HOTNESS_SQL_TEMPLATE = (
+    r"""
+WITH m AS ({mentions}),
+"""
+    + _LABELS
+    + r""",
+t AS ({transcripts}),
+me AS (
+  SELECT l.entity_id,
+         CAST(epoch_us(t.ts) // 86400000000 AS BIGINT) AS day_i,
+         mm.n_occurrences
+  FROM m mm
+  JOIN lab l ON mm.norm = l.norm
+  JOIN t ON t.conv_id = mm.conv_id AND t.turn_idx = mm.turn_idx
+),
+d AS (
+  SELECT entity_id, day_i, CAST(SUM(n_occurrences) AS BIGINT) AS n
+  FROM me GROUP BY entity_id, day_i
+),
+mx AS (SELECT MAX(day_i) AS md FROM d),
+w AS (
+  SELECT entity_id, n, (mx.md - day_i) // 7 AS wk FROM d, mx
+)
+SELECT entity_id,
+       CAST(SUM(n) AS BIGINT) AS n_mentions,
+       CAST(SUM(CASE WHEN wk <= 16 THEN n * (1::BIGINT << (16 - wk))
+                ELSE 0 END) AS BIGINT) AS decayed_s16,
+       CAST(SUM(CASE WHEN wk <= 16 THEN n * (1::BIGINT << (16 - wk))
+                ELSE 0 END) AS BIGINT) / 65536.0 AS decayed
+FROM w GROUP BY entity_id
+"""
+)

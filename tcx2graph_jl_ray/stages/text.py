@@ -5744,3 +5744,123 @@ JOIN documents da ON da.doc_id = p.a
 JOIN documents db ON db.doc_id = p.b
 WHERE da.lang <> db.lang
 """
+
+
+def split_ks(
+    docs: ray.data.Dataset,
+    train_cut: int = 0xCB,
+    val_cut: int = 0xE5,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV drift check between the train and val
+    splits' document-length distributions — the release gate that catches a
+    split assignment accidentally correlated with content (a hash over a
+    content-derived id, a time-ordered id space...). Uses the SAME
+    deterministic md5-byte assignment as ``split_assign``, so the audit
+    covers the split users actually get.
+
+    EXACT INTEGER ECDF: the sup distance is selected by comparing
+    |cum_train * n_val - cum_val * n_train| in int64 (cross-multiplied —
+    no float ECDFs), and the float KS is one division of the selected
+    integers, identical on both sides; ks_num / ks_den ship as audit
+    columns. Shape: per-batch (split, n_chars) count partials, one bucketed
+    exact reduce, then a DISTINCT-LENGTH-bounded driver fold (the cumsum
+    runs over distinct lengths, not rows — the ``events_histogram``
+    discipline). Output one row: n_train, n_val, ks_num, ks_den (int64),
+    ks (float64)."""
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    train_hex, val_hex = format(train_cut, "02x"), format(val_cut, "02x")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        p2 = np.asarray(
+            md5_hex(ids.astype(str).to_numpy()), dtype="U32"
+        ).astype("U2")
+        split = np.where(
+            p2 <= train_hex, "train", np.where(p2 <= val_hex, "val", "test")
+        )
+        d = pd.DataFrame({
+            "split": split,
+            "n_chars": batch["n_chars"].astype("int64").to_numpy(),
+        })
+        d = d[d["split"] != "test"]
+        g = d.groupby(["split", "n_chars"], sort=False).size() \
+            .astype("int64").reset_index(name="n")
+        return g
+
+    parts = docs.select_columns(["doc_id", "n_chars"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    counts = bucketed_group_apply(
+        parts, ["split", "n_chars"],
+        lambda b: b.groupby(["split", "n_chars"], sort=False)["n"].sum()
+        .astype("int64").reset_index(),
+        n_buckets=n_buckets,
+    ).to_pandas()  # distinct-length bounded, not corpus bounded
+
+    piv = counts.pivot_table(index="n_chars", columns="split", values="n",
+                             aggfunc="sum", fill_value=0).sort_index()
+    c1 = piv.get("train", pd.Series(0, index=piv.index)).to_numpy("int64")
+    c2 = piv.get("val", pd.Series(0, index=piv.index)).to_numpy("int64")
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    cum1, cum2 = np.cumsum(c1), np.cumsum(c2)
+    diff = np.abs(cum1 * np.int64(n2) - cum2 * np.int64(n1))
+    ks_num = int(diff.max()) if len(diff) else 0
+    ks_den = n1 * n2
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_train": [np.int64(n1)],
+        "n_val": [np.int64(n2)],
+        "ks_num": [np.int64(ks_num)],
+        "ks_den": [np.int64(ks_den)],
+        "ks": [float(ks_num) / float(ks_den) if ks_den else 0.0],
+    }))
+
+
+def split_ks_sql(train_cut: int = 0xCB, val_cut: int = 0xE5) -> str:
+    train_hex, val_hex = format(train_cut, "02x"), format(val_cut, "02x")
+    return f"""
+WITH s AS (
+  SELECT n_chars,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   <= '{train_hex}' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   <= '{val_hex}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+c AS (
+  SELECT split, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE split IN ('train', 'val') GROUP BY split, n_chars
+),
+x AS (SELECT DISTINCT n_chars FROM c),
+e AS (
+  SELECT x.n_chars,
+         COALESCE((SELECT n FROM c WHERE c.split = 'train'
+                   AND c.n_chars = x.n_chars), 0) AS c1,
+         COALESCE((SELECT n FROM c WHERE c.split = 'val'
+                   AND c.n_chars = x.n_chars), 0) AS c2
+  FROM x
+),
+cum AS (
+  SELECT n_chars,
+         SUM(c1) OVER (ORDER BY n_chars) AS cum1,
+         SUM(c2) OVER (ORDER BY n_chars) AS cum2,
+         (SELECT SUM(c1) FROM e) AS n1,
+         (SELECT SUM(c2) FROM e) AS n2
+  FROM e
+),
+d AS (
+  SELECT MAX(ABS(cum1 * n2 - cum2 * n1)) AS ks_num,
+         ANY_VALUE(n1) AS n1, ANY_VALUE(n2) AS n2
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_train,
+       CAST(n2 AS BIGINT) AS n_val,
+       CAST(ks_num AS BIGINT) AS ks_num,
+       CAST(n1 * n2 AS BIGINT) AS ks_den,
+       CAST(ks_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+FROM d
+"""

@@ -6884,3 +6884,103 @@ SELECT CAST({k} AS BIGINT) AS k,
          AS rel_err
 FROM vk, n
 """
+
+
+def forecast_backtest(
+    events: ray.data.Dataset, lags: tuple = (1, 7), n_buckets: int = 8
+) -> ray.data.Dataset:
+    """NAIVE-FORECAST BACKTEST: per event type, the mean absolute error of
+    the persistence forecast (predict today's spend = spend ``lag`` days
+    ago) at lag 1 (yesterday) and lag 7 (seasonal-naive, same weekday last
+    week) — the baseline error floor any real forecaster must beat, and the
+    first number a forecasting pipeline's offline eval produces. Only days
+    where BOTH actual and lagged values exist are scored (inner self-join;
+    no imputation).
+
+    Exact: daily totals are integer cents, errors are integer cents, MAE is
+    one int/int division rounded 6 — identical on both sides. Per-type
+    series live in one bucket (calendar-bounded, like
+    ``rolling_median_daily``); the lag alignment is a vectorized self-merge,
+    not a per-row loop. Output: event_type, lag_days, n_scored (int64),
+    mae_cents (float64 round 6)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "day_i": us // US_PER_DAY,
+            "c": cents_i64(batch["value"].to_numpy()),
+        }).groupby(["event_type", "day_i"], sort=False)["c"].sum()
+        return g.astype("int64").reset_index()
+
+    parts = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.groupby(["event_type", "day_i"], sort=False)["c"].sum() \
+            .astype("int64").reset_index()
+        out = []
+        for lag in lags:
+            lagged = d.rename(columns={"c": "c_lag"}).copy()
+            lagged["day_i"] = lagged["day_i"] + int(lag)
+            m = d.merge(lagged, on=["event_type", "day_i"], how="inner")
+            if not len(m):
+                continue
+            err = np.abs(m["c"].to_numpy(dtype="int64")
+                         - m["c_lag"].to_numpy(dtype="int64"))
+            g = pd.DataFrame({
+                "event_type": m["event_type"].to_numpy(),
+                "err": err,
+            }).groupby("event_type", sort=False)["err"] \
+                .agg(["sum", "count"]).reset_index()
+            out.append(pd.DataFrame({
+                "event_type": g["event_type"].to_numpy(),
+                "lag_days": np.int64(lag),
+                "n_scored": g["count"].astype("int64").to_numpy(),
+                "mae_cents": np.round(
+                    g["sum"].astype("int64").to_numpy(dtype="float64")
+                    / g["count"].astype("int64").to_numpy(dtype="float64"),
+                    6,
+                ),
+            }))
+        if not out:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                "lag_days": pd.Series(dtype="int64"),
+                "n_scored": pd.Series(dtype="int64"),
+                "mae_cents": pd.Series(dtype="float64"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(parts, ["event_type"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+FORECAST_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+l AS (
+  SELECT a.event_type, 1 AS lag_days, ABS(a.c - b.c) AS err
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day_i = a.day_i - 1
+  UNION ALL
+  SELECT a.event_type, 7 AS lag_days, ABS(a.c - b.c) AS err
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day_i = a.day_i - 7
+)
+SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mae_cents
+FROM l GROUP BY event_type, lag_days
+"""
