@@ -795,6 +795,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf)
         ),
         "docs_split_ks": lambda sf: _tx.split_ks(_docs(sf)),
+        "events_dynamic_threshold": lambda sf: _wd.dynamic_threshold_alerts(
+            _events_ds(sf)
+        ),
+        "rel_header_line_reconcile": _rel.header_line_reconcile,
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)
         ),
@@ -1679,6 +1683,8 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_users": _wd.kmv_distinct_users_sql(_KMV_K),
         "events_forecast_backtest": _wd.FORECAST_BACKTEST_SQL,
         "docs_split_ks": _tx.split_ks_sql(),
+        "events_dynamic_threshold": _wd.dynamic_threshold_alerts_sql(),
+        "rel_header_line_reconcile": _rel.HEADER_LINE_RECONCILE_SQL,
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

@@ -6046,3 +6046,136 @@ SELECT strftime(days.d, '%Y-%m-%d') AS day,
 FROM days, o
 GROUP BY days.d
 """
+
+
+def header_line_reconcile(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """BILLING RECONCILIATION audit: does each order header's
+    ``o_totalprice`` equal the sum of its lines' extended price after
+    discount and tax — the denormalization-integrity check every warehouse
+    runs between a fact header and its detail table (TPC-H defines
+    o_totalprice as exactly that sum; the audit REPORTS the gap profile
+    rather than assuming the invariant holds). Reference parity: the
+    per-file node/edge count assertions of the reference's tests
+    (test/runtests.jl) are the same header-vs-detail conservation idea.
+
+    All arithmetic exact: line value in 1e-6-dollar scaled int64
+    (cents x (100-disc) x (100+tax)), header cents x 10^4 on the same
+    scale; gaps, tolerance counts and sums stay integer; the one float
+    (mean absolute gap in dollars) is the identical division chain on both
+    sides. Shape: column-pruned reads, per-batch per-order partials, one
+    orderkey-bucketed reduce, co-partitioned LEFT join to headers (orphan
+    headers = orders with no lines), one status-keyed fold.
+
+    Output per o_orderstatus: n_orders, n_with_lines, n_orphan,
+    n_within_1usd, sum_abs_gap_s6 (int64), mean_abs_gap_usd (float64
+    round 6, over orders WITH lines)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.join import hash_join
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s6 = (
+            cents_i64(batch["l_extendedprice"].to_numpy())
+            * (100 - cents_i64(batch["l_discount"].to_numpy()))
+            * (100 + cents_i64(batch["l_tax"].to_numpy()))
+        )
+        g = pd.DataFrame({
+            "o_orderkey": batch["l_orderkey"].astype("int64").to_numpy(),
+            "lines_s6": s6,
+        }).groupby("o_orderkey", sort=False)["lines_s6"].sum()
+        return g.astype("int64").reset_index()
+
+    line_sums = bucketed_group_apply(
+        li.map_batches(li_partial, batch_format="pandas", batch_size=65536),
+        ["o_orderkey"],
+        lambda b: b.groupby("o_orderkey", sort=False)["lines_s6"].sum()
+        .astype("int64").reset_index(),
+        n_buckets=n_buckets,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64").to_numpy(),
+            "o_orderstatus": b["o_orderstatus"].to_numpy(),
+            "header_s6": cents_i64(b["o_totalprice"].to_numpy()) * 10_000,
+        }),
+        batch_format="pandas", batch_size=65536,
+    )
+
+    joined = hash_join(orders, line_sums, on="o_orderkey", how="left",
+                       n_buckets=n_buckets)
+
+    def status_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for st, g in bucket.groupby("o_orderstatus", sort=False):
+            has = g["lines_s6"].notna().to_numpy()
+            gap = np.abs(
+                g.loc[has, "header_s6"].astype("int64").to_numpy()
+                - g.loc[has, "lines_s6"].astype("int64").to_numpy()
+            )
+            n_with = int(has.sum())
+            sum_abs = int(gap.sum()) if n_with else 0
+            mean_usd = (
+                float(np.round(sum_abs / n_with / 1_000_000.0, 6))
+                if n_with else 0.0
+            )
+            rows.append((
+                st, np.int64(len(g)), np.int64(n_with),
+                np.int64(len(g) - n_with),
+                np.int64(int((gap <= 1_000_000).sum()) if n_with else 0),
+                np.int64(sum_abs), mean_usd,
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["o_orderstatus", "n_orders", "n_with_lines", "n_orphan",
+                     "n_within_1usd", "sum_abs_gap_s6", "mean_abs_gap_usd"],
+        )
+
+    return bucketed_group_apply(joined, ["o_orderstatus"], status_fold,
+                                n_buckets=4)
+
+
+HEADER_LINE_RECONCILE_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS lines_s6
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderstatus,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000 AS header_s6,
+         l.lines_s6
+  FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN lines_s6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_lines,
+       CAST(SUM(CASE WHEN lines_s6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan,
+       CAST(SUM(CASE WHEN lines_s6 IS NOT NULL
+                      AND ABS(header_s6 - lines_s6) <= 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1usd,
+       CAST(COALESCE(SUM(CASE WHEN lines_s6 IS NOT NULL
+                              THEN ABS(header_s6 - lines_s6) END), 0)
+            AS BIGINT) AS sum_abs_gap_s6,
+       CASE WHEN SUM(CASE WHEN lines_s6 IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN ROUND(
+              CAST(SUM(CASE WHEN lines_s6 IS NOT NULL
+                            THEN ABS(header_s6 - lines_s6) END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN lines_s6 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE)
+              / 1000000.0, 6)
+            ELSE 0.0 END AS mean_abs_gap_usd
+FROM j GROUP BY o_orderstatus
+"""

@@ -6984,3 +6984,124 @@ SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days,
          AS mae_cents
 FROM l GROUP BY event_type, lag_days
 """
+
+
+def dynamic_threshold_alerts(
+    events: ray.data.Dataset,
+    lookback_days: int = 28,
+    min_prior: int = 8,
+    q: float = 0.95,
+    n_buckets: int = 8,
+) -> ray.data.Dataset:
+    """DYNAMIC-THRESHOLD anomaly alerts: days whose per-type spend exceeds
+    the empirical p95 of that type's own TRAILING window (the prior
+    ``lookback_days`` calendar days, current day excluded) — the
+    self-calibrating alert rule a monitoring system uses instead of a fixed
+    threshold (``events_zscore_days`` is the global-stats cousin; this one
+    adapts as the level drifts, and needs >= ``min_prior`` observed prior
+    days before it may fire).
+
+    The threshold is the TYPE-1 EMPIRICAL QUANTILE — the ceil(q*n)-th
+    smallest prior value, a pure SELECTION on exact integer cents: no
+    interpolation arithmetic at all (DuckDB's WINDOWED quantile_cont lerps
+    1 ulp differently from its aggregate form — measured — so an
+    interpolated threshold cannot be oracle-exact; a selected order
+    statistic trivially is). Both sides compute k = CEIL(q * n) with the
+    identical double product, so the rank cannot diverge either. Per-type
+    day loop is CALENDAR-BOUNDED.
+
+    Output: event_type, day ('%Y-%m-%d'), value_cents, thr_cents,
+    n_prior (all int64 except day)."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "day_i": us // US_PER_DAY,
+            "c": cents_i64(batch["value"].to_numpy()),
+        }).groupby(["event_type", "day_i"], sort=False)["c"].sum()
+        return g.astype("int64").reset_index()
+
+    parts = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.groupby(["event_type", "day_i"], sort=False)["c"].sum() \
+            .astype("int64").reset_index()
+        rows = []
+        for et, grp in d.groupby("event_type", sort=False):
+            g = grp.sort_values("day_i", kind="mergesort")
+            day = g["day_i"].to_numpy(dtype="int64")
+            c = g["c"].to_numpy(dtype="int64")
+            for i in range(len(day)):
+                lo = int(np.searchsorted(day, day[i] - lookback_days,
+                                         side="left"))
+                n_prior = i - lo  # days unique & sorted: [lo, i) = window
+                if n_prior < min_prior:
+                    continue
+                k = int(math.ceil(q * n_prior))
+                thr = int(np.sort(c[lo:i])[k - 1])
+                if int(c[i]) > thr:
+                    rows.append((et, int(day[i]), int(c[i]), thr,
+                                 int(n_prior)))
+        out = pd.DataFrame(
+            rows, columns=["event_type", "day_i", "value_cents",
+                           "thr_cents", "n_prior"]
+        )
+        days = pd.to_datetime(
+            out["day_i"].to_numpy(dtype="int64") * US_PER_DAY, unit="us"
+        )
+        return pd.DataFrame({
+            "event_type": out["event_type"].to_numpy(),
+            "day": days.strftime("%Y-%m-%d"),
+            "value_cents": out["value_cents"].astype("int64").to_numpy(),
+            "thr_cents": out["thr_cents"].astype("int64").to_numpy(),
+            "n_prior": out["n_prior"].astype("int64").to_numpy(),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+def dynamic_threshold_alerts_sql(
+    lookback_days: int = 28, min_prior: int = 8, q: float = 0.95
+) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+win AS (
+  SELECT a.event_type, a.day_i, a.c AS c_now, b.c AS c_prior,
+         ROW_NUMBER() OVER (PARTITION BY a.event_type, a.day_i
+                            ORDER BY b.c, b.day_i) AS rn,
+         COUNT(*) OVER (PARTITION BY a.event_type, a.day_i) AS n_prior
+  FROM daily a
+  JOIN daily b
+    ON b.event_type = a.event_type
+   AND b.day_i BETWEEN a.day_i - {lookback_days} AND a.day_i - 1
+),
+thr AS (
+  SELECT event_type, day_i, c_now, c_prior AS thr_c, n_prior
+  FROM win
+  WHERE n_prior >= {min_prior} AND rn = CAST(CEIL({q} * n_prior) AS BIGINT)
+)
+SELECT event_type,
+       strftime(CAST(to_timestamp(day_i * 86400) AS DATE), '%Y-%m-%d')
+         AS day,
+       CAST(c_now AS BIGINT) AS value_cents,
+       CAST(thr_c AS BIGINT) AS thr_cents,
+       CAST(n_prior AS BIGINT) AS n_prior
+FROM thr
+WHERE c_now > thr_c
+"""
