@@ -799,6 +799,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events_ds(sf)
         ),
         "rel_header_line_reconcile": _rel.header_line_reconcile,
+        "events_max_drawdown": lambda sf: _wd.max_drawdown_daily(
+            _events_ds(sf)
+        ),
+        "emb_rank_agreement": lambda sf: _ann.metric_rank_agreement(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)
         ),
@@ -1685,6 +1691,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_split_ks": _tx.split_ks_sql(),
         "events_dynamic_threshold": _wd.dynamic_threshold_alerts_sql(),
         "rel_header_line_reconcile": _rel.HEADER_LINE_RECONCILE_SQL,
+        "events_max_drawdown": _wd.MAX_DRAWDOWN_DAILY_SQL,
+        "emb_rank_agreement": _ann.METRIC_RANK_AGREEMENT_SQL_TEMPLATE.format(
+            n_queries=_ANN_NQ, k=_ANN_K
+        ),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

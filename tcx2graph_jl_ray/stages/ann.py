@@ -2215,3 +2215,125 @@ SELECT bin, ROUND(CAST(bin AS DOUBLE) / 10.0, 6) AS bin_lo,
          AS share
 FROM g
 """
+
+
+class _BatchTopKBoth:
+    """Actor-pool stage: embeddings batch -> per-query partial top-k rows
+    under BOTH similarity metrics (cosine and raw inner product) from the
+    same matmul pass."""
+
+    def __init__(self, q_ref, k: int):
+        self.qids, q = ray.get(q_ref)
+        self.q = q
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = vn @ self.qn.T
+        dot = vecs @ self.q.T
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        k = min(self.k, len(ids))
+        out = []
+        for j, qid in enumerate(self.qids):
+            for metric, col in (("cos", cos[:, j]), ("dot", dot[:, j])):
+                top = np.lexsort((ids, -col))[:k]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "metric": metric,
+                    "vec_id": ids[top], "sim": col[top],
+                }))
+        return pd.concat(out, ignore_index=True)
+
+
+def metric_rank_agreement(
+    embeddings: ray.data.Dataset, sf_dir: str, n_queries: int = 8,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """SIMILARITY-METRIC AGREEMENT audit: per query, how much the top-k
+    retrieved under COSINE differs from the top-k under raw INNER PRODUCT —
+    the norm-sensitivity check run before choosing an index metric (IP
+    favors long vectors; if the two lists diverge, vector norms carry
+    signal and the metric choice matters). Agreement is reported as the
+    INTEGER overlap count and the INTEGER Spearman footrule
+    (sum |rank_cos - rank_dot| over the shared items) — rank statistics,
+    no float similarity values in the output.
+
+    Shape: one actor-pool matmul pass produces partial top-k rows under
+    both metrics (same broadcast query matrix as ``ann_brute_topk``),
+    per-(query, metric) merge, then one self-join on (query, vec).
+    Output: query_id, n_overlap, footrule (int64)."""
+    q_ref = ray.put(_load_queries(sf_dir, n_queries))
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _BatchTopKBoth,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 16),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype("int64").to_numpy(),
+            "metric": g["metric"].to_numpy(),
+            "vec_id": g["vec_id"].astype("int64").to_numpy(),
+            "rank": pd.array(range(1, len(g) + 1), dtype="int64"),
+        })
+
+    ranked = partials.groupby(["query_id", "metric"]).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def agree(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["metric"] == "cos"][["vec_id", "rank"]]
+        d = g[g["metric"] == "dot"][["vec_id", "rank"]]
+        m = c.merge(d, on="vec_id", suffixes=("_c", "_d"))
+        return pd.DataFrame({
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "n_overlap": [np.int64(len(m))],
+            "footrule": [np.int64(
+                np.abs(m["rank_c"].to_numpy(dtype="int64")
+                       - m["rank_d"].to_numpy(dtype="int64")).sum()
+                if len(m) else 0
+            )],
+        })
+
+    return ranked.groupby("query_id").map_groups(agree, batch_format="pandas")
+
+
+METRIC_RANK_AGREEMENT_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+sc AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e
+),
+sd AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e
+),
+rc AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+           AS rank
+  FROM sc QUALIFY rank <= {k}
+),
+rd AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+           AS rank
+  FROM sd QUALIFY rank <= {k}
+)
+SELECT rc.query_id,
+       CAST(COUNT(rd.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(SUM(ABS(rc.rank - rd.rank)), 0) AS BIGINT) AS footrule
+FROM rc LEFT JOIN rd ON rd.query_id = rc.query_id AND rd.vec_id = rc.vec_id
+GROUP BY rc.query_id
+"""

@@ -7105,3 +7105,114 @@ SELECT event_type,
 FROM thr
 WHERE c_now > thr_c
 """
+
+
+def max_drawdown_daily(
+    events: ray.data.Dataset, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """MAX DRAWDOWN of the per-type daily-spend series: the largest
+    peak-to-trough decline MAX over days d of (running-max before-or-at d
+    minus spend at d) — the risk metric a revenue-monitoring dashboard
+    tracks (a big drawdown = demand collapsed from its local peak; the
+    CUSUM/changepoint pair detects level shifts, this measures worst-case
+    decline depth). All integer cents; tie-break: the EARLIEST trough day
+    achieving the max drawdown, and the EARLIEST peak day carrying the
+    running max at that trough.
+
+    Shape: exact-cent daily partials, one type-bucketed fold; running max
+    and argmax are one vectorized np.maximum.accumulate per type over the
+    CALENDAR-BOUNDED daily series. Output: event_type,
+    max_drawdown_cents (int64), peak_day, trough_day ('%Y-%m-%d'),
+    peak_cents, trough_cents (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "day_i": us // US_PER_DAY,
+            "c": cents_i64(batch["value"].to_numpy()),
+        }).groupby(["event_type", "day_i"], sort=False)["c"].sum()
+        return g.astype("int64").reset_index()
+
+    parts = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def fmt_day(day_i: int) -> str:
+        return pd.Timestamp(int(day_i) * US_PER_DAY, unit="us") \
+            .strftime("%Y-%m-%d")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.groupby(["event_type", "day_i"], sort=False)["c"].sum() \
+            .astype("int64").reset_index()
+        rows = []
+        for et, grp in d.groupby("event_type", sort=False):
+            g = grp.sort_values("day_i", kind="mergesort")
+            day = g["day_i"].to_numpy(dtype="int64")
+            c = g["c"].to_numpy(dtype="int64")
+            rm = np.maximum.accumulate(c)
+            dd = rm - c
+            mdd = int(dd.max())
+            ti = int(np.flatnonzero(dd == mdd)[0])  # earliest trough
+            # earliest peak day carrying the running max at the trough
+            pi = int(np.flatnonzero(c[: ti + 1] == rm[ti])[0])
+            rows.append((et, np.int64(mdd), fmt_day(day[pi]),
+                         fmt_day(day[ti]), np.int64(int(rm[ti])),
+                         np.int64(int(c[ti]))))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "max_drawdown_cents", "peak_day",
+                     "trough_day", "peak_cents", "trough_cents"],
+        )
+
+    return bucketed_group_apply(parts, ["event_type"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+MAX_DRAWDOWN_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+w AS (
+  SELECT event_type, day_i, c,
+         MAX(c) OVER (PARTITION BY event_type ORDER BY day_i) AS rm
+  FROM daily
+),
+m AS (
+  SELECT event_type, MAX(rm - c) AS mdd FROM w GROUP BY event_type
+),
+trough AS (
+  SELECT w.event_type, m.mdd, MIN(w.day_i) AS t_day
+  FROM w JOIN m ON m.event_type = w.event_type AND w.rm - w.c = m.mdd
+  GROUP BY w.event_type, m.mdd
+),
+tvals AS (
+  SELECT t.event_type, t.mdd, t.t_day, w.rm AS peak_c, w.c AS trough_c
+  FROM trough t
+  JOIN w ON w.event_type = t.event_type AND w.day_i = t.t_day
+),
+peak AS (
+  SELECT tv.event_type, MIN(w.day_i) AS p_day
+  FROM tvals tv
+  JOIN w ON w.event_type = tv.event_type AND w.day_i <= tv.t_day
+        AND w.c = tv.peak_c
+  GROUP BY tv.event_type
+)
+SELECT tv.event_type,
+       CAST(tv.mdd AS BIGINT) AS max_drawdown_cents,
+       strftime(CAST(to_timestamp(p.p_day * 86400) AS DATE), '%Y-%m-%d')
+         AS peak_day,
+       strftime(CAST(to_timestamp(tv.t_day * 86400) AS DATE), '%Y-%m-%d')
+         AS trough_day,
+       CAST(tv.peak_c AS BIGINT) AS peak_cents,
+       CAST(tv.trough_c AS BIGINT) AS trough_cents
+FROM tvals tv JOIN peak p ON p.event_type = tv.event_type
+"""
