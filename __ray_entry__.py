@@ -30,6 +30,7 @@ from tcx2graph_jl_ray.stages import clean as _cl
 from tcx2graph_jl_ray.stages import dedup as _dd
 from tcx2graph_jl_ray.stages import extract as _ex
 from tcx2graph_jl_ray.stages import graph as _gr
+from tcx2graph_jl_ray.stages import incremental as _inc
 from tcx2graph_jl_ray.stages import link as _lk
 from tcx2graph_jl_ray.stages import multimodal as _mm
 from tcx2graph_jl_ray.stages import relational as _rel
@@ -804,6 +805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "emb_rank_agreement": lambda sf: _ann.metric_rank_agreement(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
+        "kg_entities_incremental": lambda sf: _inc.entities_incremental(
+            _mentions(sf)
         ),
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)
@@ -1694,6 +1698,11 @@ def oracle_sql() -> dict[str, str]:
         "events_max_drawdown": _wd.MAX_DRAWDOWN_DAILY_SQL,
         "emb_rank_agreement": _ann.METRIC_RANK_AGREEMENT_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
+        ),
+        # the BATCH entities oracle: the whole point — the incremental fold
+        # must reproduce the one-shot batch canonicalization bit-for-bit
+        "kg_entities_incremental": _cz.ENTITIES_SQL_TEMPLATE.format(
+            mentions=_MENTIONS_SQL
         ),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
