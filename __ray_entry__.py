@@ -71,6 +71,7 @@ _KANON_KS = (2, 5, 10)
 _THROTTLE_US = 86_400_000_000  # 24h at-most-one-per-window suppression
 _UDJ_TAU = 0.85  # active-day Jaccard threshold (median pair sits at 0.80)
 _KMV_K = 32  # k-minimum-values sketch size
+_BPE_MERGES = 16  # BPE training rounds
 _LDIV_LS = (2, 3, 5)
 _DELETE_HEX = "0f"
 _TRUNC_DIMS = 32
@@ -82,7 +83,13 @@ _TRUNC_DIMS = 32
 # DuckDB oracle — including the minhash clustering, whose iterative
 # min-label connected components are reproduced in SQL as a recursive
 # reachability CTE (dedup.minhash_clusters_sql) over the verified pairs.
-ROWS_ONLY_QUERIES = frozenset({"text_vocab_approx"})
+# the declared non-SQL-expressible regime: HLL estimate (approximate by
+# design) and the BPE merge loop (iterative state no SQL can express);
+# each is exactness-tested in pytest instead (hand-computed merges + the
+# token-conservation invariant)
+ROWS_ONLY_QUERIES = frozenset({
+    "text_vocab_approx", "text_bpe_train", "text_bpe_compression",
+})
 
 
 def _docs(sf_dir: str):
@@ -808,6 +815,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "kg_entities_incremental": lambda sf: _inc.entities_incremental(
             _mentions(sf)
+        ),
+        "text_bpe_train": lambda sf: _tx.bpe_train(_docs(sf), _BPE_MERGES),
+        "text_bpe_compression": lambda sf: _tx.bpe_compression(
+            _docs(sf), _BPE_MERGES
         ),
         "events_ingest_idempotency": lambda sf: _wd.ingest_idempotency(
             _events_ds(sf)

@@ -5864,3 +5864,130 @@ SELECT CAST(n1 AS BIGINT) AS n_train,
        CAST(ks_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
 FROM d
 """
+
+
+def _bpe_word_counts(docs: ray.data.Dataset) -> pd.DataFrame:
+    """Distributed exact word-frequency table (lower, split-on-space,
+    empties dropped — the corpus tokenization contract). Collected to the
+    driver: BPE training runs over the VOCABULARY (word -> freq), which is
+    Zipf-bounded, not corpus-bounded — the same structure real tokenizer
+    trainers (Sennrich BPE) exploit."""
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        toks: list[str] = []
+        for t in batch["text"].to_numpy():
+            toks.extend(w for w in str(t).lower().split(" ") if w)
+        if not toks:
+            return pd.DataFrame({"word": pd.Series(dtype="object"),
+                                 "freq": pd.Series(dtype="int64")})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({"word": u, "freq": c.astype("int64")})
+
+    parts = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+    resum = lambda b: (  # noqa: E731
+        b.groupby("word", sort=False)["freq"].sum().astype("int64")
+        .reset_index()
+    )
+    return salted_group_apply(
+        parts, ["word"], partial_fn=resum, merge_fn=resum
+    ).to_pandas()
+
+
+def _bpe_learn(wc: pd.DataFrame, n_merges: int):
+    """Driver-side merge loop over the vocabulary (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"): per
+    round, count adjacent symbol pairs weighted by word frequency, merge
+    the most frequent (ties -> lexicographically smallest pair: fully
+    deterministic), stop when no pair repeats. Returns (merges, seqs) with
+    merges = [(left, right, count)] and seqs the final symbol sequences."""
+    from collections import Counter
+
+    words = wc["word"].tolist()
+    freqs = wc["freq"].astype(int).tolist()
+    seqs = {w: tuple(w) + ("</w>",) for w in words}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, f in zip(words, freqs):
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < 2:
+            break
+        merges.append((l, r, int(cnt)))
+        merged = l + r
+        for w in words:
+            s = seqs[w]
+            if l not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges, seqs
+
+
+def bpe_train(docs: ray.data.Dataset, n_merges: int = 16) -> ray.data.Dataset:
+    """BPE TOKENIZER TRAINING over the corpus — the canonical LLM-data
+    operator this engine exists to serve. Distributed exact word counting
+    feeds a vocabulary-bounded driver merge loop (exactly how production
+    BPE trainers are structured: the corpus pass is the scale problem, the
+    merge loop is Zipf-small); merges are fully deterministic (ties ->
+    lexicographically smallest pair).
+
+    Registered ROWS-ONLY: the merge loop is iterative state SQL cannot
+    express (the declared non-SQL regime, like ``text_vocab_approx``);
+    exactness is covered by planted hand-computed merges and the
+    token-conservation invariant tested against ``bpe_compression``
+    (tokens_after == tokens_before - sum(pair_count)).
+
+    Output: rank (1-based int64), left, right, pair_count (int64)."""
+    wc = _bpe_word_counts(docs)
+    merges, _ = _bpe_learn(wc, n_merges)
+    return ray.data.from_pandas(pd.DataFrame({
+        "rank": pd.array(range(1, len(merges) + 1), dtype="int64"),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "pair_count": pd.array([m[2] for m in merges], dtype="int64"),
+    }))
+
+
+def bpe_compression(
+    docs: ray.data.Dataset, n_merges: int = 16
+) -> ray.data.Dataset:
+    """Apply the trained merges back to the corpus and report the
+    compression they buy: total symbols before (chars + one </w> per word
+    occurrence) vs tokens after all merges. The corpus-scale work is the
+    distributed word count; the before/after totals are then VOCAB-BOUNDED
+    driver sums over (word, freq) — applying merges per corpus row would
+    redo identical work freq times. The exact invariant
+    tokens_after == tokens_before - sum(pair_count) holds by construction
+    (every merge application removes exactly one token) and is asserted in
+    tests. Output one row: n_merges, tokens_before, tokens_after (int64),
+    compression (float64 round 6)."""
+    wc = _bpe_word_counts(docs)
+    merges, seqs = _bpe_learn(wc, n_merges)
+    freq = wc["freq"].astype(int).to_numpy()
+    words = wc["word"].tolist()
+    before = int(sum((len(w) + 1) * f for w, f in zip(words, freq)))
+    after = int(sum(len(seqs[w]) * f for w, f in zip(words, freq)))
+    comp = float(np.round(after / before, 6)) if before else 0.0
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_merges": [np.int64(len(merges))],
+        "tokens_before": [np.int64(before)],
+        "tokens_after": [np.int64(after)],
+        "compression": [comp],
+    }))
