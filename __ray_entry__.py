@@ -816,6 +816,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_incremental": lambda sf: _inc.entities_incremental(
             _mentions(sf)
         ),
+        "dedup_minhash_incremental": lambda sf: _inc.minhash_pairs_incremental(
+            _docs(sf)
+        ),
         "text_bpe_train": lambda sf: _tx.bpe_train(_docs(sf), _BPE_MERGES),
         "text_bpe_compression": lambda sf: _tx.bpe_compression(
             _docs(sf), _BPE_MERGES
@@ -1715,6 +1718,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities_incremental": _cz.ENTITIES_SQL_TEMPLATE.format(
             mentions=_MENTIONS_SQL
         ),
+        # likewise: the incremental LSH fold vs the BATCH pairs oracle
+        "dedup_minhash_incremental": _dd.minhash_pairs_sql(),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,
