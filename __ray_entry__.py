@@ -819,6 +819,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_incremental": lambda sf: _inc.minhash_pairs_incremental(
             _docs(sf)
         ),
+        "kg_coburst_pairs": lambda sf: _an.coburst_pairs(
+            _an.entity_bursts(
+                _mentions_with_entity(sf), _transcripts(sf), _BURST_Z
+            )
+        ),
+        "emb_sq8_rank_agreement": lambda sf: _ann.sq8_rank_agreement(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
         "text_bpe_train": lambda sf: _tx.bpe_train(_docs(sf), _BPE_MERGES),
         "text_bpe_compression": lambda sf: _tx.bpe_compression(
             _docs(sf), _BPE_MERGES
@@ -1720,6 +1728,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         # likewise: the incremental LSH fold vs the BATCH pairs oracle
         "dedup_minhash_incremental": _dd.minhash_pairs_sql(),
+        "kg_coburst_pairs": _an.COBURST_PAIRS_SQL_TEMPLATE.format(
+            bursts=_an.BURSTS_SQL_TEMPLATE.format(
+                mentions=_MENTIONS_SQL, transcripts=TRANSCRIPTS_SQL,
+                z=_BURST_Z,
+            )
+        ),
+        "emb_sq8_rank_agreement": _ann.SQ8_RANK_AGREEMENT_SQL_TEMPLATE.format(
+            n_queries=_ANN_NQ, k=_ANN_K
+        ),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

@@ -7680,3 +7680,61 @@ SELECT entity_id,
 FROM w GROUP BY entity_id
 """
 )
+
+
+def coburst_pairs(
+    bursts: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """CO-ANOMALY pairs: entities whose burst days (from ``entity_bursts``)
+    coincide — two entities spiking the same day suggests one driving
+    event (a shared incident, a campaign), the correlation an on-call
+    investigation asks for right after the per-entity alert fires.
+
+    Shape: day-keyed inverted index over the (already tiny relative to
+    mentions) burst table, per-day vectorized triu pairs, one salted exact
+    pair count. Output: entity_a < entity_b, n_shared_days (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+
+    def day_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("day", sort=False):
+            ents = np.sort(g["entity_id"].unique())
+            if len(ents) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ents), k=1)
+            out_a.append(ents[ii])
+            out_b.append(ents[jj])
+        if not out_a:
+            return pd.DataFrame({
+                "entity_a": pd.Series(dtype="object"),
+                "entity_b": pd.Series(dtype="object"),
+            })
+        return pd.DataFrame({
+            "entity_a": np.concatenate(out_a),
+            "entity_b": np.concatenate(out_b),
+        })
+
+    pairs = bucketed_group_apply(
+        bursts.select_columns(["entity_id", "day"]), ["day"], day_pairs,
+        n_buckets=n_buckets,
+    )
+    return salted_group_apply(
+        pairs, ["entity_a", "entity_b"],
+        partial_fn=lambda b: b.groupby(["entity_a", "entity_b"], sort=False)
+        .size().astype("int64").reset_index(name="n_shared_days"),
+        merge_fn=lambda b: b.groupby(["entity_a", "entity_b"], sort=False)
+        ["n_shared_days"].sum().astype("int64").reset_index(),
+    )
+
+
+COBURST_PAIRS_SQL_TEMPLATE = """
+WITH bursts AS ({bursts})
+SELECT x.entity_id AS entity_a, y.entity_id AS entity_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_days
+FROM bursts x
+JOIN bursts y ON x.day = y.day AND x.entity_id < y.entity_id
+GROUP BY x.entity_id, y.entity_id
+"""

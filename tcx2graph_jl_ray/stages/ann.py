@@ -2337,3 +2337,156 @@ SELECT rc.query_id,
 FROM rc LEFT JOIN rd ON rd.query_id = rc.query_id AND rd.vec_id = rc.vec_id
 GROUP BY rc.query_id
 """
+
+
+class _BatchTopKSq8:
+    """Actor-pool stage: per-query partial top-k under BOTH the float
+    corpus and its SQ8 dequantized twin, one pass. The quantizer is the
+    identical IEEE expression as ``sq8_quantization_error`` / its oracle:
+    e_hat = vmin + FLOOR((e - vmin) * 255 / rng + 0.5) * rng / 255."""
+
+    def __init__(self, q_ref, rng_ref, k: int):
+        self.qids, q = ray.get(q_ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.vmin, self.rng = ray.get(rng_ref)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            steps = np.floor(
+                (vecs - self.vmin) * 255.0 / self.rng + 0.5
+            )
+        deq = np.where(
+            self.rng > 0, self.vmin + steps * self.rng / 255.0, vecs
+        )
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        k = min(self.k, len(ids))
+        out = []
+        for metric, m in (("float", vecs), ("sq8", deq)):
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ self.qn.T
+            for j, qid in enumerate(self.qids):
+                col = sims[:, j]
+                top = np.lexsort((ids, -col))[:k]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "metric": metric,
+                    "vec_id": ids[top], "sim": col[top],
+                }))
+        return pd.concat(out, ignore_index=True)
+
+
+def sq8_rank_agreement(
+    embeddings: ray.data.Dataset, sf_dir: str, n_queries: int = 8,
+    k: int = 10, n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """QUANTIZATION-AWARE RECALL: per query, how much the cosine top-k over
+    the SQ8-dequantized corpus differs from the float-corpus top-k — the
+    accept/reject number for serving an index at 8 bits per dimension
+    (``emb_sq8_error`` profiles per-dim error; this measures what actually
+    matters, RANK damage). Integer overlap + integer Spearman footrule +
+    recall@k (one division, round 6).
+
+    Shape: the 64-row per-dim range broadcast once; one actor-pool matmul
+    pass scores both corpora; per-(query, metric) merge; one self-join.
+    Output: query_id, n_overlap, footrule (int64), recall (float64)."""
+    ranges = (
+        embedding_dim_stats(embeddings, n_buckets=n_buckets)
+        .to_pandas().sort_values("dim")
+    )
+    vmin = ranges["vmin"].to_numpy(dtype="float64")
+    rng = ranges["vmax"].to_numpy(dtype="float64") - vmin
+    q_ref = ray.put(_load_queries(sf_dir, n_queries))
+    rng_ref = ray.put((vmin, rng))
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _BatchTopKSq8,
+        fn_constructor_args=(q_ref, rng_ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 16),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype("int64").to_numpy(),
+            "metric": g["metric"].to_numpy(),
+            "vec_id": g["vec_id"].astype("int64").to_numpy(),
+            "rank": pd.array(range(1, len(g) + 1), dtype="int64"),
+        })
+
+    ranked = partials.groupby(["query_id", "metric"]).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def agree(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["metric"] == "float"][["vec_id", "rank"]]
+        s = g[g["metric"] == "sq8"][["vec_id", "rank"]]
+        m = f.merge(s, on="vec_id", suffixes=("_f", "_s"))
+        n_f = max(len(f), 1)
+        return pd.DataFrame({
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "n_overlap": [np.int64(len(m))],
+            "footrule": [np.int64(
+                np.abs(m["rank_f"].to_numpy(dtype="int64")
+                       - m["rank_s"].to_numpy(dtype="int64")).sum()
+                if len(m) else 0
+            )],
+            "recall": [float(np.round(len(m) / n_f, 6))],
+        })
+
+    return ranked.groupby("query_id").map_groups(agree, batch_format="pandas")
+
+
+SQ8_RANK_AGREEMENT_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+u AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+r AS (SELECT dim, MIN(e) AS vmin, MAX(e) AS vmax FROM u GROUP BY dim),
+dq AS (
+  SELECT u.vec_id, u.dim,
+         CASE WHEN r.vmax > r.vmin
+              THEN r.vmin
+                   + FLOOR((u.e - r.vmin) * 255.0 / (r.vmax - r.vmin) + 0.5)
+                     * (r.vmax - r.vmin) / 255.0
+              ELSE u.e END AS eq
+  FROM u JOIN r ON r.dim = u.dim
+),
+vq AS (SELECT vec_id, list(eq ORDER BY dim) AS emq FROM dq GROUP BY vec_id),
+sf AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e
+),
+sq AS (
+  SELECT q.query_id, v.vec_id, list_cosine_similarity(q.qe, v.emq) AS s
+  FROM q CROSS JOIN vq v
+),
+rf AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+           AS rank
+  FROM sf QUALIFY rank <= {k}
+),
+rq AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+           AS rank
+  FROM sq QUALIFY rank <= {k}
+)
+SELECT rf.query_id,
+       CAST(COUNT(rq.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(SUM(ABS(rf.rank - rq.rank)), 0) AS BIGINT) AS footrule,
+       ROUND(CAST(COUNT(rq.vec_id) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM rf LEFT JOIN rq ON rq.query_id = rf.query_id AND rq.vec_id = rf.vec_id
+GROUP BY rf.query_id
+"""
