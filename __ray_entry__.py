@@ -827,6 +827,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_sq8_rank_agreement": lambda sf: _ann.sq8_rank_agreement(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
+        "events_time_weighted_value": lambda sf: _wd.time_weighted_value(
+            _events_ds(sf)
+        ),
         "text_bpe_train": lambda sf: _tx.bpe_train(_docs(sf), _BPE_MERGES),
         "text_bpe_compression": lambda sf: _tx.bpe_compression(
             _docs(sf), _BPE_MERGES
@@ -1737,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_sq8_rank_agreement": _ann.SQ8_RANK_AGREEMENT_SQL_TEMPLATE.format(
             n_queries=_ANN_NQ, k=_ANN_K
         ),
+        "events_time_weighted_value": _wd.TIME_WEIGHTED_VALUE_SQL,
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

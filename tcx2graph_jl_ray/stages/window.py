@@ -7216,3 +7216,100 @@ SELECT tv.event_type,
        CAST(tv.trough_c AS BIGINT) AS trough_cents
 FROM tvals tv JOIN peak p ON p.event_type = tv.event_type
 """
+
+
+def time_weighted_value(
+    events: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """TIME-WEIGHTED AVERAGE value per user — the metering/billing
+    aggregate: the user's ``value`` is a step signal (held constant from
+    each event until the next), and the TWA is the exact Riemann integral
+    over [first_ts, last_ts] divided by the span. A plain AVG over events
+    oversamples bursty periods; TWA is what a usage-based bill or a
+    time-series downsampler actually wants.
+
+    Exactness: the integral is SUM(value_cents * hold_us) in integers
+    (cents x microseconds; bounded by span x max-cents — int64-safe at the
+    tested scales, the documented 128-bit upgrade point at corpus scale),
+    and the TWA is ONE division of exact integers rounded 6, identical on
+    both sides. Users with a single event have an empty span and are
+    excluded (no interval to integrate). Ordering ties break by event_id.
+
+    Shape: per-user bucketed apply; hold intervals via one vectorized
+    shift inside the bucket. Output: user_id, n_events, span_us,
+    integral_cents_us (int64), twa_value (float64 round 6)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = pd.to_datetime(batch["ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        return pd.DataFrame({
+            "user_id": batch["user_id"].astype("int64").to_numpy(),
+            "us": us,
+            "event_id": batch["event_id"].astype("int64").to_numpy(),
+            "c": cents_i64(batch["value"].to_numpy()),
+        })
+
+    parts = events.select_columns(
+        ["user_id", "ts", "event_id", "value"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "us", "event_id"],
+                               kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype="int64")
+        us = g["us"].to_numpy(dtype="int64")
+        c = g["c"].to_numpy(dtype="int64")
+        same_next = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same_next[:-1] = uid[:-1] == uid[1:]
+        hold = np.zeros(len(g), dtype="int64")
+        if len(g) > 1:
+            hold[:-1] = np.where(same_next[:-1], us[1:] - us[:-1], 0)
+        seg = pd.DataFrame({
+            "user_id": uid,
+            "n": np.int64(1),
+            "span": hold,
+            "integral": c * hold,
+        }).groupby("user_id", sort=False).sum().reset_index()
+        seg = seg[seg["span"] > 0]
+        twa = np.round(
+            seg["integral"].astype("int64").to_numpy(dtype="float64")
+            / seg["span"].astype("int64").to_numpy(dtype="float64")
+            / 100.0, 6
+        )
+        return pd.DataFrame({
+            "user_id": seg["user_id"].astype("int64").to_numpy(),
+            "n_events": seg["n"].astype("int64").to_numpy(),
+            "span_us": seg["span"].astype("int64").to_numpy(),
+            "integral_cents_us": seg["integral"].astype("int64").to_numpy(),
+            "twa_value": twa,
+        })
+
+    return bucketed_group_apply(parts, ["user_id"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(COALESCE(next_us - us, 0)) AS BIGINT) AS span_us,
+         CAST(SUM(CASE WHEN next_us IS NOT NULL
+                       THEN c * (next_us - us) ELSE 0 END) AS BIGINT)
+           AS integral_cents_us
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events, span_us, integral_cents_us,
+       ROUND(CAST(integral_cents_us AS DOUBLE) / CAST(span_us AS DOUBLE)
+             / 100.0, 6) AS twa_value
+FROM seg WHERE span_us > 0
+"""

@@ -52,3 +52,28 @@ def test_sq8_rank_agreement_planted(ray_session, tmp_path):
     assert (got["recall"] == 1.0).all()
     for c in ("n_overlap", "footrule"):
         assert got[c].dtype == np.int64
+
+
+def test_time_weighted_value_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import time_weighted_value
+
+    US = 1_000_000
+    # user 1: value 1.00 held 10 s, then 3.00 held 30 s ->
+    #   integral = 100*10e6 + 300*30e6 cents-us; span 40e6
+    #   TWA = (1e9 + 9e9)/40e6/100 = 2.50
+    # user 2: single event -> excluded (no span)
+    df = pd.DataFrame({
+        "event_id": np.array([0, 1, 2, 3], dtype="int64"),
+        "ts": pd.to_datetime([0, 10 * US, 40 * US, 5 * US], unit="us"),
+        "user_id": np.array([1, 1, 1, 2], dtype="int64"),
+        "event_type": ["a"] * 4,
+        "value": np.array([1.00, 3.00, 9.99, 7.00], dtype="float64"),
+    })
+    got = time_weighted_value(
+        ray.data.from_pandas(df).repartition(3), n_buckets=4
+    ).to_pandas().set_index("user_id")
+    assert list(got.index) == [1]
+    assert got.loc[1, "n_events"] == 3
+    assert got.loc[1, "span_us"] == 40 * US
+    assert got.loc[1, "integral_cents_us"] == 100 * 10 * US + 300 * 30 * US
+    assert got.loc[1, "twa_value"] == 2.5
