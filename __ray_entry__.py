@@ -830,6 +830,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_weighted_value": lambda sf: _wd.time_weighted_value(
             _events_ds(sf)
         ),
+        "events_trimmed_mean": lambda sf: _wd.trimmed_mean_value(
+            _events_ds(sf)
+        ),
+        "events_ab_srm": lambda sf: _wd.ab_srm_check(_events_ds(sf)),
+        "events_dow_chi2": lambda sf: _wd.dow_chi2(_events_ds(sf)),
         "text_bpe_train": lambda sf: _tx.bpe_train(_docs(sf), _BPE_MERGES),
         "text_bpe_compression": lambda sf: _tx.bpe_compression(
             _docs(sf), _BPE_MERGES
@@ -1741,6 +1746,9 @@ def oracle_sql() -> dict[str, str]:
             n_queries=_ANN_NQ, k=_ANN_K
         ),
         "events_time_weighted_value": _wd.TIME_WEIGHTED_VALUE_SQL,
+        "events_trimmed_mean": _wd.trimmed_mean_value_sql(),
+        "events_ab_srm": _wd.AB_SRM_CHECK_SQL,
+        "events_dow_chi2": _wd.DOW_CHI2_SQL,
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

@@ -7313,3 +7313,218 @@ SELECT user_id, n_events, span_us, integral_cents_us,
              / 100.0, 6) AS twa_value
 FROM seg WHERE span_us > 0
 """
+
+
+def trimmed_mean_value(
+    events: ray.data.Dataset, trim: float = 0.1, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """TWO-SIDED TRIMMED MEAN of per-type event values — the robust center
+    that simply DROPS the top and bottom ``trim`` fraction (ranks 1..t and
+    n-t+1..n with t = floor(trim*n)) before averaging, complementing
+    ``clean_winsorize`` (which clamps instead of dropping). Selection +
+    integer sum: the kept values are exact cents chosen by rank, their sum
+    is int64, and the mean is ONE division rounded 6 — no float quantile
+    arithmetic anywhere. t is floor(trim*n) with the identical double
+    product on both sides.
+
+    Per-type value vectors are sorted inside one type bucket (values,
+    not days — the one per-type O(rows) sort this family accepts, the
+    same bound as the exact-quantile machinery). Output: event_type, n,
+    n_trimmed_each_side (int64), trimmed_mean (float64 round 6)."""
+    import math
+
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+    from tcx2graph_jl_ray.functions.money import cents_i64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "c": cents_i64(batch["value"].to_numpy()),
+        })
+
+    parts = events.select_columns(["event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in bucket.groupby("event_type", sort=False):
+            c = np.sort(g["c"].to_numpy(dtype="int64"))
+            n = len(c)
+            t = int(math.floor(trim * n))
+            kept = c[t:n - t] if n - 2 * t > 0 else c[0:0]
+            if not len(kept):
+                continue
+            s = int(kept.sum())
+            rows.append((
+                et, np.int64(n), np.int64(t),
+                float(np.round(s / len(kept) / 100.0, 6)),
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n", "n_trimmed_each_side",
+                     "trimmed_mean"],
+        ).astype({"n": "int64", "n_trimmed_each_side": "int64",
+                  "trimmed_mean": "float64"})
+
+    return bucketed_group_apply(parts, ["event_type"], per_bucket,
+                                n_buckets=n_buckets)
+
+
+def trimmed_mean_value_sql(trim: float = 0.1) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value,
+                            event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+t AS (
+  SELECT event_type, c, n,
+         CAST(FLOOR({trim} * n) AS BIGINT) AS tt
+  FROM v WHERE rn > FLOOR({trim} * n) AND rn <= n - FLOOR({trim} * n)
+)
+SELECT event_type,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n,
+       CAST(ANY_VALUE(tt) AS BIGINT) AS n_trimmed_each_side,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6)
+         AS trimmed_mean
+FROM t GROUP BY event_type
+"""
+
+
+def ab_srm_check(events: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dataset:
+    """SAMPLE-RATIO MISMATCH check for the deterministic 50/50 A/B
+    assignment of ``events_ab_readout``: per event type, are the arm sizes
+    consistent with the intended split, or did the bucketing leak bias
+    (THE standard experimentation-QA gate — a mismatched ratio invalidates
+    the readout before any metric is looked at)? The z² statistic
+    (na - nb)^2 / n is reported, and the flag is decided in PURE INTEGERS:
+    srm_flag = 1 iff (na - nb)^2 > 9 * n (|z| > 3).
+
+    Output: event_type, n_a, n_b (int64), z2 (float64 round 6),
+    srm_flag (int64)."""
+    import hashlib  # noqa: F401  (assignment mirrors ab_readout's md5 arm)
+
+    from tcx2graph_jl_ray.functions.digest import md5_hex
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.asarray(
+            md5_hex(batch["user_id"].astype("int64").astype(str)
+                    .to_numpy()),
+            dtype="U32",
+        ).astype("U1")
+        arm_a = h <= "7"
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "a": arm_a.astype("int64"),
+            "b": (~arm_a).astype("int64"),
+        }).groupby("event_type", sort=False)[["a", "b"]].sum()
+        return g.astype("int64").reset_index()
+
+    parts = events.select_columns(["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type", sort=False)[["a", "b"]].sum() \
+            .astype("int64").reset_index()
+        na = g["a"].to_numpy(dtype="int64")
+        nb = g["b"].to_numpy(dtype="int64")
+        d2 = (na - nb) ** 2
+        n = na + nb
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "n_a": na,
+            "n_b": nb,
+            "z2": np.round(d2.astype("float64") / n.astype("float64"), 6),
+            "srm_flag": (d2 > 9 * n).astype("int64"),
+        })
+
+    return bucketed_group_apply(parts, ["event_type"], fold,
+                                n_buckets=n_buckets)
+
+
+AB_SRM_CHECK_SQL = """
+WITH f AS (
+  SELECT event_type,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS arm_a
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM f GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE), 6) AS z2,
+       CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) > 9 * (n_a + n_b)
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM g
+"""
+
+
+def dow_chi2(events: ray.data.Dataset, n_buckets: int = 8) -> ray.data.Dataset:
+    """WEEKDAY-UNIFORMITY goodness of fit: per event type, the chi-square
+    statistic of the seven day-of-week counts against a uniform split —
+    is traffic flat across the week (bot smell) or does it breathe
+    (``events_dow_profile`` shows the shape; this is the single-number
+    test on it)? Against E = N/7 the statistic reduces to
+    chi2 = (7 * sum(o_d^2) - N^2) / N — an EXACT INTEGER numerator over N,
+    emitted as the audit column, with the float one division rounded 6.
+    df = 6 always (all seven weekdays occur or count 0).
+
+    Output: event_type, n (int64), chi2_num (int64), chi2 (float64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dow = (pd.to_datetime(batch["ts"]).dt.dayofweek + 1) \
+            .astype("int64").to_numpy()
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "dow": dow,
+        }).groupby(["event_type", "dow"], sort=False).size() \
+            .astype("int64").reset_index(name="o")
+        return g
+
+    parts = events.select_columns(["event_type", "ts"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.groupby(["event_type", "dow"], sort=False)["o"].sum() \
+            .astype("int64").reset_index()
+        rows = []
+        for et, g in d.groupby("event_type", sort=False):
+            o = g["o"].to_numpy(dtype="int64")
+            n = int(o.sum())
+            num = int(7 * int((o * o).sum()) - n * n)
+            rows.append((et, np.int64(n), np.int64(num),
+                         float(np.round(num / n, 6))))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "chi2_num", "chi2"]
+        ).astype({"n": "int64", "chi2_num": "int64", "chi2": "float64"})
+
+    return bucketed_group_apply(parts, ["event_type"], fold,
+                                n_buckets=n_buckets)
+
+
+DOW_CHI2_SQL = """
+WITH d AS (
+  SELECT event_type, isodow(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, isodow(ts)
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(o) AS BIGINT) AS n,
+         CAST(7 * SUM(o * o) - SUM(o) * SUM(o) AS BIGINT) AS chi2_num
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n, chi2_num,
+       ROUND(CAST(chi2_num AS DOUBLE) / CAST(n AS DOUBLE), 6) AS chi2
+FROM s
+"""

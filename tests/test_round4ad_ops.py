@@ -1,0 +1,85 @@
+"""Planted tests for the round-4ad batch (trimmed mean, A/B SRM check,
+weekday chi-square)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _events(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts_us", "user_id", "event_type", "value"]
+    )
+    return pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "ts": pd.to_datetime(df["ts_us"], unit="us"),
+        "user_id": df["user_id"].astype("int64"),
+        "event_type": df["event_type"],
+        "value": df["value"].astype("float64"),
+    })
+
+
+def test_trimmed_mean_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import trimmed_mean_value
+
+    # 10 values: 0.01, 1..8 dollars, 1000.00 -> 10% trim drops one from
+    # each side -> mean of 1..8 dollars = 4.50; the whale disappears
+    vals = [0.01] + [float(i) for i in range(1, 9)] + [1000.00]
+    df = _events([(i, i, 1, "a", v) for i, v in enumerate(vals)])
+    got = trimmed_mean_value(
+        ray.data.from_pandas(df).repartition(3), trim=0.1, n_buckets=4
+    ).to_pandas().iloc[0]
+    assert got["n"] == 10
+    assert got["n_trimmed_each_side"] == 1
+    assert got["trimmed_mean"] == 4.5
+
+
+def test_ab_srm_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import ab_srm_check
+
+    # engineer a grossly imbalanced arm split: 20 users all in arm A
+    a_users = [u for u in range(2000)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] <= "7"][:20]
+    df = _events([(i, i, u, "a", 0.0) for i, u in enumerate(a_users)])
+    got = ab_srm_check(ray.data.from_pandas(df), n_buckets=4) \
+        .to_pandas().iloc[0]
+    assert got["n_a"] == 20 and got["n_b"] == 0
+    # (20-0)^2 = 400 > 9*20 -> flagged
+    assert got["srm_flag"] == 1
+    assert got["z2"] == 20.0
+
+    # balanced arms -> no flag
+    b_users = [u for u in range(2000)
+               if hashlib.md5(str(u).encode()).hexdigest()[0] > "7"][:20]
+    df2 = _events([(i, i, u, "a", 0.0)
+                   for i, u in enumerate(a_users + b_users)])
+    got2 = ab_srm_check(ray.data.from_pandas(df2), n_buckets=4) \
+        .to_pandas().iloc[0]
+    assert got2["n_a"] == 20 and got2["n_b"] == 20
+    assert got2["srm_flag"] == 0 and got2["z2"] == 0.0
+
+
+def test_dow_chi2_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import dow_chi2
+
+    DAY = 86_400_000_000
+    # 1970-01-01 was a Thursday; put 7 events on one weekday and 1 on the
+    # next: counts (7, 1) -> chi2_num = 7*(49+1) - 64 = 286, chi2 = 35.75
+    rows = [(i, 0 * DAY + i, 1, "a", 0.0) for i in range(7)]
+    rows += [(7, 1 * DAY, 1, "a", 0.0)]
+    df = _events(rows)
+    got = dow_chi2(ray.data.from_pandas(df).repartition(2), n_buckets=4) \
+        .to_pandas().iloc[0]
+    assert got["n"] == 8
+    assert got["chi2_num"] == 286
+    assert got["chi2"] == 35.75
+
+    # perfectly uniform week -> chi2 0
+    rows = [(i, i * DAY, 1, "b", 0.0) for i in range(7)]
+    got2 = dow_chi2(ray.data.from_pandas(_events(rows)), n_buckets=4) \
+        .to_pandas().iloc[0]
+    assert got2["chi2_num"] == 0 and got2["chi2"] == 0.0
