@@ -835,6 +835,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_ab_srm": lambda sf: _wd.ab_srm_check(_events_ds(sf)),
         "events_dow_chi2": lambda sf: _wd.dow_chi2(_events_ds(sf)),
+        "kg_community_modularity": lambda sf: _an.community_modularity(
+            _an.label_propagation(
+                (lambda el: el[el["kb_region"] == "ASIA"])(
+                    _entities_linked(sf)
+                ),
+                _cooc(sf),
+                rounds=2,
+            ),
+            _cooc(sf),
+        ),
         "text_bpe_train": lambda sf: _tx.bpe_train(_docs(sf), _BPE_MERGES),
         "text_bpe_compression": lambda sf: _tx.bpe_compression(
             _docs(sf), _BPE_MERGES
@@ -1749,6 +1759,19 @@ def oracle_sql() -> dict[str, str]:
         "events_trimmed_mean": _wd.trimmed_mean_value_sql(),
         "events_ab_srm": _wd.AB_SRM_CHECK_SQL,
         "events_dow_chi2": _wd.DOW_CHI2_SQL,
+        "kg_community_modularity": _an.community_modularity_sql(
+            _an.label_propagation_sql(
+                _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(
+                    entities=_cz.ENTITIES_SQL_TEMPLATE.format(
+                        mentions=_MENTIONS_SQL
+                    )
+                ),
+                _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+                rounds=2,
+                seed_region="ASIA",
+            ),
+            _an.COOCCURRENCE_SQL_TEMPLATE.format(mentions=_MENTIONS_SQL),
+        ),
         "events_ingest_idempotency": _wd.INGEST_IDEMPOTENCY_SQL,
         "docs_snapshot_diff": _tx.SNAPSHOT_DIFF_SQL,
         "docs_curriculum_order": _tx.CURRICULUM_ORDER_SQL,

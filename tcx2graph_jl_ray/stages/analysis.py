@@ -7738,3 +7738,172 @@ FROM bursts x
 JOIN bursts y ON x.day = y.day AND x.entity_id < y.entity_id
 GROUP BY x.entity_id, y.entity_id
 """
+
+
+def community_modularity(
+    labels: ray.data.Dataset | pd.DataFrame,
+    cooccurrence: ray.data.Dataset,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """NEWMAN MODULARITY of the label-propagation communities over the
+    co-occurrence graph — the single number that says whether the inferred
+    region partition actually concentrates edges inside communities
+    (Q near 0: the labels explain nothing; the standard quality gate run
+    after any community assignment). Computed on the LABELED-node induced
+    subgraph (label propagation leaves distant nodes unlabeled; modularity
+    needs a partition of the graph it scores).
+
+    EXACT INTEGER core: with m the induced edge count, e_c the
+    within-community edge count and d_c the community degree sum,
+    Q = sum_c (e_c/m - (d_c/2m)^2) == ( sum_c (4m*e_c - d_c^2) ) / (4m^2)
+    — the numerator is pure int64 (emitted per community as the audit
+    column q_num_c) and the one float division is identical on both sides.
+
+    Shape: two co-partitioned hash joins attach endpoint communities to
+    edges (labels are never broadcast), integer partial counts fold in one
+    community-keyed reduce, and the final Q is a community-count-bounded
+    driver sum. Output per community: kb_region, n_nodes, e_in, d_sum,
+    q_num_c (int64), modularity (float64 round 6, global — identical on
+    every row)."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    if isinstance(labels, pd.DataFrame):
+        labels = ray.data.from_pandas(labels)
+    lab = labels.map_batches(
+        lambda b: pd.DataFrame({
+            "entity_id": b["entity_id"].to_numpy(),
+            "c": b["kb_region"].to_numpy(),
+        }),
+        batch_format="pandas",
+    ).materialize()
+
+    e_src = cooccurrence.select_columns(["src", "dst"]).map_batches(
+        lambda b: b.rename(columns={"src": "entity_id"}),
+        batch_format="pandas",
+    )
+    j1 = hash_join(
+        e_src,
+        lab.map_batches(lambda b: b.rename(columns={"c": "c_src"}),
+                        batch_format="pandas"),
+        on="entity_id", n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.rename(columns={"entity_id": "src",
+                                    "dst": "entity_id"}),
+        batch_format="pandas",
+    )
+    j2 = hash_join(
+        j1,
+        lab.map_batches(lambda b: b.rename(columns={"c": "c_dst"}),
+                        batch_format="pandas"),
+        on="entity_id", n_buckets=n_buckets,
+    )
+
+    def edge_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        # per edge: one m row; e_in if same community; one degree
+        # endpoint row per side
+        frames = [
+            pd.DataFrame({
+                "c": batch["c_src"].to_numpy(), "kind": "d", "n": 1
+            }),
+            pd.DataFrame({
+                "c": batch["c_dst"].to_numpy(), "kind": "d", "n": 1
+            }),
+        ]
+        same = batch[batch["c_src"] == batch["c_dst"]]
+        frames.append(pd.DataFrame({
+            "c": same["c_src"].to_numpy(), "kind": "e", "n": 1
+        }))
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["c", "kind"], sort=False)["n"].sum()
+        return g.astype("int64").reset_index()
+
+    parts = j2.map_batches(edge_partials, batch_format="pandas",
+                           batch_size=65536)
+    resum = lambda b: (  # noqa: E731
+        b.groupby(["c", "kind"], sort=False)["n"].sum().astype("int64")
+        .reset_index()
+    )
+    counts = salted_group_apply(
+        parts, ["c", "kind"], partial_fn=resum, merge_fn=resum
+    ).to_pandas()  # community-count bounded
+
+    n_nodes = salted_group_apply(
+        lab, ["c"],
+        partial_fn=lambda b: b.groupby("c", sort=False).size()
+        .astype("int64").reset_index(name="n_nodes"),
+        merge_fn=lambda b: b.groupby("c", sort=False)["n_nodes"].sum()
+        .astype("int64").reset_index(),
+    ).to_pandas()
+
+    piv = counts.pivot_table(index="c", columns="kind", values="n",
+                             aggfunc="sum", fill_value=0)
+    d_sum = piv["d"] if "d" in piv else pd.Series(0, index=piv.index)
+    e_in = piv["e"] if "e" in piv else pd.Series(0, index=piv.index)
+    table = n_nodes.set_index("c").join(
+        pd.DataFrame({"d_sum": d_sum, "e_in": e_in}), how="left"
+    ).fillna(0).reset_index()
+    m = int(table["d_sum"].sum()) // 2
+    d = table["d_sum"].astype("int64").to_numpy()
+    e = table["e_in"].astype("int64").to_numpy()
+    q_num = 4 * m * e - d * d
+    q = float(np.round(int(q_num.sum()) / (4 * m * m), 6)) if m else 0.0
+    out = pd.DataFrame({
+        "kb_region": table["c"].to_numpy(),
+        "n_nodes": table["n_nodes"].astype("int64").to_numpy(),
+        "e_in": e,
+        "d_sum": d,
+        "q_num_c": q_num.astype("int64"),
+        "modularity": q,
+    })
+    return ray.data.from_pandas(out)
+
+
+def community_modularity_sql(labels_sql: str, cooccurrence_sql: str) -> str:
+    return f"""
+WITH qmod_lab AS MATERIALIZED (
+  SELECT entity_id, kb_region AS c FROM ({labels_sql})
+),
+qmod_e AS MATERIALIZED ({cooccurrence_sql}),
+qmod_je AS (
+  SELECT ls.c AS c_src, ld.c AS c_dst
+  FROM qmod_e e
+  JOIN qmod_lab ls ON ls.entity_id = e.src
+  JOIN qmod_lab ld ON ld.entity_id = e.dst
+),
+qmod_deg AS (
+  SELECT c, CAST(SUM(n) AS BIGINT) AS d_sum FROM (
+    SELECT c_src AS c, COUNT(*) AS n FROM qmod_je GROUP BY c_src
+    UNION ALL
+    SELECT c_dst AS c, COUNT(*) AS n FROM qmod_je GROUP BY c_dst
+  ) GROUP BY c
+),
+qmod_ein AS (
+  SELECT c_src AS c, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM qmod_je WHERE c_src = c_dst GROUP BY c_src
+),
+qmod_nn AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM qmod_lab GROUP BY c),
+qmod_m AS (SELECT CAST(SUM(d_sum) // 2 AS BIGINT) AS m FROM qmod_deg),
+qmod_t AS (
+  SELECT nn.c, nn.n_nodes,
+         COALESCE(ein.e_in, 0) AS e_in,
+         COALESCE(deg.d_sum, 0) AS d_sum,
+         CAST(4 * m.m * COALESCE(ein.e_in, 0)
+              - COALESCE(deg.d_sum, 0) * COALESCE(deg.d_sum, 0)
+              AS BIGINT) AS q_num_c,
+         m.m AS mm
+  FROM qmod_nn nn LEFT JOIN qmod_deg deg ON deg.c = nn.c
+          LEFT JOIN qmod_ein ein ON ein.c = nn.c, qmod_m m
+)
+SELECT c AS kb_region, n_nodes, CAST(e_in AS BIGINT) AS e_in,
+       CAST(d_sum AS BIGINT) AS d_sum, q_num_c,
+       CASE WHEN ANY_VALUE(mm) OVER () > 0
+            THEN ROUND(CAST(SUM(q_num_c) OVER () AS DOUBLE)
+                 / CAST(4 * (ANY_VALUE(mm) OVER ())
+                        * (ANY_VALUE(mm) OVER ()) AS DOUBLE), 6)
+            ELSE 0.0 END AS modularity
+FROM qmod_t
+"""

@@ -83,3 +83,32 @@ def test_dow_chi2_planted(ray_session):
     got2 = dow_chi2(ray.data.from_pandas(_events(rows)), n_buckets=4) \
         .to_pandas().iloc[0]
     assert got2["chi2_num"] == 0 and got2["chi2"] == 0.0
+
+
+def test_community_modularity_planted(ray_session):
+    from tcx2graph_jl_ray.stages.analysis import community_modularity
+
+    # two clean communities: {a1,a2,a3} fully wired (3 edges), {b1,b2}
+    # (1 edge), one cross edge a1-b1. m=5.
+    # A: e_in=3, d = 2+2+3=7 -> q_num = 4*5*3 - 49 = 11
+    # B: e_in=1, d = 3+... b1 deg 2 (b2 + a1), b2 deg 1 -> d=3 ->
+    #    q_num = 20 - 9 = 11
+    # Q = 22/100 = 0.22
+    labels = pd.DataFrame({
+        "entity_id": ["a1", "a2", "a3", "b1", "b2"],
+        "kb_region": ["A", "A", "A", "B", "B"],
+        "round": pd.array([0] * 5, dtype="int64"),
+    })
+    edges = pd.DataFrame({
+        "src": ["a1", "a1", "a2", "b1", "a1"],
+        "dst": ["a2", "a3", "a3", "b2", "b1"],
+    })
+    got = community_modularity(
+        ray.data.from_pandas(labels), ray.data.from_pandas(edges),
+        n_buckets=4,
+    ).to_pandas().set_index("kb_region")
+    assert got.loc["A", "e_in"] == 3 and got.loc["A", "d_sum"] == 7
+    assert got.loc["B", "e_in"] == 1 and got.loc["B", "d_sum"] == 3
+    assert got.loc["A", "q_num_c"] == 11 and got.loc["B", "q_num_c"] == 11
+    assert (got["modularity"] == 0.22).all()
+    assert got.loc["A", "n_nodes"] == 3 and got.loc["B", "n_nodes"] == 2
