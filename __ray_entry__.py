@@ -835,6 +835,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_ab_srm": lambda sf: _wd.ab_srm_check(_events_ds(sf)),
         "events_dow_chi2": lambda sf: _wd.dow_chi2(_events_ds(sf)),
+        "ann_ivf_probe_curve": lambda sf: _ann.ivf_probe_curve(
+            _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
+        ),
         "kg_community_modularity": lambda sf: _an.community_modularity(
             _an.label_propagation(
                 (lambda el: el[el["kb_region"] == "ASIA"])(
@@ -1759,6 +1762,9 @@ def oracle_sql() -> dict[str, str]:
         "events_trimmed_mean": _wd.trimmed_mean_value_sql(),
         "events_ab_srm": _wd.AB_SRM_CHECK_SQL,
         "events_dow_chi2": _wd.DOW_CHI2_SQL,
+        "ann_ivf_probe_curve": _ann.ivf_probe_curve_sql(
+            _ANN_NQ, _ANN_K, dim=64
+        ),
         "kg_community_modularity": _an.community_modularity_sql(
             _an.label_propagation_sql(
                 _lk.LINKED_ENTITIES_SQL_TEMPLATE.format(

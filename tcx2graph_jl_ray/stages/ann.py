@@ -2490,3 +2490,69 @@ SELECT rf.query_id,
 FROM rf LEFT JOIN rq ON rq.query_id = rf.query_id AND rq.vec_id = rf.vec_id
 GROUP BY rf.query_id
 """
+
+
+def ivf_probe_curve(
+    embeddings: ray.data.Dataset,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobes: tuple = (1, 2, 4),
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """IVF RECALL-vs-PROBES curve: total recall@k of the IVF index at each
+    ``nprobe`` setting — the latency/recall trade table an ANN deployment
+    tunes against (each probed cell costs one more partition scan;
+    ``ann_ivf_recall`` is one point of this curve, this is the sweep).
+    Recall counts are exact integers (hits against the exact brute top-k
+    through the co-partitioned join); recall is one division by the
+    constant n_queries*k, rounded 6.
+
+    Output: nprobe (int64), n_hits (int64), recall (float64), one row per
+    probed setting."""
+    from tcx2graph_jl_ray.functions.join import hash_join
+
+    brute = ann_brute_topk(embeddings, sf_dir, n_queries, k).map_batches(
+        lambda b: b[["query_id", "vec_id"]], batch_format="pandas",
+    ).materialize()
+
+    rows = []
+    for np_ in nprobes:
+        approx = ann_ivf_topk(
+            embeddings, sf_dir, n_queries, k, nprobe=int(np_)
+        ).map_batches(
+            lambda b: b[["query_id", "vec_id"]].assign(hit=np.int64(1)),
+            batch_format="pandas",
+        )
+        j = hash_join(brute, approx, on=["query_id", "vec_id"], how="left",
+                      n_buckets=n_buckets)
+        hits = int(j.map_batches(
+            lambda b: pd.DataFrame({"h": [b["hit"].notna().sum()]}),
+            batch_format="pandas",
+        ).to_pandas()["h"].sum())
+        rows.append((
+            np.int64(int(np_)), np.int64(hits),
+            float(np.round(hits / float(n_queries * k), 6)),
+        ))
+    return ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["nprobe", "n_hits", "recall"]
+    ))
+
+
+def ivf_probe_curve_sql(
+    n_queries: int, k: int, nprobes: tuple = (1, 2, 4), dim: int = 64
+) -> str:
+    brute = ANN_BRUTE_SQL_TEMPLATE.format(n_queries=n_queries, k=k)
+    blocks = []
+    for np_ in nprobes:
+        ivf = ann_ivf_sql(n_queries, k, nprobe=int(np_), dim=dim)
+        blocks.append(f"""
+SELECT CAST({int(np_)} AS BIGINT) AS nprobe,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(i.vec_id) AS DOUBLE)
+             / {float(n_queries * k)}, 6) AS recall
+FROM brute b
+LEFT JOIN ({ivf}) i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"WITH brute AS MATERIALIZED ({brute})\n{body}"

@@ -112,3 +112,19 @@ def test_community_modularity_planted(ray_session):
     assert got.loc["A", "q_num_c"] == 11 and got.loc["B", "q_num_c"] == 11
     assert (got["modularity"] == 0.22).all()
     assert got.loc["A", "n_nodes"] == 3 and got.loc["B", "n_nodes"] == 2
+
+
+def test_ivf_probe_curve_monotone(ray_session):
+    """Recall must be non-decreasing in nprobe and hit 1.0 when every cell
+    is probed (probing all cells == brute force)."""
+    from tcx2graph_jl_ray.stages.ann import ivf_probe_curve
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ivf_probe_curve(
+        ds, "/root/testdata/sf0.001", n_queries=4, k=5,
+        nprobes=(1, 4, 16),
+    ).to_pandas().sort_values("nprobe").reset_index(drop=True)
+    r = got["recall"].to_numpy()
+    assert (np.diff(r) >= 0).all()
+    assert r[-1] == 1.0  # nprobe = n_cells probes everything
+    assert got["n_hits"].dtype == np.int64
