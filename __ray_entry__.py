@@ -835,6 +835,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_ab_srm": lambda sf: _wd.ab_srm_check(_events_ds(sf)),
         "events_dow_chi2": lambda sf: _wd.dow_chi2(_events_ds(sf)),
+        "events_peak_concurrency": lambda sf: _wd.peak_concurrency(
+            _events_ds(sf), gap_s=_SESSION_GAP_S
+        ),
         "ann_ivf_probe_curve": lambda sf: _ann.ivf_probe_curve(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
@@ -1762,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trimmed_mean": _wd.trimmed_mean_value_sql(),
         "events_ab_srm": _wd.AB_SRM_CHECK_SQL,
         "events_dow_chi2": _wd.DOW_CHI2_SQL,
+        "events_peak_concurrency": _wd.peak_concurrency_sql(_SESSION_GAP_S),
         "ann_ivf_probe_curve": _ann.ivf_probe_curve_sql(
             _ANN_NQ, _ANN_K, dim=64
         ),

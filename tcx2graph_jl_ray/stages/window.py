@@ -7528,3 +7528,105 @@ SELECT event_type, n, chi2_num,
        ROUND(CAST(chi2_num AS DOUBLE) / CAST(n AS DOUBLE), 6) AS chi2
 FROM s
 """
+
+
+def peak_concurrency(
+    events: ray.data.Dataset, gap_s: float = 1800.0, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """PEAK SESSION CONCURRENCY: the maximum number of simultaneously
+    active sessions (gap-``gap_s`` sessionization, closed intervals
+    [first_ts, last_ts]) and the earliest microsecond it is reached — the
+    capacity-sizing number a serving fleet is provisioned against
+    (``rel_transit_backlog`` is the same sweep-line on order intervals;
+    this composes it with the sessionizer).
+
+    Exact sweep-line in two phases (the ``pack_sequences`` offset
+    discipline): +1/-1 deltas at interval boundaries bucket by DAY; each
+    day task sorts only its own boundaries and reports (total delta,
+    within-day running max, earliest argmax us); the driver folds a
+    DAY-BOUNDED exclusive prefix — concurrency only changes at boundary
+    events, so sampling at deltas is exact. All integer.
+
+    Output one row: n_sessions, peak_concurrency (int64),
+    peak_at_us (int64)."""
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    US_PER_DAY = 86_400_000_000
+
+    sess = sessionize(events, gap_s=gap_s)
+
+    def deltas(batch: pd.DataFrame) -> pd.DataFrame:
+        f = pd.to_datetime(batch["first_ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        l = pd.to_datetime(batch["last_ts"]).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        us = np.concatenate([f, l + 1])
+        dl = np.concatenate([
+            np.ones(len(f), dtype="int64"),
+            np.full(len(l), -1, dtype="int64"),
+        ])
+        d = pd.DataFrame({"day": us // US_PER_DAY, "us": us, "dl": dl})
+        g = d.groupby(["day", "us"], sort=False)["dl"].sum()
+        out = g.astype("int64").reset_index()
+        out["n_sess"] = np.int64(0)
+        # session count partial rides along (one per first-boundary row set)
+        out.loc[out.index[:1], "n_sess"] = np.int64(len(f))
+        return out
+
+    parts = sess.map_batches(deltas, batch_format="pandas",
+                             batch_size=65536)
+
+    def per_day(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["day", "us"], sort=False) \
+            .agg(dl=("dl", "sum"), n_sess=("n_sess", "sum")).reset_index()
+        rows = []
+        for day, dgrp in g.groupby("day", sort=False):
+            dg = dgrp.sort_values("us", kind="mergesort")
+            cum = dg["dl"].astype("int64").to_numpy().cumsum()
+            mx = int(cum.max())
+            at = int(dg["us"].to_numpy()[int(np.flatnonzero(cum == mx)[0])])
+            rows.append((int(day), int(cum[-1]), mx, at,
+                         int(dg["n_sess"].sum())))
+        return pd.DataFrame(
+            rows,
+            columns=["day", "total_dl", "rel_max", "rel_argmax_us",
+                     "n_sess"],
+        ).astype("int64")
+
+    day_parts = bucketed_group_apply(parts, ["day"], per_day,
+                                     n_buckets=n_buckets).to_pandas()
+    # driver fold: DAY-bounded exclusive prefix over sorted days
+    d = day_parts.sort_values("day").reset_index(drop=True)
+    prefix_excl = np.concatenate([
+        [0], d["total_dl"].to_numpy(dtype="int64").cumsum()[:-1]
+    ])
+    glob = prefix_excl + d["rel_max"].to_numpy(dtype="int64")
+    pk = int(glob.max()) if len(glob) else 0
+    first = int(np.flatnonzero(glob == pk)[0]) if len(glob) else 0
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_sessions": [np.int64(int(d["n_sess"].sum()) if len(d) else 0)],
+        "peak_concurrency": [np.int64(pk)],
+        "peak_at_us": [np.int64(
+            int(d["rel_argmax_us"].iloc[first]) if len(d) else 0
+        )],
+    }))
+
+
+def peak_concurrency_sql(gap_s: float = 1800.0) -> str:
+    sess = SESSIONIZE_SQL_TEMPLATE.format(gap_s=gap_s)
+    return f"""
+WITH sess AS MATERIALIZED ({sess}),
+d AS (
+  SELECT epoch_us(first_ts) AS us, 1 AS dl FROM sess
+  UNION ALL
+  SELECT epoch_us(last_ts) + 1, -1 FROM sess
+),
+g AS (SELECT us, SUM(dl) AS dl FROM d GROUP BY us),
+c AS (SELECT us, SUM(dl) OVER (ORDER BY us) AS conc FROM g),
+m AS (SELECT MAX(conc) AS pk FROM c)
+SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+       CAST(m.pk AS BIGINT) AS peak_concurrency,
+       CAST((SELECT MIN(us) FROM c WHERE conc = m.pk) AS BIGINT)
+         AS peak_at_us
+FROM m
+"""

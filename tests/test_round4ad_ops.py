@@ -128,3 +128,32 @@ def test_ivf_probe_curve_monotone(ray_session):
     assert (np.diff(r) >= 0).all()
     assert r[-1] == 1.0  # nprobe = n_cells probes everything
     assert got["n_hits"].dtype == np.int64
+
+
+def test_peak_concurrency_planted(ray_session):
+    from tcx2graph_jl_ray.stages.window import peak_concurrency
+
+    US = 1_000_000
+    # three users, gap 10s => each user one session:
+    #   u1: [0, 20s], u2: [10s, 15s], u3: [30s, 31s]
+    # concurrency: 1 at 0; 2 at 10s..15s; 1 after; peak 2 at t=10s
+    rows = [
+        (0, 0, 1, "a", 0.0), (1, 20 * US, 1, "a", 0.0),
+        (2, 10 * US, 2, "a", 0.0), (3, 15 * US, 2, "a", 0.0),
+        (4, 30 * US, 3, "a", 0.0), (5, 31 * US, 3, "a", 0.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts_us", "user_id",
+                                     "event_type", "value"])
+    df = pd.DataFrame({
+        "event_id": df["event_id"].astype("int64"),
+        "ts": pd.to_datetime(df["ts_us"], unit="us"),
+        "user_id": df["user_id"].astype("int64"),
+        "event_type": df["event_type"],
+        "value": df["value"].astype("float64"),
+    })
+    got = peak_concurrency(
+        ray.data.from_pandas(df).repartition(3), gap_s=25.0, n_buckets=4
+    ).to_pandas().iloc[0]
+    assert got["n_sessions"] == 3
+    assert got["peak_concurrency"] == 2
+    assert got["peak_at_us"] == 10 * US
