@@ -57,3 +57,20 @@ def test_registry_errors():
             register_stage("test_dup")(lambda ds, c: ds)
     finally:
         STAGE_REGISTRY.pop("test_dup", None)
+
+
+def test_sweep_order_front_loads_unverified():
+    """The driver samples the FIRST 50 queries() entries per round; the
+    registry must front-load entries without a cumulative driver-green row
+    (and keep the round-3 hash-FAIL rel_part_pareto in the window so its
+    integer-cents fix gets re-checked)."""
+    import __ray_entry__ as e
+
+    keys = list(e.queries())
+    front = keys[:50]
+    unverified = [k for k in front if k not in e._DRIVER_VERIFIED]
+    assert len(unverified) >= 45, (
+        f"front-50 wastes driver budget on already-green rows: "
+        f"{[k for k in front if k in e._DRIVER_VERIFIED]}"
+    )
+    assert "rel_part_pareto" in front
