@@ -838,6 +838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_concurrency": lambda sf: _wd.peak_concurrency(
             _events_ds(sf), gap_s=_SESSION_GAP_S
         ),
+        "docs_snapshot_vocab_drift": lambda sf: _tx.snapshot_vocab_drift(
+            _docs(sf)
+        ),
         "ann_ivf_probe_curve": lambda sf: _ann.ivf_probe_curve(
             _embeddings_ds(sf), sf, _ANN_NQ, _ANN_K
         ),
@@ -1766,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_srm": _wd.AB_SRM_CHECK_SQL,
         "events_dow_chi2": _wd.DOW_CHI2_SQL,
         "events_peak_concurrency": _wd.peak_concurrency_sql(_SESSION_GAP_S),
+        "docs_snapshot_vocab_drift": _tx.SNAPSHOT_VOCAB_DRIFT_SQL,
         "ann_ivf_probe_curve": _ann.ivf_probe_curve_sql(
             _ANN_NQ, _ANN_K, dim=64
         ),

@@ -5991,3 +5991,120 @@ def bpe_compression(
         "tokens_after": [np.int64(after)],
         "compression": [comp],
     }))
+
+
+def snapshot_vocab_drift(
+    docs: ray.data.Dataset, n_buckets: int = 32
+) -> ray.data.Dataset:
+    """VOCABULARY DRIFT between crawl snapshots: the exact TOTAL-VARIATION
+    distance between the word distributions of the OLD (even doc_id) and
+    NEW (odd doc_id) snapshots — ``docs_snapshot_diff``'s deterministic
+    split, answering the companion question ("did the LANGUAGE move?"
+    where the diff answers "did the DOCUMENTS move?"; ``docs_split_ks``
+    is the same drift idea on lengths).
+
+    EXACT INTEGER core: TV = 1/2 * sum_w |c1_w/N1 - c2_w/N2| is computed
+    as tv_num = sum_w |c1_w*N2 - c2_w*N1| over 2*N1*N2 — cross-multiplied
+    int64 all the way, one final division rounded 6. Shape: salted exact
+    (snapshot, word) counts, a word-bucketed pairing fold to int partials,
+    one scalar sum. Output one row: n_tokens_old, n_tokens_new,
+    tv_num (int64), tv (float64)."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply,
+        salted_group_apply,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _nonnull_text(batch)
+        snaps, toks = [], []
+        for doc_id, t in zip(
+            batch["doc_id"].astype("int64").to_numpy(),
+            batch["text"].to_numpy(),
+        ):
+            ws = [w for w in str(t).lower().split(" ") if w]
+            toks.extend(ws)
+            snaps.extend([int(doc_id) % 2] * len(ws))
+        if not toks:
+            return pd.DataFrame({
+                "snap": pd.Series(dtype="int64"),
+                "word": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            })
+        d = pd.DataFrame({"snap": np.asarray(snaps, dtype="int64"),
+                          "word": np.asarray(toks, dtype=object)})
+        g = d.groupby(["snap", "word"], sort=False).size() \
+            .astype("int64").reset_index(name="n")
+        return g
+
+    parts = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    )
+    resum = lambda b: (  # noqa: E731
+        b.groupby(["snap", "word"], sort=False)["n"].sum().astype("int64")
+        .reset_index()
+    )
+    counts = salted_group_apply(parts, ["snap", "word"],
+                                partial_fn=resum, merge_fn=resum)
+
+    # totals per snapshot (tiny)
+    tot = counts.map_batches(
+        lambda b: b.groupby("snap", sort=False)["n"].sum().astype("int64")
+        .reset_index(),
+        batch_format="pandas",
+    ).to_pandas().groupby("snap")["n"].sum()
+    n1 = int(tot.get(0, 0))
+    n2 = int(tot.get(1, 0))
+
+    def pair_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        piv = bucket.pivot_table(index="word", columns="snap", values="n",
+                                 aggfunc="sum", fill_value=0)
+        c1 = piv[0].to_numpy("int64") if 0 in piv else \
+            np.zeros(len(piv), dtype="int64")
+        c2 = piv[1].to_numpy("int64") if 1 in piv else \
+            np.zeros(len(piv), dtype="int64")
+        s = int(np.abs(c1 * n2 - c2 * n1).sum())
+        return pd.DataFrame({"tvp": [np.int64(s)]})
+
+    tv_parts = bucketed_group_apply(counts, ["word"], pair_fold,
+                                    n_buckets=n_buckets).to_pandas()
+    tv_num = int(tv_parts["tvp"].sum()) if len(tv_parts) else 0
+    tv = float(np.round(tv_num / (2.0 * n1 * n2), 6)) if n1 and n2 else 0.0
+    return ray.data.from_pandas(pd.DataFrame({
+        "n_tokens_old": [np.int64(n1)],
+        "n_tokens_new": [np.int64(n2)],
+        "tv_num": [np.int64(tv_num)],
+        "tv": [tv],
+    }))
+
+
+SNAPSHOT_VOCAB_DRIFT_SQL = """
+WITH w AS (
+  SELECT CAST(doc_id % 2 AS BIGINT) AS snap,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS word
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT snap, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w GROUP BY snap, word
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN snap = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN snap = 1 THEN n ELSE 0 END) AS BIGINT) AS n2
+  FROM c
+),
+p AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN snap = 0 THEN n ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN snap = 1 THEN n ELSE 0 END) AS BIGINT) AS c2
+  FROM c GROUP BY word
+),
+s AS (
+  SELECT CAST(SUM(ABS(p.c1 * tot.n2 - p.c2 * tot.n1)) AS BIGINT) AS tv_num,
+         ANY_VALUE(tot.n1) AS n1, ANY_VALUE(tot.n2) AS n2
+  FROM p, tot
+)
+SELECT n1 AS n_tokens_old, n2 AS n_tokens_new, tv_num,
+       ROUND(CAST(tv_num AS DOUBLE) / (2.0 * n1 * n2), 6) AS tv
+FROM s
+"""

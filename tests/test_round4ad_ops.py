@@ -157,3 +157,31 @@ def test_peak_concurrency_planted(ray_session):
     assert got["n_sessions"] == 3
     assert got["peak_concurrency"] == 2
     assert got["peak_at_us"] == 10 * US
+
+
+def test_snapshot_vocab_drift_planted(ray_session):
+    from tcx2graph_jl_ray.stages.text import snapshot_vocab_drift
+
+    # old snapshot (even ids): "a a b"; new (odd ids): "a c"
+    # N1=3, N2=2; per word |c1*N2 - c2*N1|: a |4-3|=1, b |2-0|=2, c |0-3|=3
+    # tv_num = 6; TV = 6/(2*3*2) = 0.5
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype="int64"),
+        "text": ["a a b", "a c"],
+        "lang": ["en"] * 2,
+        "source": ["s"] * 2,
+        "n_chars": np.array([5, 3], dtype="int64"),
+    })
+    got = snapshot_vocab_drift(
+        ray.data.from_pandas(docs).repartition(2), n_buckets=4
+    ).to_pandas().iloc[0]
+    assert got["n_tokens_old"] == 3 and got["n_tokens_new"] == 2
+    assert got["tv_num"] == 6
+    assert got["tv"] == 0.5
+
+    # identical distributions -> TV 0
+    docs2 = docs.copy()
+    docs2["text"] = ["a b", "a b"]
+    got2 = snapshot_vocab_drift(ray.data.from_pandas(docs2), n_buckets=4) \
+        .to_pandas().iloc[0]
+    assert got2["tv_num"] == 0 and got2["tv"] == 0.0
