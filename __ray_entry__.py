@@ -338,9 +338,26 @@ _FORCE_FRONT = frozenset()
 
 
 def _sweep_order(q: dict) -> dict:
-    head = [n for n in q if n not in _DRIVER_VERIFIED or n in _FORCE_FRONT]
-    tail = [n for n in q if n in _DRIVER_VERIFIED and n not in _FORCE_FRONT]
-    return {n: q[n] for n in head + tail}
+    """Front-load entries the driver has never confirmed green, EXCEPT
+    rows-only (no-oracle) entries: the driver records `err: no_oracle` for
+    those — a permanently non-green row — so they are pinned to the
+    absolute tail where the 50-per-round sample can never reach them.
+    Their exactness is carried by planted pytest oracles instead."""
+    rows_only = _rows_only_names()
+    head = [n for n in q
+            if (n not in _DRIVER_VERIFIED or n in _FORCE_FRONT)
+            and n not in rows_only]
+    tail = [n for n in q
+            if (n in _DRIVER_VERIFIED and n not in _FORCE_FRONT)
+            and n not in rows_only]
+    pinned = [n for n in q if n in rows_only]
+    return {n: q[n] for n in head + tail + pinned}
+
+
+def _rows_only_names() -> frozenset:
+    """Names registered in queries() with no oracle_sql() entry — must
+    exactly mirror ROWS_ONLY_QUERIES; a contract test asserts the mirror."""
+    return ROWS_ONLY_QUERIES
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

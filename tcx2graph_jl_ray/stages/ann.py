@@ -1962,14 +1962,26 @@ def label_cohesion(
     """Per-LABEL cohesion: mean squared distance from each labelled
     vector to its own label centroid — the within-class scatter table
     (one number per class) that says which labels are tight clusters and
-    which are grab-bags, next to ``centroid_drift``'s corpus-level
-    check. Two passes, both dimension-bounded: (1) per-label per-dim
-    sums -> centroids ROUNDED 6 (the defined statistic, absorbing
-    summation-order noise); (2) per-vector squared distance to the
-    rounded centroid, rounded 6 per vector, then summed exactly...
-    the per-vector ROUNDED dist² is the op's unit, so the final mean is
-    a sum of identical doubles on both sides, divided once and rounded
-    6. Output: label, n_vecs, mean_dist2."""
+    which are grab-bags, next to ``centroid_drift``'s corpus-level check.
+
+    The statistic is DEFINED on 1e-6 floor-quantized embeddings with the
+    EXACT rational centroid (functions/exactsum.py — the float-space
+    analogue of integer cents): with q = floor(e*1e6), s_d = Σ q over the
+    label, n = |label|,
+
+        mean_dist2 = ROUND( Σ_vec Σ_dim (n*q - s_d)² / (n³ · 1e12), 6 )
+
+    Every sum is integer-exact (int64 inside a batch, Python-int across
+    batches via decimal-string partials), so the value is independent of
+    batch boundaries and summation order; the single float division is
+    written with the same operation order as the SQL oracle, making
+    engine == oracle bit-exact by construction. (The previous float-sum
+    formulation failed last-ULP parity at sf0.001: 0.979233 vs 0.979232
+    across the round-6 boundary.) Two dimension-bounded passes, same
+    shuffle shape as before. Output: label, n_vecs, mean_dist2."""
+    from tcx2graph_jl_ray.functions.exactsum import (
+        floor_quantize, merge_int_strs,
+    )
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     base = embeddings.select_columns(["label", "embedding"]).map_batches(
@@ -1980,57 +1992,69 @@ def label_cohesion(
     def cent_partial(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for lab, g in batch.groupby("label", sort=False):
-            vecs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            q = floor_quantize(np.stack(g["embedding"].to_numpy()))
+            # per-batch per-dim sums fit int64 (4096 * 1e7 quanta);
+            # serialized as strings so the cross-batch merge is exact at
+            # any row count (Arrow has no int128)
             frames.append(pd.DataFrame({
                 "label": lab,
-                "dim": np.arange(vecs.shape[1], dtype="int64"),
-                "s": vecs.sum(axis=0),
-                "n": np.int64(len(vecs)),
+                "dim": np.arange(q.shape[1], dtype="int64"),
+                "s": [str(int(v)) for v in q.sum(axis=0)],
+                "n": np.int64(len(q)),
             }))
         if not frames:
             return pd.DataFrame({
                 "label": pd.Series([], dtype="object"),
                 "dim": pd.Series([], dtype="int64"),
-                "s": pd.Series([], dtype="float64"),
+                "s": pd.Series([], dtype="object"),
                 "n": pd.Series([], dtype="int64"),
             })
         return pd.concat(frames, ignore_index=True)
 
     def cent_merge(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["label", "dim"], sort=False).agg(
-            s=("s", "sum"), n=("n", "sum")
+            s=("s", merge_int_strs), n=("n", "sum")
         ).reset_index()
-        g["c"] = np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6)
-        return g[["label", "dim", "c"]]
+        g["s"] = g["s"].map(str)
+        return g[["label", "dim", "s", "n"]]
 
     cents = bucketed_group_apply(
         base.map_batches(cent_partial, batch_format="pandas",
                          batch_size=4096),
         ["label"], cent_merge, n_buckets=4,
     ).to_pandas()  # labels x dims — dimension-bounded
-    cmap = {
-        lab: g.sort_values("dim")["c"].to_numpy()
-        for lab, g in cents.groupby("label", sort=False)
-    }
+    cmap = {}
+    for lab, g in cents.groupby("label", sort=False):
+        g = g.sort_values("dim")
+        cmap[lab] = (
+            int(g["n"].iloc[0]),
+            [int(v) for v in g["s"]],  # exact Σq per dim
+        )
     cref = ray.put(cmap)
 
     def dist_partial(batch: pd.DataFrame) -> pd.DataFrame:
         cm = ray.get(cref)
         frames = []
         for lab, g in batch.groupby("label", sort=False):
-            vecs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-            diff = vecs - cm[lab][None, :]
-            d2 = np.round((diff * diff).sum(axis=1), 6)
+            n, s = cm[lab]
+            q = floor_quantize(np.stack(g["embedding"].to_numpy()))
+            # n*q ≤ ~1e13 quanta² fits int64; the SQUARE can overflow
+            # int64, so the square-and-sum runs on Python ints (exact).
+            # Bounded work: dims * rows per batch; a cluster port would
+            # vectorize via two-limb int64 decomposition.
+            diff = (q * np.int64(n)
+                    - np.asarray(s, dtype=object)[None, :]).ravel().tolist()
+            t = sum(d * d for d in diff)
             frames.append(pd.DataFrame({
                 "label": [lab],
-                "n": [np.int64(len(vecs))],
-                "s": [float(d2.sum())],
+                "n_part": [np.int64(len(q))],
+                "t": [str(t)],
             }))
         if not frames:
             return pd.DataFrame({
                 "label": pd.Series([], dtype="object"),
-                "n": pd.Series([], dtype="int64"),
-                "s": pd.Series([], dtype="float64"),
+                "n_part": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="object"),
             })
         return pd.concat(frames, ignore_index=True)
 
@@ -2038,14 +2062,22 @@ def label_cohesion(
                              batch_size=4096)
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby("label", sort=False).agg(
-            n=("n", "sum"), s=("s", "sum")
-        )
+        cm = ray.get(cref)
+        rows = []
+        for lab, g in bucket.groupby("label", sort=False):
+            n = cm[lab][0]
+            t = merge_int_strs(g["t"])
+            fn = float(n)
+            # ONE float step, same left-assoc order as the SQL:
+            # CAST(T AS DOUBLE) / (n*n*n*1e12) — both sides divide
+            # identical correctly-rounded doubles
+            rows.append((lab, n,
+                         float(np.round(float(t) / (fn * fn * fn * 1e12),
+                                        6))))
         return pd.DataFrame({
-            "label": g.index,
-            "n_vecs": g["n"].to_numpy().astype("int64"),
-            "mean_dist2": np.round(
-                g["s"].to_numpy() / g["n"].to_numpy(), 6),
+            "label": [r[0] for r in rows],
+            "n_vecs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "mean_dist2": pd.Series([r[2] for r in rows], dtype="float64"),
         })
 
     return bucketed_group_apply(parts, ["label"], final, n_buckets=1)
@@ -2055,22 +2087,25 @@ LABEL_COHESION_SQL = """
 WITH u AS (
   SELECT vec_id, label,
          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS e
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS q
   FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 c AS (
-  SELECT label, dim, ROUND(SUM(e) / COUNT(*), 6) AS cv
+  SELECT label, dim, SUM(q) AS s, CAST(COUNT(*) AS HUGEINT) AS n
   FROM u GROUP BY label, dim
 ),
-d2 AS (
-  SELECT u.vec_id, u.label,
-         ROUND(SUM((u.e - c.cv) * (u.e - c.cv)), 6) AS d2
+t AS (
+  SELECT u.label, MAX(c.n) AS n,
+         SUM((c.n * u.q - c.s) * (c.n * u.q - c.s)) AS tt
   FROM u JOIN c ON c.label = u.label AND c.dim = u.dim
-  GROUP BY u.vec_id, u.label
+  GROUP BY u.label
 )
-SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(SUM(d2) / COUNT(*), 6) AS mean_dist2
-FROM d2 GROUP BY label
+SELECT label, CAST(n AS BIGINT) AS n_vecs,
+       ROUND(CAST(tt AS DOUBLE) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * 1000000000000.0), 6) AS mean_dist2
+FROM t
 """
 
 

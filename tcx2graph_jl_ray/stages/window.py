@@ -313,7 +313,7 @@ def asof_join_events(
                 {"event_id": pd.Series([], dtype="int64"),
                  "ts": pd.Series([], dtype="datetime64[us]"),
                  "user_id": pd.Series([], dtype="int64"),
-                 "matched_event_id": pd.Series([], dtype="Int64"),
+                 "matched_event_id": pd.Series([], dtype="float64"),
                  "matched_ts": pd.Series([], dtype="datetime64[us]")}
             )
         m = pd.merge_asof(
@@ -332,7 +332,11 @@ def asof_join_events(
                 "event_id": m["event_id"].astype("int64"),
                 "ts": m["ts"],
                 "user_id": m["user_id"].astype("int64"),
-                "matched_event_id": m["matched_event_id"].astype("Int64"),
+                # float64+NaN, NOT pandas nullable Int64: the DuckDB oracle's
+                # fetchdf() encodes a nullable BIGINT as float64+NaN, and the
+                # driver's value hash canonicalizes the two null encodings
+                # differently even when values are equal (r4's only red row).
+                "matched_event_id": m["matched_event_id"].astype("float64"),
                 "matched_ts": m["matched_ts"],
             }
         )

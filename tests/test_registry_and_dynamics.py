@@ -60,17 +60,80 @@ def test_registry_errors():
 
 
 def test_sweep_order_front_loads_unverified():
-    """The driver samples the FIRST 50 queries() entries per round; the
-    registry must front-load entries without a cumulative driver-green row
-    (and keep the round-3 hash-FAIL rel_part_pareto in the window so its
-    integer-cents fix gets re-checked)."""
+    """The driver samples the FIRST 50 queries() entries per round. The
+    invariants are DATA-DRIVEN (they must survive every new
+    CORRECTNESS_r*.json the driver drops, per the round-4 verdict):
+
+    1. every cumulative hash-FAIL query that HAS an oracle stays in the
+       front window until a later round records it green;
+    2. the front window doesn't waste slots on already-green rows while
+       unverified oracle-backed entries remain;
+    3. no rows-only (no-oracle) entry can ever enter a front-50 — the
+       driver would record a permanently-red `err: no_oracle` row.
+    """
+    import glob
+    import json
+    import os
+
     import __ray_entry__ as e
 
     keys = list(e.queries())
     front = keys[:50]
+
+    # reconstruct cumulative driver state from the artifacts themselves
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    last_green: dict[str, int] = {}
+    last_fail: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        doc = json.load(open(path))
+        rows = doc.get("queries", doc)
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = (rec.get("rows_match") and rec.get("schema_match")
+                     and rec.get("hash_match", True) and not rec.get("err"))
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+            else:
+                last_fail[name] = max(last_fail.get(name, 0), rnd)
+
+    oracles = e.oracle_sql()
+    open_fails = [
+        n for n, r in last_fail.items()
+        if n in oracles and last_green.get(n, 0) < r and n in keys
+    ]
+    for n in open_fails:
+        assert n in front, (
+            f"hash-FAIL query {n} must stay in the front window until green"
+        )
+
     unverified = [k for k in front if k not in e._DRIVER_VERIFIED]
-    assert len(unverified) >= 45, (
+    n_remaining = len([k for k in keys if k not in e._DRIVER_VERIFIED
+                       and k in oracles])
+    assert len(unverified) >= min(45, n_remaining), (
         f"front-50 wastes driver budget on already-green rows: "
         f"{[k for k in front if k in e._DRIVER_VERIFIED]}"
     )
-    assert "rel_part_pareto" in front
+
+    for k in front:
+        assert k in oracles, (
+            f"rows-only (no-oracle) query {k} entered the front-50; the "
+            f"driver would record a permanent no_oracle red row"
+        )
+
+
+def test_rows_only_declaration_mirrors_oracles():
+    """ROWS_ONLY_QUERIES must be exactly the queries() keys absent from
+    oracle_sql(), and all of them must sit at the permanent tail of
+    queries() where the driver's 50-per-round sample can never reach."""
+    import __ray_entry__ as e
+
+    keys = list(e.queries())
+    missing = {k for k in keys if k not in e.oracle_sql()}
+    assert missing == set(e.ROWS_ONLY_QUERIES)
+    n = len(keys)
+    for k in e.ROWS_ONLY_QUERIES:
+        assert keys.index(k) >= n - len(e.ROWS_ONLY_QUERIES), (
+            f"{k} is not tail-pinned (position {keys.index(k)} of {n})"
+        )
