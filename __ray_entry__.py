@@ -77,18 +77,17 @@ _DELETE_HEX = "0f"
 _TRUNC_DIMS = 32
 
 # queries deliberately without a SQL oracle; the driver records a rows-only
-# check for these. Exactly one: the HyperLogLog approximate vocabulary —
-# the repo's declared-approximate operator (±1.04/sqrt(2^p) bound, asserted
-# vs the exact vocab in tests/test_salted_sites.py). Everything else has a
-# DuckDB oracle — including the minhash clustering, whose iterative
-# min-label connected components are reproduced in SQL as a recursive
-# reachability CTE (dedup.minhash_clusters_sql) over the verified pairs.
-# the declared non-SQL-expressible regime: HLL estimate (approximate by
-# design) and the BPE merge loop (iterative state no SQL can express);
-# each is exactness-tested in pytest instead (hand-computed merges + the
-# token-conservation invariant)
+# check for these. Exactly one remains: the HyperLogLog approximate
+# vocabulary — the repo's declared-approximate operator
+# (±1.04/sqrt(2^p) bound, asserted vs the exact vocab in
+# tests/test_salted_sites.py). Everything else has a DuckDB oracle —
+# including the minhash clustering (iterative min-label components as a
+# recursive reachability CTE) and, since round 5, the BPE merge loop
+# (text.bpe_train_sql: the loop UNROLLED into _BPE_MERGES materialized CTE
+# stages with list_reduce merge application — the kg_kcore fixed-iteration
+# trick, closing round-4 verdict directive 5's preferred path).
 ROWS_ONLY_QUERIES = frozenset({
-    "text_vocab_approx", "text_bpe_train", "text_bpe_compression",
+    "text_vocab_approx",
 })
 
 
@@ -334,7 +333,14 @@ _DRIVER_VERIFIED = (
 # the tail and the next 50 never-checked entries take the window — no
 # per-round frozenset edits needed (the frozensets above stay as the
 # documented floor / parse-failure fallback).
-_FORCE_FRONT = frozenset()
+# Round 5: the two BPE queries gained real oracles (previously rows-only)
+# and the five encoding-audit queries changed their output encodings —
+# force them into the front window for a fresh driver check.
+_FORCE_FRONT = frozenset({
+    "text_bpe_train", "text_bpe_compression",
+    "kg_entities_linked", "events_sliding", "events_sliding_users",
+    "dedup_doc_dup_ratio", "dedup_crosslang_pairs",
+})
 
 
 def _sweep_order(q: dict) -> dict:
@@ -344,14 +350,15 @@ def _sweep_order(q: dict) -> dict:
     absolute tail where the 50-per-round sample can never reach them.
     Their exactness is carried by planted pytest oracles instead."""
     rows_only = _rows_only_names()
+    forced = [n for n in q if n in _FORCE_FRONT and n not in rows_only]
     head = [n for n in q
-            if (n not in _DRIVER_VERIFIED or n in _FORCE_FRONT)
-            and n not in rows_only]
+            if n not in _DRIVER_VERIFIED
+            and n not in _FORCE_FRONT and n not in rows_only]
     tail = [n for n in q
-            if (n in _DRIVER_VERIFIED and n not in _FORCE_FRONT)
-            and n not in rows_only]
+            if n in _DRIVER_VERIFIED
+            and n not in _FORCE_FRONT and n not in rows_only]
     pinned = [n for n in q if n in rows_only]
-    return {n: q[n] for n in head + tail + pinned}
+    return {n: q[n] for n in forced + head + tail + pinned}
 
 
 def _rows_only_names() -> frozenset:
@@ -1361,6 +1368,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_deciles": _tx.LENGTH_DECILES_SQL_TEMPLATE.format(n_tiles=10),
         "text_token_counts": _tx.TOKEN_COUNT_SQL,
         "text_bpe_token_counts": _tx.BPE_TOKEN_COUNT_SQL,
+        "text_bpe_train": _tx.bpe_train_sql(_BPE_MERGES),
+        "text_bpe_compression": _tx.bpe_compression_sql(_BPE_MERGES),
         "text_tfidf_terms": _tx.TFIDF_SQL_TEMPLATE.format(k_top=3),
         "text_quota_sample": _tx.QUOTA_SAMPLE_SQL_TEMPLATE.format(k=5),
         "docs_importance_sample": _tx.IMPORTANCE_SAMPLE_SQL_TEMPLATE.format(

@@ -1606,6 +1606,11 @@ def doc_dup_ratio(
             .agg(n_grams=("n_grams", "sum"), n_dup_grams=("n_dup_grams", "sum"))
             .reset_index()
         )
+        # doc_id passes through hash_join's union (the counts side carries
+        # it as an all-null extension Int64 placeholder) — re-emit plain
+        # int64: it is never null in this output, and extension dtypes are
+        # a driver-hash hazard (r4 events_asof_join class)
+        g["doc_id"] = g["doc_id"].astype("int64")
         g["n_grams"] = g["n_grams"].astype("int64")
         g["n_dup_grams"] = g["n_dup_grams"].astype("int64")
         g["dup_frac"] = np.round(

@@ -51,7 +51,18 @@ def link_entities(entities, kb: pd.DataFrame):
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.merge(kb, left_on="entity_id", right_on="kb_norm", how="left")
         out = out.drop(columns=["kb_norm"])
-        out["kb_nationkey"] = out["kb_nationkey"].astype("Int32")
+        # fetchdf-mimicking encoding (never extension Int32 — the driver's
+        # value hash canonicalizes extension nulls differently, the r4
+        # events_asof_join defect class): int32 while fully linked,
+        # float64+NaN once an unlinked entity appears — exactly what the
+        # oracle's nullable-INTEGER column comes back as. Entity tables are
+        # vocabulary-bounded, so the per-batch decision is global in
+        # practice; a mixed multi-block output promotes to float64 at
+        # concat, which is also fetchdf's null-present encoding.
+        k = out["kb_nationkey"]
+        out["kb_nationkey"] = (
+            k.astype("float64") if k.isna().any() else k.astype("int32")
+        )
         return out
 
     import ray.data

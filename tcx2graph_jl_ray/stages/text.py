@@ -5731,7 +5731,14 @@ def crosslang_winnow_pairs(
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[batch["lang_a"] != batch["lang_b"]]
-        return out[["a", "b", "lang_a", "lang_b", "n_shared"]]
+        out = out[["a", "b", "lang_a", "lang_b", "n_shared"]].copy()
+        # the two inner hash_joins pass a/b/n_shared through union-conform
+        # placeholders (extension Int64) — re-emit plain int64: never null
+        # here, and extension dtypes are a driver-hash hazard (r4
+        # events_asof_join class)
+        for c in ("a", "b", "n_shared"):
+            out[c] = out[c].astype("int64")
+        return out
 
     return jb.map_batches(keep, batch_format="pandas")
 
@@ -5948,13 +5955,13 @@ def bpe_train(docs: ray.data.Dataset, n_merges: int = 16) -> ray.data.Dataset:
     merge loop is Zipf-small); merges are fully deterministic (ties ->
     lexicographically smallest pair).
 
-    Registered ROWS-ONLY: the merge loop is iterative state SQL cannot
-    express (the declared non-SQL regime, like ``text_vocab_approx``);
-    exactness is covered by planted hand-computed merges and the
-    token-conservation invariant tested against ``bpe_compression``
-    (tokens_after == tokens_before - sum(pair_count)).
-
-    Output: rank (1-based int64), left, right, pair_count (int64)."""
+    Oracle-backed since round 5: ``bpe_train_sql`` unrolls the merge loop
+    into fixed CTE stages (list_reduce merge application), so the driver
+    value-hash-checks this query like any other; the planted hand-computed
+    merges and the token-conservation invariant
+    (tokens_after == tokens_before - sum(pair_count)) remain as pytest
+    backstops. Output: rank (1-based int64), left, right,
+    pair_count (int64)."""
     wc = _bpe_word_counts(docs)
     merges, _ = _bpe_learn(wc, n_merges)
     return ray.data.from_pandas(pd.DataFrame({
@@ -5991,6 +5998,93 @@ def bpe_compression(
         "tokens_after": [np.int64(after)],
         "compression": [comp],
     }))
+
+
+def bpe_train_sql(n_merges: int) -> str:
+    """DuckDB oracle for ``bpe_train`` — the merge loop UNROLLED into
+    ``n_merges`` CTE stages (the ``kg_kcore`` fixed-iteration trick, per
+    round-4 verdict directive 5; BPE was previously declared rows-only).
+
+    Each stage k: (p) explode adjacent symbol pairs of every word's
+    current sequence weighted by freq, (m) argmax with the engine's exact
+    tie rule (count DESC, then lexicographically smallest pair; HAVING
+    cnt >= 2 is the stop rule — once no pair repeats, every later stage is
+    an empty no-op, matching the engine's ``break``), (s) apply the merge
+    via ``list_reduce`` with a VARCHAR accumulator: symbol sequences
+    travel as chr(31)-joined strings, and the fold "merge when the
+    accumulator's LAST symbol equals left and the incoming symbol equals
+    right" reproduces greedy left-to-right non-overlapping BPE application
+    exactly (verified against the engine on aaa/aaaa chains). chr(31)
+    cannot occur inside a symbol for the corpus tokenization contract
+    (split-on-space words; U+001F is not expected in testdata text).
+
+    Every CTE is MATERIALIZED: stage k references stage k-1 twice, and
+    DuckDB inlines plain CTEs — 16 stages would otherwise duplicate the
+    scan subtree 2^16 times (observed as fd exhaustion before planning)."""
+    parts = ["""WITH wc AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL) t
+  WHERE w <> '' GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(list_append(string_split(word, ''), '</w>'),
+                         chr(31)) AS seq
+  FROM wc
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+  FROM (SELECT string_split(seq, chr(31)) AS l, freq FROM s{k - 1}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u
+  GROUP BY l[i], l[i+1] HAVING SUM(freq) >= 2
+),
+m{k} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+),
+s{k} AS MATERIALIZED (
+  SELECT word, freq,
+    CASE WHEN mk.a IS NULL THEN seq
+    ELSE list_reduce(string_split(seq, chr(31)), (acc, x) -> CASE
+      WHEN (acc = mk.a OR ends_with(acc, chr(31) || mk.a)) AND x = mk.b
+      THEN substr(acc, 1, length(acc) - length(mk.a)) || mk.a || mk.b
+      ELSE acc || chr(31) || x END)
+    END AS seq
+  FROM s{k - 1} LEFT JOIN (SELECT a, b FROM m{k}) mk ON TRUE
+)""")
+    union = "\nUNION ALL ".join(
+        f'SELECT {k} AS rank, a AS "left", b AS "right",'
+        f" CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+def bpe_compression_sql(n_merges: int) -> str:
+    """DuckDB oracle for ``bpe_compression``: reuse the unrolled trainer
+    stages, then before/after totals over (word, freq) — exact integers,
+    one double division ROUND 6 (both sides divide identical doubles:
+    totals < 2^53 cast exactly)."""
+    train = bpe_train_sql(n_merges)
+    # reuse everything up to the final UNION (the CTE chain)
+    ctes = train[: train.rindex("\nSELECT 1 AS rank")]
+    merges_union = "\nUNION ALL ".join(
+        f"SELECT a FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return f"""{ctes}
+SELECT CAST((SELECT COUNT(*) FROM ({merges_union})) AS BIGINT) AS n_merges,
+       CAST((SELECT SUM((length(word) + 1) * freq) FROM wc) AS BIGINT)
+         AS tokens_before,
+       CAST((SELECT SUM(len(string_split(seq, chr(31))) * freq)
+             FROM s{n_merges}) AS BIGINT) AS tokens_after,
+       ROUND(CAST((SELECT SUM(len(string_split(seq, chr(31))) * freq)
+                   FROM s{n_merges}) AS DOUBLE)
+             / CAST((SELECT SUM((length(word) + 1) * freq) FROM wc)
+                    AS DOUBLE), 6) AS compression
+"""
 
 
 def snapshot_vocab_drift(

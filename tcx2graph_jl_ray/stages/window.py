@@ -149,7 +149,12 @@ def sliding_counts(events: ray.data.Dataset, width_hours: int = 2) -> ray.data.D
         reps = []
         for k in range(width_hours):
             r = agg.copy()
-            r["window_start"] = r["hour"] - pd.to_timedelta(k, unit="h")
+            # stay in [us]: a raw ns Timedelta would promote the column to
+            # datetime64[ns], an encoding mismatch vs the oracle's
+            # fetchdf [us] output (driver-hash hazard class)
+            r["window_start"] = (
+                r["hour"] - pd.to_timedelta(k, unit="h")
+            ).astype("datetime64[us]")
             reps.append(r.drop(columns=["hour"]))
         return pd.concat(reps, ignore_index=True)
 
@@ -281,6 +286,8 @@ def asof_join_events(
     events: ray.data.Dataset,
     left_type: str = "purchase",
     right_type: str = "click",
+    whale_budget: int | None = 5_000_000,
+    slice_days: int = 30,
 ) -> ray.data.Dataset:
     """Per-user as-of join — an operator Ray Data lacks natively (the
     reference's nearest-predecessor lookup shape: each point takes the
@@ -288,18 +295,36 @@ def asof_join_events(
     ``left_type`` event is matched to the most recent ``right_type`` event of
     the SAME user at-or-before its timestamp (ties on ts -> highest
     event_id). One keyed shuffle on user_id; inside each bucket a single
-    ``pandas.merge_asof`` (by=user_id) covers every user vectorized. A user
-    whose history exceeds a worker would need time-sliced buckets with a
-    boundary carry (the chunked-prefix-sum pattern,
-    stages/graph.py::cumulative_tokens_chunked); per-user event streams are
-    assumed worker-sized here. Output: event_id, ts, user_id,
-    matched_event_id (nullable), matched_ts (nullable)."""
+    ``pandas.merge_asof`` (by=user_id) covers every user vectorized.
+
+    WHALE SWITCH: a user whose history exceeds a worker can't land in one
+    bucket, so when the max per-user row count (one cheap combiner-style
+    counting pass) exceeds ``whale_budget``, the job reroutes to the
+    time-sliced boundary-carry variant (``_asof_join_sliced`` — the
+    chunked-prefix-sum pattern of stages/graph.py::cumulative_tokens_chunked
+    applied to an order-dependent join): rows shuffle by (user, time-slice)
+    and each slice additionally receives ONE carried right-row — the best
+    (ts, event_id) right event from all earlier slices — making every
+    per-task group bounded by the user's densest slice + 1 while producing
+    byte-identical output. ``whale_budget=None`` skips the counting pass.
+    Output: event_id, ts, user_id, matched_event_id (nullable float64),
+    matched_ts (nullable)."""
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     src = events.select_columns(["event_id", "ts", "user_id", "event_type"])
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[batch["event_type"].isin([left_type, right_type])]
+
+    if whale_budget is not None:
+        if _max_user_rows(src.map_batches(
+            keep, batch_format="pandas", batch_size=16384
+        )) > whale_budget:
+            return _asof_join_sliced(
+                src.map_batches(keep, batch_format="pandas",
+                                batch_size=16384),
+                left_type, right_type, slice_days,
+            )
 
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         left = bucket[bucket["event_type"] == left_type].sort_values(
@@ -345,6 +370,171 @@ def asof_join_events(
         src.map_batches(keep, batch_format="pandas", batch_size=16384),
         ["user_id"],
         per_bucket,
+    )
+
+
+def _max_user_rows(kept: ray.data.Dataset) -> int:
+    """Max per-user row count — the whale detector. Combiner-shaped: one
+    count row per (user, batch) shuffles, never event rows."""
+    from tcx2graph_jl_ray.functions.grouping import salted_group_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.groupby("user_id", sort=False).size()
+        return pd.DataFrame({"user_id": s.index, "c": s.to_numpy("int64")})
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.groupby("user_id", sort=False)["c"].sum()
+        return pd.DataFrame({"user_id": s.index, "c": s.to_numpy("int64")})
+
+    counts = salted_group_apply(
+        kept.select_columns(["user_id"]), ["user_id"],
+        partial_fn=partial, merge_fn=merge,
+    )
+    mx = counts.max("c")
+    return int(mx) if mx is not None else 0
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _asof_join_sliced(
+    kept: ray.data.Dataset,
+    left_type: str,
+    right_type: str,
+    slice_days: int,
+) -> ray.data.Dataset:
+    """Time-sliced boundary-carry as-of join (the whale path).
+
+    (1) Per (user, slice): reduce the slice's right rows to their best
+        (ts, event_id) — combiner-shaped, one row per (user, slice, batch);
+        slices with only left rows still emit a presence row so the carry
+        covers them.
+    (2) Per user over SLICE-level rows (bounded by time-range/slice_days,
+        not by event count): a running prefix-best gives each slice the
+        latest right event strictly BEFORE its start — the boundary carry.
+    (3) Raw rows shuffle by (user, slice); each group appends its carried
+        right-row (it is a real right event, so ``merge_asof`` needs no
+        special casing: its ts precedes every in-slice ts) and runs the
+        same vectorized per-bucket join as the direct path.
+
+    Per-task rows are bounded by the user's densest single slice + 1
+    (pick ``slice_days`` below the whale's density), and the output is
+    byte-identical to the direct path (planted-whale tested)."""
+    from tcx2graph_jl_ray.functions.grouping import (
+        bucketed_group_apply, salted_group_apply,
+    )
+
+    def tag_slice(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["slice"] = (
+            batch["ts"].astype("datetime64[us]").astype("int64")
+            // (slice_days * _US_PER_DAY)
+        ).astype("int64")
+        return batch
+
+    sliced = kept.map_batches(tag_slice, batch_format="pandas",
+                              batch_size=16384)
+
+    # (1) per-(user, slice) best right row + presence
+    def best_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        r = batch[batch["event_type"] == right_type]
+        best = (
+            r.sort_values(["ts", "event_id"], kind="mergesort")
+            .groupby(["user_id", "slice"], sort=False)
+            .tail(1)[["user_id", "slice", "ts", "event_id"]]
+            .rename(columns={"ts": "r_ts", "event_id": "r_eid"})
+        )
+        # presence rows for slices having ONLY left rows (carry must cover
+        # them); r_eid=-1 marks "no right event in this slice"
+        pres = batch[["user_id", "slice"]].drop_duplicates()
+        pres = pres.merge(best[["user_id", "slice"]], how="left",
+                          indicator=True, on=["user_id", "slice"])
+        pres = pres[pres["_merge"] == "left_only"][["user_id", "slice"]]
+        pres["r_ts"] = pd.Series(pd.NaT, index=pres.index,
+                                 dtype="datetime64[us]")
+        pres["r_eid"] = np.int64(-1)
+        out = pd.concat([best, pres], ignore_index=True)
+        out["r_eid"] = out["r_eid"].astype("int64")
+        return out
+
+    def best_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.sort_values(["r_ts", "r_eid"], kind="mergesort",
+                               na_position="first")
+            .groupby(["user_id", "slice"], sort=False)
+            .tail(1)
+        )
+        return out[["user_id", "slice", "r_ts", "r_eid"]]
+
+    slice_best = salted_group_apply(
+        sliced.select_columns(["user_id", "slice", "ts", "event_id",
+                               "event_type"]),
+        ["user_id", "slice"],
+        partial_fn=best_partial, merge_fn=best_merge,
+    )
+
+    # (2) per-user prefix-best -> boundary row per slice (slice-level rows)
+    def carry(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values("slice", kind="mergesort")
+            b_ts, b_eid = pd.NaT, -1
+            for r in g.itertuples(index=False):
+                if b_eid >= 0:
+                    rows.append((uid, r.slice, b_ts, b_eid))
+                if r.r_eid >= 0 and (
+                    b_eid < 0 or (r.r_ts, r.r_eid) > (b_ts, b_eid)
+                ):
+                    b_ts, b_eid = r.r_ts, r.r_eid
+        return pd.DataFrame(
+            rows, columns=["user_id", "slice", "ts", "event_id"]
+        ).astype({"user_id": "int64", "slice": "int64",
+                  "event_id": "int64"})
+
+    boundaries = bucketed_group_apply(slice_best, ["user_id"], carry)
+
+    def as_right(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["ts"] = batch["ts"].astype("datetime64[us]")
+        batch["event_type"] = right_type
+        return batch[["event_id", "ts", "user_id", "event_type", "slice"]]
+
+    carried = boundaries.map_batches(as_right, batch_format="pandas")
+
+    # (3) per-(user, slice) vectorized asof join, boundary row included
+    def per_group(bucket: pd.DataFrame) -> pd.DataFrame:
+        left = bucket[bucket["event_type"] == left_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        right = bucket[bucket["event_type"] == right_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        if not len(left):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "ts": pd.Series([], dtype="datetime64[us]"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "matched_event_id": pd.Series([], dtype="float64"),
+                 "matched_ts": pd.Series([], dtype="datetime64[us]")}
+            )
+        m = pd.merge_asof(
+            left[["ts", "event_id", "user_id"]],
+            right[["ts", "event_id", "user_id"]].rename(
+                columns={"event_id": "matched_event_id", "ts": "matched_ts"}
+            ),
+            left_on="ts", right_on="matched_ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "ts": m["ts"],
+            "user_id": m["user_id"].astype("int64"),
+            "matched_event_id": m["matched_event_id"].astype("float64"),
+            "matched_ts": m["matched_ts"],
+        })
+
+    return bucketed_group_apply(
+        sliced.union(carried), ["user_id", "slice"], per_group,
     )
 
 
@@ -692,7 +882,10 @@ def sliding_distinct_users(
         reps = []
         for k in range(width_hours):
             r = batch[["user_id"]].copy()
-            r["window_start"] = batch["hour"] - pd.to_timedelta(k, unit="h")
+            # [us], matching the oracle's fetchdf encoding (see sliding)
+            r["window_start"] = (
+                batch["hour"] - pd.to_timedelta(k, unit="h")
+            ).astype("datetime64[us]")
             reps.append(r)
         return pd.concat(reps, ignore_index=True)
 
