@@ -340,6 +340,8 @@ _FORCE_FRONT = frozenset({
     "text_bpe_train", "text_bpe_compression",
     "kg_entities_linked", "events_sliding", "events_sliding_users",
     "dedup_doc_dup_ratio", "dedup_crosslang_pairs",
+    # definition moved to the exact floor-quantized statistic in r5
+    "emb_centroids",
 })
 
 

@@ -57,6 +57,28 @@ def merge_int_strs(col: pd.Series) -> int:
     return sum(int(v) for v in col)
 
 
+def div_round_half_away(numer: int, denom: int) -> int:
+    """round(numer/denom) half-AWAY-from-zero on exact integers (denom > 0).
+
+    The final ROUND of an integer-quantized statistic cannot be done in
+    float: with integer numerators, EXACT .5 ties at the rounding position
+    are common (S/n with n | 2S), and numpy rounds half-even while DuckDB
+    ROUND rounds half-away — observed as one-ULP disagreements the moment
+    emb_centroids moved to quantized sums. So the tie rule is made explicit
+    and integer-exact; the SQL side spells the same formula:
+
+        CASE WHEN S >= 0 THEN (2*S + D) // (2*D)
+             ELSE -((2*(-S) + D) // (2*D)) END
+
+    (operands kept non-negative because DuckDB ``//`` truncates toward
+    zero while Python ``//`` floors — they agree only for non-negatives).
+    The rounded integer then converts to float exactly the same way on
+    both sides: CAST(m AS DOUBLE) / scale."""
+    if numer >= 0:
+        return (2 * numer + denom) // (2 * denom)
+    return -((2 * (-numer) + denom) // (2 * denom))
+
+
 def exact_ratio_round6(numer: int, denom_f: float) -> float:
     """float(numer)/denom_f rounded to 6 — the ONE float step of the
     discipline. ``float(int)`` is correctly rounded (ties-to-even), exactly

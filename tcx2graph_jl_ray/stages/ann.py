@@ -571,14 +571,26 @@ def embedding_centroids(
     same per-group mean ``train_ivf_centroids`` iterates, exposed as a
     one-pass oracle-checkable operator).
 
-    Shape: a per-batch vectorized partial (np.add.at grouped sum over the
-    stacked float64 matrix — a combiner, so at most n_labels x dim rows per
-    batch enter the shuffle) -> bucketed reduce by label -> mean. Sums are
-    float64 regardless of storage dtype, so addition-order divergence vs the
-    oracle's sequential SUM is below the 6-decimal rounding.
+    The statistic is DEFINED on 1e-6 floor-quantized embeddings
+    (functions/exactsum.py, the ``label_cohesion`` discipline): with
+    q = floor(e*1e6), centroid = half-away-rounded S/n in 1e-6 units
+    (S = Σ q an EXACT integer; div_round_half_away — float ROUND would
+    reintroduce numpy-half-even vs DuckDB-half-away tie disagreements,
+    which integer numerators make common) — partition- and
+    order-independent by construction (the previous float-sum formulation
+    assumed addition-order divergence stays "below the 6-decimal
+    rounding", the exact assumption that failed ``emb_label_cohesion`` at
+    sf0.001; the driver's different CPU count means its block splits — and
+    hence float summation order — need not match a local run's). Shape
+    unchanged: per-batch int64 combiner (np.add.at over the quantized
+    matrix), decimal-string carrier across batches, bucketed reduce by
+    label, one exact-integer divide, one exact int->double conversion.
 
     Output: label, dim (1-based), centroid (rounded to 6 decimals), n_vecs.
     """
+    from tcx2graph_jl_ray.functions.exactsum import (
+        div_round_half_away, floor_quantize, merge_int_strs,
+    )
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -587,34 +599,41 @@ def embedding_centroids(
             return pd.DataFrame(
                 {"label": pd.Series([], dtype="int64"),
                  "dim": pd.Series([], dtype="int64"),
-                 "s": pd.Series([], dtype="float64"),
+                 "s": pd.Series([], dtype="object"),
                  "n": pd.Series([], dtype="int64")}
             )
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q = floor_quantize(np.stack(batch["embedding"].to_numpy()))
         uniq, inv = np.unique(batch["label"].to_numpy(), return_inverse=True)
-        sums = np.zeros((len(uniq), vecs.shape[1]))
-        np.add.at(sums, inv, vecs)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)  # 4096 rows x 1e7 quanta fits int64
         counts = np.bincount(inv)
-        d = vecs.shape[1]
+        d = q.shape[1]
         return pd.DataFrame(
             {
                 "label": np.repeat(uniq.astype(np.int64), d),
                 "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq)),
-                "s": sums.ravel(),
+                "s": [str(int(v)) for v in sums.ravel()],
                 "n": np.repeat(counts.astype(np.int64), d),
             }
         )
 
     def reduce_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["label", "dim"], sort=False).agg(
-            s=("s", "sum"), n=("n", "sum")
+            s=("s", merge_int_strs), n=("n", "sum")
         ).reset_index()
+        n = g["n"].to_numpy("int64")
+        # exact integer half-away rounding in 1e-6 units, then the one
+        # exact int->double step: CAST(m AS DOUBLE) / 1000000.0
+        cent = np.array([
+            float(div_round_half_away(int(s), int(nn)))
+            for s, nn in zip(g["s"], n)
+        ]) / 1e6
         return pd.DataFrame(
             {
                 "label": g["label"].astype("int64"),
                 "dim": g["dim"].astype("int64"),
-                "centroid": np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6),
-                "n_vecs": g["n"].astype("int64"),
+                "centroid": cent,
+                "n_vecs": pd.Series(n, dtype="int64"),
             }
         )
 
@@ -630,11 +649,18 @@ CENTROIDS_SQL = """
 WITH u AS (
   SELECT CAST(label AS BIGINT) AS label,
          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS e
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS q
   FROM embeddings
   WHERE embedding IS NOT NULL
 )
-SELECT label, dim, ROUND(SUM(e) / COUNT(*), 6) AS centroid,
+SELECT label, dim,
+       CAST(CASE WHEN SUM(q) >= 0
+                 THEN (2 * SUM(q) + CAST(COUNT(*) AS HUGEINT))
+                      // (2 * CAST(COUNT(*) AS HUGEINT))
+                 ELSE -((2 * (-SUM(q)) + CAST(COUNT(*) AS HUGEINT))
+                        // (2 * CAST(COUNT(*) AS HUGEINT)))
+            END AS DOUBLE) / 1000000.0 AS centroid,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM u GROUP BY label, dim
 """
@@ -1969,13 +1995,15 @@ def label_cohesion(
     analogue of integer cents): with q = floor(e*1e6), s_d = Σ q over the
     label, n = |label|,
 
-        mean_dist2 = ROUND( Σ_vec Σ_dim (n*q - s_d)² / (n³ · 1e12), 6 )
+        mean_dist2 = half-away-round6( Σ_vec Σ_dim (n*q - s_d)² / (n³·1e12) )
 
     Every sum is integer-exact (int64 inside a batch, Python-int across
     batches via decimal-string partials), so the value is independent of
-    batch boundaries and summation order; the single float division is
-    written with the same operation order as the SQL oracle, making
-    engine == oracle bit-exact by construction. (The previous float-sum
+    batch boundaries and summation order; the final rounding is an exact
+    integer half-away divide (div_round_half_away — float ROUND would
+    reopen numpy-half-even vs DuckDB-half-away ties, which integer
+    numerators make common) followed by one exact int->double conversion,
+    making engine == oracle bit-exact by construction. (The previous float-sum
     formulation failed last-ULP parity at sf0.001: 0.979233 vs 0.979232
     across the round-6 boundary.) Two dimension-bounded passes, same
     shuffle shape as before. Output: label, n_vecs, mean_dist2."""
@@ -2062,18 +2090,20 @@ def label_cohesion(
                              batch_size=4096)
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        from tcx2graph_jl_ray.functions.exactsum import div_round_half_away
+
         cm = ray.get(cref)
         rows = []
         for lab, g in bucket.groupby("label", sort=False):
             n = cm[lab][0]
             t = merge_int_strs(g["t"])
-            fn = float(n)
-            # ONE float step, same left-assoc order as the SQL:
-            # CAST(T AS DOUBLE) / (n*n*n*1e12) — both sides divide
-            # identical correctly-rounded doubles
-            rows.append((lab, n,
-                         float(np.round(float(t) / (fn * fn * fn * 1e12),
-                                        6))))
+            # exact integer half-away rounding in 1e-6 units (float ROUND
+            # would reopen the numpy-half-even vs DuckDB-half-away tie),
+            # then the one exact int->double step, same as the SQL
+            m = div_round_half_away(
+                t * 1_000_000, n * n * n * 1_000_000_000_000
+            )
+            rows.append((lab, n, float(m) / 1e6))
         return pd.DataFrame({
             "label": [r[0] for r in rows],
             "n_vecs": pd.Series([r[1] for r in rows], dtype="int64"),
@@ -2102,9 +2132,9 @@ t AS (
   GROUP BY u.label
 )
 SELECT label, CAST(n AS BIGINT) AS n_vecs,
-       ROUND(CAST(tt AS DOUBLE) /
-             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-              * 1000000000000.0), 6) AS mean_dist2
+       CAST((2 * tt * 1000000 + n * n * n * 1000000000000)
+            // (2 * n * n * n * 1000000000000) AS DOUBLE)
+         / 1000000.0 AS mean_dist2
 FROM t
 """
 

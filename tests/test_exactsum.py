@@ -50,6 +50,29 @@ def test_merge_int_strs_arbitrary_precision():
     assert merge_int_strs(parts) == 2 * big - 3
 
 
+def test_div_round_half_away_ties_match_duckdb():
+    """EXACT .5 ties (common with integer numerators: n | 2S) must round
+    half-away on both sides — numpy's half-even would disagree. The SQL
+    spells (2S+D)//(2D) with non-negative operands because DuckDB //
+    truncates toward zero while Python // floors."""
+    from tcx2graph_jl_ray.functions.exactsum import div_round_half_away
+
+    con = duckdb.connect()
+    for s, d in [(1, 2), (3, 2), (5, 2), (-1, 2), (-3, 2), (-5, 2),
+                 (7, 4), (-7, 4), (0, 3), (10, 3), (-10, 3),
+                 (2**70 + 1, 2), (-(2**70 + 1), 2)]:
+        got = div_round_half_away(s, d)
+        want = con.execute(
+            "SELECT CASE WHEN CAST(? AS HUGEINT) >= 0"
+            " THEN (2 * CAST(? AS HUGEINT) + CAST(? AS HUGEINT))"
+            "      // (2 * CAST(? AS HUGEINT))"
+            " ELSE -((2 * (-CAST(? AS HUGEINT)) + CAST(? AS HUGEINT))"
+            "        // (2 * CAST(? AS HUGEINT))) END",
+            [str(s), str(s), str(d), str(d), str(s), str(d), str(d)],
+        ).fetchone()[0]
+        assert int(got) == int(want), (s, d, got, want)
+
+
 def test_exact_ratio_round6_matches_duckdb_cast_divide():
     """float(int)/denom rounded 6 must equal DuckDB's
     ROUND(CAST(h AS DOUBLE)/denom, 6) — the ONE float step both sides
