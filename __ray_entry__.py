@@ -340,8 +340,13 @@ _FORCE_FRONT = frozenset({
     "text_bpe_train", "text_bpe_compression",
     "kg_entities_linked", "events_sliding", "events_sliding_users",
     "dedup_doc_dup_ratio", "dedup_crosslang_pairs",
-    # definition moved to the exact floor-quantized statistic in r5
-    "emb_centroids",
+    # definitions moved to the exact floor-quantized statistic in r5
+    # (functions/exactsum.py) — every member of the float-summation-order
+    # family gets a fresh driver row against its new integer-exact oracle
+    "emb_centroids", "emb_centroid_dists", "emb_dim_stats",
+    "emb_dim_variance", "emb_label_outliers", "emb_label_cohesion",
+    "emb_centroid_drift", "emb_norm_profile", "emb_covariance",
+    "emb_truncation_profile",
 })
 
 

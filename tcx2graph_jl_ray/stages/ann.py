@@ -843,41 +843,44 @@ def embedding_covariance(
 ) -> ray.data.Dataset:
     """Distributed covariance matrix of the embedding column — the PCA /
     whitening preparation step (population covariance, upper triangle
-    i ≤ j): cov(i,j) = Σx_i·x_j / n − mean_i·mean_j. The classic
-    linear-algebra map-reduce: each batch contributes one dense XᵀX partial
-    (a single matmul — d² floats regardless of batch rows), partials reduce
-    by (i, j) in a bucketed shuffle, so the result never depends on batch
-    count driver-side. The d first-moment sums (d rows, bounded by the
-    DIMENSION, not the data) are pulled to the driver and shipped back as
-    one tiny broadcast — the declared small side. Rounds to 6 decimals
-    (float-aggregate convention).
+    i ≤ j). Defined on 1e-6 floor-quantized values (functions/exactsum.py
+    discipline): cov(i,j) = (n·Σ q_i q_j − S_i·S_j) / (n²·1e12) with
+    EVERY sum an exact integer — each batch contributes one dense int64
+    QᵀQ partial (a single matmul; q_iq_j ≤ 1e14 × 4096 rows fits int64),
+    decimal-string carriers reduce by (i, j) in a bucketed shuffle, the
+    d exact first-moment sums broadcast back (dimension-bounded small
+    side), and the final round-6 is an exact signed integer half-away
+    divide — order- and partition-independent.
 
     Output: i, j (1-based, i ≤ j), cov:float64.
     """
+    from tcx2graph_jl_ray.functions.exactsum import (
+        div_round_half_away, floor_quantize, merge_int_strs,
+    )
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     dim = len(embeddings.take(1)[0]["embedding"])
     iu = np.triu_indices(dim)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        g = x.T @ x
-        sx = x.sum(axis=0)
+        q = floor_quantize(np.stack(batch["embedding"].to_numpy()))
+        g = q.T @ q  # int64 exact: 4096 rows x 1e14 quanta²
+        sx = q.sum(axis=0)
         out = pd.DataFrame(
             {
                 "i": (iu[0] + 1).astype("int64"),
                 "j": (iu[1] + 1).astype("int64"),
-                "sxy": g[iu],
+                "sxy": [str(int(v)) for v in g[iu]],
             }
         )
         moments = pd.DataFrame(
             {
                 "i": np.arange(1, dim + 1, dtype="int64"),
                 "j": np.full(dim, -1, dtype="int64"),
-                "sxy": sx,
+                "sxy": [str(int(v)) for v in sx],
             }
         )
-        nrow = pd.DataFrame({"i": [-1], "j": [-1], "sxy": [float(len(x))]})
+        nrow = pd.DataFrame({"i": [-1], "j": [-1], "sxy": [str(len(q))]})
         return pd.concat([out, moments, nrow], ignore_index=True)
 
     parts = embeddings.select_columns(["embedding"]).map_batches(
@@ -885,7 +888,9 @@ def embedding_covariance(
     )
 
     def reduce_sum(bucket: pd.DataFrame) -> pd.DataFrame:
-        s = bucket.groupby(["i", "j"], sort=False)["sxy"].sum()
+        s = bucket.groupby(["i", "j"], sort=False)["sxy"].agg(
+            merge_int_strs
+        ).map(str)
         return s.reset_index()
 
     sums = bucketed_group_apply(
@@ -894,26 +899,36 @@ def embedding_covariance(
 
     # first moments: d+1 rows, bounded by the dimension — the small side
     mom = sums.filter(lambda r: r["j"] == -1).to_pandas()
-    n = float(mom.loc[mom["i"] == -1, "sxy"].iloc[0])
-    means = dict(
-        zip(mom.loc[mom["i"] > 0, "i"], mom.loc[mom["i"] > 0, "sxy"] / n)
-    )
-    mref = ray.put((means, n))
+    n = int(mom.loc[mom["i"] == -1, "sxy"].iloc[0])
+    s_by_dim = {
+        int(i): int(s)
+        for i, s in zip(mom.loc[mom["i"] > 0, "i"],
+                        mom.loc[mom["i"] > 0, "sxy"])
+    }
+    mref = ray.put((s_by_dim, n))
 
     class _Cov:
         def __init__(self, ref):
-            self.means, self.n = ray.get(ref)
+            self.s, self.n = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             b = batch[batch["j"] > 0]
-            mi = b["i"].map(self.means).to_numpy(dtype="float64")
-            mj = b["j"].map(self.means).to_numpy(dtype="float64")
-            cov = (b["sxy"].to_numpy(dtype="float64") / self.n - mi * mj)
+            n = self.n
+            denom = n * n * 1_000_000_000_000
+            cov = np.array([
+                float(div_round_half_away(
+                    (n * int(sxy) - self.s[int(i)] * self.s[int(j)])
+                    * 1_000_000,
+                    denom,
+                )) / 1e6
+                for i, j, sxy in zip(b["i"], b["j"], b["sxy"])
+            ], dtype="float64")  # positional ndarray — a pd.Series here
+            # would index-align against the filtered b and scramble rows
             return pd.DataFrame(
                 {
                     "i": b["i"].astype("int64"),
                     "j": b["j"].astype("int64"),
-                    "cov": np.round(cov, 6),
+                    "cov": cov,
                 }
             )
 
@@ -926,26 +941,38 @@ def embedding_covariance(
 def embedding_covariance_sql(dim: int = 64) -> str:
     return f"""
 WITH x AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT list_transform(
+           CAST(embedding AS DOUBLE[]),
+           v -> CAST(FLOOR(v * 1000000.0) AS HUGEINT)
+         ) AS qe
+  FROM embeddings
 ),
 p AS (
-  SELECT i, j, SUM(e[i] * e[j]) AS sxy
+  SELECT i, j, SUM(qe[i] * qe[j]) AS sxy
   FROM x, unnest(range(1, {dim} + 1)) AS t(i),
        unnest(range(1, {dim} + 1)) AS u(j)
   WHERE i <= j
   GROUP BY i, j
 ),
 m AS (
-  SELECT i, SUM(e[i]) / COUNT(*) AS mean_i
+  SELECT i, SUM(qe[i]) AS si
   FROM x, unnest(range(1, {dim} + 1)) AS t(i)
   GROUP BY i
 ),
-n AS (SELECT COUNT(*) AS n FROM x)
-SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-       ROUND(p.sxy / n.n - mi.mean_i * mj.mean_i, 6) AS cov
-FROM p, n
-JOIN m mi ON mi.i = p.i
-JOIN m mj ON mj.i = p.j
+n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM x),
+num AS (
+  SELECT p.i, p.j,
+         (n.n * p.sxy - mi.si * mj.si) * 1000000 AS nu,
+         n.n * n.n * 1000000000000 AS de
+  FROM p, n
+  JOIN m mi ON mi.i = p.i
+  JOIN m mj ON mj.i = p.j
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(CASE WHEN nu >= 0 THEN (2 * nu + de) // (2 * de)
+                 ELSE -((2 * (-nu) + de) // (2 * de)) END AS DOUBLE)
+         / 1000000.0 AS cov
+FROM num
 """
 
 
@@ -1108,6 +1135,57 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _quantized_label_sums(
+    base: ray.data.Dataset, n_buckets: int = 4
+) -> dict:
+    """Exact per-label quantized sums: {label: (n, [Σq per dim])} over
+    1e-6 floor-quantized embeddings (functions/exactsum.py). int64 per
+    batch, decimal-string carriers across batches, Python-int merge —
+    order- and partition-independent; labels × dims driver-bounded.
+    Shared by ``label_cohesion`` and ``label_outliers``."""
+    from tcx2graph_jl_ray.functions.exactsum import (
+        floor_quantize, merge_int_strs,
+    )
+    from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
+
+    def cent_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for lab, g in batch.groupby("label", sort=False):
+            q = floor_quantize(np.stack(g["embedding"].to_numpy()))
+            frames.append(pd.DataFrame({
+                "label": lab,
+                "dim": np.arange(q.shape[1], dtype="int64"),
+                "s": [str(int(v)) for v in q.sum(axis=0)],
+                "n": np.int64(len(q)),
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "label": pd.Series([], dtype="object"),
+                "dim": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    def cent_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["label", "dim"], sort=False).agg(
+            s=("s", merge_int_strs), n=("n", "sum")
+        ).reset_index()
+        g["s"] = g["s"].map(str)
+        return g[["label", "dim", "s", "n"]]
+
+    cents = bucketed_group_apply(
+        base.map_batches(cent_partial, batch_format="pandas",
+                         batch_size=4096),
+        ["label"], cent_merge, n_buckets=n_buckets,
+    ).to_pandas()
+    cmap = {}
+    for lab, g in cents.groupby("label", sort=False):
+        g = g.sort_values("dim")
+        cmap[lab] = (int(g["n"].iloc[0]), [int(v) for v in g["s"]])
+    return cmap
+
+
 def label_outliers(
     embeddings: ray.data.Dataset, n_buckets: int = 32
 ) -> ray.data.Dataset:
@@ -1116,115 +1194,91 @@ def label_outliers(
     that flags mislabeled / contaminated embedding clusters before they
     poison retrieval or balancing.
 
-    Two passes, both combiner-shaped: (1) the same (label, dim) partial-sum
-    reduce as ``embedding_centroids``, collected UNROUNDED to the driver —
-    a labels × dim table, dimension-bounded like the covariance moments —
-    and broadcast back as a dense centroid matrix; (2) one vectorized
-    map over the corpus computing each vector's rounded dist², reduced per
-    label with an algebraic (n, sum, max, argmax-with-min-vec_id-ties)
-    partial/merge. No per-vector state ever reaches the driver.
-
-    Distances round to 6 before any comparison on BOTH sides, so the
-    argmax tie-break (lowest vec_id) is deterministic and oracle-stable.
+    Defined on 1e-6 floor-quantized embeddings with the EXACT rational
+    centroid (the ``label_cohesion`` discipline, functions/exactsum.py):
+    per vector, d2q = Σ_dim (n·q − s_d)² is an exact integer, rounded
+    half-away to 1e-6 units (m = dr(d2q·1e6, n²·1e12)) BEFORE any
+    comparison — so per-vector dist2 values, the per-label max, the
+    argmax tie-break (lowest vec_id) and the mean are all integer-exact
+    and independent of batch layout and summation order. Two passes:
+    the shared quantized-sum reduce (labels × dims, driver-bounded,
+    broadcast back), then one map with algebraic (n, Σm, max m,
+    argmin-vid-at-max) partials. No per-vector state reaches the driver.
     Output: label, n_vecs, mean_dist2, max_dist2, outlier_vec_id.
     """
+    from tcx2graph_jl_ray.functions.exactsum import (
+        div_round_half_away, floor_quantize, merge_int_strs,
+    )
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
-    def cent_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["embedding"].notna()]
-        if not len(batch):
-            return pd.DataFrame(
-                {"label": pd.Series([], dtype="int64"),
-                 "s": pd.Series([], dtype="object"),
-                 "n": pd.Series([], dtype="int64")}
-            )
-        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        uniq, inv = np.unique(batch["label"].to_numpy(), return_inverse=True)
-        sums = np.zeros((len(uniq), vecs.shape[1]))
-        np.add.at(sums, inv, vecs)
-        return pd.DataFrame(
-            {
-                "label": uniq.astype(np.int64),
-                "s": [row.tobytes() for row in sums],
-                "n": np.bincount(inv).astype("int64"),
-            }
-        )
+    base = embeddings.select_columns(
+        ["vec_id", "label", "embedding"]
+    ).map_batches(
+        lambda b: b[b["embedding"].notna() & b["label"].notna()],
+        batch_format="pandas", batch_size=4096,
+    ).materialize()  # consumed by the centroid pass AND the distance pass
 
-    parts = embeddings.select_columns(["label", "embedding"]).map_batches(
-        cent_partial, batch_format="pandas", batch_size=4096
-    )
-    sums: dict[int, np.ndarray] = {}
-    counts: dict[int, int] = {}
-    for b in parts.iter_batches(batch_size=256, batch_format="pandas"):
-        for lbl, raw, n in zip(b["label"], b["s"], b["n"]):
-            v = np.frombuffer(raw, dtype=np.float64)
-            if int(lbl) in sums:
-                sums[int(lbl)] += v
-                counts[int(lbl)] += int(n)
-            else:
-                sums[int(lbl)] = v.copy()
-                counts[int(lbl)] = int(n)
-    centroids = {lbl: sums[lbl] / counts[lbl] for lbl in sums}
-    cent_ref = ray.put(centroids)
+    cent_ref = ray.put(_quantized_label_sums(base))
 
     class _Dist:
         def __init__(self, ref):
-            cent = ray.get(ref)
-            self.keys = np.array(sorted(cent), dtype=np.int64)
-            self.mat = np.stack([cent[int(k)] for k in self.keys])
+            self.cmap = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch[batch["embedding"].notna()]
-            if not len(batch):
-                return pd.DataFrame(
-                    {"label": pd.Series([], dtype="int64"),
-                     "n": pd.Series([], dtype="int64"),
-                     "s": pd.Series([], dtype="float64"),
-                     "mx": pd.Series([], dtype="float64"),
-                     "vid": pd.Series([], dtype="int64")}
-                )
-            vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            labels = batch["label"].to_numpy().astype(np.int64)
-            cmat = self.mat[np.searchsorted(self.keys, labels)]
-            d2 = np.round(((vecs - cmat) ** 2).sum(axis=1), 6)
-            df = pd.DataFrame(
-                {"label": labels, "d2": d2,
-                 "vec_id": batch["vec_id"].to_numpy().astype(np.int64)}
-            )
-            mx = df.groupby("label", sort=False)["d2"].transform("max")
-            at_max = df[df["d2"] == mx]
-            g1 = df.groupby("label", sort=False).agg(
-                n=("d2", "size"), s=("d2", "sum"), mx=("d2", "max")
-            )
-            g2 = at_max.groupby("label", sort=False)["vec_id"].min().rename("vid")
-            return g1.join(g2).reset_index()
+            rows = []
+            for lab, g in batch.groupby("label", sort=False):
+                n, s = self.cmap[lab]
+                q = floor_quantize(np.stack(g["embedding"].to_numpy()))
+                vids = g["vec_id"].to_numpy().astype(np.int64)
+                denom = n * n * 1_000_000_000_000
+                diff = (q * np.int64(n)
+                        - np.asarray(s, dtype=object)[None, :])
+                best_m, best_vid, tot = -1, -1, 0
+                ms = []
+                for i in range(len(q)):
+                    d2q = sum(d * d for d in diff[i])
+                    m = div_round_half_away(d2q * 1_000_000, denom)
+                    ms.append(m)
+                    tot += m
+                    if m > best_m or (m == best_m
+                                      and int(vids[i]) < best_vid):
+                        best_m, best_vid = m, int(vids[i])
+                rows.append((lab, np.int64(len(q)), str(tot),
+                             str(best_m), best_vid))
+            return pd.DataFrame({
+                "label": pd.Series([r[0] for r in rows], dtype="object"),
+                "n": pd.Series([r[1] for r in rows], dtype="int64"),
+                "s": pd.Series([r[2] for r in rows], dtype="object"),
+                "mx": pd.Series([r[3] for r in rows], dtype="object"),
+                "vid": pd.Series([r[4] for r in rows], dtype="int64"),
+            })
 
-    partials = embeddings.select_columns(
-        ["vec_id", "label", "embedding"]
-    ).map_batches(
+    partials = base.map_batches(
         _Dist, fn_constructor_args=(cent_ref,), batch_format="pandas",
         batch_size=4096, concurrency=(1, 8),
     )
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        gmx = bucket.groupby("label", sort=False)["mx"].transform("max")
-        at_max = bucket[bucket["mx"] == gmx]
-        g1 = bucket.groupby("label", sort=False).agg(
-            n=("n", "sum"), s=("s", "sum"), mx=("mx", "max")
-        )
-        g2 = at_max.groupby("label", sort=False)["vid"].min().rename("vid")
-        g = g1.join(g2).reset_index()
-        return pd.DataFrame(
-            {
-                "label": g["label"].astype("int64"),
-                "n_vecs": g["n"].astype("int64"),
-                "mean_dist2": np.round(
-                    g["s"].to_numpy() / g["n"].to_numpy(), 6
-                ),
-                "max_dist2": g["mx"],
-                "outlier_vec_id": g["vid"].astype("int64"),
-            }
-        )
+        cm = ray.get(cent_ref)
+        rows = []
+        for lab, g in bucket.groupby("label", sort=False):
+            n = cm[lab][0]
+            tot = merge_int_strs(g["s"])
+            mxs = [int(v) for v in g["mx"]]
+            mx = max(mxs)
+            vid = min(int(v) for v, m in zip(g["vid"], mxs) if m == mx)
+            mean_m = div_round_half_away(tot, n)
+            rows.append((lab, n, float(mean_m) / 1e6, float(mx) / 1e6,
+                         vid))
+        return pd.DataFrame({
+            "label": pd.Series([int(r[0]) for r in rows], dtype="int64"),
+            "n_vecs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "mean_dist2": pd.Series([r[2] for r in rows],
+                                    dtype="float64"),
+            "max_dist2": pd.Series([r[3] for r in rows], dtype="float64"),
+            "outlier_vec_id": pd.Series([r[4] for r in rows],
+                                        dtype="int64"),
+        })
 
     return bucketed_group_apply(partials, ["label"], merge, n_buckets=n_buckets)
 
@@ -1233,26 +1287,35 @@ LABEL_OUTLIERS_SQL = """
 WITH u AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS e
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS q
   FROM embeddings
   WHERE embedding IS NOT NULL
 ),
-c AS (SELECT label, dim, SUM(e) / COUNT(*) AS cent FROM u GROUP BY label, dim),
+c AS (
+  SELECT label, dim, SUM(q) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM u GROUP BY label, dim
+),
 d AS (
-  SELECT u.vec_id, u.label,
-         ROUND(SUM((u.e - c.cent) * (u.e - c.cent)), 6) AS dist2
+  SELECT u.vec_id, u.label, MAX(c.n) AS n,
+         (2 * SUM((c.n * u.q - c.s) * (c.n * u.q - c.s)) * 1000000
+          + MAX(c.n) * MAX(c.n) * 1000000000000)
+         // (2 * MAX(c.n) * MAX(c.n) * 1000000000000) AS m
   FROM u JOIN c ON u.label = c.label AND u.dim = c.dim
   GROUP BY u.vec_id, u.label
 ),
 g AS (
-  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         ROUND(AVG(dist2), 6) AS mean_dist2, MAX(dist2) AS max_dist2
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, MAX(n) AS n,
+         SUM(m) AS tot, MAX(m) AS mx
   FROM d GROUP BY label
 )
-SELECT g.label, g.n_vecs, g.mean_dist2, g.max_dist2,
+SELECT g.label, g.n_vecs,
+       CAST((2 * g.tot + g.n) // (2 * g.n) AS DOUBLE) / 1000000.0
+         AS mean_dist2,
+       CAST(g.mx AS DOUBLE) / 1000000.0 AS max_dist2,
        CAST(MIN(d.vec_id) AS BIGINT) AS outlier_vec_id
-FROM g JOIN d ON d.label = g.label AND d.dist2 = g.max_dist2
-GROUP BY g.label, g.n_vecs, g.mean_dist2, g.max_dist2
+FROM g JOIN d ON d.label = g.label AND d.m = g.mx
+GROUP BY g.label, g.n_vecs, g.tot, g.mx, g.n
 """
 
 
@@ -1343,11 +1406,16 @@ def embedding_dim_stats(
     clips to) and the drift monitor a feature store runs per snapshot.
 
     Shape: a per-batch vectorized partial (column-wise min/max/sum over the
-    stacked float64 matrix — d rows per batch regardless of batch size)
+    stacked matrix — d rows per batch regardless of batch size)
     -> bucketed reduce by dim. min/max are exact (no summation); mean is
-    the ``embedding_centroids`` float64-sum-round-6 discipline.
+    the exact floor-quantized integer statistic (the ``emb_centroids``
+    discipline, functions/exactsum.py): order- and partition-independent
+    by construction, exact integer half-away rounding at 1e-6.
 
     Output: dim (1-based), vmin, vmax, mean (rounded 6), n_vecs."""
+    from tcx2graph_jl_ray.functions.exactsum import (
+        div_round_half_away, floor_quantize, merge_int_strs,
+    )
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1357,17 +1425,18 @@ def embedding_dim_stats(
                 {"dim": pd.Series([], dtype="int64"),
                  "vmin": pd.Series([], dtype="float64"),
                  "vmax": pd.Series([], dtype="float64"),
-                 "s": pd.Series([], dtype="float64"),
+                 "s": pd.Series([], dtype="object"),
                  "n": pd.Series([], dtype="int64")}
             )
         vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q = floor_quantize(vecs)
         d = vecs.shape[1]
         return pd.DataFrame(
             {
                 "dim": np.arange(1, d + 1, dtype=np.int64),
                 "vmin": vecs.min(axis=0),
                 "vmax": vecs.max(axis=0),
-                "s": vecs.sum(axis=0),
+                "s": [str(int(v)) for v in q.sum(axis=0)],
                 "n": np.int64(len(vecs)),
             }
         )
@@ -1375,15 +1444,20 @@ def embedding_dim_stats(
     def reduce_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("dim", sort=False).agg(
             vmin=("vmin", "min"), vmax=("vmax", "max"),
-            s=("s", "sum"), n=("n", "sum"),
+            s=("s", merge_int_strs), n=("n", "sum"),
         ).reset_index()
+        n = g["n"].to_numpy("int64")
+        mean = np.array([
+            float(div_round_half_away(int(s), int(nn)))
+            for s, nn in zip(g["s"], n)
+        ]) / 1e6
         return pd.DataFrame(
             {
                 "dim": g["dim"].astype("int64"),
                 "vmin": g["vmin"].astype("float64"),
                 "vmax": g["vmax"].astype("float64"),
-                "mean": np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6),
-                "n_vecs": g["n"].astype("int64"),
+                "mean": mean,
+                "n_vecs": pd.Series(n, dtype="int64"),
             }
         )
 
@@ -1398,12 +1472,19 @@ def embedding_dim_stats(
 DIM_STATS_SQL = """
 WITH u AS (
   SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS e
+         CAST(unnest(embedding) AS DOUBLE) AS e,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS q
   FROM embeddings
   WHERE embedding IS NOT NULL
 )
 SELECT dim, MIN(e) AS vmin, MAX(e) AS vmax,
-       ROUND(SUM(e) / COUNT(*), 6) AS mean,
+       CAST(CASE WHEN SUM(q) >= 0
+                 THEN (2 * SUM(q) + CAST(COUNT(*) AS HUGEINT))
+                      // (2 * CAST(COUNT(*) AS HUGEINT))
+                 ELSE -((2 * (-SUM(q)) + CAST(COUNT(*) AS HUGEINT))
+                        // (2 * CAST(COUNT(*) AS HUGEINT)))
+            END AS DOUBLE) / 1000000.0 AS mean,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM u GROUP BY dim
 """
@@ -1817,22 +1898,29 @@ def norm_profile(
 ) -> ray.data.Dataset:
     """L2-NORM profile of the embedding column — the first sanity gate on
     any vector feed (un-normalized vectors break cosine shortcuts; a
-    drifting norm mean is an encoder version change). Per-vector norms
-    round to 6 FIRST (the ``embedding_dim_stats`` float discipline — the
-    rounded value is the op's defined statistic, so engine and oracle
-    order-dependence is absorbed before any comparison), then: exact
-    count, min, max; mean of the rounded norms (float64 sum, rounded 6);
-    p50/p90 via one histogram-refinement descent (bounded driver memory).
+    drifting norm mean is an encoder version change). Defined on 1e-6
+    floor-quantized values (functions/exactsum.py discipline): per
+    vector, d2q = Σ q² is an EXACT int64 (64 dims × 1e14 quanta²), and
+    norm = ROUND(SQRT(d2q)/1e6, 6) — identical fl(sqrt)/divide on both
+    sides, and SQRT of an integer never lands on a rounding tie. The
+    mean then runs on the EXACT micro-integer norms (rint(norm*1e6),
+    recovering the rounded grid value exactly) with an integer half-away
+    divide; min/max are exact comparisons; p50/p90 via one
+    histogram-refinement descent (bounded driver memory).
     Output: one row — n_vecs, norm_min, norm_max, norm_mean, p50, p90."""
+    from tcx2graph_jl_ray.functions.exactsum import (
+        div_round_half_away, floor_quantize,
+    )
     from tcx2graph_jl_ray.functions.quantile import exact_global_quantiles
 
     def norms(batch: pd.DataFrame) -> pd.DataFrame:
         d = batch[batch["embedding"].notna()]
         if not len(d):
             return pd.DataFrame({"norm": pd.Series([], dtype="float64")})
-        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+        q = floor_quantize(np.stack(d["embedding"].to_numpy()))
+        d2q = (q * q).sum(axis=1)  # exact int64
         return pd.DataFrame({
-            "norm": np.round(np.sqrt((vecs * vecs).sum(axis=1)), 6),
+            "norm": np.round(np.sqrt(d2q.astype(np.float64)) / 1e6, 6),
         })
 
     ns = embeddings.select_columns(["embedding"]).map_batches(
@@ -1841,9 +1929,12 @@ def norm_profile(
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch["norm"].to_numpy(dtype="float64")
+        # norms sit exactly on the 1e-6 grid: micro-int sum is exact
+        micro = np.rint(v * 1e6).astype(np.int64)
         return pd.DataFrame({
             "k": ["all"], "n": [np.int64(len(v))],
-            "vmin": [v.min()], "vmax": [v.max()], "s": [v.sum()],
+            "vmin": [v.min()], "vmax": [v.max()],
+            "s": [str(int(micro.sum()))],
         })
 
     folded = ns.map_batches(
@@ -1851,6 +1942,7 @@ def norm_profile(
     ).to_pandas()  # one row per batch — bounded
 
     n = int(folded["n"].sum())
+    s_micro = sum(int(v) for v in folded["s"])
     _, qv = exact_global_quantiles(
         ns, "norm", [0.5, 0.9], collect_budget
     )
@@ -1858,7 +1950,7 @@ def norm_profile(
         "n_vecs": pd.array([n], dtype="int64"),
         "norm_min": [float(folded["vmin"].min())],
         "norm_max": [float(folded["vmax"].max())],
-        "norm_mean": [float(np.round(folded["s"].sum() / n, 6))],
+        "norm_mean": [float(div_round_half_away(s_micro, n)) / 1e6],
         "p50": [float(np.round(qv[0.5], 6))],
         "p90": [float(np.round(qv[0.9], 6))],
     }))
@@ -1866,18 +1958,26 @@ def norm_profile(
 
 NORM_PROFILE_SQL = """
 WITH u AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e
+  SELECT vec_id,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS q
   FROM embeddings WHERE embedding IS NOT NULL
 ),
 nrm AS (
-  SELECT ROUND(SQRT(SUM(e * e)), 6) AS norm FROM u GROUP BY vec_id
+  SELECT ROUND(SQRT(CAST(SUM(q * q) AS DOUBLE)) / 1000000.0, 6) AS norm
+  FROM u GROUP BY vec_id
+),
+mic AS (
+  SELECT norm, CAST(ROUND(norm * 1000000.0) AS HUGEINT) AS micro FROM nrm
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        MIN(norm) AS norm_min, MAX(norm) AS norm_max,
-       ROUND(SUM(norm) / COUNT(*), 6) AS norm_mean,
+       CAST((2 * SUM(micro) + CAST(COUNT(*) AS HUGEINT))
+            // (2 * CAST(COUNT(*) AS HUGEINT)) AS DOUBLE)
+         / 1000000.0 AS norm_mean,
        ROUND(QUANTILE_CONT(norm, 0.5), 6) AS p50,
        ROUND(QUANTILE_CONT(norm, 0.9), 6) AS p90
-FROM nrm
+FROM mic
 """
 
 
@@ -1888,12 +1988,17 @@ def centroid_drift(
     even-``vec_id`` and odd-``vec_id`` halves of the corpus — on an
     id-assignment that tracks ingest time, a non-trivial distance means
     the embedding distribution moved mid-corpus (an encoder swap or a
-    data mix shift) and every trained IVF/PQ codebook is stale. Per-dim
-    sums are the ``embedding_dim_stats`` float64 partials split by
-    parity; each centroid mean rounds to 6 FIRST (the defined statistic,
-    absorbing engine/oracle summation-order noise) and the L2 distance
-    over the 64 rounded diffs rounds to 6 again.
+    data mix shift) and every trained IVF/PQ codebook is stale. Defined
+    on 1e-6 floor-quantized values (functions/exactsum.py discipline):
+    per-parity per-dim EXACT integer sums, each centroid mean an exact
+    half-away integer divide in 1e-6 units FIRST (the defined statistic
+    — order- and partition-independent), then the L2 distance over the 64
+    integer diffs: dist = ROUND(SQRT(Σ diff²)/1e6, 6) where Σ diff² is
+    exact and SQRT of an integer can never land on a rounding tie.
     Output: one row — n_even, n_odd, centroid_dist."""
+    from tcx2graph_jl_ray.functions.exactsum import (
+        div_round_half_away, floor_quantize, merge_int_strs,
+    )
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1902,21 +2007,21 @@ def centroid_drift(
             return pd.DataFrame({
                 "dim": pd.Series([], dtype="int64"),
                 "par": pd.Series([], dtype="int64"),
-                "s": pd.Series([], dtype="float64"),
+                "s": pd.Series([], dtype="object"),
                 "n": pd.Series([], dtype="int64"),
             })
-        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+        q = floor_quantize(np.stack(d["embedding"].to_numpy()))
         par = (d["vec_id"].to_numpy(dtype="int64") % 2)
-        ndim = vecs.shape[1]
+        ndim = q.shape[1]
         frames = []
         for p in (0, 1):
-            m = vecs[par == p]
+            m = q[par == p]
             if not len(m):
                 continue
             frames.append(pd.DataFrame({
                 "dim": np.arange(1, ndim + 1, dtype="int64"),
                 "par": np.int64(p),
-                "s": m.sum(axis=0),
+                "s": [str(int(v)) for v in m.sum(axis=0)],
                 "n": np.int64(len(m)),
             }))
         return pd.concat(frames, ignore_index=True)
@@ -1927,10 +2032,14 @@ def centroid_drift(
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["dim", "par"], sort=False).agg(
-            s=("s", "sum"), n=("n", "sum")
+            s=("s", merge_int_strs), n=("n", "sum")
         ).reset_index()
-        g["mean"] = np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6)
-        w = g.pivot(index="dim", columns="par", values="mean")
+        # exact integer centroid means in 1e-6 units
+        g["mean_q"] = [
+            div_round_half_away(int(s), int(n))
+            for s, n in zip(g["s"], g["n"])
+        ]
+        w = g.pivot(index="dim", columns="par", values="mean_q")
         n_even = int(g.loc[g["par"] == 0, "n"].iloc[0]) if (
             (g["par"] == 0).any()) else 0
         n_odd = int(g.loc[g["par"] == 1, "n"].iloc[0]) if (
@@ -1938,8 +2047,14 @@ def centroid_drift(
         if 0 not in w.columns or 1 not in w.columns:
             dist = float("nan")
         else:
-            diff = w[0].to_numpy() - w[1].to_numpy()
-            dist = float(np.round(np.sqrt((diff * diff).sum()), 6))
+            s2 = sum(
+                (int(a) - int(b)) ** 2
+                for a, b in zip(w[0].to_numpy(), w[1].to_numpy())
+            )
+            # SQRT(CAST(s2 AS DOUBLE)) / 1e6 — identical fl ops in SQL;
+            # sqrt of an integer is never exactly on the round-6 grid's
+            # half boundary, so ROUND has no tie to break
+            dist = float(np.round(np.sqrt(float(s2)) / 1e6, 6))
         return pd.DataFrame({
             "n_even": pd.array([n_even], dtype="int64"),
             "n_odd": pd.array([n_odd], dtype="int64"),
@@ -1954,18 +2069,24 @@ CENTROID_DRIFT_SQL = """
 WITH u AS (
   SELECT vec_id % 2 AS par,
          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS e
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS q
   FROM embeddings WHERE embedding IS NOT NULL
 ),
 m AS (
-  SELECT dim, par, ROUND(SUM(e) / COUNT(*), 6) AS mean,
-         COUNT(*) AS nd
+  SELECT dim, par,
+         CASE WHEN SUM(q) >= 0
+              THEN (2 * SUM(q) + CAST(COUNT(*) AS HUGEINT))
+                   // (2 * CAST(COUNT(*) AS HUGEINT))
+              ELSE -((2 * (-SUM(q)) + CAST(COUNT(*) AS HUGEINT))
+                     // (2 * CAST(COUNT(*) AS HUGEINT)))
+         END AS mean_q
   FROM u GROUP BY dim, par
 ),
 w AS (
   SELECT dim,
-         MAX(CASE WHEN par = 0 THEN mean END) AS m0,
-         MAX(CASE WHEN par = 1 THEN mean END) AS m1
+         MAX(CASE WHEN par = 0 THEN mean_q END) AS m0,
+         MAX(CASE WHEN par = 1 THEN mean_q END) AS m1
   FROM m GROUP BY dim
 ),
 cnt AS (
@@ -1976,7 +2097,8 @@ cnt AS (
       WHERE embedding IS NOT NULL AND vec_id % 2 = 1) AS n_odd
 )
 SELECT CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
-       (SELECT ROUND(SQRT(SUM((m0 - m1) * (m0 - m1))), 6) FROM w)
+       (SELECT ROUND(SQRT(CAST(SUM((m0 - m1) * (m0 - m1)) AS DOUBLE))
+                     / 1000000.0, 6) FROM w)
          AS centroid_dist
 FROM cnt
 """
@@ -2017,48 +2139,7 @@ def label_cohesion(
         batch_format="pandas", batch_size=4096,
     ).materialize()  # consumed by the centroid pass AND the distance pass
 
-    def cent_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for lab, g in batch.groupby("label", sort=False):
-            q = floor_quantize(np.stack(g["embedding"].to_numpy()))
-            # per-batch per-dim sums fit int64 (4096 * 1e7 quanta);
-            # serialized as strings so the cross-batch merge is exact at
-            # any row count (Arrow has no int128)
-            frames.append(pd.DataFrame({
-                "label": lab,
-                "dim": np.arange(q.shape[1], dtype="int64"),
-                "s": [str(int(v)) for v in q.sum(axis=0)],
-                "n": np.int64(len(q)),
-            }))
-        if not frames:
-            return pd.DataFrame({
-                "label": pd.Series([], dtype="object"),
-                "dim": pd.Series([], dtype="int64"),
-                "s": pd.Series([], dtype="object"),
-                "n": pd.Series([], dtype="int64"),
-            })
-        return pd.concat(frames, ignore_index=True)
-
-    def cent_merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(["label", "dim"], sort=False).agg(
-            s=("s", merge_int_strs), n=("n", "sum")
-        ).reset_index()
-        g["s"] = g["s"].map(str)
-        return g[["label", "dim", "s", "n"]]
-
-    cents = bucketed_group_apply(
-        base.map_batches(cent_partial, batch_format="pandas",
-                         batch_size=4096),
-        ["label"], cent_merge, n_buckets=4,
-    ).to_pandas()  # labels x dims — dimension-bounded
-    cmap = {}
-    for lab, g in cents.groupby("label", sort=False):
-        g = g.sort_values("dim")
-        cmap[lab] = (
-            int(g["n"].iloc[0]),
-            [int(v) for v in g["s"]],  # exact Σq per dim
-        )
-    cref = ray.put(cmap)
+    cref = ray.put(_quantized_label_sums(base))
 
     def dist_partial(batch: pd.DataFrame) -> pd.DataFrame:
         cm = ray.get(cref)
@@ -2145,10 +2226,15 @@ def dim_variance(
     """Per-dimension VARIANCE of the embedding column — the dead-axis
     detector that ``embedding_dim_stats``' min/max can't give (a
     dimension whose variance collapsed carries no information and is
-    free compression budget for PQ/SQ). Per-batch per-dim (Σx, Σx²
-    float64 partials, exact n) reduce dim-bucketed; the population
-    variance is one double expression rounded 6 per dim.
-    Output: dim (1-based), n_vecs, variance."""
+    free compression budget for PQ/SQ). Defined on 1e-6 floor-quantized
+    values (functions/exactsum.py discipline): population variance
+    var = (n·Σq² − (Σq)²) / (n²·1e12), every sum an exact integer
+    (int64 per batch, decimal-string carriers across batches), final
+    rounding an exact integer half-away divide at 1e-6 — order- and
+    partition-independent. Output: dim (1-based), n_vecs, variance."""
+    from tcx2graph_jl_ray.functions.exactsum import (
+        div_round_half_away, floor_quantize, merge_int_strs,
+    )
     from tcx2graph_jl_ray.functions.grouping import bucketed_group_apply
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2156,17 +2242,18 @@ def dim_variance(
         if not len(d):
             return pd.DataFrame({
                 "dim": pd.Series([], dtype="int64"),
-                "s": pd.Series([], dtype="float64"),
-                "s2": pd.Series([], dtype="float64"),
+                "s": pd.Series([], dtype="object"),
+                "s2": pd.Series([], dtype="object"),
                 "n": pd.Series([], dtype="int64"),
             })
-        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
-        nd = vecs.shape[1]
+        q = floor_quantize(np.stack(d["embedding"].to_numpy()))
+        nd = q.shape[1]
         return pd.DataFrame({
             "dim": np.arange(1, nd + 1, dtype="int64"),
-            "s": vecs.sum(axis=0),
-            "s2": (vecs * vecs).sum(axis=0),
-            "n": np.int64(len(vecs)),
+            "s": [str(int(v)) for v in q.sum(axis=0)],
+            # q² ≤ 1e14 quanta²: 4096-row batch sums fit int64
+            "s2": [str(int(v)) for v in (q * q).sum(axis=0)],
+            "n": np.int64(len(q)),
         })
 
     parts = embeddings.select_columns(["embedding"]).map_batches(
@@ -2175,15 +2262,21 @@ def dim_variance(
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("dim", sort=False).agg(
-            s=("s", "sum"), s2=("s2", "sum"), n=("n", "sum")
+            s=("s", merge_int_strs), s2=("s2", merge_int_strs),
+            n=("n", "sum"),
         ).reset_index()
-        n = g["n"].to_numpy(dtype="float64")
-        s = g["s"].to_numpy()
-        s2 = g["s2"].to_numpy()
+        rows = []
+        for dim, s, s2, n in zip(g["dim"], g["s"], g["s2"], g["n"]):
+            s, s2, n = int(s), int(s2), int(n)
+            m = div_round_half_away(
+                (n * s2 - s * s) * 1_000_000,
+                n * n * 1_000_000_000_000,
+            )
+            rows.append((int(dim), n, float(m) / 1e6))
         return pd.DataFrame({
-            "dim": g["dim"].astype("int64"),
-            "n_vecs": g["n"].astype("int64"),
-            "variance": np.round(s2 / n - (s / n) * (s / n), 6),
+            "dim": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_vecs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "variance": pd.Series([r[2] for r in rows], dtype="float64"),
         })
 
     return bucketed_group_apply(parts, ["dim"], final,
@@ -2193,14 +2286,20 @@ def dim_variance(
 DIM_VARIANCE_SQL = """
 WITH u AS (
   SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS e
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS HUGEINT) AS q
   FROM embeddings WHERE embedding IS NOT NULL
+),
+a AS (
+  SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(q) AS s, SUM(q * q) AS s2
+  FROM u GROUP BY dim
 )
-SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(SUM(e * e) / COUNT(*)
-             - (SUM(e) / COUNT(*)) * (SUM(e) / COUNT(*)), 6)
-         AS variance
-FROM u GROUP BY dim
+SELECT dim, CAST(n AS BIGINT) AS n_vecs,
+       CAST((2 * (n * s2 - s * s) * 1000000 + n * n * 1000000000000)
+            // (2 * n * n * 1000000000000) AS DOUBLE)
+         / 1000000.0 AS variance
+FROM a
 """
 
 
@@ -2210,11 +2309,13 @@ def truncation_profile(
     """MATRYOSHKA TRUNCATION profile: how much of each vector's energy the
     first ``keep_dims`` dimensions retain — the feasibility gate for
     serving truncated embeddings (half the index bytes) from a full-width
-    encoder. Per vector r = ||v[:k]||² / ||v||², ROUNDED 6 FIRST (the
-    ``norm_profile`` float discipline: the rounded value is the defined
-    statistic, absorbing engine/oracle summation-order differences), then
-    histogrammed into tenth-wide bins — only integer bin counts leave the
-    workers. Output per occupied bin: bin, bin_lo, n_vecs, share."""
+    encoder. Per vector r = ||v[:k]||² / ||v||² on 1e-6 floor-quantized
+    values (functions/exactsum.py discipline): both energies are EXACT
+    int64 sums, so r = ROUND(head/full, 6) divides identical integers on
+    both sides regardless of batch layout; then histogrammed into
+    tenth-wide bins — only integer bin counts leave the workers.
+    Output per occupied bin: bin, bin_lo, n_vecs, share."""
+    from tcx2graph_jl_ray.functions.exactsum import floor_quantize
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         d = batch[batch["embedding"].notna()]
@@ -2223,9 +2324,11 @@ def truncation_profile(
                 "bin": pd.Series([], dtype="int64"),
                 "n": pd.Series([], dtype="int64"),
             })
-        vecs = np.stack(d["embedding"].to_numpy()).astype(np.float64)
-        full = (vecs * vecs).sum(axis=1)
-        head = (vecs[:, :keep_dims] * vecs[:, :keep_dims]).sum(axis=1)
+        q = floor_quantize(np.stack(d["embedding"].to_numpy()))
+        full = (q * q).sum(axis=1).astype(np.float64)  # exact ints < 2^53
+        head = (q[:, :keep_dims] * q[:, :keep_dims]).sum(axis=1).astype(
+            np.float64
+        )
         r = np.round(head / full, 6)
         b = np.minimum(np.floor(r * 10.0), 9.0).astype("int64")
         g = pd.DataFrame({"bin": b, "n": np.int64(1)})\
@@ -2260,15 +2363,20 @@ def truncation_profile(
 
 
 TRUNCATION_PROFILE_SQL_TEMPLATE = """
-WITH r AS (
-  SELECT ROUND(
-           list_sum(list_transform(
-             embedding[1:{keep_dims}],
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-           / list_sum(list_transform(
-             embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS r
+WITH q AS (
+  SELECT list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(FLOOR(x * 1000000.0) AS HUGEINT)
+         ) AS qe
   FROM embeddings WHERE embedding IS NOT NULL
+),
+r AS (
+  SELECT ROUND(
+           CAST(list_sum(list_transform(qe[1:{keep_dims}], x -> x * x))
+                AS DOUBLE)
+           / CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE),
+           6) AS r
+  FROM q
 ),
 b AS (
   SELECT CAST(LEAST(FLOOR(r * 10.0), 9.0) AS BIGINT) AS bin FROM r

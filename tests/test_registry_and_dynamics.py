@@ -108,12 +108,16 @@ def test_sweep_order_front_loads_unverified():
             f"hash-FAIL query {n} must stay in the front window until green"
         )
 
-    unverified = [k for k in front if k not in e._DRIVER_VERIFIED]
+    # every front slot must earn its place: never driver-verified, or
+    # explicitly force-fronted for a re-check (semantics/encoding changed
+    # since its green row)
+    wasted = [k for k in front
+              if k in e._DRIVER_VERIFIED and k not in e._FORCE_FRONT]
     n_remaining = len([k for k in keys if k not in e._DRIVER_VERIFIED
                        and k in oracles])
-    assert len(unverified) >= min(45, n_remaining), (
-        f"front-50 wastes driver budget on already-green rows: "
-        f"{[k for k in front if k in e._DRIVER_VERIFIED]}"
+    assert len(wasted) <= max(0, 50 - min(50, n_remaining
+                                          + len(e._FORCE_FRONT))), (
+        f"front-50 wastes driver budget on already-green rows: {wasted}"
     )
 
     for k in front:
