@@ -92,6 +92,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--names", default="")
+    ap.add_argument("--bcpus", type=int, default=3,
+                    help="layout B CPU count")
+    ap.add_argument("--bblock", type=int, default=262144,
+                    help="layout B target_max_block_size (bytes); tiny "
+                         "blocks maximize batch-boundary hostility but "
+                         "cost ~wall-clock — widen for broad sweeps")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -100,7 +106,7 @@ def main() -> None:
     names = (args.names.split(",") if args.names
              else sorted(e.oracle_sql()))
     a = run_layout(8, 0, args.sf, names)
-    b = run_layout(3, 262144, args.sf, names)
+    b = run_layout(args.bcpus, args.bblock, args.sf, names)
     diverged = sorted(
         n for n in names
         if a.get(n) != b.get(n)
