@@ -107,6 +107,21 @@ def test_sliced_path_bounds_group_rows(ray_session):
     ) == whale_rows
 
 
+def test_sliced_path_matches_oracle_on_testdata(ray_session, duck, sf_dir):
+    """Force EVERY sf0.001 user through the sliced path and require exact
+    oracle parity — the whale machinery must be invisible on real data."""
+    from tcx2graph_jl_ray.stages.window import ASOF_JOIN_SQL_TEMPLATE
+    from tests.parity import assert_parity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    assert_parity(
+        asof_join_events(ds, whale_budget=1, slice_days=7),
+        ASOF_JOIN_SQL_TEMPLATE.format(left_type="purchase",
+                                      right_type="click"),
+        duck,
+    )
+
+
 def test_default_budget_uses_direct_path_at_sf(ray_session, duck, sf_dir):
     """With the default budget the sf testdata takes the direct path and
     still matches the oracle (the driver's exact comparison)."""
