@@ -75,3 +75,61 @@ def test_bpe_token_conservation(ray_session):
     )
     assert comp["n_merges"] == len(merges)
     assert 0 < comp["compression"] < 1
+
+
+def test_bpe_oracle_matches_engine_on_adversarial_corpus(ray_session):
+    """The round-5 unrolled-CTE oracle (text.bpe_train_sql) must reproduce
+    the engine's greedy left-to-right merge application on the cases where
+    a naive SQL formulation diverges: overlapping self-merges (aaaa),
+    tie-broken pair choices, merged symbols that share prefixes with later
+    pairs, and multi-space/case folding. Also checks the compression
+    oracle and the token-conservation invariant end-to-end."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tcx2graph_jl_ray.stages.text import (
+        bpe_compression,
+        bpe_compression_sql,
+        bpe_train,
+        bpe_train_sql,
+    )
+    from tests.parity import assert_parity
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(8), dtype="int64"),
+        "source": ["t"] * 8,
+        "lang": ["en"] * 8,
+        "text": [
+            "aaaa aaaa aaa aa",            # overlapping self-merge chains
+            "abab abab ababab",            # alternating pair, merged 'ab'
+            "AAAB aab ab  ab",             # case fold + double space
+            "xy xy xz xz",                 # exact tie on count: (x,y) vs (x,z)
+            "banana bandana banana",       # shared-prefix merged symbols
+            "q",                           # single-char word (seq len 2)
+            "zz zz zz zz zz zz",           # dominant pair
+            None,                          # null text drops
+        ],
+    })
+    ds = ray.data.from_pandas(docs)
+
+    con = duckdb.connect()
+    con.register("documents_pd", docs)
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+
+    for n_merges in (1, 4, 16, 40):  # 40 > available merges: stop rule
+        assert_parity(bpe_train(ds, n_merges), bpe_train_sql(n_merges), con)
+        assert_parity(
+            bpe_compression(ds, n_merges), bpe_compression_sql(n_merges), con
+        )
+
+    # conservation under OVERLAPS: pair_count counts overlapping
+    # occurrences ("aaaa" counts (a,a) three times) but greedy application
+    # merges only non-overlapping ones, so strict equality — which holds
+    # on the natural-text sf corpus (test_bpe_token_conservation) — relaxes
+    # to an inequality here
+    tr = bpe_train(ds, 16).to_pandas()
+    comp = bpe_compression(ds, 16).to_pandas()
+    before = int(comp["tokens_before"].iloc[0])
+    after = int(comp["tokens_after"].iloc[0])
+    assert before - int(tr["pair_count"].sum()) <= after < before
